@@ -1,0 +1,50 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with the engine's standard configuration.
+  *
+  * Mirrors the session conventions of the reference's `get_spark_session`
+  * (spark_utils.py:791-795) plus the settings its jobs set ad-hoc:
+  * UTC session timezone (hpc_running_cores_and_corehr.py:623), dynamic
+  * partition overwrite (dbs_hdfs_eos.py:58-61). Sized for local[N] testing
+  * but every knob here is what we'd ship to a 1000-executor cluster:
+  * AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+  * shuffle partitions matched to parallelism rather than the 200 default.
+  */
+object Sessions {
+
+  /** Standard builder; caller picks master/parallelism. */
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // The driver-generated events table stores TIMESTAMP(NANOS) which
+      // Spark's parquet reader rejects by default; read them as Long nanos.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val s = builder(s"local[$cores]", cores).appName(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Ensure configs the queries depend on are present on an
+    * externally-created session (e.g. the verification driver's). */
+  def ensureQueryConfs(spark: SparkSession): SparkSession = {
+    def trySet(k: String, v: String): Unit =
+      try spark.conf.set(k, v)
+      catch { case _: Throwable => () }
+    trySet("spark.sql.legacy.parquet.nanosAsLong", "true")
+    trySet("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+}

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Reusable aggregation building blocks (SURVEY.md §2.5).
+  *
+  * Numeric policy for oracle parity: floating-point SUMs are order-dependent
+  * under shuffle, so any aggregate that must hash-match an external oracle is
+  * computed over an exact DECIMAL cast (order-independent), then cast back to
+  * DOUBLE so the output dtype is engine-neutral. Derived ratios divide the
+  * exact decimal sums in IEEE double, which is deterministic.
+  */
+object Aggregates {
+
+  /** Exact, order-independent sum of a double column: sum as DECIMAL then
+    * present as DOUBLE. `scale` decimals are kept before summing. */
+  def decSum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Conditional row count: the reference's accessed-file-count idiom
+    * `sum(when(cond, 1).otherwise(0))` (rucio_datasets_stats.py:317-319). */
+  def countIf(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
+
+  /** Deterministic mean of a double column (exact sum / count). */
+  def decAvg(c: Column, scale: Int = 6, outScale: Int = 6): Column =
+    round(sum(c.cast(DecimalType(18, scale))).cast("double") / count(lit(1)),
+      outScale)
+
+  /** Ratio-of-sums, the cpu-efficiency idiom
+    * `100*sum(CpuTimeHr)/sum(CoreTime)` (condor_cpu_efficiency.py:394-417).
+    * Both sums are exact decimals; the division is IEEE double. */
+  def ratioOfSums(num: Column, den: Column, factor: Double = 100.0,
+      outScale: Int = 6): Column =
+    round(lit(factor) * sum(num.cast(DecimalType(18, 4))).cast("double") /
+      sum(den.cast(DecimalType(18, 4))).cast("double"), outScale)
+
+  /** Coalesce-by-priority: first non-null across sources
+    * (rucio_datasets_stats.py:269-274 uses when-chains for the same). */
+  def coalescePriority(cols: Column*): Column = coalesce(cols: _*)
+
+  /** Deterministic "carry a functionally-dependent column through groupBy":
+    * the reference uses non-deterministic `first()`
+    * (rucio_datasets_stats.py:320); we use `min` for oracle parity. */
+  def carry(c: Column): Column = min(c)
+}

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Time bucketing and dense-calendar scaffolding (SURVEY.md §2.6).
+  *
+  * The reference emulates time windows arithmetically —
+  * `from_unixtime(ts - ts % 720)` 12-minute bins
+  * (hpc_running_cores_and_corehr.py:206-208) and builds dense calendars
+  * with `sequence(min,max,interval 1 day)` + explode + left join + fillna(0)
+  * (hpc_running_cores_and_corehr.py:148-168).
+  */
+object Calendar {
+
+  /** Tumbling bin over an epoch-seconds Long column; returns the bin start
+    * in epoch seconds. Integer arithmetic only (safe for 64-bit epochs). */
+  def tumblingBinSeconds(tsSec: Column, widthSec: Long): Column =
+    (tsSec - pmod(tsSec, lit(widthSec))).cast("long")
+
+  /** Tumbling bin over an epoch-nanoseconds Long column (the testdata
+    * events table); returns the bin start in epoch seconds. */
+  def tumblingBinNanos(tsNanos: Column, widthSec: Long): Column = {
+    val widthNanos = widthSec * 1000000000L
+    ((tsNanos - pmod(tsNanos, lit(widthNanos))) / lit(1000000000L))
+      .cast("long")
+  }
+
+  /** Dense day scaffold: one row per day between the min and max of
+    * `dateCol` in `df`, left-joined with `perDay` (keyed by `dayKey`) and
+    * zero-filled on `fillCols`. Day is emitted as a 'yyyy-MM-dd' string for
+    * engine-neutral comparison. The bounds aggregate collapses to a single
+    * row, so the generated calendar is a broadcastable one-row explode —
+    * no shuffle added beyond the per-day aggregation itself. */
+  def scaffold(df: DataFrame, dateCol: Column, perDay: DataFrame,
+      dayKey: String, fillCols: Seq[String]): DataFrame = {
+    val bounds = df.agg(min(to_date(dateCol)).as("lo"),
+      max(to_date(dateCol)).as("hi"))
+    val days = bounds
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as(dayKey))
+    days.join(perDay, Seq(dayKey), "left").na.fill(0, fillCols)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dataset / site / DN name algebra (SURVEY.md §1.4, §2.9, §2.11).
+  *
+  * All pure-Catalyst replacements for the reference's Python UDFs, so they
+  * stay inside whole-stage codegen:
+  *  - dataset `/primds/procds/tier` splitting (spark_utils.py:727-733)
+  *  - campaign token (reports/aggregate_campaigns.py:137)
+  *  - site `T2_US_FNAL` → tier/country/lab (data_aggregation.py:374-397)
+  *  - `clean_site_name` keep-first-3-tokens (data_aggregation.py:374-386)
+  *  - X.509 `parse_dn` / `dn2uuid` (data_aggregation.py:389-420)
+  */
+object NameAlgebra {
+
+  /** `/primds/procds/tier` → primds (token 1; token 0 is empty). */
+  def primaryDataset(dataset: Column): Column = split(dataset, "/").getItem(1)
+
+  def processedDataset(dataset: Column): Column =
+    split(dataset, "/").getItem(2)
+
+  def dataTier(dataset: Column): Column = split(dataset, "/").getItem(3)
+
+  /** campaign = `dataset.split('/')[2]` per the reference. */
+  def campaign(dataset: Column): Column = processedDataset(dataset)
+
+  /** Block name `dataset#uuid` → dataset part. */
+  def blockDataset(block: Column): Column =
+    substring_index(block, "#", 1)
+
+  /** Site tier: first `_` token (`T2` of `T2_US_FNAL`). */
+  def siteTier(site: Column): Column = split(site, "_").getItem(0)
+
+  def siteCountry(site: Column): Column = split(site, "_").getItem(1)
+
+  /** `clean_site_name`: keep at most the first three `_`-separated parts. */
+  def cleanSiteName(site: Column): Column =
+    concat_ws("_", slice(split(site, "_"), 1, 3))
+
+  /** Tape/buffer endpoint filter (phedex.py:38-42). */
+  def isTapeEndpoint(site: Column): Column =
+    site.endsWith("_MSS") || site.endsWith("_Buffer") ||
+      site.endsWith("_Export")
+
+  /** `parse_dn`: last `/CN=` segment of an X.509 DN that contains a letter
+    * (skipping purely numeric CNs), as a Catalyst expression chain. */
+  def parseDn(dn: Column): Column = {
+    val cns = filter(split(dn, "/"),
+      s => s.startsWith("CN=") && s.rlike("[A-Za-z]"))
+    regexp_replace(element_at(cns, -1), "^CN=", "")
+  }
+
+  /** `dn2uuid`: `BigInt(sha1(parse_dn(dn)), 16) mod 10^16` — needs BigInt
+    * (the value exceeds Long), so a compact Scala UDF over the built-in
+    * sha1() output. Deterministic, exact parity with the reference. */
+  val sha1HexMod1e16: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((hex: String) =>
+      if (hex == null) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(
+        (BigInt(hex, 16) mod BigInt(10).pow(16)).toLong))
+
+  def dnToUuid(dn: Column): Column = sha1HexMod1e16(sha1(parseDn(dn)))
+}

@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{Aggregates, Calendar}
+
+/** Windowing and time-series family (SURVEY.md §2.6-2.7): ranking and
+  * running windows (an extension — the reference emulates everything
+  * arithmetically), tumbling bins, dense-calendar zero-fill, top-k. */
+object TimeQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Ranking window: top-3 orders per customer, total tie-break.
+    QueryDef(
+      "q18_window_rank",
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 CAST(row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+          FROM orders) WHERE rn <= 3"""),
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") <= 3)
+      }),
+
+    // Running (cumulative) window per key, exact decimal running sum.
+    QueryDef(
+      "q19_window_running",
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_price
+        FROM orders"""),
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+              .cast("double").as("running_price"))
+      }),
+
+    // Tumbling 12-minute bins via integer epoch arithmetic
+    // (hpc_running_cores_and_corehr.py:206-208). events.ts is epoch-nanos
+    // Long on the Spark side; DuckDB sees the same INT64 via epoch_ns.
+    QueryDef(
+      "q20_time_tumbling",
+      Some("""
+        SELECT (epoch_ns(ts) // 720000000000) * 720 AS bin,
+               count(*) AS n,
+               CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1"""),
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(expr("(ts div 720000000000) * 720").as("bin"))
+          .agg(
+            count(lit(1)).as("n"),
+            Aggregates.decSum(col("value")).as("sum_value"))),
+
+    // Dense calendar scaffold + zero-fill
+    // (hpc_running_cores_and_corehr.py:148-168).
+    QueryDef(
+      "q21_time_calendar",
+      Some("""
+        WITH b AS (SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+                          max(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+             days AS (SELECT strftime(CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE), '%Y-%m-%d') AS day FROM b),
+             per AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+                            count(*) AS n_orders FROM orders GROUP BY 1)
+        SELECT day, CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders
+        FROM days LEFT JOIN per USING(day)"""),
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val perDay = orders
+          .groupBy(date_format(to_date(col("o_orderdate")), "yyyy-MM-dd")
+            .as("day"))
+          .agg(count(lit(1)).as("n_orders"))
+        Calendar.scaffold(orders, col("o_orderdate"), perDay, "day",
+          Seq("n_orders"))
+      }),
+
+    // Top-k via orderBy+limit → TakeOrderedAndProject
+    // (reports/aggregate_campaigns.py:203-205), total order.
+    QueryDef(
+      "q22_topk",
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""),
+      (s, d) =>
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10)),
+
+    // Calendar-part bucketing (condor_crab_unique_users.py:84-88).
+    QueryDef(
+      "q23_date_parts",
+      Some("""
+        SELECT CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(month(o_orderdate) AS INT) AS mo,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY 1, 2"""),
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy(
+            year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mo"))
+          .agg(
+            count(lit(1)).as("n"),
+            Aggregates.decSum(col("o_totalprice")).as("sum_price")))
+  )
+}

@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+Loads each <verifyOutDir>/<query>/ parquet result (written by graft.Verify),
+runs the matching oracle SQL from oracle_sql.json in DuckDB over views named
+after the testdata tables, and compares: columns sorted by name, rows sorted,
+values stringified, hashed. Reports per-query match/mismatch with diagnostics.
+"""
+import glob
+import hashlib
+import json
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.astype(object)
+
+    def norm(v):
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return "NULL"
+        if pd.isna(v) if not isinstance(v, (list, tuple)) else False:
+            return "NULL"
+        if isinstance(v, float):
+            return repr(v)
+        return str(v)
+
+    out = df.map(norm)
+    out = out.sort_values(by=list(out.columns), kind="mergesort")
+    return out.reset_index(drop=True)
+
+
+def digest(df: pd.DataFrame) -> str:
+    h = hashlib.md5()
+    h.update(("|".join(df.columns)).encode())
+    for row in df.itertuples(index=False):
+        h.update(("\x1f".join(row) + "\x1e").encode())
+    return h.hexdigest()
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        try:
+            want = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        cg, cw = canon(got), canon(want)
+        if list(cg.columns) != list(cw.columns):
+            print(f"FAIL {name}: columns {list(cg.columns)} vs {list(cw.columns)}")
+            n_fail += 1
+            continue
+        if len(cg) != len(cw):
+            print(f"FAIL {name}: rows {len(cg)} vs {len(cw)}")
+            n_fail += 1
+            continue
+        if digest(cg) != digest(cw):
+            neq = (cg != cw)
+            bad_cols = [c for c in cg.columns if neq[c].any()]
+            i = neq.any(axis=1).idxmax()
+            print(f"FAIL {name}: value mismatch in {bad_cols}; first bad row {i}:")
+            print("  spark :", dict(cg.iloc[i]))
+            print("  oracle:", dict(cw.iloc[i]))
+            # raw dtypes help diagnose
+            print("  spark dtypes :", dict(got.dtypes.astype(str)))
+            print("  oracle dtypes:", dict(want.dtypes.astype(str)))
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(cg)} rows)")
+        n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
