@@ -1,0 +1,129 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `Array[Float]` columns.
+  *
+  * Precision contract: dot products fold LEFT-TO-RIGHT in double via the
+  * `aggregate` higher-order function — bit-identical to any engine that
+  * folds a list sequentially (float→double is exact; float×float in
+  * double is exact at 24+24 < 53 mantissa bits). Cosines are ranked on
+  * their 6-dp rounding with the candidate id as total tie-break, so
+  * top-k is engine-reproducible.
+  *
+  * Scale shape: brute force is the correctness baseline (queries
+  * broadcast against the corpus — one narrow map per corpus row, no
+  * shuffle); the IVF and hyperplane-LSH variants are the 100 TB path —
+  * they cut the candidate set by a partition-prunable cell/bucket key
+  * before the same scoring kernel runs.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Self dot product (squared L2 norm). */
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** Cosine similarity rounded to 6 dp (the ranking key). */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b))), 6)
+
+  /** Brute-force top-k: for each row of `queries` (small, broadcast),
+    * score every corpus row, keep k by (cosine desc, id). Excludes
+    * self-matches on equal ids. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val scored = c.join(q, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("qv"), col("cv")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    scored.select(col("query_id"), col("cand_id"), col("cos_sim"),
+      row_number().over(w).as("rk"))
+      .filter(col("rk") <= k)
+  }
+
+  /** IVF-style cell-restricted top-k: candidates share the query's
+    * `cellCol` (the coarse quantizer cell — at scale, the partition
+    * key of the vector store, so the scan prunes to one cell). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, cellCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), col(cellCol).as("cell")))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      col(cellCol).as("cell"))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("qv"), col("cv")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    scored.select(col("query_id"), col("cand_id"), col("cos_sim"),
+      row_number().over(w).as("rk"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane j (j ≥ 0) of dimension
+    * `dim`: small signed ints from a fixed congruence — reproducible in
+    * any engine, no RNG state. */
+  def hyperplane(j: Int, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => ((lit(17 * (j + 1)) * (i + lit(3)) + lit(7)) % 19 - lit(9))
+        .cast("double"))
+
+  /** Sign-random-projection LSH bucket id over `nBits` hyperplanes:
+    * bit j = [dot(v, r_j) > 0], bucket = Σ 2^j bit_j. A narrow map —
+    * at scale this is the write-time partition key of the ANN index. */
+  def lshBucket(vec: Column, nBits: Int, dim: Int): Column = {
+    val bits = (0 until nBits).map { j =>
+      when(aggregate(
+        zip_with(vec, hyperplane(j, dim), (x, r) => x.cast("double") * r),
+        lit(0.0), (acc, v) => acc + v) > 0, 1L << j).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN top-k: candidates share the query's bucket. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, nBits: Int, dim: Int, k: Int): DataFrame = {
+    val withBucket = (d: DataFrame, id: String, v: String) =>
+      d.select(col(idCol).as(id), col(vecCol).as(v),
+        lshBucket(col(vecCol), nBits, dim).as("bucket"))
+    val q = broadcast(withBucket(queries, "query_id", "qv"))
+    val c = withBucket(corpus, "cand_id", "cv")
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("qv"), col("cv")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    scored.select(col("query_id"), col("cand_id"), col("cos_sim"),
+      row_number().over(w).as("rk"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Embedding near-duplicate pairs within a cell: all (a < b) pairs
+    * sharing `cellCol` with cosine ≥ threshold. The cell key bounds the
+    * quadratic blowup — the same pruning an IVF index gives at scale. */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(cellCol).as("cell"), col(idCol).as("id_a"),
+      col(vecCol).as("va"))
+    val b = df.select(col(cellCol).as("cell"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("va"), col("vb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

@@ -1,0 +1,169 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline operators for large-scale training-data curation:
+  * tokenization, shingling, MinHash, SimHash, language ID, quality
+  * scoring, fingerprinting.
+  *
+  * Everything here is pure Catalyst (whole-stage codegen, no UDFs) and
+  * cross-engine deterministic: the only hash primitive is `hash60` —
+  * the first 15 hex chars of md5 as a non-negative Long — which any
+  * SQL engine can reproduce (`('0x'||substr(md5(s),1,15))::BIGINT` in
+  * DuckDB), so every operator is oracle-verifiable. At 100 TB each
+  * operator is a narrow map stage followed by one hash aggregation or
+  * one shuffle join on a well-distributed key (hash/shingle/bucket);
+  * nothing collects to the driver.
+  */
+object TextOps {
+
+  /** 60-bit deterministic string hash: first 15 hex chars of md5.
+    * Non-negative, fits a signed Long, reproducible in any engine. */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), lit(1), lit(15)), 16, 10).cast("long")
+
+  /** Whitespace tokens (single-space convention of the corpus). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles (default 3). Empty array when the document is
+    * shorter than n — `sequence(1,0)` would DESCEND in Spark, so guard. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash permutation parameters (a, b) over the Mersenne prime
+    * 2^31-1: h_i(x) = (a_i * (x mod p) + b_i) mod p. a < 2^26 keeps
+    * a*x < 2^57 — no Long overflow. */
+  val MinHashP: Long = 2147483647L
+  val MinHashPerms: Seq[(Long, Long)] =
+    Seq((1299721L, 11L), (15485863L, 101L), (32452843L, 1009L),
+      (49979687L, 10007L))
+
+  /** One MinHash slot over a shingle-hash column. */
+  def minhashSlot(xHash: Column, a: Long, b: Long): Column =
+    min((lit(a) * (xHash % MinHashP) + lit(b)) % MinHashP)
+
+  /** MinHash signatures: one row per doc with sig_0..sig_{k-1}.
+    * Input: (idCol, text). Scales as explode + single hash-agg keyed by
+    * doc id — the shuffle key is the doc id, never the shingle. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val sh = df
+      .select(col(idCol), explode(array_distinct(shingles(col(textCol))))
+        .as("shingle"))
+      .withColumn("x", hash60(col("shingle")))
+    sh.groupBy(col(idCol))
+      .agg(
+        minhashSlot(col("x"), MinHashPerms(0)._1, MinHashPerms(0)._2)
+          .as("sig_0"),
+        minhashSlot(col("x"), MinHashPerms(1)._1, MinHashPerms(1)._2)
+          .as("sig_1"),
+        minhashSlot(col("x"), MinHashPerms(2)._1, MinHashPerms(2)._2)
+          .as("sig_2"),
+        minhashSlot(col("x"), MinHashPerms(3)._1, MinHashPerms(3)._2)
+          .as("sig_3"))
+  }
+
+  /** LSH candidate pairs from MinHash signatures: band the k=4 signature
+    * into 4 single-slot bands; docs sharing any (band, value) bucket are
+    * candidates. The self-join shuffles on the bucket value — at 100 TB
+    * bucket sizes stay bounded because signatures are ~uniform; a hot
+    * bucket means genuinely near-duplicate mass, which is the answer. */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String): DataFrame = {
+    val banded = sigs.select(col(idCol).as("doc"), posexplode(
+      array(col("sig_0"), col("sig_1"), col("sig_2"), col("sig_3"))))
+      .toDF("doc", "band", "bucket")
+    val a = banded.toDF("doc_a", "band", "bucket")
+    val b = banded.toDF("doc_b", "band", "bucket")
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** 16-bit SimHash over token frequencies. Per bit j: the sign of
+    * sum(freq * ±1) where the sign is bit j of hash60(token); simhash =
+    * Σ 2^j · [sum_j > 0]. Two hash-aggs, both keyed by doc id. */
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("h", hash60(col("tok")))
+    val bit = tok.select(col(idCol), col("freq"), col("h"),
+      explode(sequence(lit(0), lit(15))).as("j"))
+      .withColumn("contrib",
+        when(call_function("shiftright", col("h"), col("j").cast("int"))
+          % 2 === 1, col("freq")).otherwise(-col("freq")))
+    bit.groupBy(col(idCol), col("j"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("s") > 0,
+        call_function("shiftleft", lit(1L), col("j").cast("int")))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** Stopword lists for the heuristic language classifier. */
+  val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  val StopEs = Seq("el", "la", "de", "y", "en", "es", "que", "un")
+  val StopDe = Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit")
+  val StopFr = Seq("le", "les", "et", "est", "dans", "pour", "sur", "une")
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Heuristic language ID: stopword-hit argmax with a fixed tie-break
+    * (de < en < es < fr), 'und' when no list matches. One narrow map. */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val (en, es, de, fr) =
+      (hits(t, StopEn), hits(t, StopEs), hits(t, StopDe), hits(t, StopFr))
+    val best = greatest(en, es, de, fr)
+    when(best === 0, "und")
+      .when(de === best, "de")
+      .when(en === best, "en")
+      .when(es === best, "es")
+      .otherwise("fr")
+  }
+
+  /** Quality metrics: token count, average token length, stopword ratio
+    * and a bounded composite score — the length/stopword heuristics of
+    * training-data filtering, all in one codegen'd projection. */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val t = tokens(text)
+    val nTok = size(t).cast("double")
+    val charNoSpace = length(regexp_replace(text, " ", "")).cast("double")
+    val avgLen = round(charNoSpace / nTok, 6)
+    val stopRatio = round(hits(t, StopEn).cast("double") / nTok, 6)
+    val score = round(
+      lit(0.4) * (hits(t, StopEn).cast("double") / nTok) +
+        lit(0.3) * least(nTok / 100.0, lit(1.0)) +
+        lit(0.3) * least((charNoSpace / nTok) / 8.0, lit(1.0)), 6)
+    Seq(size(t).as("n_tokens"), avgLen.as("avg_token_len"),
+      stopRatio.as("stopword_ratio"), score.as("quality_score"))
+  }
+
+  /** BPE-ish subword token count: runs of letters, runs of digits, and
+    * single other non-space chars. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])"),
+      lit(1)))
+
+  /** Rolling-hash document fingerprint: min of hash60 over all char
+    * 5-grams (winnowing with window = whole doc). Narrow map stage. */
+  def fingerprint(text: Column, gram: Int = 5): Column = {
+    val grams = transform(
+      sequence(lit(1), greatest(length(text) - (gram - 1), lit(1))),
+      i => substring(text, i, lit(gram)))
+    array_min(transform(grams, g => hash60(g)))
+  }
+
+  // substring(Column, Column, Column) has no functions._ overload
+  private def substring(str: Column, pos: Column, len: Column): Column =
+    call_function("substring", str, pos, len)
+}

@@ -1,0 +1,340 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.llmops.{Multimodal, Similarity, TextOps}
+
+/** Training-data-pipeline operator family (SURVEY.md §7.1 `llmops`):
+  * deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  * embedding near-dup), similarity search (brute-force / IVF / LSH
+  * top-k), text analysis (lang-ID, quality, token counting,
+  * fingerprinting) and multimodal binary-column plumbing.
+  *
+  * Every query is oracle-verifiable because the only primitives are
+  * md5-derived 60-bit hashes and sequential-fold double dot products —
+  * both bit-reproducible in DuckDB (see TextOps/Similarity scaladoc).
+  */
+object LlmQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  /** DuckDB fragment: 60-bit md5 hash of expression `e` (TextOps.hash60). */
+  private def dkHash60(e: String): String =
+    s"('0x'||substr(md5($e),1,15))::BIGINT"
+
+  /** DuckDB fragment: sequential-fold double dot product of two lists. */
+  private def dkDot(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), " +
+      s"s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)), (x,y) -> x+y)"
+
+  /** DuckDB fragment: rounded cosine over precomputed norm2 columns. */
+  private def dkCos(dot: String, na: String, nb: String): String =
+    s"round($dot / (sqrt($na)*sqrt($nb)), 6)"
+
+  /** DuckDB CTEs: distinct 3-word shingles per doc (parity with
+    * TextOps.shingles: Spark sequence(1,n-2) == DuckDB range(1,n-1)). */
+  private val dkShingles =
+    """t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+      |s AS (SELECT doc_id, unnest(list_distinct(
+      |        CASE WHEN len(toks) >= 3
+      |             THEN list_transform(range(1, len(toks)-1),
+      |                    i -> array_to_string(toks[i:i+2], ' '))
+      |             ELSE []::VARCHAR[] END)) AS sh
+      |      FROM t)""".stripMargin
+
+  private val dkMinhashSigs = {
+    val perms = TextOps.MinHashPerms
+    val p = TextOps.MinHashP
+    val slots = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a*xm+$b)%$p) AS sig_$i"
+    }.mkString(", ")
+    s"""$dkShingles,
+       |x AS (SELECT doc_id, ${dkHash60("sh")} % $p AS xm FROM s),
+       |sigs AS (SELECT doc_id, $slots FROM x GROUP BY doc_id)""".stripMargin
+  }
+
+  /** DuckDB fragment: 8-bit sign-random-projection LSH bucket of list
+    * column `v` (parity with Similarity.lshBucket, dim=64, nBits=8). */
+  private def dkLshBucket(v: String): String =
+    (0 until 8).map { j =>
+      val plane = s"list_transform(range(0,64), " +
+        s"i -> CAST((${17 * (j + 1)}*(i+3)+7)%19 - 9 AS DOUBLE))"
+      s"(CASE WHEN ${dkDot(v, plane)} > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup via content fingerprint: groups of byte-identical docs.
+    QueryDef(
+      "q40_dedup_exact_docs",
+      Some("""
+        SELECT md5(text) AS fp, count(*) AS n_docs, min(doc_id) AS keeper
+        FROM documents GROUP BY 1"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .groupBy(md5(col("text")).as("fp"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))),
+
+    // Exact n-gram (3-shingle) Jaccard near-dup pairs ≥ 0.2. The
+    // shingle-inverted-index self-join is the scalable form: pairs are
+    // only generated for docs that SHARE a shingle.
+    QueryDef(
+      "q41_dedup_ngram_jaccard",
+      Some(s"""
+        WITH $dkShingles,
+        n AS (SELECT doc_id, count(*) nsh FROM s GROUP BY 1),
+        c AS (SELECT a.doc_id da, b.doc_id db, count(*) common
+              FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+        SELECT da AS doc_a, db AS doc_b,
+               round(CAST(common AS DOUBLE)/(na.nsh+nb.nsh-common), 6) AS jac
+        FROM c JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
+        WHERE CAST(common AS DOUBLE)/(na.nsh+nb.nsh-common) >= 0.2"""),
+      (s, d) => {
+        val sh = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(TextOps.shingles(col("text")))).as("sh"))
+        val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+        val pairs = sh.toDF("da", "sh")
+          .join(sh.toDF("db", "sh"), Seq("sh"))
+          .filter(col("da") < col("db"))
+          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("common"))
+        val jac = col("common").cast("double") /
+          (col("na.nsh") + col("nb.nsh") - col("common"))
+        pairs
+          .join(n.as("na"), col("da") === col("na.doc_id"))
+          .join(n.as("nb"), col("db") === col("nb.doc_id"))
+          .filter(jac >= 0.2)
+          .select(col("da").as("doc_a"), col("db").as("doc_b"),
+            round(jac, 6).as("jac"))
+      }),
+
+    // MinHash signatures (4 permutations over the Mersenne prime).
+    QueryDef(
+      "q42_dedup_minhash_sigs",
+      Some(s"WITH $dkMinhashSigs SELECT * FROM sigs"),
+      (s, d) =>
+        TextOps.minhashSignatures(t(s, d, "documents"), "doc_id", "text")),
+
+    // MinHash LSH banding: candidate pairs sharing any signature band.
+    QueryDef(
+      "q43_dedup_minhash_lsh",
+      Some(s"""
+        WITH $dkMinhashSigs,
+        banded AS (
+          SELECT doc_id AS doc, j AS band,
+                 CASE j WHEN 0 THEN sig_0 WHEN 1 THEN sig_1
+                        WHEN 2 THEN sig_2 ELSE sig_3 END AS bucket
+          FROM sigs CROSS JOIN range(0,4) r(j))
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc"""),
+      (s, d) =>
+        TextOps.lshCandidatePairs(
+          TextOps.minhashSignatures(t(s, d, "documents"), "doc_id", "text"),
+          "doc_id")),
+
+    // 16-bit SimHash per document.
+    QueryDef(
+      "q44_dedup_simhash",
+      Some(s"""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) tok
+                     FROM documents),
+        f AS (SELECT doc_id, tok, count(*) freq FROM tok GROUP BY 1, 2),
+        h AS (SELECT doc_id, freq, ${dkHash60("tok")} AS hh FROM f),
+        b AS (SELECT doc_id, j,
+                     sum(CASE WHEN (hh >> CAST(j AS INT)) & 1 = 1
+                              THEN freq ELSE -freq END) s
+              FROM h CROSS JOIN range(0,16) r(j) GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(j AS INT))
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM b GROUP BY 1"""),
+      (s, d) =>
+        TextOps.simhash16(t(s, d, "documents"), "doc_id", "text")),
+
+    // Brute-force cosine top-5 for 8 query vectors over the corpus.
+    QueryDef(
+      "q45_sim_bruteforce_topk",
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding v,
+                          ${dkDot("embedding", "embedding")} AS nn
+                   FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 ${dkCos(dkDot("q.v", "c.v"), "q.nn", "c.nn")} AS cos_sim
+          FROM e q JOIN e c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 8)
+        SELECT query_id, cand_id, cos_sim, rk FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, cand_id) AS INT) AS rk FROM scored)
+        WHERE rk <= 5"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(e.filter(col("vec_id") < 8), e,
+          "vec_id", "embedding", 5)
+      }),
+
+    // IVF-style top-3 restricted to the query's label cell.
+    QueryDef(
+      "q46_sim_ivf_topk",
+      Some(s"""
+        WITH e AS (SELECT vec_id, label, embedding v,
+                          ${dkDot("embedding", "embedding")} AS nn
+                   FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 ${dkCos(dkDot("q.v", "c.v"), "q.nn", "c.nn")} AS cos_sim
+          FROM e q JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 8)
+        SELECT query_id, cand_id, cos_sim, rk FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, cand_id) AS INT) AS rk FROM scored)
+        WHERE rk <= 3"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.ivfTopK(e.filter(col("vec_id") < 8), e,
+          "vec_id", "embedding", "label", 3)
+      }),
+
+    // Hyperplane-LSH bucketed ANN: top-3 among same-bucket candidates.
+    QueryDef(
+      "q47_sim_lsh_topk",
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding v,
+                          ${dkDot("embedding", "embedding")} AS nn,
+                          ${dkLshBucket("embedding")} AS bucket
+                   FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 ${dkCos(dkDot("q.v", "c.v"), "q.nn", "c.nn")} AS cos_sim
+          FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 8)
+        SELECT query_id, cand_id, cos_sim, rk FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, cand_id) AS INT) AS rk FROM scored)
+        WHERE rk <= 3"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.lshTopK(e.filter(col("vec_id") < 8), e,
+          "vec_id", "embedding", nBits = 8, dim = 64, k = 3)
+      }),
+
+    // Embedding near-duplicate pairs within an IVF cell, cosine ≥ 0.35.
+    QueryDef(
+      "q48_dedup_embedding",
+      Some(s"""
+        WITH e AS (SELECT vec_id, label, embedding v,
+                          ${dkDot("embedding", "embedding")} AS nn
+                   FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ${dkCos(dkDot("a.v", "b.v"), "a.nn", "b.nn")} AS cos_sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ${dkCos(dkDot("a.v", "b.v"), "a.nn", "b.nn")} >= 0.35"""),
+      (s, d) =>
+        Similarity.nearDupPairs(t(s, d, "embeddings"),
+          "vec_id", "embedding", "label", 0.35)),
+
+    // Heuristic stopword-argmax language ID.
+    QueryDef(
+      "q49_text_langid",
+      Some(s"""
+        WITH t AS (SELECT doc_id, string_split(text,' ') toks
+                   FROM documents),
+        h AS (SELECT doc_id,
+          len(list_filter(toks, x -> list_contains(
+            [${TextOps.StopEn.map("'" + _ + "'").mkString(",")}], x))) he,
+          len(list_filter(toks, x -> list_contains(
+            [${TextOps.StopEs.map("'" + _ + "'").mkString(",")}], x))) hs,
+          len(list_filter(toks, x -> list_contains(
+            [${TextOps.StopDe.map("'" + _ + "'").mkString(",")}], x))) hd,
+          len(list_filter(toks, x -> list_contains(
+            [${TextOps.StopFr.map("'" + _ + "'").mkString(",")}], x))) hf
+        FROM t)
+        SELECT doc_id,
+          CASE WHEN greatest(he,hs,hd,hf) = 0 THEN 'und'
+               WHEN hd = greatest(he,hs,hd,hf) THEN 'de'
+               WHEN he = greatest(he,hs,hd,hf) THEN 'en'
+               WHEN hs = greatest(he,hs,hd,hf) THEN 'es'
+               ELSE 'fr' END AS lang_pred
+        FROM h"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
+
+    // Quality metrics + composite score.
+    QueryDef(
+      "q50_text_quality",
+      Some("""
+        WITH t AS (SELECT doc_id, text, string_split(text,' ') toks,
+                          CAST(len(string_split(text,' ')) AS DOUBLE) nt,
+                          CAST(length(replace(text,' ','')) AS DOUBLE) nc
+                   FROM documents),
+        h AS (SELECT *, CAST(len(list_filter(toks, x -> list_contains(
+                ['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) he
+              FROM t)
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_tokens,
+               round(nc/nt, 6) AS avg_token_len,
+               round(he/nt, 6) AS stopword_ratio,
+               round(0.4*(he/nt) + 0.3*least(nt/100.0, 1.0)
+                     + 0.3*least((nc/nt)/8.0, 1.0), 6) AS quality_score
+        FROM h"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id") +: TextOps.qualityColumns(col("text")): _*)),
+
+    // Token counting: whitespace and BPE-ish subword regex.
+    QueryDef(
+      "q51_text_tokens",
+      Some("""
+        SELECT doc_id,
+               CAST(len(string_split(text,' ')) AS INT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text,
+                 '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1)) AS INT) AS n_bpeish
+        FROM documents"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).as("n_ws_tokens"),
+            TextOps.bpeishTokenCount(col("text")).as("n_bpeish"))),
+
+    // Rolling-hash (char 5-gram min) document fingerprint.
+    QueryDef(
+      "q52_text_fingerprint",
+      Some(s"""
+        SELECT doc_id,
+               list_min(list_transform(
+                 range(1, greatest(length(text)-4, 1)+1),
+                 i -> ${dkHash60("substr(text,CAST(i AS INT),5)")})) AS fp
+        FROM documents"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            TextOps.fingerprint(col("text")).as("fp"))),
+
+    // Multimodal binary plumbing: pack → stub-decode → feature stats.
+    QueryDef(
+      "q53_multimodal_features",
+      Some("""
+        WITH g AS (SELECT doc_id, source,
+                          CAST(octet_length(encode(text)) AS BIGINT) n_bytes
+                   FROM documents),
+        f AS (SELECT source, n_bytes,
+                     CAST(n_bytes%640 + 16 AS INT) width,
+                     CAST(n_bytes%24 + 1 AS INT) n_frames,
+                     CASE WHEN n_bytes%2 = 0 THEN 'image' ELSE 'audio' END
+                       AS media_kind
+              FROM g)
+        SELECT source, media_kind,
+               count(*) AS n_media,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+               round(avg(width), 6) AS avg_width,
+               max(n_frames) AS max_frames
+        FROM f GROUP BY 1, 2"""),
+      (s, d) => Multimodal.featureStats(s, t(s, d, "documents")))
+  )
+}

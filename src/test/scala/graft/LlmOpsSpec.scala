@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llmops.{Multimodal, Similarity, TextOps}
+
+/** Unit tests for the training-data-pipeline operators: shingling,
+  * MinHash/LSH, SimHash, similarity search, text analysis, multimodal
+  * plumbing. Value-level parity is enforced by the DuckDB oracle gate;
+  * these specs pin the semantic invariants. */
+class LlmOpsSpec extends AnyFunSuite {
+
+  lazy val spark = graft.core.Sessions.local(4, "graft-llm-test")
+  import spark.implicits._
+
+  test("shingles: n-grams in order, short docs yield empty array") {
+    val df = Seq("a b c d", "a b").toDF("text")
+    val got = df.select(TextOps.shingles($"text").as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty)
+  }
+
+  test("hash60 is non-negative, deterministic, 60-bit") {
+    val got = Seq("x", "x", "y").toDF("s")
+      .select(TextOps.hash60($"s")).collect().map(_.getLong(0))
+    assert(got(0) == got(1))
+    assert(got(0) != got(2))
+    assert(got.forall(h => h >= 0 && h < (1L << 60)))
+  }
+
+  test("minhash: identical docs get identical signatures") {
+    val df = Seq((1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5"),
+      (3L, "z1 z2 z3 z4 z5")).toDF("doc_id", "text")
+    val sigs = TextOps.minhashSignatures(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(sigs(0).toSeq.tail == sigs(1).toSeq.tail)
+    assert(sigs(0).toSeq.tail != sigs(2).toSeq.tail)
+  }
+
+  test("lsh candidates: identical docs pair up, unrelated don't") {
+    val df = Seq((1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5"),
+      (3L, "z1 z2 z3 z4 z5")).toDF("doc_id", "text")
+    val pairs = TextOps.lshCandidatePairs(
+      TextOps.minhashSignatures(df, "doc_id", "text"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash: equal docs equal, hamming-near for near docs") {
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "a b c d e f g x")).toDF("doc_id", "text")
+    val got = TextOps.simhash16(df, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(got(0) == got(1))
+    val hamming = java.lang.Long.bitCount(got(0) ^ got(2))
+    assert(hamming <= 8, s"near-dup hamming distance $hamming too large")
+    assert(got.forall(h => h >= 0 && h < (1 << 16)))
+  }
+
+  test("cosine: orthogonal → 0, identical → 1") {
+    val df = Seq(
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(1f, 2f), Array(1f, 2f)),
+      (Array(1f, 0f), Array(-1f, 0f))).toDF("a", "b")
+    val got = df.select(Similarity.cosine($"a", $"b"))
+      .collect().map(_.getDouble(0))
+    assert(got.toSeq == Seq(0.0, 1.0, -1.0))
+  }
+
+  test("bruteForceTopK ranks by cosine desc and excludes self") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0f, 1f)), (3L, Array(1f, 0.01f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 2)
+      .orderBy("rk").collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(3L, 1L))
+    assert(top.forall(_.getLong(1) != 0L))
+  }
+
+  test("lshBucket: same vector same bucket, bounded by 2^nBits") {
+    val vecs = Seq(Array.fill(64)(0.5f), Array.fill(64)(0.5f),
+      Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)).toDF("v")
+    val got = vecs.select(Similarity.lshBucket($"v", 8, 64))
+      .collect().map(_.getLong(0))
+    assert(got(0) == got(1))
+    assert(got.forall(b => b >= 0 && b < 256))
+  }
+
+  test("langId picks the dominant stopword language") {
+    val df = Seq("the cat is in the hat", "el gato es un gato",
+      "der hund ist ein hund", "xyzzy plugh").toDF("text")
+    val got = df.select(TextOps.langId($"text")).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("en", "es", "de", "und"))
+  }
+
+  test("quality columns: counts and bounded score") {
+    val r = Seq("the quick brown fox").toDF("text")
+      .select(TextOps.qualityColumns($"text"): _*).head()
+    assert(r.getInt(0) == 4)
+    assert(r.getDouble(1) == 4.0) // (19-3)/4
+    assert(r.getDouble(2) == 0.25) // "the" of 4 tokens
+    val score = r.getDouble(3)
+    assert(score > 0 && score <= 1.0)
+  }
+
+  test("bpeish token count splits runs and punctuation") {
+    val got = Seq("ab12 cd!").toDF("text")
+      .select(TextOps.bpeishTokenCount($"text")).head().getInt(0)
+    assert(got == 4) // ab | 12 | cd | !
+  }
+
+  test("fingerprint: content-determined, distinct for disjoint content") {
+    // min over shared 5-grams can legitimately coincide for overlapping
+    // strings — assert distinctness only for fully disjoint content
+    val df = Seq("abcdefgh", "abcdefgh", "zzyyxxwwvv").toDF("text")
+    val got = df.select(TextOps.fingerprint($"text"))
+      .collect().map(_.getLong(0))
+    assert(got(0) == got(1))
+    assert(got(0) != got(2))
+  }
+
+  test("multimodal: payload bytes survive packing; stub features are total") {
+    val docs = Seq((1L, "hello", "s0", 5L), (2L, "worlds!", "s1", 7L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val media = Multimodal.packAsMedia(docs).collect().sortBy(_.doc_id)
+    assert(new String(media(0).payload, "UTF-8") == "hello")
+    val feats = Multimodal.decodeFeatures(Multimodal.packAsMedia(docs))
+      .collect().sortBy(_.doc_id)
+    assert(feats(0).n_bytes == 5 && feats(1).n_bytes == 7)
+    assert(feats(0).media_kind == "audio" && feats(1).media_kind == "audio")
+    assert(feats.forall(f => f.width >= 16 && f.n_frames >= 1))
+  }
+}
