@@ -1,0 +1,153 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Readers and writers mirroring the reference's source/sink surface
+  * (SURVEY.md §2.1–2.2), re-expressed as thin presets over the Spark
+  * DataFrame reader/writer so every scan stays Catalyst-plannable
+  * (pushdown, pruning, partition elimination all apply).
+  *
+  * The reference's shell-outs to `hadoop fs -ls` (spark_utils.py:66-95)
+  * are replaced by the Hadoop FileSystem API in [[Paths]] — pure JVM,
+  * no subprocess, works against any Hadoop-compatible FS (HDFS, S3A,
+  * local) the cluster mounts.
+  */
+object IO {
+
+  /** CSV with explicit schema and the reference's null conventions:
+    * `treatEmptyValuesAsNulls` + `nullValue='null'`
+    * (spark_utils.py:287-290). */
+  def csv(spark: SparkSession, schema: StructType, paths: Seq[String],
+      header: Boolean = false, failFast: Boolean = false): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("nullValue", "null")
+      .option("emptyValue", "")
+      .option("treatEmptyValuesAsNulls", "true")
+      .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
+      .csv(paths: _*)
+
+  /** JSON with a pruned explicit schema — the "read 7 of ~200 fields of
+    * the MONIT envelope" pattern (hpc_running_cores_and_corehr.py:57-88).
+    * `basePath` keeps partition columns derivable when reading a file
+    * subset of a partitioned layout. */
+  def json(spark: SparkSession, schema: StructType, paths: Seq[String],
+      basePath: Option[String] = None): DataFrame = {
+    val r = spark.read.schema(schema)
+    basePath.foreach(b => r.option("basePath", b))
+    r.json(paths: _*)
+  }
+
+  /** Schema-inferred JSON, optionally on a sample of the data
+    * (EOS pattern, spark_utils.py:603-608). */
+  def jsonInferred(spark: SparkSession, paths: Seq[String],
+      samplingRatio: Double = 1.0): DataFrame =
+    spark.read.option("samplingRatio", samplingRatio.toString).json(paths: _*)
+
+  /** Native Avro scan (replaces the legacy newAPIHadoopFile converter
+    * path, spark_utils.py:434-478). */
+  def avro(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.format("avro").load(paths: _*)
+
+  def parquet(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.parquet(paths: _*)
+
+  /** Empty relation with a schema — the "no files for this day"
+    * fallback (spark_utils.py:537-538, 597-601). */
+  def emptyRelation(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      schema)
+
+  /** Union of N snapshot frames by column name (union_all,
+    * spark_utils.py:98-109). Null-fills columns missing on one side so
+    * schema drift across snapshots doesn't abort the read. */
+  def unionSnapshots(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "unionSnapshots of zero frames")
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Header CSV write — the main HDFS output of most reference jobs
+    * (data_collection.py:91). Overwrite replaces the reference's
+    * delete-then-write (spark_utils.py:189-190). */
+  def writeCsv(df: DataFrame, out: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", header.toString).csv(out)
+
+  /** Day-partitioned parquet store with dynamic partition overwrite —
+    * the incremental EOS store (dbs_hdfs_eos.py:55-62). Only the day
+    * partitions present in `df` are replaced; the rest of the store is
+    * untouched, which is what makes daily re-runs idempotent at scale. */
+  def writePartitionedParquet(df: DataFrame, out: String,
+      partitionCol: String, overwriteDynamic: Boolean = true): Unit =
+    df.write
+      .partitionBy(partitionCol)
+      .mode(if (overwriteDynamic) SaveMode.Overwrite else SaveMode.Append)
+      .option("compression", "snappy")
+      .parquet(out)
+
+  /** Gzip JSON write (anonymized output, hdfs_an.py:69). */
+  def writeJsonGzip(df: DataFrame, out: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("compression", "gzip").json(out)
+}
+
+/** Date-partitioned path resolution on the Hadoop FileSystem API —
+  * replaces `file_list` / `get_candidate_files` and every
+  * `hadoop fs -ls` shell-out (spark_utils.py:66-162, 768-788). */
+object Paths {
+
+  import java.time.LocalDate
+  import java.time.format.DateTimeFormatter
+
+  /** Days in [start, end], inclusive, as formatted path fragments. */
+  def dayRange(start: LocalDate, end: LocalDate,
+      pattern: String = "yyyy/MM/dd"): Seq[String] = {
+    val fmt = DateTimeFormatter.ofPattern(pattern)
+    Iterator.iterate(start)(_.plusDays(1)).takeWhile(!_.isAfter(end))
+      .map(_.format(fmt)).toSeq
+  }
+
+  /** Resolve existing per-day directories under `base` for the range,
+    * with the reference's `.tmp` compaction fallback: if `base/day` is
+    * missing, `base/day.tmp` (still-compacting data) is used
+    * (get_candidate_files, spark_utils.py:768-788). `dayDelta` widens
+    * the range to catch late data filed under neighboring days.
+    * `strict` reproduces file_list's "error if an endpoint is missing"
+    * contract (spark_utils.py:112-162). */
+  def candidateDirs(spark: SparkSession, base: String, start: LocalDate,
+      end: LocalDate, dayDelta: Int = 0, strict: Boolean = false,
+      pattern: String = "yyyy/MM/dd"): Seq[String] = {
+    val fs = FileSystem.get(new Path(base).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val days = dayRange(start.minusDays(dayDelta), end.plusDays(dayDelta),
+      pattern)
+    val resolved = days.flatMap { day =>
+      val main = new Path(s"$base/$day")
+      val tmp = new Path(s"$base/$day.tmp")
+      if (fs.exists(main)) Some(s"$base/$day")
+      else if (fs.exists(tmp)) Some(s"$base/$day.tmp")
+      else None
+    }
+    if (strict) {
+      val endpoints = Seq(start, end).map(_.format(
+        DateTimeFormatter.ofPattern(pattern)))
+      val missing = endpoints.filterNot(e =>
+        resolved.exists(_.endsWith(e)) ||
+          resolved.exists(_.endsWith(s"$e.tmp")))
+      require(missing.isEmpty,
+        s"missing endpoint day dirs under $base: ${missing.mkString(",")}")
+    }
+    resolved
+  }
+
+  /** Glob listing via the FileSystem API (replaces `hadoop fs -ls`
+    * subprocesses). */
+  def glob(spark: SparkSession, globPath: String): Seq[String] = {
+    val p = new Path(globPath)
+    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    Option(fs.globStatus(p)).map(_.toSeq.map(_.getPath.toString))
+      .getOrElse(Seq.empty)
+  }
+}
