@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming re-expression of the reference's
+  * batch-incremental patterns (SURVEY.md §2.10). The reference runs
+  * daily cron jobs over day-partitioned directories with ad-hoc
+  * late-data padding (`day_delta`), re-read dedup
+  * (`drop_duplicates(GlobalJobId)`) and pickle-file state
+  * (hpc_running_cores_and_corehr.py:645-667). Each maps to a
+  * first-class streaming construct:
+  *
+  *  - candidate-dir globbing + re-runs    → file source (exactly-once
+  *    file tracking via checkpoint)
+  *  - `RecordTime >= start` re-filter     → event-time watermark
+  *  - 12-min arithmetic bins              → `window(ts, "12 minutes")`
+  *  - dropDuplicates against re-reads     → `withWatermark.dropDuplicates`
+  *    (state expires instead of growing forever)
+  *  - pickle-state concat                 → `foreachBatch` upsert into a
+  *    day-partitioned parquet store (dynamic overwrite)
+  *
+  * At scale: streaming state lives in the state store (RocksDB on
+  * executors), partitioned by the grouping key — no driver state, no
+  * unbounded memory; watermarks bound every stateful operator.
+  */
+object Streams {
+
+  /** Incremental file-source ingestion over a (possibly partitioned)
+    * directory — the streaming form of the daily candidate-file scan.
+    * `maxFilesPerTrigger` bounds per-batch work on backfills. */
+  def fileSource(spark: SparkSession, schema: StructType, path: String,
+      format: String = "json", maxFilesPerTrigger: Int = 1000): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .format(format)
+      .load(path)
+
+  /** Tumbling event-time bins with a late-data watermark — the
+    * streaming form of `from_unixtime(ts - ts % 720)` + groupBy
+    * (hpc_running_cores_and_corehr.py:206-208). `tsCol` must be a
+    * TimestampType column. */
+  def tumblingCounts(df: DataFrame, tsCol: String, width: String,
+      lateness: String, aggs: Map[String, String] = Map.empty): DataFrame = {
+    val w = df.withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), width))
+    val base = w.agg(count(lit(1)).as("n"))
+    val withAggs =
+      if (aggs.isEmpty) base
+      else w.agg(count(lit(1)).as("n"),
+        aggs.toSeq.map { case (c, f) =>
+          expr(s"$f($c)").as(s"${f}_$c") }: _*)
+    withAggs.select(
+      col("window.start").as("bin_start"),
+      col("window.end").as("bin_end"),
+      col("*")).drop("window")
+  }
+
+  /** Watermarked exactly-once-ish dedup — the streaming form of
+    * `drop_duplicates(["GlobalJobId"])` over multi-day re-reads
+    * (condor_crab_unique_users.py:91). State for ids older than the
+    * watermark is dropped, so memory is bounded. */
+  def dedupByKey(df: DataFrame, tsCol: String, lateness: String,
+      keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .dropDuplicates(keys :+ tsCol)
+
+  /** Per-key session aggregation with custom state
+    * (`mapGroupsWithState`): collapses a key's events into evolving
+    * (n, sum, last-seen) state with a processing-time idle timeout —
+    * the custom-state primitive the reference lacks entirely. */
+  final case class SessionState(n: Long, sum: Double, lastTs: Long)
+  final case class SessionOut(key: String, n: Long, sum: Double,
+      closed: Boolean)
+
+  /** `idleTimeoutMs <= 0` disables the idle timeout (NoTimeout) — use
+    * that under bounded test triggers: ProcessingTimeTimeout keeps the
+    * micro-batch engine re-triggering, so `processAllAvailable` never
+    * settles. */
+  def sessionize(ds: Dataset[(String, Double, Long)],
+      idleTimeoutMs: Long): Dataset[SessionOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionOut](timeoutConf) {
+        case (key, events, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionOut(key, s.n, s.sum, closed = true)
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            val evs = events.toSeq
+            val next = SessionState(
+              prev.n + evs.size,
+              prev.sum + evs.map(_._2).sum,
+              math.max(prev.lastTs, if (evs.isEmpty) 0L else evs.map(_._3).max))
+            state.update(next)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            SessionOut(key, next.n, next.sum, closed = false)
+          }
+      }
+  }
+
+  /** `foreachBatch` upsert into a day-partitioned parquet store — the
+    * durable replacement for the reference's pickle state
+    * (hpc_running_cores_and_corehr.py:645-667): each micro-batch
+    * dynamically overwrites only the day partitions it touches. */
+  def toPartitionedStore(df: DataFrame, storePath: String,
+      checkpoint: String, dayCol: String): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          batch.write
+            .partitionBy(dayCol)
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(storePath)
+      }
+      .start()
+
+  /** Start a console-less memory sink for tests/inspection. */
+  def toMemory(df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete()): StreamingQuery =
+    df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+
+/** Structured Streaming specs (SURVEY.md §2.10): file-source
+  * incremental ingestion, watermarked tumbling windows, watermarked
+  * dedup, custom session state, foreachBatch partitioned store. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark = graft.core.Sessions.local(4, "graft-stream-test")
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("tumbling window counts over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    input.addData((ts(1), 1.0), (ts(5), 2.0), (ts(13), 3.0), (ts(25), 4.0))
+    val binned = Streams.tumblingCounts(
+      input.toDF().toDF("ts", "value"), "ts", "12 minutes", "1 minute")
+    val q = Streams.toMemory(binned, "bins")
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT bin_start, n FROM bins ORDER BY bin_start")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01 00:00:00.0", 2L),
+      ("2024-01-01 00:12:00.0", 1L),
+      ("2024-01-01 00:24:00.0", 1L)))
+  }
+
+  test("watermarked dedup drops same-key re-reads within the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    input.addData(("job1", ts(1)), ("job1", ts(1)), ("job2", ts(2)),
+      ("job1", ts(1)))
+    val dd = Streams.dedupByKey(input.toDF().toDF("job_id", "ts"),
+      "ts", "10 minutes", Seq("job_id"))
+    val q = Streams.toMemory(dd, "dedup", OutputMode.Append())
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT job_id FROM dedup ORDER BY job_id")
+      .collect().map(_.getString(0))
+    assert(got.toSeq == Seq("job1", "job2"))
+  }
+
+  test("sessionize accumulates per-key custom state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double, Long)]
+    input.addData(("u1", 1.0, 10L), ("u1", 2.0, 20L), ("u2", 5.0, 15L))
+    val sess = Streams.sessionize(input.toDS(), idleTimeoutMs = 0)
+    val q = Streams.toMemory(sess.toDF(), "sessions", OutputMode.Update())
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql(
+      "SELECT key, n, sum FROM sessions ORDER BY key")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("u1", 2L, 3.0), ("u2", 1L, 5.0)))
+  }
+
+  test("file source streams incrementally and lands in a day store") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val src = s"$dir/src"; val store = s"$dir/store"; val ckpt = s"$dir/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    Seq((1, "20240101"), (2, "20240102")).toDF("v", "day")
+      .write.json(s"$src/batch1")
+    val schema = StructType(Seq(StructField("v", LongType),
+      StructField("day", StringType)))
+    val stream = Streams.fileSource(spark, schema, s"$src/*", "json")
+    val q = Streams.toPartitionedStore(stream, store, ckpt, "day")
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(store)
+    assert(got.count() == 2)
+    assert(got.select("day").distinct().count() == 2)
+  }
+}
