@@ -1,0 +1,86 @@
+package graft.jobs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Aggregates, Calendar}
+
+/** HTCondor-stream jobs (degraded/condor_cpu_efficiency.py,
+  * condor_crab_unique_users.py, hpc_running_cores_and_corehr.py).
+  * Inputs are the pruned-envelope frame (`Schemas.condorEnvelope`)
+  * flattened to `data.*` columns.
+  */
+object CondorJobs {
+
+  /** Flatten the MONIT envelope: `select("data.*")` + metadata ts
+    * (spark_utils.py:391). */
+  def flatten(envelope: DataFrame): DataFrame =
+    envelope.select(col("data.*"), col("metadata.timestamp").as("meta_ts"))
+
+  /** CPU efficiency per workflow/site — the ratio-of-sums idiom
+    * `100*sum(CpuTimeHr)/sum(CoreHr)` over completed jobs at T1/T2
+    * sites (degraded/condor_cpu_efficiency.py:369-417). */
+  def cpuEfficiency(condor: DataFrame,
+      sitePattern: String = "^T(1|2)_"): DataFrame =
+    condor
+      .filter(col("Status") === "Completed"
+        && col("Site").rlike(sitePattern)
+        && col("CoreHr") > 0)
+      .groupBy(col("Workflow").as("workflow"), col("Site").as("site"),
+        col("Type").as("job_type"))
+      .agg(
+        Aggregates.ratioOfSums(col("CpuTimeHr"), col("CoreHr"))
+          .as("cpu_eff_pct"),
+        Aggregates.decSum(col("CoreHr")).as("total_core_hr"),
+        count(lit(1)).as("n_jobs"))
+
+  /** Unique CRAB users per calendar month — dedup on GlobalJobId
+    * against multi-day re-reads, then exact countDistinct
+    * (condor_crab_unique_users.py:75-93). */
+  def crabUniqueUsers(condor: DataFrame): DataFrame =
+    condor
+      .filter(col("Status") === "Completed" && col("Type") === "analysis"
+        && col("CRAB_UserHN").isNotNull)
+      .dropDuplicates(Seq("GlobalJobId"))
+      .groupBy(
+        year(from_unixtime(col("RecordTime") / 1000)).as("yr"),
+        month(from_unixtime(col("RecordTime") / 1000)).as("mo"))
+      .agg(
+        countDistinct(col("CRAB_UserHN")).as("n_users"),
+        count(lit(1)).as("n_jobs"))
+
+  /** The 13-branch HPC site router
+    * (hpc_running_cores_and_corehr.py:93-126), condensed to its shape:
+    * (Site, SubSite) → effective site via a when-chain. */
+  def hpcSite(site: Column, subSite: Column): Column =
+    when(site === "T3_US_NERSC" && subSite.isNotNull,
+      concat(site, lit("_"), subSite))
+      .when(site === "T3_US_NERSC", site)
+      .when(site.startsWith("T3_US_ANL"), lit("ANL"))
+      .when(site.startsWith("T3_US_OSG"), lit("OSG"))
+      .when(site.startsWith("T3_US_PSC"), lit("PSC"))
+      .when(site.startsWith("T3_US_SDSC"), lit("SDSC"))
+      .when(site.startsWith("T3_US_TACC"), lit("TACC"))
+      .otherwise(site)
+
+  /** Running cores per 12-minute bin: per-(bin, job) max cores first
+    * (dedup against producer re-sends), then per-bin sum — the
+    * two-stage groupBy of hpc_running_cores_and_corehr.py:206-221.
+    * RecordTime is epoch millis. */
+  def runningCores(condor: DataFrame): DataFrame = {
+    val binned = condor
+      .filter(col("Status") === "Running")
+      .select(
+        Calendar.tumblingBinSeconds(expr("RecordTime div 1000"), 720L)
+          .as("bin"),
+        hpcSite(col("Site"), col("MachineAttrCMSSubSiteName0"))
+          .as("site"),
+        col("GlobalJobId"), col("RequestCpus"))
+    binned
+      .groupBy(col("bin"), col("site"), col("GlobalJobId"))
+      .agg(max(col("RequestCpus")).as("cores"))
+      .groupBy(col("bin"), col("site"))
+      .agg(Aggregates.decSum(col("cores"), 0).as("running_cores"),
+        count(lit(1)).as("n_jobs"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.jobs
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Aggregates, NameAlgebra}
+
+/** DBS-family jobs (data_collection.py, dbs_eos.py, dbs_aaa.py,
+  * degraded/dbs_events.py, reports/aggregate_*.py) re-expressed as
+  * DataFrame→DataFrame pipelines. Inputs are injected (tests use
+  * fixtures, production uses `core.IO` readers), so the query shape is
+  * the unit under test — exactly the reference's semantics, Spark-first
+  * physical plan (broadcast dims, map-side partial aggs).
+  */
+object DbsJobs {
+
+  /** Dataset popularity: datasets ⋈ files ⋈ access-stream on LFN →
+    * per-dataset access stats + name-algebra columns. The 3-way
+    * join+aggregate core of data_collection.py:162-164 / dbs_eos.py:72.
+    * `accessStream` needs (file_lfn, user_dn, read_bytes). */
+  def datasetPopularity(datasets: DataFrame, files: DataFrame,
+      accessStream: DataFrame): DataFrame = {
+    val joined = accessStream
+      .join(files, accessStream("file_lfn") === files("f_logical_file_name"))
+      .join(datasets, files("f_dataset_id") === datasets("d_dataset_id"))
+    joined
+      .groupBy(col("d_dataset").as("dataset"))
+      .agg(
+        count(lit(1)).as("nacc"),
+        countDistinct(col("user_dn")).as("distinct_users"),
+        sum(col("read_bytes")).as("tot_read_bytes"))
+      .select(
+        col("dataset"),
+        NameAlgebra.primaryDataset(col("dataset")).as("primds"),
+        NameAlgebra.processedDataset(col("dataset")).as("procds"),
+        NameAlgebra.dataTier(col("dataset")).as("tier"),
+        col("nacc"), col("distinct_users"), col("tot_read_bytes"))
+  }
+
+  /** Event/size totals per data tier (degraded/dbs_events.py:51-59):
+    * datasets ⋈ files, sums keyed by the tier token of the name. */
+  def eventCountByTier(datasets: DataFrame, files: DataFrame): DataFrame =
+    files
+      .join(datasets, files("f_dataset_id") === datasets("d_dataset_id"))
+      .groupBy(NameAlgebra.dataTier(col("d_dataset")).as("tier"))
+      .agg(
+        sum(col("f_event_count")).as("evts"),
+        Aggregates.decSum(col("f_file_size"), 0).as("size"),
+        count(lit(1)).as("n_files"))
+
+  /** "Leftovers": datasets present in `other` but absent from DBS
+    * (reports/aggregate_leftovers.py:127-146) + their total size.
+    * Returns (dataset, size) rows; callers can `agg(sum)` for the
+    * global number. */
+  def leftovers(dbsDatasets: DataFrame, other: DataFrame): DataFrame =
+    other.join(dbsDatasets,
+        other("dataset") === dbsDatasets("d_dataset"), "left_anti")
+
+  /** Campaign × site size matrix with top-2 sites per campaign
+    * (reports/aggregate_campaigns.py:137-205). The row-UDF top-2
+    * pickers (`get_mss`/`get_second_mss`) become a pure-Catalyst
+    * array_sort over structs. `blocks` needs
+    * (dataset, site, block_size). */
+  def campaignSiteSummary(blocks: DataFrame): DataFrame = {
+    val perSite = blocks
+      .groupBy(
+        NameAlgebra.campaign(col("dataset")).as("campaign"),
+        col("site"))
+      .agg(Aggregates.decSum(col("block_size"), 0).as("size"))
+    perSite
+      .groupBy(col("campaign"))
+      .agg(
+        Aggregates.decSum(col("size"), 6).as("total_size"),
+        array_sort(collect_list(struct(negate(col("size")).as("ns"),
+          col("site").as("st")))).as("arr"))
+      .select(
+        col("campaign"), col("total_size"),
+        element_at(col("arr"), 1).getField("st").as("top_site"),
+        negate(element_at(col("arr"), 1).getField("ns")).as("top_size"),
+        when(size(col("arr")) >= 2,
+          element_at(col("arr"), 2).getField("st")).as("second_site"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.jobs
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Aggregates
+
+/** Rucio-family jobs (rucio_datasets_stats.py, rucio_ds_summary.py)
+  * re-expressed Spark-first. Naming note (the reference's trap, kept
+  * here): Rucio "dataset" = DBS block, Rucio "container" = DBS dataset
+  * (rucio_datasets_stats.py:171-194).
+  */
+object RucioJobs {
+
+  /** RSE dimension prep (rucio_datasets_stats.py:150-169): live RSEs,
+    * hex-normalized id, kind classification (temp/test/prod) and
+    * tier/country from the `T2_US_FNAL`-style name. Small dim —
+    * broadcast at the join sites. */
+  def prepRses(rses: DataFrame): DataFrame =
+    rses
+      .filter(col("DELETED_AT").isNull)
+      .select(
+        lower(hex(col("ID"))).as("rse_id"),
+        col("RSE").as("rse"),
+        col("RSE_TYPE").as("rse_type"),
+        when(col("RSE").contains("Temp"), "temp")
+          .when(col("RSE").contains("Test"), "test")
+          .otherwise("prod").as("rse_kind"),
+        split(col("RSE"), "_").getItem(0).as("rse_tier"),
+        split(col("RSE"), "_").getItem(1).as("rse_country"))
+
+  /** File-level map: available replicas ⟗ file DIDs, size by priority
+    * (replica bytes, else DID bytes) and access time from either side —
+    * the full-outer + coalesce core of rucio_datasets_stats.py:238-274,
+    * 408-410. */
+  def fileMap(replicas: DataFrame, dids: DataFrame): DataFrame = {
+    val rep = replicas
+      .filter(col("STATE") === "A" && col("SCOPE") === "cms")
+      .select(col("NAME").as("fname"),
+        lower(hex(col("RSE_ID"))).as("rse_id"),
+        col("BYTES").as("rep_bytes"),
+        col("ACCESSED_AT").as("rep_accessed_at"))
+    val fdids = dids
+      .filter(col("DID_TYPE") === "F" && col("HIDDEN") === 0 &&
+        col("DELETED_AT").isNull)
+      .select(col("NAME").as("dname"), col("BYTES").as("did_bytes"),
+        col("ACCESSED_AT").as("did_accessed_at"))
+    rep.join(fdids, rep("fname") === fdids("dname"), "full")
+      .select(
+        coalesce(col("fname"), col("dname")).as("file_name"),
+        col("rse_id"),
+        Aggregates.coalescePriority(col("rep_bytes"), col("did_bytes"))
+          .as("fsize"),
+        greatest(col("rep_accessed_at"), col("did_accessed_at"))
+          .as("accessed_at"))
+  }
+
+  /** Contents hierarchy: file → block → container(dataset)
+    * (rucio_datasets_stats.py:171-194). */
+  def fileToDataset(contents: DataFrame): DataFrame = {
+    val blockFile = contents
+      .filter(col("DID_TYPE") === "D" && col("CHILD_TYPE") === "F")
+      .select(col("NAME").as("block"), col("CHILD_NAME").as("file_name"))
+    val dsBlock = contents
+      .filter(col("DID_TYPE") === "C" && col("CHILD_TYPE") === "D")
+      .select(col("NAME").as("dataset"), col("CHILD_NAME").as("block"))
+    blockFile.join(dsBlock, Seq("block"))
+      .select(col("file_name"), col("dataset"))
+  }
+
+  /** Flagship per-(RSE, dataset) stats (create_main_df,
+    * rucio_datasets_stats.py:143-676 condensed): file map enriched with
+    * the dataset hierarchy and the RSE dim, then one hash aggregation
+    * with conditional accessed-file counts. At 100 TB the only wide
+    * exchanges are the full-outer file map and this final groupBy —
+    * both keyed well; RSEs broadcast. */
+  def datasetsStats(replicas: DataFrame, dids: DataFrame,
+      contents: DataFrame, rses: DataFrame): DataFrame = {
+    val files = fileMap(replicas, dids)
+    val f2d = fileToDataset(contents)
+    val enriched = files
+      .join(f2d, Seq("file_name"), "left")
+      .join(broadcast(prepRses(rses)), Seq("rse_id"), "left")
+    enriched
+      .groupBy(col("rse"), col("dataset"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        Aggregates.countIf(col("accessed_at").isNotNull).as("n_accessed"),
+        sum(col("fsize")).as("total_bytes"),
+        max(col("accessed_at")).as("last_accessed_at"))
+      .na.fill("UNKNOWN", Seq("rse", "dataset"))
+  }
+
+  /** Two-level summary (rucio_ds_summary.py:292-334): per-(dataset,RSE)
+    * sizes, then per-dataset Max/Min/Avg/Sum over its RSE copies. */
+  def dsSummary(perRseStats: DataFrame): DataFrame =
+    perRseStats
+      .groupBy(col("dataset"))
+      .agg(
+        count(lit(1)).as("n_rses"),
+        max(col("total_bytes")).as("max_size"),
+        min(col("total_bytes")).as("min_size"),
+        avg(col("total_bytes")).as("avg_size"),
+        sum(col("total_bytes")).as("sum_size"),
+        max(col("last_accessed_at")).as("last_access"))
+}

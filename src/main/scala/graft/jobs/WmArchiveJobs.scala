@@ -1,0 +1,44 @@
+package graft.jobs
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Aggregates
+
+/** WMArchive FWJR jobs (wmarchive.py:108-154,
+  * degraded/stepchain_cpu_eff.py:66-106) — the reference's RDD-of-dicts
+  * procedural walks become `explode` over the typed nested schema
+  * (`Schemas.wmarchiveEnvelope`), keeping the whole pipeline in
+  * Catalyst/codegen instead of per-record Python.
+  */
+object WmArchiveJobs {
+
+  /** Flatten FWJR records to one row per cmsRun step — the UDTF-like
+    * expansion of stepchain_cpu_eff.py:66-106. */
+  def stepRows(fwjr: DataFrame): DataFrame =
+    fwjr
+      .select(col("wmaid"), col("task"), col("meta_data.jobstate"),
+        explode(col("steps")).as("step"))
+      .filter(col("step.name").startsWith("cmsRun"))
+      .select(
+        col("wmaid"), col("task"), col("jobstate"),
+        col("step.name").as("step_name"),
+        col("step.site").as("site"),
+        col("step.performance.cpu.TotalJobCPU").as("total_job_cpu"),
+        col("step.performance.cpu.TotalJobTime").as("total_job_time"),
+        col("step.performance.cpu.NumberOfThreads").as("n_threads"))
+
+  /** Per-step CPU efficiency: TotalJobCPU / (TotalJobTime · threads),
+    * the stepchain formula (stepchain_cpu_eff.py:88-99), aggregated per
+    * (task, site) after wmaid dedup against re-delivered records. */
+  def stepchainCpuEff(fwjr: DataFrame): DataFrame =
+    stepRows(fwjr)
+      .filter(col("jobstate") === "success"
+        && col("total_job_time") > 0 && col("n_threads") > 0)
+      .dropDuplicates(Seq("wmaid", "step_name"))
+      .groupBy(col("task"), col("site"))
+      .agg(
+        Aggregates.ratioOfSums(col("total_job_cpu"),
+          col("total_job_time") * col("n_threads")).as("cpu_eff_pct"),
+        count(lit(1)).as("n_steps"))
+}

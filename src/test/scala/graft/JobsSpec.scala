@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Schemas
+import graft.jobs.{CondorJobs, DbsJobs, RucioJobs, WmArchiveJobs}
+
+/** End-to-end job specs on synthetic micro-fixtures of the reference's
+  * input schemas (FIXTURES.md §B) — the per-job CI the reference never
+  * had (SURVEY.md §5). */
+class JobsSpec extends AnyFunSuite {
+
+  lazy val spark = graft.core.Sessions.local(4, "graft-jobs-test")
+  import spark.implicits._
+
+  // ---- DBS fixtures ----
+  private lazy val datasets = Seq(
+    (1L, "/PrimA/Proc-v1/RAW"), (2L, "/PrimB/Proc-v2/AOD"))
+    .toDF("d_dataset_id", "d_dataset")
+  private lazy val files = Seq(
+    (10L, "/store/f1", 1L, 100L, 1e9), (11L, "/store/f2", 1L, 250L, 2e9),
+    (12L, "/store/f3", 2L, 50L, 5e8))
+    .toDF("f_file_id", "f_logical_file_name", "f_dataset_id",
+      "f_event_count", "f_file_size")
+
+  test("datasetPopularity: 3-way join + name algebra") {
+    val access = Seq(
+      ("/store/f1", "/CN=alice", 10L), ("/store/f1", "/CN=bob", 20L),
+      ("/store/f3", "/CN=alice", 5L))
+      .toDF("file_lfn", "user_dn", "read_bytes")
+    val got = DbsJobs.datasetPopularity(datasets, files, access)
+      .orderBy("dataset").collect()
+    assert(got.length == 2)
+    val a = got(0)
+    assert(a.getString(0) == "/PrimA/Proc-v1/RAW")
+    assert(a.getString(1) == "PrimA" && a.getString(3) == "RAW")
+    assert(a.getLong(4) == 2 && a.getLong(5) == 2 && a.getLong(6) == 30)
+  }
+
+  test("eventCountByTier sums per tier token") {
+    val got = DbsJobs.eventCountByTier(datasets, files)
+      .orderBy("tier").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("AOD", "RAW"))
+    assert(got(1).getLong(1) == 350L) // RAW events = 100 + 250
+  }
+
+  test("leftovers: anti-join finds datasets absent from DBS") {
+    val other = Seq(("/PrimA/Proc-v1/RAW", 1.0), ("/Ghost/NoDbs/RAW", 2.0))
+      .toDF("dataset", "size")
+    val got = DbsJobs.leftovers(datasets, other).collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("/Ghost/NoDbs/RAW"))
+  }
+
+  test("campaignSiteSummary: top-2 sites without UDFs") {
+    val blocks = Seq(
+      ("/P/Camp-A/RAW", "T1_US_FNAL", 100.0),
+      ("/P/Camp-A/RAW", "T2_CH_CERN", 300.0),
+      ("/P/Camp-A/AOD", "T2_DE_DESY", 50.0),
+      ("/Q/Camp-B/RAW", "T1_US_FNAL", 10.0))
+      .toDF("dataset", "site", "block_size")
+    val got = DbsJobs.campaignSiteSummary(blocks)
+      .orderBy("campaign").collect()
+    val a = got(0) // Camp-A
+    assert(a.getString(0) == "Camp-A")
+    assert(a.getDouble(1) == 450.0)
+    assert(a.getString(2) == "T2_CH_CERN") // top site by size
+    assert(a.getDouble(3) == 300.0)
+    assert(a.getString(4) == "T1_US_FNAL")
+    val b = got(1) // Camp-B: single site → second_site null
+    assert(b.getString(2) == "T1_US_FNAL" && b.isNullAt(4))
+  }
+
+  // ---- Rucio fixtures (binary ids exercise lower(hex())) ----
+  private def bid(b: Byte) = Array.fill[Byte](2)(b)
+
+  test("rucio datasetsStats: full-outer file map → per-(rse,dataset)") {
+    val replicas = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("f1", bid(0x0a), 100L, "A", "cms", 1700000000000L, 0L, 1L),
+        Row("f2", bid(0x0a), 200L, "A", "cms", null, 0L, 1L),
+        Row("f3", bid(0x0b), 300L, "U", "cms", null, 0L, 1L)), // not avail
+      Schemas.rucioReplicas)
+    val dids = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("f1", "cms", "F", 0, null, 90L, 1600000000000L, 0L),
+        Row("f4", "cms", "F", 0, null, 400L, null, 0L)), // dids-only file
+      Schemas.rucioDids)
+    val contents = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("cms", "blockX", "f1", "D", "F"),
+        Row("cms", "blockX", "f2", "D", "F"),
+        Row("cms", "blockY", "f4", "D", "F"),
+        Row("cms", "/DS/One/RAW", "blockX", "C", "D"),
+        Row("cms", "/DS/Two/RAW", "blockY", "C", "D")),
+      Schemas.rucioContents)
+    val rses = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(bid(0x0a), "T1_US_FNAL_Disk", "DISK", null),
+        Row(bid(0x0b), "T2_CH_CERN_Temp", "DISK", null)),
+      Schemas.rucioRses)
+
+    val got = RucioJobs.datasetsStats(replicas, dids, contents, rses)
+      .orderBy("rse", "dataset").collect()
+    // available replicas: f1,f2 on 0x0a (FNAL); f4 dids-only (no rse)
+    val byKey = got.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val fnal = byKey(("T1_US_FNAL_Disk", "/DS/One/RAW"))
+    assert(fnal.getLong(2) == 2) // n_files
+    assert(fnal.getLong(3) == 1) // n_accessed (f1 only)
+    assert(fnal.getLong(4) == 300L) // bytes 100+200 (replica priority)
+    val orphan = byKey(("UNKNOWN", "/DS/Two/RAW"))
+    assert(orphan.getLong(4) == 400L) // did_bytes fallback
+  }
+
+  test("rucio prepRses classifies kind and splits tier/country") {
+    val rses = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(bid(0x01), "T2_US_Nebraska_Temp", "DISK", null),
+        Row(bid(0x02), "T1_ES_PIC_Test", "TAPE", null),
+        Row(bid(0x03), "T2_CH_CERN", "DISK", 1700000000000L)), // deleted
+      Schemas.rucioRses)
+    val got = RucioJobs.prepRses(rses).orderBy("rse").collect()
+    assert(got.length == 2)
+    assert(got(0).getString(3) == "test" && got(0).getString(4) == "T1"
+      && got(0).getString(5) == "ES")
+    assert(got(1).getString(3) == "temp")
+  }
+
+  test("dsSummary: two-level aggregation over RSE copies") {
+    val per = Seq(
+      ("/DS/One/RAW", "rseA", 100L, 5L), ("/DS/One/RAW", "rseB", 300L, 9L))
+      .toDF("dataset", "rse", "total_bytes", "last_accessed_at")
+    val got = RucioJobs.dsSummary(per).head()
+    assert(got.getLong(1) == 2 && got.getLong(2) == 300L
+      && got.getLong(3) == 100L && got.getDouble(4) == 200.0
+      && got.getLong(5) == 400L && got.getLong(6) == 9L)
+  }
+
+  // ---- Condor fixtures ----
+  private def condorRow(jobId: String, status: String, site: String,
+      cpuHr: Double, coreHr: Double, user: String, tpe: String,
+      recordMs: Long, cores: Double): Row =
+    Row(Row(jobId, recordMs, status, site, "T1", tpe, 0L, 1.0, cpuHr,
+      coreHr, 0.9, cores, user, "wf1", "blk", "prim", "wf1", "req", "sch",
+      "jid", null, 0L, 0, "/DS/One/RAW"), Row(recordMs))
+
+  private lazy val condor = CondorJobs.flatten(spark.createDataFrame(
+    java.util.Arrays.asList(
+      condorRow("j1", "Completed", "T1_US_FNAL", 8.0, 10.0, "alice",
+        "analysis", 1704067200000L, 4.0),
+      condorRow("j1", "Completed", "T1_US_FNAL", 8.0, 10.0, "alice",
+        "analysis", 1704067200000L, 4.0), // duplicate re-read
+      condorRow("j2", "Completed", "T2_CH_CERN", 5.0, 10.0, "bob",
+        "analysis", 1704067200000L, 2.0),
+      condorRow("j3", "Running", "T3_US_ANL_X", 1.0, 2.0, "carol",
+        "production", 1704067200000L, 8.0)),
+    Schemas.condorEnvelope))
+
+  test("condor cpuEfficiency: ratio-of-sums on completed T1/T2 jobs") {
+    val got = CondorJobs.cpuEfficiency(condor).orderBy("site").collect()
+    assert(got.length == 2) // (wf1,FNAL) and (wf1,CERN); Running excluded
+    val fnal = got.find(_.getString(1) == "T1_US_FNAL").get
+    assert(fnal.getDouble(3) == 80.0)
+    assert(fnal.getLong(5) == 2) // j1's duplicate re-read both counted here
+  }
+
+  test("condor crabUniqueUsers dedups GlobalJobId then counts users") {
+    val got = CondorJobs.crabUniqueUsers(condor).head()
+    assert(got.getInt(0) == 2024 && got.getInt(1) == 1)
+    assert(got.getLong(2) == 2) // alice, bob
+    assert(got.getLong(3) == 2) // j1 deduped
+  }
+
+  test("condor runningCores bins and routes HPC sites") {
+    val got = CondorJobs.runningCores(condor).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(0) % 720 == 0)
+    assert(r.getString(1) == "ANL") // T3_US_ANL_X routed
+    assert(r.getDouble(2) == 8.0 && r.getLong(3) == 1)
+  }
+
+  // ---- WMArchive fixtures ----
+  test("wmarchive stepchain: explode steps, per-(task,site) cpu eff") {
+    def cpu(jobCpu: Double, jobTime: Double, threads: Double) =
+      Row(1.0, threads, jobCpu, jobTime, jobCpu, 10.0)
+    val fwjr = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("w1", 1L, "taskA", Row("h1", 1L, "success", "prod", "f1"),
+          Seq(Row("cmsRun1", "siteX", Row(cpu(16.0, 10.0, 2.0))),
+            Row("stageOut1", "siteX", Row(cpu(1.0, 1.0, 1.0))))),
+        Row("w1", 1L, "taskA", Row("h1", 1L, "success", "prod", "f1"),
+          Seq(Row("cmsRun1", "siteX", Row(cpu(16.0, 10.0, 2.0))))), // dup
+        Row("w2", 2L, "taskA", Row("h2", 2L, "failure", "prod", "f2"),
+          Seq(Row("cmsRun1", "siteX", Row(cpu(9.0, 10.0, 1.0)))))),
+      Schemas.wmarchiveEnvelope)
+    val got = WmArchiveJobs.stepchainCpuEff(fwjr).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getString(0) == "taskA" && r.getString(1) == "siteX")
+    assert(r.getDouble(2) == 80.0) // 16 / (10*2) — dup + failure dropped
+    assert(r.getLong(3) == 1)
+  }
+}
