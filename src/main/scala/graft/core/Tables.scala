@@ -23,6 +23,18 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Load with guaranteed map-side parallelism: a small parquet file
+    * arrives as one split, which serializes any compute-heavy
+    * projection (hashing, per-element folds) onto one core. When the
+    * scan has fewer splits than cores, spread it; on real multi-split
+    * inputs (the 100 TB case) this is a no-op — no gratuitous shuffle. */
+  def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = load(spark, dir, name)
+    val parallelism = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism)
+    else df
+  }
+
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }

@@ -30,26 +30,41 @@ object Similarity {
   /** Self dot product (squared L2 norm). */
   def norm2(a: Column): Column = dot(a, a)
 
-  /** Cosine similarity rounded to 6 dp (the ranking key). */
+  /** Cosine similarity rounded to 6 dp (the ranking key). Prefer the
+    * precomputed-norm overload in joins: this form re-folds both norms
+    * for every pair. */
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b))), 6)
 
-  /** Brute-force top-k: for each row of `queries` (small, broadcast),
-    * score every corpus row, keep k by (cosine desc, id). Excludes
-    * self-matches on equal ids. */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
-    val scored = c.join(q, col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"),
-        cosine(col("qv"), col("cv")).as("cos_sim"))
+  /** Cosine from a pair dot and precomputed squared norms — O(dim) per
+    * pair instead of O(3·dim). */
+  def cosineWithNorms(a: Column, b: Column, n2a: Column,
+      n2b: Column): Column =
+    round(dot(a, b) / (sqrt(n2a) * sqrt(n2b)), 6)
+
+  /** Rank scored pairs: top-k per query by (cosine desc, id). */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("cand_id"))
     scored.select(col("query_id"), col("cand_id"), col("cos_sim"),
       row_number().over(w).as("rk"))
       .filter(col("rk") <= k)
+  }
+
+  /** Brute-force top-k: for each row of `queries` (small, broadcast),
+    * score every corpus row, keep k by (cosine desc, id). Excludes
+    * self-matches on equal ids. Norms are computed once per vector in
+    * the projections, not per pair. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), norm2(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      norm2(col(vecCol)).as("cn"))
+    topK(c.join(q, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn"))
+          .as("cos_sim")), k)
   }
 
   /** IVF-style cell-restricted top-k: candidates share the query's
@@ -58,18 +73,15 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, cellCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("qv"), col(cellCol).as("cell")))
+      col(vecCol).as("qv"), norm2(col(vecCol)).as("qn"),
+      col(cellCol).as("cell")))
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
-      col(cellCol).as("cell"))
-    val scored = c.join(q, Seq("cell"))
+      norm2(col(vecCol)).as("cn"), col(cellCol).as("cell"))
+    topK(c.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        cosine(col("qv"), col("cv")).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("cand_id"))
-    scored.select(col("query_id"), col("cand_id"), col("cos_sim"),
-      row_number().over(w).as("rk"))
-      .filter(col("rk") <= k)
+        cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn"))
+          .as("cos_sim")), k)
   }
 
   /** Deterministic pseudo-random hyperplane j (j ≥ 0) of dimension
@@ -95,35 +107,34 @@ object Similarity {
   /** LSH-bucketed ANN top-k: candidates share the query's bucket. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, nBits: Int, dim: Int, k: Int): DataFrame = {
-    val withBucket = (d: DataFrame, id: String, v: String) =>
+    val withBucket = (d: DataFrame, id: String, v: String, n: String) =>
       d.select(col(idCol).as(id), col(vecCol).as(v),
+        norm2(col(vecCol)).as(n),
         lshBucket(col(vecCol), nBits, dim).as("bucket"))
-    val q = broadcast(withBucket(queries, "query_id", "qv"))
-    val c = withBucket(corpus, "cand_id", "cv")
-    val scored = c.join(q, Seq("bucket"))
+    val q = broadcast(withBucket(queries, "query_id", "qv", "qn"))
+    val c = withBucket(corpus, "cand_id", "cv", "cn")
+    topK(c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        cosine(col("qv"), col("cv")).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("cand_id"))
-    scored.select(col("query_id"), col("cand_id"), col("cos_sim"),
-      row_number().over(w).as("rk"))
-      .filter(col("rk") <= k)
+        cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn"))
+          .as("cos_sim")), k)
   }
 
   /** Embedding near-duplicate pairs within a cell: all (a < b) pairs
     * sharing `cellCol` with cosine ≥ threshold. The cell key bounds the
-    * quadratic blowup — the same pruning an IVF index gives at scale. */
+    * quadratic blowup — the same pruning an IVF index gives at scale.
+    * Norms fold once per vector before the join. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       cellCol: String, threshold: Double): DataFrame = {
     val a = df.select(col(cellCol).as("cell"), col(idCol).as("id_a"),
-      col(vecCol).as("va"))
+      col(vecCol).as("va"), norm2(col(vecCol)).as("na"))
     val b = df.select(col(cellCol).as("cell"), col(idCol).as("id_b"),
-      col(vecCol).as("vb"))
+      col(vecCol).as("vb"), norm2(col(vecCol)).as("nb"))
     a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("va"), col("vb")).as("cos_sim"))
+        cosineWithNorms(col("va"), col("vb"), col("na"), col("nb"))
+          .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

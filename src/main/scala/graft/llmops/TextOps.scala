@@ -71,19 +71,26 @@ object TextOps {
 
   /** LSH candidate pairs from MinHash signatures: band the k=4 signature
     * into 4 single-slot bands; docs sharing any (band, value) bucket are
-    * candidates. The self-join shuffles on the bucket value — at 100 TB
-    * bucket sizes stay bounded because signatures are ~uniform; a hot
-    * bucket means genuinely near-duplicate mass, which is the answer. */
+    * candidates. Shaped as ONE shuffle on (band, bucket) + in-bucket
+    * pair generation, not a self-join — the signature computation runs
+    * once, singleton buckets (the vast majority at any scale) are
+    * filtered before any pair exists, and bucket sizes stay bounded
+    * because sigs are ~uniform; a hot bucket means genuinely
+    * near-duplicate mass, which is the answer. */
   def lshCandidatePairs(sigs: DataFrame, idCol: String): DataFrame = {
     val banded = sigs.select(col(idCol).as("doc"), posexplode(
       array(col("sig_0"), col("sig_1"), col("sig_2"), col("sig_3"))))
       .toDF("doc", "band", "bucket")
-    val a = banded.toDF("doc_a", "band", "bucket")
-    val b = banded.toDF("doc_b", "band", "bucket")
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
+    val buckets = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_set(col("doc"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+    // all (i < j) pairs inside a bucket, generated via HOFs in codegen
+    val pairs = buckets.select(explode(flatten(
+      transform(col("docs"), (x, i) =>
+        transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+    pairs.select(col("p.doc_a"), col("p.doc_b")).distinct()
   }
 
   /** 16-bit SimHash over token frequencies. Per bit j: the sign of

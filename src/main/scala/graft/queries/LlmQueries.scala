@@ -18,8 +18,11 @@ import graft.llmops.{Multimodal, Similarity, TextOps}
   */
 object LlmQueries {
 
+  /** All llmops inputs go through loadSpread: their map stages are
+    * compute-heavy (md5 shingles, 64-dim folds), so they must not
+    * serialize on a single small-file split. */
   private def t(s: SparkSession, d: String, n: String): DataFrame =
-    Tables.load(s, d, n)
+    Tables.loadSpread(s, d, n)
 
   /** DuckDB fragment: 60-bit md5 hash of expression `e` (TextOps.hash60). */
   private def dkHash60(e: String): String =
@@ -38,12 +41,13 @@ object LlmQueries {
     * TextOps.shingles: Spark sequence(1,n-2) == DuckDB range(1,n-1)). */
   private val dkShingles =
     """t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
-      |s AS (SELECT doc_id, unnest(list_distinct(
+      |sarr AS (SELECT doc_id,
       |        CASE WHEN len(toks) >= 3
       |             THEN list_transform(range(1, len(toks)-1),
       |                    i -> array_to_string(toks[i:i+2], ' '))
-      |             ELSE []::VARCHAR[] END)) AS sh
-      |      FROM t)""".stripMargin
+      |             ELSE []::VARCHAR[] END AS shs
+      |      FROM t),
+      |s AS (SELECT doc_id, unnest(list_distinct(shs)) AS sh FROM sarr)""".stripMargin
 
   private val dkMinhashSigs = {
     val perms = TextOps.MinHashPerms
@@ -80,33 +84,42 @@ object LlmQueries {
 
     // Exact n-gram (3-shingle) Jaccard near-dup pairs ≥ 0.2. The
     // shingle-inverted-index self-join is the scalable form: pairs are
-    // only generated for docs that SHARE a shingle.
+    // only generated for docs that SHARE a shingle; the join key is the
+    // 60-bit shingle hash, not the string — same shuffle shape, ~3×
+    // smaller shuffle payload (oracle hashes identically, so even a
+    // collision would merge the same way on both engines).
     QueryDef(
       "q41_dedup_ngram_jaccard",
       Some(s"""
         WITH $dkShingles,
-        n AS (SELECT doc_id, count(*) nsh FROM s GROUP BY 1),
-        c AS (SELECT a.doc_id da, b.doc_id db, count(*) common
-              FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
+        sh AS (SELECT doc_id, len(shsd) AS nsh, unnest(shsd) AS sh
+               FROM (SELECT doc_id, list_distinct(
+                       list_transform(shs, g -> ${dkHash60("g")})) shsd
+                     FROM sarr)),
+        c AS (SELECT a.doc_id da, b.doc_id db, a.nsh na, b.nsh nb,
+                     count(*) common
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4)
         SELECT da AS doc_a, db AS doc_b,
-               round(CAST(common AS DOUBLE)/(na.nsh+nb.nsh-common), 6) AS jac
-        FROM c JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
-        WHERE CAST(common AS DOUBLE)/(na.nsh+nb.nsh-common) >= 0.2"""),
+               round(CAST(common AS DOUBLE)/(na+nb-common), 6) AS jac
+        FROM c WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.2"""),
       (s, d) => {
+        // set size rides along with every exploded row, so the pair
+        // aggregation needs no separate per-doc count scan or re-join
         val sh = t(s, d, "documents")
-          .select(col("doc_id"),
-            explode(array_distinct(TextOps.shingles(col("text")))).as("sh"))
-        val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-        val pairs = sh.toDF("da", "sh")
-          .join(sh.toDF("db", "sh"), Seq("sh"))
+          .select(col("doc_id"), array_distinct(transform(
+            TextOps.shingles(col("text")),
+            g => TextOps.hash60(g))).as("arr"))
+          .select(col("doc_id"), size(col("arr")).as("nsh"),
+            explode(col("arr")).as("sh"))
+        val pairs = sh.toDF("da", "na", "sh")
+          .join(sh.toDF("db", "nb", "sh"), Seq("sh"))
           .filter(col("da") < col("db"))
-          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("common"))
+          .groupBy(col("da"), col("db"), col("na"), col("nb"))
+          .agg(count(lit(1)).as("common"))
         val jac = col("common").cast("double") /
-          (col("na.nsh") + col("nb.nsh") - col("common"))
+          (col("na") + col("nb") - col("common"))
         pairs
-          .join(n.as("na"), col("da") === col("na.doc_id"))
-          .join(n.as("nb"), col("db") === col("nb.doc_id"))
           .filter(jac >= 0.2)
           .select(col("da").as("doc_a"), col("db").as("doc_b"),
             round(jac, 6).as("jac"))
