@@ -29,6 +29,7 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
@@ -37,14 +38,18 @@ object Sessions {
     s
   }
 
-  /** Ensure configs the queries depend on are present on an
-    * externally-created session (e.g. the verification driver's). */
+  /** Ensure configs + engine functions the queries depend on are
+    * present on an externally-created session (e.g. the verification
+    * driver's, where spark.sql.extensions wasn't set at build time). */
   def ensureQueryConfs(spark: SparkSession): SparkSession = {
     def trySet(k: String, v: String): Unit =
       try spark.conf.set(k, v)
       catch { case _: Throwable => () }
     trySet("spark.sql.legacy.parquet.nanosAsLong", "true")
     trySet("spark.sql.session.timeZone", "UTC")
+    if (!spark.catalog.functionExists("dn_uuid"))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "dn_uuid", graft.functions.Sha1Mod1e16.builder, "builtin")
     spark
   }
 }

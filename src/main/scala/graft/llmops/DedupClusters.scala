@@ -1,0 +1,74 @@
+package graft.llmops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: turn near-dup candidate PAIRS into
+  * connected components and a canonical keep-list — the final stage of
+  * the dedup pipeline (shingle/MinHash → candidate pairs → verify →
+  * CLUSTER → keep one).
+  *
+  * Algorithm: iterative min-label propagation. Each node starts with
+  * label = its own id; every round each node takes the min label among
+  * itself and its neighbors. Rounds = O(diameter); near-dup clusters
+  * are small and dense (diameter ≲ 4 in practice), and each round is
+  * one shuffle join + one hash agg keyed by node — no driver-side
+  * graph, scales to any pair count. A fixed-point check stops early.
+  */
+object DedupClusters {
+
+  /** Connected components over an undirected pair list.
+    * Input: (`aCol`, `bCol`) edge rows. Output: (doc, cluster) where
+    * cluster = min node id of the component. */
+  def components(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 10): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("node"))
+      .distinct()
+      .withColumn("label", col("node"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels
+        .join(neighborMin, labels("node") === neighborMin("src"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+        .persist()
+      next.count() // materialize before comparing
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") < col("o.label"))
+        .limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      converged = !changed
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc"), col("label").as("cluster"))
+  }
+
+  /** Keep-list: every doc in `all` (idCol) with duplicates resolved —
+    * non-clustered docs survive, clustered docs survive only as the
+    * cluster minimum. Returns (doc_id, is_kept, cluster). */
+  def keepList(all: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val comp = components(pairs, aCol, bCol)
+    all.select(col(idCol).as("doc"))
+      .join(comp, Seq("doc"), "left")
+      .select(
+        col("doc").as("doc_id"),
+        coalesce(col("cluster"), col("doc")).as("cluster"),
+        (col("cluster").isNull || col("cluster") === col("doc"))
+          .as("is_kept"))
+  }
+}

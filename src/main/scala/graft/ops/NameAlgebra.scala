@@ -52,14 +52,10 @@ object NameAlgebra {
     regexp_replace(element_at(cns, -1), "^CN=", "")
   }
 
-  /** `dn2uuid`: `BigInt(sha1(parse_dn(dn)), 16) mod 10^16` — needs BigInt
-    * (the value exceeds Long), so a compact Scala UDF over the built-in
-    * sha1() output. Deterministic, exact parity with the reference. */
-  val sha1HexMod1e16: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((hex: String) =>
-      if (hex == null) null.asInstanceOf[java.lang.Long]
-      else java.lang.Long.valueOf(
-        (BigInt(hex, 16) mod BigInt(10).pow(16)).toLong))
-
-  def dnToUuid(dn: Column): Column = sha1HexMod1e16(sha1(parseDn(dn)))
+  /** `dn2uuid`: `BigInt(sha1(parse_dn(dn)), 16) mod 10^16` — needs
+    * BigInt (the value exceeds Long before the mod), implemented as the
+    * native codegen expression `graft.functions.Sha1Mod1e16`,
+    * registered as SQL function `dn_uuid` (GraftExtensions /
+    * Sessions.ensureQueryConfs). Exact parity with the reference. */
+  def dnToUuid(dn: Column): Column = call_function("dn_uuid", parseDn(dn))
 }

@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation by key salting (SURVEY.md §4; the reference splits
+  * plans by value instead — degraded/dbs_condor.py:133-144 — which AQE
+  * mostly obsoletes, but deliberate salting remains the tool when one
+  * key dominates a shuffle).
+  *
+  * Two-stage aggregation: stage 1 groups by (key, salt) spreading a hot
+  * key over `buckets` reducers; stage 2 merges the partials by key.
+  * Results are EXACTLY those of the direct groupBy for decomposable
+  * aggregates (sum/count/min/max) — verified against the plain-SQL
+  * oracle in q56. */
+object Skew {
+
+  /** Random-ish but DETERMINISTIC salt derived from row content, so
+    * re-runs and retries agg identically (monotonically_increasing_id
+    * or rand() would break retry semantics mid-shuffle). */
+  def salt(row: Column, buckets: Int): Column =
+    pmod(hash(row), lit(buckets))
+
+  /** Salted sum/count per key: exact same result as
+    * `df.groupBy(key).agg(sum, count)`, resilient to one dominant key. */
+  def saltedSumCount(df: DataFrame, keyCol: String, valCol: String,
+      saltSource: Column, buckets: Int = 16): DataFrame =
+    df
+      .withColumn("_salt", salt(saltSource, buckets))
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(sum(col(valCol)).as("_psum"), count(lit(1)).as("_pcnt"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("_psum")).as(s"sum_$valCol"),
+        sum(col("_pcnt")).as("n"))
+}

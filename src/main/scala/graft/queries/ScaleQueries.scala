@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.llmops.{DedupClusters, TextOps}
+import graft.ops.Skew
+
+/** Scale-pattern operators: duplicate-cluster resolution (the tail of
+  * the dedup pipeline), salted two-stage aggregation for skew, and the
+  * approximate-distinct variant used instead of exact countDistinct at
+  * 100 TB. */
+object ScaleQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.loadSpread(s, d, n)
+
+  /** Jaccard ≥ 0.2 candidate pairs (shared with q41's pipeline). */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = t(s, d, "documents")
+      .select(col("doc_id"), array_distinct(transform(
+        TextOps.shingles(col("text")),
+        g => TextOps.hash60(g))).as("arr"))
+      .select(col("doc_id"), size(col("arr")).as("nsh"),
+        explode(col("arr")).as("sh"))
+    val pairs = sh.toDF("da", "na", "sh")
+      .join(sh.toDF("db", "nb", "sh"), Seq("sh"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .filter(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")) >= 0.2)
+      .select(col("da"), col("db"))
+  }
+
+  /** DuckDB: the same pair pipeline as q41, as CTE text. */
+  private val dkPairs =
+    """t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+      |sarr AS (SELECT doc_id,
+      |        CASE WHEN len(toks) >= 3
+      |             THEN list_transform(range(1, len(toks)-1),
+      |                    i -> array_to_string(toks[i:i+2], ' '))
+      |             ELSE []::VARCHAR[] END AS shs
+      |      FROM t),
+      |sh AS (SELECT doc_id, len(shsd) AS nsh, unnest(shsd) AS sh
+      |       FROM (SELECT doc_id, list_distinct(list_transform(shs,
+      |               g -> ('0x'||substr(md5(g),1,15))::BIGINT)) shsd
+      |             FROM sarr)),
+      |c AS (SELECT a.doc_id da, b.doc_id db, a.nsh na, b.nsh nb,
+      |             count(*) common
+      |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2, 3, 4),
+      |p AS (SELECT da, db FROM c
+      |      WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.2)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Duplicate-cluster resolution: candidate pairs → connected
+    // components (iterative min-label propagation; oracle = recursive
+    // CTE transitive closure) → canonical keep-list.
+    QueryDef(
+      "q54_dedup_clusters",
+      Some(s"""
+        WITH RECURSIVE $dkPairs,
+        edges AS (SELECT da s, db d FROM p UNION SELECT db, da FROM p),
+        reach AS (
+          SELECT s AS node, s AS r FROM edges
+          UNION
+          SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.node),
+        comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY 1)
+        SELECT d.doc_id,
+               coalesce(comp.cluster, d.doc_id) AS cluster,
+               (comp.cluster IS NULL OR comp.cluster = d.doc_id) AS is_kept
+        FROM documents d LEFT JOIN comp ON comp.node = d.doc_id"""),
+      (s, d) =>
+        DedupClusters.keepList(
+          t(s, d, "documents"), "doc_id",
+          jaccardPairs(s, d), "da", "db")),
+
+    // Approximate distinct (HLL) — what replaces exact countDistinct at
+    // 100 TB (SURVEY §2.5). Engine-specific sketch → rows-only check
+    // (no cross-engine oracle by construction).
+    QueryDef(
+      "q55_agg_approx_distinct",
+      None,
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            approx_count_distinct(col("user_id"), rsd = 0.02)
+              .as("approx_users"),
+            count(lit(1)).as("n"))),
+
+    // Salted two-stage aggregation: EXACTLY the plain groupBy result
+    // (oracle is the unsalted SQL), resilient to one dominant key.
+    QueryDef(
+      "q56_salted_agg",
+      Some("""
+        SELECT l_returnflag,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 AS sum_qty,
+               count(*) AS n
+        FROM lineitem GROUP BY 1"""),
+      (s, d) => {
+        val prepared = t(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"),
+            col("l_quantity").cast("decimal(18,4)").as("qty"))
+        Skew.saltedSumCount(prepared, "l_returnflag", "qty",
+            saltSource = col("l_orderkey"), buckets = 16)
+          .select(col("l_returnflag"),
+            col("sum_qty").cast("double").as("sum_qty"), col("n"))
+      })
+  )
+}

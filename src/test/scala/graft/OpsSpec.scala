@@ -49,6 +49,19 @@ class OpsSpec extends AnyFunSuite {
       == "John Doe")
   }
 
+  test("dn_uuid is callable from SQL via the session extension") {
+    spark.range(1).createOrReplaceTempView("one")
+    graft.core.Sessions.ensureQueryConfs(spark)
+    val v = spark.sql("SELECT dn_uuid('John Doe') AS u FROM one")
+      .head().getLong(0)
+    // exact parity with the reference's Python:
+    // int(hashlib.sha1(b'John Doe').hexdigest(), 16) % 10**16
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    val hex = md.digest("John Doe".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    assert(v == (BigInt(hex, 16) mod BigInt(10).pow(16)).toLong)
+  }
+
   test("dnToUuid is deterministic and within 10^16") {
     val df = Seq("/CN=John Doe", "/CN=John Doe").toDF("dn")
     val got = df.select(NameAlgebra.dnToUuid($"dn")).collect().map(_.getLong(0))
