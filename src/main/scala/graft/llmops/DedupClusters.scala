@@ -30,6 +30,11 @@ object DedupClusters {
     var labels = edges.select(col("src").as("node"))
       .distinct()
       .withColumn("label", col("node"))
+      .persist()
+    // labels only ever DECREASE, so the label sum is a monotone
+    // convergence witness — one scalar agg per round instead of an
+    // anti-join change detector
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -43,14 +48,11 @@ object DedupClusters {
           least(col("label"), coalesce(col("nmin"), col("label")))
             .as("label"))
         .persist()
-      next.count() // materialize before comparing
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") < col("o.label"))
-        .limit(1).count() > 0
+      val nextSum = next.agg(sum(col("label"))).head().getLong(0)
       labels.unpersist()
       labels = next
-      converged = !changed
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
     edges.unpersist()
