@@ -1,0 +1,96 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.{IO, Schemas, Sessions}
+
+/** CLI entry point with the reference jobs' submit semantics
+  * (bin/run_spark + per-job click mains): one binary, `--job` selects
+  * the pipeline, `--in-*` bind named inputs to paths, `--fmt` picks
+  * the reader, `--out` the CSV/parquet destination.
+  *
+  * Example:
+  * {{{
+  * spark-submit --class graft.jobs.JobRunner graft.jar \
+  *   --job dataset_popularity \
+  *   --in-datasets /dumps/DATASETS --in-files /dumps/FILES \
+  *   --in-access /streams/eos/2024/01/05 \
+  *   --fmt csv --out /out/popularity
+  * }}}
+  */
+object JobRunner {
+
+  private type Inputs = Map[String, DataFrame]
+
+  /** Registry: job name → (required input names, pipeline). */
+  val jobs: Map[String, (Seq[String], (SparkSession, Inputs) => DataFrame)] =
+    Map(
+      "dataset_popularity" -> (Seq("datasets", "files", "access"),
+        (_, in) => DbsJobs.datasetPopularity(
+          in("datasets"), in("files"), in("access"))),
+      "event_count_by_tier" -> (Seq("datasets", "files"),
+        (_, in) => DbsJobs.eventCountByTier(in("datasets"), in("files"))),
+      "leftovers" -> (Seq("datasets", "other"),
+        (_, in) => DbsJobs.leftovers(in("datasets"), in("other"))),
+      "campaign_sites" -> (Seq("blocks"),
+        (_, in) => DbsJobs.campaignSiteSummary(in("blocks"))),
+      "rucio_datasets_stats" -> (
+        Seq("replicas", "dids", "contents", "rses"),
+        (_, in) => RucioJobs.datasetsStats(in("replicas"), in("dids"),
+          in("contents"), in("rses"))),
+      "condor_cpu_efficiency" -> (Seq("condor"),
+        (_, in) => CondorJobs.cpuEfficiency(
+          CondorJobs.flatten(in("condor")))),
+      "crab_unique_users" -> (Seq("condor"),
+        (_, in) => CondorJobs.crabUniqueUsers(
+          CondorJobs.flatten(in("condor")))),
+      "running_cores" -> (Seq("condor"),
+        (_, in) => CondorJobs.runningCores(
+          CondorJobs.flatten(in("condor")))),
+      "stepchain_cpu_eff" -> (Seq("fwjr"),
+        (_, in) => WmArchiveJobs.stepchainCpuEff(in("fwjr"))),
+      "fts_aso_stats" -> (Seq("fts", "aso"),
+        (_, in) => FtsAsoJobs.transferStats(in("fts"), in("aso"))))
+
+  /** Input-name → schema for the schematized readers. */
+  private val schemas = Map(
+    "datasets" -> Schemas.dbsDatasets, "files" -> Schemas.dbsFiles,
+    "blocks" -> Schemas.dbsBlocks, "replicas" -> Schemas.rucioReplicas,
+    "dids" -> Schemas.rucioDids, "contents" -> Schemas.rucioContents,
+    "rses" -> Schemas.rucioRses, "condor" -> Schemas.condorEnvelope)
+
+  def parseArgs(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val job = opts.getOrElse("job",
+      sys.error(s"--job required; one of ${jobs.keys.toSeq.sorted}"))
+    val (required, pipeline) = jobs.getOrElse(job,
+      sys.error(s"unknown job $job; one of ${jobs.keys.toSeq.sorted}"))
+    val fmt = opts.getOrElse("fmt", "parquet")
+    val out = opts.getOrElse("out", sys.error("--out required"))
+    val spark = opts.get("master")
+      .map(m => Sessions.builder(m, 32).appName(s"graft-$job").getOrCreate())
+      .getOrElse(Sessions.local(appName = s"graft-$job"))
+    try {
+      val inputs: Inputs = required.map { name =>
+        val path = opts.getOrElse(s"in-$name",
+          sys.error(s"--in-$name required for $job"))
+        val df = (fmt, schemas.get(name)) match {
+          case ("csv", Some(sc)) => IO.csv(spark, sc, Seq(path))
+          case ("json", Some(sc)) => IO.json(spark, sc, Seq(path))
+          case ("avro", _) => IO.avro(spark, Seq(path))
+          case _ => IO.parquet(spark, Seq(path))
+        }
+        name -> df
+      }.toMap
+      val result = pipeline(spark, inputs)
+      if (opts.getOrElse("out-fmt", "csv") == "parquet")
+        result.write.mode("overwrite").parquet(out)
+      else IO.writeCsv(result, out)
+    } finally spark.stop()
+  }
+}

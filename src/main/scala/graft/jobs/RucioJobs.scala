@@ -2,6 +2,7 @@ package graft.jobs
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.ops.Aggregates
 
@@ -89,6 +90,31 @@ object RucioJobs {
         sum(col("fsize")).as("total_bytes"),
         max(col("accessed_at")).as("last_accessed_at"))
       .na.fill("UNKNOWN", Seq("rse", "dataset"))
+  }
+
+  /** Dataset monitoring (rucio_datasets_monitoring.py:239-439): lock
+    * accounts per (dataset, RSE) via the compound-key locks join,
+    * deterministic account list (sort_array(collect_set)), and the
+    * DecimalType(6,2) FilePercentage column of the reference. */
+  def datasetsMonitoring(perRseStats: DataFrame,
+      locks: DataFrame): DataFrame = {
+    val l = locks
+      .filter(col("STATE") === "O")
+      .select(lower(hex(col("RSE_ID"))).as("rse_id"),
+        col("NAME").as("dataset"), col("ACCOUNT").as("account"))
+      .groupBy(col("rse_id"), col("dataset"))
+      .agg(array_join(sort_array(collect_set(col("account"))), ",")
+        .as("lock_accounts"),
+        count(lit(1)).as("n_locks"))
+    perRseStats
+      .join(l, perRseStats("rse_id") === l("rse_id")
+        && perRseStats("dataset") === l("dataset"), "left")
+      .select(perRseStats("rse_id"), perRseStats("dataset"),
+        col("n_files"), col("n_accessed"), col("total_bytes"),
+        coalesce(col("n_locks"), lit(0L)).as("n_locks"),
+        coalesce(col("lock_accounts"), lit("")).as("lock_accounts"),
+        (col("n_accessed") * lit(100.0) / col("n_files"))
+          .cast(DecimalType(6, 2)).as("file_percentage"))
   }
 
   /** Two-level summary (rucio_ds_summary.py:292-334): per-(dataset,RSE)

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.{Files, Paths => JPaths}
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Schemas
+import graft.jobs.{FtsAsoJobs, JobRunner, RucioJobs}
+
+/** End-to-end CLI surface: JobRunner.main from files on disk to files
+  * on disk — the "same CLI semantics" contract (SURVEY §7.1 item 5) —
+  * plus specs for the monitoring/transfer job shapes. */
+class RunnerSpec extends AnyFunSuite {
+
+  test("JobRunner: event_count_by_tier end-to-end from CSV dumps") {
+    val dir = Files.createTempDirectory("graft-runner").toString
+    // DBS CSV dump fixtures, 'null' literal included
+    Files.writeString(JPaths.get(s"$dir/datasets.csv"),
+      "1,/PrimA/Proc-v1/RAW,1,1,1,1,1,1,1,1,0.0,null,0.0,x,0.0,x\n" +
+        "2,/PrimB/Proc-v2/AOD,1,1,1,1,1,1,1,1,0.0,null,0.0,x,0.0,x\n")
+    Files.writeString(JPaths.get(s"$dir/files.csv"),
+      "10,/store/f1,1,1,1,1,c,100,1000.0,1,a,m,0.0,0.0,x,0.0,x\n" +
+        "11,/store/f2,1,1,1,1,c,250,2000.0,1,a,m,0.0,0.0,x,0.0,x\n" +
+        "12,/store/f3,1,2,1,1,c,50,500.0,1,a,m,0.0,0.0,x,0.0,x\n")
+    JobRunner.main(Array(
+      "--job", "event_count_by_tier",
+      "--in-datasets", s"$dir/datasets.csv",
+      "--in-files", s"$dir/files.csv",
+      "--fmt", "csv",
+      "--out", s"$dir/out"))
+    val lines = Files.list(JPaths.get(s"$dir/out")).toArray
+      .map(_.toString).filter(_.endsWith(".csv"))
+      .flatMap(p => scala.io.Source.fromFile(p).getLines()).sorted
+    assert(lines.exists(_.startsWith("tier,")), "header expected")
+    assert(lines.exists(l => l.startsWith("RAW,350,")),
+      s"RAW events=350 expected in ${lines.toSeq}")
+    assert(lines.exists(l => l.startsWith("AOD,50,")))
+  }
+
+  test("JobRunner: unknown job and missing inputs fail with clear errors") {
+    val e1 = intercept[RuntimeException] {
+      JobRunner.main(Array("--job", "nope", "--out", "/tmp/x"))
+    }
+    assert(e1.getMessage.contains("unknown job"))
+    val e2 = intercept[RuntimeException] {
+      JobRunner.main(Array("--job", "leftovers", "--out", "/tmp/x"))
+    }
+    assert(e2.getMessage.contains("--in-datasets required"))
+  }
+
+  lazy val spark = graft.core.Sessions.local(4, "graft-runner-test")
+
+  test("rucio datasetsMonitoring: locks join + sorted accounts + Decimal(6,2)") {
+    import spark.implicits._
+    val per = Seq(("0a", "/DS/One/RAW", 4L, 3L, 1000L))
+      .toDF("rse_id", "dataset", "n_files", "n_accessed", "total_bytes")
+    val locks = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("cms", "/DS/One/RAW", Array[Byte](0x0a), Array[Byte](1),
+          "userB", "O"),
+        Row("cms", "/DS/One/RAW", Array[Byte](0x0a), Array[Byte](2),
+          "userA", "O"),
+        Row("cms", "/DS/One/RAW", Array[Byte](0x0a), Array[Byte](3),
+          "userX", "R")), // non-O state dropped
+      Schemas.rucioDatasetLocks)
+    val got = RucioJobs.datasetsMonitoring(per, locks).head()
+    assert(got.getString(6) == "userA,userB") // sorted, deduped
+    assert(got.getLong(5) == 2)
+    assert(got.getDecimal(7).toPlainString == "75.00") // Decimal(6,2)
+  }
+
+  test("fts/aso transferStats: compound-key left join + latency stats") {
+    import spark.implicits._
+    val fts = Seq(
+      ("j1", "gsiftp://host/path/f1", "FINISHED", 1000L, 5000L),
+      ("j1", "gsiftp://host/path/f2", "FINISHED", 1000L, 9000L),
+      ("j2", "gsiftp://host/path/f3", "FAILED", 1000L, 2000L))
+      .toDF("job_id", "src_url", "t_final_transfer_state",
+        "tr_timestamp_start", "tr_timestamp_complete")
+    val aso = Seq(("f1", "j1", "alice"))
+      .toDF("filename", "job_id", "aso_user")
+    val got = FtsAsoJobs.transferStats(fts, aso)
+      .orderBy("state", "user").collect()
+    assert(got.length == 3)
+    val matched = got.find(_.getString(1) == "alice").get
+    assert(matched.getLong(2) == 1 && matched.getDouble(3) == 4.0)
+    val unknown = got.filter(_.getString(1) == "UNKNOWN")
+    assert(unknown.map(_.getString(0)).toSeq.sorted ==
+      Seq("FAILED", "FINISHED"))
+  }
+}
