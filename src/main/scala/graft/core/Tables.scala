@@ -18,9 +18,17 @@ object Tables {
   /** Dimension tables small enough to broadcast at any scale factor. */
   val broadcastable: Set[String] = Set("region", "nation", "supplier", "part")
 
+  /** Memoized per (session, path): repeated query construction reuses
+    * the resolved relation instead of re-listing files and re-reading
+    * parquet footers — the catalog role `registerTempTable` plays in
+    * the reference. Plans, not data, are cached. */
+  private val catalog =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     Sessions.ensureQueryConfs(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    catalog.getOrElseUpdate((spark, s"$dir/$name.parquet"),
+      spark.read.parquet(s"$dir/$name.parquet"))
   }
 
   /** Load with guaranteed map-side parallelism: a small parquet file
@@ -28,12 +36,16 @@ object Tables {
     * projection (hashing, per-element folds) onto one core. When the
     * scan has fewer splits than cores, spread it; on real multi-split
     * inputs (the 100 TB case) this is a no-op — no gratuitous shuffle. */
-  def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = load(spark, dir, name)
-    val parallelism = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism)
-    else df
-  }
+  private val spreadCatalog =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame =
+    spreadCatalog.getOrElseUpdate((spark, s"$dir/$name.parquet"), {
+      val df = load(spark, dir, name)
+      val parallelism = spark.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism)
+      else df
+    })
 
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
