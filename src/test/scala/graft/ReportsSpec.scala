@@ -1,0 +1,35 @@
+package graft
+
+import java.nio.file.{Files, Paths => JPaths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Reports
+
+/** Reporting tail: HTML rendering of small aggregates with a hard
+  * row cap (no silent driver-side collects of big relations). */
+class ReportsSpec extends AnyFunSuite {
+
+  lazy val spark = graft.core.Sessions.local(4, "graft-report-test")
+
+  test("htmlTable renders and escapes; writeHtml persists") {
+    import spark.implicits._
+    val df = Seq(("<b>tier</b>", 42L), ("RAW", 7L)).toDF("name", "n")
+    val html = Reports.htmlTable(df, "Tiers & sizes")
+    assert(html.contains("&lt;b&gt;tier&lt;/b&gt;"))
+    assert(html.contains("Tiers &amp; sizes"))
+    assert(html.contains("<th>name</th>"))
+    val out = Files.createTempDirectory("graft-rep").toString + "/r.html"
+    Reports.writeHtml(df, "t", out)
+    assert(Files.readString(JPaths.get(out)).contains("<table"))
+  }
+
+  test("htmlTable refuses oversized results") {
+    import spark.implicits._
+    val big = spark.range(100).toDF("x")
+    val e = intercept[IllegalArgumentException] {
+      Reports.htmlTable(big, "too big", maxRows = 10)
+    }
+    assert(e.getMessage.contains("aggregate further"))
+  }
+}
