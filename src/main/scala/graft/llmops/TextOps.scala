@@ -140,17 +140,26 @@ object TextOps {
 
   /** Quality metrics: token count, average token length, stopword ratio
     * and a bounded composite score — the length/stopword heuristics of
-    * training-data filtering, all in one codegen'd projection. */
+    * training-data filtering, all in one codegen'd projection.
+    *
+    * Determinism: every metric is ONE IEEE division of integers —
+    * bit-exact in any engine. No rounding: `round(x, n)` on a value
+    * whose exact decimal expansion ends in 5 at position n+1 (e.g.
+    * 0.2878125 at n=6) is a half-tie that engines break differently.
+    * The composite is the integer rational
+    * (800·stop + 6·nt·min(nt,100) + 75·min(chars,8·nt)) / (2000·nt),
+    * algebraically 0.4·stopRatio + 0.3·min(nt/100,1) + 0.3·min(avg/8,1). */
   def qualityColumns(text: Column): Seq[Column] = {
     val t = tokens(text)
-    val nTok = size(t).cast("double")
-    val charNoSpace = length(regexp_replace(text, " ", "")).cast("double")
-    val avgLen = round(charNoSpace / nTok, 6)
-    val stopRatio = round(hits(t, StopEn).cast("double") / nTok, 6)
-    val score = round(
-      lit(0.4) * (hits(t, StopEn).cast("double") / nTok) +
-        lit(0.3) * least(nTok / 100.0, lit(1.0)) +
-        lit(0.3) * least((charNoSpace / nTok) / 8.0, lit(1.0)), 6)
+    val nTok = size(t).cast("long")
+    val charNoSpace = length(regexp_replace(text, " ", "")).cast("long")
+    val stop = hits(t, StopEn).cast("long")
+    val avgLen = charNoSpace.cast("double") / nTok.cast("double")
+    val stopRatio = stop.cast("double") / nTok.cast("double")
+    val scoreNum = lit(800L) * stop +
+      lit(6L) * nTok * least(nTok, lit(100L)) +
+      lit(75L) * least(charNoSpace, lit(8L) * nTok)
+    val score = scoreNum.cast("double") / (lit(2000.0) * nTok.cast("double"))
     Seq(size(t).as("n_tokens"), avgLen.as("avg_token_len"),
       stopRatio.as("stopword_ratio"), score.as("quality_score"))
   }

@@ -278,23 +278,25 @@ object LlmQueries {
         t(s, d, "documents")
           .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
 
-    // Quality metrics + composite score.
+    // Quality metrics + composite score. All metrics are single IEEE
+    // divisions of integers — no round() (half-ties like 0.2878125
+    // break differently across engines; see TextOps scaladoc).
     QueryDef(
       "q50_text_quality",
       Some("""
         WITH t AS (SELECT doc_id, text, string_split(text,' ') toks,
-                          CAST(len(string_split(text,' ')) AS DOUBLE) nt,
-                          CAST(length(replace(text,' ','')) AS DOUBLE) nc
+                          CAST(len(string_split(text,' ')) AS BIGINT) nt,
+                          CAST(length(replace(text,' ','')) AS BIGINT) nc
                    FROM documents),
         h AS (SELECT *, CAST(len(list_filter(toks, x -> list_contains(
-                ['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) he
+                ['the','a','of','and','to','in','is','it'], x))) AS BIGINT) he
               FROM t)
         SELECT doc_id,
                CAST(len(toks) AS INT) AS n_tokens,
-               round(nc/nt, 6) AS avg_token_len,
-               round(he/nt, 6) AS stopword_ratio,
-               round(0.4*(he/nt) + 0.3*least(nt/100.0, 1.0)
-                     + 0.3*least((nc/nt)/8.0, 1.0), 6) AS quality_score
+               CAST(nc AS DOUBLE)/CAST(nt AS DOUBLE) AS avg_token_len,
+               CAST(he AS DOUBLE)/CAST(nt AS DOUBLE) AS stopword_ratio,
+               CAST(800*he + 6*nt*least(nt,100) + 75*least(nc,8*nt)
+                 AS DOUBLE) / (2000.0*CAST(nt AS DOUBLE)) AS quality_score
         FROM h"""),
       (s, d) =>
         t(s, d, "documents")
