@@ -67,9 +67,9 @@ object Multimodal {
       .agg(
         count(lit(1)).as("n_media"),
         sum(col("n_bytes")).as("total_bytes"),
-        // avg over INT sums exactly in Long first — order-independent
+        // avg over INT sums exactly in Long first, then one IEEE
+        // division — order-independent AND engine-exact unrounded
         avg(col("width")).as("avg_width"),
         max(col("n_frames")).as("max_frames"))
-      .withColumn("avg_width", round(col("avg_width"), 6))
   }
 }

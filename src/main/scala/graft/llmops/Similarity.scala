@@ -30,17 +30,19 @@ object Similarity {
   /** Self dot product (squared L2 norm). */
   def norm2(a: Column): Column = dot(a, a)
 
-  /** Cosine similarity rounded to 6 dp (the ranking key). Prefer the
+  /** Cosine similarity, UNROUNDED: every op is IEEE arithmetic on
+    * identical operands, so the value is bit-exact in any engine —
+    * rounding would only introduce half-tie divergence. Prefer the
     * precomputed-norm overload in joins: this form re-folds both norms
     * for every pair. */
   def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b))), 6)
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
   /** Cosine from a pair dot and precomputed squared norms — O(dim) per
     * pair instead of O(3·dim). */
   def cosineWithNorms(a: Column, b: Column, n2a: Column,
       n2b: Column): Column =
-    round(dot(a, b) / (sqrt(n2a) * sqrt(n2b)), 6)
+    dot(a, b) / (sqrt(n2a) * sqrt(n2b))
 
   /** Rank scored pairs: top-k per query by (cosine desc, id). */
   private def topK(scored: DataFrame, k: Int): DataFrame = {

@@ -23,18 +23,20 @@ object Aggregates {
     * `sum(when(cond, 1).otherwise(0))` (rucio_datasets_stats.py:317-319). */
   def countIf(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
 
-  /** Deterministic mean of a double column (exact sum / count). */
-  def decAvg(c: Column, scale: Int = 6, outScale: Int = 6): Column =
-    round(sum(c.cast(DecimalType(18, scale))).cast("double") / count(lit(1)),
-      outScale)
+  /** Deterministic mean of a double column: exact decimal sum, ONE
+    * IEEE division, NO rounding — `round(x, n)` on a rational that
+    * lands exactly on a half-tie (e.g. 0.2878125 at n=6) is broken
+    * differently by different engines; the unrounded division of
+    * identical operands is bit-exact everywhere. */
+  def decAvg(c: Column, scale: Int = 6): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double") / count(lit(1))
 
   /** Ratio-of-sums, the cpu-efficiency idiom
     * `100*sum(CpuTimeHr)/sum(CoreTime)` (condor_cpu_efficiency.py:394-417).
-    * Both sums are exact decimals; the division is IEEE double. */
-  def ratioOfSums(num: Column, den: Column, factor: Double = 100.0,
-      outScale: Int = 6): Column =
-    round(lit(factor) * sum(num.cast(DecimalType(18, 4))).cast("double") /
-      sum(den.cast(DecimalType(18, 4))).cast("double"), outScale)
+    * Exact decimal sums; unrounded IEEE arithmetic (see decAvg note). */
+  def ratioOfSums(num: Column, den: Column, factor: Double = 100.0): Column =
+    lit(factor) * sum(num.cast(DecimalType(18, 4))).cast("double") /
+      sum(den.cast(DecimalType(18, 4))).cast("double")
 
   /** Coalesce-by-priority: first non-null across sources
     * (rucio_datasets_stats.py:269-274 uses when-chains for the same). */

@@ -23,7 +23,7 @@ object AggQueries {
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
-               round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
+               CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
                count(*) AS n
         FROM lineitem GROUP BY l_returnflag, l_linestatus"""),
       (s, d) =>
@@ -94,8 +94,8 @@ object AggQueries {
       "q05_agg_ratio",
       Some("""
         SELECT l_returnflag,
-               round(100.0 * CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
-                     / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 6) AS qty_per_price
+               100.0 * CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS qty_per_price
         FROM lineitem GROUP BY l_returnflag"""),
       (s, d) =>
         t(s, d, "lineitem")

@@ -33,9 +33,10 @@ object LlmQueries {
     s"list_reduce(list_transform(list_zip($a, $b), " +
       s"s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)), (x,y) -> x+y)"
 
-  /** DuckDB fragment: rounded cosine over precomputed norm2 columns. */
+  /** DuckDB fragment: unrounded cosine over precomputed norm2 columns
+    * (IEEE ops on identical operands — bit-exact, no tie risk). */
   private def dkCos(dot: String, na: String, nb: String): String =
-    s"round($dot / (sqrt($na)*sqrt($nb)), 6)"
+    s"($dot / (sqrt($na)*sqrt($nb)))"
 
   /** DuckDB CTEs: distinct 3-word shingles per doc (parity with
     * TextOps.shingles: Spark sequence(1,n-2) == DuckDB range(1,n-1)). */
@@ -101,7 +102,7 @@ object LlmQueries {
               FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
               GROUP BY 1, 2, 3, 4)
         SELECT da AS doc_a, db AS doc_b,
-               round(CAST(common AS DOUBLE)/(na+nb-common), 6) AS jac
+               CAST(common AS DOUBLE)/(na+nb-common) AS jac
         FROM c WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.2"""),
       (s, d) => {
         // set size rides along with every exploded row, so the pair
@@ -122,7 +123,7 @@ object LlmQueries {
         pairs
           .filter(jac >= 0.2)
           .select(col("da").as("doc_a"), col("db").as("doc_b"),
-            round(jac, 6).as("jac"))
+            jac.as("jac"))
       }),
 
     // MinHash signatures (4 permutations over the Mersenne prime).
@@ -347,7 +348,7 @@ object LlmQueries {
         SELECT source, media_kind,
                count(*) AS n_media,
                CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-               round(avg(width), 6) AS avg_width,
+               avg(width) AS avg_width,
                max(n_frames) AS max_frames
         FROM f GROUP BY 1, 2"""),
       (s, d) => Multimodal.featureStats(s, t(s, d, "documents")))

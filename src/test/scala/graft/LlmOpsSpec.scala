@@ -59,14 +59,16 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.forall(h => h >= 0 && h < (1 << 16)))
   }
 
-  test("cosine: orthogonal → 0, identical → 1") {
+  test("cosine: orthogonal → 0, identical → 1 (unrounded, to 1e-12)") {
     val df = Seq(
       (Array(1f, 0f), Array(0f, 1f)),
       (Array(1f, 2f), Array(1f, 2f)),
       (Array(1f, 0f), Array(-1f, 0f))).toDF("a", "b")
     val got = df.select(Similarity.cosine($"a", $"b"))
       .collect().map(_.getDouble(0))
-    assert(got.toSeq == Seq(0.0, 1.0, -1.0))
+    got.zip(Seq(0.0, 1.0, -1.0)).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-12, s"$g vs $e")
+    }
   }
 
   test("bruteForceTopK ranks by cosine desc and excludes self") {
