@@ -109,6 +109,51 @@ object Streams {
       }
   }
 
+  /** Spark 4 `transformWithState` form of sessionization: ValueState in
+    * the state store, TTL-capable, the modern replacement for
+    * mapGroupsWithState. Emits the running (key, n, sum) after every
+    * update. Requires the RocksDB state-store provider
+    * (`spark.sql.streaming.stateStore.providerClass` →
+    * RocksDBStateStoreProvider) — the HDFS-backed provider has no
+    * column families. */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Double, Long), SessionOut] {
+    @transient private var state:
+        org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("totals",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Double, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessionOut] = {
+      val prev = Option(state.get()).getOrElse(SessionState(0L, 0.0, 0L))
+      val evs = rows.toSeq
+      val next = SessionState(prev.n + evs.size,
+        prev.sum + evs.map(_._2).sum,
+        math.max(prev.lastTs, if (evs.isEmpty) 0L else evs.map(_._3).max))
+      state.update(next)
+      Iterator.single(SessionOut(key, next.n, next.sum, closed = false))
+    }
+  }
+
+  /** Running totals per key via transformWithState. */
+  def runningTotals(ds: Dataset[(String, Double, Long)])
+      : Dataset[SessionOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** `foreachBatch` upsert into a day-partitioned parquet store — the
     * durable replacement for the reference's pickle state
     * (hpc_running_cores_and_corehr.py:645-667): each micro-batch

@@ -67,6 +67,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("u1", 2L, 3.0), ("u2", 1L, 5.0)))
   }
 
+  test("transformWithState running totals accumulate across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState needs the RocksDB provider (column families)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val input = MemoryStream[(String, Double, Long)]
+    val totals = Streams.runningTotals(input.toDS())
+    val q = totals.toDF().writeStream.format("memory")
+      .queryName("totals").outputMode("update").start()
+    input.addData(("u1", 1.0, 10L), ("u2", 5.0, 15L))
+    q.processAllAvailable()
+    input.addData(("u1", 2.0, 20L))
+    q.processAllAvailable()
+    q.stop()
+    // last update per key reflects the running total
+    val got = spark.sql(
+      """SELECT key, n, sum FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY n DESC) rn
+        |  FROM totals) WHERE rn = 1 ORDER BY key""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("u1", 2L, 3.0), ("u2", 1L, 5.0)))
+  }
+
   test("file source streams incrementally and lands in a day store") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream").toString
