@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.llmops.TextOps
+
+/** Training-data pipeline operators, part 2: TF-IDF term ranking,
+  * embedding quantization, stratified sampling, sequence packing.
+  * Determinism rules as everywhere: integer arithmetic + single IEEE
+  * divisions, no round(), no log() (libm log differs across engines in
+  * the last ulp — the raw rational tf·N/df ranks identically). */
+object LlmQueries2 {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.loadSpread(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TF-IDF-style top-3 terms per document. Score = tf * N / df as an
+    // exact rational in double (log-free: same ranking, no libm
+    // divergence). Ties broken by term text.
+    QueryDef(
+      "q57_text_tfidf",
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) term
+                     FROM documents),
+        tf AS (SELECT doc_id, term, count(*) tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT term, count(DISTINCT doc_id) df FROM tok GROUP BY 1),
+        n AS (SELECT count(*) n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, term,
+                 CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+          FROM tf JOIN df USING (term) CROSS JOIN n)
+        SELECT doc_id, term, score, rk FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, term) AS INT) AS rk FROM scored)
+        WHERE rk <= 3"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val tok = docs.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("term"))
+        val tf = tok.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tok.groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val nDocs = docs.count()
+        val scored = tf.join(df, Seq("term"))
+          .select(col("doc_id"), col("term"),
+            ((col("tf") * lit(nDocs)).cast("double") / col("df"))
+              .as("score"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        scored.select(col("doc_id"), col("term"), col("score"),
+          row_number().over(w).as("rk"))
+          .filter(col("rk") <= 3)
+      }),
+
+    // Int8 quantization of embeddings (vector-store compression):
+    // code_i = floor((x_i - min) * 255 / (max - min)); emit the
+    // per-vector range and the code checksum. floor() is exact on the
+    // bit-identical division result — CAST semantics differ (Spark
+    // truncates, DuckDB rounds), floor does not.
+    QueryDef(
+      "q58_embed_quantize",
+      Some("""
+        WITH e AS (SELECT vec_id, embedding v,
+                          list_min(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE))) lo,
+                          list_max(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE))) hi
+                   FROM embeddings)
+        SELECT vec_id, lo, hi,
+               CAST(list_sum(list_transform(v, x ->
+                 floor((CAST(x AS DOUBLE) - lo) * 255.0 / (hi - lo))))
+                 AS BIGINT) AS code_sum
+        FROM e WHERE hi > lo"""),
+      (s, d) => {
+        val lo = array_min(transform(col("embedding"),
+          x => x.cast("double")))
+        val hi = array_max(transform(col("embedding"),
+          x => x.cast("double")))
+        t(s, d, "embeddings")
+          .select(col("vec_id"), lo.as("lo"), hi.as("hi"),
+            col("embedding"))
+          .filter(col("hi") > col("lo")) // degenerate vectors: NaN codes
+          .select(col("vec_id"), col("lo"), col("hi"),
+            aggregate(
+              transform(col("embedding"), x =>
+                floor((x.cast("double") - col("lo")) * lit(255.0) /
+                  (col("hi") - col("lo")))),
+              lit(0.0), (acc, v) => acc + v).cast("long").as("code_sum"))
+      }),
+
+    // Deterministic stratified sampling: keep ~10% per language via the
+    // content hash — reproducible on re-runs and across engines, unlike
+    // rand()-based sampling.
+    QueryDef(
+      "q59_stratified_sample",
+      Some(s"""
+        WITH s AS (SELECT doc_id, lang,
+                          ${"('0x'||substr(md5(CAST(doc_id AS VARCHAR)" +
+          "),1,15))::BIGINT"} % 100 AS bucket
+                   FROM documents)
+        SELECT lang,
+               count(*) AS n_total,
+               count(*) FILTER (WHERE bucket < 10) AS n_sampled
+        FROM s GROUP BY lang"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("lang"),
+            (TextOps.hash60(col("doc_id").cast("string")) % 100)
+              .as("bucket"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("bucket") < 10, 1L).otherwise(0L))
+              .as("n_sampled"))),
+
+    // Sequence packing: greedy token-budget bin assignment per language
+    // — running token count ordered by doc_id, bin = floor(cumsum/2048)
+    // (the batch-packing prep step of a training pipeline). Exact
+    // integer window arithmetic.
+    QueryDef(
+      "q60_token_packing",
+      Some("""
+        WITH t AS (SELECT doc_id, lang,
+                          CAST(len(string_split(text,' ')) AS BIGINT) nt
+                   FROM documents),
+        c AS (SELECT doc_id, lang, nt,
+                     sum(nt) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM t)
+        SELECT lang,
+               CAST((cum - 1) // 2048 AS BIGINT) AS bin,
+               count(*) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS bin_tokens
+        FROM c GROUP BY 1, 2"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs
+          .withColumn("cum", sum(col("nt")).over(w))
+          .groupBy(col("lang"),
+            floor((col("cum") - 1) / 2048).as("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("bin_tokens"))
+      })
+  )
+}
