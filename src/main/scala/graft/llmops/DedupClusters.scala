@@ -31,10 +31,10 @@ object DedupClusters {
       .distinct()
       .withColumn("label", col("node"))
       .persist()
-    // labels only ever DECREASE, so the label sum is a monotone
-    // convergence witness — one scalar agg per round instead of an
-    // anti-join change detector
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // convergence witness = exact count of labels that changed this
+    // round. (A sum-of-labels witness would be one scalar agg cheaper,
+    // but a LongType sum wraps non-ANSI at billions of 60-bit ids and a
+    // wrap collision could falsely signal convergence.)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -46,13 +46,15 @@ object DedupClusters {
         .join(neighborMin, labels("node") === neighborMin("src"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label")))
-            .as("label"))
+            .as("label"),
+          (col("nmin") < col("label")).as("chg"))
         .persist()
-      val nextSum = next.agg(sum(col("label"))).head().getLong(0)
+      val nChanged = next
+        .agg(coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L)))
+        .head().getLong(0)
       labels.unpersist()
       labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
+      converged = nChanged == 0L
       iter += 1
     }
     edges.unpersist()

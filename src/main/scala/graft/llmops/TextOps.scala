@@ -1,6 +1,7 @@
 package graft.llmops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-pipeline operators for large-scale training-data curation:
@@ -34,6 +35,56 @@ object TextOps {
       transform(sequence(lit(1), size(t) - (n - 1)),
         i => concat_ws(" ", slice(t, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs over a document table,
+    * built as a shingle inverted index: pairs exist only for docs that
+    * SHARE a shingle hash. 100 TB shape — one computation of the
+    * shingle md5s and two exchanges total:
+    *
+    *   explode shingles → exchange on shingle hash → window count
+    *   (document frequency; WindowExec spills, so a hot shingle never
+    *   OOMs) → drop shingles with df > `maxDf` → in-partition bucket
+    *   collect (buffer ≤ maxDf rows by construction, no exchange: the
+    *   groupBy key equals the window partition key) → two-stage lateral
+    *   pair expansion (intermediate arrays O(maxDf)) → exchange on the
+    *   pair → count common shingles → Jaccard filter.
+    *
+    * The df cap is the standard MinHash-era guard: a shingle shared by
+    * k docs yields k² pair rows on one shuffle key, and a stopword
+    * trigram at corpus scale is a straight quadratic explosion, while
+    * carrying ~zero Jaccard signal. Dropping df > maxDf shingles makes
+    * the estimate conservative (common count can only shrink); the
+    * oracle mirrors the same cap so both engines agree at any scale.
+    * Per-doc set size `nsh` still counts ALL shingles and rides along
+    * with every exploded row, so no separate per-doc scan or re-join. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      minJac: Double = 0.2, maxDf: Int = 1000): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("doc"), array_distinct(transform(
+        shingles(col(textCol)), g => hash60(g))).as("arr"))
+      .select(col("doc"), size(col("arr")).as("nsh"),
+        explode(col("arr")).as("sh"))
+    val kept = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("df") <= maxDf)
+    val buckets = kept.groupBy(col("sh"))
+      .agg(sort_array(collect_list(struct(col("doc"), col("nsh"))))
+        .as("ds"))
+      .filter(size(col("ds")) > 1)
+    val pairs = buckets
+      .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
+      .select(col("a"),
+        explode(slice(col("ds"), col("i") + lit(2),
+          size(col("ds")) - col("i") - lit(1))).as("b"))
+    val agg = pairs
+      .groupBy(col("a.doc").as("da"), col("b.doc").as("db"),
+        col("a.nsh").as("na"), col("b.nsh").as("nb"))
+      .agg(count(lit(1)).as("common"))
+    val jac = col("common").cast("double") /
+      (col("na") + col("nb") - col("common"))
+    agg.filter(jac >= minJac)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), jac.as("jac"))
   }
 
   /** MinHash permutation parameters (a, b) over the Mersenne prime
@@ -73,11 +124,22 @@ object TextOps {
     * into 4 single-slot bands; docs sharing any (band, value) bucket are
     * candidates. Shaped as ONE shuffle on (band, bucket) + in-bucket
     * pair generation, not a self-join — the signature computation runs
-    * once, singleton buckets (the vast majority at any scale) are
-    * filtered before any pair exists, and bucket sizes stay bounded
-    * because sigs are ~uniform; a hot bucket means genuinely
-    * near-duplicate mass, which is the answer. */
-  def lshCandidatePairs(sigs: DataFrame, idCol: String): DataFrame = {
+    * once and singleton buckets (the vast majority at any scale) are
+    * filtered before any pair exists.
+    *
+    * Degenerate-bucket bound: a bucket of k docs would emit k²/2 pair
+    * rows — quadratic on exact-duplicate mass (billions of identical
+    * docs all land in one bucket). Contract: (1) run exact dedup (q40)
+    * BEFORE LSH so byte-identical docs are already collapsed; (2) as a
+    * backstop, all-pairs generation is capped at `maxBucket` docs per
+    * bucket (output ≤ maxBucket²/2 rows/bucket) and every doc beyond
+    * the cap emits ONE "star" pair to the bucket minimum instead —
+    * linear, and connected components downstream (DedupClusters) are
+    * unchanged because star edges keep the bucket connected. The
+    * aggregation buffer itself stays linear in bucket size, which
+    * precondition (1) bounds. */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String,
+      maxBucket: Int = 256): DataFrame = {
     val banded = sigs.select(col(idCol).as("doc"), posexplode(
       array(col("sig_0"), col("sig_1"), col("sig_2"), col("sig_3"))))
       .toDF("doc", "band", "bucket")
@@ -85,11 +147,19 @@ object TextOps {
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_set(col("doc"))).as("docs"))
       .filter(size(col("docs")) > 1)
-    // all (i < j) pairs inside a bucket, generated via HOFs in codegen
-    val pairs = buckets.select(explode(flatten(
-      transform(col("docs"), (x, i) =>
-        transform(slice(col("docs"), i + lit(2), size(col("docs"))),
-          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+    // all (i < j) pairs among the first maxBucket docs, via HOFs in
+    // codegen; overflow docs each pair with the bucket minimum
+    val head = slice(col("docs"), 1, maxBucket)
+    val allPairs = flatten(
+      transform(head, (x, i) =>
+        transform(slice(head, i + lit(2), size(head)),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))
+    val starPairs = transform(
+      slice(col("docs"), lit(maxBucket + 1),
+        greatest(size(col("docs")) - maxBucket, lit(0))),
+      y => struct(element_at(col("docs"), 1).as("doc_a"), y.as("doc_b")))
+    val pairs = buckets
+      .select(explode(concat(allPairs, starPairs)).as("p"))
     pairs.select(col("p.doc_a"), col("p.doc_b")).distinct()
   }
 

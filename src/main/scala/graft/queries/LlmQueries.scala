@@ -83,12 +83,12 @@ object LlmQueries {
           .groupBy(md5(col("text")).as("fp"))
           .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))),
 
-    // Exact n-gram (3-shingle) Jaccard near-dup pairs ≥ 0.2. The
-    // shingle-inverted-index self-join is the scalable form: pairs are
-    // only generated for docs that SHARE a shingle; the join key is the
-    // 60-bit shingle hash, not the string — same shuffle shape, ~3×
-    // smaller shuffle payload (oracle hashes identically, so even a
-    // collision would merge the same way on both engines).
+    // Exact n-gram (3-shingle) Jaccard near-dup pairs ≥ 0.2 via a
+    // shingle inverted index with a document-frequency cap of 1000
+    // (TextOps.ngramJaccardPairs scaladoc: hot-shingle guard against
+    // quadratic pair explosions at corpus scale; the oracle applies the
+    // SAME cap, so both engines agree at any scale — at the test scale
+    // factors max df is ~25, so the cap is semantically inert there).
     QueryDef(
       "q41_dedup_ngram_jaccard",
       Some(s"""
@@ -97,34 +97,18 @@ object LlmQueries {
                FROM (SELECT doc_id, list_distinct(
                        list_transform(shs, g -> ${dkHash60("g")})) shsd
                      FROM sarr)),
+        kept AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 1000),
         c AS (SELECT a.doc_id da, b.doc_id db, a.nsh na, b.nsh nb,
                      count(*) common
               FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              JOIN kept k ON a.sh = k.sh
               GROUP BY 1, 2, 3, 4)
         SELECT da AS doc_a, db AS doc_b,
                CAST(common AS DOUBLE)/(na+nb-common) AS jac
         FROM c WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.2"""),
-      (s, d) => {
-        // set size rides along with every exploded row, so the pair
-        // aggregation needs no separate per-doc count scan or re-join
-        val sh = t(s, d, "documents")
-          .select(col("doc_id"), array_distinct(transform(
-            TextOps.shingles(col("text")),
-            g => TextOps.hash60(g))).as("arr"))
-          .select(col("doc_id"), size(col("arr")).as("nsh"),
-            explode(col("arr")).as("sh"))
-        val pairs = sh.toDF("da", "na", "sh")
-          .join(sh.toDF("db", "nb", "sh"), Seq("sh"))
-          .filter(col("da") < col("db"))
-          .groupBy(col("da"), col("db"), col("na"), col("nb"))
-          .agg(count(lit(1)).as("common"))
-        val jac = col("common").cast("double") /
-          (col("na") + col("nb") - col("common"))
-        pairs
-          .filter(jac >= 0.2)
-          .select(col("da").as("doc_a"), col("db").as("doc_b"),
-            jac.as("jac"))
-      }),
+      (s, d) =>
+        TextOps.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          minJac = 0.2, maxDf = 1000)),
 
     // MinHash signatures (4 permutations over the Mersenne prime).
     QueryDef(

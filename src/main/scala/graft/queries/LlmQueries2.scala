@@ -46,10 +46,14 @@ object LlmQueries2 {
           .agg(count(lit(1)).as("tf"))
         val df = tok.groupBy(col("term"))
           .agg(countDistinct(col("doc_id")).as("df"))
-        val nDocs = docs.count()
+        // corpus size as a one-row broadcast cross-join: keeps the whole
+        // query a single DAG (no separate driver-side count() action and
+        // no extra corpus scan) — same shape as the oracle's CROSS JOIN n
+        val n = docs.agg(count(lit(1)).as("n_docs"))
         val scored = tf.join(df, Seq("term"))
+          .crossJoin(broadcast(n))
           .select(col("doc_id"), col("term"),
-            ((col("tf") * lit(nDocs)).cast("double") / col("df"))
+            ((col("tf") * col("n_docs")).cast("double") / col("df"))
               .as("score"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("term"))

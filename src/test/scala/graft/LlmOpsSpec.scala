@@ -48,6 +48,54 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("lsh degenerate bucket: maxBucket caps pairs, keeps connectivity") {
+    // adversarial fixture: 1k byte-identical docs → one bucket per band
+    val df = (1L to 1000L).map(i => (i, "w1 w2 w3 w4 w5"))
+      .toDF("doc_id", "text")
+    val sigs = TextOps.minhashSignatures(df, "doc_id", "text")
+    val pairs = TextOps.lshCandidatePairs(sigs, "doc_id", maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // head: C(10,2) all-pairs; tail: 990 star pairs to the minimum —
+    // linear in bucket size instead of C(1000,2) = 499,500
+    assert(pairs.length == 45 + 990)
+    // connectivity: every doc reachable from doc 1
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val seen = scala.collection.mutable.Set(1L)
+    val stack = scala.collection.mutable.Stack(1L)
+    while (stack.nonEmpty) {
+      adj.getOrElse(stack.pop(), Set.empty).foreach { n =>
+        if (seen.add(n)) stack.push(n)
+      }
+    }
+    assert(seen.size == 1000)
+    // under-cap buckets are unaffected by the cap
+    val small = TextOps.lshCandidatePairs(
+      TextOps.minhashSignatures(
+        Seq((1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5"))
+          .toDF("doc_id", "text"), "doc_id", "text"),
+      "doc_id", maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(small.toSeq == Seq((1L, 2L)))
+  }
+
+  test("ngramJaccardPairs: df cap drops hot shingles conservatively") {
+    // 4 docs share shingle-set overlap; "x y z" appears in all 4
+    val df = Seq(
+      (1L, "x y z a b c"), (2L, "x y z a b d"),
+      (3L, "x y z e f g"), (4L, "x y z e f h")).toDF("doc_id", "text")
+    // no cap: every pair shares at least the hot "x y z" shingle
+    val full = TextOps.ngramJaccardPairs(df, "doc_id", "text",
+      minJac = 0.01, maxDf = 1000).collect()
+    assert(full.length == 6)
+    // df cap 3 drops the shingle shared by all 4 docs; only pairs with
+    // additional overlap survive, and their jac only shrinks
+    val capped = TextOps.ngramJaccardPairs(df, "doc_id", "text",
+      minJac = 0.01, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L), (3L, 4L)))
+  }
+
   test("simhash: equal docs equal, hamming-near for near docs") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
       (3L, "a b c d e f g x")).toDF("doc_id", "text")

@@ -140,4 +140,31 @@ class PropertySpec extends AnyFunSuite {
     val got = Shape.renameAll(df, Map("a" -> "A1", "c" -> "C1"))
     assert(got.columns.toSeq == Seq("A1", "b", "C1"))
   }
+
+  test("dedup components = true connected components on random graphs") {
+    val edgeGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
+      .map(_.filter { case (a, b) => a != b })
+    samples(edgeGen, 6).filter(_.nonEmpty).foreach { edges =>
+      // oracle: driver-side union-find over the same edge list
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(n => n -> find(n)).toMap
+      // min-label canonicalization: every member labels with the min id
+      val canon = expected.groupBy(_._2).flatMap { case (_, m) =>
+        val mn = m.keys.min; m.keys.map(_ -> mn)
+      }
+      val got = graft.llmops.DedupClusters
+        .components(edges.toDF("a", "b"), "a", "b", maxIters = 25)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == canon, s"edges=$edges")
+    }
+  }
 }
