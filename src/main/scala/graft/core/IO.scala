@@ -91,6 +91,55 @@ object IO {
   /** Gzip JSON write (anonymized output, hdfs_an.py:69). */
   def writeJsonGzip(df: DataFrame, out: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("compression", "gzip").json(out)
+
+  /** EOS report extraction, pre-2020 raw shape: `data` is ONE quoted
+    * `k=v&k=v` string (spark_utils.py:550-671). One `str_to_map` pass
+    * replaces the reference's 12 per-field regexp_extract calls —
+    * single codegen'd projection, one map build per row. Emits the
+    * backward-compatible column set (`path`→file_lfn, `sec.name`→user,
+    * `sec.info`→user_dn, `sec.app`→application, `td`→session) plus the
+    * derived `day`. */
+  def eosFromRaw(envelope: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val m = str_to_map(
+      regexp_replace(col("data"), "\"", ""), lit("&"), lit("="))
+    envelope.select(
+      m.getItem("path").as("file_lfn"),
+      m.getItem("sec.name").as("user"),
+      m.getItem("sec.info").as("user_dn"),
+      m.getItem("sec.app").as("application"),
+      m.getItem("td").as("session"),
+      m.getItem("rb_max").cast("long").as("rb_max"),
+      m.getItem("rt").cast("double").as("rt"),
+      m.getItem("wt").cast("double").as("wt"),
+      m.getItem("rb").cast("long").as("rb"),
+      m.getItem("wb").cast("long").as("wb"),
+      m.getItem("cts").cast("long").as("cts"),
+      m.getItem("csize").cast("long").as("csize"),
+      col("metadata.timestamp").as("timestamp"),
+      date_format(
+        from_unixtime(col("metadata.timestamp") / 1000), "yyyyMMdd")
+        .as("day"))
+  }
+
+  /** EOS report extraction, 2020+ struct shape: dotted field names
+    * (`sec.app`) inside the `data` struct, selected with backtick
+    * escapes and renamed to the same backward-compatible column set
+    * (spark_utils.py:610-634). */
+  def eosFromStruct(envelope: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    envelope.selectExpr(
+      "data.path AS file_lfn",
+      "data.`sec.name` AS user",
+      "data.`sec.info` AS user_dn",
+      "data.`sec.app` AS application",
+      "data.td AS session",
+      "data.rb_max AS rb_max", "data.rt AS rt", "data.wt AS wt",
+      "data.rb AS rb", "data.wb AS wb", "data.cts AS cts",
+      "data.csize AS csize", "metadata.timestamp AS timestamp")
+      .withColumn("day",
+        date_format(from_unixtime(col("timestamp") / 1000), "yyyyMMdd"))
+  }
 }
 
 /** Date-partitioned path resolution on the Hadoop FileSystem API —

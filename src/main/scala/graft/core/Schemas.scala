@@ -76,6 +76,197 @@ object Schemas {
     s("end_date", IntegerType), s("creation_date", IntegerType),
     s("create_by", StringType), s("description", StringType)))
 
+  /** PROCESSING_ERAS (`pef`) — schemas.py:13-30. */
+  val dbsProcessingEras: StructType = StructType(Seq(
+    s("processing_era_id", IntegerType),
+    s("processing_version", DoubleType), s("creation_date", IntegerType),
+    s("create_by", StringType), s("description", StringType)))
+
+  /** PHYSICS_GROUPS (`pgf`) — schemas.py:33-41. */
+  val dbsPhysicsGroups: StructType = StructType(Seq(
+    s("physics_group_id", IntegerType),
+    s("physics_group_name", StringType)))
+
+  /** DATASET_OUTPUT_MOD_CONFIGS (`mcf`) — schemas.py:336-345. */
+  val dbsModConfigs: StructType = StructType(Seq(
+    s("mc_ds_output_mod_config_id", IntegerType),
+    s("mc_dataset_id", IntegerType),
+    s("mc_output_mod_config_id", IntegerType)))
+
+  /** OUTPUT_MODULE_CONFIGS (`ocf`) — schemas.py:348-363. */
+  val dbsOutConfigs: StructType = StructType(Seq(
+    s("oc_output_mod_config_id", IntegerType),
+    s("oc_app_exec_id", IntegerType),
+    s("oc_release_version_id", IntegerType),
+    s("oc_parameter_set_hash_id", IntegerType),
+    s("oc_output_module_label", StringType), s("oc_global_tag", StringType),
+    s("oc_scenario", StringType), s("oc_creation_date", IntegerType),
+    s("oc_create_by", StringType)))
+
+  /** RELEASE_VERSIONS (`rvf`) — schemas.py:366-374. */
+  val dbsRelVersions: StructType = StructType(Seq(
+    s("r_release_version_id", IntegerType),
+    s("r_release_version", StringType)))
+
+  // ---- `_dm` uppercase variants (schemas.py:142,216,292) ----
+  // Same tables dumped by a different pipeline: column names are the
+  // prefix-less uppercase originals, and two counters are declared
+  // wider (NUMBER(38) read as Long where the prefixed variant used
+  // Integer) — preserved via explicit overrides.
+
+  private def dmVariant(base: StructType, prefix: String,
+      widen: Map[String, DataType] = Map.empty): StructType =
+    StructType(base.fields.map { f =>
+      val name = f.name.stripPrefix(prefix).toUpperCase
+      StructField(name, widen.getOrElse(name, f.dataType))
+    })
+
+  /** DATASETS uppercase — schemas.py:142-181. */
+  val dbsDatasetsDm: StructType = dmVariant(dbsDatasets, "d_")
+
+  /** BLOCKS uppercase — schemas.py:216-245 (FILE_COUNT widens to Long). */
+  val dbsBlocksDm: StructType =
+    dmVariant(dbsBlocks, "b_", Map("FILE_COUNT" -> LongType))
+
+  /** FILES uppercase — schemas.py:292-333 (BRANCH_HASH_ID widens to
+    * Long). */
+  val dbsFilesDm: StructType =
+    dmVariant(dbsFiles, "f_", Map("BRANCH_HASH_ID" -> LongType))
+
+  // ---- PhEDEx / JobMonitoring / ASO dumps (schemas.py:389-664) ----
+
+  /** PhEDEx block-replica dump — schemas.py:405-437. */
+  val phedex: StructType = StructType(Seq(
+    s("now_sec", DoubleType), s("dataset_name", StringType),
+    s("dataset_id", IntegerType), s("dataset_is_open", StringType),
+    s("dataset_time_create", DoubleType),
+    s("dataset_time_update", DoubleType),
+    s("block_name", StringType), s("block_id", IntegerType),
+    s("block_files", IntegerType), s("block_bytes", LongType),
+    s("block_is_open", StringType), s("block_time_create", DoubleType),
+    s("block_time_update", DoubleType), s("node_name", StringType),
+    s("node_id", IntegerType), s("br_is_active", StringType),
+    s("br_src_files", LongType), s("br_src_bytes", LongType),
+    s("br_dest_files", LongType), s("br_dest_bytes", LongType),
+    s("br_node_files", LongType), s("br_node_bytes", LongType),
+    s("br_xfer_files", LongType), s("br_xfer_bytes", LongType),
+    s("br_is_custodial", StringType), s("br_user_group_id", IntegerType),
+    s("replica_time_create", DoubleType),
+    s("replica_time_updater", DoubleType)))
+
+  /** PhEDEx summary rows — schemas.py:389-402. */
+  val phedexSummary: StructType = StructType(Seq(
+    s("date", LongType), s("site", StringType), s("dataset", StringType),
+    s("size", LongType), s("replica_date", LongType)))
+
+  /** DBS+PhEDEx aggregation output — schemas.py:440-458. */
+  val dbsPhedex: StructType = StructType(Seq(
+    s("dataset_name", StringType), s("evts", IntegerType),
+    s("size", DoubleType), s("date", DoubleType),
+    s("dataset_access_type", StringType),
+    s("acquisition_era_name", StringType),
+    s("r_release_version", StringType), s("node_name", StringType),
+    s("pbr_size", DoubleType), s("dataset_is_open", StringType),
+    s("max_replica_time", DoubleType)))
+
+  /** CMSSW popularity avro record (all-string envelope except the
+    * date longs) — schemas.py:461-509. */
+  val cmssw: StructType = StructType(
+    (Seq("UNIQUE_ID", "FILE_LFN", "FILE_SIZE", "CLIENT_DOMAIN",
+      "CLIENT_HOST", "SERVER_DOMAIN", "SERVER_HOST", "SITE_NAME",
+      "READ_BYTES_AT_CLOSE", "READ_BYTES", "READ_SINGLE_BYTES",
+      "READ_SINGLE_OPERATIONS", "READ_SINGLE_AVERAGE",
+      "READ_SINGLE_SIGMA", "READ_VECTOR_BYTES", "READ_VECTOR_OPERATIONS",
+      "READ_VECTOR_AVERAGE", "READ_VECTOR_SIGMA",
+      "READ_VECTOR_COUNT_AVERAGE", "READ_VECTOR_COUNT_SIGMA", "USER_DN",
+      "APP_INFO", "START_TIME", "END_TIME").map(n => s(n, StringType)) ++
+      Seq(s("START_DATE", LongType), s("END_DATE", LongType),
+        s("INSERT_DATE", LongType))))
+
+  /** JobMonitoring record (all-string except the three timestamp
+    * longs) — schemas.py:512-561. */
+  val jobMonitoring: StructType = StructType(
+    (Seq("JobId", "FileName", "IsParentFile", "ProtocolUsed",
+      "SuccessFlag", "FileType", "LumiRanges", "StrippedFiles",
+      "BlockId", "StrippedBlocks", "BlockName", "InputCollection",
+      "Application", "ApplicationVersion", "Type", "GenericType",
+      "NewGenericType", "NewType", "SubmissionTool", "InputSE",
+      "TargetCE", "SiteName", "SchedulerName", "JobMonitorId",
+      "TaskJobId", "SchedulerJobIdV2", "TaskId", "TaskMonitorId",
+      "NEventsPerJob", "NTaskSteps", "JobExecExitCode")
+      .map(n => s(n, StringType)) ++
+      Seq(s("JobExecExitTimeStamp", LongType),
+        s("StartedRunningTimeStamp", LongType),
+        s("FinishedTimeStamp", LongType)) ++
+      Seq("WrapWC", "WrapCPU", "ExeCPU", "NCores", "NEvProc", "NEvReq",
+        "WNHostName", "JobType", "UserId", "GridName")
+        .map(n => s(n, StringType))))
+
+  /** ASO (CRAB transfer db) dump — schemas.py:564-631. */
+  val aso: StructType = StructType(Seq(
+    s("tm_id", StringType), s("tm_username", StringType),
+    s("tm_taskname", StringType), s("tm_destination", StringType),
+    s("tm_destination_lfn", StringType), s("tm_source", StringType),
+    s("tm_source_lfn", StringType), s("tm_filesize", DoubleType),
+    s("tm_publish", DoubleType), s("tm_jobid", IntegerType),
+    s("tm_job_retry_count", IntegerType), s("tm_type", StringType),
+    s("tm_aso_worker", StringType),
+    s("tm_transfer_retry_count", IntegerType),
+    s("tm_transfer_max_retry_count", IntegerType),
+    s("tm_publication_retry_count", IntegerType),
+    s("tm_publication_max_retry_count", IntegerType),
+    s("tm_rest_host", StringType), s("tm_rest_uri", StringType),
+    s("tm_transfer_state", IntegerType),
+    s("tm_publication_state", IntegerType),
+    s("tm_transfer_failure_reason", StringType),
+    s("tm_publication_failure_reason", StringType),
+    s("tm_fts_id", StringType), s("tm_fts_instance", StringType),
+    s("tm_last_update", DoubleType), s("tm_start_time", DoubleType),
+    s("tm_end_time", DoubleType)))
+
+  // ---- AAA / EOS empty-relation envelopes (schemas.py:669-709) ----
+  // The reference materializes these when a day's directory is absent
+  // (spark_utils.py:481-671): the empty DataFrame must still carry the
+  // downstream-joined columns.
+
+  /** AAA (XRootD) empty-relation schema — schemas.py:669-680. */
+  val aaaEmpty: StructType = StructType(Seq(
+    s("src_experiment_site", StringType), s("user_dn", StringType),
+    s("file_lfn", StringType)))
+
+  /** EOS report empty-relation schema — schemas.py:682-709. */
+  val eosEmpty: StructType = StructType(Seq(
+    s("file_lfn", StringType), s("user_dn", StringType),
+    s("session", StringType), s("host", StringType),
+    s("application", StringType), s("csize", IntegerType),
+    s("rb", IntegerType), s("rb_max", IntegerType), s("wb", IntegerType),
+    s("rt", IntegerType), s("wt", IntegerType), s("timestamp", LongType),
+    s("day", LongType)))
+
+  /** AAA (XRootD) pruned data envelope — the fields the jobs actually
+    * read out of the gled record (spark_utils.py:481-514 example
+    * record; consumers select data.* then these). */
+  val aaaEnvelope: StructType = StructType(Seq(
+    s("data", StructType(Seq(
+      s("activity", StringType), s("app_info", StringType),
+      s("client_domain", StringType), s("client_host", StringType),
+      s("end_time", LongType), s("file_lfn", StringType),
+      s("file_size", LongType), s("is_transfer", BooleanType),
+      s("operation_time", LongType), s("read_bytes", LongType),
+      s("read_bytes_at_close", LongType), s("remote_access", BooleanType),
+      s("server_domain", StringType), s("server_host", StringType),
+      s("start_time", LongType), s("throughput", DoubleType),
+      s("unique_id", StringType), s("user_dn", StringType),
+      s("vo", StringType)))),
+    s("metadata", StructType(Seq(s("timestamp", LongType))))))
+
+  /** EOS report envelope, post-2020 shape: data is ONE string of
+    * `k=v&k=v` pairs plus metadata (spark_utils.py:550-671) —
+    * field extraction happens with str_to_map, not the JSON reader. */
+  val eosEnvelope: StructType = StructType(Seq(
+    s("data", StringType),
+    s("metadata", StructType(Seq(s("timestamp", LongType))))))
+
   // ---- Rucio Avro dumps (FIXTURES.md §B.2) ----
 
   /** REPLICAS — rucio_datasets_stats.py:238-260. RSE_ID is RAW(16)

@@ -179,5 +179,40 @@ object MiscQueries {
           .groupBy(col("o_custkey"))
           .agg(Aggregates.carry(col("c_name")).as("c_name"),
             count(lit(1)).as("n_orders")))
+  ) ++ Seq(
+
+    // Source-file provenance: per-row originating file via
+    // input_file_name(), path components extracted with
+    // substring_index/split — the reference's dump-date-from-path idiom
+    // (rucio_daily.py:38-48 derives the snapshot date the same way).
+    // input_file_name() is only valid directly above the scan (any
+    // shuffle blanks it), so the projection sits on Tables.load, never
+    // loadSpread. Oracle note: DuckDB's `filename` virtual column needs
+    // parquet_scan(..., filename=true), which a view can't provide, so
+    // the oracle names the gate's fixed sf0.01 paths directly (the
+    // driver's correctness gate always runs at sf0.01).
+    QueryDef(
+      "q61_source_provenance",
+      Some("""
+        WITH f AS (
+          SELECT filename FROM parquet_scan(
+            '/root/testdata/sf0.01/documents.parquet', filename=true)
+          UNION ALL
+          SELECT filename FROM parquet_scan(
+            '/root/testdata/sf0.01/events.parquet', filename=true))
+        SELECT string_split(filename,'/')[-2] AS snapshot_dir,
+               string_split(filename,'/')[-1] AS src_file,
+               count(*) AS n_rows
+        FROM f GROUP BY 1, 2"""),
+      (s, d) => {
+        def prov(name: String): DataFrame =
+          t(s, d, name).select(input_file_name().as("path"))
+        prov("documents").union(prov("events"))
+          .select(
+            element_at(split(col("path"), "/"), -2).as("snapshot_dir"),
+            substring_index(col("path"), "/", -1).as("src_file"))
+          .groupBy(col("snapshot_dir"), col("src_file"))
+          .agg(count(lit(1)).as("n_rows"))
+      })
   )
 }

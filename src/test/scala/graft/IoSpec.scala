@@ -173,4 +173,21 @@ class IoSpec extends AnyFunSuite {
       .flatMap(p => scala.io.Source.fromFile(p.toString).getLines())
     assert(lines.length == 2)
   }
+
+  test("source-file provenance: input_file_name survives union, " +
+    "path components extract the snapshot date") {
+    import spark.implicits._
+    // two dated snapshot dirs, as in the reference's daily dumps
+    // (rucio_daily.py:38-48: dump date parsed out of the file path)
+    val base = tmpDir()
+    Seq(1, 2).toDF("v").write.parquet(s"$base/2024-01-01/t.parquet")
+    Seq(3).toDF("v").write.parquet(s"$base/2024-01-02/t.parquet")
+    val read = (d: String) => spark.read.parquet(s"$base/$d/t.parquet")
+      .select(input_file_name().as("path"))
+    val got = read("2024-01-01").union(read("2024-01-02"))
+      .select(element_at(split(col("path"), "/"), -3).as("dump_date"))
+      .groupBy("dump_date").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("2024-01-01" -> 2L, "2024-01-02" -> 1L))
+  }
 }
