@@ -322,7 +322,8 @@ object Schemas {
       s("ScheddName", StringType), s("WMAgent_JobID", StringType),
       s("MachineAttrCMSSubSiteName0", StringType),
       s("ExitCode", LongType), s("CpuEffOutlier", IntegerType),
-      s("DESIRED_CMSDataset", StringType)))),
+      s("DESIRED_CMSDataset", StringType),
+      s("ChirpCMSSWReadBytes", LongType)))),
     s("metadata", StructType(Seq(s("timestamp", LongType))))))
 
   /** CMSSW popularity envelope — schema_cmspop_json, schemas.py:712-770. */

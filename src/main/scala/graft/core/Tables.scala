@@ -43,7 +43,14 @@ object Tables {
     spreadCatalog.getOrElseUpdate((spark, s"$dir/$name.parquet"), {
       val df = load(spark, dir, name)
       val parallelism = spark.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism)
+      // estimate the scan's split count from plan statistics instead of
+      // df.rdd.getNumPartitions — the RDD conversion would force plan
+      // execution machinery at catalog-build time
+      val maxSplitBytes = spark.sessionState.conf.filesMaxPartitionBytes
+      val sizeBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val estSplits = // BigInt: plan stats can exceed Int range
+        ((sizeBytes + maxSplitBytes - 1) / maxSplitBytes).max(BigInt(1))
+      if (estSplits < parallelism) df.repartition(parallelism)
       else df
     })
 

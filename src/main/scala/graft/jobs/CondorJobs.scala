@@ -83,4 +83,39 @@ object CondorJobs {
       .agg(Aggregates.decSum(col("cores"), 0).as("running_cores"),
         count(lit(1)).as("n_jobs"))
   }
+
+  /** CRAB dataset popularity from the condor stream
+    * (dbs_hdfs_crab.py:74-103): completed/removed CRAB jobs in the
+    * window, deduped on GlobalJobId, dataset/datatier split out of the
+    * block name by regexp, per-dataset job/workflow/read stats.
+    *
+    * The reference does `.repartition("CRAB_DataBlock")
+    * .drop_duplicates(["GlobalJobId"])` (dbs_hdfs_crab.py:87-90) —
+    * but dropDuplicates shuffles on ITS key regardless, so that
+    * repartition is a wasted full shuffle; here the dedup's own
+    * exchange on GlobalJobId is the only one before the aggregate. */
+  def crabPopularity(condor: DataFrame, startMs: Long, endMs: Long)
+      : DataFrame = {
+    val blockRe = "^(.*)/([^/]*)#.*$"
+    val win = condor
+      .filter(col("Status").isin("Completed", "Removed")
+        && col("CRAB_DataBlock").isNotNull
+        && col("meta_ts") >= startMs && col("meta_ts") <= endMs)
+      .dropDuplicates(Seq("GlobalJobId"))
+      .select(
+        col("CMSPrimaryPrimaryDataset").as("PrimaryDataset"),
+        regexp_extract(col("CRAB_DataBlock"), blockRe, 1).as("Dataset"),
+        regexp_extract(col("CRAB_DataBlock"), blockRe, 2).as("Datatier"),
+        col("RecordTime"), col("CRAB_Workflow"),
+        col("ChirpCMSSWReadBytes"))
+    win
+      .groupBy(col("Datatier"), col("PrimaryDataset"), col("Dataset"))
+      .agg(
+        max(col("RecordTime")).as("max_RecordTime"),
+        min(col("RecordTime")).as("min_RecordTime"),
+        count(lit(1)).as("job_count"),
+        countDistinct(col("CRAB_Workflow")).as("workflow_count"),
+        sum(col("ChirpCMSSWReadBytes")).as("ChirpCMSSWReadBytes"))
+      .na.fill("Unknown", Seq("Datatier", "PrimaryDataset", "Dataset"))
+  }
 }

@@ -48,6 +48,21 @@ object DbsJobs {
         Aggregates.decSum(col("f_file_size"), 0).as("size"),
         count(lit(1)).as("n_files"))
 
+  /** Block → lumi-section count (dbs_block_lumis.py:40-62): blocks ⋈
+    * files on block id ⋈ file_lumis on file id, lumi rows counted per
+    * block name. The one consumer of `Schemas.dbsFileLumis`. At scale
+    * the two joins shuffle on the ids while the count is a map-side
+    * partial agg on block name — no driver state, no persist needed
+    * (the reference's MEMORY_AND_DISK persist guarded re-use across
+    * two outputs; here the single aggregate consumes the join once). */
+  def blockLumis(blocks: DataFrame, files: DataFrame,
+      fileLumis: DataFrame): DataFrame =
+    blocks
+      .join(files, blocks("b_block_id") === files("f_block_id"))
+      .join(fileLumis, files("f_file_id") === fileLumis("fl_file_id"))
+      .groupBy(col("b_block_name"))
+      .agg(count(col("fl_lumi_section_num")).as("nlumis"))
+
   /** "Leftovers": datasets present in `other` but absent from DBS
     * (reports/aggregate_leftovers.py:127-146) + their total size.
     * Returns (dataset, size) rows; callers can `agg(sum)` for the

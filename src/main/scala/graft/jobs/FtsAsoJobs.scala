@@ -33,7 +33,9 @@ object FtsAsoJobs {
         count(lit(1)).as("n_transfers"),
         min(col("duration_s")).as("min_duration_s"),
         max(col("duration_s")).as("max_duration_s"),
-        round(avg(col("duration_s")), 3).as("avg_duration_s"),
+        // unrounded, per the engine-wide determinism contract: round()
+        // on a decimal half-tie breaks differently across engines
+        avg(col("duration_s")).as("avg_duration_s"),
         Aggregates.countIf(col("aso_user").isNotNull).as("n_matched"))
   }
 }

@@ -50,14 +50,36 @@ object JobRunner {
       "stepchain_cpu_eff" -> (Seq("fwjr"),
         (_, in) => WmArchiveJobs.stepchainCpuEff(in("fwjr"))),
       "fts_aso_stats" -> (Seq("fts", "aso"),
-        (_, in) => FtsAsoJobs.transferStats(in("fts"), in("aso"))))
+        (_, in) => FtsAsoJobs.transferStats(in("fts"), in("aso"))),
+      "block_lumis" -> (Seq("blocks", "files", "file_lumis"),
+        (_, in) => DbsJobs.blockLumis(in("blocks"), in("files"),
+          in("file_lumis"))),
+      "crab_popularity" -> (Seq("condor"),
+        (_, in) => CondorJobs.crabPopularity(
+          CondorJobs.flatten(in("condor")), 0L, Long.MaxValue)),
+      // ts is the run's nominal date column; the CLI caller sets it in
+      // production, fixtures pin it (data_aggregation.py main --date)
+      "popularity_4streams" -> (
+        Seq("cmssw", "aaa", "eos", "jm", "files", "blocks", "datasets",
+          "phedex"),
+        (_, in) => PopularityJobs.popularity(
+          in("cmssw"),
+          in("aaa").select(org.apache.spark.sql.functions.col("data.*")),
+          IO.eosFromRaw(in("eos")),
+          in("jm"),
+          PopularityJobs.fileBlockSite(in("files"), in("blocks"),
+            in("datasets"), in("phedex")),
+          timestamp = 0L)))
 
   /** Input-name → schema for the schematized readers. */
   private val schemas = Map(
     "datasets" -> Schemas.dbsDatasets, "files" -> Schemas.dbsFiles,
     "blocks" -> Schemas.dbsBlocks, "replicas" -> Schemas.rucioReplicas,
     "dids" -> Schemas.rucioDids, "contents" -> Schemas.rucioContents,
-    "rses" -> Schemas.rucioRses, "condor" -> Schemas.condorEnvelope)
+    "rses" -> Schemas.rucioRses, "condor" -> Schemas.condorEnvelope,
+    "file_lumis" -> Schemas.dbsFileLumis, "cmssw" -> Schemas.cmssw,
+    "jm" -> Schemas.jobMonitoring, "phedex" -> Schemas.phedex,
+    "aaa" -> Schemas.aaaEnvelope, "eos" -> Schemas.eosEnvelope)
 
   def parseArgs(args: Array[String]): Map[String, String] =
     args.sliding(2, 2).collect {

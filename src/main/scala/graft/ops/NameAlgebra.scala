@@ -45,11 +45,15 @@ object NameAlgebra {
       site.endsWith("_Export")
 
   /** `parse_dn`: last `/CN=` segment of an X.509 DN that contains a letter
-    * (skipping purely numeric CNs), as a Catalyst expression chain. */
+    * (skipping purely numeric CNs), as a Catalyst expression chain.
+    * A name with no such segment passes through unchanged — the
+    * reference's "return it as is" fallback (data_aggregation
+    * .py:389-398), which also covers plain usernames (GridName). */
   def parseDn(dn: Column): Column = {
     val cns = filter(split(dn, "/"),
       s => s.startsWith("CN=") && s.rlike("[A-Za-z]"))
-    regexp_replace(element_at(cns, -1), "^CN=", "")
+    when(size(cns) > 0, regexp_replace(element_at(cns, -1), "^CN=", ""))
+      .otherwise(dn)
   }
 
   /** `dn2uuid`: `BigInt(sha1(parse_dn(dn)), 16) mod 10^16` — needs

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.Schemas
-import graft.jobs.{CondorJobs, DbsJobs, RucioJobs, WmArchiveJobs}
+import graft.jobs.{CondorJobs, DbsJobs, PopularityJobs, RucioJobs,
+  WmArchiveJobs}
 
 /** End-to-end job specs on synthetic micro-fixtures of the reference's
   * input schemas (FIXTURES.md §B) — the per-job CI the reference never
@@ -70,6 +71,103 @@ class JobsSpec extends AnyFunSuite {
     assert(a.getString(4) == "T1_US_FNAL")
     val b = got(1) // Camp-B: single site → second_site null
     assert(b.getString(2) == "T1_US_FNAL" && b.isNullAt(4))
+  }
+
+  test("blockLumis: blocks ⋈ files ⋈ file_lumis lumi counts") {
+    val blocks = Seq((100L, "/PrimA/Proc-v1/RAW#b1"),
+      (101L, "/PrimB/Proc-v2/AOD#b2"))
+      .toDF("b_block_id", "b_block_name")
+    val filesB = Seq((10L, 100L), (11L, 100L), (12L, 101L))
+      .toDF("f_file_id", "f_block_id")
+    val lumis = Seq((1, "11", 10L), (1, "12", 10L), (2, "13", 11L),
+      (3, "14", 12L))
+      .toDF("fl_run_num", "fl_lumi_section_num", "fl_file_id")
+    val got = DbsJobs.blockLumis(blocks, filesB, lumis)
+      .orderBy("b_block_name").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(
+      ("/PrimA/Proc-v1/RAW#b1", 3L), ("/PrimB/Proc-v2/AOD#b2", 1L)))
+  }
+
+  test("crabPopularity: window filter, GlobalJobId dedup, block-name " +
+    "regexp split, per-dataset stats") {
+    def row(jobId: String, status: String, block: String, wf: String,
+        recordMs: Long, readBytes: Long): Row =
+      Row(Row(jobId, recordMs, status, "T1_US_FNAL", "T1", "analysis",
+        0L, 1.0, 1.0, 2.0, 0.9, 4.0, "alice", wf, block, "PrimX", "wf",
+        "req", "sch", "jid", null, 0L, 0, "/DS/One/RAW", readBytes),
+        Row(recordMs))
+    val condor = CondorJobs.flatten(spark.createDataFrame(
+      java.util.Arrays.asList(
+        row("c1", "Completed", "/PrimX/Proc-v1/AOD#u-1", "wfA",
+          1000L, 100L),
+        row("c1", "Completed", "/PrimX/Proc-v1/AOD#u-1", "wfA",
+          1000L, 100L), // duplicate re-read → deduped
+        row("c2", "Removed", "/PrimX/Proc-v1/AOD#u-2", "wfB",
+          2000L, 50L),
+        row("c3", "Completed", "/PrimX/Proc-v1/AOD#u-3", "wfA",
+          99000L, 7L), // outside window
+        row("c4", "Running", "/PrimX/Proc-v1/AOD#u-4", "wfC",
+          1500L, 1L)), // wrong status
+      Schemas.condorEnvelope))
+    val got = CondorJobs.crabPopularity(condor, 0L, 10000L).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[String]("Datatier") == "AOD")
+    assert(r.getAs[String]("Dataset") == "/PrimX/Proc-v1")
+    assert(r.getAs[Long]("job_count") == 2L) // c1 deduped, c2
+    assert(r.getAs[Long]("workflow_count") == 2L) // wfA, wfB
+    assert(r.getAs[Long]("ChirpCMSSWReadBytes") == 150L)
+    assert(r.getAs[Long]("max_RecordTime") == 2000L)
+  }
+
+  test("popularity 4-stream union: shared schema, dn_uuid wiring, " +
+    "per-stream aggregation") {
+    val blocksP = Seq((100L, "/PrimA/Proc-v1/RAW#b1"))
+      .toDF("b_block_id", "b_block_name")
+    val filesP = Seq((10L, "/store/f1", 1L, 100L))
+      .toDF("f_file_id", "f_logical_file_name", "f_dataset_id", "f_block_id")
+    val phedex = Seq(("/PrimA/Proc-v1/RAW#b1", "T1_US_FNAL_Disk_Extra"))
+      .toDF("block_name", "node_name")
+    val fbs = PopularityJobs.fileBlockSite(filesP, blocksP, datasets,
+      phedex)
+    // dimension: site cleaned to ≤3 tokens, distinct rows
+    val f = fbs.collect()
+    assert(f.length == 1 &&
+      f(0).getAs[String]("site_name") == "T1_US_FNAL" &&
+      f(0).getAs[String]("dataset_name") == "/PrimA/Proc-v1/RAW")
+    val cmssw = Seq(
+      ("/store/f1", "/DC=ch/CN=111/CN=alice", "T2_CH_CERN",
+        "crab3-app"),
+      ("/store/f1", "/DC=ch/CN=111/CN=alice", "T2_CH_CERN", ""))
+      .toDF("FILE_LFN", "USER_DN", "SITE_NAME", "APP_INFO")
+    val aaa = Seq(("/store/f1", "/DC=ch/CN=bob"))
+      .toDF("file_lfn", "user_dn")
+    val eos = Seq(("/store/f1", "/DC=ch/CN=carol", "fuse"))
+      .toDF("file_lfn", "user_dn", "application")
+    val jm = Seq(("/store/f1", "dave", "T1_US_FNAL", "crab3", "4.5", "9.0"))
+      .toDF("FileName", "GridName", "SiteName", "SubmissionTool",
+        "WrapCPU", "WrapWC")
+    val got = PopularityJobs.popularity(cmssw, aaa, eos, jm, fbs,
+      timestamp = 1700000000L).collect()
+    // cmssw rows split by app (crab vs cmssw default) → 2 rows + 3 others
+    assert(got.length == 5)
+    assert(got.map(_.getAs[String]("stream")).toSet ==
+      Set("cmssw", "aaa", "eos", "crab"))
+    val crab = got.find(_.getAs[String]("stream") == "crab").get
+    assert(crab.getAs[String]("dn") == "dave")
+    assert(crab.getAs[Double]("cpu_time") == 4.5
+      && crab.getAs[Double]("wc_time") == 9.0)
+    assert(crab.getAs[String]("site_tier") == "T1")
+    // dn_uuid = sha1(parse_dn) mod 10^16, verified independently
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+      .digest("dave".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expectUid =
+      (BigInt(sha, 16) mod BigInt(10).pow(16)).toLong
+    assert(crab.getAs[Long]("uid") == expectUid)
+    assert(got.forall(_.getAs[Long]("timestamp") == 1700000000L))
+    // every stream shares the exact output schema
+    assert(got.forall(_.length == 12))
   }
 
   // ---- Rucio fixtures (binary ids exercise lower(hex())) ----
@@ -143,7 +241,7 @@ class JobsSpec extends AnyFunSuite {
       recordMs: Long, cores: Double): Row =
     Row(Row(jobId, recordMs, status, site, "T1", tpe, 0L, 1.0, cpuHr,
       coreHr, 0.9, cores, user, "wf1", "blk", "prim", "wf1", "req", "sch",
-      "jid", null, 0L, 0, "/DS/One/RAW"), Row(recordMs))
+      "jid", null, 0L, 0, "/DS/One/RAW", 1024L), Row(recordMs))
 
   private lazy val condor = CondorJobs.flatten(spark.createDataFrame(
     java.util.Arrays.asList(

@@ -172,7 +172,7 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(0) != got(2))
   }
 
-  test("multimodal: payload bytes survive packing; stub features are total") {
+  test("multimodal: payload bytes survive packing; fallback is total") {
     val docs = Seq((1L, "hello", "s0", 5L), (2L, "worlds!", "s1", 7L))
       .toDF("doc_id", "text", "source", "n_chars")
     val media = Multimodal.packAsMedia(docs).collect().sortBy(_.doc_id)
@@ -180,7 +180,39 @@ class LlmOpsSpec extends AnyFunSuite {
     val feats = Multimodal.decodeFeatures(Multimodal.packAsMedia(docs))
       .collect().sortBy(_.doc_id)
     assert(feats(0).n_bytes == 5 && feats(1).n_bytes == 7)
+    assert(feats(0).source == "s0" && feats(1).source == "s1")
     assert(feats(0).media_kind == "audio" && feats(1).media_kind == "audio")
     assert(feats.forall(f => f.width >= 16 && f.n_frames >= 1))
+  }
+
+  test("multimodal header parser: PNG/BMP/WAV magics and dimensions") {
+    // PNG: signature + IHDR length/type + width=640 height=480 (BE)
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 2, 0x80, 0, 0, 1, 0xe0).map(_.toByte)
+    assert(Multimodal.parseHeader(png).contains(("image", 640, 480, 1)))
+    // BMP: 'BM' + BITMAPINFOHEADER width=320 at 18, height=200 at 22 (LE)
+    val bmp = new Array[Byte](26)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    bmp(18) = 0x40; bmp(19) = 0x01 // 320
+    bmp(22) = 0xc8.toByte          // 200
+    assert(Multimodal.parseHeader(bmp).contains(("image", 320, 200, 1)))
+    // WAV: canonical 44-byte header, stereo 16-bit → blockAlign 4;
+    // 44 + 40 payload bytes = 10 frames
+    val wav = new Array[Byte](84)
+    "RIFF".getBytes.copyToArray(wav, 0)
+    "WAVE".getBytes.copyToArray(wav, 8)
+    wav(22) = 2 // channels
+    wav(32) = 4 // blockAlign
+    assert(Multimodal.parseHeader(wav).contains(("audio", 2, 1, 10)))
+    // unknown magic → None (fallback path)
+    assert(Multimodal.parseHeader("plain text".getBytes).isEmpty)
+    // real-container payloads flow through the Dataset pipeline too
+    val media = Seq(
+      Multimodal.MediaRecord(1L, png, "cam", 0L),
+      Multimodal.MediaRecord(2L, wav, "mic", 0L)).toDS()
+    val feats = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
+    assert(feats(0).media_kind == "image" && feats(0).width == 640)
+    assert(feats(1).media_kind == "audio" && feats(1).n_frames == 10)
   }
 }

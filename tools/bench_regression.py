@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Per-query bench regression gate between two rounds.
+
+Usage: python3 tools/bench_regression.py <prev_bench.json> <new_bench.json>
+       [--threshold 1.5] [--min-seconds 1.0]
+
+Reads the driver's BENCH_r{N}.json files (either the raw one-line
+{"metric":...,"queries":{...}} shape or the driver wrapper whose `tail`
+embeds that line), compares per-query seconds, and fails (exit 1) when
+any query regressed more than --threshold x. Queries faster than
+--min-seconds in BOTH rounds are ignored: at sub-second scale the
+scheduler noise on a shared box exceeds any plan change.
+"""
+import argparse
+import json
+import re
+import sys
+
+
+def load_queries(path):
+    with open(path) as fh:
+        text = fh.read().strip()
+    # tolerate sbt's "[info] " line prefix on raw bench output
+    doc = json.loads(text[text.index("{"):])
+    if "queries" in doc:
+        return {k: float(v) for k, v in doc["queries"].items()}
+    # driver wrapper: the bench line lives (possibly head-truncated)
+    # inside `tail` — recover just the queries object
+    tail = doc.get("tail", "")
+    m = re.search(r'"queries":(\{[^{}]*\})', tail)
+    if not m:
+        raise SystemExit(f"no bench line found in {path}")
+    return {k: float(v) for k, v in json.loads(m.group(1)).items()}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("prev")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=1.5)
+    ap.add_argument("--min-seconds", type=float, default=1.0)
+    args = ap.parse_args()
+    prev, new = load_queries(args.prev), load_queries(args.new)
+    regressions = []
+    for q in sorted(new):
+        if q not in prev:
+            print(f"NEW  {q}: {new[q]:.2f}s (no baseline)")
+            continue
+        if prev[q] < args.min_seconds and new[q] < args.min_seconds:
+            continue
+        ratio = new[q] / prev[q] if prev[q] > 0 else float("inf")
+        flag = "REGRESSED" if ratio > args.threshold else "ok"
+        print(f"{flag:9s} {q}: {prev[q]:.2f}s -> {new[q]:.2f}s ({ratio:.2f}x)")
+        if ratio > args.threshold:
+            regressions.append(q)
+    tp, tn = sum(prev.values()), sum(new.values())
+    print(f"total: {tp:.1f}s -> {tn:.1f}s ({tn / tp:.2f}x)")
+    if regressions:
+        print(f"== {len(regressions)} regression(s): {', '.join(regressions)}")
+        sys.exit(1)
+    print("== no regressions ==")
+
+
+if __name__ == "__main__":
+    main()
