@@ -326,6 +326,14 @@ object Schemas {
       s("ChirpCMSSWReadBytes", LongType)))),
     s("metadata", StructType(Seq(s("timestamp", LongType))))))
 
+  /** HS06 pruned condor envelope — the per-app "own minimal schema"
+    * pattern (condor_hs06coreHrPlot.py:29-50). */
+  val condorHs06Envelope: StructType = StructType(Seq(
+    s("data", StructType(Seq(
+      s("GlobalJobId", StringType), s("RecordTime", LongType),
+      s("HS06CpuTimeHr", DoubleType), s("Status", StringType),
+      s("Site", StringType), s("Type", StringType))))))
+
   /** CMSSW popularity envelope — schema_cmspop_json, schemas.py:712-770. */
   val cmsswPopEnvelope: StructType = StructType(Seq(
     s("data", StructType(Seq(

@@ -84,6 +84,31 @@ object CondorJobs {
         count(lit(1)).as("n_jobs"))
   }
 
+  /** HS06 CPU hours per calendar period (condor_hs06coreHrPlot
+    * .py:53-92): completed jobs at sites matching `includeRe` minus
+    * `excludeRe`, windowed on RecordTime, deduped on GlobalJobId, then
+    * HS06CpuTimeHr summed by (year, month|weekofyear). `byWeek` flips
+    * the period column exactly like the reference's `--by` option.
+    * Input needs (GlobalJobId, RecordTime, HS06CpuTimeHr, Status,
+    * Site) — the reference reads its own pruned schema for this app. */
+  def hs06CpuHours(condor: DataFrame, startMs: Long, endMs: Long,
+      byWeek: Boolean = false, includeRe: String = "^T2_.*$",
+      excludeRe: String = ".*_CERN.*"): DataFrame = {
+    val period: Column => Column =
+      if (byWeek) weekofyear else month
+    val periodName = if (byWeek) "weekofyear" else "month"
+    condor
+      .filter(col("Status") === "Completed"
+        && col("Site").rlike(includeRe)
+        && !col("Site").rlike(excludeRe)
+        && col("RecordTime") >= startMs && col("RecordTime") < endMs)
+      .withColumn("RecordDate", from_unixtime(col("RecordTime") / 1000))
+      .dropDuplicates(Seq("GlobalJobId"))
+      .groupBy(year(col("RecordDate")).as("year"),
+        period(col("RecordDate")).as(periodName))
+      .agg(sum(col("HS06CpuTimeHr")).as("sum_HS06CpuTimeHr"))
+  }
+
   /** CRAB dataset popularity from the condor stream
     * (dbs_hdfs_crab.py:74-103): completed/removed CRAB jobs in the
     * window, deduped on GlobalJobId, dataset/datatier split out of the

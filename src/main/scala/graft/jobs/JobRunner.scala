@@ -57,6 +57,13 @@ object JobRunner {
       "crab_popularity" -> (Seq("condor"),
         (_, in) => CondorJobs.crabPopularity(
           CondorJobs.flatten(in("condor")), 0L, Long.MaxValue)),
+      "hs06_cpu_hours" -> (Seq("condor_hs06"),
+        (_, in) => CondorJobs.hs06CpuHours(
+          in("condor_hs06").select(
+            org.apache.spark.sql.functions.col("data.*")),
+          0L, Long.MaxValue)),
+      "rucio_daily" -> (Seq("replicas", "files"),
+        (_, in) => RucioJobs.dailyTally(in("replicas"), in("files"))),
       // ts is the run's nominal date column; the CLI caller sets it in
       // production, fixtures pin it (data_aggregation.py main --date)
       "popularity_4streams" -> (
@@ -79,7 +86,8 @@ object JobRunner {
     "rses" -> Schemas.rucioRses, "condor" -> Schemas.condorEnvelope,
     "file_lumis" -> Schemas.dbsFileLumis, "cmssw" -> Schemas.cmssw,
     "jm" -> Schemas.jobMonitoring, "phedex" -> Schemas.phedex,
-    "aaa" -> Schemas.aaaEnvelope, "eos" -> Schemas.eosEnvelope)
+    "aaa" -> Schemas.aaaEnvelope, "eos" -> Schemas.eosEnvelope,
+    "condor_hs06" -> Schemas.condorHs06Envelope)
 
   def parseArgs(args: Array[String]): Map[String, String] =
     args.sliding(2, 2).collect {

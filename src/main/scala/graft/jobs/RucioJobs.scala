@@ -129,4 +129,36 @@ object RucioJobs {
         avg(col("total_bytes")).as("avg_size"),
         sum(col("total_bytes")).as("sum_size"),
         max(col("last_accessed_at")).as("last_access"))
+
+  /** Daily replica tally (rucio_daily.py:30-63): the source-file
+    * provenance consumer — the dump date ("tally day") is parsed out of
+    * each replica row's ORIGINATING FILE PATH via `input_file_name()` +
+    * two substring_index hops (`.../rucio/2024-01-05/part.avro` →
+    * `20240105`), the replica creation day out of the epoch-millis
+    * CREATED_AT, then replicas join DBS files on LFN and aggregate
+    * bytes per (RSE, dataset, scope, tally day, create day).
+    *
+    * `replicas` must sit DIRECTLY on its scan — any shuffle between
+    * scan and this projection blanks input_file_name (q61 scaladoc). */
+  def dailyTally(replicas: DataFrame, dbsFiles: DataFrame): DataFrame = {
+    val dated = replicas
+      .withColumn("filename", input_file_name())
+      .withColumn("tally_date",
+        substring_index(substring_index(col("filename"), "/rucio/", -1),
+          "/", 1))
+      .select(
+        col("RSE_ID"), col("BYTES"), col("NAME"), col("SCOPE"),
+        date_format(to_date(col("tally_date"), "yyyy-MM-dd"), "yyyyMMdd")
+          .as("tally_day"),
+        date_format(
+          to_date((col("CREATED_AT") / 1000).cast("long")
+            .cast("timestamp")), "yyyyMMdd").as("create_day"))
+    dated
+      .join(dbsFiles.select(col("f_logical_file_name"),
+        col("f_dataset_id")),
+        dated("NAME") === col("f_logical_file_name"))
+      .groupBy(col("RSE_ID"), col("f_dataset_id"), col("SCOPE"),
+        col("tally_day"), col("create_day"))
+      .agg(sum(col("BYTES")).as("rep_size"))
+  }
 }

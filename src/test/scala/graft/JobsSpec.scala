@@ -170,6 +170,55 @@ class JobsSpec extends AnyFunSuite {
     assert(got.forall(_.length == 12))
   }
 
+  test("hs06CpuHours: site include/exclude regexes, window, dedup, " +
+    "per-period sums") {
+    val condor = Seq(
+      ("h1", 1704067200000L, 10.0, "Completed", "T2_DE_DESY"),
+      ("h1", 1704067200000L, 10.0, "Completed", "T2_DE_DESY"), // dup
+      ("h2", 1706745600000L, 5.0, "Completed", "T2_DE_DESY"),  // Feb
+      ("h3", 1704067200000L, 7.0, "Completed", "T2_CH_CERN"),  // excluded
+      ("h4", 1704067200000L, 3.0, "Completed", "T1_US_FNAL"),  // not T2
+      ("h5", 1704067200000L, 2.0, "Running", "T2_DE_DESY"))    // status
+      .toDF("GlobalJobId", "RecordTime", "HS06CpuTimeHr", "Status", "Site")
+    val got = CondorJobs.hs06CpuHours(condor, 0L, Long.MaxValue)
+      .orderBy("month").collect()
+    assert(got.map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .toSeq == Seq((2024, 1, 10.0), (2024, 2, 5.0)))
+    val byWeek = CondorJobs.hs06CpuHours(condor, 0L, Long.MaxValue,
+      byWeek = true)
+    assert(byWeek.columns.toSeq ==
+      Seq("year", "weekofyear", "sum_HS06CpuTimeHr"))
+  }
+
+  test("rucio dailyTally: tally day from input_file_name, create day " +
+    "from epoch, LFN join, per-key byte sums") {
+    // real dated dump dirs so input_file_name has a path to parse
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-rucio").toString + "/rucio"
+    Seq(
+      ("/store/f1", "cms", "rse-a", 100L, 1704067200000L),
+      ("/store/f1", "cms", "rse-a", 50L, 1704067200000L),
+      ("/store/ghost", "cms", "rse-a", 9L, 1704067200000L))
+      .toDF("NAME", "SCOPE", "RSE_ID", "BYTES", "CREATED_AT")
+      .write.parquet(s"$base/2024-01-05/part.parquet")
+    Seq(("/store/f2", "cms", "rse-b", 70L, 1706745600000L))
+      .toDF("NAME", "SCOPE", "RSE_ID", "BYTES", "CREATED_AT")
+      .write.parquet(s"$base/2024-01-06/part.parquet")
+    val replicas = spark.read.parquet(
+      s"$base/2024-01-05/part.parquet", s"$base/2024-01-06/part.parquet")
+    val dbsFiles = Seq((10L, "/store/f1", 1L), (11L, "/store/f2", 2L))
+      .toDF("f_file_id", "f_logical_file_name", "f_dataset_id")
+    val got = RucioJobs.dailyTally(replicas, dbsFiles)
+      .orderBy("tally_day").collect()
+    assert(got.length == 2) // ghost LFN dropped by the DBS join
+    val d5 = got(0)
+    assert(d5.getAs[String]("tally_day") == "20240105")
+    assert(d5.getAs[String]("create_day") == "20240101")
+    assert(d5.getAs[Long]("rep_size") == 150L)
+    assert(got(1).getAs[String]("tally_day") == "20240106")
+    assert(got(1).getAs[Long]("f_dataset_id") == 2L)
+  }
+
   // ---- Rucio fixtures (binary ids exercise lower(hex())) ----
   private def bid(b: Byte) = Array.fill[Byte](2)(b)
 
