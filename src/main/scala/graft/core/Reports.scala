@@ -47,6 +47,53 @@ object Reports {
       .getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Bar chart as a self-contained SVG — the plot-rendering tail of
+    * the reporting jobs (condor_hs06coreHrPlot.py:96-120 seaborn
+    * barplot, hpc_running_cores_and_corehr.py:185 plotly), pure JVM:
+    * no plotting library exists on a bare cluster and none is needed
+    * for a bar chart. Input is (label, value) rows AFTER aggregation;
+    * the same bounded-collect contract as the HTML table applies. */
+  def barChartSvg(df: DataFrame, labelCol: String, valueCol: String,
+      title: String, maxBars: Int = 200, width: Int = 960,
+      height: Int = 420): String = {
+    val rows = df.select(labelCol, valueCol).limit(maxBars + 1).collect()
+    require(rows.length <= maxBars,
+      s"chart exceeds $maxBars bars — aggregate further before plotting")
+    val data = rows.map(r =>
+      (String.valueOf(r.get(0)),
+        Option(r.get(1)).map(v => v.toString.toDouble).getOrElse(0.0)))
+    val (mTop, mBottom, mLeft, mRight) = (40, 70, 70, 20)
+    val (plotW, plotH) = (width - mLeft - mRight, height - mTop - mBottom)
+    val maxV = math.max(data.map(_._2).foldLeft(0.0)(math.max), 1e-12)
+    val barW = plotW.toDouble / math.max(data.length, 1)
+    val sb = new StringBuilder
+    sb ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" height="$height">"""
+    sb ++= s"""<text x="${width / 2}" y="20" text-anchor="middle" font-size="16">${escape(title)}</text>"""
+    // y axis: zero line + max gridline with its value
+    sb ++= s"""<line x1="$mLeft" y1="$mTop" x2="$mLeft" y2="${mTop + plotH}" stroke="black"/>"""
+    sb ++= s"""<line x1="$mLeft" y1="${mTop + plotH}" x2="${mLeft + plotW}" y2="${mTop + plotH}" stroke="black"/>"""
+    sb ++= s"""<text x="${mLeft - 6}" y="${mTop + 4}" text-anchor="end" font-size="11">$maxV</text>"""
+    sb ++= s"""<text x="${mLeft - 6}" y="${mTop + plotH + 4}" text-anchor="end" font-size="11">0</text>"""
+    data.zipWithIndex.foreach { case ((label, v), i) =>
+      val h = (v / maxV * plotH).max(0.0)
+      val x = mLeft + i * barW
+      val y = mTop + plotH - h
+      sb ++= f"""<rect x="$x%.1f" y="$y%.1f" width="${barW * 0.8}%.1f" height="$h%.1f" fill="steelblue"><title>${escape(label)}: $v</title></rect>"""
+      sb ++= f"""<text x="${x + barW * 0.4}%.1f" y="${mTop + plotH + 14}" text-anchor="end" font-size="10" transform="rotate(-45 ${x + barW * 0.4}%.1f ${mTop + plotH + 14})">${escape(label)}</text>"""
+    }
+    sb ++= "</svg>"
+    sb.toString
+  }
+
+  /** Write the SVG chart next to the HTML reports (EOS-www pattern). */
+  def writeBarChart(df: DataFrame, labelCol: String, valueCol: String,
+      title: String, outFile: String, maxBars: Int = 200): Unit = {
+    val p = JPaths.get(outFile)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    Files.write(p, barChartSvg(df, labelCol, valueCol, title, maxBars)
+      .getBytes(StandardCharsets.UTF_8))
+  }
+
   private def escape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 }

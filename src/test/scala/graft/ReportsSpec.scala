@@ -32,4 +32,29 @@ class ReportsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("aggregate further"))
   }
+
+  test("barChartSvg renders scaled bars, labels, and persists") {
+    import spark.implicits._
+    val df = Seq(("2024-01", 10.0), ("2024-02", 5.0), ("<x>", 0.0))
+      .toDF("period", "hs06")
+    val svg = Reports.barChartSvg(df, "period", "hs06", "HS06 kdays")
+    assert(svg.startsWith("<svg") && svg.endsWith("</svg>"))
+    assert(svg.contains("HS06 kdays"))
+    assert(svg.contains("&lt;x&gt;")) // label escaping
+    // the max bar spans the full plot height (420 - 40 top - 70 bottom)
+    assert(svg.contains("height=\"310.0\""))
+    val out = Files.createTempDirectory("graft-rep").toString + "/c.svg"
+    Reports.writeBarChart(df, "period", "hs06", "t", out)
+    assert(Files.readString(JPaths.get(out)).contains("<rect"))
+  }
+
+  test("barChartSvg refuses oversized results") {
+    import spark.implicits._
+    val big = spark.range(50).selectExpr("cast(id as string) l",
+      "cast(id as double) v")
+    val e = intercept[IllegalArgumentException] {
+      Reports.barChartSvg(big, "l", "v", "big", maxBars = 10)
+    }
+    assert(e.getMessage.contains("aggregate further"))
+  }
 }
