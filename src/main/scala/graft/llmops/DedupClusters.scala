@@ -22,10 +22,15 @@ object DedupClusters {
     * cluster = min node id of the component. */
   def components(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 10): DataFrame = {
+    // pre-partition the (reused-every-round) edge list on the join key:
+    // the cached plan keeps its outputPartitioning, so each round's join
+    // only shuffles the labels side — at corpus scale the edge shuffle,
+    // not the label shuffle, would dominate every round
     val edges = pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .persist()
     var labels = edges.select(col("src").as("node"))
       .distinct()

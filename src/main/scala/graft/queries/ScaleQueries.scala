@@ -16,26 +16,15 @@ object ScaleQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Tables.loadSpread(s, d, n)
 
-  /** Jaccard ≥ 0.2 candidate pairs (shared with q41's pipeline). */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = t(s, d, "documents")
-      .select(col("doc_id"), array_distinct(transform(
-        TextOps.shingles(col("text")),
-        g => TextOps.hash60(g))).as("arr"))
-      .select(col("doc_id"), size(col("arr")).as("nsh"),
-        explode(col("arr")).as("sh"))
-    val pairs = sh.toDF("da", "na", "sh")
-      .join(sh.toDF("db", "nb", "sh"), Seq("sh"))
-      .filter(col("da") < col("db"))
-      .groupBy(col("da"), col("db"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("common"))
-    pairs
-      .filter(col("common").cast("double") /
-        (col("na") + col("nb") - col("common")) >= 0.2)
-      .select(col("da"), col("db"))
-  }
+  /** Jaccard ≥ 0.2 candidate pairs — q41's df-capped pipeline
+    * (TextOps.ngramJaccardPairs), reused as the cluster input. */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    TextOps.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+      minJac = 0.2, maxDf = 1000)
+      .select(col("doc_a").as("da"), col("doc_b").as("db"))
 
-  /** DuckDB: the same pair pipeline as q41, as CTE text. */
+  /** DuckDB: the same pair pipeline as q41 (incl. the df ≤ 1000
+    * hot-shingle cap, so both engines agree at any scale), as CTE. */
   private val dkPairs =
     """t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
       |sarr AS (SELECT doc_id,
@@ -48,9 +37,11 @@ object ScaleQueries {
       |       FROM (SELECT doc_id, list_distinct(list_transform(shs,
       |               g -> ('0x'||substr(md5(g),1,15))::BIGINT)) shsd
       |             FROM sarr)),
+      |kept AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 1000),
       |c AS (SELECT a.doc_id da, b.doc_id db, a.nsh na, b.nsh nb,
       |             count(*) common
       |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |      JOIN kept k ON a.sh = k.sh
       |      GROUP BY 1, 2, 3, 4),
       |p AS (SELECT da, db FROM c
       |      WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.2)""".stripMargin
