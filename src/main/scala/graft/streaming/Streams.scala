@@ -173,6 +173,17 @@ object Streams {
       }
       .start()
 
+  /** Stream–static dimension enrichment: join each micro-batch against
+    * a broadcast dimension table — the streaming form of every
+    * reference job's "join the day's stream to the DBS dims" step
+    * (e.g. dataset_popularity's access ⋈ files ⋈ datasets). The static
+    * side is re-resolved per micro-batch, so a daily-refreshed dim
+    * picks up changes without restarting the query; broadcast keeps the
+    * stream side shuffle-free. */
+  def enrich(stream: DataFrame, dim: DataFrame, joinCols: Seq[String],
+      joinType: String = "inner"): DataFrame =
+    stream.join(broadcast(dim), joinCols, joinType)
+
   /** Start a console-less memory sink for tests/inspection. */
   def toMemory(df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete()): StreamingQuery =

@@ -141,6 +141,39 @@ class PropertySpec extends AnyFunSuite {
     assert(got.columns.toSeq == Seq("A1", "b", "C1"))
   }
 
+  test("ngramJaccardPairs = brute-force Jaccard on random corpora") {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val doc = Gen.choose(3, 8).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    samples(Gen.listOfN(6, doc), 4).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.llmops.TextOps
+        .ngramJaccardPairs(df, "doc_id", "text", minJac = 0.2,
+          maxDf = 1000)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // driver-side oracle: distinct 3-gram sets, exact Jaccard
+      def shingleSet(t: String): Set[String] = {
+        val toks = t.split(" ")
+        if (toks.length < 3) Set.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val sets = docs.map(shingleSet)
+      val expect = (for {
+        i <- docs.indices; j <- docs.indices if i < j
+        inter = (sets(i) & sets(j)).size
+        if inter > 0
+        jac = inter.toDouble / (sets(i) | sets(j)).size
+        if jac >= 0.2
+      } yield (i.toLong, j.toLong) -> jac).toMap
+      assert(got.keySet == expect.keySet, s"docs=$docs")
+      expect.foreach { case (k, v) =>
+        assert(math.abs(got(k) - v) < 1e-12, s"jac mismatch at $k")
+      }
+    }
+  }
+
   test("dedup components = true connected components on random graphs") {
     val edgeGen = Gen.listOfN(30,
       Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))

@@ -53,6 +53,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("job1", "job2"))
   }
 
+  test("stream-static enrich: micro-batches join the broadcast dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("/store/f1", "/PrimA/Proc/RAW"),
+      ("/store/f2", "/PrimB/Proc/AOD")).toDF("file_lfn", "dataset")
+    val input = MemoryStream[(String, Long)]
+    input.addData(("/store/f1", 10L), ("/store/f1", 20L),
+      ("/store/f2", 5L), ("/store/ghost", 1L))
+    val enriched = Streams.enrich(
+      input.toDF().toDF("file_lfn", "read_bytes"), dim, Seq("file_lfn"))
+    val q = Streams.toMemory(enriched, "enriched", OutputMode.Append())
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql(
+      "SELECT dataset, sum(read_bytes) FROM enriched GROUP BY 1 ORDER BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // ghost LFN dropped by the inner join; both f1 reads land
+    assert(got.toSeq == Seq(("/PrimA/Proc/RAW", 30L),
+      ("/PrimB/Proc/AOD", 5L)))
+  }
+
   test("sessionize accumulates per-key custom state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
