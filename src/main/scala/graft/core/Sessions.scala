@@ -50,6 +50,9 @@ object Sessions {
     if (!spark.catalog.functionExists("dn_uuid"))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "dn_uuid", graft.functions.Sha1Mod1e16.builder, "builtin")
+    if (!spark.catalog.functionExists("hash60"))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "hash60", graft.functions.Md5Prefix60.builder, "builtin")
     spark
   }
 }

@@ -59,10 +59,14 @@ object Sha1Mod1e16 {
 }
 
 /** Session-extension entry point: `--conf spark.sql.extensions=
-  * graft.functions.GraftExtensions` registers `dn_uuid(...)` for SQL
-  * and `call_function` use (Sessions.builder sets it by default). */
+  * graft.functions.GraftExtensions` registers the engine's native
+  * expressions (`dn_uuid`, `hash60`) for SQL and `call_function` use
+  * (Sessions.builder sets it by default). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("dn_uuid"),
       Sha1Mod1e16.info, Sha1Mod1e16.builder))
+    ext.injectFunction((FunctionIdentifier("hash60"),
+      Md5Prefix60.info, Md5Prefix60.builder))
+  }
 }

@@ -19,9 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** 60-bit deterministic string hash: first 15 hex chars of md5.
-    * Non-negative, fits a signed Long, reproducible in any engine. */
-  def hash60(s: Column): Column =
+  /** 60-bit deterministic string hash: first 15 hex chars of md5 —
+    * non-negative, fits a signed Long, reproducible in any engine
+    * (`('0x'||substr(md5(s),1,15))::BIGINT` in DuckDB). Runs as the
+    * native codegen'd `graft.functions.Md5Prefix60` (digest bytes →
+    * Long, no hex-string round trip); `hash60Composed` is the
+    * built-in-only equivalent kept for parity testing. */
+  def hash60(s: Column): Column = call_function("hash60", s)
+
+  /** The same hash from built-ins only — bit-identical to [[hash60]]
+    * (PropertySpec pins the equivalence). */
+  def hash60Composed(s: Column): Column =
     conv(substring(md5(s), lit(1), lit(15)), 16, 10).cast("long")
 
   /** Whitespace tokens (single-space convention of the corpus). */
