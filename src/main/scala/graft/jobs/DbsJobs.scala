@@ -63,6 +63,39 @@ object DbsJobs {
       .groupBy(col("b_block_name"))
       .agg(count(col("fl_lumi_section_num")).as("nlumis"))
 
+  /** Per-(month, tier) event counts with skim routing
+    * (dbs_event_count_plot.py:182-210): two complementary branches —
+    * non-skim datasets keep their tier name, skim-matching datasets
+    * get `tier/<skim>` — unioned with SQL UNION semantics. The
+    * reference's SQL `UNION` DEDUPLICATES (the §7.5 risk-register
+    * trap: `union()` alone would be UNION ALL); the branches are
+    * disjoint by construction, but `.distinct()` preserves the
+    * declared semantics if the routing predicates ever overlap. */
+  def eventCountBySkimTier(datasets: DataFrame, files: DataFrame,
+      dataTiers: DataFrame, tiersRe: String, removeRe: String,
+      skimsRe: String): DataFrame = {
+    val base = files
+      .join(datasets, files("f_dataset_id") === datasets("d_dataset_id"))
+      .join(dataTiers,
+        dataTiers("data_tier_id") === datasets("d_data_tier_id"))
+      .filter(col("data_tier_name").rlike(tiersRe)
+        && !lower(col("d_dataset")).rlike(removeRe))
+      .withColumn("month",
+        date_format(
+          to_date(col("f_creation_date").cast("long").cast("timestamp")),
+          "yyyy/MM"))
+    val plain = base.filter(!col("d_dataset").rlike(skimsRe))
+      .groupBy(col("month"), col("data_tier_name"))
+      .agg(sum(col("f_event_count")).as("nevents"))
+    val skims = base.filter(col("d_dataset").rlike(skimsRe))
+      .groupBy(col("month"),
+        concat(col("data_tier_name"), lit("/"),
+          regexp_extract(col("d_dataset"), skimsRe, 1))
+          .as("data_tier_name"))
+      .agg(sum(col("f_event_count")).as("nevents"))
+    plain.union(skims).distinct()
+  }
+
   /** "Leftovers": datasets present in `other` but absent from DBS
     * (reports/aggregate_leftovers.py:127-146) + their total size.
     * Returns (dataset, size) rows; callers can `agg(sum)` for the

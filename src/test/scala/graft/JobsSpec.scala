@@ -170,6 +170,30 @@ class JobsSpec extends AnyFunSuite {
     assert(got.forall(_.length == 12))
   }
 
+  test("eventCountBySkimTier: skim routing + SQL UNION semantics") {
+    val ds = Seq(
+      (1L, "/PrimA/Proc-v1/RAW", 1),
+      (2L, "/PrimB/Proc-PromptSkim-v1/RAW", 1),
+      (3L, "/lowercase-remove-me/P/RAW", 1),
+      (4L, "/PrimC/Proc/NANOAOD", 2))
+      .toDF("d_dataset_id", "d_dataset", "d_data_tier_id")
+    val fl = Seq(
+      (1L, 100L, 1704067200.0), (1L, 50L, 1704067200.0),
+      (2L, 30L, 1704067200.0), (3L, 7L, 1704067200.0),
+      (4L, 9L, 1704067200.0))
+      .toDF("f_dataset_id", "f_event_count", "f_creation_date")
+      .withColumn("f_file_id", col("f_dataset_id"))
+    val tiers = Seq((1, "RAW"), (2, "NANOAOD"))
+      .toDF("data_tier_id", "data_tier_name")
+    val got = DbsJobs.eventCountBySkimTier(ds, fl, tiers,
+      tiersRe = "^RAW$", removeRe = "remove",
+      skimsRe = "(PromptSkim)")
+      .orderBy("data_tier_name").collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    // NANOAOD fails tiersRe; dataset 3 removed; skim dataset routed
+    assert(got.toSeq == Seq(("RAW", 150L), ("RAW/PromptSkim", 30L)))
+  }
+
   test("hs06CpuHours: site include/exclude regexes, window, dedup, " +
     "per-period sums") {
     val condor = Seq(
