@@ -28,6 +28,28 @@ object WmArchiveJobs {
         col("step.performance.cpu.TotalJobTime").as("total_job_time"),
         col("step.performance.cpu.NumberOfThreads").as("n_threads"))
 
+  /** Daily agent (host) job counts for the OpenSearch feed
+    * (wma_agent_count_to_opensearch.py:130-144): wmaid-deduped records
+    * per (day, host) with step stats, site set, and the midday
+    * timestamp the dashboard keys on. `first(wmats)` in the reference
+    * is non-deterministic under re-partitioning; `min` carries the
+    * same midday value (all wmats of a day share day-start) and
+    * hash-matches on re-runs. */
+  def agentCounts(fwjr: DataFrame): DataFrame =
+    fwjr
+      .select(col("wmaid"), col("wmats"), col("meta_data.host"),
+        size(col("steps")).as("number_of_steps"),
+        col("steps").getItem(0).getField("site").as("site"))
+      .dropDuplicates(Seq("wmaid"))
+      .withColumn("day", from_unixtime(col("wmats"), "yyyy-MM-dd"))
+      .groupBy(col("day"), col("host"))
+      .agg(
+        count(lit(1)).as("count"),
+        avg(col("number_of_steps")).as("avg_steps_count"),
+        sort_array(collect_set(col("site"))).as("sites"),
+        (min(col("wmats")) - (min(col("wmats")) % 86400) + 43200)
+          .as("wmats_midday"))
+
   /** Per-step CPU efficiency: TotalJobCPU / (TotalJobTime · threads),
     * the stepchain formula (stepchain_cpu_eff.py:88-99), aggregated per
     * (task, site) after wmaid dedup against re-delivered records. */

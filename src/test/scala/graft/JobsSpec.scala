@@ -352,6 +352,30 @@ class JobsSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 8.0 && r.getLong(3) == 1)
   }
 
+  test("wma agentCounts: wmaid dedup, per-(day,host) stats, midday ts") {
+    def cpu = Row(1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+    def fw(wmaid: String, wmats: Long, host: String, nSteps: Int) =
+      Row(wmaid, wmats, "t", Row(host, wmats, "success", "prod", "f"),
+        (1 to nSteps).map(i => Row(s"cmsRun$i", "siteX", Row(cpu))))
+    val fwjr = spark.createDataFrame(
+      java.util.Arrays.asList(
+        fw("w1", 1704100000L, "agent-1", 2),
+        fw("w1", 1704100000L, "agent-1", 2), // re-delivered
+        fw("w2", 1704110000L, "agent-1", 4),
+        fw("w3", 1704200000L, "agent-2", 1)),
+      Schemas.wmarchiveEnvelope)
+    val got = WmArchiveJobs.agentCounts(fwjr).orderBy("host").collect()
+    assert(got.length == 2)
+    val a1 = got(0)
+    assert(a1.getAs[String]("host") == "agent-1")
+    assert(a1.getAs[Long]("count") == 2L) // w1 deduped
+    assert(a1.getAs[Double]("avg_steps_count") == 3.0)
+    assert(a1.getSeq[String](a1.fieldIndex("sites")).toList ==
+      List("siteX"))
+    // midday of 2024-01-01: day start 1704067200 + 43200
+    assert(a1.getAs[Long]("wmats_midday") == 1704110400L)
+  }
+
   // ---- WMArchive fixtures ----
   test("wmarchive stepchain: explode steps, per-(task,site) cpu eff") {
     def cpu(jobCpu: Double, jobTime: Double, threads: Double) =
