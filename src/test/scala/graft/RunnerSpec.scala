@@ -38,6 +38,30 @@ class RunnerSpec extends AnyFunSuite {
     assert(lines.exists(l => l.startsWith("AOD,50,")))
   }
 
+  test("JobRunner: block_lumis end-to-end through the file_lumis " +
+    "schema binding") {
+    val dir = Files.createTempDirectory("graft-runner-bl").toString
+    Files.writeString(JPaths.get(s"$dir/blocks.csv"),
+      "100,/P/Q/RAW#b1,1,0,site,0.0,2,0.0,x,0.0,x\n")
+    Files.writeString(JPaths.get(s"$dir/files.csv"),
+      "10,/store/f1,1,1,100,1,c,100,1000.0,1,a,m,0.0,0.0,x,0.0,x\n" +
+        "11,/store/f2,1,1,100,1,c,250,2000.0,1,a,m,0.0,0.0,x,0.0,x\n")
+    Files.writeString(JPaths.get(s"$dir/file_lumis.csv"),
+      "1,11,10\n1,12,10\n2,13,11\n")
+    JobRunner.main(Array(
+      "--job", "block_lumis",
+      "--in-blocks", s"$dir/blocks.csv",
+      "--in-files", s"$dir/files.csv",
+      "--in-file_lumis", s"$dir/file_lumis.csv",
+      "--fmt", "csv",
+      "--out", s"$dir/out"))
+    val lines = Files.list(JPaths.get(s"$dir/out")).toArray
+      .map(_.toString).filter(_.endsWith(".csv"))
+      .flatMap(p => scala.io.Source.fromFile(p).getLines())
+    assert(lines.exists(_ == "/P/Q/RAW#b1,3"),
+      s"expected block lumi count in ${lines.toSeq}")
+  }
+
   test("JobRunner: unknown job and missing inputs fail with clear errors") {
     val e1 = intercept[RuntimeException] {
       JobRunner.main(Array("--job", "nope", "--out", "/tmp/x"))
