@@ -17,15 +17,21 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Full warmup pass: whole-stage-codegen classes JIT on first
     // execution (2-5x first-run overhead measured at sf0.1); the timed
-    // pass below reports steady-state engine throughput, which is what
-    // a long-running cluster delivers.
+    // passes below report steady-state engine throughput, which is what
+    // a long-running cluster delivers. Per query the MIN of two timed
+    // runs is recorded: single-shot sweep timings on a shared box vary
+    // +-0.5s from scheduler noise (bench_regression.py rationale), and
+    // the min is the standard noise-robust point estimate.
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def timed(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> math.min(timed(), timed())
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
