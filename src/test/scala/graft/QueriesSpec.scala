@@ -41,4 +41,26 @@ class QueriesSpec extends AnyFunSuite {
       assert(SparkEntry.queries(q)(spark, sf).count() > 0, s"$q empty")
     }
   }
+
+  test("order-sensitive queries are partition-count invariant") {
+    // The DuckDB oracle is single-threaded, so it cannot catch the
+    // distributed failure mode where a result depends on partitioning
+    // (the reference's first() trap, window frames, greedy packing).
+    // Hash the full result under different shuffle widths.
+    val sensitive = Seq("q37_top2_struct_rank", "q39_first_carry",
+      "q60_token_packing", "q22_topk", "q54_dedup_clusters")
+    def resultHash(q: String): Int =
+      SparkEntry.queries(q)(spark, sf)
+        .collect()
+        .map(_.toSeq.map(String.valueOf).mkString(""))
+        .sorted.toSeq.hashCode()
+    sensitive.foreach { q =>
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val a = resultHash(q)
+      spark.conf.set("spark.sql.shuffle.partitions", "17")
+      val b = resultHash(q)
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      assert(a == b, s"$q result depends on partitioning")
+    }
+  }
 }
