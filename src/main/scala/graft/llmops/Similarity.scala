@@ -139,4 +139,63 @@ object Similarity {
           .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** Sequential-fold squared L2 distance (same precision contract as
+    * [[dot]] — bit-exact cross-engine). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** IVF index training, assignment step (one Lloyd iteration half):
+    * every vector goes to its nearest centroid by squared L2, ties
+    * broken by centroid id. `centroids` is (cell, vec) — k rows,
+    * broadcast; the scan side is one narrow map per vector × k, no
+    * shuffle until the caller aggregates. */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cellCol: String, centVecCol: String)
+      : DataFrame = {
+    val scored = df
+      .crossJoin(broadcast(
+        centroids.select(col(cellCol).as("cell"),
+          col(centVecCol).as("cvec"))))
+      .select(col(idCol), col("cell"),
+        sqDist(col(vecCol), col("cvec")).as("d2"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("d2"), col("cell"))
+    scored.select(col(idCol), col("cell"), col("d2"),
+      row_number().over(w).as("rk"))
+      .filter(col("rk") === 1)
+      .drop("rk")
+  }
+
+  /** IVF index training, update step: per-(cell, dimension) mean of
+    * the assigned vectors. Sums fold over the members SORTED BY ID
+    * (`sort_array(collect_list(...))` + sequential fold), so the
+    * double sum is order-deterministic and engine-reproducible —
+    * a plain `avg` over shuffled doubles is not. Cell populations
+    * bound the collect buffer (IVF cells are sized ~corpus/k by
+    * construction; k-means rebalances outliers in later rounds). */
+  def kmeansUpdate(assigned: DataFrame, df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val byDim = assigned.select(col(idCol), col("cell"))
+      .join(df.select(col(idCol), col(vecCol).as("v")), Seq(idCol))
+      .select(col(idCol), col("cell"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col(idCol), col("cell"), (col("dim") + 1).as("dim"),
+        col("x").cast("double").as("x"))
+    byDim
+      .groupBy(col("cell"), col("dim"))
+      .agg(
+        aggregate(
+          transform(
+            sort_array(collect_list(struct(col(idCol), col("x")))),
+            s => s.getField("x")),
+          lit(0.0), (acc, v) => acc + v).as("sum_x"),
+        count(lit(1)).as("n"))
+      .select(col("cell"), col("dim"),
+        (col("sum_x") / col("n")).as("mean_x"))
+  }
 }

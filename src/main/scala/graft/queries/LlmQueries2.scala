@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.llmops.TextOps
+import graft.llmops.{Similarity, TextOps}
 
 /** Training-data pipeline operators, part 2: TF-IDF term ranking,
   * embedding quantization, stratified sampling, sequence packing.
@@ -153,6 +153,69 @@ object LlmQueries2 {
           .groupBy(col("lang"),
             floor((col("cum") - 1) / 2048).as("bin"))
           .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("bin_tokens"))
+      }),
+
+    // IVF index training, assignment half of a Lloyd iteration:
+    // nearest centroid by squared L2 (sequential-fold double — exact
+    // cross-engine), centroids = the first 4 vectors, broadcast.
+    QueryDef(
+      "q62_ivf_kmeans_assign",
+      Some("""
+        WITH c AS (SELECT vec_id AS cell, embedding AS cvec
+                   FROM embeddings WHERE vec_id < 4),
+        s AS (SELECT e.vec_id, c.cell,
+                list_reduce(list_transform(list_zip(e.embedding, c.cvec),
+                  p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                     * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                  (x, y) -> x + y) AS d2
+              FROM embeddings e CROSS JOIN c)
+        SELECT vec_id, cell, d2 FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2, cell) AS rk FROM s)
+        WHERE rk = 1"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.kmeansAssign(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 4)
+            .select(col("vec_id").as("cell"),
+              col("embedding").as("cvec")),
+          "cell", "cvec")
+      }),
+
+    // IVF index training, update half: per-(cell, dim) centroid means
+    // with ID-ORDERED double summation — deterministic and
+    // engine-reproducible where a plain avg over shuffled doubles is
+    // not (the distributed-mean trap).
+    QueryDef(
+      "q63_ivf_kmeans_update",
+      Some("""
+        WITH c AS (SELECT vec_id AS cell, embedding AS cvec
+                   FROM embeddings WHERE vec_id < 4),
+        s AS (SELECT e.vec_id, c.cell,
+                list_reduce(list_transform(list_zip(e.embedding, c.cvec),
+                  p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                     * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                  (x, y) -> x + y) AS d2
+              FROM embeddings e CROSS JOIN c),
+        a AS (SELECT vec_id, cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY d2, cell) AS rk FROM s) WHERE rk = 1),
+        x AS (SELECT a.vec_id, a.cell, CAST(i AS INT) AS dim,
+                     CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS x
+              FROM a JOIN embeddings e USING (vec_id)
+              CROSS JOIN range(1, 65) r(i))
+        SELECT cell, dim,
+               list_reduce(list(x ORDER BY vec_id), (p, q) -> p + q)
+                 / count(*) AS mean_x
+        FROM x GROUP BY cell, dim"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val assigned = Similarity.kmeansAssign(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 4)
+            .select(col("vec_id").as("cell"),
+              col("embedding").as("cvec")),
+          "cell", "cvec")
+        Similarity.kmeansUpdate(assigned, e, "vec_id", "embedding")
       })
   )
 }

@@ -172,6 +172,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(0) != got(2))
   }
 
+  test("kmeans: assignment picks nearest centroid, update averages " +
+    "members per dimension") {
+    val e = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(10f, 10f)),
+      (2L, Array(1f, 1f)), (3L, Array(9f, 9f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(0f, 0f)), (1L, Array(10f, 10f)))
+      .toDF("cell", "cvec")
+    val assigned = Similarity.kmeansAssign(e, "vec_id", "embedding",
+      cents, "cell", "cvec")
+    val got = assigned.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L))
+    val means = Similarity.kmeansUpdate(assigned, e, "vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(means == Map(
+      (0L, 1) -> 0.5, (0L, 2) -> 0.5, (1L, 1) -> 9.5, (1L, 2) -> 9.5))
+  }
+
   test("multimodal: payload bytes survive packing; fallback is total") {
     val docs = Seq((1L, "hello", "s0", 5L), (2L, "worlds!", "s1", 7L))
       .toDF("doc_id", "text", "source", "n_chars")
