@@ -184,6 +184,21 @@ object Streams {
       joinType: String = "inner"): DataFrame =
     stream.join(broadcast(dim), joinCols, joinType)
 
+  /** Streaming document egress: each micro-batch pushes its rows as
+    * JSON documents through a DocSink transport (STOMP frames,
+    * OpenSearch bulk bodies, …) from the EXECUTORS — the streaming
+    * form of the reference's batch AMQ push, without its
+    * toLocalIterator driver bottleneck. */
+  def toTransport(df: DataFrame, transport: graft.core.DocSink.Transport,
+      checkpoint: String, chunkSize: Int = 1000): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.core.DocSink.push(batch, transport, chunkSize)
+      }
+      .start()
+
   /** Start a console-less memory sink for tests/inspection. */
   def toMemory(df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete()): StreamingQuery =

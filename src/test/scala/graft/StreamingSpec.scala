@@ -73,6 +73,28 @@ class StreamingSpec extends AnyFunSuite {
       ("/PrimB/Proc/AOD", 5L)))
   }
 
+  test("streaming egress: micro-batches land as STOMP frames") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream-amq").toString
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, "a"), (2L, "b"), (3L, "c"))
+    val q = Streams.toTransport(
+      input.toDF().toDF("id", "payload"),
+      new graft.core.Transports.StompTransport(
+        "vh", "u", "p", "/topic/t",
+        new graft.core.Transports.FileSink(dir)),
+      checkpoint = s"$dir/ckpt")
+    q.processAllAvailable(); q.stop()
+    val text = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.startsWith("frames-"))
+      .map(p => new String(java.nio.file.Files.readAllBytes(p)))
+      .mkString
+    assert(text.split("\u0000").count(_.trim.startsWith("SEND")) == 3)
+    assert(text.contains("\"payload\":\"b\""))
+  }
+
   test("sessionize accumulates per-key custom state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
