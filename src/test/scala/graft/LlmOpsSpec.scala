@@ -172,6 +172,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(0) != got(2))
   }
 
+  test("llmops operators are total on empty inputs") {
+    val docs = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.ngramJaccardPairs(docs, "doc_id", "text").count() == 0)
+    val sigs = TextOps.minhashSignatures(docs, "doc_id", "text")
+    assert(sigs.count() == 0)
+    assert(TextOps.lshCandidatePairs(sigs, "doc_id").count() == 0)
+    assert(TextOps.simhash16(docs, "doc_id", "text").count() == 0)
+    val pairs = spark.emptyDataset[(Long, Long)].toDF("a", "b")
+    assert(graft.llmops.DedupClusters
+      .components(pairs, "a", "b").count() == 0)
+    // keepList over empty pairs keeps every doc
+    val all = Seq((1L, "x")).toDF("doc_id", "text")
+    val kept = graft.llmops.DedupClusters
+      .keepList(all, "doc_id", pairs, "a", "b").collect()
+    assert(kept.length == 1 && kept(0).getBoolean(2))
+  }
+
   test("kmeans: assignment picks nearest centroid, update averages " +
     "members per dimension") {
     val e = Seq(
