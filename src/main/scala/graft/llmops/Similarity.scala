@@ -171,6 +171,34 @@ object Similarity {
       .drop("rk")
   }
 
+  /** Product quantization encode: split each vector into `m` equal
+    * subvectors; per subspace, assign the subvector to its nearest
+    * codeword by squared L2 (tie-break on code id). `codebooks` is
+    * (subspace, code, cvec) with subvectors of dim/m values —
+    * broadcast (m·k rows). Output: one row per (vector, subspace) with
+    * the chosen code and its quantization error — 8 bits/subspace
+    * instead of 4·dim bytes, the memory layer under IVF-PQ ANN
+    * indexes. Same narrow-map shape as [[kmeansAssign]]: no shuffle
+    * until the caller aggregates codes. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+    val sub = dim / m
+    val subvecs = df.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        j => slice(col(vecCol), j * sub + lit(1), lit(sub))))
+        .as(Seq("subspace", "sv")))
+    val scored = subvecs
+      .join(broadcast(codebooks), Seq("subspace"))
+      .select(col(idCol), col("subspace"), col("code"),
+        sqDist(col("sv"), col("cvec")).as("err"))
+    val w = Window.partitionBy(col(idCol), col("subspace"))
+      .orderBy(col("err"), col("code"))
+    scored.select(col(idCol), col("subspace"), col("code"), col("err"),
+      row_number().over(w).as("rk"))
+      .filter(col("rk") === 1)
+      .drop("rk")
+  }
+
   /** IVF index training, update step: per-(cell, dimension) mean of
     * the assigned vectors. Sums fold over the members SORTED BY ID
     * (`sort_array(collect_list(...))` + sequential fold), so the

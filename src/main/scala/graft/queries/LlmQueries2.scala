@@ -216,6 +216,42 @@ object LlmQueries2 {
               col("embedding").as("cvec")),
           "cell", "cvec")
         Similarity.kmeansUpdate(assigned, e, "vec_id", "embedding")
+      }),
+
+    // Product quantization encode: 4 subspaces of 16 dims, codebook =
+    // the first 4 vectors' subvectors (deterministic), code = nearest
+    // codeword per subspace — the memory layer of an IVF-PQ index.
+    QueryDef(
+      "q64_embed_pq_encode",
+      Some("""
+        WITH cb AS (
+          SELECT vec_id AS code, j AS subspace,
+                 embedding[j*16+1 : j*16+16] AS cvec
+          FROM embeddings CROSS JOIN range(0, 4) r(j)
+          WHERE vec_id < 4),
+        sv AS (
+          SELECT vec_id, j AS subspace,
+                 embedding[j*16+1 : j*16+16] AS sv
+          FROM embeddings CROSS JOIN range(0, 4) r(j)),
+        s AS (SELECT sv.vec_id, sv.subspace, cb.code,
+                list_reduce(list_transform(list_zip(sv.sv, cb.cvec),
+                  p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                     * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                  (x, y) -> x + y) AS err
+              FROM sv JOIN cb USING (subspace))
+        SELECT vec_id, subspace, code, err FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+            ORDER BY err, code) AS rk FROM s)
+        WHERE rk = 1"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cb = e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("code"),
+            posexplode(transform(sequence(lit(0), lit(3)),
+              j => slice(col("embedding"), j * 16 + lit(1), lit(16))))
+              .as(Seq("subspace", "cvec")))
+        Similarity.pqEncode(e, "vec_id", "embedding", cb, m = 4,
+          dim = 64)
       })
   )
 }
