@@ -102,6 +102,68 @@ object ScaleQueries {
             saltSource = col("l_orderkey"), buckets = 16)
           .select(col("l_returnflag"),
             col("sum_qty").cast("double").as("sum_qty"), col("n"))
+      }),
+
+    // The full curation pipeline as ONE DAG: near-dup dedup keep-list
+    // (q41 pairs → q54 components) → quality gate (q50 score) →
+    // deterministic stratified sample mark (q59 hash) → per-language
+    // curation stats. The composition is what a training-data user
+    // actually runs; every stage reuses the verified operator.
+    QueryDef(
+      "q65_curation_pipeline",
+      Some(s"""
+        WITH RECURSIVE $dkPairs,
+        edges AS (SELECT da s, db d FROM p UNION SELECT db, da FROM p),
+        reach AS (
+          SELECT s AS node, s AS r FROM edges
+          UNION
+          SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.node),
+        comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY 1),
+        keep AS (SELECT d.doc_id FROM documents d
+                 LEFT JOIN comp ON comp.node = d.doc_id
+                 WHERE comp.cluster IS NULL OR comp.cluster = d.doc_id),
+        q AS (SELECT doc_id, lang,
+                     CAST(len(string_split(text,' ')) AS BIGINT) nt,
+                     CAST(length(replace(text,' ','')) AS BIGINT) nc,
+                     CAST(len(list_filter(string_split(text,' '),
+                       x -> list_contains(['the','a','of','and','to',
+                         'in','is','it'], x))) AS BIGINT) he
+              FROM documents),
+        scored AS (SELECT doc_id, lang, nt,
+                     CAST(800*he + 6*nt*least(nt,100) + 75*least(nc,8*nt)
+                       AS DOUBLE) / (2000.0*CAST(nt AS DOUBLE)) AS score,
+                     ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))
+                       ::BIGINT % 100 AS bucket
+                   FROM q)
+        SELECT lang,
+               count(*) AS n_curated,
+               count(*) FILTER (WHERE bucket < 10) AS n_sampled,
+               CAST(sum(nt) AS BIGINT) AS total_tokens
+        FROM scored JOIN keep USING (doc_id)
+        WHERE score >= 0.25
+        GROUP BY lang"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val kept = DedupClusters
+          .keepList(docs, "doc_id", jaccardPairs(s, d), "da", "db")
+          .filter(col("is_kept"))
+          .select(col("doc_id"))
+        val scored = docs.select(
+          (col("doc_id") +: col("lang") +:
+            size(TextOps.tokens(col("text"))).cast("long").as("nt") +:
+            TextOps.qualityColumns(col("text"))): _*)
+          .select(col("doc_id"), col("lang"), col("nt"),
+            col("quality_score").as("score"),
+            (TextOps.hash60(col("doc_id").cast("string")) % 100)
+              .as("bucket"))
+        scored.join(kept, Seq("doc_id"))
+          .filter(col("score") >= 0.25)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_curated"),
+            sum(when(col("bucket") < 10, 1L).otherwise(0L))
+              .as("n_sampled"),
+            sum(col("nt")).as("total_tokens"))
       })
   )
 }
