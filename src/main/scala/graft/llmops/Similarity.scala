@@ -199,6 +199,44 @@ object Similarity {
       .drop("rk")
   }
 
+  /** PQ asymmetric-distance search (ADC): approximate nearest
+    * neighbors over PQ CODES. Per query, a lookup table of
+    * query-subvector→codeword distances is built (queries × m × k
+    * rows — tiny, broadcast); the corpus is then touched only through
+    * its codes — one broadcast join + one aggregation, never the raw
+    * vectors. This is the IVF-PQ search path: at 100 TB the codes are
+    * 8 bytes/vector instead of 256, and the scan is code-only.
+    * The per-pair distance sums its m subspace entries in SUBSPACE
+    * ORDER (sorted fold) so the double total is engine-deterministic. */
+  def pqSearchADC(queries: DataFrame, codes: DataFrame,
+      codebooks: DataFrame, idCol: String, vecCol: String, m: Int,
+      dim: Int, k: Int): DataFrame = {
+    val sub = dim / m
+    val qsub = queries.select(col(idCol).as("query_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        j => slice(col(vecCol), j * sub + lit(1), lit(sub))))
+        .as(Seq("subspace", "qsv")))
+    val lut = qsub
+      .join(codebooks, Seq("subspace"))
+      .select(col("query_id"), col("subspace"), col("code"),
+        sqDist(col("qsv"), col("cvec")).as("d2"))
+    val scored = codes
+      .join(broadcast(lut), Seq("subspace", "code"))
+      .filter(col(idCol) =!= col("query_id"))
+      .groupBy(col("query_id"), col(idCol).as("cand_id"))
+      .agg(
+        aggregate(
+          transform(
+            sort_array(collect_list(struct(col("subspace"), col("d2")))),
+            s => s.getField("d2")),
+          lit(0.0), (acc, v) => acc + v).as("approx_d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2"), col("cand_id"))
+    scored.select(col("query_id"), col("cand_id"), col("approx_d2"),
+      row_number().over(w).as("rk"))
+      .filter(col("rk") <= k)
+  }
+
   /** IVF index training, update step: per-(cell, dimension) mean of
     * the assigned vectors. Sums fold over the members SORTED BY ID
     * (`sort_array(collect_list(...))` + sequential fold), so the

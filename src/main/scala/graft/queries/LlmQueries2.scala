@@ -252,6 +252,63 @@ object LlmQueries2 {
               .as(Seq("subspace", "cvec")))
         Similarity.pqEncode(e, "vec_id", "embedding", cb, m = 4,
           dim = 64)
+      }),
+
+    // PQ asymmetric-distance search: top-5 neighbors for 8 query
+    // vectors computed entirely over PQ codes via a broadcast
+    // query→codeword distance LUT — the IVF-PQ search path.
+    QueryDef(
+      "q66_embed_pq_search",
+      Some("""
+        WITH cb AS (
+          SELECT vec_id AS code, j AS subspace,
+                 embedding[j*16+1 : j*16+16] AS cvec
+          FROM embeddings CROSS JOIN range(0, 4) r(j)
+          WHERE vec_id < 4),
+        sv AS (
+          SELECT vec_id, j AS subspace,
+                 embedding[j*16+1 : j*16+16] AS sv
+          FROM embeddings CROSS JOIN range(0, 4) r(j)),
+        enc AS (SELECT sv.vec_id, sv.subspace, cb.code,
+                  list_reduce(list_transform(list_zip(sv.sv, cb.cvec),
+                    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                       * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                    (x, y) -> x + y) AS err
+                FROM sv JOIN cb USING (subspace)),
+        codes AS (SELECT vec_id, subspace, code FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id,
+                      subspace ORDER BY err, code) AS rk FROM enc)
+                  WHERE rk = 1),
+        lut AS (SELECT s.vec_id AS query_id, s.subspace, cb.code,
+                  list_reduce(list_transform(list_zip(s.sv, cb.cvec),
+                    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                       * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                    (x, y) -> x + y) AS d2
+                FROM sv s JOIN cb USING (subspace)
+                WHERE s.vec_id < 8),
+        scored AS (
+          SELECT l.query_id, c.vec_id AS cand_id,
+                 list_reduce(list(l.d2 ORDER BY l.subspace),
+                   (x, y) -> x + y) AS approx_d2
+          FROM codes c JOIN lut l
+            ON c.subspace = l.subspace AND c.code = l.code
+          WHERE c.vec_id <> l.query_id
+          GROUP BY 1, 2)
+        SELECT query_id, cand_id, approx_d2, rk FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY approx_d2, cand_id) AS INT) AS rk FROM scored)
+        WHERE rk <= 5"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cb = e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("code"),
+            posexplode(transform(sequence(lit(0), lit(3)),
+              j => slice(col("embedding"), j * 16 + lit(1), lit(16))))
+              .as(Seq("subspace", "cvec")))
+        val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb,
+          m = 4, dim = 64).drop("err")
+        Similarity.pqSearchADC(e.filter(col("vec_id") < 8), codes, cb,
+          "vec_id", "embedding", m = 4, dim = 64, k = 5)
       })
   )
 }
