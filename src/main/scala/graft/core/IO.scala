@@ -79,14 +79,27 @@ object IO {
   /** Day-partitioned parquet store with dynamic partition overwrite —
     * the incremental EOS store (dbs_hdfs_eos.py:55-62). Only the day
     * partitions present in `df` are replaced; the rest of the store is
-    * untouched, which is what makes daily re-runs idempotent at scale. */
+    * untouched, which is what makes daily re-runs idempotent at scale.
+    *
+    * `cluster` (default on) repartitions by the partition column
+    * before the write: without it every TASK holding rows of a day
+    * opens its own file in that day's directory — tasks × days small
+    * files at 100 TB. The one extra shuffle buys one file per
+    * partition value (AQE splits any skewed day across tasks). Turn it
+    * off when the input is already clustered by the column. */
   def writePartitionedParquet(df: DataFrame, out: String,
-      partitionCol: String, overwriteDynamic: Boolean = true): Unit =
-    df.write
+      partitionCol: String, overwriteDynamic: Boolean = true,
+      cluster: Boolean = true): Unit = {
+    val prepared =
+      if (cluster)
+        df.repartition(org.apache.spark.sql.functions.col(partitionCol))
+      else df
+    prepared.write
       .partitionBy(partitionCol)
       .mode(if (overwriteDynamic) SaveMode.Overwrite else SaveMode.Append)
       .option("compression", "snappy")
       .parquet(out)
+  }
 
   /** Gzip JSON write (anonymized output, hdfs_an.py:69). */
   def writeJsonGzip(df: DataFrame, out: String): Unit =

@@ -174,6 +174,21 @@ class IoSpec extends AnyFunSuite {
     assert(lines.length == 2)
   }
 
+  test("partitioned write clusters rows: one data file per partition") {
+    import spark.implicits._
+    val dir = tmpDir() + "/clustered"
+    // rows for each day deliberately spread over 8 input partitions
+    val df = (1 to 64).map(i => (i, s"2024010${i % 2 + 1}"))
+      .toDF("v", "day").repartition(8)
+    IO.writePartitionedParquet(df, dir, "day")
+    Seq("day=20240101", "day=20240102").foreach { p =>
+      val files = Files.list(JPaths.get(dir, p)).toArray
+        .map(_.toString).count(_.endsWith(".parquet"))
+      assert(files == 1, s"$p has $files files, expected 1")
+    }
+    assert(spark.read.parquet(dir).count() == 64)
+  }
+
   test("source-file provenance: input_file_name survives union, " +
     "path components extract the snapshot date") {
     import spark.implicits._
