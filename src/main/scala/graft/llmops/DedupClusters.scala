@@ -63,6 +63,12 @@ object DedupClusters {
       iter += 1
     }
     edges.unpersist()
+    // no silent caps: a component with diameter > maxIters would come
+    // out split — loud, not wrong-and-quiet
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"components: not converged after $maxIters rounds; " +
+          "clusters with larger diameter are split — raise maxIters")
     labels.select(col("node").as("doc"), col("label").as("cluster"))
   }
 
