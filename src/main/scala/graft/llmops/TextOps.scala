@@ -103,28 +103,34 @@ object TextOps {
     Seq((1299721L, 11L), (15485863L, 101L), (32452843L, 1009L),
       (49979687L, 10007L))
 
-  /** One MinHash slot over a shingle-hash column. */
-  def minhashSlot(xHash: Column, a: Long, b: Long): Column =
-    min((lit(a) * (xHash % MinHashP) + lit(b)) % MinHashP)
+  /** One MinHash slot as a NARROW per-row fold: min of the affine map
+    * over the document's shingle-hash array. */
+  def minhashSlotArray(hashes: Column, a: Long, b: Long): Column =
+    array_min(transform(hashes,
+      x => (lit(a) * (x % MinHashP) + lit(b)) % MinHashP))
 
   /** MinHash signatures: one row per doc with sig_0..sig_{k-1}.
-    * Input: (idCol, text). Scales as explode + single hash-agg keyed by
-    * doc id — the shuffle key is the doc id, never the shingle. */
+    * Computed as a pure projection — per-row array fold, NO shuffle
+    * (the min over a document's shingles never needed an aggregation;
+    * an explode + groupBy formulation re-shuffles the whole corpus on
+    * doc id for nothing). Docs too short to have a shingle produce no
+    * row, matching the exploded formulation's semantics. Also the form
+    * a streaming pipeline needs: signature available row-by-row with
+    * no stateful stage. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val sh = df
-      .select(col(idCol), explode(array_distinct(shingles(col(textCol))))
-        .as("shingle"))
-      .withColumn("x", hash60(col("shingle")))
-    sh.groupBy(col(idCol))
-      .agg(
-        minhashSlot(col("x"), MinHashPerms(0)._1, MinHashPerms(0)._2)
+    val hs = array_distinct(transform(shingles(col(textCol)),
+      g => hash60(g)))
+    df.select(col(idCol), hs.as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col(idCol),
+        minhashSlotArray(col("hs"), MinHashPerms(0)._1, MinHashPerms(0)._2)
           .as("sig_0"),
-        minhashSlot(col("x"), MinHashPerms(1)._1, MinHashPerms(1)._2)
+        minhashSlotArray(col("hs"), MinHashPerms(1)._1, MinHashPerms(1)._2)
           .as("sig_1"),
-        minhashSlot(col("x"), MinHashPerms(2)._1, MinHashPerms(2)._2)
+        minhashSlotArray(col("hs"), MinHashPerms(2)._1, MinHashPerms(2)._2)
           .as("sig_2"),
-        minhashSlot(col("x"), MinHashPerms(3)._1, MinHashPerms(3)._2)
+        minhashSlotArray(col("hs"), MinHashPerms(3)._1, MinHashPerms(3)._2)
           .as("sig_3"))
   }
 

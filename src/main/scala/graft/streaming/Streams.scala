@@ -109,6 +109,45 @@ object Streams {
       }
   }
 
+  /** Streaming near-duplicate candidate filter — the online form of
+    * the batch MinHash-LSH pipeline (TextOps.lshCandidatePairs),
+    * possible because signatures are a NARROW per-row projection
+    * (TextOps.minhashSignatures): no stateful stage before banding.
+    * Each (band, bucket) key holds the doc ids seen so far; an
+    * arriving doc emits one candidate pair per co-bucketed doc, then
+    * joins the state. The same contracts as batch LSH apply: run
+    * exact dedup upstream (`dedupByKey`) and the per-bucket state list
+    * is capped at `maxBucket` (overflow docs still PAIR against the
+    * stored members — candidates are not lost, the state just stops
+    * growing). Pairs can repeat across bands/batches; downstream
+    * consumers dedup per micro-batch. */
+  def streamingNearDupCandidates(docs: DataFrame, idCol: String,
+      textCol: String, maxBucket: Int = 256): Dataset[(Long, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = graft.llmops.TextOps
+      .minhashSignatures(docs, idCol, textCol)
+      .select(col(idCol).as("doc"), posexplode(array(
+        col("sig_0"), col("sig_1"), col("sig_2"), col("sig_3"))))
+      .toDF("doc", "band", "bucket")
+      .as[(Long, Int, Long)]
+    banded
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[Seq[Long], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[Seq[Long]]) =>
+          val seen = state.getOption.getOrElse(Seq.empty)
+          val arrivals = rows.map(_._1).toSeq.distinct
+            .filterNot(seen.contains).sorted
+          val pairs = for {
+            (n, i) <- arrivals.zipWithIndex
+            other <- seen ++ arrivals.take(i)
+          } yield (math.min(n, other), math.max(n, other))
+          state.update((seen ++ arrivals).take(maxBucket))
+          pairs.iterator
+      }
+  }
+
   /** Spark 4 `transformWithState` form of sessionization: ValueState in
     * the state store, TTL-capable, the modern replacement for
     * mapGroupsWithState. Emits the running (key, n, sum) after every

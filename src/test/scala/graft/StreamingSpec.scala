@@ -73,6 +73,30 @@ class StreamingSpec extends AnyFunSuite {
       ("/PrimB/Proc/AOD", 5L)))
   }
 
+  test("streaming near-dup filter: arriving dup pairs with state, " +
+    "across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val cands = Streams.streamingNearDupCandidates(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    // default trigger (not AvailableNow): the query must survive the
+    // second addData below
+    val q = cands.toDF().writeStream.format("memory")
+      .queryName("neardup").outputMode("append").start()
+    // batch 1: two unrelated docs → no pairs
+    input.addData((1L, "w1 w2 w3 w4 w5"), (2L, "z1 z2 z3 z4 z5"))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT * FROM neardup").count() == 0)
+    // batch 2: a duplicate of doc 1 arrives → pair (1,3) emitted
+    input.addData((3L, "w1 w2 w3 w4 w5"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT DISTINCT _1, _2 FROM neardup")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 3L)))
+  }
+
   test("streaming egress: micro-batches land as STOMP frames") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
