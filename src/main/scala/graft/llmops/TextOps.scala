@@ -178,25 +178,24 @@ object TextOps {
   }
 
   /** 16-bit SimHash over token frequencies. Per bit j: the sign of
-    * sum(freq * ±1) where the sign is bit j of hash60(token); simhash =
-    * Σ 2^j · [sum_j > 0]. Two hash-aggs, both keyed by doc id. */
+    * sum(freq · ±1) where the sign is bit j of hash60(token); simhash =
+    * Σ 2^j · [sum_j > 0]. Computed as a NARROW per-row fold — summing
+    * ±1 per token OCCURRENCE equals the frequency-weighted sum over
+    * distinct tokens, so no per-(doc, token) aggregation is needed
+    * (the exploded formulation cost three corpus shuffles). Token
+    * hashes materialize once per row; the 16 bit-folds run over the
+    * hash array. Integer sums — order-free, oracle-identical. */
   def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df
-      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .groupBy(col(idCol), col("tok"))
-      .agg(count(lit(1)).as("freq"))
-      .withColumn("h", hash60(col("tok")))
-    val bit = tok.select(col(idCol), col("freq"), col("h"),
-      explode(sequence(lit(0), lit(15))).as("j"))
-      .withColumn("contrib",
-        when(call_function("shiftright", col("h"), col("j").cast("int"))
-          % 2 === 1, col("freq")).otherwise(-col("freq")))
-    bit.groupBy(col(idCol), col("j"))
-      .agg(sum(col("contrib")).as("s"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("s") > 0,
-        call_function("shiftleft", lit(1L), col("j").cast("int")))
-        .otherwise(0L)).as("simhash"))
+    val withHashes = df.select(col(idCol),
+      transform(tokens(col(textCol)), t => hash60(t)).as("hs"))
+    val bits = (0 until 16).map { j =>
+      val s = aggregate(col("hs"), lit(0L), (acc, h) =>
+        acc + when(call_function("shiftright", h, lit(j)) % 2 === 1, 1L)
+          .otherwise(-1L))
+      when(s > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    withHashes.select(col(idCol),
+      bits.reduce(_ + _).as("simhash"))
   }
 
   /** Stopword lists for the heuristic language classifier. */
