@@ -105,6 +105,20 @@ object IO {
   def writeJsonGzip(df: DataFrame, out: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("compression", "gzip").json(out)
 
+  /** Bucketed, sorted managed table: subsequent joins/aggregations on
+    * the bucket key read with ZERO exchanges (BucketingSpec proves the
+    * plan). Bucketing is the static pre-partitioning a RECURRING big
+    * join pipeline wants at 100 TB — pay the shuffle once at write
+    * time, every downstream run co-locates for free. */
+  def writeBucketedTable(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int): Unit =
+    df.write
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** EOS report extraction, pre-2020 raw shape: `data` is ONE quoted
     * `k=v&k=v` string (spark_utils.py:550-671). One `str_to_map` pass
     * replaces the reference's 12 per-field regexp_extract calls —

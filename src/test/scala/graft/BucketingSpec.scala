@@ -51,10 +51,8 @@ class BucketingSpec extends AnyFunSuite {
     val facts = (1 to 1000).map(i => (i.toLong % 97, s"f$i")).toDF("k", "a")
     val dims = (1 to 500).map(i => (i.toLong % 97, i * 1.0)).toDF("k", "b")
 
-    facts.write.bucketBy(8, "k").sortBy("k").mode("overwrite")
-      .saveAsTable("facts_b")
-    dims.write.bucketBy(8, "k").sortBy("k").mode("overwrite")
-      .saveAsTable("dims_b")
+    graft.core.IO.writeBucketedTable(facts, "facts_b", "k", 8)
+    graft.core.IO.writeBucketedTable(dims, "dims_b", "k", 8)
 
     val bucketed = spark.table("facts_b")
       .join(spark.table("dims_b"), Seq("k"))
