@@ -121,8 +121,14 @@ object TextOps {
       : DataFrame = {
     val hs = array_distinct(transform(shingles(col(textCol)),
       g => hash60(g)))
-    df.select(col(idCol), hs.as("hs"))
-      .filter(size(col("hs")) > 0)
+    // the shingle-existence filter uses the CHEAP equivalent predicate
+    // (token count), not size(hs): a predicate on hs would be pushed
+    // below the projection and re-evaluate the whole md5 pipeline per
+    // row — HOF expressions are excluded from codegen subexpression
+    // elimination, so only the multi-reference non-collapse of
+    // CollapseProject keeps hs single-evaluation
+    df.filter(size(tokens(col(textCol))) >= 3)
+      .select(col(idCol), hs.as("hs"))
       .select(col(idCol),
         minhashSlotArray(col("hs"), MinHashPerms(0)._1, MinHashPerms(0)._2)
           .as("sig_0"),
