@@ -37,6 +37,15 @@ object DocSink {
       finally transport.close()
     }
 
+  /** Test-mode push: send only the first `n` documents — the
+    * reference's `--test` flag semantics (rucio_datasets_stats
+    * .py:773-824 sends 10 docs, and only to a topic containing
+    * "test"/"train"; the topic guard lives in job config, the sample
+    * cap here). `limit` keeps the plan bounded: no full materialization
+    * happens before the cap. */
+  def pushSample(df: DataFrame, transport: Transport, n: Int = 10): Unit =
+    push(df.limit(n), transport, chunkSize = n)
+
   /** Driver-side iteration for protocols that must run on the driver —
     * the reference's `toLocalIterator` shape, one partition in memory
     * at a time. */

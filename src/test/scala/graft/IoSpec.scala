@@ -164,6 +164,16 @@ class IoSpec extends AnyFunSuite {
       l.contains("\"data\":")))
   }
 
+  test("DocSink.pushSample caps documents at n (the --test flag)") {
+    import spark.implicits._
+    val dir = tmpDir() + "/sample"
+    DocSink.pushSample((1 to 100).toDF("v"),
+      new DocSink.LocalFileTransport(dir), n = 10)
+    val lines = Files.list(JPaths.get(dir)).toArray
+      .flatMap(p => scala.io.Source.fromFile(p.toString).getLines())
+    assert(lines.length == 10)
+  }
+
   test("DocSink.pushFromDriver streams one partition at a time") {
     import spark.implicits._
     val dir = tmpDir() + "/drv"
