@@ -32,17 +32,21 @@ object Similarity {
 
   /** Cosine similarity, UNROUNDED: every op is IEEE arithmetic on
     * identical operands, so the value is bit-exact in any engine —
-    * rounding would only introduce half-tie divergence. Prefer the
-    * precomputed-norm overload in joins: this form re-folds both norms
-    * for every pair. */
+    * rounding would only introduce half-tie divergence. A zero-norm
+    * operand yields 0 by definition here: under ANSI mode (Spark 4
+    * default) the unguarded division THROWS on the first all-zero
+    * vector — one degenerate embedding must not kill a corpus-scale
+    * job. Prefer the precomputed-norm overload in joins: this form
+    * re-folds both norms for every pair. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+    cosineWithNorms(a, b, norm2(a), norm2(b))
 
   /** Cosine from a pair dot and precomputed squared norms — O(dim) per
-    * pair instead of O(3·dim). */
+    * pair instead of O(3·dim). Zero-norm guard as in [[cosine]]. */
   def cosineWithNorms(a: Column, b: Column, n2a: Column,
       n2b: Column): Column =
-    dot(a, b) / (sqrt(n2a) * sqrt(n2b))
+    when(n2a === 0.0 || n2b === 0.0, lit(0.0))
+      .otherwise(dot(a, b) / (sqrt(n2a) * sqrt(n2b)))
 
   /** Rank scored pairs: top-k per query by (cosine desc, id). */
   private def topK(scored: DataFrame, k: Int): DataFrame = {

@@ -34,9 +34,12 @@ object LlmQueries {
       s"s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)), (x,y) -> x+y)"
 
   /** DuckDB fragment: unrounded cosine over precomputed norm2 columns
-    * (IEEE ops on identical operands — bit-exact, no tie risk). */
+    * (IEEE ops on identical operands — bit-exact, no tie risk); the
+    * zero-norm guard mirrors Similarity.cosineWithNorms so both
+    * engines agree on degenerate vectors too. */
   private def dkCos(dot: String, na: String, nb: String): String =
-    s"($dot / (sqrt($na)*sqrt($nb)))"
+    s"(CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 " +
+      s"ELSE $dot / (sqrt($na)*sqrt($nb)) END)"
 
   /** DuckDB CTEs: distinct 3-word shingles per doc (parity with
     * TextOps.shingles: Spark sequence(1,n-2) == DuckDB range(1,n-1)). */
