@@ -28,7 +28,7 @@ object RucioJobs {
           .when(col("RSE").contains("Test"), "test")
           .otherwise("prod").as("rse_kind"),
         split(col("RSE"), "_").getItem(0).as("rse_tier"),
-        split(col("RSE"), "_").getItem(1).as("rse_country"))
+        get(split(col("RSE"), "_"), lit(1)).as("rse_country"))
 
   /** File-level map: available replicas ⟗ file DIDs, size by priority
     * (replica bytes, else DID bytes) and access time from either side —

@@ -39,7 +39,7 @@ object WmArchiveJobs {
     fwjr
       .select(col("wmaid"), col("wmats"), col("meta_data.host"),
         size(col("steps")).as("number_of_steps"),
-        col("steps").getItem(0).getField("site").as("site"))
+        get(col("steps"), lit(0)).getField("site").as("site"))
       .dropDuplicates(Seq("wmaid"))
       .withColumn("day", from_unixtime(col("wmats"), "yyyy-MM-dd"))
       .groupBy(col("day"), col("host"))

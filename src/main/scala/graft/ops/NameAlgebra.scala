@@ -15,13 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object NameAlgebra {
 
-  /** `/primds/procds/tier` → primds (token 1; token 0 is empty). */
-  def primaryDataset(dataset: Column): Column = split(dataset, "/").getItem(1)
+  /** `/primds/procds/tier` → primds (token 1; token 0 is empty).
+    * Part extraction uses null-safe `get`: under ANSI mode (Spark 4
+    * default) `getItem` THROWS on a name with missing components, and
+    * real dumps contain malformed names ("UNKNOWN", bare strings) —
+    * a dirty row must yield NULL, not kill the job. DuckDB list
+    * indexing already returns NULL out-of-bounds, so this is also the
+    * oracle's semantics. */
+  def primaryDataset(dataset: Column): Column = get(split(dataset, "/"), lit(1))
 
   def processedDataset(dataset: Column): Column =
-    split(dataset, "/").getItem(2)
+    get(split(dataset, "/"), lit(2))
 
-  def dataTier(dataset: Column): Column = split(dataset, "/").getItem(3)
+  def dataTier(dataset: Column): Column = get(split(dataset, "/"), lit(3))
 
   /** campaign = `dataset.split('/')[2]` per the reference. */
   def campaign(dataset: Column): Column = processedDataset(dataset)
@@ -33,7 +39,7 @@ object NameAlgebra {
   /** Site tier: first `_` token (`T2` of `T2_US_FNAL`). */
   def siteTier(site: Column): Column = split(site, "_").getItem(0)
 
-  def siteCountry(site: Column): Column = split(site, "_").getItem(1)
+  def siteCountry(site: Column): Column = get(split(site, "_"), lit(1))
 
   /** `clean_site_name`: keep at most the first three `_`-separated parts. */
   def cleanSiteName(site: Column): Column =
