@@ -101,7 +101,10 @@ object PopularityJobs {
     normalized(
       jm.join(fbs, jm("FileName") === fbs("file_name")),
       jm("GridName"), jm("SiteName"), stream4App(jm("SubmissionTool")),
-      "crab", jm("WrapCPU").cast("double"), jm("WrapWC").cast("double"))
+      // try_cast: the JM dump stores numerics as strings and under
+      // ANSI a dirty value ("n/a") in a plain cast kills the job
+      "crab", expr("try_cast(WrapCPU AS DOUBLE)"),
+      expr("try_cast(WrapWC AS DOUBLE)"))
 
   /** Per-stream aggregate to the shared output schema
     * (data_aggregation.py:81-89): group by the full user/dataset/site

@@ -33,10 +33,17 @@ object Aggregates {
 
   /** Ratio-of-sums, the cpu-efficiency idiom
     * `100*sum(CpuTimeHr)/sum(CoreTime)` (condor_cpu_efficiency.py:394-417).
-    * Exact decimal sums; unrounded IEEE arithmetic (see decAvg note). */
-  def ratioOfSums(num: Column, den: Column, factor: Double = 100.0): Column =
-    lit(factor) * sum(num.cast(DecimalType(18, 4))).cast("double") /
-      sum(den.cast(DecimalType(18, 4))).cast("double")
+    * Exact decimal sums; unrounded IEEE arithmetic (see decAvg note).
+    * A zero denominator yields NULL — the reference's `rate` UDF
+    * returns 'N/A' there (utils.py), and under ANSI mode (Spark 4
+    * default) an unguarded division would throw DIVIDE_BY_ZERO on the
+    * first all-zero group. */
+  def ratioOfSums(num: Column, den: Column, factor: Double = 100.0): Column = {
+    val d = sum(den.cast(DecimalType(18, 4))).cast("double")
+    when(d === 0.0, lit(null).cast("double"))
+      .otherwise(lit(factor) * sum(num.cast(DecimalType(18, 4)))
+        .cast("double") / d)
+  }
 
   /** Coalesce-by-priority: first non-null across sources
     * (rucio_datasets_stats.py:269-274 uses when-chains for the same). */
