@@ -136,13 +136,15 @@ object IO {
       m.getItem("sec.info").as("user_dn"),
       m.getItem("sec.app").as("application"),
       m.getItem("td").as("session"),
-      m.getItem("rb_max").cast("long").as("rb_max"),
-      m.getItem("rt").cast("double").as("rt"),
-      m.getItem("wt").cast("double").as("wt"),
-      m.getItem("rb").cast("long").as("rb"),
-      m.getItem("wb").cast("long").as("wb"),
-      m.getItem("cts").cast("long").as("cts"),
-      m.getItem("csize").cast("long").as("csize"),
+      // try_cast: log payloads carry free-form values and an ANSI
+      // cast would abort the scan on the first dirty one
+      m.getItem("rb_max").try_cast("long").as("rb_max"),
+      m.getItem("rt").try_cast("double").as("rt"),
+      m.getItem("wt").try_cast("double").as("wt"),
+      m.getItem("rb").try_cast("long").as("rb"),
+      m.getItem("wb").try_cast("long").as("wb"),
+      m.getItem("cts").try_cast("long").as("cts"),
+      m.getItem("csize").try_cast("long").as("csize"),
       col("metadata.timestamp").as("timestamp"),
       date_format(
         from_unixtime(col("metadata.timestamp") / 1000), "yyyyMMdd")
