@@ -204,6 +204,43 @@ object TextOps {
       bits.reduce(_ + _).as("simhash"))
   }
 
+  /** Context-window chunking: split a document into fixed-size token
+    * windows with overlap — the embedding/training prep step that turns
+    * documents into model-sized sequences. Pure per-row HOFs (slice
+    * over the token array at stride `chunk - overlap`), exploded to one
+    * row per chunk. Narrow map; no shuffle. */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+      chunk: Int = 32, overlap: Int = 8): DataFrame = {
+    require(chunk > overlap, "chunk must exceed overlap")
+    val step = chunk - overlap
+    val toks = tokens(col(textCol))
+    val chunks = transform(
+      sequence(lit(0), floor((size(toks) - 1) / step).cast("int")),
+      i => slice(toks, i * step + lit(1), lit(chunk)))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "c")))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("c")).as("n_chunk_tokens"),
+        hash60(concat_ws(" ", col("c"))).as("chunk_fp"))
+  }
+
+  /** PII scrub: replace email-shaped tokens and digit runs, count the
+    * redactions — the privacy pass of a curation pipeline. Both
+    * patterns are deliberately dialect-neutral (no lookarounds), so
+    * any RE2/Java engine agrees. One codegen'd projection. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val NumberPattern = "[0-9]+"
+
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
+        .as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(NumberPattern), lit(0)))
+        .as("n_numbers"),
+      length(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+          NumberPattern, "<NUM>")).as("redacted_len"))
+
   /** Stopword lists for the heuristic language classifier. */
   val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it")
   val StopEs = Seq("el", "la", "de", "y", "en", "es", "que", "un")

@@ -309,6 +309,45 @@ object LlmQueries2 {
           m = 4, dim = 64).drop("err")
         Similarity.pqSearchADC(e.filter(col("vec_id") < 8), codes, cb,
           "vec_id", "embedding", m = 4, dim = 64, k = 5)
-      })
+      }),
+
+    // Context-window chunking: 32-token windows at stride 24, one row
+    // per chunk with a content fingerprint — the sequence-prep step
+    // between curation and training.
+    QueryDef(
+      "q67_text_chunking",
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') toks
+                   FROM documents),
+        c AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                     toks[i*24+1 : i*24+32] AS c
+              FROM t CROSS JOIN range(0, 100000) r(i)
+              WHERE i <= (len(toks) - 1) // 24)
+        SELECT doc_id, chunk_idx,
+               CAST(len(c) AS INT) AS n_chunk_tokens,
+               ('0x'||substr(md5(array_to_string(c, ' ')),1,15))::BIGINT
+                 AS chunk_fp
+        FROM c"""),
+      (s, d) =>
+        TextOps.chunkWindows(t(s, d, "documents"), "doc_id", "text",
+          chunk = 32, overlap = 8)),
+
+    // PII scrub counters: email/digit-run detection + redacted length
+    // (the privacy pass), dialect-neutral regexes.
+    QueryDef(
+      "q68_text_pii_scrub",
+      Some(s"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 '${TextOps.EmailPattern}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT)
+                 AS n_numbers,
+               CAST(length(regexp_replace(regexp_replace(text,
+                 '${TextOps.EmailPattern}',
+                 '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g')) AS INT)
+                 AS redacted_len
+        FROM documents"""),
+      (s, d) =>
+        TextOps.piiScrub(t(s, d, "documents"), "doc_id", "text"))
   )
 }

@@ -172,6 +172,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(0) != got(2))
   }
 
+  test("chunkWindows: stride, overlap, tail chunk, fingerprints") {
+    val df = Seq((1L, (1 to 60).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkWindows(df, "doc_id", "text",
+      chunk = 32, overlap = 8).orderBy("chunk_idx").collect()
+    // 60 tokens, stride 24 → starts 1, 25, 49 → sizes 32, 32, 12
+    assert(got.map(_.getInt(2)).toSeq == Seq(32, 32, 12))
+    assert(got.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    // overlap: chunk 1 starts at token 25 ⇒ last 8 of chunk 0 overlap
+    assert(got.map(_.getLong(3)).distinct.length == 3)
+  }
+
+  test("piiScrub counts and redacts emails and digit runs") {
+    val df = Seq((1L, "mail a.b@x.org and 123 456"), (2L, "clean text"))
+      .toDF("doc_id", "text")
+    val got = TextOps.piiScrub(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getInt(1) == 1 && got(0).getInt(2) == 2)
+    // "mail <EMAIL> and <NUM> <NUM>" = 28 chars
+    assert(got(0).getInt(3) == 28)
+    assert(got(1).getInt(1) == 0 && got(1).getInt(2) == 0)
+  }
+
   test("llmops operators are total on empty inputs") {
     val docs = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
     assert(TextOps.ngramJaccardPairs(docs, "doc_id", "text").count() == 0)
