@@ -241,6 +241,31 @@ object TextOps {
           regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
           NumberPattern, "<NUM>")).as("redacted_len"))
 
+  /** Repetition metrics — the Gopher-style quality rules: fraction of
+    * duplicated tokens and the share of the most-frequent bigram.
+    * Per-row HOFs (the bigram mode is an O(n²) fold over the row's own
+    * bigrams — documents are bounded, corpora are not; keeping it
+    * narrow beats a per-(doc, bigram) shuffle at any corpus size).
+    * Single IEEE divisions of integers — oracle-exact. */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = tokens(col(textCol))
+    val bigrams = shingles(col(textCol), 2)
+    val nt = size(toks)
+    val nDist = size(array_distinct(toks))
+    val nbg = size(bigrams)
+    val topBg = coalesce(
+      array_max(transform(array_distinct(bigrams),
+        x => size(filter(bigrams, y => y === x)))),
+      lit(0))
+    df.select(col(idCol),
+      ((nt - nDist).cast("double") / nt.cast("double"))
+        .as("dup_token_frac"),
+      when(nbg === 0, lit(0.0))
+        .otherwise(topBg.cast("double") / nbg.cast("double"))
+        .as("top_bigram_frac"))
+  }
+
   /** Stopword lists for the heuristic language classifier. */
   val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it")
   val StopEs = Seq("el", "la", "de", "y", "en", "es", "que", "un")

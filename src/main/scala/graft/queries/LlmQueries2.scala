@@ -348,6 +348,32 @@ object LlmQueries2 {
                  AS redacted_len
         FROM documents"""),
       (s, d) =>
-        TextOps.piiScrub(t(s, d, "documents"), "doc_id", "text"))
+        TextOps.piiScrub(t(s, d, "documents"), "doc_id", "text")),
+
+    // Repetition quality rules: duplicated-token fraction and
+    // top-bigram share (the Gopher-style repetition filters), per-row.
+    QueryDef(
+      "q69_text_repetition",
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') toks
+                   FROM documents),
+        b AS (SELECT doc_id, len(toks) nt,
+                     len(list_distinct(toks)) ndist,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_transform(range(1, len(toks)),
+                                 i -> array_to_string(toks[i:i+1], ' '))
+                          ELSE []::VARCHAR[] END AS bigrams
+              FROM t)
+        SELECT doc_id,
+               CAST(nt - ndist AS DOUBLE) / nt AS dup_token_frac,
+               CASE WHEN len(bigrams) = 0 THEN 0.0
+                    ELSE CAST(coalesce(list_max(list_transform(
+                           list_distinct(bigrams),
+                           x -> len(list_filter(bigrams, y -> y = x)))),
+                           0) AS DOUBLE) / len(bigrams) END
+                 AS top_bigram_frac
+        FROM b"""),
+      (s, d) =>
+        TextOps.repetitionMetrics(t(s, d, "documents"), "doc_id", "text"))
   )
 }

@@ -195,6 +195,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(1).getInt(1) == 0 && got(1).getInt(2) == 0)
   }
 
+  test("repetitionMetrics: dup-token and top-bigram fractions") {
+    val df = Seq(
+      (1L, "a a a a"),        // all dup; top bigram "a a" = 3/3
+      (2L, "a b c d"),        // no dup; each bigram once = 1/3
+      (3L, "x")).toDF("doc_id", "text") // single token, no bigrams
+    val got = TextOps.repetitionMetrics(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getDouble(1) == 0.75 && got(0).getDouble(2) == 1.0)
+    assert(got(1).getDouble(1) == 0.0
+      && math.abs(got(1).getDouble(2) - 1.0 / 3) < 1e-15)
+    assert(got(2).getDouble(1) == 0.0 && got(2).getDouble(2) == 0.0)
+  }
+
   test("llmops operators are total on empty inputs") {
     val docs = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
     assert(TextOps.ngramJaccardPairs(docs, "doc_id", "text").count() == 0)
