@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llmops.{Similarity, TextOps}
+
+/** Edge-input totality: the operators must neither throw nor diverge
+  * on degenerate rows under ANSI mode (Spark 4 default) — empty and
+  * whitespace-only text, unicode and non-BMP emoji, stopword floods,
+  * zero/negative/huge embedding vectors. The cross-engine value check
+  * for these inputs lives in tools/make_advdata.py + oracle_check;
+  * this spec keeps the crash-freedom property inside `sbt test`. */
+class AdversarialSpec extends AnyFunSuite {
+
+  lazy val spark = graft.core.Sessions.local(4, "graft-adv-test")
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    "", " ", "   ", "a", "a b", "a b c",
+    "the the the the the the",
+    "é ü ñ 日本語 中文 한국어 русский",
+    "🚀 🌍 🎉 🚀 🌍 🎉 🚀",
+    "x'y \"quo\" `tick` \\slash",
+    "word " * 50 + "end")
+    .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    .toDF("doc_id", "text")
+
+  private lazy val vecs = Seq(
+    (0L, Array.fill(4)(0f)),          // zero norm
+    (1L, Array.fill(4)(1e-30f)),      // near-denormal
+    (2L, Array.fill(4)(-1f)),
+    (3L, Array.fill(4)(3.4e36f)),     // huge
+    (4L, Array(0f, 0f, 0f, 1f)))
+    .toDF("vec_id", "embedding")
+
+  test("text operators are total on degenerate documents") {
+    val n = docs.count()
+    assert(TextOps.piiScrub(docs, "doc_id", "text").count() == n)
+    assert(TextOps.repetitionMetrics(docs, "doc_id", "text").count() == n)
+    assert(TextOps.simhash16(docs, "doc_id", "text").count() == n)
+    assert(TextOps.chunkWindows(docs, "doc_id", "text").count() >= n)
+    assert(docs.select(TextOps.langId(col("text"))).count() == n)
+    assert(docs.select(TextOps.fingerprint(col("text"))).count() == n)
+    assert(docs
+      .select(col("doc_id") +: TextOps.qualityColumns(col("text")): _*)
+      .count() == n)
+    // short docs drop out of the shingle-based ops, long ones survive
+    assert(TextOps.minhashSignatures(docs, "doc_id", "text").count() > 0)
+    assert(TextOps.ngramJaccardPairs(docs, "doc_id", "text",
+      minJac = 0.01).count() >= 0)
+  }
+
+  test("similarity operators tolerate zero/huge/denormal vectors") {
+    // zero-norm cosine = 0 by definition — must not throw (ANSI)
+    val top = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") < 2), vecs, "vec_id", "embedding", k = 3)
+      .collect()
+    assert(top.nonEmpty)
+    val zeroCos = vecs.filter(col("vec_id") === 0)
+      .select(Similarity.cosine(col("embedding"), col("embedding")))
+      .head().getDouble(0)
+    assert(zeroCos == 0.0)
+    // kmeans over degenerate centroids completes
+    val cents = vecs.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+    assert(Similarity.kmeansAssign(vecs, "vec_id", "embedding",
+      cents, "cell", "cvec").count() == 5)
+  }
+}
