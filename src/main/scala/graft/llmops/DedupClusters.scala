@@ -86,4 +86,26 @@ object DedupClusters {
         (col("cluster").isNull || col("cluster") === col("doc"))
           .as("is_kept"))
   }
+
+  /** Quality-aware keep-list: per duplicate cluster, survive the
+    * member with the HIGHEST `priorityCol` (ties broken by lowest id)
+    * instead of the lowest id — what a curation pipeline actually
+    * wants (keep the best-quality duplicate, drop the rest). One rank
+    * window per cluster after the components join. */
+  def keepListBy(all: DataFrame, idCol: String, priorityCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val comp = components(pairs, aCol, bCol)
+    val joined = all
+      .select(col(idCol).as("doc"), col(priorityCol).as("prio"))
+      .join(comp, Seq("doc"), "left")
+      .select(col("doc"), col("prio"),
+        coalesce(col("cluster"), col("doc")).as("cluster"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("prio").desc, col("doc"))
+    joined
+      .select(col("doc").as("doc_id"), col("cluster"),
+        (org.apache.spark.sql.functions.row_number().over(w) === 1)
+          .as("is_kept"))
+  }
 }

@@ -223,6 +223,16 @@ object Streams {
       joinType: String = "inner"): DataFrame =
     stream.join(broadcast(dim), joinCols, joinType)
 
+  /** Dedup against a historical store: drop stream rows whose key
+    * already exists in the (static, per-batch re-resolved) store — the
+    * "don't re-ingest what the lake already holds" guard in front of
+    * any incremental curation pipeline. Combine with [[dedupByKey]]
+    * for in-stream duplicates; the anti-join handles history. */
+  def dedupAgainstStore(stream: DataFrame, store: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(store.select(keys.map(col): _*).distinct(),
+      keys, "left_anti")
+
   /** Streaming document egress: each micro-batch pushes its rows as
     * JSON documents through a DocSink transport (STOMP frames,
     * OpenSearch bulk bodies, …) from the EXECUTORS — the streaming

@@ -208,6 +208,17 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(2).getDouble(1) == 0.0 && got(2).getDouble(2) == 0.0)
   }
 
+  test("keepListBy survives the highest-priority cluster member") {
+    // cluster {1,2,3} linked by pairs; doc 2 has the best quality
+    val all = Seq((1L, 0.5), (2L, 0.9), (3L, 0.1), (4L, 0.7))
+      .toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = graft.llmops.DedupClusters
+      .keepListBy(all, "doc_id", "quality", pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true))
+  }
+
   test("llmops operators are total on empty inputs") {
     val docs = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
     assert(TextOps.ngramJaccardPairs(docs, "doc_id", "text").count() == 0)

@@ -97,6 +97,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 3L)))
   }
 
+  test("dedupAgainstStore drops keys the lake already holds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = Seq(("doc1", 1L), ("doc2", 2L)).toDF("key", "old")
+    val input = MemoryStream[(String, Long)]
+    input.addData(("doc1", 10L), ("doc3", 30L))
+    val fresh = Streams.dedupAgainstStore(
+      input.toDF().toDF("key", "v"), store, Seq("key"))
+    val q = Streams.toMemory(fresh, "fresh", OutputMode.Append())
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT key FROM fresh").collect()
+      .map(_.getString(0))
+    assert(got.toSeq == Seq("doc3"))
+  }
+
   test("streaming egress: micro-batches land as STOMP frames") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
