@@ -19,9 +19,16 @@ object DedupClusters {
 
   /** Connected components over an undirected pair list.
     * Input: (`aCol`, `bCol`) edge rows. Output: (doc, cluster) where
-    * cluster = min node id of the component. */
+    * cluster = min node id of the component.
+    *
+    * `probeAfter`: convergence is only CHECKED from that round on —
+    * every probe is a driver barrier (a scalar action), and near-dup
+    * clusters converge in 2-4 rounds, so probing round 1 always pays a
+    * barrier for a guaranteed "not converged". Correctness is
+    * unaffected: propagation is monotone and idempotent, extra rounds
+    * are no-ops. */
   def components(pairs: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 10): DataFrame = {
+      maxIters: Int = 10, probeAfter: Int = 2): DataFrame = {
     // pre-partition the (reused-every-round) edge list on the join key:
     // the cached plan keeps its outputPartitioning, so each round's join
     // only shuffles the labels side — at corpus scale the edge shuffle,
@@ -54,12 +61,14 @@ object DedupClusters {
             .as("label"),
           (col("nmin") < col("label")).as("chg"))
         .persist()
-      val nChanged = next
-        .agg(coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L)))
-        .head().getLong(0)
+      if (iter + 1 >= probeAfter) {
+        val nChanged = next
+          .agg(coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L)))
+          .head().getLong(0)
+        converged = nChanged == 0L
+      }
       labels.unpersist()
       labels = next
-      converged = nChanged == 0L
       iter += 1
     }
     edges.unpersist()
