@@ -241,6 +241,40 @@ object TextOps {
           regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
           NumberPattern, "<NUM>")).as("redacted_len"))
 
+  /** SimHash near-duplicate pairs: hamming distance ≤ `maxHamming`
+    * over the 16-bit simhash, found via banding (pigeonhole: with the
+    * hash split into maxHamming+1 blocks, any pair within distance
+    * maxHamming agrees on SOME block) — one shuffle on (band, block
+    * value) + in-bucket pairs, then the exact bit_count filter. The
+    * simhash computation itself is the narrow [[simhash16]] map, so
+    * the whole operator is one exchange + one distinct. */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 1): DataFrame = {
+    require(maxHamming == 1, "banding below implements 2 blocks = maxHamming 1")
+    val sh = simhash16(df, idCol, textCol)
+      .select(col(idCol).as("doc"), col("simhash"))
+    val banded = sh.select(col("doc"), col("simhash"),
+      posexplode(array(
+        floor(col("simhash") / 256), col("simhash") % 256)))
+      .toDF("doc", "simhash", "band", "block")
+    val buckets = banded
+      .groupBy(col("band"), col("block"))
+      .agg(sort_array(collect_list(struct(col("doc"), col("simhash"))))
+        .as("ds"))
+      .filter(size(col("ds")) > 1)
+    val pairs = buckets
+      .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
+      .select(col("a"),
+        explode(slice(col("ds"), col("i") + lit(2),
+          size(col("ds")) - col("i") - lit(1))).as("b"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    pairs
+  }
+
   /** Repetition metrics — the Gopher-style quality rules: fraction of
     * duplicated tokens and the share of the most-frequent bigram.
     * Per-row HOFs (the bigram mode is an O(n²) fold over the row's own

@@ -195,6 +195,15 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(1).getInt(1) == 0 && got(1).getInt(2) == 0)
   }
 
+  test("simhashNearDupPairs: identical docs pair at hamming 0, " +
+    "unrelated don't") {
+    val df = Seq((1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5"),
+      (3L, "z9 z8 z7 z6 z5 q4 q3 q2")).toDF("doc_id", "text")
+    val got = TextOps.simhashNearDupPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, 2L, 0)))
+  }
+
   test("repetitionMetrics: dup-token and top-bigram fractions") {
     val df = Seq(
       (1L, "a a a a"),        // all dup; top bigram "a a" = 3/3
