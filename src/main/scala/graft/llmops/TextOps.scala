@@ -183,6 +183,25 @@ object TextOps {
     pairs.select(col("p.doc_a"), col("p.doc_b")).distinct()
   }
 
+  /** MinHash Jaccard estimate for candidate pairs: the fraction of
+    * agreeing signature slots — the estimator the signatures exist
+    * for (E[slots equal] = J(A,B)). Joins the signature table onto
+    * both sides of the candidate pairs; with k=4 slots the estimate
+    * is coarse by design (banding already filtered to likely-similar
+    * pairs; exact verification is q41's job). */
+  def minhashJaccardEstimate(pairs: DataFrame, sigs: DataFrame,
+      idCol: String): DataFrame = {
+    val a = sigs.toDF("doc_a", "a0", "a1", "a2", "a3")
+    val b = sigs.toDF("doc_b", "b0", "b1", "b2", "b3")
+    pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        ((when(col("a0") === col("b0"), 1).otherwise(0) +
+          when(col("a1") === col("b1"), 1).otherwise(0) +
+          when(col("a2") === col("b2"), 1).otherwise(0) +
+          when(col("a3") === col("b3"), 1).otherwise(0))
+          .cast("double") / 4.0).as("jaccard_est"))
+  }
+
   /** 16-bit SimHash over token frequencies. Per bit j: the sign of
     * sum(freq · ±1) where the sign is bit j of hash60(token); simhash =
     * Σ 2^j · [sum_j > 0]. Computed as a NARROW per-row fold — summing

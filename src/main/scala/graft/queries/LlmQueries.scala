@@ -157,6 +157,38 @@ object LlmQueries {
       (s, d) =>
         TextOps.simhash16(t(s, d, "documents"), "doc_id", "text")),
 
+    // MinHash Jaccard estimate over the LSH candidates: fraction of
+    // agreeing signature slots — sigs → candidates → estimate, the
+    // full MinHash chain in one query.
+    QueryDef(
+      "q71_dedup_minhash_estimate",
+      Some(s"""
+        WITH $dkMinhashSigs,
+        banded AS (
+          SELECT doc_id AS doc, j AS band,
+                 CASE j WHEN 0 THEN sig_0 WHEN 1 THEN sig_1
+                        WHEN 2 THEN sig_2 ELSE sig_3 END AS bucket
+          FROM sigs CROSS JOIN range(0,4) r(j)),
+        cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+                 FROM banded a JOIN banded b
+                   ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc < b.doc)
+        SELECT c.doc_a, c.doc_b,
+               CAST((CASE WHEN sa.sig_0 = sb.sig_0 THEN 1 ELSE 0 END +
+                     CASE WHEN sa.sig_1 = sb.sig_1 THEN 1 ELSE 0 END +
+                     CASE WHEN sa.sig_2 = sb.sig_2 THEN 1 ELSE 0 END +
+                     CASE WHEN sa.sig_3 = sb.sig_3 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / 4.0 AS jaccard_est
+        FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.doc_a
+        JOIN sigs sb ON sb.doc_id = c.doc_b"""),
+      (s, d) => {
+        val sigs = TextOps.minhashSignatures(
+          t(s, d, "documents"), "doc_id", "text")
+        TextOps.minhashJaccardEstimate(
+          TextOps.lshCandidatePairs(sigs, "doc_id"), sigs, "doc_id")
+      }),
+
     // SimHash near-dup pairs: hamming ≤ 1 via 2-block banding
     // (pigeonhole) + exact bit_count filter — the dedup use of q44's
     // hashes.
