@@ -34,14 +34,23 @@ object WmArchiveJobs {
     * timestamp the dashboard keys on. `first(wmats)` in the reference
     * is non-deterministic under re-partitioning; `min` carries the
     * same midday value (all wmats of a day share day-start) and
-    * hash-matches on re-runs. */
+    * hash-matches on re-runs.
+    *
+    * Both `day` and `wmats_midday` derive from the SAME base — UTC
+    * epoch arithmetic (`floor(wmats/86400)` days since epoch) — so a
+    * non-UTC session timezone cannot group a record into local day D
+    * while stamping it with UTC day D±1's midday (the reference
+    * pipelines run UTC; this stays correct even when a session
+    * doesn't). */
   def agentCounts(fwjr: DataFrame): DataFrame =
     fwjr
       .select(col("wmaid"), col("wmats"), col("meta_data.host"),
         size(col("steps")).as("number_of_steps"),
         get(col("steps"), lit(0)).getField("site").as("site"))
       .dropDuplicates(Seq("wmaid"))
-      .withColumn("day", from_unixtime(col("wmats"), "yyyy-MM-dd"))
+      .withColumn("day", date_format(
+        date_add(to_date(lit("1970-01-01")),
+          floor(col("wmats") / 86400).cast("int")), "yyyy-MM-dd"))
       .groupBy(col("day"), col("host"))
       .agg(
         count(lit(1)).as("count"),

@@ -85,8 +85,8 @@ object DedupClusters {
     * non-clustered docs survive, clustered docs survive only as the
     * cluster minimum. Returns (doc_id, is_kept, cluster). */
   def keepList(all: DataFrame, idCol: String, pairs: DataFrame,
-      aCol: String, bCol: String): DataFrame = {
-    val comp = components(pairs, aCol, bCol)
+      aCol: String, bCol: String, maxIters: Int = 10): DataFrame = {
+    val comp = components(pairs, aCol, bCol, maxIters)
     all.select(col(idCol).as("doc"))
       .join(comp, Seq("doc"), "left")
       .select(
@@ -102,8 +102,9 @@ object DedupClusters {
     * wants (keep the best-quality duplicate, drop the rest). One rank
     * window per cluster after the components join. */
   def keepListBy(all: DataFrame, idCol: String, priorityCol: String,
-      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val comp = components(pairs, aCol, bCol)
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 10): DataFrame = {
+    val comp = components(pairs, aCol, bCol, maxIters)
     val joined = all
       .select(col(idCol).as("doc"), col(priorityCol).as("prio"))
       .join(comp, Seq("doc"), "left")

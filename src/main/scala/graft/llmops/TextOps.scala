@@ -158,8 +158,12 @@ object TextOps {
     * unchanged because star edges keep the bucket connected. The
     * aggregation buffer itself stays linear in bucket size, which
     * precondition (1) bounds. */
+  /** Default all-pairs cap per LSH bucket — referenced by the q43/q71
+    * oracle SQL so both engines apply the identical cap + star rule. */
+  val DefaultMaxBucket = 256
+
   def lshCandidatePairs(sigs: DataFrame, idCol: String,
-      maxBucket: Int = 256): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val banded = sigs.select(col(idCol).as("doc"), posexplode(
       array(col("sig_0"), col("sig_1"), col("sig_2"), col("sig_3"))))
       .toDF("doc", "band", "bucket")
@@ -191,8 +195,14 @@ object TextOps {
     * pairs; exact verification is q41's job). */
   def minhashJaccardEstimate(pairs: DataFrame, sigs: DataFrame,
       idCol: String): DataFrame = {
-    val a = sigs.toDF("doc_a", "a0", "a1", "a2", "a3")
-    val b = sigs.toDF("doc_b", "b0", "b1", "b2", "b3")
+    // select the signature columns BY NAME: a reordered or wider sigs
+    // frame must not silently mis-label slots (positional toDF would)
+    def side(as: String, p: String): DataFrame = sigs.select(
+      col(idCol).as(as),
+      col("sig_0").as(p + "0"), col("sig_1").as(p + "1"),
+      col("sig_2").as(p + "2"), col("sig_3").as(p + "3"))
+    val a = side("doc_a", "a")
+    val b = side("doc_b", "b")
     pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         ((when(col("a0") === col("b0"), 1).otherwise(0) +

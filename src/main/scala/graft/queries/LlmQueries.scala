@@ -64,6 +64,37 @@ object LlmQueries {
        |sigs AS (SELECT doc_id, $slots FROM x GROUP BY doc_id)""".stripMargin
   }
 
+  /** DuckDB CTEs: LSH candidate pairs with the SAME per-bucket cap as
+    * `TextOps.lshCandidatePairs` (all (i<j) pairs among the first
+    * `DefaultMaxBucket` docs in doc-id order; every overflow doc emits
+    * one "star" pair to the bucket minimum) — mirrored, like q41's df
+    * cap, so both engines agree at any scale. At the test scale
+    * factors no bucket approaches the cap, so it is semantically inert
+    * there; the mirror matters the day one does. */
+  private val dkLshCand = {
+    val mb = TextOps.DefaultMaxBucket
+    s"""$dkMinhashSigs,
+       |banded AS (
+       |  SELECT doc_id AS doc, j AS band,
+       |         CASE j WHEN 0 THEN sig_0 WHEN 1 THEN sig_1
+       |                WHEN 2 THEN sig_2 ELSE sig_3 END AS bucket
+       |  FROM sigs CROSS JOIN range(0,4) r(j)),
+       |rk AS (
+       |  SELECT doc, band, bucket,
+       |         row_number() OVER (PARTITION BY band, bucket
+       |                            ORDER BY doc) AS rn,
+       |         min(doc) OVER (PARTITION BY band, bucket) AS mn
+       |  FROM banded),
+       |cand AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT a.doc AS doc_a, b.doc AS doc_b
+       |    FROM rk a JOIN rk b
+       |      ON a.band = b.band AND a.bucket = b.bucket
+       |     AND a.rn < b.rn AND b.rn <= $mb
+       |    UNION ALL
+       |    SELECT mn AS doc_a, doc AS doc_b FROM rk WHERE rn > $mb))""".stripMargin
+  }
+
   /** DuckDB fragment: 8-bit sign-random-projection LSH bucket of list
     * column `v` (parity with Similarity.lshBucket, dim=64, nBits=8). */
   private def dkLshBucket(v: String): String =
@@ -124,15 +155,8 @@ object LlmQueries {
     QueryDef(
       "q43_dedup_minhash_lsh",
       Some(s"""
-        WITH $dkMinhashSigs,
-        banded AS (
-          SELECT doc_id AS doc, j AS band,
-                 CASE j WHEN 0 THEN sig_0 WHEN 1 THEN sig_1
-                        WHEN 2 THEN sig_2 ELSE sig_3 END AS bucket
-          FROM sigs CROSS JOIN range(0,4) r(j))
-        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-        FROM banded a JOIN banded b
-          ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc"""),
+        WITH $dkLshCand
+        SELECT doc_a, doc_b FROM cand"""),
       (s, d) =>
         TextOps.lshCandidatePairs(
           TextOps.minhashSignatures(t(s, d, "documents"), "doc_id", "text"),
@@ -163,16 +187,7 @@ object LlmQueries {
     QueryDef(
       "q71_dedup_minhash_estimate",
       Some(s"""
-        WITH $dkMinhashSigs,
-        banded AS (
-          SELECT doc_id AS doc, j AS band,
-                 CASE j WHEN 0 THEN sig_0 WHEN 1 THEN sig_1
-                        WHEN 2 THEN sig_2 ELSE sig_3 END AS bucket
-          FROM sigs CROSS JOIN range(0,4) r(j)),
-        cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-                 FROM banded a JOIN banded b
-                   ON a.band = b.band AND a.bucket = b.bucket
-                   AND a.doc < b.doc)
+        WITH $dkLshCand
         SELECT c.doc_a, c.doc_b,
                CAST((CASE WHEN sa.sig_0 = sb.sig_0 THEN 1 ELSE 0 END +
                      CASE WHEN sa.sig_1 = sb.sig_1 THEN 1 ELSE 0 END +

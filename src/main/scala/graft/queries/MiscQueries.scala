@@ -190,7 +190,9 @@ object MiscQueries {
     // loadSpread. Oracle note: DuckDB's `filename` virtual column needs
     // parquet_scan(..., filename=true), which a view can't provide, so
     // the oracle names the gate's fixed sf0.01 paths directly (the
-    // driver's correctness gate always runs at sf0.01).
+    // driver's correctness gate always runs at sf0.01; the local
+    // tools/oracle_check.py re-points the literals at whatever corpus
+    // dir it is invoked with, so alternate corpora get a real check).
     QueryDef(
       "q61_source_provenance",
       Some("""

@@ -65,10 +65,15 @@ object ScaleQueries {
                coalesce(comp.cluster, d.doc_id) AS cluster,
                (comp.cluster IS NULL OR comp.cluster = d.doc_id) AS is_kept
         FROM documents d LEFT JOIN comp ON comp.node = d.doc_id"""),
+      // maxIters is generous because the oracle computes EXACT
+      // components (recursive CTE): the oracled path must never hit
+      // the split-cluster non-convergence fallback. The convergence
+      // probe exits the loop after the true diameter (+1 probe round),
+      // so the generous bound costs nothing.
       (s, d) =>
         DedupClusters.keepList(
           t(s, d, "documents"), "doc_id",
-          jaccardPairs(s, d), "da", "db")),
+          jaccardPairs(s, d), "da", "db", maxIters = 100)),
 
     // Approximate distinct (HLL) — what replaces exact countDistinct at
     // 100 TB (SURVEY §2.5). Engine-specific sketch → rows-only check
@@ -145,7 +150,8 @@ object ScaleQueries {
       (s, d) => {
         val docs = t(s, d, "documents")
         val kept = DedupClusters
-          .keepList(docs, "doc_id", jaccardPairs(s, d), "da", "db")
+          .keepList(docs, "doc_id", jaccardPairs(s, d), "da", "db",
+            maxIters = 100) // oracled: must reach the exact fixpoint
           .filter(col("is_kept"))
           .select(col("doc_id"))
         val scored = docs.select(

@@ -8,9 +8,10 @@ Then:  sbt -batch "runMain graft.Verify /tmp/fuzzdata /tmp/verify_fuzz"
 Random documents with a Zipf-ish vocabulary (so shingles collide and
 near-dup machinery does real work), deliberate near-duplicate pairs,
 random languages/sources, and random embeddings with planted
-duplicates. Expected: all queries pass except q61 (path-pinned
-oracle). Different seeds explore different corners; any FAIL is a
-genuine cross-engine divergence worth a bug report.
+duplicates. Expected: ALL queries pass (oracle_check.py re-points
+q61's path-pinned oracle at the corpus dir). Different seeds explore
+different corners; any FAIL is a genuine cross-engine divergence
+worth a bug report.
 """
 import os
 import random

@@ -10,7 +10,8 @@ with edge-case rows: empty / whitespace-only / single-token text,
 unicode and non-BMP emoji, stopword-dense docs in all four languages,
 repeated tokens, quoting characters, plus zero / negative / huge /
 near-denormal embedding vectors. Expected result: every query passes
-except q61 (its oracle names the gate's fixed sf0.01 paths).
+(oracle_check.py re-points q61's path-pinned oracle at the corpus
+dir, so q61 is a real check here too).
 
 This corpus is how the zero-norm cosine crash was found: under ANSI
 mode (Spark 4 default) an unguarded cosine division THROWS on the

@@ -54,6 +54,15 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # q61's oracle must scan parquet files directly (DuckDB's `filename`
+    # virtual column is unavailable through a view), so SparkEntry pins
+    # the driver gate's fixed sf0.01 paths in the SQL text. Re-point
+    # those literals at THIS run's corpus dir so every corpus
+    # (fuzz_corpus.py, make_advdata.py) gets a real q61 check instead of
+    # a standing known-fail that could mask a regression.
+    gate_dir = "/root/testdata/sf0.01"
+    oracle = {k: v.replace(gate_dir, os.path.abspath(sf_dir).rstrip("/"))
+              for k, v in oracle.items()}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
