@@ -17,7 +17,8 @@ object SparkEntry {
   private def allDefs: Seq[QueryDef] =
     AggQueries.defs ++ JoinQueries.defs ++ TimeQueries.defs ++
       ShapeQueries.defs ++ MiscQueries.defs ++ LlmQueries.defs ++
-      LlmQueries2.defs ++ ScaleQueries.defs
+      LlmQueries2.defs ++ ScaleQueries.defs ++ CurationQueries.defs ++
+      EventQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The 5-way join + aggregate exercises scan, broadcast join, shuffle

@@ -393,6 +393,71 @@ object TextOps {
     array_min(transform(grams, g => hash60(g)))
   }
 
+  /** Benchmark decontamination: per training doc, how many of its
+    * distinct n-gram shingles appear ANYWHERE in the eval set — the
+    * pre-training hygiene check that keeps eval data out of the
+    * training corpus (run before every data release).
+    *
+    * 100 TB shape: eval sets are benchmark-sized (thousands of docs,
+    * ≤ millions of distinct shingles) while the training corpus is the
+    * 100 TB side — so the eval shingle set is distinct-ed and
+    * BROADCAST, and the training side never shuffles for the probe
+    * (explode → broadcast-hash lookup). The only exchange is the
+    * re-aggregation to one row per training doc. `explode_outer`
+    * keeps shingle-less (short) docs in the output with zero counts —
+    * a doc too short to shingle is trivially uncontaminated, not
+    * missing. */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val evalSh = eval
+      .select(explode(transform(shingles(col(textCol)),
+        g => hash60(g))).as("esh"))
+      .distinct()
+    val trainSh = train
+      .select(col(idCol), array_distinct(transform(
+        shingles(col(textCol)), g => hash60(g))).as("arr"))
+      .select(col(idCol), size(col("arr")).cast("long").as("n_shingles"),
+        explode_outer(col("arr")).as("sh"))
+    trainSh
+      .join(broadcast(evalSh), col("sh") === col("esh"), "left")
+      .groupBy(col(idCol), col("n_shingles"))
+      .agg(count(col("esh")).as("n_hit"))
+      .select(col(idCol), col("n_shingles"), col("n_hit"),
+        (col("n_hit") > 0).as("contaminated"))
+  }
+
+  /** Cross-document duplicate n-gram fraction: per doc, the share of
+    * its distinct shingles that occur in MORE THAN ONE document
+    * corpus-wide — the cross-doc repetition signal quality filters
+    * threshold on (a doc made of boilerplate shared across the corpus
+    * scores ~1 even when no single near-duplicate partner exists, so
+    * pairwise dedup never catches it).
+    *
+    * Shape: explode distinct per-doc shingle hashes (per-doc size
+    * rides along), document frequency via a window over the shingle
+    * key (WindowExec spills — a corpus-wide stopword shingle cannot
+    * OOM an aggregation buffer), then one re-aggregation per doc. Two
+    * exchanges total, both on well-distributed keys; no pair
+    * generation anywhere, so unlike Jaccard pipelines there is no
+    * quadratic term to cap. */
+  def dupNgramFraction(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val sh = df
+      .select(col(idCol), array_distinct(transform(
+        shingles(col(textCol)), g => hash60(g))).as("arr"))
+      .select(col(idCol), size(col("arr")).cast("long").as("n_ngrams"),
+        explode_outer(col("arr")).as("sh"))
+    val withDf = sh.withColumn("df",
+      count(col("sh")).over(Window.partitionBy(col("sh"))))
+    withDf
+      .groupBy(col(idCol), col("n_ngrams"))
+      .agg(sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col(idCol), col("n_ngrams"), col("n_dup"),
+        when(col("n_ngrams") > 0,
+          col("n_dup").cast("double") / col("n_ngrams").cast("double"))
+          .otherwise(lit(0.0)).as("dup_fraction"))
+  }
+
   // substring(Column, Column, Column) has no functions._ overload
   private def substring(str: Column, pos: Column, len: Column): Column =
     call_function("substring", str, pos, len)

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream batch operators Spark has no native form of: as-of
+  * (point-in-time) join and gap-based sessionization.
+  *
+  * Both are built the scale-first way — ONE exchange on the entity key
+  * and a sort within partitions (SortMergeJoin-shaped), never a range
+  * join: the naive `l JOIN r ON key AND r.ts <= l.ts` + argmax plan is
+  * O(|l|·|r|) per key and explodes on hot keys, while the tagged-union
+  * window form below is O((|l|+|r|) log) per key and spills via
+  * WindowExec when a key is huge. Timestamps are compared as the raw
+  * epoch-nanos Longs the parquet scan produces — integer compares, no
+  * timezone or float ambiguity, bit-identical across engines.
+  */
+object Events {
+
+  /** As-of join: for every left row, the LATEST right row of the same
+    * `key` with `right.ts <= left.ts` (or nulls if none) — the
+    * point-in-time lookup of market-data and feature-store pipelines
+    * (DuckDB/kdb call it ASOF JOIN; Spark has no operator for it).
+    *
+    * Shape: tag both inputs, union, ONE exchange on `key`, per-key sort
+    * on (ts, side) — right rows sort BEFORE left rows at equal ts so
+    * same-instant state is visible — then `last(right_payload,
+    * ignoreNulls)` over an unbounded-preceding row frame carries the
+    * most recent right payload onto each left row. No join node at
+    * all, so no pair explosion on hot keys, and AQE never has to
+    * rescue a skewed range join.
+    *
+    * `rightCols` are the right-side payload columns to carry; they
+    * surface on the output prefixed with `asof_`. */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, rightCols: Seq[String]): DataFrame = {
+    val payload = struct(rightCols.map(col): _*)
+    val l = left.withColumn("__side", lit(1))
+    val r = right.select(col(keyCol), col(tsCol), payload.as("__r"))
+      .withColumn("__side", lit(0))
+    // allowMissingColumns null-fills: left gets __r = null, right gets
+    // null for every left payload column (dropped by the final select)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val outCols = left.columns.map(col) ++
+      rightCols.map(c => col("__asof").getField(c).as(s"asof_$c"))
+    carried.select(outCols: _*)
+  }
+
+  /** Gap-based sessionization: consecutive events of one `key` belong
+    * to the same session while the gap to the previous event is ≤
+    * `gap` (in the units of `tsCol` — the operator is unit-agnostic);
+    * a larger gap starts a new session. Returns one row per session
+    * with bounds, event count, duration in seconds
+    * (`ticksPerSecond` converts), and an exact-decimal value sum. The
+    * batch twin of `Streams.sessionize` (mapGroupsWithState) — same
+    * semantics, pure windows: flag session starts with `lag`, number
+    * sessions with a running sum of flags, then one hash aggregation.
+    * One exchange on `key`, WindowExec sorts/spills per key; `tieCol`
+    * makes the within-key order total so re-runs hash-match. */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, gap: Long, tieCol: String,
+      ticksPerSecond: Long = 1000000L): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val flagged = events.select(
+      col(keyCol), col(tsCol), col(tieCol), col(valueCol))
+      .withColumn("__new",
+        when(col(tsCol) - lag(col(tsCol), 1).over(byKey) <= gap, 0L)
+          .otherwise(1L))
+    val numbered = flagged.withColumn("session",
+      sum(col("__new")).over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    numbered
+      .groupBy(col(keyCol), col("session"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("start_ts"),
+        max(col(tsCol)).as("end_ts"),
+        Aggregates.decSum(col(valueCol)).as("sum_value"))
+      // `div` = exact Long integer division ("/" would go through
+      // DOUBLE and lose exactness past 2^53 ticks)
+      .withColumn("duration_s",
+        expr(s"(end_ts - start_ts) div $ticksPerSecond"))
+  }
+}

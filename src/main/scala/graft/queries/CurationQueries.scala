@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.llmops.{Sharding, TextOps}
+
+/** Corpus-release operators: benchmark decontamination, cross-document
+  * repetition filtering, and deterministic shard export — the stages
+  * between "curated corpus" and "dataset a trainer consumes".
+  */
+object CurationQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.loadSpread(s, d, n)
+
+  /** DuckDB CTE: per-doc DISTINCT 3-shingle hash60 array (parity with
+    * `TextOps.shingles` + `array_distinct`; empty array below 3
+    * tokens), with `source` riding along for eval/train splits. */
+  private val dkShArr =
+    """t AS (SELECT doc_id, source, string_split(text,' ') toks
+      |      FROM documents),
+      |shl AS (SELECT doc_id, source,
+      |         CASE WHEN len(toks) >= 3
+      |              THEN list_distinct(list_transform(range(1, len(toks)-1),
+      |                     i -> ('0x'||substr(md5(
+      |                            array_to_string(toks[i:i+2],' ')),1,15))::BIGINT))
+      |              ELSE []::BIGINT[] END AS arr
+      |        FROM t)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Benchmark decontamination: training docs (source <> 'src0')
+    // probed against the eval set (source = 'src0') for shared
+    // 3-gram shingles. The eval shingle set is broadcast — the corpus
+    // side never shuffles for the probe.
+    QueryDef(
+      "q72_decontaminate",
+      Some(s"""
+        WITH $dkShArr,
+        esh AS (SELECT DISTINCT unnest(arr) AS esh FROM shl
+                WHERE source = 'src0'),
+        x AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_shingles,
+                     unnest(CASE WHEN len(arr) = 0
+                            THEN [NULL]::BIGINT[] ELSE arr END) AS sh
+              FROM shl WHERE source <> 'src0')
+        SELECT x.doc_id, x.n_shingles,
+               count(e.esh) AS n_hit,
+               count(e.esh) > 0 AS contaminated
+        FROM x LEFT JOIN esh e ON x.sh = e.esh
+        GROUP BY 1, 2"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        TextOps.decontaminate(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text")
+      }),
+
+    // Cross-document duplicate n-gram fraction: the share of each
+    // doc's shingles that occur in >1 document corpus-wide — catches
+    // boilerplate mass that pairwise near-dup detection cannot.
+    QueryDef(
+      "q73_dup_ngram_fraction",
+      Some(s"""
+        WITH $dkShArr,
+        x AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_ngrams,
+                     unnest(CASE WHEN len(arr) = 0
+                            THEN [NULL]::BIGINT[] ELSE arr END) AS sh
+              FROM shl),
+        f AS (SELECT doc_id, n_ngrams,
+                     count(sh) OVER (PARTITION BY sh) AS df
+              FROM x)
+        SELECT doc_id, n_ngrams,
+               count(*) FILTER (WHERE df > 1) AS n_dup,
+               CASE WHEN n_ngrams > 0
+                    THEN CAST(count(*) FILTER (WHERE df > 1) AS DOUBLE)
+                         / CAST(n_ngrams AS DOUBLE)
+                    ELSE 0.0 END AS dup_fraction
+        FROM f GROUP BY 1, 2"""),
+      (s, d) =>
+        TextOps.dupNgramFraction(t(s, d, "documents"), "doc_id", "text")),
+
+    // Deterministic shard manifest: hash-assigned shards with count,
+    // token mass, and hash-range endpoints per shard (the release
+    // summary of Sharding.writeSharded's layout).
+    QueryDef(
+      "q74_shard_manifest",
+      Some("""
+        WITH h AS (SELECT text,
+                     ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                       AS k
+                   FROM documents)
+        SELECT CAST(k % 32 AS INT) AS shard,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(text,' '))) AS BIGINT)
+                 AS total_tokens,
+               min(k) AS min_key, max(k) AS max_key
+        FROM h GROUP BY 1"""),
+      (s, d) =>
+        Sharding.shardManifest(t(s, d, "documents"), "doc_id", "text", 32))
+  )
+}

@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.Events
+
+/** Event-stream batch operators over the `events` table: as-of join
+  * and gap sessionization (`ops/Events`). The oracle for q75 is
+  * DuckDB's NATIVE `ASOF JOIN` — our composed tagged-union window
+  * operator is checked against a first-class engine implementation of
+  * the same semantics, not against a re-statement of our own plan.
+  * events.ts is epoch-NANOS Long on the Spark side (nanosAsLong)
+  * while DuckDB's TIMESTAMP truncates parquet nanos to MICROSECONDS —
+  * so both queries run on `ts div 1000` vs `epoch_us(ts)`: the same
+  * integers in both engines, exact compares, no float anywhere.
+  * (user_id, µs) is unique in the corpus, so the truncation does not
+  * create order ties.
+  */
+object EventQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // As-of join: each purchase picks up the latest signup of the same
+    // user at-or-before it (point-in-time state lookup).
+    QueryDef(
+      "q75_asof_join",
+      Some("""
+        WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                          event_type, value
+                   FROM events),
+        p AS (SELECT event_id, user_id, ts_us FROM e
+              WHERE event_type = 'purchase'),
+        s AS (SELECT user_id, ts_us, value FROM e
+              WHERE event_type = 'signup')
+        SELECT p.event_id, p.user_id, p.ts_us,
+               s.ts_us AS asof_ts_us, s.value AS asof_value
+        FROM p ASOF LEFT JOIN s
+          ON p.user_id = s.user_id AND p.ts_us >= s.ts_us"""),
+      (s, d) => {
+        val e = t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("ts_us"), col("event_type"),
+            col("value"))
+        Events.asOfJoin(
+          e.filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts_us")),
+          e.filter(col("event_type") === "signup"),
+          "user_id", "ts_us", Seq("ts_us", "value"))
+      }),
+
+    // Gap sessionization: 30-minute-gap sessions per user, one row per
+    // session with bounds, exact duration, and decimal value sum.
+    QueryDef(
+      "q76_sessionize",
+      Some("""
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+                   FROM events),
+        f AS (SELECT user_id, event_id, ts_us, value,
+                     CASE WHEN ts_us - lag(ts_us) OVER
+                            (PARTITION BY user_id
+                             ORDER BY ts_us, event_id) <= 1800000000
+                          THEN 0 ELSE 1 END AS nf
+              FROM e),
+        n AS (SELECT user_id, ts_us, value,
+                     CAST(sum(nf) OVER (PARTITION BY user_id
+                       ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS session
+              FROM f)
+        SELECT user_id, session,
+               count(*) AS n_events,
+               min(ts_us) AS start_ts, max(ts_us) AS end_ts,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                 AS sum_value,
+               (max(ts_us) - min(ts_us)) // 1000000 AS duration_s
+        FROM n GROUP BY 1, 2"""),
+      (s, d) =>
+        Events.sessionize(
+          t(s, d, "events").select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("ts_us"), col("value")),
+          "user_id", "ts_us", "value",
+          gap = 1800000000L, tieCol = "event_id"))
+  )
+}
