@@ -223,6 +223,31 @@ object Streams {
       joinType: String = "inner"): DataFrame =
     stream.join(broadcast(dim), joinCols, joinType)
 
+  /** Watermarked stream–stream interval join: every left event picks
+    * up the right events of the same `keyCol` whose event time falls
+    * in `[leftTs - lookBack, leftTs]` — the streaming neighborhood of
+    * a batch as-of join (`ops/Events.asOfJoin`; a streaming "exactly
+    * the latest" is not expressible with bounded state, the interval
+    * is). Watermarks on BOTH sides bound the join state: Spark keeps
+    * right rows only until `watermark - lookBack` has passed them, so
+    * state is O(rate × (lateness + lookBack)), not unbounded — this is
+    * the one stream-stream join form that is safe to leave running
+    * against a firehose. `leftTs` and `rightTs` must be
+    * differently-named event-time Timestamp columns. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, lateness: String,
+      lookBack: String): DataFrame = {
+    require(leftTs != rightTs,
+      "leftTs and rightTs must differ so both survive in the output")
+    val l = left.withWatermark(leftTs, lateness).alias("l")
+    val r = right.withWatermark(rightTs, lateness).alias("r")
+    l.join(r,
+      expr(s"l.$keyCol = r.$keyCol AND " +
+        s"$rightTs >= $leftTs - interval $lookBack AND " +
+        s"$rightTs <= $leftTs"))
+      .drop(col(s"r.$keyCol"))
+  }
+
   /** Dedup against a historical store: drop stream rows whose key
     * already exists in the (static, per-batch re-resolved) store — the
     * "don't re-ingest what the lake already holds" guard in front of

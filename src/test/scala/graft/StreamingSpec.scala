@@ -73,6 +73,28 @@ class StreamingSpec extends AnyFunSuite {
       ("/PrimB/Proc/AOD", 5L)))
   }
 
+  test("stream-stream interval join: right events within lookBack only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val signups = MemoryStream[(Long, Timestamp)]
+    purchases.addData((1L, ts(20)), (2L, ts(20)))
+    signups.addData(
+      (1L, ts(15)),  // within 10 min of user 1's purchase → joins
+      (1L, ts(5)),   // too old → excluded by the interval
+      (2L, ts(25)))  // after the purchase → excluded
+    val joined = Streams.intervalJoin(
+      purchases.toDF().toDF("user_id", "p_ts"),
+      signups.toDF().toDF("user_id", "s_ts"),
+      "user_id", "p_ts", "s_ts",
+      lateness = "1 hour", lookBack = "10 minutes")
+    val q = Streams.toMemory(joined, "ij", OutputMode.Append())
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT user_id, s_ts FROM ij ORDER BY user_id")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString))
+    assert(got.toSeq == Seq((1L, "2024-01-01 00:15:00.0")))
+  }
+
   test("streaming near-dup filter: arriving dup pairs with state, " +
     "across micro-batches") {
     import spark.implicits._
