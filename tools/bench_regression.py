@@ -31,9 +31,16 @@ def load_queries(path):
     # inside `tail` — recover just the queries object
     tail = doc.get("tail", "")
     m = re.search(r'"queries":(\{[^{}]*\})', tail)
-    if not m:
+    if m:
+        return {k: float(v) for k, v in json.loads(m.group(1)).items()}
+    # the driver head-truncates `tail`, which can cut the line before
+    # (or inside) the queries object — recover whatever per-query pairs
+    # survive; a partial baseline still gates every query it names
+    pairs = re.findall(r'"(q\d+[a-z0-9_]*)":([0-9.]+)', tail)
+    if not pairs:
         raise SystemExit(f"no bench line found in {path}")
-    return {k: float(v) for k, v in json.loads(m.group(1)).items()}
+    print(f"note: {path}: truncated tail, {len(pairs)} queries recovered")
+    return {k: float(v) for k, v in pairs}
 
 
 def main():
