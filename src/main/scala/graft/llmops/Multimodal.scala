@@ -51,13 +51,49 @@ object Multimodal {
   private def leShort(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
 
+  private def beShort(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  /** JPEG dimensions: walk the marker chain from offset 2, skipping
+    * each segment by its big-endian length, until a start-of-frame
+    * marker (0xC0-0xCF minus the DHT/JPG/DAC exceptions C4/C8/CC);
+    * height/width are big-endian shorts at SOF payload offset 3/5.
+    * Bounded walk — malformed chains return None, never loop. */
+  private def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+    var i = 2
+    var guard = 0
+    while (i + 3 < b.length && guard < 1024) {
+      guard += 1
+      if ((b(i) & 0xff) != 0xff) return None
+      val marker = b(i + 1) & 0xff
+      if (marker >= 0xc0 && marker <= 0xcf &&
+        marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+        if (i + 8 < b.length)
+          return Some((beShort(b, i + 7), beShort(b, i + 5)))
+        return None
+      }
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
+      else if (marker == 0xda || marker == 0xd9) return None
+      else i += 2 + beShort(b, i + 2)
+    }
+    None
+  }
+
   /** Parse a media container header: magic bytes + fixed-offset
     * dimension fields. Returns (kind, width, height, n_frames); None
     * when no known magic matches. Offsets per the public format specs:
     * PNG IHDR width/height at bytes 16/20 (big-endian), BMP
-    * BITMAPINFOHEADER width/height at 18/22 (little-endian), WAV
-    * channels/blockAlign at 22/32 with the 44-byte canonical header. */
+    * BITMAPINFOHEADER width/height at 18/22 (little-endian), GIF
+    * logical-screen width/height at 6/8 (little-endian), JPEG via the
+    * SOF marker walk, WAV channels/blockAlign at 22/32 with the
+    * 44-byte canonical header. */
   def parseHeader(b: Array[Byte]): Option[(String, Int, Int, Int)] = {
+    if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff)
+      return jpegDims(b).map { case (w, h) => ("image", w, h, 1) }
+    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      return Some(("image", leShort(b, 6), leShort(b, 8), 1))
     if (b.length >= 24 &&
       (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
       (b(4) & 0xff) == 0x0d && (b(5) & 0xff) == 0x0a &&

@@ -278,7 +278,7 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(feats.forall(f => f.width >= 16 && f.n_frames >= 1))
   }
 
-  test("multimodal header parser: PNG/BMP/WAV magics and dimensions") {
+  test("multimodal header parser: PNG/BMP/JPEG/GIF/WAV magics and dimensions") {
     // PNG: signature + IHDR length/type + width=640 height=480 (BE)
     val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
       0, 0, 0, 13, 'I', 'H', 'D', 'R',
@@ -298,6 +298,22 @@ class LlmOpsSpec extends AnyFunSuite {
     wav(22) = 2 // channels
     wav(32) = 4 // blockAlign
     assert(Multimodal.parseHeader(wav).contains(("audio", 2, 1, 10)))
+    // JPEG: SOI + APP0 (skipped by its BE length) + SOF0 with
+    // height=600 at payload offset 3, width=800 at 5 (both BE)
+    val jpg = Array[Int](0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x04, 0x00, 0x00, // APP0, len 4
+      0xff, 0xc0, 0x00, 0x11, 0x08, 0x02, 0x58, 0x03, 0x20)
+      .map(_.toByte)
+    assert(Multimodal.parseHeader(jpg).contains(("image", 800, 600, 1)))
+    // truncated JPEG (SOS before any SOF) → None, walk terminates
+    val jpgBad = Array[Int](0xff, 0xd8, 0xff, 0xda, 0x00, 0x02)
+      .map(_.toByte)
+    assert(Multimodal.parseHeader(jpgBad).isEmpty)
+    // GIF89a: logical screen 128x64 (LE at 6/8)
+    val gif = new Array[Byte](13)
+    "GIF89a".getBytes.copyToArray(gif, 0)
+    gif(6) = 0x80.toByte; gif(8) = 0x40
+    assert(Multimodal.parseHeader(gif).contains(("image", 128, 64, 1)))
     // unknown magic → None (fallback path)
     assert(Multimodal.parseHeader("plain text".getBytes).isEmpty)
     // real-container payloads flow through the Dataset pipeline too
