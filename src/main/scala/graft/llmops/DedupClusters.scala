@@ -49,18 +49,34 @@ object DedupClusters {
     // wrap collision could falsely signal convergence.)
     var converged = false
     var iter = 0
+    val lineageEvery = 6
     while (!converged && iter < maxIters) {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("node"))
         .groupBy(col("src"))
         .agg(min(col("label")).as("nmin"))
-      val next = labels
+      // Lineage hygiene: every `lineageEvery`-th round is an EAGER
+      // localCheckpoint instead of a persist — it materializes like
+      // persist AND truncates lineage, bounding the logical plan at
+      // O(lineageEvery) join depth. Without it the nested plan grows
+      // without bound and plan-STRING generation alone OOMs the driver
+      // near ~20 rounds (observed; GraphX applies the same checkpoint
+      // hygiene to its iterative steps). Checkpointing EVERY round
+      // costs a per-round job (~7× on the bench); every 6th is free
+      // for typical diameter ≲ 4 corpora and amortized for deep ones.
+      // Checkpoint rounds are restricted to probe rounds so the
+      // probe's action materializes round r+1 before round r — whose
+      // truncated lineage cannot recompute — is unpersisted.
+      val nextPlan = labels
         .join(neighborMin, labels("node") === neighborMin("src"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label")))
             .as("label"),
           (col("nmin") < col("label")).as("chg"))
-        .persist()
+      val next =
+        if ((iter + 1) % lineageEvery == 0 && (iter + 1) >= probeAfter)
+          nextPlan.localCheckpoint(true)
+        else nextPlan.persist()
       if (iter + 1 >= probeAfter) {
         val nChanged = next
           .agg(coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L)))
