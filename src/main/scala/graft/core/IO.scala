@@ -119,6 +119,34 @@ object IO {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * ~`targetBytes` each — the standing maintenance pass of any
+    * incrementally-written lake (daily appends at 100 TB accumulate
+    * thousands of KB-sized part files per partition; scans then pay
+    * one task + one open per file and the NameNode pays the
+    * metadata). Output file count derives from the ACTUAL input bytes
+    * (FileSystem `getContentSummary`, not a row-count guess, so
+    * compression ratio carries over), floored at 1. Rewrites to a tmp
+    * sibling then swaps, so a failed compaction never loses the
+    * original data. Returns the output file count. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 512L * 1024 * 1024): Int = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val totalBytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+      .toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    spark.read.parquet(path)
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(p, true)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"compact: rename $tmp -> $p failed")
+    nFiles
+  }
+
   /** EOS report extraction, pre-2020 raw shape: `data` is ONE quoted
     * `k=v&k=v` string (spark_utils.py:550-671). One `str_to_map` pass
     * replaces the reference's 12 per-field regexp_extract calls —

@@ -114,6 +114,24 @@ class IoSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1, "20240101"), (99, "20240102")))
   }
 
+  test("compact rewrites many small files into the derived count") {
+    val out = tmpDir() + "/frag"
+    // 64 tiny part files
+    spark.range(0, 1000).toDF("id").repartition(64).write.parquet(out)
+    def parts(p: String): Int =
+      new java.io.File(p).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(parts(out) == 64)
+    val total = new java.io.File(out).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    // target = half the payload → expect ceil(bytes/target) ≈ 2-3 files
+    val n = graft.core.IO.compact(spark, out, targetBytes = total / 2)
+    assert(parts(out) == n && n >= 2 && n <= 4)
+    // data survives byte-for-byte (count + sum)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 1000)
+    assert(back.agg(sum(col("id"))).head.getLong(0) == 499500L)
+  }
+
   test("gzip json write produces .gz part files that read back") {
     import spark.implicits._
     val out = tmpDir() + "/json"
