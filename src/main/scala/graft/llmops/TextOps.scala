@@ -220,10 +220,24 @@ object TextOps {
     * (the exploded formulation cost three corpus shuffles). Token
     * hashes materialize once per row; the 16 bit-folds run over the
     * hash array. Integer sums — order-free, oracle-identical. */
-  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashN(df, idCol, textCol, 16)
+
+  /** 60-bit SimHash — same construction over all 60 bits of hash60.
+    * This is the SCALE variant: 16 bits give only 512 (band, block)
+    * buckets, so bucket population — and the quadratic in-bucket pair
+    * expansion — grows linearly with the corpus; 60 bits give 2^31
+    * buckets and near-dup-only collisions at any corpus size
+    * (Manku et al.'s production setting is 64-bit for the same
+    * reason). */
+  def simhash60(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashN(df, idCol, textCol, 60)
+
+  private def simhashN(df: DataFrame, idCol: String, textCol: String,
+      nBits: Int): DataFrame = {
     val withHashes = df.select(col(idCol),
       transform(tokens(col(textCol)), t => hash60(t)).as("hs"))
-    val bits = (0 until 16).map { j =>
+    val bits = (0 until nBits).map { j =>
       val s = aggregate(col("hs"), lit(0L), (acc, h) =>
         acc + when(call_function("shiftright", h, lit(j)) % 2 === 1, 1L)
           .otherwise(-1L))
@@ -278,13 +292,15 @@ object TextOps {
     * simhash computation itself is the narrow [[simhash16]] map, so
     * the whole operator is one exchange + one distinct. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 1): DataFrame = {
+      maxHamming: Int = 1, nBits: Int = 16): DataFrame = {
     require(maxHamming == 1, "banding below implements 2 blocks = maxHamming 1")
-    val sh = simhash16(df, idCol, textCol)
+    require(nBits % 2 == 0, "2-block banding needs an even bit width")
+    val half = 1L << (nBits / 2)
+    val sh = simhashN(df, idCol, textCol, nBits)
       .select(col(idCol).as("doc"), col("simhash"))
     val banded = sh.select(col("doc"), col("simhash"),
       posexplode(array(
-        floor(col("simhash") / 256), col("simhash") % 256)))
+        floor(col("simhash") / half), col("simhash") % half)))
       .toDF("doc", "simhash", "band", "block")
     val buckets = banded
       .groupBy(col("band"), col("block"))

@@ -237,6 +237,40 @@ object LlmQueries {
         TextOps.simhashNearDupPairs(t(s, d, "documents"), "doc_id",
           "text", maxHamming = 1)),
 
+    // 60-bit SimHash near-dup pairs — the SCALE variant of q70: 2^31
+    // (band, block) buckets instead of 512, so bucket population (and
+    // the quadratic in-bucket expansion) stays near-dup-only at any
+    // corpus size instead of growing linearly with it.
+    QueryDef(
+      "q77_dedup_simhash60_pairs",
+      Some(s"""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) tok
+                     FROM documents),
+        f AS (SELECT doc_id, tok, count(*) freq FROM tok GROUP BY 1, 2),
+        h AS (SELECT doc_id, freq, ${dkHash60("tok")} AS hh FROM f),
+        bsum AS (SELECT doc_id, j,
+                     sum(CASE WHEN (hh >> CAST(j AS INT)) & 1 = 1
+                              THEN freq ELSE -freq END) s
+              FROM h CROSS JOIN range(0,60) r(j) GROUP BY 1, 2),
+        s AS (SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(j AS INT))
+                             ELSE 0 END) AS BIGINT) AS simhash
+              FROM bsum GROUP BY 1),
+        bd AS (SELECT doc_id, simhash, j AS band,
+                      CASE j WHEN 0 THEN simhash // 1073741824
+                             ELSE simhash % 1073741824 END AS block
+               FROM s CROSS JOIN range(0,2) r(j)),
+        c AS (SELECT DISTINCT a.doc_id da, b2.doc_id db,
+                     a.simhash sa, b2.simhash sb
+              FROM bd a JOIN bd b2 ON a.band = b2.band
+                AND a.block = b2.block AND a.doc_id < b2.doc_id)
+        SELECT da AS doc_a, db AS doc_b,
+               CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM c WHERE bit_count(xor(sa, sb)) <= 1"""),
+      (s, d) =>
+        TextOps.simhashNearDupPairs(t(s, d, "documents"), "doc_id",
+          "text", maxHamming = 1, nBits = 60)),
+
     // Brute-force cosine top-5 for 8 query vectors over the corpus.
     QueryDef(
       "q45_sim_bruteforce_topk",

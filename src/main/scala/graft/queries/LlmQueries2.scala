@@ -44,13 +44,20 @@ object LlmQueries2 {
           explode(TextOps.tokens(col("text"))).as("term"))
         val tf = tok.groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
-        val df = tok.groupBy(col("term"))
-          .agg(countDistinct(col("doc_id")).as("df"))
+        // document frequency WITHOUT a second corpus explode or a term
+        // join: tf rows are unique per (doc, term), so count(*) over
+        // the term partition IS countDistinct(doc) — one window on the
+        // already-aggregated (small) tf frame replaces re-exploding
+        // 100 TB of tokens and shuffling them a second time. 3
+        // exchanges total instead of 5; WindowExec spills on a
+        // corpus-hot term instead of OOMing an agg buffer.
+        val withDf = tf.withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("term"))))
         // corpus size as a one-row broadcast cross-join: keeps the whole
         // query a single DAG (no separate driver-side count() action and
         // no extra corpus scan) — same shape as the oracle's CROSS JOIN n
         val n = docs.agg(count(lit(1)).as("n_docs"))
-        val scored = tf.join(df, Seq("term"))
+        val scored = withDf
           .crossJoin(broadcast(n))
           .select(col("doc_id"), col("term"),
             ((col("tf") * col("n_docs")).cast("double") / col("df"))

@@ -107,6 +107,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.forall(h => h >= 0 && h < (1 << 16)))
   }
 
+  test("simhash60: 60-bit range, near-dups pair, distinct docs don't") {
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "q r s t u v w x")).toDF("doc_id", "text")
+    val got = TextOps.simhash60(df, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(got(0) == got(1) && got(0) != got(2))
+    assert(got.forall(h => h >= 0 && h < (1L << 60)))
+    val pairs = TextOps.simhashNearDupPairs(df, "doc_id", "text",
+      maxHamming = 1, nBits = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // identical docs: hamming 0; the unrelated doc pairs with nobody
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
   test("cosine: orthogonal → 0, identical → 1 (unrounded, to 1e-12)") {
     val df = Seq(
       (Array(1f, 0f), Array(0f, 1f)),
