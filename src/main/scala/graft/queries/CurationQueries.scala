@@ -99,6 +99,46 @@ object CurationQueries {
                min(k) AS min_key, max(k) AS max_key
         FROM h GROUP BY 1"""),
       (s, d) =>
-        Sharding.shardManifest(t(s, d, "documents"), "doc_id", "text", 32))
+        Sharding.shardManifest(t(s, d, "documents"), "doc_id", "text", 32)),
+
+    // Length-distribution histogram: per (lang, log2 token-count
+    // bucket) doc counts, token mass, and the bucket's share of its
+    // language — the curriculum/mixture diagnostic every corpus
+    // release reports. The log2 bucket is computed as
+    // length(bin(n)) - 1: pure INTEGER arithmetic in both engines
+    // (floor(log2(x)) through libm doubles can land on either side of
+    // an exact power boundary in the last ulp).
+    QueryDef(
+      "q78_length_histogram",
+      Some("""
+        WITH b AS (SELECT lang,
+                     CAST(len(string_split(text,' ')) AS BIGINT) AS nt
+                   FROM documents),
+        g AS (SELECT lang,
+                     CAST(length(bin(nt)) - 1 AS INT) AS bucket,
+                     count(*) AS n_docs,
+                     CAST(sum(nt) AS BIGINT) AS total_tokens
+              FROM b GROUP BY 1, 2)
+        SELECT lang, bucket, n_docs, total_tokens,
+               CAST(n_docs AS DOUBLE) /
+                 CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE)
+                 AS lang_share
+        FROM g"""),
+      (s, d) => {
+        val g = t(s, d, "documents")
+          .select(col("lang"),
+            size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+          .groupBy(col("lang"),
+            (length(bin(col("nt"))) - 1).cast("int").as("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nt")).as("total_tokens"))
+        g.select(col("lang"), col("bucket"), col("n_docs"),
+          col("total_tokens"),
+          (col("n_docs").cast("double") /
+            sum(col("n_docs")).over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("lang"))).cast("double"))
+            .as("lang_share"))
+      })
   )
 }
