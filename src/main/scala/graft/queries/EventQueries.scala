@@ -84,6 +84,36 @@ object EventQueries {
           t(s, d, "events").select(col("user_id"), col("event_id"),
             expr("ts div 1000").as("ts_us"), col("value")),
           "user_id", "ts_us", "value",
-          gap = 1800000000L, tieCol = "event_id"))
+          gap = 1800000000L, tieCol = "event_id")),
+
+    // Rolling 24h window per user: a RANGE frame over event time (the
+    // physical operator is a RangeFrame bound-follower, not q19's
+    // RowFrame) — each event sees the count and exact-decimal sum of
+    // its user's events in [ts - 24h, ts]. Frame bounds are integer
+    // microseconds, so both engines agree on inclusion exactly.
+    QueryDef(
+      "q79_rolling_window",
+      Some("""
+        WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+                   FROM events)
+        SELECT event_id, user_id, ts_us,
+               CAST(count(*) OVER w AS BIGINT) AS n_24h,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                 AS sum_24h
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)"""),
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts_us"))
+          .rangeBetween(-86400000000L, 0L)
+        t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("ts_us"), col("value"))
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            count(lit(1)).over(w).as("n_24h"),
+            sum(col("value").cast("decimal(18,4)")).over(w)
+              .cast("double").as("sum_24h"))
+      })
   )
 }
