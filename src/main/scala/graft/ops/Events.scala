@@ -34,15 +34,23 @@ object Events {
     * `rightCols` are the right-side payload columns to carry; they
     * surface on the output prefixed with `asof_`. */
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, rightCols: Seq[String]): DataFrame =
+    asOfJoin(left, right, Seq(keyCol), tsCol, rightCols)
+
+  /** Composite-key variant — feature-store lookups usually key on
+    * (entity, feature-group) or similar tuples; same single-exchange
+    * window shape, partitioned on all key columns. */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       tsCol: String, rightCols: Seq[String]): DataFrame = {
     val payload = struct(rightCols.map(col): _*)
     val l = left.withColumn("__side", lit(1))
-    val r = right.select(col(keyCol), col(tsCol), payload.as("__r"))
+    val r = right.select(
+      (keyCols.map(col) :+ col(tsCol) :+ payload.as("__r")): _*)
       .withColumn("__side", lit(0))
     // allowMissingColumns null-fills: left gets __r = null, right gets
     // null for every left payload column (dropped by the final select)
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(col(keyCol))
+    val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned

@@ -102,6 +102,21 @@ class CurationSpec extends AnyFunSuite {
     assert(r(("C", 50L)).isEmpty)
   }
 
+  test("asOfJoin composite key: state resolved per (sym, venue)") {
+    val quotes = Seq(
+      ("A", "X", 10L, 1.0), ("A", "Y", 10L, 9.0), ("A", "X", 20L, 2.0))
+      .toDF("sym", "venue", "ts", "px")
+    val trades = Seq(("A", "X", 25L), ("A", "Y", 25L), ("A", "Z", 25L))
+      .toDF("sym", "venue", "ts")
+    val r = Events.asOfJoin(trades, quotes, Seq("sym", "venue"), "ts",
+      Seq("px"))
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toMap
+    assert(r(("A", "X")).contains(2.0)) // latest X quote, not Y's
+    assert(r(("A", "Y")).contains(9.0))
+    assert(r(("A", "Z")).isEmpty)       // venue with no quotes
+  }
+
   // ---- sessionize ----
 
   test("sessionize: boundary gap stays in-session, gap+1 splits") {
