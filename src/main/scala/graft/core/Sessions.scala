@@ -53,6 +53,9 @@ object Sessions {
     if (!spark.catalog.functionExists("hash60"))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "hash60", graft.functions.Md5Prefix60.builder, "builtin")
+    if (!spark.catalog.functionExists("simhash_fold"))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "simhash_fold", graft.functions.SimhashFold.builder, "builtin")
     spark
   }
 }

@@ -68,5 +68,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Sha1Mod1e16.info, Sha1Mod1e16.builder))
     ext.injectFunction((FunctionIdentifier("hash60"),
       Md5Prefix60.info, Md5Prefix60.builder))
+    ext.injectFunction((FunctionIdentifier("simhash_fold"),
+      SimhashFold.info, SimhashFold.builder))
   }
 }

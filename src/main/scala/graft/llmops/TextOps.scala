@@ -234,6 +234,19 @@ object TextOps {
     simhashN(df, idCol, textCol, 60)
 
   private def simhashN(df: DataFrame, idCol: String, textCol: String,
+      nBits: Int): DataFrame =
+    df.select(col(idCol),
+      // native single-pass fold (graft.functions.SimhashFold): ONE
+      // traversal of the hash array instead of nBits interpreted HOF
+      // aggregates — the 60-bit variant pays 60 traversals composed
+      call_function("simhash_fold",
+        transform(tokens(col(textCol)), t => hash60(t)), lit(nBits))
+        .as("simhash"))
+
+  /** The built-ins-only per-bit HOF form, kept for parity testing
+    * (PropertySpec pins native == composed bit-for-bit, the same
+    * contract as [[hash60Composed]]). */
+  def simhashNComposed(df: DataFrame, idCol: String, textCol: String,
       nBits: Int): DataFrame = {
     val withHashes = df.select(col(idCol),
       transform(tokens(col(textCol)), t => hash60(t)).as("hs"))
