@@ -49,6 +49,14 @@ class AdversarialSpec extends AnyFunSuite {
     assert(TextOps.minhashSignatures(docs, "doc_id", "text").count() > 0)
     assert(TextOps.ngramJaccardPairs(docs, "doc_id", "text",
       minJac = 0.01).count() >= 0)
+    // round-3 operators: every doc stays visible with zero counts
+    assert(TextOps.decontaminate(docs, docs.limit(1), "doc_id", "text")
+      .count() == n)
+    assert(TextOps.dupNgramFraction(docs, "doc_id", "text").count() == n)
+    assert(TextOps.simhash60(docs, "doc_id", "text").count() == n)
+    assert(graft.llmops.Sharding
+      .shardManifest(docs, "doc_id", "text", 4)
+      .agg(sum(col("n_docs"))).head.getLong(0) == n)
   }
 
   test("similarity operators tolerate zero/huge/denormal vectors") {
