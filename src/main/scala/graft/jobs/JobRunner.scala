@@ -49,6 +49,8 @@ object JobRunner {
           CondorJobs.flatten(in("condor")))),
       "stepchain_cpu_eff" -> (Seq("fwjr"),
         (_, in) => WmArchiveJobs.stepchainCpuEff(in("fwjr"))),
+      "agent_counts" -> (Seq("fwjr"),
+        (_, in) => WmArchiveJobs.agentCounts(in("fwjr"))),
       "fts_aso_stats" -> (Seq("fts", "aso"),
         (_, in) => FtsAsoJobs.transferStats(in("fts"), in("aso"))),
       "block_lumis" -> (Seq("blocks", "files", "file_lumis"),
@@ -87,7 +89,8 @@ object JobRunner {
     "file_lumis" -> Schemas.dbsFileLumis, "cmssw" -> Schemas.cmssw,
     "jm" -> Schemas.jobMonitoring, "phedex" -> Schemas.phedex,
     "aaa" -> Schemas.aaaEnvelope, "eos" -> Schemas.eosEnvelope,
-    "condor_hs06" -> Schemas.condorHs06Envelope)
+    "condor_hs06" -> Schemas.condorHs06Envelope,
+    "fwjr" -> Schemas.wmarchiveEnvelope)
 
   def parseArgs(args: Array[String]): Map[String, String] =
     args.sliding(2, 2).collect {
