@@ -52,11 +52,14 @@ object TextOps {
     *
     *   explode shingles → exchange on shingle hash → window count
     *   (document frequency; WindowExec spills, so a hot shingle never
-    *   OOMs) → drop shingles with df > `maxDf` → in-partition bucket
-    *   collect (buffer ≤ maxDf rows by construction, no exchange: the
-    *   groupBy key equals the window partition key) → two-stage lateral
-    *   pair expansion (intermediate arrays O(maxDf)) → exchange on the
-    *   pair → count common shingles → Jaccard filter.
+    *   OOMs) → drop shingles with df > `maxDf` → self-join on the
+    *   shingle key (both sides reuse the window's exchange AND sort —
+    *   ReusedExchange + streamed SortMergeJoin, no bucket arrays
+    *   materialized, AQE splits any residual hot key) → exchange on
+    *   the pair → count common shingles → Jaccard filter. Measured
+    *   against a collect_list-bucket + lateral-expansion formulation:
+    *   the self-join is faster warm and much faster cold, and its
+    *   memory profile is streaming rows instead of O(maxDf) arrays.
     *
     * The df cap is the standard MinHash-era guard: a shingle shared by
     * k docs yields k² pair rows on one shuffle key, and a stopword
@@ -76,18 +79,12 @@ object TextOps {
     val kept = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("df") <= maxDf)
-    val buckets = kept.groupBy(col("sh"))
-      .agg(sort_array(collect_list(struct(col("doc"), col("nsh"))))
-        .as("ds"))
-      .filter(size(col("ds")) > 1)
-    val pairs = buckets
-      .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
-      .select(col("a"),
-        explode(slice(col("ds"), col("i") + lit(2),
-          size(col("ds")) - col("i") - lit(1))).as("b"))
-    val agg = pairs
-      .groupBy(col("a.doc").as("da"), col("b.doc").as("db"),
-        col("a.nsh").as("na"), col("b.nsh").as("nb"))
+      .select(col("doc"), col("nsh"), col("sh"))
+    val a = kept.select(col("doc").as("da"), col("nsh").as("na"), col("sh"))
+    val b = kept.select(col("doc").as("db"), col("nsh").as("nb"), col("sh"))
+    val agg = a.join(b, Seq("sh"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"), col("na"), col("nb"))
       .agg(count(lit(1)).as("common"))
     val jac = col("common").cast("double") /
       (col("na") + col("nb") - col("common"))
