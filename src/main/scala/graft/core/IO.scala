@@ -134,6 +134,15 @@ object IO {
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
+    // refuse partitioned stores: a whole-tree rewrite would read the
+    // partition column back as data and FLATTEN the layout (silent
+    // loss of partition pruning). Compact those per partition dir.
+    val partitioned = fs.listStatus(p).exists(st =>
+      st.isDirectory && st.getPath.getName.contains("="))
+    require(!partitioned,
+      s"compact: $path is a partitioned store (key=value subdirs); " +
+        "compact each partition directory instead, or the layout — " +
+        "and partition pruning with it — would be silently flattened")
     val totalBytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
       .toInt

@@ -130,6 +130,17 @@ class IoSpec extends AnyFunSuite {
     val back = spark.read.parquet(out)
     assert(back.count() == 1000)
     assert(back.agg(sum(col("id"))).head.getLong(0) == 499500L)
+    // partitioned stores are refused (whole-tree rewrite would flatten
+    // the layout); per-partition compaction still works
+    val pstore = tmpDir() + "/pstore"
+    spark.range(0, 100).toDF("id")
+      .withColumn("day", col("id") % 2)
+      .write.partitionBy("day").parquet(pstore)
+    intercept[IllegalArgumentException] {
+      graft.core.IO.compact(spark, pstore)
+    }
+    assert(graft.core.IO.compact(spark, pstore + "/day=0") >= 1)
+    assert(spark.read.parquet(pstore).count() == 100)
   }
 
   test("gzip json write produces .gz part files that read back") {
