@@ -146,13 +146,26 @@ object IO {
     val totalBytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
       .toInt
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
-    spark.read.parquet(path)
+    // tmp/backup are SIBLINGS built from the normalized Path (string
+    // concat on a trailing-slash input would nest tmp INSIDE the store
+    // and the swap would destroy it), and the swap is rename-first:
+    // original → backup, tmp → live, delete backup. A crash at any
+    // point leaves the data recoverable under one of the three names —
+    // never a window where no copy exists (delete-then-rename had one).
+    def sibling(suffix: String) =
+      new org.apache.hadoop.fs.Path(p.getParent, p.getName + suffix)
+    val tmp = sibling("__compact_tmp")
+    val bak = sibling("__compact_bak")
+    spark.read.parquet(p.toString)
       .repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(p, true)
-    if (!fs.rename(tmp, p))
+    if (!fs.rename(p, bak))
+      throw new java.io.IOException(s"compact: rename $p -> $bak failed")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(bak, p) // roll back
       throw new java.io.IOException(s"compact: rename $tmp -> $p failed")
+    }
+    fs.delete(bak, true)
     nFiles
   }
 

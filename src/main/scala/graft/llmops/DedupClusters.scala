@@ -67,6 +67,11 @@ object DedupClusters {
       // Checkpoint rounds are restricted to probe rounds so the
       // probe's action materializes round r+1 before round r — whose
       // truncated lineage cannot recompute — is unpersisted.
+      // (Dataset.unpersist is a no-op on checkpointed rounds — their
+      // storage is RDD-level — so up to maxIters/lineageEvery label
+      // snapshots can linger until the ContextCleaner GCs them; the
+      // label table is nodes-with-edges sized, a small corpus
+      // fraction, and the bound is explicit rather than hidden.)
       val nextPlan = labels
         .join(neighborMin, labels("node") === neighborMin("src"), "left")
         .select(col("node"),

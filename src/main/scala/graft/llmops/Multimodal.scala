@@ -65,16 +65,22 @@ object Multimodal {
     while (i + 3 < b.length && guard < 1024) {
       guard += 1
       if ((b(i) & 0xff) != 0xff) return None
-      val marker = b(i + 1) & 0xff
+      // per the spec, any number of 0xFF fill bytes may precede the
+      // marker byte — consume them all before reading the marker
+      var mi = i + 1
+      while (mi < b.length && (b(mi) & 0xff) == 0xff) mi += 1
+      if (mi >= b.length) return None
+      val marker = b(mi) & 0xff
       if (marker >= 0xc0 && marker <= 0xcf &&
         marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
-        if (i + 8 < b.length)
-          return Some((beShort(b, i + 7), beShort(b, i + 5)))
+        if (mi + 7 < b.length)
+          return Some((beShort(b, mi + 6), beShort(b, mi + 4)))
         return None
       }
-      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i = mi + 1
       else if (marker == 0xda || marker == 0xd9) return None
-      else i += 2 + beShort(b, i + 2)
+      else if (mi + 2 < b.length) i = mi + 1 + beShort(b, mi + 1)
+      else return None
     }
     None
   }

@@ -308,9 +308,14 @@ object TextOps {
     val half = 1L << (nBits / 2)
     val sh = simhashN(df, idCol, textCol, nBits)
       .select(col(idCol).as("doc"), col("simhash"))
+    // high block via shiftright — EXACT integer floor-div by 2^(n/2).
+    // `floor(simhash / half)` would evaluate in DOUBLE: above 2^53 the
+    // quotient can round across a block boundary and diverge from the
+    // oracle's integer `//` (the same libm/double-boundary class the
+    // q78 bucket comment calls out).
     val banded = sh.select(col("doc"), col("simhash"),
       posexplode(array(
-        floor(col("simhash") / half), col("simhash") % half)))
+        shiftright(col("simhash"), nBits / 2), col("simhash") % half)))
       .toDF("doc", "simhash", "band", "block")
     val buckets = banded
       .groupBy(col("band"), col("block"))

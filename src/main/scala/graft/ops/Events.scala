@@ -39,19 +39,30 @@ object Events {
 
   /** Composite-key variant — feature-store lookups usually key on
     * (entity, feature-group) or similar tuples; same single-exchange
-    * window shape, partitioned on all key columns. */
+    * window shape, partitioned on all key columns.
+    *
+    * Semantics match SQL join equality: right rows with a NULL key
+    * component never match (they are dropped), and left rows with a
+    * NULL key get null asof columns — the window partitioning would
+    * otherwise group NULLs together and silently "match" them, which
+    * no ASOF JOIN does. Several right rows at one (key, ts) instant
+    * resolve deterministically to the LARGEST payload tuple (the
+    * window order includes the payload struct as the final tie-break,
+    * so re-runs hash-match regardless of partitioning). */
   def asOfJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       tsCol: String, rightCols: Seq[String]): DataFrame = {
     val payload = struct(rightCols.map(col): _*)
     val l = left.withColumn("__side", lit(1))
-    val r = right.select(
-      (keyCols.map(col) :+ col(tsCol) :+ payload.as("__r")): _*)
+    val r = right
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        (keyCols.map(col) :+ col(tsCol) :+ payload.as("__r")): _*)
       .withColumn("__side", lit(0))
     // allowMissingColumns null-fills: left gets __r = null, right gets
     // null for every left payload column (dropped by the final select)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol), col("__side"))
+      .orderBy(col(tsCol), col("__side"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))

@@ -102,6 +102,23 @@ class CurationSpec extends AnyFunSuite {
     assert(r(("C", 50L)).isEmpty)
   }
 
+  test("asOfJoin: null keys never match; equal-ts right rows resolve " +
+      "to the largest payload deterministically") {
+    val quotes = Seq(
+      (Some("A"), 10L, 1.0), (Some("A"), 10L, 2.0), // equal (key, ts)
+      (None: Option[String], 5L, 9.0))              // null-key right row
+      .toDF("sym", "ts", "px")
+    val trades = Seq((Some("A"), 20L), (None: Option[String], 20L))
+      .toDF("sym", "ts")
+    val r = Events.asOfJoin(trades, quotes, "sym", "ts", Seq("px"))
+      .collect().map(x => Option(x.getString(0)) ->
+        (if (x.isNullAt(2)) None else Some(x.getDouble(2)))).toMap
+    // two quotes at ts=10: the larger payload wins, every run
+    assert(r(Some("A")).contains(2.0))
+    // SQL join-equality semantics: NULL never matches NULL
+    assert(r(None).isEmpty)
+  }
+
   test("asOfJoin composite key: state resolved per (sym, venue)") {
     val quotes = Seq(
       ("A", "X", 10L, 1.0), ("A", "Y", 10L, 9.0), ("A", "X", 20L, 2.0))

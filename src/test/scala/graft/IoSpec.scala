@@ -141,6 +141,10 @@ class IoSpec extends AnyFunSuite {
     }
     assert(graft.core.IO.compact(spark, pstore + "/day=0") >= 1)
     assert(spark.read.parquet(pstore).count() == 100)
+    // trailing slash must not nest the tmp dir inside the store (the
+    // swap would then delete the fresh copy with the old one)
+    assert(graft.core.IO.compact(spark, out + "/") >= 1)
+    assert(spark.read.parquet(out).count() == 1000)
   }
 
   test("gzip json write produces .gz part files that read back") {

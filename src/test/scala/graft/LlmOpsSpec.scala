@@ -323,6 +323,12 @@ class LlmOpsSpec extends AnyFunSuite {
     val jpgBad = Array[Int](0xff, 0xd8, 0xff, 0xda, 0x00, 0x02)
       .map(_.toByte)
     assert(Multimodal.parseHeader(jpgBad).isEmpty)
+    // 0xFF fill bytes before a marker are legal padding — the walk
+    // must consume them, not treat 0xFF as a length-skipped marker
+    val jpgFill = Array[Int](0xff, 0xd8,
+      0xff, 0xff, 0xff, 0xc0, 0x00, 0x11, 0x08, 0x02, 0x58, 0x03, 0x20)
+      .map(_.toByte)
+    assert(Multimodal.parseHeader(jpgFill).contains(("image", 800, 600, 1)))
     // GIF89a: logical screen 128x64 (LE at 6/8)
     val gif = new Array[Byte](13)
     "GIF89a".getBytes.copyToArray(gif, 0)

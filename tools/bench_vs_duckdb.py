@@ -16,24 +16,17 @@ how many are within 2x, and the total-time ratio.
 """
 import json
 import os
-import re
 import sys
 import time
 
 import duckdb
 
+# same wrapper/truncated-tail recovery (and the same loud failure on an
+# unparseable file) as the cross-round gate — one loader, no drift
+from bench_regression import load_queries as load_bench
+
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
-
-
-def load_bench(path):
-    with open(path) as fh:
-        text = fh.read().strip()
-    doc = json.loads(text[text.index("{"):])
-    if "queries" in doc:
-        return {k: float(v) for k, v in doc["queries"].items()}
-    pairs = re.findall(r'"(q\d+[a-z0-9_]*)":([0-9.]+)', doc.get("tail", ""))
-    return {k: float(v) for k, v in pairs}
 
 
 def main():
@@ -84,6 +77,9 @@ def main():
         d = f"{dt:.3f}" if dt is not None else "-"
         print(f"{name:32s} spark {s:>8s}s  duckdb {d:>8s}s  {verdict}")
     n = wins + within2 + slower2
+    if n == 0 or tot_d == 0:
+        print("== nothing compared (no query had both timings)")
+        return
     print(f"== {n} compared: {wins} spark-faster, {within2} within 2x, "
           f"{slower2} beyond 2x; totals spark {tot_s:.1f}s vs duckdb "
           f"{tot_d:.1f}s ({tot_s / tot_d:.2f}x)")
