@@ -128,7 +128,17 @@ object IO {
     * (FileSystem `getContentSummary`, not a row-count guess, so
     * compression ratio carries over), floored at 1. Rewrites to a tmp
     * sibling then swaps, so a failed compaction never loses the
-    * original data. Returns the output file count. */
+    * original data. Returns the output file count.
+    *
+    * Requires EXCLUSIVE access to `path` for the duration of the call:
+    * the swap is rename-first (original → backup, tmp → live), so
+    * between the two renames the live path briefly does not exist and
+    * any concurrent reader fails mid-compaction. Intended for
+    * HDFS-like filesystems with atomic directory rename; on object
+    * stores (S3A) rename is a non-atomic copy, which widens that
+    * reader-visibility window — run compaction there only in a
+    * maintenance window or behind a table format that versions
+    * metadata. Crash-safety (no data loss) holds either way. */
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 512L * 1024 * 1024): Int = {
     val hconf = spark.sparkContext.hadoopConfiguration

@@ -44,9 +44,14 @@ object Sharding {
 
   /** Write the corpus as N deterministic shards:
     * `.../shard=K/part-*.parquet`, rows inside each shard ordered by
-    * the hash sort key. `repartition(n, shard)` makes each output
-    * shard exactly one task's output (one exchange), and
-    * sortWithinPartitions makes every file's row order reproducible. */
+    * the hash sort key. `partitionBy("shard")` alone fixes the output
+    * LAYOUT (one directory per shard value, reproducible contents and
+    * row order via the sort); `repartition(n, shard)` only bounds the
+    * task count so each shard is written by few tasks rather than
+    * every task. Hash-partitioning on the shard value can collide two
+    * shard values into one task (and leave others empty), so
+    * one-file-per-shard is typical but not guaranteed — determinism
+    * and layout never depend on it. */
   def writeSharded(spark: SparkSession, df: DataFrame, idCol: String,
       nShards: Int, path: String): Unit =
     assignShards(df, idCol, nShards)

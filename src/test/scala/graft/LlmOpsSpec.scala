@@ -242,6 +242,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true))
   }
 
+  test("components uses reliable checkpoints when a checkpoint dir " +
+    "is configured") {
+    // a 14-node chain has diameter 13, forcing components() past the
+    // every-6th-round lineage checkpoint — with a checkpoint dir set,
+    // those rounds must go through the FAULT-TOLERANT checkpoint()
+    // path (files under the dir), not executor-local blocks
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+      .toString
+    val prev = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val pairs = (0L until 13L).map(i => (i, i + 1)).toDF("a", "b")
+      val comp = graft.llmops.DedupClusters
+        .components(pairs, "a", "b", maxIters = 20)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(comp.length == 14 && comp.forall(_._2 == 0L))
+      val wrote = new java.io.File(dir).listFiles()
+      assert(wrote != null && wrote.nonEmpty,
+        "expected RDD checkpoint files under the checkpoint dir")
+    } finally prev match {
+      case Some(p) => spark.sparkContext.setCheckpointDir(p)
+      case None => // SparkContext has no unset; leave the temp dir
+    }
+  }
+
   test("llmops operators are total on empty inputs") {
     val docs = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
     assert(TextOps.ngramJaccardPairs(docs, "doc_id", "text").count() == 0)

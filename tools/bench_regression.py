@@ -36,11 +36,17 @@ def load_queries(path):
     # the driver head-truncates `tail`, which can cut the line before
     # (or inside) the queries object — recover whatever per-query pairs
     # survive; a partial baseline still gates every query it names
-    pairs = re.findall(r'"(q\d+[a-z0-9_]*)":([0-9.]+)', tail)
-    if not pairs:
+    matches = list(re.finditer(r'"(q\d+[a-z0-9_]*)":([0-9.]+)', tail))
+    # the final pair can itself be cut mid-digits at the truncation
+    # point ("3.14159" -> "3.1"): if the last match runs to the very
+    # end of the tail, its number is unreliable — drop it rather than
+    # gate that query against a silently-wrong baseline
+    if matches and matches[-1].end() == len(tail):
+        matches.pop()
+    if not matches:
         raise SystemExit(f"no bench line found in {path}")
-    print(f"note: {path}: truncated tail, {len(pairs)} queries recovered")
-    return {k: float(v) for k, v in pairs}
+    print(f"note: {path}: truncated tail, {len(matches)} queries recovered")
+    return {m.group(1): float(m.group(2)) for m in matches}
 
 
 def main():
