@@ -80,6 +80,39 @@ object JobRunner {
             in("datasets"), in("phedex")),
           timestamp = 0L)))
 
+  /** Lake-maintenance registry: side-effecting utilities (compaction,
+    * deterministic shard export) that consume raw option values (paths
+    * and sizes, not pre-read inputs). Each returns a small SUMMARY
+    * DataFrame for the `--out` sink, so a maintenance run leaves the
+    * same auditable artifact a query job does. */
+  val lakeJobs
+      : Map[String, (SparkSession, Map[String, String]) => DataFrame] =
+    Map(
+      // rewrite a parquet store into ~target-bytes files (see
+      // IO.compact for the exclusive-access contract)
+      "compact_store" -> ((s, o) => {
+        val store = o.getOrElse("in-store",
+          sys.error("--in-store required for compact_store"))
+        val target = o.get("target-bytes").map(_.toLong)
+          .getOrElse(512L * 1024 * 1024)
+        val n = IO.compact(s, store, target)
+        import s.implicits._
+        Seq((store, n)).toDF("store", "n_files")
+      }),
+      // export a curated corpus as N deterministic shards + manifest
+      "shard_export" -> ((s, o) => {
+        val in = o.getOrElse("in-docs",
+          sys.error("--in-docs required for shard_export"))
+        val dest = o.getOrElse("dest",
+          sys.error("--dest required for shard_export"))
+        val n = o.get("shards").map(_.toInt).getOrElse(32)
+        val idCol = o.getOrElse("id-col", "doc_id")
+        val textCol = o.getOrElse("text-col", "text")
+        val df = s.read.parquet(in)
+        graft.llmops.Sharding.writeSharded(s, df, idCol, n, dest)
+        graft.llmops.Sharding.shardManifest(df, idCol, textCol, n)
+      }))
+
   /** Input-name → schema for the schematized readers. */
   private val schemas = Map(
     "datasets" -> Schemas.dbsDatasets, "files" -> Schemas.dbsFiles,
@@ -99,28 +132,33 @@ object JobRunner {
 
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
+    val allNames = (jobs.keys ++ lakeJobs.keys).toSeq.sorted
     val job = opts.getOrElse("job",
-      sys.error(s"--job required; one of ${jobs.keys.toSeq.sorted}"))
-    val (required, pipeline) = jobs.getOrElse(job,
-      sys.error(s"unknown job $job; one of ${jobs.keys.toSeq.sorted}"))
+      sys.error(s"--job required; one of $allNames"))
     val fmt = opts.getOrElse("fmt", "parquet")
     val out = opts.getOrElse("out", sys.error("--out required"))
     val spark = opts.get("master")
       .map(m => Sessions.builder(m, 32).appName(s"graft-$job").getOrCreate())
       .getOrElse(Sessions.local(appName = s"graft-$job"))
     try {
-      val inputs: Inputs = required.map { name =>
-        val path = opts.getOrElse(s"in-$name",
-          sys.error(s"--in-$name required for $job"))
-        val df = (fmt, schemas.get(name)) match {
-          case ("csv", Some(sc)) => IO.csv(spark, sc, Seq(path))
-          case ("json", Some(sc)) => IO.json(spark, sc, Seq(path))
-          case ("avro", _) => IO.avro(spark, Seq(path))
-          case _ => IO.parquet(spark, Seq(path))
-        }
-        name -> df
-      }.toMap
-      val result = pipeline(spark, inputs)
+      val result = lakeJobs.get(job) match {
+        case Some(lake) => lake(spark, opts)
+        case None =>
+          val (required, pipeline) = jobs.getOrElse(job,
+            sys.error(s"unknown job $job; one of $allNames"))
+          val inputs: Inputs = required.map { name =>
+            val path = opts.getOrElse(s"in-$name",
+              sys.error(s"--in-$name required for $job"))
+            val df = (fmt, schemas.get(name)) match {
+              case ("csv", Some(sc)) => IO.csv(spark, sc, Seq(path))
+              case ("json", Some(sc)) => IO.json(spark, sc, Seq(path))
+              case ("avro", _) => IO.avro(spark, Seq(path))
+              case _ => IO.parquet(spark, Seq(path))
+            }
+            name -> df
+          }.toMap
+          pipeline(spark, inputs)
+      }
       if (opts.getOrElse("out-fmt", "csv") == "parquet")
         result.write.mode("overwrite").parquet(out)
       else IO.writeCsv(result, out)

@@ -489,6 +489,84 @@ object TextOps {
           .otherwise(lit(0.0)).as("dup_fraction"))
   }
 
+  /** Percentile-based quality gate: within each `groupCol` (language,
+    * domain, source…), keep rows whose `scoreCol` sits at or above the
+    * `minPercentile`-th percentile of the group — "drop the worst 20%
+    * of every language" without choosing per-language absolute
+    * thresholds. `pr` = percent_rank over a TOTAL order (tieCol breaks
+    * score ties), so the kept set is deterministic and the fraction
+    * dropped is exact. One exchange on the group key; WindowExec
+    * sorts/spills per group — no driver-side quantile estimation, and
+    * unlike approxQuantile the cut is exact and reproducible.
+    *
+    * A single-row group's row has pr = 0 (percent_rank's 0/0 case), so
+    * a naive `pr >= q` gate would drop a tail language's ONLY document
+    * — singleton groups are therefore always kept. */
+  def percentileGate(df: DataFrame, groupCol: String, scoreCol: String,
+      tieCol: String, minPercentile: Double): DataFrame = {
+    val byGroup = Window.partitionBy(col(groupCol))
+    val w = byGroup.orderBy(col(scoreCol), col(tieCol))
+    df.withColumn("pr", percent_rank().over(w))
+      .withColumn("__n", count(lit(1)).over(byGroup))
+      .filter(col("pr") >= minPercentile || col("__n") === 1)
+      .drop("__n")
+  }
+
+  /** Global segment-level dedup with reassembly — the C4/RefinedWeb
+    * "remove boilerplate lines across the corpus" pass. Documents are
+    * cut into consecutive `segTokens`-token segments; a segment
+    * survives only at its FIRST corpus occurrence (min (doc, pos)
+    * order); each document is reassembled from its surviving segments
+    * in original order. Output per doc: segment counts and the
+    * rebuilt text's length + md5 (the digest keeps the verifiable
+    * surface small — callers wanting the text itself take
+    * `rebuilt`).
+    *
+    * Shape: narrow per-row segmentation (no shuffle), ONE exchange on
+    * the segment value for the first-occurrence window, one hash agg
+    * back on the doc id for reassembly. The window partitions by the
+    * raw segment string here; at 100 TB you'd key by `hash60(seg)`
+    * instead (same plan, 8-byte keys) — the string key keeps the
+    * DuckDB oracle byte-identical. Duplicate-heavy segments are ONE
+    * window partition each — a corpus-constant boilerplate line is a
+    * hot key, but the window only sorts it, never pairs it
+    * (WindowExec spills; no quadratic blowup). */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 16): DataFrame = {
+    val toks = tokens(col(textCol))
+    // ceil(n/seg) positions; guard n=0 (sequence(0,-1) would DESCEND)
+    val nseg = expr(s"(size(split(`$textCol`, ' ')) + ${segTokens - 1})" +
+      s" div $segTokens").cast("long")
+    val segs = df.select(col(idCol), toks.as("toks"), nseg.as("nseg"))
+      .select(col(idCol),
+        when(col("nseg") > 0, sequence(lit(0L), col("nseg") - 1))
+          .otherwise(array().cast("array<long>")).as("ps"),
+        col("toks"))
+      .select(col(idCol), explode_outer(col("ps")).as("pos"), col("toks"))
+      .select(col(idCol), col("pos"),
+        when(col("pos").isNotNull,
+          array_join(slice(col("toks"),
+            (col("pos") * segTokens + 1).cast("int"), lit(segTokens)),
+            " "))
+          .as("seg"))
+    val firstSeen = Window.partitionBy(col("seg"))
+      .orderBy(col(idCol), col("pos"))
+    val kept = segs.withColumn("keep",
+      col("pos").isNotNull && row_number().over(firstSeen) === 1)
+    kept.groupBy(col(idCol))
+      .agg(
+        sum(when(col("pos").isNotNull, 1L).otherwise(0L))
+          .as("n_segments"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(when(col("keep"),
+            struct(col("pos"), col("seg"))))),
+          x => x.getField("seg")), " ").as("rebuilt"))
+      .select(col(idCol), col("n_segments"), col("n_kept"),
+        length(col("rebuilt")).cast("long").as("kept_chars"),
+        md5(col("rebuilt")).as("kept_md5"))
+  }
+
   // substring(Column, Column, Column) has no functions._ overload
   private def substring(str: Column, pos: Column, len: Column): Column =
     call_function("substring", str, pos, len)

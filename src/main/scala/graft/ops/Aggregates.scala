@@ -53,4 +53,38 @@ object Aggregates {
     * the reference uses non-deterministic `first()`
     * (rucio_datasets_stats.py:320); we use `min` for oracle parity. */
   def carry(c: Column): Column = min(c)
+
+  /** Exact discrete quantiles per group: for each quantile q = num/den,
+    * the group's value at rank ceil(q·n) in (valueCol, tieCol) order —
+    * the "disc" definition (an actual data value, no interpolation, so
+    * no float arithmetic and every engine agrees bit-for-bit; exact
+    * median/p90/p99 of token counts per language is the canonical
+    * corpus-stats use). One row per group, one column per requested
+    * quantile plus `n_rows`.
+    *
+    * Shape: one exchange on the group key, WindowExec rank + count
+    * (sorts/spills per group), then a hash agg folds the rank hits to
+    * one row. Exactness costs the per-group sort; the approximate
+    * 100 TB path is `approx_percentile` (engine-specific sketch →
+    * rows-only verification, q55 precedent) — this is the exact path
+    * for when the cut feeds a reproducible gate. Quantiles are given
+    * as integer fractions to keep rank arithmetic in exact Long math:
+    * ceil(num·n/den) = (num·n + den - 1) div den. */
+  def quantilesDisc(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      valueCol: String, tieCol: String,
+      qs: Seq[(String, Int, Int)]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = Window.partitionBy(col(groupCol))
+    val ranked = df
+      .withColumn("__rn",
+        row_number().over(byGroup.orderBy(col(valueCol), col(tieCol))))
+      .withColumn("__n", count(lit(1)).over(byGroup))
+    val qCols = qs.map { case (name, num, den) =>
+      max(when(col("__rn") ===
+          expr(s"(${num}L * __n + ${den - 1}L) div ${den}L"),
+        col(valueCol))).as(name)
+    }
+    ranked.groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n_rows"), qCols: _*)
+  }
 }

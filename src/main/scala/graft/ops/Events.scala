@@ -72,6 +72,41 @@ object Events {
     carried.select(outCols: _*)
   }
 
+  /** Interval (range-containment) join, binned: every event row joined
+    * to every interval with `start <= ts <= end` — the "which
+    * maintenance windows / incidents / campaigns does this event fall
+    * in" join. Spark's only native plan for `ON ts BETWEEN start AND
+    * end` is BroadcastNestedLoopJoin (fine while intervals fit in one
+    * broadcast) falling back to a cartesian — O(|events|·|intervals|)
+    * at scale. This operator makes it an EQUI-join: explode each
+    * interval over the fixed-width time bins it covers, key each event
+    * by its single bin, hash-join on the bin, re-check the bounds.
+    *
+    * An event's bin is unique, so each (event, interval) pair meets in
+    * exactly one bin — no post-join dedup. Cost is |intervals| ×
+    * (span/binWidth) replicated interval rows (choose `binWidth` near
+    * the median interval span: a handful of replicas per interval) and
+    * one shuffle of each side keyed by bin. Skewed bins (event
+    * hot-spots) are ordinary AQE skew-join territory, not a cartesian.
+    * Intervals and events survive with all their columns; bounds are
+    * compared as the integer tick values the caller supplies. */
+  def rangeJoin(events: DataFrame, tsCol: String, intervals: DataFrame,
+      startCol: String, endCol: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, "rangeJoin: binWidth must be positive")
+    // `div` = exact Long integer division ("/" on longs is DOUBLE);
+    // ticks are assumed non-negative (epoch micros/nanos), where
+    // truncating div == floor div
+    val binned = intervals.withColumn("__bin", explode(sequence(
+      expr(s"`$startCol` div ${binWidth}L"),
+      expr(s"`$endCol` div ${binWidth}L"))))
+    val keyed = events.withColumn("__bin",
+      expr(s"`$tsCol` div ${binWidth}L"))
+    keyed.join(binned,
+        keyed("__bin") === binned("__bin") &&
+          keyed(tsCol) >= binned(startCol) && keyed(tsCol) <= binned(endCol))
+      .drop("__bin")
+  }
+
   /** Gap-based sessionization: consecutive events of one `key` belong
     * to the same session while the gap to the previous event is ≤
     * `gap` (in the units of `tsCol` — the operator is unit-agnostic);

@@ -139,6 +139,113 @@ object CurationQueries {
               org.apache.spark.sql.expressions.Window
                 .partitionBy(col("lang"))).cast("double"))
             .as("lang_share"))
-      })
+      }),
+
+    // Percentile-based quality gate: drop the bottom 20% of every
+    // language by n_chars. percent_rank over a TOTAL order is
+    // (rank-1)/(n-1) — exact integer operands, one IEEE division,
+    // bit-identical across engines — so the cut is deterministic and
+    // needs no per-language absolute threshold. Singleton groups are
+    // kept (their one row has pr = 0 and would otherwise vanish).
+    QueryDef(
+      "q81_percentile_gate",
+      Some("""
+        SELECT doc_id, lang, n_chars, pr FROM (
+          SELECT doc_id, lang, n_chars,
+                 percent_rank() OVER (PARTITION BY lang
+                   ORDER BY n_chars, doc_id) AS pr,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM documents)
+        WHERE pr >= 0.2 OR n = 1"""),
+      (s, d) =>
+        TextOps.percentileGate(
+          t(s, d, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars")),
+          "lang", "n_chars", "doc_id", 0.2)),
+
+    // Training-mixture weights: per-language sqrt-law sampling weights
+    // (w ∝ n^0.5 — up-weights tail languages). The normalizer is an
+    // ordered left fold over the language list in both engines, never
+    // a partition-order-dependent double sum.
+    QueryDef(
+      "q82_mixture_weights",
+      Some("""
+        WITH c AS (SELECT lang, count(*) AS n_docs
+                   FROM documents GROUP BY 1),
+        d AS (SELECT list_reduce(
+                list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(list(n_docs ORDER BY lang),
+                    x -> sqrt(CAST(x AS DOUBLE)))),
+                (a, b) -> a + b) AS denom FROM c)
+        SELECT c.lang, c.n_docs,
+               sqrt(CAST(c.n_docs AS DOUBLE)) AS w_raw,
+               sqrt(CAST(c.n_docs AS DOUBLE)) / d.denom AS weight
+        FROM c, d"""),
+      (s, d) =>
+        graft.llmops.Mixture.sqrtMixtureWeights(
+          t(s, d, "documents"), "lang")),
+
+    // Exact per-language discrete quantiles (median/p90/p99 of
+    // n_chars): value at rank ceil(q·n) — an actual data value, all
+    // rank arithmetic in exact Long math, no interpolation, no libm.
+    QueryDef(
+      "q83_quantile_stats",
+      Some("""
+        WITH r AS (SELECT lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY n_chars, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+                   FROM documents)
+        SELECT lang, CAST(max(n) AS BIGINT) AS n_rows,
+               max(CASE WHEN rn = (1*n + 1) // 2 THEN n_chars END)
+                 AS p50,
+               max(CASE WHEN rn = (9*n + 9) // 10 THEN n_chars END)
+                 AS p90,
+               max(CASE WHEN rn = (99*n + 99) // 100 THEN n_chars END)
+                 AS p99
+        FROM r GROUP BY 1"""),
+      (s, d) =>
+        graft.ops.Aggregates.quantilesDisc(
+          t(s, d, "documents"), "lang", "n_chars", "doc_id",
+          Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))),
+
+    // Global segment-level dedup with reassembly (the C4/RefinedWeb
+    // boilerplate-line removal): 16-token segments survive only at
+    // their first corpus occurrence; docs reassemble from surviving
+    // segments in original order. Verified via per-doc counts + md5 of
+    // the rebuilt text.
+    QueryDef(
+      "q84_segment_dedup",
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     string_split(coalesce(text, ''), ' ') AS toks
+                   FROM documents),
+        s AS (SELECT doc_id,
+                     unnest(range(0, (len(toks)+15)//16)) AS pos, toks
+              FROM t),
+        g AS (SELECT doc_id, pos,
+                     array_to_string(toks[(pos*16+1):(pos*16+16)], ' ')
+                       AS seg
+              FROM s),
+        k AS (SELECT doc_id, pos, seg,
+                     row_number() OVER (PARTITION BY seg
+                       ORDER BY doc_id, pos) AS rn
+              FROM g)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+               CAST(length(coalesce(string_agg(
+                 CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY pos), ''))
+                 AS BIGINT) AS kept_chars,
+               md5(coalesce(string_agg(
+                 CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY pos), ''))
+                 AS kept_md5
+        FROM k GROUP BY 1"""),
+      (s, d) =>
+        TextOps.segmentDedup(
+          t(s, d, "documents")
+            .select(col("doc_id"),
+              coalesce(col("text"), lit("")).as("text")),
+          "doc_id", "text"))
   )
 }

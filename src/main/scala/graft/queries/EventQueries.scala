@@ -114,6 +114,77 @@ object EventQueries {
             count(lit(1)).over(w).as("n_24h"),
             sum(col("value").cast("decimal(18,4)")).over(w)
               .cast("double").as("sum_24h"))
+      }),
+
+    // Interval (range-containment) join, binned: the 5 highest-value
+    // purchases define ±1h incident windows; every event falling in a
+    // window aggregates to it. Spark's native plan for a BETWEEN join
+    // is a nested-loop/cartesian — `Events.rangeJoin` turns it into an
+    // EQUI-join on 10-minute time bins (each event meets each interval
+    // in exactly one bin, so no post-join dedup). The oracle is
+    // DuckDB's genuine inequality join over the same windows.
+    QueryDef(
+      "q80_range_join",
+      Some("""
+        WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, event_type,
+                          value
+                   FROM events),
+        w AS (SELECT event_id AS win_id,
+                     ts_us - 3600000000 AS start_us,
+                     ts_us + 3600000000 AS end_us
+              FROM e WHERE event_type = 'purchase'
+              ORDER BY value DESC, event_id LIMIT 5)
+        SELECT w.win_id, w.start_us, w.end_us,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE)
+                 AS sum_value
+        FROM w JOIN e ON e.ts_us BETWEEN w.start_us AND w.end_us
+        GROUP BY 1, 2, 3"""),
+      (s, d) => {
+        val e = t(s, d, "events")
+          .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+            col("event_type"), col("value"))
+        val wins = e.filter(col("event_type") === "purchase")
+          .orderBy(col("value").desc, col("event_id")).limit(5)
+          .select(col("event_id").as("win_id"),
+            (col("ts_us") - 3600000000L).as("start_us"),
+            (col("ts_us") + 3600000000L).as("end_us"))
+        Events.rangeJoin(e.select(col("ts_us"), col("value")), "ts_us",
+            wins, "start_us", "end_us", binWidth = 600000000L)
+          .groupBy(col("win_id"), col("start_us"), col("end_us"))
+          .agg(count(lit(1)).as("n_events"),
+            graft.ops.Aggregates.decSum(col("value")).as("sum_value"))
+      }),
+
+    // Incremental aggregation exactness proof: per-type partials built
+    // from two disjoint time halves, merged with `Incremental.merge` —
+    // the oracle aggregates the WHOLE table from scratch in one pass.
+    // merge(partial(A), partial(B)) == partial(A ∪ B) exactly because
+    // every partial is algebraic (count/decimal-sum/min/max) — the
+    // materialized-view maintenance contract a daily 100 TB pipeline
+    // rests on (append a day's partial, never re-scan history).
+    QueryDef(
+      "q85_incremental_merge",
+      Some("""
+        WITH e AS (SELECT event_type, value FROM events)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                 AS sum_value,
+               min(value) AS min_value, max(value) AS max_value
+        FROM e GROUP BY 1"""),
+      (s, d) => {
+        val e = t(s, d, "events")
+          .select(col("event_type"), col("value"),
+            expr("ts div 1000").as("ts_us"))
+        val cut = 1705276800000000L // 2024-01-15T00:00:00Z in epoch µs
+        val halves = Seq(
+          e.filter(col("ts_us") < cut), e.filter(col("ts_us") >= cut))
+          .map(h => graft.ops.Incremental
+            .partial(h, Seq("event_type"), "value"))
+        graft.ops.Incremental.present(
+          graft.ops.Incremental.merge(halves, Seq("event_type")),
+          Seq("event_type"))
       })
   )
 }

@@ -242,6 +242,54 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true))
   }
 
+  test("percentileGate drops exactly the bottom fraction per group") {
+    // group a: 10 docs scored 0..9 → pr = rank/9; pr >= 0.2 keeps
+    // scores 2..9 (8 docs). group b: single doc → pr = 0/0 = 0, but
+    // singleton groups are always kept (a tail language must not lose
+    // its only document to the gate).
+    val df = ((0 until 10).map(i => ("a", i.toLong, i.toLong)) :+
+      (("b", 99L, 42L))).toDF("g", "score", "id")
+    val kept = TextOps.percentileGate(df, "g", "score", "id", 0.2)
+      .select("g", "score").as[(String, Long)].collect().toSet
+    assert(kept == ((2 to 9).map(i => ("a", i.toLong)).toSet + (("b", 99L))))
+  }
+
+  test("segmentDedup removes repeated segments at later occurrences " +
+    "and reassembles in order") {
+    val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
+    val uniq1 = (1 to 16).map(i => s"u$i").mkString(" ")
+    val uniq2 = (1 to 16).map(i => s"v$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler $uniq1"), // first occurrence of boiler: kept
+      (2L, s"$boiler $uniq2"), // boiler dropped, uniq2 kept
+      (3L, boiler)) // entirely boilerplate: rebuilt = ""
+      .toDF("doc_id", "text")
+    val got = TextOps.segmentDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getLong(1) == 2 && got(0).getLong(2) == 2)
+    assert(got(1).getLong(1) == 2 && got(1).getLong(2) == 1)
+    assert(got(2).getLong(1) == 1 && got(2).getLong(2) == 0)
+    // doc 3 rebuilt empty: md5 of ""
+    assert(got(2).getString(4) == "d41d8cd98f00b204e9800998ecf8427e"
+      && got(2).getLong(3) == 0L)
+    // doc 2's rebuilt == just its unique segment
+    val expectMd5 = docs.sparkSession.sql(
+      s"SELECT md5('$uniq2')").head.getString(0)
+    assert(got(1).getString(4) == expectMd5)
+  }
+
+  test("sqrt mixture weights: normalized, sqrt-law, deterministic") {
+    val df = (Seq.fill(16)("big") ++ Seq.fill(4)("mid") ++ Seq("tiny"))
+      .toDF("lang")
+    val w = graft.llmops.Mixture.sqrtMixtureWeights(df, "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(w("big")._2 == 4.0 && w("mid")._2 == 2.0 && w("tiny")._2 == 1.0)
+    assert(math.abs(w.values.map(_._3).sum - 1.0) < 1e-12)
+    // sqrt-law: 16x the docs gets only 4x the weight
+    assert(math.abs(w("big")._3 / w("tiny")._3 - 4.0) < 1e-12)
+  }
+
   test("components uses reliable checkpoints when a checkpoint dir " +
     "is configured") {
     // a 14-node chain has diameter 13, forcing components() past the

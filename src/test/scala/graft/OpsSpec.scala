@@ -98,4 +98,69 @@ class OpsSpec extends AnyFunSuite {
     val v = Dedup.anonymize(df, Seq("pii")).head.getString(0)
     assert(v.matches("[0-9a-f]{32}"))
   }
+
+  test("rangeJoin == brute-force BETWEEN join, incl. bin-boundary hits") {
+    val rnd = new scala.util.Random(7)
+    val events = (0 until 400)
+      .map(i => (i.toLong, rnd.nextInt(1000).toLong))
+      .toDF("eid", "ts")
+    // intervals deliberately include bin-aligned bounds (multiples of
+    // the 50-tick bin width) and zero-length intervals
+    val ivs = Seq((0L, 100L, 200L), (1L, 150L, 150L), (2L, 0L, 49L),
+      (3L, 950L, 999L), (4L, 37L, 612L))
+      .toDF("win", "lo", "hi")
+    val got = graft.ops.Events
+      .rangeJoin(events, "ts", ivs, "lo", "hi", binWidth = 50L)
+      .select("eid", "win").as[(Long, Long)].collect().toSet
+    val brute = events.join(ivs,
+        col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .select("eid", "win").as[(Long, Long)].collect().toSet
+    assert(got == brute)
+    // exactly once per (event, interval): no bin-duplicate rows
+    val n = graft.ops.Events
+      .rangeJoin(events, "ts", ivs, "lo", "hi", binWidth = 50L).count()
+    assert(n == brute.size)
+  }
+
+  test("incremental merge == from-scratch partial, and is a schema " +
+    "fixed point") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300)
+      .map(i => (s"k${i % 7}", rnd.nextDouble() * 100 - 50))
+    val full = rows.toDF("k", "v")
+    val parts = rows.grouped(100).map(_.toDF("k", "v"))
+      .map(d => graft.ops.Incremental.partial(d, Seq("k"), "v")).toSeq
+    val merged = graft.ops.Incremental.merge(parts, Seq("k"))
+    val direct = graft.ops.Incremental.partial(full, Seq("k"), "v")
+    // exact equality of the DOUBLE faces (decimal sums are associative)
+    val a = graft.ops.Incremental.present(merged, Seq("k"))
+      .orderBy("k").collect().map(_.toSeq)
+    val b = graft.ops.Incremental.present(direct, Seq("k"))
+      .orderBy("k").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    // merge-of-merges keeps the same schema as a fresh partial
+    val twice = graft.ops.Incremental.merge(Seq(merged, merged), Seq("k"))
+    assert(twice.schema.map(f => (f.name, f.dataType)) ==
+      merged.schema.map(f => (f.name, f.dataType)))
+  }
+
+  test("quantilesDisc picks the sorted-array element at ceil(q*n)") {
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 237)
+      .map(i => (s"g${i % 3}", rnd.nextInt(500).toLong, i.toLong))
+      .toDF("g", "v", "id")
+    val got = Aggregates.quantilesDisc(df, "g", "v", "id",
+        Seq(("p50", 1, 2), ("p90", 9, 10)))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val data = df.as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (g, rs) =>
+        val sorted = rs.sortBy(r => (r._2, r._3)).map(_._2)
+        val n = sorted.length
+        def at(num: Int, den: Int) =
+          sorted((num * n + den - 1) / den - 1)
+        g -> (n.toLong, at(1, 2), at(9, 10))
+      }
+    assert(got == data)
+  }
 }

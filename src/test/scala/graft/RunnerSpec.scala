@@ -62,6 +62,40 @@ class RunnerSpec extends AnyFunSuite {
       s"expected block lumi count in ${lines.toSeq}")
   }
 
+  test("JobRunner: compact_store lake job rewrites the store and " +
+    "emits a summary") {
+    val dir = Files.createTempDirectory("graft-runner-ck").toString
+    val store = s"$dir/store"
+    val s0 = graft.core.Sessions.local(4, "graft-runner-test")
+    import s0.implicits._
+    (1 to 200).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+      .repartition(20).write.parquet(store)
+    val summary = JobRunner.lakeJobs("compact_store")(
+      s0, Map("in-store" -> store, "target-bytes" -> "1000000000"))
+      .collect()
+    assert(summary.length == 1 && summary(0).getInt(1) == 1)
+    // store still reads back complete, now in 1 data file
+    assert(s0.read.parquet(store).count() == 200)
+    val parts = new java.io.File(store).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(parts == 1)
+  }
+
+  test("JobRunner: shard_export lake job writes shard dirs + manifest") {
+    val dir = Files.createTempDirectory("graft-runner-sh").toString
+    val s0 = graft.core.Sessions.local(4, "graft-runner-test")
+    import s0.implicits._
+    (1 to 100).map(i => (i.toLong, s"tok$i tok$i"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    val manifest = JobRunner.lakeJobs("shard_export")(
+      s0, Map("in-docs" -> s"$dir/docs", "dest" -> s"$dir/shards",
+        "shards" -> "4")).collect()
+    assert(manifest.map(_.getLong(1)).sum == 100)
+    val shardDirs = new java.io.File(s"$dir/shards").listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(shardDirs.toSeq == (0 until 4).map(i => s"shard=$i"))
+  }
+
   test("JobRunner: unknown job and missing inputs fail with clear errors") {
     val e1 = intercept[RuntimeException] {
       JobRunner.main(Array("--job", "nope", "--out", "/tmp/x"))
