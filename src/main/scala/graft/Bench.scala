@@ -31,7 +31,15 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(timed(), timed())
+      val (a, b) = (timed(), timed())
+      // Noise guard: if the two runs disagree by >2x, the box was
+      // contended for one of them (r4 saw BOTH runs of one query hit a
+      // sustained stall -> a phantom 5x "regression"); one extra run
+      // only for the disagreeing queries keeps the sweep cheap while
+      // bounding that failure mode.
+      val best = math.min(a, b)
+      name -> (if (math.max(a, b) > 2 * best) math.min(best, timed())
+               else best)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

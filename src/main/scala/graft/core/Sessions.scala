@@ -56,6 +56,9 @@ object Sessions {
     if (!spark.catalog.functionExists("simhash_fold"))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "simhash_fold", graft.functions.SimhashFold.builder, "builtin")
+    if (!spark.catalog.functionExists("nfc_normalize"))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "nfc_normalize", graft.functions.NfcNormalize.builder, "builtin")
     spark
   }
 }

@@ -70,5 +70,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Md5Prefix60.info, Md5Prefix60.builder))
     ext.injectFunction((FunctionIdentifier("simhash_fold"),
       SimhashFold.info, SimhashFold.builder))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      NfcNormalize.info, NfcNormalize.builder))
   }
 }

@@ -40,4 +40,60 @@ object Mixture {
         sqrt(col("n_docs").cast("double")).as("w_raw"),
         (sqrt(col("n_docs").cast("double")) / col("denom")).as("weight"))
   }
+
+  /** Materialize the mixture: deterministic hash-Bernoulli sampling of
+    * `df` at per-group rates `min(1, weight · factor)` derived from
+    * [[sqrtMixtureWeights]]. A doc is kept iff
+    * `hash60(id ∥ salt) mod 10^6 < floor(rate · 10^6)` — a pure
+    * function of the row, so the sample is REPRODUCIBLE (same corpus →
+    * same sample on any cluster layout, resumable mid-job) and
+    * composable (two pipelines sampling with the same salt draw the
+    * same docs; disjoint salts draw independent ones). No `rand()`,
+    * whose per-partition seeding changes with the split layout.
+    *
+    * The rate table is #groups rows — broadcast; the corpus side is
+    * one narrow filter, no shuffle. Returns the sampled rows of `df`
+    * with `rate` and `thr` attached. */
+  def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
+      factor: Double = 2.0, salt: String = ":mix"): DataFrame = {
+    val rates = sqrtMixtureWeights(df, groupCol)
+      .select(col(groupCol),
+        least(lit(1.0), col("weight") * factor).as("rate"))
+      .withColumn("thr", floor(col("rate") * 1000000.0).cast("long"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(TextOps.hash60(
+        concat(col(idCol).cast("string"), lit(salt))) % 1000000L
+        < col("thr"))
+  }
+
+  /** Fractional epoch upsampling: each group's docs are repeated
+    * `epochs = weight · scale` times per training pass — integer part
+    * as full copies, fractional part as a deterministic hash-Bernoulli
+    * extra copy (`hash60(id ∥ salt) mod 10^6 < floor(frac · 10^6)`),
+    * so the EXPECTED group mass is exact while every draw is
+    * reproducible. This is how a data loader honors non-integer
+    * mixture weights without global shuffling: the explode is per-row,
+    * the copy index rides along for downstream interleaving, and a doc
+    * with zero copies this pass simply emits no rows.
+    *
+    * Output: `df`'s rows × copies with `n_copies` and `copy` (0-based)
+    * attached. */
+  def epochUpsample(df: DataFrame, groupCol: String, idCol: String,
+      scale: Double = 10.0, salt: String = ":ep"): DataFrame = {
+    val eps = sqrtMixtureWeights(df, groupCol)
+      .select(col(groupCol), (col("weight") * scale).as("epochs"))
+      .withColumn("base", floor(col("epochs")).cast("long"))
+      .withColumn("fthr",
+        floor((col("epochs") - floor(col("epochs"))) * 1000000.0)
+          .cast("long"))
+    df.join(broadcast(eps), Seq(groupCol))
+      .withColumn("n_copies",
+        col("base") + when(TextOps.hash60(
+          concat(col(idCol).cast("string"), lit(salt))) % 1000000L
+          < col("fthr"), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .withColumn("copy",
+        explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("base", "fthr")
+  }
 }

@@ -567,6 +567,92 @@ object TextOps {
         md5(col("rebuilt")).as("kept_md5"))
   }
 
+  /** Boilerplate chunk-frequency filter (the CCNet/Gopher "common
+    * lines" rule): non-overlapping `segTokens`-token chunks, and EVERY
+    * copy of a chunk appearing in more than `maxDf` distinct documents
+    * is dropped — headers, navigation, license banners. The complement
+    * of [[segmentDedup]]: first-occurrence dedup keeps one copy of a
+    * repeated segment; the frequency filter removes the segment
+    * entirely once it is corpus-common.
+    *
+    * Shape: segment explode (same scaffold as [[segmentDedup]]), then
+    * document frequency per chunk via a distinct (seg, doc) hash
+    * aggregation — NOT a `collect_set` window, whose per-chunk buffer
+    * would hold every doc id of a universal boilerplate chunk in one
+    * aggregation buffer at 100 TB — joined back on the chunk key (both
+    * sides arrive hash-partitioned on `seg`, so AQE plans the join
+    * without a third exchange), and in-order reassembly per doc. */
+  def chunkFrequencyFilter(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 4, maxDf: Long = 2): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nseg = expr(s"(size(split(`$textCol`, ' ')) + ${segTokens - 1})" +
+      s" div $segTokens").cast("long")
+    val segs = df.select(col(idCol), toks.as("toks"), nseg.as("nseg"))
+      .select(col(idCol),
+        when(col("nseg") > 0, sequence(lit(0L), col("nseg") - 1))
+          .otherwise(array().cast("array<long>")).as("ps"),
+        col("toks"))
+      .select(col(idCol), explode_outer(col("ps")).as("pos"), col("toks"))
+      .select(col(idCol), col("pos"),
+        when(col("pos").isNotNull,
+          array_join(slice(col("toks"),
+            (col("pos") * segTokens + 1).cast("int"), lit(segTokens)),
+            " "))
+          .as("seg"))
+    val docFreq = segs.filter(col("pos").isNotNull)
+      .select(col("seg"), col(idCol)).distinct()
+      .groupBy(col("seg")).agg(count(lit(1)).as("df"))
+    // left join: the pos-null placeholder of an empty doc has seg =
+    // null, never matches, and survives with df = null (kept = false)
+    val kept = segs.join(docFreq, Seq("seg"), "left")
+      .withColumn("keep", col("pos").isNotNull && col("df") <= maxDf)
+    kept.groupBy(col(idCol))
+      .agg(
+        sum(when(col("pos").isNotNull, 1L).otherwise(0L))
+          .as("n_segments"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(when(col("keep"),
+            struct(col("pos"), col("seg"))))),
+          x => x.getField("seg")), " ").as("rebuilt"))
+      .select(col(idCol), col("n_segments"), col("n_kept"),
+        when(col("n_segments") > 0,
+          col("n_kept").cast("double") / col("n_segments").cast("double"))
+          .otherwise(lit(0.0)).as("kept_fraction"),
+        md5(col("rebuilt")).as("kept_md5"))
+  }
+
+  /** Vocabulary construction + out-of-vocabulary rate: the top
+    * `vocabSize` corpus terms by (count desc, term asc) — a TOTAL
+    * order, so the cut at the boundary is deterministic — then each
+    * document's fraction of tokens outside that vocabulary. High OOV
+    * is the standard "not the target language / not natural text"
+    * curation signal, and the vocab list itself is the tokenizer-
+    * training input.
+    *
+    * Shape: one token explode feeds BOTH sides — a corpus-wide count
+    * aggregation cut to `vocabSize` rows (TakeOrdered, driver-free)
+    * that re-enters as a BROADCAST probe list, and a per-doc
+    * aggregation counting probe misses. The corpus side shuffles once
+    * (the per-doc agg); the vocab side is dimension-table small by
+    * construction at any corpus size. */
+  def vocabOovRate(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 50): DataFrame = {
+    val words = df.select(col(idCol),
+      explode(tokens(col(textCol))).as("term"))
+    val vocab = words.groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(vocabSize)
+    words
+      .join(broadcast(vocab.select(col("term"), lit(1L).as("__in_v"))),
+        Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   // substring(Column, Column, Column) has no functions._ overload
   private def substring(str: Column, pos: Column, len: Column): Column =
     call_function("substring", str, pos, len)

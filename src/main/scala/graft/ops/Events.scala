@@ -143,4 +143,81 @@ object Events {
       .withColumn("duration_s",
         expr(s"(end_ts - start_ts) div $ticksPerSecond"))
   }
+
+  /** Ordered funnel: per entity, the earliest time of stage 1, the
+    * earliest stage-2 event STRICTLY AFTER that, the earliest stage-3
+    * event strictly after THAT, and so on — the product-analytics
+    * "view → click → purchase" conversion question, which is not a
+    * join problem: the naive stage-i ⋈ stage-i+1 self-join explodes
+    * quadratically on entities with many events.
+    *
+    * Shape: ONE exchange on the entity key, one per-key sort, then a
+    * cascade of running conditional minima — `min(ts where stage_i and
+    * ts > running_min_{i-1})` over an unbounded-preceding row frame —
+    * and one hash aggregation. Every window in the cascade shares the
+    * same partitioning and ordering, so Catalyst plans a single
+    * WindowExec over a single sort (O((Σ|events|) log) per key,
+    * spillable). All comparisons are on the caller's integer tick
+    * column. Entities that never reach stage 1 report all-null stage
+    * times with `n_stages` 0 — they stay visible (the funnel's
+    * denominator).
+    *
+    * Output: (key, t1..tn as `t<i>`, n_stages). */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+      stageCol: String, stages: Seq[String], tieCol: String)
+      : DataFrame = {
+    require(stages.nonEmpty, "funnel: need at least one stage")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // stageTs(i) = this row's ts if it extends the funnel at stage i
+    // (right stage label, strictly after the running stage-(i-1) min)
+    val withRunning = stages.zipWithIndex
+      .foldLeft(events) { case (acc, (stage, i)) =>
+        val cond =
+          if (i == 0) col(stageCol) === stage
+          else col(stageCol) === stage &&
+            col(tsCol) > col(s"__run${i - 1}")
+        val flagged = acc.withColumn(s"__hit$i",
+          when(cond, col(tsCol)))
+        // the LAST stage's running min is never referenced — skip its
+        // window so the plan stays one node per needed stage
+        if (i == stages.size - 1) flagged
+        else flagged.withColumn(s"__run$i",
+          min(col(s"__hit$i")).over(w))
+      }
+    val stageMins = stages.indices.map(i =>
+      min(col(s"__hit$i")).as(s"t${i + 1}"))
+    val agged = withRunning.groupBy(col(keyCol))
+      .agg(stageMins.head, stageMins.tail: _*)
+    agged.withColumn("n_stages",
+      stages.indices.map(i =>
+        when(col(s"t${i + 1}").isNotNull, 1).otherwise(0))
+        .reduce(_ + _))
+  }
+
+  /** Weekly retention cohorts: entities are cohorted by the week of
+    * their first event; for every (cohort week, weeks-since-cohort)
+    * cell, how many distinct entities were active — the standard
+    * retention triangle. Weeks are exact integer arithmetic on the
+    * tick column (`ts div ticksPerWeek`, epoch-anchored), never
+    * calendar math, so both engines bucket identically.
+    *
+    * Shape: first-event week per entity (one hash agg), distinct
+    * (entity, week) activity (one hash agg), a join on the entity key
+    * (both sides hash-partitioned on it), and the final cell count.
+    * The entity dimension is the big side at scale — the join keys on
+    * it, no broadcast assumption. */
+  def retentionCohorts(events: DataFrame, keyCol: String, tsCol: String,
+      ticksPerWeek: Long): DataFrame = {
+    val weeks = events.select(col(keyCol),
+      expr(s"`$tsCol` div ${ticksPerWeek}L").as("__week"))
+    val cohort = weeks.groupBy(col(keyCol))
+      .agg(min(col("__week")).as("cohort_week"))
+    val active = weeks.distinct()
+    active.join(cohort, Seq(keyCol))
+      .groupBy(col("cohort_week"),
+        (col("__week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

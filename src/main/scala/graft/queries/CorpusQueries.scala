@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.llmops.{Mixture, Retrieval, TextOps}
+
+/** Round-5 corpus operators: boilerplate chunk-frequency filtering,
+  * BM25 retrieval, Unicode NFC canonicalization (native expression),
+  * deterministic mixture materialization (sampling + fractional epoch
+  * upsampling), and vocabulary/OOV statistics.
+  *
+  * BM25 constants are interpolated into the oracle SQL from the SAME
+  * Scala doubles the Spark plan uses (`toString` of a Double
+  * round-trips exactly), so both engines compute with bit-identical
+  * constants — `1.2 + 1.0` evaluated here and the literal `2.2`
+  * parsed there are not guaranteed to be the same double.
+  */
+object CorpusQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.loadSpread(s, d, n)
+
+  /** BM25 parameters, shared by the Spark plan and the oracle text. */
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** The q87 query set: (query_id, term) pairs. */
+  private val Bm25Queries: Seq[(Int, String)] = Seq(
+    0 -> "table", 0 -> "join",
+    1 -> "spark", 1 -> "data", 1 -> "fast",
+    2 -> "window", 2 -> "agg")
+
+  /** Combining tilde — q88 builds decomposed text with it so the NFC
+    * composition is actually exercised (the corpus itself is ASCII,
+    * which NFC maps to itself). */
+  private val Tilde = "̃"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Boilerplate chunk-frequency filter: every copy of a 4-token
+    // chunk present in >2 distinct docs is dropped (headers/banners);
+    // docs reassemble from surviving chunks in order. Complement of
+    // q84's first-occurrence dedup.
+    QueryDef(
+      "q86_boilerplate_filter",
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     string_split(coalesce(text, ''), ' ') AS toks
+                   FROM documents),
+        s AS (SELECT doc_id,
+                     unnest(range(0, (len(toks)+3)//4)) AS pos, toks
+              FROM t),
+        g AS (SELECT doc_id, pos,
+                     array_to_string(toks[(pos*4+1):(pos*4+4)], ' ')
+                       AS seg
+              FROM s),
+        d AS (SELECT seg, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM g GROUP BY 1),
+        k AS (SELECT g.doc_id, g.pos, g.seg, d.df
+              FROM g JOIN d USING (seg))
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(count(*) FILTER (WHERE df <= 2) AS BIGINT)
+                 AS n_kept,
+               CASE WHEN count(*) > 0
+                    THEN CAST(count(*) FILTER (WHERE df <= 2) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE)
+                    ELSE 0.0 END AS kept_fraction,
+               md5(coalesce(string_agg(
+                 CASE WHEN df <= 2 THEN seg END, ' ' ORDER BY pos), ''))
+                 AS kept_md5
+        FROM k GROUP BY 1"""),
+      (s, d) =>
+        TextOps.chunkFrequencyFilter(
+          t(s, d, "documents")
+            .select(col("doc_id"),
+              coalesce(col("text"), lit("")).as("text")),
+          "doc_id", "text", segTokens = 4, maxDf = 2)),
+
+    // BM25 top-5 retrieval for a 3-query probe set (rational idf —
+    // see Retrieval scaladoc for the no-ln determinism rationale).
+    QueryDef(
+      "q87_bm25_topk",
+      Some(s"""
+        WITH q(query_id, term) AS (VALUES
+          ${Bm25Queries.map { case (q, w) => s"($q, '$w')" }
+            .mkString(", ")}),
+        t AS (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+        tok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                       unnest(toks) AS term
+                FROM t),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(CAST(sum(len(toks)) AS BIGINT) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE) AS avgdl
+               FROM t),
+        m AS (SELECT tok.* FROM tok
+              JOIN (SELECT DISTINCT term FROM q) USING (term)),
+        tf AS (SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf
+               FROM m GROUP BY 1, 2, 3),
+        dfx AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT)
+                  AS df
+                FROM m GROUP BY 1),
+        sc AS (SELECT q.query_id, tf.doc_id, tf.term,
+                 (CAST(st.n_docs AS DOUBLE) - CAST(dfx.df AS DOUBLE)
+                    + 0.5)
+                 / (CAST(dfx.df AS DOUBLE) + 0.5)
+                 * (CAST(tf.tf AS DOUBLE) * ${K1 + 1.0})
+                 / (CAST(tf.tf AS DOUBLE) + ${K1} * (${1.0 - B}
+                      + ${B} * CAST(tf.dl AS DOUBLE) / st.avgdl)) AS s
+               FROM tf JOIN dfx USING (term) JOIN q USING (term)
+               CROSS JOIN st),
+        g AS (SELECT query_id, doc_id,
+                list_reduce(
+                  list_prepend(CAST(0.0 AS DOUBLE),
+                    list(s ORDER BY term)),
+                  (a, b) -> a + b) AS score
+              FROM sc GROUP BY 1, 2)
+        SELECT query_id, doc_id, score, rk FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) AS INT) AS rk FROM g)
+        WHERE rk <= 5"""),
+      (s, d) => {
+        import s.implicits._
+        Retrieval.bm25TopK(
+          t(s, d, "documents"),
+          Bm25Queries.toDF("query_id", "term"),
+          "doc_id", "text", "query_id", "term", k1 = K1, b = B, k = 5)
+      }),
+
+    // Unicode NFC canonicalization via the native `nfc_normalize`
+    // expression: decomposed text (combining tilde injected after
+    // every 'a') composes back to precomposed form — codepoint counts
+    // shrink, md5 certifies the exact bytes. Oracle: DuckDB's
+    // utf8proc-backed nfc_normalize agrees with the JDK's UAX#15.
+    QueryDef(
+      "q88_nfc_normalize",
+      Some(s"""
+        WITH r AS (SELECT doc_id,
+                     replace(substr(text, 1, 48), 'a', 'a$Tilde')
+                       AS raw
+                   FROM documents)
+        SELECT doc_id,
+               CAST(length(raw) AS INT) AS raw_cp,
+               CAST(length(nfc_normalize(raw)) AS INT) AS norm_cp,
+               raw <> nfc_normalize(raw) AS changed,
+               md5(nfc_normalize(raw)) AS norm_md5
+        FROM r"""),
+      (s, d) => {
+        val raw = t(s, d, "documents").select(col("doc_id"),
+          expr(s"replace(substring(text, 1, 48), 'a', 'a$Tilde')")
+            .as("raw"))
+        val norm = call_function("nfc_normalize", col("raw"))
+        raw.select(col("doc_id"),
+          length(col("raw")).as("raw_cp"),
+          length(norm).as("norm_cp"),
+          (col("raw") =!= norm).as("changed"),
+          md5(norm).as("norm_md5"))
+      }),
+
+    // Deterministic mixture materialization: hash-Bernoulli sample at
+    // per-source rates min(1, 2·sqrt-weight); the query certifies the
+    // per-source sample size and the integer keep threshold.
+    QueryDef(
+      "q89_mixture_sample",
+      Some("""
+        WITH c AS (SELECT source, count(*) AS n_docs
+                   FROM documents GROUP BY 1),
+        dn AS (SELECT list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(list(n_docs ORDER BY source),
+                     x -> sqrt(CAST(x AS DOUBLE)))),
+                 (a, b) -> a + b) AS denom FROM c),
+        r AS (SELECT c.source,
+                least(1.0, sqrt(CAST(c.n_docs AS DOUBLE)) / dn.denom
+                  * 2.0) AS rate
+              FROM c, dn),
+        sdocs AS (SELECT d.source, d.doc_id,
+                    CAST(floor(r.rate * 1000000.0) AS BIGINT) AS thr
+                  FROM documents d JOIN r USING (source))
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_sampled,
+               max(thr) AS thr
+        FROM sdocs
+        WHERE ('0x'||substr(md5(doc_id||':mix'),1,15))::BIGINT
+                % 1000000 < thr
+        GROUP BY 1"""),
+      (s, d) =>
+        Mixture.mixtureSample(t(s, d, "documents"), "source", "doc_id",
+            factor = 2.0, salt = ":mix")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sampled"), max(col("thr")).as("thr"))),
+
+    // Fractional epoch upsampling: weight·10 copies per source-doc,
+    // integer part as full copies + hash-Bernoulli fractional copy;
+    // one output row per materialized copy.
+    QueryDef(
+      "q90_epoch_upsample",
+      Some("""
+        WITH c AS (SELECT source, count(*) AS n_docs
+                   FROM documents GROUP BY 1),
+        dn AS (SELECT list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(list(n_docs ORDER BY source),
+                     x -> sqrt(CAST(x AS DOUBLE)))),
+                 (a, b) -> a + b) AS denom FROM c),
+        r AS (SELECT c.source,
+                sqrt(CAST(c.n_docs AS DOUBLE)) / dn.denom * 10.0
+                  AS epochs
+              FROM c, dn),
+        p AS (SELECT d.doc_id, d.source,
+                CAST(floor(r.epochs) AS BIGINT) AS base,
+                CAST(floor((r.epochs - floor(r.epochs)) * 1000000.0)
+                  AS BIGINT) AS fthr
+              FROM documents d JOIN r USING (source)),
+        n AS (SELECT doc_id, source,
+                base + CASE WHEN
+                  ('0x'||substr(md5(doc_id||':ep'),1,15))::BIGINT
+                    % 1000000 < fthr
+                  THEN 1 ELSE 0 END AS n_copies
+              FROM p)
+        SELECT doc_id, source, n_copies,
+               CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy
+        FROM n WHERE n_copies > 0"""),
+      (s, d) =>
+        Mixture.epochUpsample(t(s, d, "documents"), "source", "doc_id",
+            scale = 10.0, salt = ":ep")
+          .select(col("doc_id"), col("source"), col("n_copies"),
+            col("copy"))),
+
+    // Vocabulary + OOV rate: top-50 corpus terms by (count desc, term)
+    // — a total order — then each doc's out-of-vocabulary token share.
+    QueryDef(
+      "q91_vocab_oov",
+      Some("""
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' '))
+                     AS term
+                   FROM documents),
+        v AS (SELECT term FROM (
+                SELECT term, count(*) AS cnt,
+                       row_number() OVER (ORDER BY count(*) DESC, term)
+                         AS rn
+                FROM w GROUP BY term)
+              WHERE rn <= 50)
+        SELECT w.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(*) FILTER (WHERE v.term IS NULL) AS BIGINT)
+                 AS n_oov,
+               CAST(count(*) FILTER (WHERE v.term IS NULL) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS oov_rate
+        FROM w LEFT JOIN v ON w.term = v.term
+        GROUP BY 1"""),
+      (s, d) =>
+        TextOps.vocabOovRate(t(s, d, "documents"), "doc_id", "text",
+          vocabSize = 50))
+  )
+}

@@ -185,6 +185,73 @@ object EventQueries {
         graft.ops.Incremental.present(
           graft.ops.Incremental.merge(halves, Seq("event_type")),
           Seq("event_type"))
-      })
+      }),
+
+    // Ordered funnel: per user, earliest view, earliest click strictly
+    // after it, earliest purchase strictly after that — one exchange,
+    // one sort, a cascade of running conditional minima (never a
+    // stage-to-stage self-join, which explodes on hot users). Users
+    // who never reach stage 1 stay visible with n_stages = 0.
+    QueryDef(
+      "q92_funnel",
+      Some("""
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                          event_type
+                   FROM events),
+        r1 AS (SELECT user_id, event_id, ts_us, event_type,
+                 min(CASE WHEN event_type = 'view' THEN ts_us END)
+                   OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run0
+               FROM e),
+        r2 AS (SELECT *,
+                 min(CASE WHEN event_type = 'click' AND ts_us > run0
+                       THEN ts_us END)
+                   OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run1
+               FROM r1),
+        g AS (SELECT user_id,
+                min(CASE WHEN event_type = 'view' THEN ts_us END)
+                  AS t1,
+                min(CASE WHEN event_type = 'click' AND ts_us > run0
+                      THEN ts_us END) AS t2,
+                min(CASE WHEN event_type = 'purchase' AND ts_us > run1
+                      THEN ts_us END) AS t3
+              FROM r2 GROUP BY 1)
+        SELECT user_id, t1, t2, t3,
+               (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)
+                 AS n_stages
+        FROM g"""),
+      (s, d) =>
+        Events.funnel(
+          t(s, d, "events").select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("ts_us"), col("event_type")),
+          "user_id", "ts_us", "event_type",
+          Seq("view", "click", "purchase"), tieCol = "event_id")),
+
+    // Weekly retention cohorts: users cohorted by first-event week
+    // (exact integer epoch weeks); distinct active users per
+    // (cohort week, offset) cell — the retention triangle.
+    QueryDef(
+      "q93_retention_cohorts",
+      Some("""
+        WITH e AS (SELECT user_id,
+                          epoch_us(ts) // 604800000000 AS wk
+                   FROM events),
+        c AS (SELECT user_id, min(wk) AS cohort_week
+              FROM e GROUP BY 1),
+        a AS (SELECT DISTINCT user_id, wk FROM e)
+        SELECT c.cohort_week, a.wk - c.cohort_week AS week_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM a JOIN c USING (user_id)
+        GROUP BY 1, 2"""),
+      (s, d) =>
+        Events.retentionCohorts(
+          t(s, d, "events").select(col("user_id"),
+            expr("ts div 1000").as("ts_us")),
+          "user_id", "ts_us", ticksPerWeek = 604800000000L))
   )
 }

@@ -57,6 +57,20 @@ class AdversarialSpec extends AnyFunSuite {
     assert(graft.llmops.Sharding
       .shardManifest(docs, "doc_id", "text", 4)
       .agg(sum(col("n_docs"))).head.getLong(0) == n)
+    // round-5 operators
+    assert(TextOps.chunkFrequencyFilter(docs, "doc_id", "text")
+      .count() == n)
+    assert(TextOps.vocabOovRate(docs, "doc_id", "text").count() == n)
+    assert(graft.llmops.Retrieval.bm25TopK(docs,
+      Seq((0, "the"), (1, "🚀")).toDF("query_id", "term"),
+      "doc_id", "text", "query_id", "term").count() >= 1)
+    assert(docs.select(call_function("nfc_normalize", col("text")))
+      .count() == n)
+    val grouped = docs.withColumn("src", pmod(col("doc_id"), lit(2)))
+    assert(graft.llmops.Mixture
+      .mixtureSample(grouped, "src", "doc_id").count() >= 0)
+    assert(graft.llmops.Mixture
+      .epochUpsample(grouped, "src", "doc_id").count() >= 0)
   }
 
   test("similarity operators tolerate zero/huge/denormal vectors") {

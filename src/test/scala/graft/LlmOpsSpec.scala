@@ -417,4 +417,89 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(feats(0).media_kind == "image" && feats(0).width == 640)
     assert(feats(1).media_kind == "audio" && feats(1).n_frames == 10)
   }
+
+  test("chunkFrequencyFilter drops EVERY copy of corpus-common chunks") {
+    // 2-token chunks, maxDf = 1: "x y" lives in docs 1 AND 2 — both
+    // copies must go (vs segmentDedup, which would keep the first)
+    val df = Seq((1L, "x y a b"), (2L, "x y c d"), (3L, "e f"))
+      .toDF("doc_id", "text")
+    val got = TextOps
+      .chunkFrequencyFilter(df, "doc_id", "text", segTokens = 2,
+        maxDf = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((1L, 1L, 1.0)))
+    // the rebuilt doc keeps surviving chunks in original order
+    val md5s = TextOps
+      .chunkFrequencyFilter(df, "doc_id", "text", segTokens = 2,
+        maxDf = 1)
+      .filter(col("doc_id") === 1L).head.getString(4)
+    val expected = Seq("a b").toDF("t")
+      .select(md5(col("t"))).head.getString(0)
+    assert(md5s == expected)
+  }
+
+  test("bm25TopK: rarity and term frequency rank as expected") {
+    val docs = Seq(
+      (1L, "apple apple apple"),
+      (2L, "apple banana"),
+      (3L, "cherry date fig grape kiwi lemon")).toDF("doc_id", "text")
+    val qs = Seq((0, "apple"), (1, "cherry")).toDF("query_id", "term")
+    val got = graft.llmops.Retrieval
+      .bm25TopK(docs, qs, "doc_id", "text", "query_id", "term", k = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(3)))
+    // query 0: the tf-heavy short doc outranks the single-hit doc;
+    // doc 3 (no 'apple') never appears
+    assert(got.filter(_._1 == 0).sortBy(_._3).map(_._2).toSeq
+      == Seq(1L, 2L))
+    // query 1: only doc 3 contains 'cherry'
+    assert(got.filter(_._1 == 1).map(_._2).toSeq == Seq(3L))
+  }
+
+  test("mixtureSample: deterministic, rate-capped, reproducible") {
+    val df = (0L until 100L).map(i => (i, if (i < 80) "big" else "sm"))
+      .toDF("doc_id", "src")
+    // factor large enough that the small group saturates at rate 1.0:
+    // every 'sm' doc must survive
+    val s1 = graft.llmops.Mixture
+      .mixtureSample(df, "src", "doc_id", factor = 3.0)
+    assert(s1.filter(col("src") === "sm").count() == 20L)
+    // reproducible: two independent runs draw the identical sample
+    val ids1 = s1.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = graft.llmops.Mixture
+      .mixtureSample(df, "src", "doc_id", factor = 3.0)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+    // factor 0 → threshold 0 → empty sample
+    assert(graft.llmops.Mixture
+      .mixtureSample(df, "src", "doc_id", factor = 0.0).count() == 0L)
+  }
+
+  test("epochUpsample: integer weights copy exactly, fraction adds " +
+      "at most one") {
+    // one group: weight = 1 → epochs = scale exactly
+    val df = (0L until 10L).map(i => (i, "g")).toDF("doc_id", "src")
+    val up = graft.llmops.Mixture
+      .epochUpsample(df, "src", "doc_id", scale = 2.0)
+    assert(up.count() == 20L)
+    assert(up.groupBy("doc_id").count()
+      .filter(col("count") =!= 2L).count() == 0L)
+    // copy indices are 0..n_copies-1
+    assert(up.filter(col("doc_id") === 0L)
+      .select("copy").as[Long].collect().sorted.toSeq == Seq(0L, 1L))
+  }
+
+  test("vocabOovRate: boundary cut is a total order; rates exact") {
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // vocabSize 1: 'a' (count 2) and 'b' (count 2) tie — 'a' wins on
+    // the term tie-break
+    val got = TextOps.vocabOovRate(df, "doc_id", "text", vocabSize = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(got(2L) == ((2L, 2L, 1.0)))
+  }
 }

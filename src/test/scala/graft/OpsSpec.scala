@@ -163,4 +163,69 @@ class OpsSpec extends AnyFunSuite {
       }
     assert(got == data)
   }
+
+  test("funnel: conditional-min cascade honors strict stage ordering") {
+    val ev = Seq(
+      // full funnel in order
+      (1L, 1L, 10L, "view"), (1L, 2L, 20L, "click"),
+      (1L, 3L, 30L, "purchase"),
+      // a click BEFORE the first view must not count; one after does
+      (2L, 4L, 5L, "click"), (2L, 5L, 10L, "view"),
+      (2L, 6L, 15L, "click"),
+      // stage-3-only user: no stages at all, still visible
+      (3L, 7L, 9L, "purchase"),
+      // purchase at the SAME tick as the click: strictly-after misses
+      (4L, 8L, 10L, "view"), (4L, 9L, 20L, "click"),
+      (4L, 10L, 20L, "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = graft.ops.Events.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), tieCol = "event_id")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)),
+          (if (r.isNullAt(2)) -1L else r.getLong(2)),
+          (if (r.isNullAt(3)) -1L else r.getLong(3)),
+          r.getInt(4))).toMap
+    assert(got(1L) == ((10L, 20L, 30L, 3)))
+    assert(got(2L) == ((10L, 15L, -1L, 2)))
+    assert(got(3L) == ((-1L, -1L, -1L, 0)))
+    assert(got(4L) == ((10L, 20L, -1L, 2)))
+  }
+
+  test("retentionCohorts: first-week cohort x offset distinct counts") {
+    // ticksPerWeek = 10: u1 active weeks 0,1,3; u2 active weeks 1,2
+    // (two events in week 1 count once)
+    val ev = Seq((1L, 1L), (1L, 12L), (1L, 35L),
+        (2L, 15L), (2L, 17L), (2L, 25L))
+      .toDF("user_id", "ts")
+    val got = graft.ops.Events
+      .retentionCohorts(ev, "user_id", "ts", ticksPerWeek = 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 0L, 1L), (0L, 1L, 1L), (0L, 3L, 1L),
+      (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+
+  test("nfc_normalize: composes decomposed text, identity on NFC, " +
+      "SQL-callable via the session extension") {
+    graft.core.Sessions.ensureQueryConfs(spark)
+    spark.range(1).createOrReplaceTempView("one_nfc")
+    // input is e + COMBINING ACUTE U+0301 (2 codepoints); NFC composes
+    // it to U+00E9 (1 codepoint)
+    val dec = "e\u0301"
+    val r = spark.sql(
+      s"SELECT nfc_normalize('$dec') AS c, nfc_normalize('abc') AS a, " +
+        s"length(nfc_normalize('$dec')) AS lc FROM one_nfc").head()
+    assert(r.getString(0) == "\u00e9")
+    assert(r.getString(1) == "abc")
+    assert(r.getInt(2) == 1)
+    // parity with the JDK reference implementation on mixed content:
+    // decomposed accents, the Angstrom sign U+212B (NFC-maps to
+    // U+00C5), and a non-BMP emoji (NFC identity)
+    val s = "Pe\u0301rez naive\u0308 \u212b A\u030a \ud83d\ude00"
+    val got = Seq(s).toDF("t")
+      .select(call_function("nfc_normalize", $"t")).head.getString(0)
+    assert(got == java.text.Normalizer
+      .normalize(s, java.text.Normalizer.Form.NFC))
+    assert(got == "P\u00e9rez naiv\u00eb \u00c5 \u00c5 \ud83d\ude00")
+  }
 }
