@@ -94,6 +94,67 @@ object Reports {
       .getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Multi-series line chart as a self-contained SVG — the
+    * time-series half of the reporting tail (the reference's
+    * running-cores / core-hours plotly timelines,
+    * hpc_running_cores_and_corehr.py:150-204). Input is
+    * (x, series, value) rows AFTER aggregation — one polyline per
+    * distinct `seriesCol` value, x ordered by `xCol`'s sort order,
+    * both axes annotated with their extrema. Same bounded-collect
+    * contract as the HTML table. */
+  def lineChartSvg(df: DataFrame, xCol: String, seriesCol: String,
+      valueCol: String, title: String, maxPoints: Int = 5000,
+      width: Int = 960, height: Int = 420): String = {
+    val rows = df.select(xCol, seriesCol, valueCol)
+      .limit(maxPoints + 1).collect()
+    require(rows.length <= maxPoints,
+      s"chart exceeds $maxPoints points — aggregate further before plotting")
+    val data = rows.map(r => (String.valueOf(r.get(0)),
+      String.valueOf(r.get(1)),
+      Option(r.get(2)).map(v => v.toString.toDouble).getOrElse(0.0)))
+    val xs = data.map(_._1).distinct.sorted
+    val xIdx = xs.zipWithIndex.toMap
+    val series = data.map(_._2).distinct.sorted
+    val palette = Seq("steelblue", "darkorange", "seagreen", "crimson",
+      "mediumpurple", "goldenrod", "teal", "deeppink")
+    val (mTop, mBottom, mLeft, mRight) = (40, 70, 70, 120)
+    val (plotW, plotH) = (width - mLeft - mRight, height - mTop - mBottom)
+    val maxV = math.max(data.map(_._3).foldLeft(0.0)(math.max), 1e-12)
+    def px(x: String): Double =
+      mLeft + (if (xs.length <= 1) plotW / 2.0
+               else xIdx(x).toDouble / (xs.length - 1) * plotW)
+    def py(v: Double): Double = mTop + plotH - v / maxV * plotH
+    val sb = new StringBuilder
+    sb ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" height="$height">"""
+    sb ++= s"""<text x="${width / 2}" y="20" text-anchor="middle" font-size="16">${escape(title)}</text>"""
+    sb ++= s"""<line x1="$mLeft" y1="$mTop" x2="$mLeft" y2="${mTop + plotH}" stroke="black"/>"""
+    sb ++= s"""<line x1="$mLeft" y1="${mTop + plotH}" x2="${mLeft + plotW}" y2="${mTop + plotH}" stroke="black"/>"""
+    sb ++= s"""<text x="${mLeft - 6}" y="${mTop + 4}" text-anchor="end" font-size="11">$maxV</text>"""
+    sb ++= s"""<text x="${mLeft - 6}" y="${mTop + plotH + 4}" text-anchor="end" font-size="11">0</text>"""
+    xs.headOption.foreach(x0 => sb ++= s"""<text x="$mLeft" y="${mTop + plotH + 16}" text-anchor="start" font-size="10">${escape(x0)}</text>""")
+    if (xs.length > 1) sb ++= s"""<text x="${mLeft + plotW}" y="${mTop + plotH + 16}" text-anchor="end" font-size="10">${escape(xs.last)}</text>"""
+    series.zipWithIndex.foreach { case (s, si) =>
+      val color = palette(si % palette.length)
+      val pts = data.filter(_._2 == s).sortBy(d => xIdx(d._1))
+        .map(d => f"${px(d._1)}%.1f,${py(d._3)}%.1f").mkString(" ")
+      sb ++= s"""<polyline points="$pts" fill="none" stroke="$color" stroke-width="1.5"><title>${escape(s)}</title></polyline>"""
+      sb ++= s"""<text x="${mLeft + plotW + 8}" y="${mTop + 14 + si * 16}" font-size="11" fill="$color">${escape(s)}</text>"""
+    }
+    sb ++= "</svg>"
+    sb.toString
+  }
+
+  /** Write the SVG line chart (EOS-www pattern). */
+  def writeLineChart(df: DataFrame, xCol: String, seriesCol: String,
+      valueCol: String, title: String, outFile: String,
+      maxPoints: Int = 5000): Unit = {
+    val p = JPaths.get(outFile)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    Files.write(p,
+      lineChartSvg(df, xCol, seriesCol, valueCol, title, maxPoints)
+        .getBytes(StandardCharsets.UTF_8))
+  }
+
   private def escape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 }

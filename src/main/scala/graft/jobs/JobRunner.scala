@@ -111,6 +111,26 @@ object JobRunner {
         val df = s.read.parquet(in)
         graft.llmops.Sharding.writeSharded(s, df, idCol, n, dest)
         graft.llmops.Sharding.shardManifest(df, idCol, textCol, n)
+      }),
+      // render an aggregated result as the HTML + SVG reporting tail
+      // (the reference's EOS-www pattern: table page + plot files)
+      "report_export" -> ((s, o) => {
+        val in = o.getOrElse("in-result",
+          sys.error("--in-result required for report_export"))
+        val dest = o.getOrElse("dest",
+          sys.error("--dest required for report_export"))
+        val title = o.getOrElse("title", "graft report")
+        val df = s.read.parquet(in)
+        graft.core.Reports.writeHtml(df, title, s"$dest/report.html")
+        for (l <- o.get("bar-label"); v <- o.get("bar-value"))
+          graft.core.Reports.writeBarChart(df, l, v, title,
+            s"$dest/bar.svg")
+        for (x <- o.get("line-x"); sr <- o.get("line-series");
+            v <- o.get("line-value"))
+          graft.core.Reports.writeLineChart(df, x, sr, v, title,
+            s"$dest/line.svg")
+        import s.implicits._
+        Seq((in, dest, df.count())).toDF("result", "dest", "n_rows")
       }))
 
   /** Input-name → schema for the schematized readers. */

@@ -57,4 +57,31 @@ class ReportsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("aggregate further"))
   }
+
+  test("lineChartSvg: one polyline per series, scaled points, legend, " +
+      "persistence, and the row cap") {
+    import spark.implicits._
+    val df = Seq(
+      ("2024-01-01", "cores", 0.0), ("2024-01-02", "cores", 10.0),
+      ("2024-01-03", "cores", 5.0),
+      ("2024-01-01", "corehr", 2.0), ("2024-01-03", "corehr", 10.0))
+      .toDF("day", "metric", "v")
+    val svg = Reports.lineChartSvg(df, "day", "metric", "v", "HPC usage")
+    assert(svg.startsWith("<svg") && svg.endsWith("</svg>"))
+    assert(svg.contains("HPC usage"))
+    // two series → two polylines, legend carries both names
+    assert("<polyline".r.findAllIn(svg).length == 2)
+    assert(svg.contains(">cores</text>") && svg.contains(">corehr</text>"))
+    // max value (10.0) maps to the plot top: y = mTop = 40
+    assert(svg.contains(",40.0"))
+    // zero maps to the axis line: y = 40 + 310 = 350
+    assert(svg.contains(",350.0"))
+    val out = Files.createTempDirectory("graft-rep").toString + "/l.svg"
+    Reports.writeLineChart(df, "day", "metric", "v", "t", out)
+    assert(Files.readString(JPaths.get(out)).contains("<polyline"))
+    val e = intercept[IllegalArgumentException] {
+      Reports.lineChartSvg(df, "day", "metric", "v", "t", maxPoints = 2)
+    }
+    assert(e.getMessage.contains("aggregate further"))
+  }
 }

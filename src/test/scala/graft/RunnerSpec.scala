@@ -96,6 +96,25 @@ class RunnerSpec extends AnyFunSuite {
     assert(shardDirs.toSeq == (0 until 4).map(i => s"shard=$i"))
   }
 
+  test("JobRunner: report_export lake job writes the HTML + SVG tail") {
+    val dir = Files.createTempDirectory("graft-runner-rep").toString
+    val s0 = graft.core.Sessions.local(4, "graft-runner-test")
+    import s0.implicits._
+    Seq(("2024-01", "cores", 4.0), ("2024-02", "cores", 6.0))
+      .toDF("month", "metric", "v").write.parquet(s"$dir/result")
+    val summary = JobRunner.lakeJobs("report_export")(
+      s0, Map("in-result" -> s"$dir/result", "dest" -> s"$dir/rep",
+        "title" -> "Monthly cores", "bar-label" -> "month",
+        "bar-value" -> "v", "line-x" -> "month",
+        "line-series" -> "metric", "line-value" -> "v")).collect()
+    assert(summary.length == 1 && summary(0).getLong(2) == 2L)
+    def read(f: String) =
+      Files.readString(java.nio.file.Paths.get(s"$dir/rep/$f"))
+    assert(read("report.html").contains("<table"))
+    assert(read("bar.svg").contains("<rect"))
+    assert(read("line.svg").contains("<polyline"))
+  }
+
   test("JobRunner: unknown job and missing inputs fail with clear errors") {
     val e1 = intercept[RuntimeException] {
       JobRunner.main(Array("--job", "nope", "--out", "/tmp/x"))
