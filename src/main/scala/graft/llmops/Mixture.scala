@@ -96,4 +96,21 @@ object Mixture {
         explode(sequence(lit(0L), col("n_copies") - 1)))
       .drop("base", "fthr")
   }
+
+  /** Deterministic k-per-group sample: each group's docs rank by the
+    * hash priority `hash60(id ∥ salt)` (id tie-break) and the top `k`
+    * survive with their rank — the "uniform eval subset per
+    * language/domain" draw. Same reproducibility contract as
+    * [[mixtureSample]] (pure row function, no `rand()`), and the
+    * rank-≤-k filter compiles to WindowGroupLimit: partial top-k
+    * runs BEFORE the exchange, so a billion-doc group ships only k
+    * rows per map partition, not the group. */
+  def groupKSample(df: DataFrame, groupCol: String, idCol: String,
+      k: Int, salt: String = ":ks"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(TextOps.hash60(
+        concat(col(idCol).cast("string"), lit(salt))), col(idCol))
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
 }

@@ -196,6 +196,27 @@ object Events {
         .reduce(_ + _))
   }
 
+  /** Burst debounce: within each `keyCols` stream, events group into
+    * bursts (gap to the previous event ≤ `gap` ticks) and only the
+    * FIRST event of each burst survives — double-click suppression,
+    * retry collapsing, sensor-chatter removal. The survivor is
+    * exactly the row whose gap-flag fires (distance to its
+    * predecessor exceeds `gap`, or no predecessor), so the whole
+    * operator is one `lag` window + a filter: ONE exchange on the
+    * key, one per-key sort, no burst numbering pass. `tieCol` totals
+    * the order at equal ticks. */
+  def debounce(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      gap: Long, tieCol: String): DataFrame = {
+    val byKey = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("__first",
+        when(col(tsCol) - lag(col(tsCol), 1).over(byKey) <= gap, 0L)
+          .otherwise(1L))
+      .filter(col("__first") === 1L)
+      .drop("__first")
+  }
+
   /** Weekly retention cohorts: entities are cohorted by the week of
     * their first event; for every (cohort week, weeks-since-cohort)
     * cell, how many distinct entities were active — the standard

@@ -254,6 +254,65 @@ object CorpusQueries {
         GROUP BY 1"""),
       (s, d) =>
         TextOps.vocabOovRate(t(s, d, "documents"), "doc_id", "text",
-          vocabSize = 50))
+          vocabSize = 50)),
+
+    // Deterministic k-per-group sample: top-10 docs per language by
+    // hash priority — the reproducible eval-subset draw. The rank
+    // filter compiles to WindowGroupLimit (partial top-k before the
+    // exchange).
+    QueryDef(
+      "q95_group_ksample",
+      Some("""
+        SELECT doc_id, lang, rk FROM (
+          SELECT doc_id, lang,
+                 CAST(row_number() OVER (PARTITION BY lang ORDER BY
+                   ('0x'||substr(md5(doc_id||':ks'),1,15))::BIGINT,
+                   doc_id) AS INT) AS rk
+          FROM documents)
+        WHERE rk <= 10"""),
+      (s, d) =>
+        Mixture.groupKSample(
+          t(s, d, "documents").select(col("doc_id"), col("lang")),
+          "lang", "doc_id", k = 10)),
+
+    // Blocking + edit-distance verification: docs sharing the cheap
+    // (lang, n_chars) block key pair up, each pair verified with a
+    // capped Levenshtein distance. Texts are compared at BYTE
+    // granularity (UTF-8 bytes as latin-1 chars on the Spark side) —
+    // DuckDB's levenshtein is byte-based while Spark's is
+    // codepoint-based, and bytes are the form both engines agree on;
+    // the 1000-char cap is applied before projection in both.
+    QueryDef(
+      "q96_editdist_verify",
+      Some("""
+        WITH d AS (SELECT doc_id, lang, n_chars,
+                          substr(text, 1, 1000) AS t
+                   FROM documents),
+        p AS (SELECT a.lang, a.n_chars,
+                     a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     a.t AS ta, b.t AS tb
+              FROM d a JOIN d b
+                ON a.lang = b.lang AND a.n_chars = b.n_chars
+               AND a.doc_id < b.doc_id)
+        SELECT doc_id_a, doc_id_b, lang, n_chars,
+               CAST(levenshtein(ta, tb) AS INT) AS lev,
+               1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
+                     / CAST(greatest(strlen(ta), strlen(tb), 1)
+                            AS DOUBLE) AS norm_sim
+        FROM p"""),
+      (s, d) => {
+        val prep = t(s, d, "documents").select(col("doc_id"),
+          col("lang"), col("n_chars"),
+          decode(encode(substring(col("text"), 1, 1000), "UTF-8"),
+            "ISO-8859-1").as("text"))
+        val pairs = graft.ops.Dedup.blockedPairs(prep, "doc_id",
+          Seq("lang", "n_chars"), Seq("text"))
+        // maxLen 4000 ≥ 4×1000 bytes: the char cap already ran, the
+        // byte-char string is never re-cut
+        graft.ops.Dedup.editDistanceVerify(pairs, "text_a", "text_b",
+            maxLen = 4000)
+          .select(col("doc_id_a"), col("doc_id_b"), col("lang"),
+            col("n_chars"), col("lev"), col("norm_sim"))
+      })
   )
 }

@@ -252,6 +252,32 @@ object EventQueries {
         Events.retentionCohorts(
           t(s, d, "events").select(col("user_id"),
             expr("ts div 1000").as("ts_us")),
-          "user_id", "ts_us", ticksPerWeek = 604800000000L))
+          "user_id", "ts_us", ticksPerWeek = 604800000000L)),
+
+    // Burst debounce: per (user, event type), only the first event of
+    // each burst survives (gap ≤ 1 day joins a burst) — one lag
+    // window + filter, no burst numbering pass. The day-scale gap
+    // matches this corpus's event density so the collapse actually
+    // fires (~36% of rows drop at sf0.01).
+    QueryDef(
+      "q94_debounce",
+      Some("""
+        WITH e AS (SELECT event_id, user_id, event_type,
+                          epoch_us(ts) AS ts_us
+                   FROM events),
+        f AS (SELECT *,
+                CASE WHEN ts_us - lag(ts_us) OVER
+                       (PARTITION BY user_id, event_type
+                        ORDER BY ts_us, event_id) <= 86400000000
+                     THEN 0 ELSE 1 END AS nf
+              FROM e)
+        SELECT event_id, user_id, event_type, ts_us
+        FROM f WHERE nf = 1"""),
+      (s, d) =>
+        Events.debounce(
+          t(s, d, "events").select(col("event_id"), col("user_id"),
+            col("event_type"), expr("ts div 1000").as("ts_us")),
+          Seq("user_id", "event_type"), "ts_us", gap = 86400000000L,
+          tieCol = "event_id"))
   )
 }

@@ -71,6 +71,13 @@ class AdversarialSpec extends AnyFunSuite {
       .mixtureSample(grouped, "src", "doc_id").count() >= 0)
     assert(graft.llmops.Mixture
       .epochUpsample(grouped, "src", "doc_id").count() >= 0)
+    assert(graft.llmops.Mixture
+      .groupKSample(grouped, "src", "doc_id", 3).count() <= 6)
+    assert(graft.ops.Dedup.editDistanceVerify(
+      graft.ops.Dedup.blockedPairs(
+        grouped.withColumn("len", length(col("text"))),
+        "doc_id", Seq("src", "len"), Seq("text")),
+      "text_a", "text_b").count() >= 0)
   }
 
   test("similarity operators tolerate zero/huge/denormal vectors") {

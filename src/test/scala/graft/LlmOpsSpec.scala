@@ -492,6 +492,20 @@ class LlmOpsSpec extends AnyFunSuite {
       .select("copy").as[Long].collect().sorted.toSeq == Seq(0L, 1L))
   }
 
+  test("groupKSample: exactly k per group (or the whole small group), " +
+      "reproducible") {
+    val df = (0L until 60L).map(i => (i, if (i < 50) "big" else "sm"))
+      .toDF("doc_id", "grp")
+    val s1 = graft.llmops.Mixture.groupKSample(df, "grp", "doc_id", 20)
+    val byGrp = s1.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp == Map("big" -> 20L, "sm" -> 10L))
+    assert(s1.agg(max("rk")).head.getInt(0) <= 20)
+    val s2 = graft.llmops.Mixture.groupKSample(df, "grp", "doc_id", 20)
+    assert(s1.select("doc_id").as[Long].collect().sorted.toSeq
+      == s2.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("vocabOovRate: boundary cut is a total order; rates exact") {
     val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     // vocabSize 1: 'a' (count 2) and 'b' (count 2) tie — 'a' wins on

@@ -205,6 +205,46 @@ class OpsSpec extends AnyFunSuite {
       (1L, 0L, 1L), (1L, 1L, 1L)))
   }
 
+  test("debounce keeps exactly the first event of each burst") {
+    // user 1, type a: bursts {10,12,14}, {30}, {40,41} with gap 5
+    // user 1, type b: independent stream, all within one burst
+    val ev = Seq(
+      (1L, "a", 10L, 1L), (1L, "a", 12L, 2L), (1L, "a", 14L, 3L),
+      (1L, "a", 30L, 4L), (1L, "a", 40L, 5L), (1L, "a", 41L, 6L),
+      (1L, "b", 11L, 7L), (1L, "b", 13L, 8L))
+      .toDF("user_id", "kind", "ts", "event_id")
+    val kept = graft.ops.Events
+      .debounce(ev, Seq("user_id", "kind"), "ts", gap = 5L,
+        tieCol = "event_id")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L, 7L))
+  }
+
+  test("blockedPairs + editDistanceVerify: ordered in-block pairs, " +
+      "capped Levenshtein, normalized similarity") {
+    val df = Seq(
+      (1L, "k1", "kitten"), (2L, "k1", "sitten"), (3L, "k1", "kitten"),
+      (4L, "k2", "alone"))
+      .toDF("doc_id", "blk", "text")
+    val pairs = graft.ops.Dedup
+      .blockedPairs(df, "doc_id", Seq("blk"), Seq("text"))
+    val got = graft.ops.Dedup
+      .editDistanceVerify(pairs, "text_a", "text_b")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id_a"), r.getAs[Long]("doc_id_b"))
+        -> (r.getAs[Int]("lev"), r.getAs[Double]("norm_sim"))).toMap
+    // k1 yields the 3 ordered pairs, k2 none (block of one)
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(got((1L, 2L)) == ((1, 1.0 - 1.0 / 6.0)))
+    assert(got((1L, 3L)) == ((0, 1.0))) // exact dup
+    // the cap bounds the kernel: beyond maxLen the texts look equal
+    val longPair = Seq((1L, "x" * 50 + "a", "x" * 50 + "b"))
+      .toDF("id", "text_a", "text_b")
+    assert(graft.ops.Dedup
+      .editDistanceVerify(longPair, "text_a", "text_b", maxLen = 50)
+      .head.getAs[Int]("lev") == 0)
+  }
+
   test("nfc_normalize: composes decomposed text, identity on NFC, " +
       "SQL-callable via the session extension") {
     graft.core.Sessions.ensureQueryConfs(spark)

@@ -351,4 +351,34 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("funnel == brute-force sequential scan on random event streams") {
+    val stages = Seq("A", "B", "C")
+    val eventGen = Gen.zip(Gen.choose(1L, 4L),
+      Gen.oneOf("A", "B", "C", "X"), Gen.choose(0L, 40L))
+    (1 to 8).foreach { round =>
+      val evs = samples(eventGen, 60).zipWithIndex
+        .map { case ((u, st, ts), i) => (u, st, ts, i.toLong) }
+      val got = graft.ops.Events.funnel(
+          evs.toDF("user_id", "stage", "ts", "eid"),
+          "user_id", "ts", "stage", stages, tieCol = "eid")
+        .collect()
+        .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)),
+          Option(r.get(3)), r.getInt(4)))).toMap
+      // reference semantics: t1 = min ts of stage 1; t_i = min ts of
+      // stage i STRICTLY AFTER t_{i-1} (the running-min cascade
+      // reduces to exactly this chain)
+      evs.groupBy(_._1).foreach { case (u, rows) =>
+        val t = stages.foldLeft(Seq.empty[Option[Long]]) { (acc, st) =>
+          val prev = acc.lastOption.getOrElse(Some(Long.MinValue))
+          acc :+ prev.flatMap(p => rows.collect {
+            case (_, s, ts, _) if s == st && ts > p => ts
+          }.minOption)
+        }
+        val expN = t.count(_.isDefined)
+        assert(got(u) == ((t(0).map(Long.box), t(1).map(Long.box),
+          t(2).map(Long.box), expN)), s"round=$round user=$u")
+      }
+    }
+  }
 }
