@@ -59,6 +59,11 @@ object Sessions {
     if (!spark.catalog.functionExists("nfc_normalize"))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "nfc_normalize", graft.functions.NfcNormalize.builder, "builtin")
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.functions.LevenshteinThreshold))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.functions.LevenshteinThreshold
     spark
   }
 }

@@ -72,5 +72,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SimhashFold.info, SimhashFold.builder))
     ext.injectFunction((FunctionIdentifier("nfc_normalize"),
       NfcNormalize.info, NfcNormalize.builder))
+    ext.injectOptimizerRule(_ => LevenshteinThreshold)
   }
 }

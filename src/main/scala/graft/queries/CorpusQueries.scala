@@ -313,6 +313,41 @@ object CorpusQueries {
             maxLen = 4000)
           .select(col("doc_id_a"), col("doc_id_b"), col("lang"),
             col("n_chars"), col("lev"), col("norm_sim"))
+      }),
+
+    // Bounded near-dup gate: q96's blocked pairs filtered to
+    // lev <= 200. The `LevenshteinThreshold` optimizer rule rewrites
+    // the filter to the banded three-argument kernel (O(k·max) with
+    // early exit, -1 past the threshold), and the projected full
+    // distance is computed only for survivors of the pushed-down
+    // filter.
+    QueryDef(
+      "q97_neardup_gate",
+      Some("""
+        WITH d AS (SELECT doc_id, lang, n_chars,
+                          substr(text, 1, 1000) AS t
+                   FROM documents),
+        p AS (SELECT a.lang, a.n_chars,
+                     a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     a.t AS ta, b.t AS tb
+              FROM d a JOIN d b
+                ON a.lang = b.lang AND a.n_chars = b.n_chars
+               AND a.doc_id < b.doc_id)
+        SELECT doc_id_a, doc_id_b, lang,
+               CAST(levenshtein(ta, tb) AS INT) AS lev
+        FROM p WHERE levenshtein(ta, tb) <= 200"""),
+      (s, d) => {
+        val prep = t(s, d, "documents").select(col("doc_id"),
+          col("lang"), col("n_chars"),
+          decode(encode(substring(col("text"), 1, 1000), "UTF-8"),
+            "ISO-8859-1").as("text"))
+        val pairs = graft.ops.Dedup.blockedPairs(prep, "doc_id",
+          Seq("lang", "n_chars"), Seq("text"))
+        graft.ops.Dedup.editDistanceVerify(pairs, "text_a", "text_b",
+            maxLen = 4000)
+          .filter(col("lev") <= 200)
+          .select(col("doc_id_a"), col("doc_id_b"), col("lang"),
+            col("lev"))
       })
   )
 }

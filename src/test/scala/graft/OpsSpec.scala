@@ -245,6 +245,38 @@ class OpsSpec extends AnyFunSuite {
       .head.getAs[Int]("lev") == 0)
   }
 
+  test("LevenshteinThreshold rule: banded kernel in the plan, " +
+      "identical results, null-safe") {
+    graft.core.Sessions.ensureQueryConfs(spark)
+    // a parquet-backed relation: on a LocalRelation the whole filter
+    // constant-folds away before the rewrite is observable
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lev").toString + "/pairs"
+    Seq(("kitten", "sitting"), ("abc", "abd"), ("same", "same"),
+      ("aaaaaaaaaa", "bbbbbbbbbb"), (null, "x"))
+      .toDF("a", "b").write.parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("lev_pairs")
+    val q = spark.sql(
+      "SELECT a, b FROM lev_pairs WHERE levenshtein(a, b) <= 3")
+    // the rule rewrote the predicate to the three-arg banded form
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("levenshtein(a#") && opt.contains("Some(3)"),
+      s"rule did not fire:\n$opt")
+    assert(opt.contains(">= 0"))
+    // results match the unbounded semantics exactly (null row drops)
+    assert(q.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      == Set(("kitten", "sitting"), ("abc", "abd"), ("same", "same")))
+    // strict < and flipped >= forms rewrite too
+    val q2 = spark.sql(
+      "SELECT count(*) FROM lev_pairs WHERE levenshtein(a, b) < 1")
+    assert(q2.queryExecution.optimizedPlan.toString.contains("Some(0)"))
+    assert(q2.head.getLong(0) == 1L) // only the exact-equal pair
+    val q3 = spark.sql(
+      "SELECT count(*) FROM lev_pairs WHERE 3 >= levenshtein(a, b)")
+    assert(q3.queryExecution.optimizedPlan.toString.contains("Some(3)"))
+    assert(q3.head.getLong(0) == 3L)
+  }
+
   test("nfc_normalize: composes decomposed text, identity on NFC, " +
       "SQL-callable via the session extension") {
     graft.core.Sessions.ensureQueryConfs(spark)
