@@ -41,10 +41,29 @@ object Bench {
       name -> (if (math.max(a, b) > 2 * best) math.min(best, timed())
                else best)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver keeps only the LAST 2000 chars of stdout (measured:
+    // every BENCH_r{1..4}.json tail is exactly 2000 chars and the JSON
+    // line's head is cut off -> "parsed": null all four rounds). With
+    // ~100 full query names the line is ~3.5k chars; shortening keys to
+    // their qNN prefix and values to 3 decimals keeps it ~1.3k so the
+    // whole line survives the tail capture. Full-resolution timings
+    // (full names, full doubles) go to bench_full.json for the local
+    // bench_regression.py gate.
+    def short(name: String): String = name.takeWhile(_ != '_')
+    val qs = results
+      .map { case (k, v) => "\"" + short(k) + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full = results
+      .map { case (k, v) => s"\"$k\":$v" }
+      .mkString("{\"queries\":{", ",", s"},\"total\":$total,\"sf\":\"$sfDir\"}")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_full.json"),
+        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -56,7 +56,14 @@ def main():
     ap.add_argument("--threshold", type=float, default=1.5)
     ap.add_argument("--min-seconds", type=float, default=2.0)
     args = ap.parse_args()
-    prev, new = load_queries(args.prev), load_queries(args.new)
+
+    # Bench emits short qNN keys for the driver's 2000-char tail capture
+    # (full names live in bench_full.json); older rounds used full names.
+    # Normalize both sides to the qNN prefix so rounds stay comparable.
+    def norm(queries):
+        return {k.split("_", 1)[0]: v for k, v in queries.items()}
+
+    prev, new = norm(load_queries(args.prev)), norm(load_queries(args.new))
     regressions = []
     for q in sorted(new):
         if q not in prev:
