@@ -113,4 +113,23 @@ object Mixture {
         concat(col(idCol).cast("string"), lit(salt))), col(idCol))
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
+
+  /** Deterministic train/val/test split assignment: bucket =
+    * `hash60(id ∥ salt) mod 100`, split = train below `trainPct`, val
+    * below `trainPct + valPct`, else test. The same
+    * pure-function-of-the-row contract as [[mixtureSample]]: the split
+    * is REPRODUCIBLE on any cluster layout, a re-run assigns every doc
+    * identically, and — the property rand()-based splits break — a doc
+    * added tomorrow never moves yesterday's docs between splits, so
+    * eval sets stay stable as the corpus grows. One narrow projection,
+    * no shuffle. */
+  def trainSplit(df: DataFrame, idCol: String, trainPct: Int = 80,
+      valPct: Int = 10, salt: String = ":split"): DataFrame = {
+    val bucket = TextOps.hash60(
+      concat(col(idCol).cast("string"), lit(salt))) % 100
+    df.withColumn("split",
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.llmops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic shard assignment and export — the last stage of a
@@ -60,4 +61,69 @@ object Sharding {
       .write.mode("overwrite")
       .partitionBy("shard")
       .parquet(path)
+
+  /** Exact global row number over (`sortCol`, `idCol`) WITHOUT a
+    * single-partition window. `row_number() OVER (ORDER BY ...)` pulls
+    * the whole table through one task — the one window shape that can
+    * never scale. Decompose instead:
+    *
+    *   rn(row) = prefix(sortCol) + rank-within-sortCol(idCol)
+    *
+    * where `prefix` is the running count of rows with a strictly
+    * smaller sort value — computed on the per-value count table (as
+    * many rows as DISTINCT sort values; its window runs on that tiny
+    * table) and broadcast-joined back — and the within-value rank is
+    * an ordinarily-partitioned window. Both heavy stages are fully
+    * distributed; only the distinct-value table is serial, which for
+    * any bounded-domain sort key (lengths, dates, scores) is nothing.
+    */
+  def globalRowNumber(df: DataFrame, sortCol: String, idCol: String)
+      : DataFrame = {
+    val prefix = df.groupBy(col(sortCol)).agg(count(lit(1)).as("cnt"))
+      .withColumn("prefix",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy(col(sortCol))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(sortCol), col("prefix"))
+    df.join(broadcast(prefix), Seq(sortCol))
+      .withColumn("rn",
+        col("prefix") + row_number().over(
+          Window.partitionBy(col(sortCol)).orderBy(col(idCol))))
+      .drop("prefix")
+  }
+
+  /** Equi-depth (range) shard manifest: NTILE(`nShards`) semantics over
+    * the total order (`sortCol`, `idCol`), built on [[globalRowNumber]]
+    * so no stage is single-partition. The manifest rows are the cut
+    * points `repartitionByRange` would need at write time — but exact
+    * (NTILE's first `total mod n` shards take the extra row), where
+    * repartitionByRange derives approximate cuts by sampling. Per
+    * shard: row count, sort-value endpoints, and total mass. */
+  def rangeShardManifest(df: DataFrame, sortCol: String, idCol: String,
+      nShards: Int): DataFrame = {
+    val withRn = globalRowNumber(df, sortCol, idCol)
+    // NTILE(n) over T rows: base = T div n, rem = T mod n; shards
+    // 1..rem have base+1 rows. Row r (1-indexed) maps to
+    //   r <= rem*(base+1) ? (r-1) div (base+1) + 1
+    //                     : rem + (r-1-rem*(base+1)) div base + 1
+    // — exact integer arithmetic (`div`, never IEEE `/`), no window.
+    // T arrives as a one-row broadcast scalar (the same one-DAG idiom
+    // as q57's tf-idf).
+    val t = df.agg(count(lit(1)).as("total"))
+    val joined = withRn.crossJoin(broadcast(t))
+    val shard = expr(
+      s"""CAST(CASE
+         |  WHEN rn <= (total % $nShards) * ((total div $nShards) + 1)
+         |  THEN (rn - 1) div ((total div $nShards) + 1)
+         |  ELSE (total % $nShards) +
+         |       (rn - 1 - (total % $nShards) * ((total div $nShards) + 1))
+         |         div (total div $nShards)
+         |END AS INT) + 1""".stripMargin)
+    joined.withColumn("shard", shard)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(sortCol)).as("min_sort"),
+        max(col(sortCol)).as("max_sort"),
+        sum(col(sortCol).cast("long")).as("mass"))
+  }
 }

@@ -144,6 +144,39 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** SemDeDup-style semantic dedup over an embedding column: within
+    * each cell, a vector survives iff NO earlier vector (smaller id) in
+    * the same cell has cosine > `threshold` to it. The first-occurrence
+    * rule is the same deterministic tie-break C4-style segment dedup
+    * uses (q84): it needs no transitive closure, no iteration, and two
+    * engines can agree on it exactly — unlike greedy cluster picking,
+    * whose result depends on visit order.
+    *
+    * Plan shape: the cell key bounds the pair join exactly as in
+    * [[nearDupPairs]] (an IVF cell from [[kmeansAssign]] or an LSH
+    * bucket from [[lshBucket]] — any partition-prunable cell works);
+    * norms fold once per vector before the join; the survivor test is
+    * one distinct-project of the dropped side + a broadcast-able
+    * left join back. Returns every input row with its cell and a
+    * `kept` flag, so callers can either filter or audit drop rates. */
+  def semdedupKeep(df: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(cellCol).as("cell"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), norm2(col(vecCol)).as("na"))
+    val b = df.select(col(cellCol).as("cell"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), norm2(col(vecCol)).as("nb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_b") < col("id_a"))
+      .filter(cosineWithNorms(col("va"), col("vb"), col("na"),
+        col("nb")) > threshold)
+      .select(col("id_a").as("drop_id"))
+      .distinct()
+    df.select(col(idCol), col(cellCol))
+      .join(dropped, col(idCol) === col("drop_id"), "left")
+      .select(col(idCol), col(cellCol),
+        col("drop_id").isNull.as("kept"))
+  }
+
   /** Sequential-fold squared L2 distance (same precision contract as
     * [[dot]] — bit-exact cross-engine). */
   def sqDist(a: Column, b: Column): Column =

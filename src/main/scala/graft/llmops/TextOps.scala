@@ -92,6 +92,48 @@ object TextOps {
       .select(col("da").as("doc_a"), col("db").as("doc_b"), jac.as("jac"))
   }
 
+  /** Directed near-containment pairs: `(contained, container)` where
+    * containment(A ⊆ B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|
+    * ≥ `minContain`. The asymmetric complement of [[ngramJaccardPairs]]:
+    * a quote, excerpt, or page wrapped in boilerplate has HIGH
+    * containment in its source but LOW Jaccard (the union is dominated
+    * by the larger doc), so symmetric dedup never sees it — this is the
+    * operator that catches subset duplication in a training corpus.
+    *
+    * Same 100 TB shape as the Jaccard pair join (one shingle-hash
+    * exchange reused by both join sides, window df count with the
+    * df > `maxDf` hot-shingle cap, pair-key exchange) — see the
+    * [[ngramJaccardPairs]] scaladoc for why each stage holds at scale.
+    * Differences: the pair keeps BOTH directions (da ≠ db rather than
+    * da < db) because containment is directional, and docs with fewer
+    * than `minShingles` distinct shingles are dropped before the join —
+    * a 3-shingle doc is "contained" in anything sharing a phrase, which
+    * is noise, and the filter also shrinks the index. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      minContain: Double = 0.5, minShingles: Int = 5,
+      maxDf: Int = 1000): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("doc"), array_distinct(transform(
+        shingles(col(textCol)), g => hash60(g))).as("arr"))
+      .select(col("doc"), size(col("arr")).as("nsh"),
+        explode(col("arr")).as("sh"))
+      .filter(col("nsh") >= minShingles)
+    val kept = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("df") <= maxDf)
+      .select(col("doc"), col("nsh"), col("sh"))
+    val a = kept.select(col("doc").as("da"), col("nsh").as("na"), col("sh"))
+    val b = kept.select(col("doc").as("db"), col("sh"))
+    val agg = a.join(b, Seq("sh"))
+      .filter(col("da") =!= col("db"))
+      .groupBy(col("da"), col("db"), col("na"))
+      .agg(count(lit(1)).as("common"))
+    val containment = col("common").cast("double") / col("na")
+    agg.filter(containment >= minContain)
+      .select(col("da").as("contained"), col("db").as("container"),
+        containment.as("containment"))
+  }
+
   /** MinHash permutation parameters (a, b) over the Mersenne prime
     * 2^31-1: h_i(x) = (a_i * (x mod p) + b_i) mod p. a < 2^26 keeps
     * a*x < 2^57 — no Long overflow. */

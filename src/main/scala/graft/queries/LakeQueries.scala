@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.llmops.{Mixture, Sharding, Similarity, TextOps}
+import graft.ops.Incremental
+
+/** Lake-lifecycle operator family: the operations a daily-snapshot
+  * 100 TB lake needs between ingestion and training — snapshot deltas,
+  * subset-duplication detection, semantic dedup, range-partitioned
+  * export planning, and split assignment.
+  *
+  * Same determinism contract as the rest of the engine (see
+  * LlmQueries): md5-derived 60-bit hashes, sequential-fold double dot
+  * products, exact integer/DECIMAL arithmetic everywhere else.
+  */
+object CorpusLakeQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.loadSpread(s, d, n)
+
+  /** DuckDB fragment: 60-bit md5 hash (TextOps.hash60 parity). */
+  private def dkHash60(e: String): String =
+    s"('0x'||substr(md5($e),1,15))::BIGINT"
+
+  /** DuckDB fragment: sequential-fold double dot product. */
+  private def dkDot(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), " +
+      s"s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)), (x,y) -> x+y)"
+
+  /** DuckDB fragment: unrounded zero-norm-guarded cosine. */
+  private def dkCos(dot: String, na: String, nb: String): String =
+    s"(CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 " +
+      s"ELSE $dot / (sqrt($na)*sqrt($nb)) END)"
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Snapshot delta: added/removed/changed rows between two dated
+    // dumps of the same keyed table — the reference's daily-dump churn
+    // question. Snapshots are derived deterministically from orders
+    // (drop different key residues per side, double some prices on the
+    // new side) so all three statuses appear.
+    QueryDef(
+      "q98_snapshot_diff",
+      Some("""
+        WITH a AS (SELECT o_orderkey, o_totalprice AS price
+                   FROM orders WHERE o_orderkey % 10 <> 3),
+        b AS (SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                          ELSE o_totalprice END AS price
+              FROM orders WHERE o_orderkey % 7 <> 2),
+        j AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                     a.price AS old_price, b.price AS new_price,
+                     a.o_orderkey IS NOT NULL AS in_a,
+                     b.o_orderkey IS NOT NULL AS in_b
+              FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey),
+        s AS (SELECT o_orderkey, old_price, new_price,
+                     CASE WHEN NOT in_a THEN 'added'
+                          WHEN NOT in_b THEN 'removed'
+                          WHEN old_price IS DISTINCT FROM new_price
+                            THEN 'changed' END AS status
+              FROM j)
+        SELECT o_orderkey, status, old_price, new_price
+        FROM s WHERE status IS NOT NULL"""),
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val snapA = orders.filter(col("o_orderkey") % 10 =!= 3)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"))
+        val snapB = orders.filter(col("o_orderkey") % 7 =!= 2)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
+              .otherwise(col("o_totalprice")).as("price"))
+        Incremental.snapshotDiff(snapA, snapB,
+          Seq("o_orderkey"), Seq("price"))
+      }),
+
+    // Directed near-containment pairs: quotes/excerpts buried in
+    // larger documents — high containment, low Jaccard, invisible to
+    // symmetric dedup (q41). Oracle mirrors the minShingles floor and
+    // the df>1000 hot-shingle cap exactly.
+    QueryDef(
+      "q99_containment_pairs",
+      Some(s"""
+        WITH t AS (SELECT doc_id, string_split(text,' ') toks
+                   FROM documents),
+        sarr AS (SELECT doc_id,
+                CASE WHEN len(toks) >= 3
+                     THEN list_transform(range(1, len(toks)-1),
+                            i -> array_to_string(toks[i:i+2], ' '))
+                     ELSE []::VARCHAR[] END AS shs
+              FROM t),
+        sh0 AS (SELECT doc_id, len(shsd) AS nsh, unnest(shsd) AS sh
+                FROM (SELECT doc_id, list_distinct(
+                        list_transform(shs, g -> ${dkHash60("g")})) shsd
+                      FROM sarr)),
+        sh AS (SELECT * FROM sh0 WHERE nsh >= 5),
+        kept AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 1000),
+        c AS (SELECT a.doc_id da, b.doc_id db, a.nsh na, count(*) common
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+              JOIN kept k ON a.sh = k.sh
+              GROUP BY 1, 2, 3)
+        SELECT da AS contained, db AS container,
+               CAST(common AS DOUBLE)/na AS containment
+        FROM c WHERE CAST(common AS DOUBLE)/na >= 0.5"""),
+      (s, d) =>
+        TextOps.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+          minContain = 0.5, minShingles = 5, maxDf = 1000)),
+
+    // SemDeDup-style semantic dedup: within each cell (label), a
+    // vector survives iff no earlier vector is cosine-closer than the
+    // threshold — deterministic first-occurrence keep rule (q84
+    // precedent), no iteration, no closure.
+    QueryDef(
+      "q100_semdedup_keep",
+      Some(s"""
+        WITH e AS (SELECT vec_id, label, embedding v,
+                          ${dkDot("embedding", "embedding")} AS nn
+                   FROM embeddings),
+        d AS (SELECT DISTINCT a.vec_id
+              FROM e a JOIN e b ON a.label = b.label
+                                AND b.vec_id < a.vec_id
+              WHERE ${dkCos(dkDot("a.v", "b.v"), "a.nn", "b.nn")} > 0.3)
+        SELECT e.vec_id, e.label, d.vec_id IS NULL AS kept
+        FROM e LEFT JOIN d ON e.vec_id = d.vec_id"""),
+      (s, d) =>
+        Similarity.semdedupKeep(t(s, d, "embeddings"),
+          "vec_id", "embedding", "label", 0.3)),
+
+    // Equi-depth range-shard manifest: exact NTILE cut points over
+    // (n_chars, doc_id) with NO single-partition stage — the
+    // distributed global row-number decomposition in
+    // Sharding.globalRowNumber. The manifest is what
+    // repartitionByRange approximates by sampling at export time.
+    QueryDef(
+      "q101_range_shards",
+      Some("""
+        WITH r AS (SELECT n_chars,
+                          NTILE(32) OVER (ORDER BY n_chars, doc_id)
+                            AS shard
+                   FROM documents)
+        SELECT CAST(shard AS INT) AS shard, count(*) AS n_docs,
+               min(n_chars) AS min_sort, max(n_chars) AS max_sort,
+               CAST(sum(n_chars) AS BIGINT) AS mass
+        FROM r GROUP BY 1"""),
+      (s, d) =>
+        Sharding.rangeShardManifest(t(s, d, "documents"),
+          "n_chars", "doc_id", 32)),
+
+    // Deterministic train/val/test split: hash-bucket assignment
+    // (stable as the corpus grows — no rand(), no reshuffling of
+    // yesterday's docs), summarized per (lang, split).
+    QueryDef(
+      "q102_train_split",
+      Some(s"""
+        WITH s AS (SELECT lang, n_chars,
+                     ${dkHash60("CAST(doc_id AS VARCHAR)||':split'")}
+                       % 100 AS bucket
+                   FROM documents)
+        SELECT lang,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        FROM s GROUP BY 1, 2"""),
+      (s, d) =>
+        Mixture.trainSplit(t(s, d, "documents"), "doc_id")
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars_total"))))
+}

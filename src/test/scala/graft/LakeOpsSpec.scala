@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llmops.{Mixture, Sharding, Similarity, TextOps}
+import graft.ops.Incremental
+
+/** Boundary semantics for the lake-lifecycle operators (q98-q102):
+  * snapshot diff, containment pairs, semantic dedup, distributed
+  * global row number / range shards, train split. */
+class LakeOpsSpec extends AnyFunSuite {
+
+  lazy val spark = graft.core.Sessions.local(4, "graft-lake-test")
+  import spark.implicits._
+
+  // ---- snapshotDiff ----
+
+  test("snapshotDiff classifies added/removed/changed, drops unchanged") {
+    val a = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val b = Seq((2L, 20.0), (3L, 33.0), (4L, 40.0)).toDF("k", "v")
+    val r = Incremental.snapshotDiff(a, b, Seq("k"), Seq("v"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("snapshotDiff null-safe compare: null->value is changed") {
+    val a = Seq((1L, Option.empty[Double]), (2L, Some(5.0))).toDF("k", "v")
+    val b = Seq((1L, Some(1.0)), (2L, Option.empty[Double])).toDF("k", "v")
+    val r = Incremental.snapshotDiff(a, b, Seq("k"), Seq("v"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(1L -> "changed", 2L -> "changed"))
+  }
+
+  // ---- containmentPairs ----
+
+  test("containment sees a quote inside a larger doc; Jaccard misses it") {
+    val quote = "alpha beta gamma delta epsilon zeta eta"          // 5 shingles
+    val host = quote + " one two three four five six seven eight" +
+      " nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    val docs = Seq((1L, quote), (2L, host)).toDF("doc_id", "text")
+    val c = TextOps.containmentPairs(docs, "doc_id", "text",
+      minContain = 0.9, minShingles = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every shingle of doc 1 appears in doc 2 -> containment 1.0, one
+    // direction only (doc 2 is nowhere near contained in doc 1)
+    assert(c.toSeq == Seq((1L, 2L, 1.0)))
+    val j = TextOps.ngramJaccardPairs(docs, "doc_id", "text", minJac = 0.5)
+    assert(j.count() == 0) // symmetric dedup is blind to the subset
+  }
+
+  test("containment drops docs below the shingle floor") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d e f g h i j k l"))
+      .toDF("doc_id", "text")
+    // doc 1 has 2 distinct shingles < 5 -> filtered before the join
+    val c = TextOps.containmentPairs(docs, "doc_id", "text",
+      minContain = 0.1, minShingles = 5)
+    assert(c.count() == 0)
+  }
+
+  // ---- semdedupKeep ----
+
+  test("semdedup keeps the first of a near-dup pair, per cell") {
+    val docs = Seq(
+      (1L, Array(1f, 0f), 0),   // kept: first in cell 0
+      (2L, Array(1f, 0.01f), 0), // dropped: cos to vec 1 ~ 1 > 0.9
+      (3L, Array(0f, 1f), 0),   // kept: orthogonal to vec 1
+      (4L, Array(1f, 0f), 1))   // kept: identical to vec 1 but other cell
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.semdedupKeep(docs, "vec_id", "embedding",
+      "label", 0.9)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(r == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true))
+  }
+
+  test("semdedup zero-norm vectors never match (cos defined 0)") {
+    val docs = Seq(
+      (1L, Array(0f, 0f), 0),
+      (2L, Array(0f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.semdedupKeep(docs, "vec_id", "embedding",
+      "label", 0.5)
+    assert(r.filter(col("kept")).count() == 2)
+  }
+
+  // ---- globalRowNumber / rangeShardManifest ----
+
+  test("globalRowNumber equals the single-partition row_number") {
+    val df = (1L to 97L).map(i => (i, (i * 7) % 13)).toDF("id", "s")
+    val got = Sharding.globalRowNumber(df, "s", "id")
+      .select(col("id"), col("rn")).as[(Long, Long)].collect().toMap
+    val want = df.selectExpr("id",
+      "row_number() over (order by s, id) as rn")
+      .as[(Long, Int)].collect().map { case (i, r) => i -> r.toLong }.toMap
+    assert(got == want)
+  }
+
+  test("rangeShardManifest matches NTILE semantics incl. remainder") {
+    val df = (1L to 10L).map(i => (i, i % 4)).toDF("id", "s")
+    // 10 rows, 3 shards -> NTILE sizes 4,3,3
+    val m = Sharding.rangeShardManifest(df, "s", "id", 3)
+      .orderBy("shard")
+      .select(col("shard"), col("n_docs")).as[(Int, Long)].collect()
+    assert(m.toSeq == Seq((1, 4L), (2, 3L), (3, 3L)))
+    val sql = df.selectExpr("s", "ntile(3) over (order by s, id) shard")
+      .groupBy("shard").count().orderBy("shard")
+      .as[(Int, Long)].collect()
+    assert(m.map(x => (x._1, x._2)).toSeq == sql.toSeq)
+  }
+
+  // ---- trainSplit ----
+
+  test("trainSplit is total, deterministic, and growth-stable") {
+    val df = (1L to 200L).toDF("doc_id")
+    val r1 = Mixture.trainSplit(df, "doc_id")
+      .select(col("doc_id"), col("split")).as[(Long, String)]
+      .collect().toMap
+    assert(r1.size == 200 && r1.values.toSet.subsetOf(
+      Set("train", "val", "test")))
+    // adding docs must not move existing assignments
+    val r2 = Mixture.trainSplit((1L to 400L).toDF("doc_id"), "doc_id")
+      .select(col("doc_id"), col("split")).as[(Long, String)]
+      .collect().toMap
+    assert(r1.forall { case (k, v) => r2(k) == v })
+    // rough proportions (hash-uniform): train strictly the majority
+    val n = r1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n.getOrElse("train", 0) > n.getOrElse("val", 0) &&
+      n.getOrElse("train", 0) > n.getOrElse("test", 0))
+  }
+}

@@ -49,6 +49,8 @@ def digest(df: pd.DataFrame) -> str:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional third arg: comma-separated name prefixes to check
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -63,6 +65,9 @@ def main():
     gate_dir = "/root/testdata/sf0.01"
     oracle = {k: v.replace(gate_dir, os.path.abspath(sf_dir).rstrip("/"))
               for k, v in oracle.items()}
+    if only:
+        oracle = {k: v for k, v in oracle.items()
+                  if any(k.startswith(p) for p in only)}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
