@@ -104,8 +104,8 @@ object TextOps {
     * exchange reused by both join sides, window df count with the
     * df > `maxDf` hot-shingle cap, pair-key exchange) — see the
     * [[ngramJaccardPairs]] scaladoc for why each stage holds at scale.
-    * Differences: the pair keeps BOTH directions (da ≠ db rather than
-    * da < db) because containment is directional, and docs with fewer
+    * Differences: the OUTPUT is directional (both directions of each
+    * unordered pair, with their own denominators), and docs with fewer
     * than `minShingles` distinct shingles are dropped before the join —
     * a 3-shingle doc is "contained" in anything sharing a phrase, which
     * is noise, and the filter also shrinks the index. */
@@ -122,16 +122,26 @@ object TextOps {
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("df") <= maxDf)
       .select(col("doc"), col("nsh"), col("sh"))
+    // The JOIN stays on unordered pairs (da < db — half the rows of a
+    // da ≠ db join, and both sides reuse one exchange+sort); `common`
+    // is symmetric, only the denominator differs per direction, so the
+    // two directed rows explode out of each unordered aggregate.
     val a = kept.select(col("doc").as("da"), col("nsh").as("na"), col("sh"))
-    val b = kept.select(col("doc").as("db"), col("sh"))
+    val b = kept.select(col("doc").as("db"), col("nsh").as("nb"), col("sh"))
     val agg = a.join(b, Seq("sh"))
-      .filter(col("da") =!= col("db"))
-      .groupBy(col("da"), col("db"), col("na"))
-      .agg(count(lit(1)).as("common"))
-    val containment = col("common").cast("double") / col("na")
-    agg.filter(containment >= minContain)
-      .select(col("da").as("contained"), col("db").as("container"),
-        containment.as("containment"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"), col("na"), col("nb"))
+      .agg(count(lit(1)).cast("double").as("common"))
+    agg
+      .select(explode(array(
+        struct(col("da").as("contained"), col("db").as("container"),
+          (col("common") / col("na")).as("containment")),
+        struct(col("db").as("contained"), col("da").as("container"),
+          (col("common") / col("nb")).as("containment")))).as("p"))
+      .select(col("p.contained").as("contained"),
+        col("p.container").as("container"),
+        col("p.containment").as("containment"))
+      .filter(col("containment") >= minContain)
   }
 
   /** MinHash permutation parameters (a, b) over the Mersenne prime
