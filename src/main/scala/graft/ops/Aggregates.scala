@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -86,5 +86,34 @@ object Aggregates {
     }
     ranked.groupBy(col(groupCol))
       .agg(max(col("__n")).as("n_rows"), qCols: _*)
+  }
+
+  /** Per-key OLS trend slope over INTEGER (x, y) columns, exact until
+    * the final division:
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *
+    * All five sums accumulate in DECIMAL(38,0) (order-independent —
+    * a double Σxy differs run to run under shuffle), the numerator and
+    * denominator are exact integer products, and only the final
+    * quotient is IEEE — deterministic on identical operands in any
+    * engine (DuckDB's HUGEINT path produces the same integers). A key
+    * whose x never varies has denominator 0 → slope null, never a
+    * divide error. One hash aggregation, no window, no second pass —
+    * the per-entity trend/drift metric over an event stream. */
+  def groupTrendSlope(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val g = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col(xCol).cast(d38)).as("sx"),
+      sum(col(yCol).cast(d38)).as("sy"),
+      sum((col(xCol).cast(d38) * col(yCol).cast(d38))).as("sxy"),
+      sum((col(xCol).cast(d38) * col(xCol).cast(d38))).as("sxx"))
+    val num = col("n").cast(d38) * col("sxy") - col("sx") * col("sy")
+    val den = col("n").cast(d38) * col("sxx") - col("sx") * col("sx")
+    g.select(col(keyCol), col("n"),
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double")).as("slope"))
   }
 }

@@ -217,6 +217,28 @@ object Events {
       .drop("__first")
   }
 
+  /** Flow (transition) bigram mining: for each consecutive event pair
+    * of the same entity within `gap` ticks, count the
+    * (from_type → to_type) transition and how many distinct entities
+    * made it — the "common paths" question over a clickstream/job
+    * stream. One lag window (one exchange on the entity key), then one
+    * hash aggregation on the pair; the gap bound keeps cross-session
+    * transitions out, matching [[sessionize]]'s session boundary. */
+  def flowBigrams(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, gap: Long, tieCol: String): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(keyCol), col(tsCol), col(tieCol), col(typeCol))
+      .withColumn("__from", lag(col(typeCol), 1).over(byKey))
+      .withColumn("__dt", col(tsCol) - lag(col(tsCol), 1).over(byKey))
+      .filter(col("__from").isNotNull && col("__dt") <= gap)
+      .groupBy(col("__from").as("from_type"),
+        col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col(keyCol)).as("n_users"))
+  }
+
   /** Weekly retention cohorts: entities are cohorted by the week of
     * their first event; for every (cohort week, weeks-since-cohort)
     * cell, how many distinct entities were active — the standard

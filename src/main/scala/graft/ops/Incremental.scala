@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -63,12 +64,40 @@ object Incremental {
         col("min_v").as("min_value"),
         col("max_v").as("max_value")): _*)
 
+  /** SCD type-2 history from a pile of dated snapshots: collapse
+    * per-key consecutive-equal runs into validity intervals
+    * `[valid_from, valid_to)` (`valid_to` null = still current). The
+    * N-snapshot generalization of [[snapshotDiff]] — what a lake stores
+    * so point-in-time lookups (`ops/Events.asOfJoin`) don't scan N
+    * full dumps.
+    *
+    * Shape: ONE exchange on the key feeds both windows (change-mark
+    * lag and valid_to lead — same partitioning and order, Spark reuses
+    * the sort). Change test = null-safe inequality fold vs the lagged
+    * compare columns; first row per key always opens an interval. */
+  def scdHistory(snaps: DataFrame, keys: Seq[String],
+      compareCols: Seq[String], snapCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(snapCol))
+    val changed = compareCols
+      .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _)
+    snaps
+      .withColumn("__open",
+        lag(col(snapCol), 1).over(w).isNull || changed)
+      .filter(col("__open"))
+      .withColumn("valid_from", col(snapCol))
+      .withColumn("valid_to", lead(col(snapCol), 1).over(w))
+      .select((keys ++ compareCols).map(col) :+
+        col("valid_from") :+ col("valid_to"): _*)
+  }
+
   /** Delta between two dated snapshots of the same keyed table: which
     * rows were `added`, `removed`, or `changed` between yesterday's and
     * today's dump (unchanged rows are dropped — the delta is the
     * output). The reference's world is exactly this: daily full dumps
     * (rucio/dbs/phedex snapshots) where consumers want the day's churn
-    * without re-processing the 100 TB that didn't move.
+    * without re-processing the 100 TB that didn't move. See
+    * [[scdHistory]] for the N-snapshot interval form.
     *
     * Shape: ONE full-outer sort-merge join on the key — both sides
     * shuffle once on `keys`, the compare columns ride along, and the

@@ -198,6 +198,27 @@ object AggQueries {
           .select(col("user_id"), col("event_type"))
           .dropDuplicates(Seq("user_id", "event_type"))
           .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n_user_types")))
+          .agg(count(lit(1)).as("n_user_types"))),
+
+    // Multi-granularity ROLLUP report: detail + per-flag subtotal +
+    // grand total in ONE aggregation pass (partial aggregation handles
+    // all three levels map-side — vs three scans for three GROUP BYs).
+    // grouping_id() disambiguates real NULL keys from subtotal rows.
+    QueryDef(
+      "q106_rollup_report",
+      Some("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 AS sum_qty,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+                 AS gid
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)"""),
+      (s, d) =>
+        t(s, d, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n_rows"),
+            decSum(col("l_quantity")).as("sum_qty"),
+            grouping_id().as("gid")))
   )
 }

@@ -278,6 +278,64 @@ object EventQueries {
           t(s, d, "events").select(col("event_id"), col("user_id"),
             col("event_type"), expr("ts div 1000").as("ts_us")),
           Seq("user_id", "event_type"), "ts_us", gap = 86400000000L,
-          tieCol = "event_id"))
+          tieCol = "event_id")),
+
+    // Flow bigram mining: (from_type → to_type) transition counts for
+    // consecutive same-user events within a 30-min gap — the "common
+    // paths" clickstream question. One lag window + one hash agg.
+    QueryDef(
+      "q104_flow_bigrams",
+      Some("""
+        WITH e AS (SELECT user_id, event_id, event_type,
+                          epoch_us(ts) AS ts_us
+                   FROM events),
+        f AS (SELECT user_id, event_type,
+                lag(event_type) OVER
+                  (PARTITION BY user_id ORDER BY ts_us, event_id)
+                  AS from_type,
+                ts_us - lag(ts_us) OVER
+                  (PARTITION BY user_id ORDER BY ts_us, event_id)
+                  AS dt
+              FROM e)
+        SELECT from_type, event_type AS to_type,
+               count(*) AS n_transitions,
+               count(DISTINCT user_id) AS n_users
+        FROM f WHERE from_type IS NOT NULL AND dt <= 1800000000
+        GROUP BY 1, 2"""),
+      (s, d) =>
+        Events.flowBigrams(
+          t(s, d, "events").select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("ts_us"), col("event_type")),
+          "user_id", "ts_us", "event_type", gap = 1800000000L,
+          tieCol = "event_id")),
+
+    // Per-user engagement trend: exact OLS slope of the props metric
+    // over epoch days — DECIMAL sums, one IEEE division at the end
+    // (Aggregates.groupTrendSlope). Keys with a single distinct day
+    // have slope NULL (zero denominator), never a divide error.
+    QueryDef(
+      "q105_trend_slope",
+      Some("""
+        WITH e AS (SELECT user_id,
+                          epoch_us(ts) // 86400000000 AS day,
+                          CAST(regexp_extract(props, '[0-9]+') AS BIGINT)
+                            AS k
+                   FROM events),
+        g AS (SELECT user_id, count(*) AS n, sum(day) AS sx,
+                     sum(k) AS sy, sum(day*k) AS sxy,
+                     sum(day*day) AS sxx
+              FROM e GROUP BY 1)
+        SELECT user_id, n,
+               CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+                    ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+                       / CAST(n*sxx - sx*sx AS DOUBLE) END AS slope
+        FROM g"""),
+      (s, d) =>
+        graft.ops.Aggregates.groupTrendSlope(
+          t(s, d, "events").select(col("user_id"),
+            expr("ts div 86400000000000").as("day"),
+            regexp_extract(col("props"), "[0-9]+", 0).cast("long")
+              .as("k")),
+          "user_id", "day", "k"))
   )
 }

@@ -169,5 +169,44 @@ object CorpusLakeQueries {
         Mixture.trainSplit(t(s, d, "documents"), "doc_id")
           .groupBy(col("lang"), col("split"))
           .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_chars")).as("n_chars_total"))))
+            sum(col("n_chars")).as("n_chars_total"))),
+
+    // SCD type-2 history: collapse N dated snapshots into per-key
+    // validity intervals (q98's N-snapshot generalization). Snapshots
+    // derive deterministically from orders — each key's price doubles
+    // at exactly one of three snapshots, so every key produces 2-3
+    // interval rows.
+    QueryDef(
+      "q103_scd2_history",
+      Some("""
+        WITH s AS (SELECT o_orderkey, snap,
+                          CASE WHEN o_orderkey % 3 = snap
+                               THEN o_totalprice * 2
+                               ELSE o_totalprice END AS price
+                   FROM orders CROSS JOIN range(0, 3) r(snap)
+                   WHERE o_orderkey % 100 < 20),
+        m AS (SELECT o_orderkey, snap, price,
+                     lag(price) OVER
+                       (PARTITION BY o_orderkey ORDER BY snap) AS pp,
+                     lag(snap) OVER
+                       (PARTITION BY o_orderkey ORDER BY snap) AS ps
+              FROM s),
+        h AS (SELECT o_orderkey, snap, price FROM m
+              WHERE ps IS NULL OR price IS DISTINCT FROM pp)
+        SELECT o_orderkey, price, snap AS valid_from,
+               lead(snap) OVER
+                 (PARTITION BY o_orderkey ORDER BY snap) AS valid_to
+        FROM h"""),
+      (s, d) => {
+        val snaps = t(s, d, "orders")
+          .filter(col("o_orderkey") % 100 < 20)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            explode(sequence(lit(0L), lit(2L))).as("snap"))
+          .select(col("o_orderkey"), col("snap"),
+            when(col("o_orderkey") % 3 === col("snap"),
+              col("o_totalprice") * 2)
+              .otherwise(col("o_totalprice")).as("price"))
+        Incremental.scdHistory(snaps, Seq("o_orderkey"), Seq("price"),
+          "snap")
+      }))
 }

@@ -107,6 +107,62 @@ class LakeOpsSpec extends AnyFunSuite {
     assert(m.map(x => (x._1, x._2)).toSeq == sql.toSeq)
   }
 
+  // ---- scdHistory ----
+
+  test("scdHistory collapses runs into validity intervals") {
+    val snaps = Seq(
+      (1L, 0L, 10.0), (1L, 1L, 10.0), (1L, 2L, 20.0), // change at 2
+      (2L, 0L, 5.0), (2L, 1L, 5.0), (2L, 2L, 5.0),    // never changes
+      (3L, 1L, 7.0))                                  // appears late
+      .toDF("k", "snap", "v")
+    val r = Incremental.scdHistory(snaps, Seq("k"), Seq("v"), "snap")
+      .collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getLong(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3))).toSet
+    assert(r == Set(
+      (1L, 10.0, 0L, 2L), (1L, 20.0, 2L, -1L),
+      (2L, 5.0, 0L, -1L),
+      (3L, 7.0, 1L, -1L)))
+  }
+
+  test("scdHistory: value flapping A->B->A yields three intervals") {
+    val snaps = Seq((1L, 0L, "A"), (1L, 1L, "B"), (1L, 2L, "A"))
+      .toDF("k", "snap", "v")
+    val r = Incremental.scdHistory(snaps, Seq("k"), Seq("v"), "snap")
+    assert(r.count() == 3)
+  }
+
+  // ---- flowBigrams ----
+
+  test("flowBigrams counts gap-bounded transitions only") {
+    val ev = Seq(
+      // user 1: a->b (close), b->c (too far apart)
+      (1L, 100L, 1L, "a"), (1L, 150L, 2L, "b"), (1L, 900L, 3L, "c"),
+      // user 2: a->b again
+      (2L, 10L, 4L, "a"), (2L, 20L, 5L, "b"))
+      .toDF("u", "ts", "eid", "typ")
+    val r = graft.ops.Events.flowBigrams(ev, "u", "ts", "typ",
+      gap = 100L, tieCol = "eid")
+      .collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getLong(3))).toSet
+    assert(r == Set(("a", "b", 2L, 2L)))
+  }
+
+  // ---- groupTrendSlope ----
+
+  test("groupTrendSlope: exact slope, null on constant x") {
+    val df = Seq(
+      (1L, 0L, 1L), (1L, 1L, 3L), (1L, 2L, 5L),  // y = 2x+1 -> slope 2
+      (2L, 5L, 9L), (2L, 5L, 100L))               // constant x -> null
+      .toDF("k", "x", "y")
+    val r = graft.ops.Aggregates.groupTrendSlope(df, "k", "x", "y")
+      .collect()
+      .map(x => x.getLong(0) ->
+        (if (x.isNullAt(2)) None else Some(x.getDouble(2)))).toMap
+    assert(r == Map(1L -> Some(2.0), 2L -> None))
+  }
+
   // ---- trainSplit ----
 
   test("trainSplit is total, deterministic, and growth-stable") {
