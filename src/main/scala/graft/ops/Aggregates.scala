@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -86,6 +87,37 @@ object Aggregates {
     }
     ranked.groupBy(col(groupCol))
       .agg(max(col("__n")).as("n_rows"), qCols: _*)
+  }
+
+  /** Exact weighted median per group over INTEGER value and weight
+    * columns: the smallest value (in (value, tie) order) whose running
+    * weight reaches half the group's total —
+    * `2·cumsum(w) ≥ Σw AND 2·(cumsum(w) − w) < Σw` picks exactly one
+    * row per group, in pure integer arithmetic (no 0.5·Σw double, no
+    * rounding seam). The weighted generalization of
+    * [[quantilesDisc]]: "median doc length weighted by token mass" is
+    * a different (and usually more honest) corpus statistic than the
+    * unweighted median when lengths are heavy-tailed.
+    *
+    * Shape: one exchange on the group key; cumsum and group total are
+    * two frames over the SAME window order (one WindowExec, spills on
+    * monster groups); the threshold filter leaves one row per group —
+    * no second aggregation. */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, tieCol: String): DataFrame = {
+    val order = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(tieCol))
+    val cum = sum(col(weightCol)).over(
+      order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val tot = sum(col(weightCol)).over(
+      Window.partitionBy(col(groupCol))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    df.select(col(groupCol), col(valueCol), col(weightCol),
+        col(tieCol), cum.as("__cum"), tot.as("__tot"))
+      .filter(col("__cum") * 2 >= col("__tot") &&
+        (col("__cum") - col(weightCol)) * 2 < col("__tot"))
+      .select(col(groupCol), col(valueCol).as("w_median"),
+        col("__tot").as("total_weight"))
   }
 
   /** Per-key OLS trend slope over INTEGER (x, y) columns, exact until

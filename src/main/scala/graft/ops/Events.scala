@@ -217,6 +217,31 @@ object Events {
       .drop("__first")
   }
 
+  /** Rolling distinct-actives (WAU-style): for every day with any
+    * activity, how many distinct entities were active in the trailing
+    * `window` days. Spark (like most engines) cannot evaluate COUNT
+    * DISTINCT over a RANGE window, and the self-join form
+    * (`a.day BETWEEN d.day-6 AND d.day`) is a range join — quadratic
+    * territory on dense days. The scalable EXACT form is the same
+    * bin-explosion trick as [[rangeJoin]]: each distinct (entity, day)
+    * activity contributes to exactly `window` trailing window-days, so
+    * explode those target days and the range condition becomes an
+    * EQUI-join; a distinct hash agg then counts each entity once per
+    * window-day. Replication factor is exactly `window` (7 here) —
+    * fixed, known, and skew-free by construction. */
+  def rollingActive(events: DataFrame, keyCol: String, dayCol: String,
+      window: Int): DataFrame = {
+    val act = events.select(col(keyCol), col(dayCol)).distinct()
+    val days = act.select(col(dayCol).as("day")).distinct()
+    act
+      .select(col(keyCol),
+        explode(sequence(col(dayCol),
+          col(dayCol) + (window - 1))).as("day"))
+      .join(days, Seq("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col(keyCol)).as("n_active"))
+  }
+
   /** Flow (transition) bigram mining: for each consecutive event pair
     * of the same entity within `gap` ticks, count the
     * (from_type → to_type) transition and how many distinct entities

@@ -209,6 +209,35 @@ object CurationQueries {
           t(s, d, "documents"), "lang", "n_chars", "doc_id",
           Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))),
 
+    // Exact weighted median: per-language median doc length weighted
+    // by TOKEN MASS (where half the language's tokens live) — the
+    // honest curriculum statistic when lengths are heavy-tailed; the
+    // unweighted median (q83 p50) undercounts long docs. Pure integer
+    // threshold arithmetic: 2·cumsum ≥ total and the previous cumsum
+    // strictly below — exactly one row per group, no 0.5·total double.
+    QueryDef(
+      "q107_weighted_median",
+      Some("""
+        WITH w AS (SELECT lang, doc_id, n_chars,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS wt
+                   FROM documents),
+        c AS (SELECT lang, n_chars, wt,
+                sum(wt) OVER (PARTITION BY lang
+                  ORDER BY n_chars, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum,
+                sum(wt) OVER (PARTITION BY lang) AS tot
+              FROM w)
+        SELECT lang, n_chars AS w_median,
+               CAST(tot AS BIGINT) AS total_weight
+        FROM c WHERE cum * 2 >= tot AND (cum - wt) * 2 < tot"""),
+      (s, d) =>
+        graft.ops.Aggregates.weightedMedian(
+          t(s, d, "documents")
+            .select(col("lang"), col("doc_id"), col("n_chars"),
+              size(TextOps.tokens(col("text"))).cast("long").as("wt")),
+          "lang", "n_chars", "wt", "doc_id")),
+
     // Global segment-level dedup with reassembly (the C4/RefinedWeb
     // boilerplate-line removal): 16-token segments survive only at
     // their first corpus occurrence; docs reassemble from surviving

@@ -336,6 +336,28 @@ object EventQueries {
             expr("ts div 86400000000000").as("day"),
             regexp_extract(col("props"), "[0-9]+", 0).cast("long")
               .as("k")),
-          "user_id", "day", "k"))
+          "user_id", "day", "k")),
+
+    // Rolling 7-day distinct actives (WAU): COUNT DISTINCT over a
+    // RANGE window is unsupported in Spark and the BETWEEN self-join
+    // is a range join — so each (user, day) activity explodes to its
+    // 7 trailing window-days and the range condition becomes an
+    // EQUI-join (ops/Events.rollingActive; the q80 bin trick).
+    // Oracle = DuckDB's genuine range join.
+    QueryDef(
+      "q108_rolling_active",
+      Some("""
+        WITH act AS (SELECT DISTINCT user_id,
+                            epoch_us(ts) // 86400000000 AS day
+                     FROM events),
+        days AS (SELECT DISTINCT day FROM act)
+        SELECT d.day, count(DISTINCT a.user_id) AS n_active
+        FROM days d JOIN act a ON a.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1"""),
+      (s, d) =>
+        Events.rollingActive(
+          t(s, d, "events").select(col("user_id"),
+            expr("ts div 86400000000000").as("day")),
+          "user_id", "day", window = 7))
   )
 }

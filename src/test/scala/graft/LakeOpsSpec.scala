@@ -163,6 +163,44 @@ class LakeOpsSpec extends AnyFunSuite {
     assert(r == Map(1L -> Some(2.0), 2L -> None))
   }
 
+  // ---- weightedMedian ----
+
+  test("weightedMedian: weight mass picks the value, one row per group") {
+    val df = Seq(
+      // group a: values 1,2,3 weights 1,1,10 -> half of 12 is 6,
+      // cumsum crosses at value 3
+      ("a", 1L, 1L, 1L), ("a", 2L, 1L, 2L), ("a", 3L, 10L, 3L),
+      // group b: equal weights, even count -> lower median (value 1:
+      // 2*cum=2 >= tot=2 and prev cum 0 < 2)
+      ("b", 1L, 1L, 4L), ("b", 2L, 1L, 5L))
+      .toDF("g", "v", "w", "id")
+    val r = graft.ops.Aggregates.weightedMedian(df, "g", "v", "w", "id")
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2)))
+      .toMap
+    assert(r == Map("a" -> ((3L, 12L)), "b" -> ((1L, 2L))))
+  }
+
+  test("weightedMedian singleton group returns its only value") {
+    val df = Seq(("a", 42L, 7L, 1L)).toDF("g", "v", "w", "id")
+    val r = graft.ops.Aggregates.weightedMedian(df, "g", "v", "w", "id")
+      .head()
+    assert(r.getLong(1) == 42L && r.getLong(2) == 7L)
+  }
+
+  // ---- rollingActive ----
+
+  test("rollingActive counts trailing-window distinct entities") {
+    val ev = Seq(
+      (1L, 10L), (1L, 10L),        // dup activity collapses
+      (2L, 12L),
+      (3L, 20L))                   // outside any 7-day window of 10-12
+      .toDF("u", "day")
+    val r = graft.ops.Events.rollingActive(ev, "u", "day", 7)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // day 10: user 1; day 12: users 1 (10 in [6,12]) + 2; day 20: user 3
+    assert(r == Map(10L -> 1L, 12L -> 2L, 20L -> 1L))
+  }
+
   // ---- trainSplit ----
 
   test("trainSplit is total, deterministic, and growth-stable") {
