@@ -62,6 +62,31 @@ object Sharding {
       .partitionBy("shard")
       .parquet(path)
 
+  /** Rendezvous (highest-random-weight) shard assignment: each row
+    * goes to `argmax over nodes of hash60(id ∥ "@" ∥ node)` — ties (a
+    * 1-in-2⁶⁰ event, but semantics must be total) break on node name
+    * ascending. Unlike `hash mod N` ([[assignShards]]), ADDING a node
+    * moves only the ~1/(N+1) of rows whose new argmax IS the new node
+    * and nothing else — the property that makes incremental
+    * resharding of a 100 TB store an append, not a rewrite
+    * (RendezvousSpec-style monotonicity is asserted in LakeOpsSpec).
+    *
+    * Pure per-row compute over a literal node list: no shuffle, no
+    * broadcast, codegen-friendly. The argmax folds as
+    * `sort_array(array(struct(-score, node)))[0]` — min of the
+    * negated score is max score, node ascending on ties. */
+  def rendezvousAssign(df: DataFrame, idCol: String,
+      nodes: Seq[String]): DataFrame = {
+    val scored = nodes.map { nd =>
+      struct(
+        (-TextOps.hash60(
+          concat(col(idCol).cast("string"), lit("@" + nd)))).as("ns"),
+        lit(nd).as("node"))
+    }
+    df.withColumn("node",
+      sort_array(array(scored: _*)).getItem(0).getField("node"))
+  }
+
   /** Exact global row number over (`sortCol`, `idCol`) WITHOUT a
     * single-partition window. `row_number() OVER (ORDER BY ...)` pulls
     * the whole table through one task — the one window shape that can

@@ -120,6 +120,76 @@ object Aggregates {
         col("__tot").as("total_weight"))
   }
 
+  /** Robust outlier gate: per-group median / MAD (median absolute
+    * deviation) over an INTEGER value column, flagging values with
+    * `|x − median| > k·MAD` — the heavy-tail-safe alternative to
+    * z-scores (mean/stddev are themselves dragged by the outliers
+    * they're supposed to find, and stddev needs a double sqrt; median
+    * and MAD stay in exact integer arithmetic end to end). Medians are
+    * the lower median (rank `(n+1) div 2` — q83's convention).
+    *
+    * Shape: two ranked window passes (each one exchange on the group
+    * key) + one broadcast-able join of the per-group scalars back, one
+    * final hash agg. Output per group: n_rows, median, mad,
+    * n_outliers. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      tieCol: String, k: Int = 3): DataFrame = {
+    def lowerMedian(in: DataFrame, vCol: String, out: String)
+        : DataFrame = {
+      val w = Window.partitionBy(col(groupCol))
+        .orderBy(col(vCol), col(tieCol))
+      val n = Window.partitionBy(col(groupCol))
+        .rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+      in.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(n))
+        .filter(expr("__rn = (__n + 1) div 2"))
+        .select(col(groupCol), col(vCol).as(out))
+    }
+    val med = lowerMedian(
+      df.select(col(groupCol), col(valueCol), col(tieCol)),
+      valueCol, "median")
+    val devs = df.select(col(groupCol), col(valueCol), col(tieCol))
+      .join(med, Seq(groupCol))
+      .withColumn("__dev", abs(col(valueCol) - col("median")))
+    val mad = lowerMedian(devs, "__dev", "mad")
+    devs.join(mad, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("median")).as("median"),
+        max(col("mad")).as("mad"),
+        countIf(col("__dev") > lit(k) * col("mad")).as("n_outliers"))
+  }
+
+  /** Gini concentration coefficient per group over an INTEGER value
+    * column: `G = (2·Σ rⱼ·xⱼ − (n+1)·Σxⱼ) / (n·Σxⱼ)` with xⱼ ascending
+    * (rank r from a (value, tie) total order). The single-number "is
+    * this corpus dominated by a few giant docs/sources?" diagnostic.
+    * Numerator and denominator are exact DECIMAL(38,0) integers; the
+    * one IEEE division is deterministic on identical operands. All-zero
+    * groups → null, never a divide error.
+    *
+    * Shape: one exchange on the group key (ranking window), one hash
+    * agg. */
+  def giniCoefficient(df: DataFrame, groupCol: String,
+      valueCol: String, tieCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(tieCol))
+    val g = df.select(col(groupCol), col(valueCol), col(tieCol))
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast(d38)).as("sx"),
+        sum(col("__rn").cast(d38) * col(valueCol).cast(d38)).as("srx"))
+    val num = lit(2).cast(d38) * col("srx") -
+      (col("n").cast(d38) + 1) * col("sx")
+    val den = col("n").cast(d38) * col("sx")
+    g.select(col(groupCol), col("n").as("n_rows"),
+      when(col("sx") === 0, lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double")).as("gini"))
+  }
+
   /** Per-key OLS trend slope over INTEGER (x, y) columns, exact until
     * the final division:
     *

@@ -238,6 +238,60 @@ object CurationQueries {
               size(TextOps.tokens(col("text"))).cast("long").as("wt")),
           "lang", "n_chars", "wt", "doc_id")),
 
+    // Robust outlier gate: per-language median/MAD of doc length and
+    // the |x − med| > 3·MAD count — heavy-tail-safe (unlike z-scores)
+    // and exact-integer end to end (unlike stddev). Lower medians,
+    // q83's rank convention.
+    QueryDef(
+      "q109_mad_outliers",
+      Some("""
+        WITH r AS (SELECT lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY n_chars, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+                   FROM documents),
+        med AS (SELECT lang, n_chars AS median FROM r
+                WHERE rn = (n + 1) // 2),
+        d AS (SELECT r.lang, r.doc_id, m.median,
+                     abs(r.n_chars - m.median) AS dev
+              FROM r JOIN med m USING (lang)),
+        d2 AS (SELECT *, row_number() OVER (PARTITION BY lang
+                 ORDER BY dev, doc_id) AS rn2,
+                 count(*) OVER (PARTITION BY lang) AS n2
+               FROM d),
+        mad AS (SELECT lang, dev AS mad FROM d2
+                WHERE rn2 = (n2 + 1) // 2)
+        SELECT d.lang, count(*) AS n_rows, max(d.median) AS median,
+               max(m.mad) AS mad,
+               count(*) FILTER (WHERE d.dev > 3 * m.mad) AS n_outliers
+        FROM d JOIN mad m USING (lang)
+        GROUP BY 1"""),
+      (s, d) =>
+        graft.ops.Aggregates.madOutliers(
+          t(s, d, "documents"), "lang", "n_chars", "doc_id", k = 3)),
+
+    // Gini concentration of doc length per language — "is the corpus
+    // dominated by a few giant docs?" Exact DECIMAL(38,0) integers up
+    // to one final IEEE division.
+    QueryDef(
+      "q110_length_gini",
+      Some("""
+        WITH r AS (SELECT lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY n_chars, doc_id) AS rn
+                   FROM documents),
+        g AS (SELECT lang, count(*) AS n, sum(n_chars) AS sx,
+                     sum(rn * n_chars) AS srx
+              FROM r GROUP BY 1)
+        SELECT lang, n AS n_rows,
+               CASE WHEN sx = 0 THEN NULL
+                    ELSE CAST(2*srx - (n+1)*sx AS DOUBLE)
+                       / CAST(n*sx AS DOUBLE) END AS gini
+        FROM g"""),
+      (s, d) =>
+        graft.ops.Aggregates.giniCoefficient(
+          t(s, d, "documents"), "lang", "n_chars", "doc_id")),
+
     // Global segment-level dedup with reassembly (the C4/RefinedWeb
     // boilerplate-line removal): 16-token segments survive only at
     // their first corpus occurrence; docs reassemble from surviving

@@ -208,5 +208,28 @@ object CorpusLakeQueries {
               .otherwise(col("o_totalprice")).as("price"))
         Incremental.scdHistory(snaps, Seq("o_orderkey"), Seq("price"),
           "snap")
-      }))
+      }),
+
+    // Rendezvous (highest-random-weight) sharding: per-node doc
+    // counts under argmax-of-hash assignment. Narrow per-row compute
+    // (no shuffle until the count); adding a node moves only ~1/(N+1)
+    // of the corpus — mod-N resharding moves nearly all of it.
+    QueryDef(
+      "q111_rendezvous_shards",
+      Some(s"""
+        WITH nd AS (SELECT unnest(['n0','n1','n2','n3','n4']) AS node),
+        s AS (SELECT d.doc_id, nd.node,
+                     ${dkHash60("CAST(d.doc_id AS VARCHAR)||'@'||nd.node")}
+                       AS score
+              FROM documents d CROSS JOIN nd),
+        a AS (SELECT doc_id, node FROM
+                (SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, node) AS rk FROM s)
+              WHERE rk = 1)
+        SELECT node, count(*) AS n_docs FROM a GROUP BY 1"""),
+      (s, d) =>
+        Sharding.rendezvousAssign(t(s, d, "documents"), "doc_id",
+          Seq("n0", "n1", "n2", "n3", "n4"))
+          .groupBy(col("node"))
+          .agg(count(lit(1)).as("n_docs"))))
 }

@@ -201,6 +201,62 @@ class LakeOpsSpec extends AnyFunSuite {
     assert(r == Map(10L -> 1L, 12L -> 2L, 20L -> 1L))
   }
 
+  // ---- madOutliers ----
+
+  test("madOutliers: robust to the outlier it flags") {
+    // values 10,10,11,12,1000 -> median 11, devs 1,1,0,1,989 -> MAD 1
+    val df = Seq((1L, 10L), (2L, 10L), (3L, 11L), (4L, 12L),
+      (5L, 1000L)).map { case (i, v) => ("g", v, i) }
+      .toDF("g", "v", "id")
+    val r = graft.ops.Aggregates.madOutliers(df, "g", "v", "id", k = 3)
+      .head()
+    assert(r.getLong(1) == 5L)      // n_rows
+    assert(r.getLong(2) == 11L)     // median
+    assert(r.getLong(3) == 1L)      // mad
+    assert(r.getLong(4) == 1L)      // only 1000 flagged (dev 989 > 3)
+  }
+
+  test("madOutliers: constant group has mad 0 and no outliers") {
+    val df = Seq(("g", 5L, 1L), ("g", 5L, 2L), ("g", 5L, 3L))
+      .toDF("g", "v", "id")
+    val r = graft.ops.Aggregates.madOutliers(df, "g", "v", "id").head()
+    assert(r.getLong(3) == 0L && r.getLong(4) == 0L)
+  }
+
+  // ---- giniCoefficient ----
+
+  test("gini: 0 for perfect equality, high for concentration, null for zeros") {
+    val df = Seq(
+      ("eq", 5L, 1L), ("eq", 5L, 2L), ("eq", 5L, 3L), ("eq", 5L, 4L),
+      ("cc", 0L, 5L), ("cc", 0L, 6L), ("cc", 0L, 7L), ("cc", 100L, 8L),
+      ("zz", 0L, 9L), ("zz", 0L, 10L))
+      .toDF("g", "v", "id")
+    val r = graft.ops.Aggregates.giniCoefficient(df, "g", "v", "id")
+      .collect()
+      .map(x => x.getString(0) ->
+        (if (x.isNullAt(2)) None else Some(x.getDouble(2)))).toMap
+    assert(r("eq") == Some(0.0))
+    assert(r("cc") == Some(0.75)) // (2*400 - 5*100) / (4*100)
+    assert(r("zz") == None)
+  }
+
+  // ---- rendezvousAssign ----
+
+  test("rendezvous: adding a node only moves docs TO the new node") {
+    val df = (1L to 300L).toDF("doc_id")
+    def assign(nodes: Seq[String]) =
+      graft.llmops.Sharding.rendezvousAssign(df, "doc_id", nodes)
+        .select(col("doc_id"), col("node")).as[(Long, String)]
+        .collect().toMap
+    val before = assign(Seq("n0", "n1", "n2", "n3"))
+    val after = assign(Seq("n0", "n1", "n2", "n3", "n4"))
+    // monotonicity: every reassigned doc went to n4, nowhere else
+    val moved = before.keys.filter(k => before(k) != after(k))
+    assert(moved.nonEmpty && moved.forall(k => after(k) == "n4"))
+    // and the move fraction is ~1/5 (hash-uniform; wide tolerance)
+    assert(moved.size > 20 && moved.size < 120)
+  }
+
   // ---- trainSplit ----
 
   test("trainSplit is total, deterministic, and growth-stable") {
