@@ -348,6 +348,36 @@ object CorpusQueries {
           .filter(col("lev") <= 200)
           .select(col("doc_id_a"), col("doc_id_b"), col("lang"),
             col("lev"))
-      })
+      }),
+
+    // Inverted-index (posting list) export for common terms: per term,
+    // document frequency + the doc-id posting list in sorted order —
+    // the build step under any retrieval index (q87 consumes the tf
+    // side of this). Postings emit as a joined string (the engine's
+    // array-compare convention, q06). At 100 TB this output writes
+    // sharded by term hash (Sharding.writeSharded) — a posting list is
+    // itself big data, never a driver-side object.
+    QueryDef(
+      "q112_posting_lists",
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     unnest(list_distinct(string_split(text,' ')))
+                       AS term
+                   FROM documents)
+        SELECT term, count(*) AS df,
+               string_agg(CAST(doc_id AS VARCHAR), ','
+                 ORDER BY doc_id) AS postings
+        FROM t GROUP BY term HAVING count(*) >= 25"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(TextOps.tokens(col("text"))))
+              .as("term"))
+          .groupBy(col("term"))
+          .agg(count(lit(1)).as("df"),
+            array_join(
+              transform(sort_array(collect_list(col("doc_id"))),
+                _.cast("string")), ",").as("postings"))
+          .filter(col("df") >= 25))
   )
 }

@@ -231,5 +231,63 @@ object CorpusLakeQueries {
         Sharding.rendezvousAssign(t(s, d, "documents"), "doc_id",
           Seq("n0", "n1", "n2", "n3", "n4"))
           .groupBy(col("node"))
-          .agg(count(lit(1)).as("n_docs"))))
+          .agg(count(lit(1)).as("n_docs"))),
+
+    // Data-quality profile: per-column row/null/exact-distinct counts
+    // in ONE scan and ONE aggregation (ops/Profile.profile) — the
+    // release gate a lake runs on every new snapshot.
+    QueryDef(
+      "q113_data_profile",
+      Some("""
+        SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+               count(*) FILTER (WHERE o_custkey IS NULL) AS n_nulls,
+               count(DISTINCT o_custkey) AS n_distinct
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*),
+               count(*) FILTER (WHERE o_orderstatus IS NULL),
+               count(DISTINCT o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*),
+               count(*) FILTER (WHERE o_orderpriority IS NULL),
+               count(DISTINCT o_orderpriority)
+        FROM orders"""),
+      (s, d) =>
+        graft.ops.Profile.profile(t(s, d, "orders"),
+            Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+          .withColumnRenamed("column", "col_name")),
+
+    // Referential-integrity audit: orphan counts per declared FK
+    // relationship (one anti-join each) — the cross-table consistency
+    // check over snapshot families (DBS datasets/files/blocks in the
+    // reference; TPC-H's FK chain here).
+    QueryDef(
+      "q114_fk_audit",
+      Some("""
+        SELECT 'lineitem->orders' AS relationship,
+               (SELECT count(*) FROM lineitem) AS n_rows,
+               (SELECT count(*) FROM lineitem l
+                LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderkey IS NULL) AS n_orphans
+        UNION ALL
+        SELECT 'orders->customer',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders x
+                LEFT JOIN customer c ON x.o_custkey = c.c_custkey
+                WHERE c.c_custkey IS NULL)
+        UNION ALL
+        SELECT 'customer->nation',
+               (SELECT count(*) FROM customer),
+               (SELECT count(*) FROM customer x
+                LEFT JOIN nation n ON x.c_nationkey = n.n_nationkey
+                WHERE n.n_nationkey IS NULL)"""),
+      (s, d) =>
+        graft.ops.Profile.fkAudit(s, Seq(
+          ("lineitem->orders", t(s, d, "lineitem"), "l_orderkey",
+            t(s, d, "orders"), "o_orderkey"),
+          ("orders->customer", t(s, d, "orders"), "o_custkey",
+            t(s, d, "customer"), "c_custkey"),
+          ("customer->nation", t(s, d, "customer"), "c_nationkey",
+            t(s, d, "nation"), "n_nationkey")))))
 }

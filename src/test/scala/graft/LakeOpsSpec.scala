@@ -257,6 +257,31 @@ class LakeOpsSpec extends AnyFunSuite {
     assert(moved.size > 20 && moved.size < 120)
   }
 
+  // ---- Profile ----
+
+  test("profile counts nulls and exact distincts per column, one pass") {
+    val df = Seq(
+      (Some(1L), Some("a")), (None, Some("a")), (Some(1L), None),
+      (Some(2L), Some("b")))
+      .toDF("k", "s")
+    val r = graft.ops.Profile.profile(df, Seq("k", "s"))
+      .collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r("k") == ((4L, 1L, 2L)))
+    assert(r("s") == ((4L, 1L, 2L)))
+  }
+
+  test("fkAudit finds orphans, counts null keys as orphans") {
+    val child = Seq(Some(1L), Some(2L), Some(99L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = graft.ops.Profile.fkAudit(spark,
+      Seq(("c->p", child, "fk", parent, "pk"))).head()
+    assert(r.getString(0) == "c->p")
+    assert(r.getLong(1) == 4L && r.getLong(2) == 2L) // 99 and null
+  }
+
   // ---- trainSplit ----
 
   test("trainSplit is total, deterministic, and growth-stable") {
