@@ -131,6 +131,47 @@ object JobRunner {
             s"$dest/line.svg")
         import s.implicits._
         Seq((in, dest, df.count())).toDF("result", "dest", "n_rows")
+      }),
+      // delta between two dated snapshots of the same keyed table
+      // (added/removed/changed rows out; see Incremental.snapshotDiff)
+      "snapshot_diff" -> ((s, o) => {
+        val inA = o.getOrElse("in-old",
+          sys.error("--in-old required for snapshot_diff"))
+        val inB = o.getOrElse("in-new",
+          sys.error("--in-new required for snapshot_diff"))
+        val keys = o.getOrElse("keys",
+          sys.error("--keys required for snapshot_diff"))
+          .split(",").toSeq
+        val cmp = o.getOrElse("compare",
+          sys.error("--compare required for snapshot_diff"))
+          .split(",").toSeq
+        graft.ops.Incremental.snapshotDiff(
+          s.read.parquet(inA), s.read.parquet(inB), keys, cmp)
+      }),
+      // per-column row/null/distinct profile (release gate)
+      "data_profile" -> ((s, o) => {
+        val in = o.getOrElse("in-table",
+          sys.error("--in-table required for data_profile"))
+        val df = s.read.parquet(in)
+        val cols = o.get("cols").map(_.split(",").toSeq)
+          .getOrElse(df.columns.toSeq)
+        graft.ops.Profile.profile(df, cols)
+      }),
+      // referential-integrity audit: --rels name:childPath:childKey:
+      // parentPath:parentKey[,...] → orphan counts per relationship
+      "fk_audit" -> ((s, o) => {
+        val rels = o.getOrElse("rels",
+          sys.error("--rels required for fk_audit"))
+          .split(",").toSeq.map { spec =>
+            spec.split(":") match {
+              case Array(name, cp, ck, pp, pk) =>
+                (name, s.read.parquet(cp), ck, s.read.parquet(pp), pk)
+              case _ => sys.error(
+                s"bad --rels entry '$spec' (want name:childPath:" +
+                  "childKey:parentPath:parentKey)")
+            }
+          }
+        graft.ops.Profile.fkAudit(s, rels)
       }))
 
   /** Input-name → schema for the schematized readers. */

@@ -115,6 +115,46 @@ class RunnerSpec extends AnyFunSuite {
     assert(read("line.svg").contains("<polyline"))
   }
 
+  test("JobRunner: snapshot_diff lake job emits the delta") {
+    val dir = Files.createTempDirectory("graft-runner-sd").toString
+    val s0 = graft.core.Sessions.local(4, "graft-runner-test")
+    import s0.implicits._
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+      .write.parquet(s"$dir/old")
+    Seq((2L, 25.0), (3L, 30.0)).toDF("k", "v")
+      .write.parquet(s"$dir/new")
+    val delta = JobRunner.lakeJobs("snapshot_diff")(
+      s0, Map("in-old" -> s"$dir/old", "in-new" -> s"$dir/new",
+        "keys" -> "k", "compare" -> "v")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(delta == Map(1L -> "removed", 2L -> "changed", 3L -> "added"))
+  }
+
+  test("JobRunner: data_profile lake job profiles all columns by default") {
+    val dir = Files.createTempDirectory("graft-runner-dp").toString
+    val s0 = graft.core.Sessions.local(4, "graft-runner-test")
+    import s0.implicits._
+    Seq((Some(1L), "a"), (None, "a")).toDF("k", "s")
+      .write.parquet(s"$dir/t")
+    val prof = JobRunner.lakeJobs("data_profile")(
+      s0, Map("in-table" -> s"$dir/t")).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(prof == Map("k" -> 1L, "s" -> 0L)) // null counts
+  }
+
+  test("JobRunner: fk_audit lake job parses --rels and counts orphans") {
+    val dir = Files.createTempDirectory("graft-runner-fk").toString
+    val s0 = graft.core.Sessions.local(4, "graft-runner-test")
+    import s0.implicits._
+    Seq(1L, 2L, 9L).toDF("fk").write.parquet(s"$dir/child")
+    Seq(1L, 2L).toDF("pk").write.parquet(s"$dir/parent")
+    val audit = JobRunner.lakeJobs("fk_audit")(
+      s0, Map("rels" ->
+        s"c->p:$dir/child:fk:$dir/parent:pk")).head()
+    assert(audit.getString(0) == "c->p")
+    assert(audit.getLong(1) == 3L && audit.getLong(2) == 1L)
+  }
+
   test("JobRunner: unknown job and missing inputs fail with clear errors") {
     val e1 = intercept[RuntimeException] {
       JobRunner.main(Array("--job", "nope", "--out", "/tmp/x"))
