@@ -242,6 +242,30 @@ object Events {
       .agg(countDistinct(col(keyCol)).as("n_active"))
   }
 
+  /** Cumulative reach: for every day with activity, how many distinct
+    * entities have EVER been active up to that day (plus that day's
+    * first-timers). The naive forms — COUNT DISTINCT over an unbounded
+    * window, or a `a.day <= d.day` self-join — are single-partition or
+    * quadratic; the scalable exact decomposition rides on first-touch:
+    * min(day) per entity (one hash agg over the full stream), count
+    * first-touches per day (second tiny agg), running-sum over the
+    * DISTINCT-day table (window on a value-domain-sized frame, the
+    * q101 prefix pattern). The 100 TB stream is touched exactly once.
+    * Oracle = DuckDB's genuine cumulative-distinct self-join. */
+  def cumulativeReach(events: DataFrame, keyCol: String,
+      dayCol: String): DataFrame = {
+    val firstTouch = events.groupBy(col(keyCol))
+      .agg(min(col(dayCol)).as("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("new_users"))
+    val days = events.select(col(dayCol).as("day")).distinct()
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(firstTouch, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+  }
+
   /** Flow (transition) bigram mining: for each consecutive event pair
     * of the same entity within `gap` ticks, count the
     * (from_type → to_type) transition and how many distinct entities

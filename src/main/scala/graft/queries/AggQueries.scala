@@ -219,6 +219,30 @@ object AggQueries {
           .rollup(col("l_returnflag"), col("l_linestatus"))
           .agg(count(lit(1)).as("n_rows"),
             decSum(col("l_quantity")).as("sum_qty"),
-            grouping_id().as("gid")))
+            grouping_id().as("gid"))),
+
+    // Arbitrary GROUPING SETS (not a rollup prefix chain): per-lang
+    // totals, per-source totals, and the grand total in one pass —
+    // Catalyst's Expand operator replicates each input row once per
+    // set, all three aggregates share the partial-agg pipeline.
+    // DataFrame API has rollup/cube only, so this goes through
+    // spark.sql on a temp view — same Catalyst plan either way.
+    QueryDef(
+      "q117_grouping_sets",
+      Some("""
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars_total,
+               CAST(GROUPING(lang, source) AS BIGINT) AS gid
+        FROM documents
+        GROUP BY GROUPING SETS ((lang), (source), ())"""),
+      (s, d) => {
+        t(s, d, "documents").createOrReplaceTempView("documents_gs")
+        s.sql("""
+          SELECT lang, source, count(*) AS n_docs,
+                 sum(n_chars) AS chars_total,
+                 grouping_id() AS gid
+          FROM documents_gs
+          GROUP BY GROUPING SETS ((lang), (source), ())""")
+      })
   )
 }

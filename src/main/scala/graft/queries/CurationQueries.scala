@@ -292,6 +292,42 @@ object CurationQueries {
         graft.ops.Aggregates.giniCoefficient(
           t(s, d, "documents"), "lang", "n_chars", "doc_id")),
 
+    // Charset/encoding profile: per-language non-ASCII character mass
+    // and the count of docs whose non-ASCII ratio exceeds 25% — the
+    // mojibake/wrong-encoding tripwire in a curation pipeline. Counts
+    // are codepoint-exact in both engines; the per-doc ratio is one
+    // IEEE division of integers (empty docs pinned to 0, avoiding the
+    // NaN seam).
+    QueryDef(
+      "q116_nonascii_profile",
+      Some("""
+        WITH m AS (SELECT lang, length(text) AS n,
+                     length(regexp_replace(text, '[ -~]', '', 'g'))
+                       AS na
+                   FROM documents),
+        r AS (SELECT lang, n, na,
+                     CASE WHEN n = 0 THEN 0.0
+                          ELSE CAST(na AS DOUBLE) / CAST(n AS DOUBLE)
+                     END AS ratio
+              FROM m)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(na) AS BIGINT) AS non_ascii_chars,
+               count(*) FILTER (WHERE ratio > 0.25) AS n_flagged
+        FROM r GROUP BY 1"""),
+      (s, d) => {
+        val na = length(regexp_replace(col("text"), "[ -~]", ""))
+        val n = length(col("text"))
+        val ratio = when(n === 0, lit(0.0))
+          .otherwise(na.cast("double") / n.cast("double"))
+        t(s, d, "documents")
+          .select(col("lang"), na.as("na"), ratio.as("ratio"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("na").cast("long")).as("non_ascii_chars"),
+            graft.ops.Aggregates.countIf(col("ratio") > 0.25)
+              .as("n_flagged"))
+      }),
+
     // Global segment-level dedup with reassembly (the C4/RefinedWeb
     // boilerplate-line removal): 16-token segments survive only at
     // their first corpus occurrence; docs reassemble from surviving

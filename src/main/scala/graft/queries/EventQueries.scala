@@ -358,6 +358,31 @@ object EventQueries {
         Events.rollingActive(
           t(s, d, "events").select(col("user_id"),
             expr("ts div 86400000000000").as("day")),
-          "user_id", "day", window = 7))
+          "user_id", "day", window = 7)),
+
+    // Cumulative reach: ever-active distinct users per day, via the
+    // first-touch decomposition (one pass over the stream) — the
+    // oracle is the genuinely quadratic cumulative-distinct self-join,
+    // so the gate proves the decomposition IS cumulative distinct.
+    QueryDef(
+      "q115_cumulative_reach",
+      Some("""
+        WITH act AS (SELECT DISTINCT user_id,
+                            epoch_us(ts) // 86400000000 AS day
+                     FROM events),
+        days AS (SELECT DISTINCT day FROM act),
+        c AS (SELECT d.day, count(DISTINCT a.user_id) AS cum_users
+              FROM days d JOIN act a ON a.day <= d.day
+              GROUP BY 1)
+        SELECT day,
+               cum_users - coalesce(lag(cum_users) OVER (ORDER BY day),
+                 0) AS new_users,
+               cum_users
+        FROM c"""),
+      (s, d) =>
+        Events.cumulativeReach(
+          t(s, d, "events").select(col("user_id"),
+            expr("ts div 86400000000000").as("day")),
+          "user_id", "day"))
   )
 }

@@ -257,6 +257,21 @@ class LakeOpsSpec extends AnyFunSuite {
     assert(moved.size > 20 && moved.size < 120)
   }
 
+  // ---- cumulativeReach ----
+
+  test("cumulativeReach: first-touch decomposition equals cumulative distinct") {
+    val ev = Seq(
+      (1L, 10L), (2L, 10L),          // day 10: 2 new
+      (1L, 12L),                     // day 12: user 1 returns, 0 new
+      (3L, 15L), (1L, 15L))          // day 15: 1 new
+      .toDF("u", "day")
+    val r = graft.ops.Events.cumulativeReach(ev, "u", "day")
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map(10L -> ((2L, 2L)), 12L -> ((0L, 2L)),
+      15L -> ((1L, 3L))))
+  }
+
   // ---- Profile ----
 
   test("profile counts nulls and exact distincts per column, one pass") {
