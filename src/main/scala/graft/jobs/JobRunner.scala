@@ -157,6 +157,15 @@ object JobRunner {
           .getOrElse(df.columns.toSeq)
         graft.ops.Profile.profile(df, cols)
       }),
+      // schema drift between two snapshots (metadata-only, parquet
+      // footers; added/removed/retyped columns out)
+      "schema_diff" -> ((s, o) => {
+        val inA = o.getOrElse("in-old",
+          sys.error("--in-old required for schema_diff"))
+        val inB = o.getOrElse("in-new",
+          sys.error("--in-new required for schema_diff"))
+        graft.ops.Profile.schemaDiff(s, inA, inB)
+      }),
       // referential-integrity audit: --rels name:childPath:childKey:
       // parentPath:parentKey[,...] → orphan counts per relationship
       "fk_audit" -> ((s, o) => {

@@ -37,22 +37,54 @@ object Profile {
         col("p.n_distinct").as("n_distinct"))
   }
 
+  /** Schema drift between two snapshots of the same table: which
+    * columns were added, removed, or retyped between yesterday's dump
+    * and today's — the check that catches an upstream producer
+    * silently widening a column before a union-of-snapshots job
+    * (`IO.unionSnapshots`) papers over it. Metadata-only: both sides
+    * come from parquet footers, no data rows are read. Output:
+    * (column, status, old_type, new_type); unchanged columns omitted.
+    */
+  def schemaDiff(spark: SparkSession, oldPath: String,
+      newPath: String): DataFrame = {
+    import spark.implicits._
+    val a = spark.read.parquet(oldPath).schema
+      .map(f => f.name -> f.dataType.simpleString).toMap
+    val b = spark.read.parquet(newPath).schema
+      .map(f => f.name -> f.dataType.simpleString).toMap
+    val rows = (a.keySet ++ b.keySet).toSeq.sorted.flatMap { c =>
+      (a.get(c), b.get(c)) match {
+        case (Some(t), None) => Some((c, "removed", t, null))
+        case (None, Some(t)) => Some((c, "added", null, t))
+        case (Some(t1), Some(t2)) if t1 != t2 =>
+          Some((c, "retyped", t1, t2))
+        case _ => None
+      }
+    }
+    rows.toDF("column", "status", "old_type", "new_type")
+  }
+
   /** Referential-integrity audit over declared FK relationships:
     * for each (name, child, childKey, parent, parentKey), how many
-    * child rows have no parent (orphans) out of how many total. One
-    * LEFT ANTI join per relationship — each plans as a broadcast or
-    * shuffled hash join on the key, never a cartesian — then a
-    * one-row count, unioned into the report frame. A null child key
+    * child rows have no parent (orphans) out of how many total. ONE
+    * pass over each child: a left join against the distinct parent
+    * keys (marked with a hit flag) feeds a single aggregate computing
+    * both counts — not an anti-join for orphans plus a second scan
+    * for the total (that shape audits a 100 TB child twice and cost
+    * q114 an EXCHANGES flag in the plan audit). A null child key
     * never matches (SQL join semantics), so it counts as an orphan —
     * the audit's job is to surface exactly those. */
   def fkAudit(spark: SparkSession,
       rels: Seq[(String, DataFrame, String, DataFrame, String)])
       : DataFrame =
     rels.map { case (name, child, ck, parent, pk) =>
-      val orphans = child.select(col(ck))
-        .join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
-      child.agg(count(lit(1)).as("n_rows"))
-        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+      val p = parent.select(col(pk)).distinct()
+        .withColumn("__hit", lit(1))
+      child.select(col(ck))
+        .join(p, col(ck) === col(pk), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("__hit").isNull, 1L).otherwise(0L))
+            .as("n_orphans"))
         .select(lit(name).as("relationship"), col("n_rows"),
           col("n_orphans"))
     }.reduce(_.unionByName(_))

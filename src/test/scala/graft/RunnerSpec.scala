@@ -155,6 +155,21 @@ class RunnerSpec extends AnyFunSuite {
     assert(audit.getLong(1) == 3L && audit.getLong(2) == 1L)
   }
 
+  test("JobRunner: schema_diff lake job reports added/removed/retyped") {
+    val dir = Files.createTempDirectory("graft-runner-sc").toString
+    val s0 = graft.core.Sessions.local(4, "graft-runner-test")
+    import s0.implicits._
+    Seq((1L, "a", 1)).toDF("k", "dropped", "widened")
+      .write.parquet(s"$dir/old")
+    Seq((1L, 2L, "x")).toDF("k", "widened", "fresh")
+      .write.parquet(s"$dir/new")
+    val diff = JobRunner.lakeJobs("schema_diff")(
+      s0, Map("in-old" -> s"$dir/old", "in-new" -> s"$dir/new"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(diff == Map("dropped" -> "removed", "fresh" -> "added",
+      "widened" -> "retyped"))
+  }
+
   test("JobRunner: unknown job and missing inputs fail with clear errors") {
     val e1 = intercept[RuntimeException] {
       JobRunner.main(Array("--job", "nope", "--out", "/tmp/x"))
