@@ -91,6 +91,33 @@ object Incremental {
         col("valid_from") :+ col("valid_to"): _*)
   }
 
+  /** Apply a CDC delta to a snapshot (MERGE-INTO semantics without a
+    * table format): rows in `delta` marked `op = 'D'` delete their
+    * key, any other op upserts the delta's values; snapshot rows with
+    * no delta entry carry through. The INVERSE of [[snapshotDiff]] —
+    * `applyChanges(old, diff)` reproduces the new dump, so an
+    * incremental consumer stores dumps as (one full + daily deltas)
+    * and reconstructs any day.
+    *
+    * Shape: ONE full-outer join on the key (delta side is typically
+    * tiny → broadcast); the op routing is a projection. Exactly the
+    * plan a storage-format MERGE would run, minus the format. */
+  def applyChanges(snapshot: DataFrame, delta: DataFrame,
+      keys: Seq[String], valueCols: Seq[String], opCol: String)
+      : DataFrame = {
+    val snap = snapshot
+      .select((keys ++ valueCols).map(col): _*)
+      .toDF(keys ++ valueCols.map("old_" + _): _*)
+    val dlt = delta
+      .select((keys :+ opCol).map(col) ++ valueCols.map(col): _*)
+      .toDF((keys :+ opCol) ++ valueCols.map("new_" + _): _*)
+    snap.join(dlt, keys, "full_outer")
+      .filter(col(opCol).isNull || col(opCol) =!= "D")
+      .select(keys.map(col) ++ valueCols.map(c =>
+        when(col(opCol).isNotNull, col("new_" + c))
+          .otherwise(col("old_" + c)).as(c)): _*)
+  }
+
   /** Delta between two dated snapshots of the same keyed table: which
     * rows were `added`, `removed`, or `changed` between yesterday's and
     * today's dump (unchanged rows are dropped — the delta is the

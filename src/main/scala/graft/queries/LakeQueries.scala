@@ -289,5 +289,49 @@ object CorpusLakeQueries {
           ("orders->customer", t(s, d, "orders"), "o_custkey",
             t(s, d, "customer"), "c_custkey"),
           ("customer->nation", t(s, d, "customer"), "c_nationkey",
-            t(s, d, "nation"), "n_nationkey")))))
+            t(s, d, "nation"), "n_nationkey")))),
+
+    // Apply a CDC delta to a snapshot (MERGE-INTO semantics, the
+    // inverse of q98): upserts override, deletes drop, untouched rows
+    // carry through. Delta derives deterministically from orders —
+    // updates (key % 7 = 0, price doubled), deletes (key % 11 = 3),
+    // and inserts (shifted new keys) all exercised.
+    QueryDef(
+      "q119_apply_changes",
+      Some("""
+        WITH s AS (SELECT o_orderkey AS k, o_totalprice AS price
+                   FROM orders),
+        d AS (SELECT o_orderkey AS k,
+                     CASE WHEN o_orderkey % 7 = 0 THEN 'U'
+                          ELSE 'D' END AS op,
+                     o_totalprice * 2 AS price
+              FROM orders
+              WHERE o_orderkey % 7 = 0 OR o_orderkey % 11 = 3
+              UNION ALL
+              SELECT o_orderkey + 10000000, 'U', o_totalprice
+              FROM orders WHERE o_orderkey % 13 = 1),
+        j AS (SELECT coalesce(s.k, d.k) AS k, s.price AS oldp,
+                     d.op, d.price AS newp
+              FROM s FULL OUTER JOIN d ON s.k = d.k)
+        SELECT k, CASE WHEN op IS NOT NULL THEN newp
+                       ELSE oldp END AS price
+        FROM j WHERE op IS NULL OR op <> 'D'"""),
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val snapshot = orders.select(col("o_orderkey").as("k"),
+          col("o_totalprice").as("price"))
+        val updatesDeletes = orders
+          .filter(col("o_orderkey") % 7 === 0 ||
+            col("o_orderkey") % 11 === 3)
+          .select(col("o_orderkey").as("k"),
+            when(col("o_orderkey") % 7 === 0, lit("U"))
+              .otherwise(lit("D")).as("op"),
+            (col("o_totalprice") * 2).as("price"))
+        val inserts = orders.filter(col("o_orderkey") % 13 === 1)
+          .select((col("o_orderkey") + 10000000L).as("k"),
+            lit("U").as("op"), col("o_totalprice").as("price"))
+        Incremental.applyChanges(snapshot,
+          updatesDeletes.unionByName(inserts),
+          Seq("k"), Seq("price"), "op")
+      }))
 }

@@ -178,6 +178,33 @@ object ShapeQueries {
         Dedup.anonymize(
           t(s, d, "customer")
             .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
-          Seq("c_name")))
+          Seq("c_name"))),
+
+    // UNPIVOT (melt): wide per-lang metrics to long (lang, metric,
+    // value) rows — the inverse of q08's pivot, via the stack()
+    // generator (one Generate node, no join, no shuffle beyond the
+    // aggregation). The long form is what report sinks and the
+    // reporting tail consume.
+    QueryDef(
+      "q118_unpivot",
+      Some("""
+        WITH a AS (SELECT lang, count(*) AS n_docs,
+                          CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+                          count(DISTINCT source) AS n_sources
+                   FROM documents GROUP BY 1)
+        SELECT lang, 'n_docs' AS metric, n_docs AS value FROM a
+        UNION ALL
+        SELECT lang, 'n_chars_total', n_chars_total FROM a
+        UNION ALL
+        SELECT lang, 'n_sources', n_sources FROM a"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars_total"),
+            countDistinct(col("source")).as("n_sources"))
+          .selectExpr("lang",
+            "stack(3, 'n_docs', n_docs, 'n_chars_total', n_chars_total," +
+              " 'n_sources', n_sources) AS (metric, value)"))
   )
 }

@@ -32,6 +32,23 @@ class LakeOpsSpec extends AnyFunSuite {
     assert(r == Map(1L -> "changed", 2L -> "changed"))
   }
 
+  // ---- applyChanges ----
+
+  test("applyChanges: upsert, delete, insert, carry-through; diff round-trips") {
+    val snap = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val delta = Seq((2L, "U", 25.0), (3L, "D", 0.0), (4L, "U", 40.0))
+      .toDF("k", "op", "v")
+    val next = Incremental.applyChanges(snap, delta,
+      Seq("k"), Seq("v"), "op")
+    val r = next.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r == Map(1L -> 10.0, 2L -> 25.0, 4L -> 40.0))
+    // inverse property: diff(snap, applyChanges(snap, delta)) finds
+    // exactly the delta's effects
+    val diff = Incremental.snapshotDiff(snap, next, Seq("k"), Seq("v"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(diff == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   // ---- containmentPairs ----
 
   test("containment sees a quote inside a larger doc; Jaccard misses it") {
