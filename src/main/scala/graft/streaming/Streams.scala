@@ -258,6 +258,78 @@ object Streams {
     stream.join(store.select(keys.map(col): _*).distinct(),
       keys, "left_anti")
 
+  /** Gap-based session aggregation with Spark's NATIVE
+    * `session_window` — the declarative twin of [[sessionize]]'s
+    * `mapGroupsWithState` form: the engine manages session state,
+    * merges overlapping windows, and evicts via the watermark; custom
+    * state code buys nothing when the semantics are exactly
+    * gap-sessioning, so prefer this form and reserve
+    * [[sessionize]]-style state for logic session_window can't say
+    * (e.g. per-session ML features over raw events). `tsCol` must be
+    * TimestampType. */
+  def sessionWindowCounts(df: DataFrame, keyCol: String, tsCol: String,
+      gap: String, lateness: String): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** Streaming SCD maintenance: per micro-batch, fold the batch's
+    * latest row per key into a current-state store and append change
+    * rows to a history store — CDC into the (current, history) pair a
+    * lake serves point-in-time queries from (`Events.asOfJoin` over
+    * the history). Per batch: ONE key join of batch-latest against
+    * current, then two writes (history append, current
+    * tmp-then-swap). Exactly-once to the degree of foreachBatch's
+    * contract: a replayed batch re-emits its history rows, dedupable
+    * on (key, batch_id). First batch bootstraps an empty store.
+    * Absence of a key from a batch is NOT a delete — streams carry
+    * events, not full snapshots. */
+  def toScdStore(stream: DataFrame, keys: Seq[String],
+      compareCols: Seq[String], tsCol: String, currentDir: String,
+      historyDir: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val cols = keys ++ compareCols
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keys.map(col): _*)
+            .orderBy(col(tsCol).desc)
+          val latest = batch
+            .select((cols :+ tsCol).map(col): _*)
+            .withColumn("__rk", row_number().over(w))
+            .filter(col("__rk") === 1)
+            .select(cols.map(col): _*)
+          val current =
+            try spark.read.parquet(currentDir).select(cols.map(col): _*)
+            catch { case _: Throwable => latest.limit(0) } // bootstrap
+          val delta = graft.ops.Incremental.snapshotDiff(
+            current, latest, keys, compareCols)
+            .filter(col("status") =!= "removed")
+            .withColumn("batch_id", lit(batchId))
+          val nextCurrent = graft.ops.Incremental.applyChanges(
+            current, latest.withColumn("__op", lit("U")),
+            keys, compareCols, "__op")
+          delta.write.mode("append").parquet(historyDir)
+          val tmp = currentDir + "__tmp"
+          nextCurrent.write.mode("overwrite").parquet(tmp)
+          val hconf = spark.sparkContext.hadoopConfiguration
+          val fs = new org.apache.hadoop.fs.Path(currentDir)
+            .getFileSystem(hconf)
+          fs.delete(new org.apache.hadoop.fs.Path(currentDir), true)
+          fs.rename(new org.apache.hadoop.fs.Path(tmp),
+            new org.apache.hadoop.fs.Path(currentDir))
+          ()
+        }
+      }
+      .start()
+
   /** Streaming document egress: each micro-batch pushes its rows as
     * JSON documents through a DocSink transport (STOMP frames,
     * OpenSearch bulk bodies, …) from the EXECUTORS — the streaming

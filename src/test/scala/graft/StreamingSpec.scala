@@ -195,6 +195,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("u1", 2L, 3.0), ("u2", 1L, 5.0)))
   }
 
+  test("native session_window merges gap-bounded sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    // user a: events at 1,5 (one session), 30 (new session; gap 10m)
+    input.addData(("a", ts(1)), ("a", ts(5)), ("a", ts(30)),
+      ("b", ts(2)))
+    val sess = Streams.sessionWindowCounts(
+      input.toDF().toDF("user", "ts"), "user", "ts",
+      gap = "10 minutes", lateness = "1 minute")
+    // a continuous (non-AvailableNow) query: append mode emits a
+    // session only once a LATER batch runs with the watermark past
+    // its end, so the test needs multi-batch progression
+    val q = sess.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    // flush events push the watermark beyond every earlier session
+    // (their own session stays open and unemitted)
+    input.addData(("flush", Timestamp.valueOf("2024-01-01 02:00:00")))
+    q.processAllAvailable()
+    input.addData(("flush", Timestamp.valueOf("2024-01-01 02:01:00")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql(
+      "SELECT user, n_events FROM sessions ORDER BY user, session_start")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a", 2L), ("a", 1L), ("b", 1L)))
+  }
+
+  test("toScdStore maintains current + history across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-scd").toString
+    val (cur, hist, ckpt) = (s"$dir/cur", s"$dir/hist", s"$dir/ckpt")
+    val input = MemoryStream[(Long, Double, Long)]
+    val stream = input.toDF().toDF("k", "v", "ts")
+    val q = Streams.toScdStore(stream, Seq("k"), Seq("v"), "ts",
+      cur, hist, ckpt)
+    input.addData((1L, 10.0, 1L), (1L, 11.0, 2L), (2L, 20.0, 1L))
+    q.processAllAvailable()
+    input.addData((1L, 12.0, 3L), (3L, 30.0, 1L))
+    q.processAllAvailable()
+    q.stop()
+    // current: latest value per key (max ts within batch, later batch wins)
+    val current = spark.read.parquet(cur).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(current == Map(1L -> 12.0, 2L -> 20.0, 3L -> 30.0))
+    // history: batch 0 added k=1 (v=11, batch-latest), k=2; batch 1
+    // changed k=1 and added k=3
+    val history = spark.read.parquet(hist).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(4))).sorted
+    assert(history.toSeq == Seq((1L, "added", 0L), (1L, "changed", 1L),
+      (2L, "added", 0L), (3L, "added", 1L)))
+  }
+
   test("file source streams incrementally and lands in a day store") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream").toString
