@@ -381,4 +381,70 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("snapshotDiff/applyChanges round-trip on random snapshots") {
+    val kv: Gen[Map[Long, Long]] = Gen.mapOf(
+      Gen.zip(Gen.choose(1L, 40L), Gen.choose(0L, 5L)))
+    for (((a, b), i) <- samples(Gen.zip(kv, kv), 10).zipWithIndex) {
+      val da = a.toSeq.toDF("k", "v")
+      val db = b.toSeq.toDF("k", "v")
+      val diff = graft.ops.Incremental.snapshotDiff(
+        da, db, Seq("k"), Seq("v"))
+      // re-shape the diff into an apply-changes delta: removed → D,
+      // added/changed → U with the new value
+      val delta = diff.select(col("k"),
+        when(col("status") === "removed", lit("D"))
+          .otherwise(lit("U")).as("op"),
+        col("new_v").as("v"))
+      val rebuilt = graft.ops.Incremental.applyChanges(
+        da, delta, Seq("k"), Seq("v"), "op")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rebuilt == b, s"case $i: diff+apply must rebuild B")
+    }
+  }
+
+  test("globalRowNumber is the identity permutation of ranks") {
+    val rows: Gen[Seq[(Long, Long)]] = Gen.choose(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 9L)).map(vs =>
+        vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }))
+    for ((data, i) <- samples(rows, 8).zipWithIndex) {
+      val rns = graft.llmops.Sharding
+        .globalRowNumber(data.toDF("id", "s"), "s", "id")
+        .select(col("rn")).collect().map(_.getLong(0)).sorted
+      assert(rns.toSeq == (1L to data.size).toSeq,
+        s"case $i: ranks must be exactly 1..n")
+    }
+  }
+
+  test("weightedMedian: within value range; equals lower median for unit weights") {
+    val rows: Gen[Seq[Long]] = Gen.choose(1, 50).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-100L, 100L)))
+    for ((vs, i) <- samples(rows, 10).zipWithIndex) {
+      val df = vs.zipWithIndex
+        .map { case (v, j) => ("g", v, 1L, j.toLong) }
+        .toDF("g", "v", "w", "id")
+      val m = graft.ops.Aggregates.weightedMedian(df, "g", "v", "w", "id")
+        .head().getLong(1)
+      val expected = vs.sorted.apply((vs.size - 1) / 2) // lower median
+      assert(m == expected, s"case $i: $vs")
+    }
+  }
+
+  test("gini is in [0, 1) and 0 exactly for constant positive values") {
+    val rows: Gen[Seq[Long]] = Gen.choose(2, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 1000L)))
+    for ((vs, i) <- samples(rows, 10).zipWithIndex) {
+      val df = vs.zipWithIndex.map { case (v, j) => ("g", v, j.toLong) }
+        .toDF("g", "v", "id")
+      val r = graft.ops.Aggregates.giniCoefficient(df, "g", "v", "id")
+        .head()
+      if (vs.sum == 0) assert(r.isNullAt(2), s"case $i: all-zero → null")
+      else {
+        val g = r.getDouble(2)
+        assert(g >= 0.0 && g < 1.0, s"case $i: gini $g out of range")
+        if (vs.distinct.size == 1)
+          assert(g == 0.0, s"case $i: constant values → 0")
+      }
+    }
+  }
 }
