@@ -190,6 +190,53 @@ object Aggregates {
         .otherwise(num.cast("double") / den.cast("double")).as("gini"))
   }
 
+  /** Per-key Pearson correlation over INTEGER (x, y) columns, exact
+    * until the final IEEE ops:
+    *
+    *   r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))
+    *
+    * Five DECIMAL(38,0) sums (order-independent), exact integer
+    * numerator and variance terms, then two correctly-rounded square
+    * roots and one division — deterministic on identical operands in
+    * any engine, unlike built-in `corr()` whose double accumulation
+    * is partition-order-dependent. Zero variance on either side →
+    * null. Same single-hash-agg shape as [[groupTrendSlope]]. */
+  def groupPearson(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val x = col(xCol).cast(d38)
+    val y = col(yCol).cast(d38)
+    val g = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * y).as("sxy"), sum(x * x).as("sxx"),
+      sum(y * y).as("syy"))
+    val n = col("n").cast(d38)
+    val num = n * col("sxy") - col("sx") * col("sy")
+    val dx = n * col("sxx") - col("sx") * col("sx")
+    val dy = n * col("syy") - col("sy") * col("sy")
+    g.select(col(keyCol), col("n"),
+      when(dx === 0 || dy === 0, lit(null).cast("double"))
+        .otherwise(num.cast("double") /
+          (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))))
+        .as("pearson_r"))
+  }
+
+  /** Per-key mode (most frequent value) with a total tie-break:
+    * highest count wins, ties broken by the SMALLEST value. Two hash
+    * aggregations — (key, value) counts, then a struct-min per key —
+    * and no window function, so no per-key sort and no single-partition
+    * risk regardless of key or value cardinality. The struct min orders
+    * by (−count, value), which is exactly (count desc, value asc). */
+  def groupMode(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    df.groupBy(col(keyCol), col(valCol))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(keyCol))
+      .agg(min(struct((-col("cnt")).as("neg"), col(valCol).as("v")))
+        .as("best"))
+      .select(col(keyCol), col("best.v").as(s"mode_$valCol"),
+        (-col("best.neg")).as("n_mode"))
+
   /** Per-key OLS trend slope over INTEGER (x, y) columns, exact until
     * the final division:
     *

@@ -32,4 +32,29 @@ object Skew {
       .groupBy(col(keyCol))
       .agg(sum(col("_psum")).as(s"sum_$valCol"),
         sum(col("_pcnt")).as("n"))
+
+  /** Heavy-hitter diagnostic: the top-N keys by row count with each
+    * key's exact share of total rows — the "which key would melt a
+    * shuffle" question you ask BEFORE deciding to salt. One hash
+    * aggregation per key, a one-row total broadcast back (never a
+    * driver-side count() action), then TakeOrderedAndProject for the
+    * cut — the full key distribution is never sorted or collected.
+    * The rank window runs AFTER the limit, over topN rows only.
+    * Ties at the cut break by key ascending, so the result is a total
+    * order and stable across engines. */
+  def heavyHitters(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    val g = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val tot = g.agg(sum(col("cnt")).as("_total"))
+    val top = g.crossJoin(broadcast(tot))
+      .select(col(keyCol), col("cnt"),
+        (col("cnt").cast("double") / col("_total").cast("double"))
+          .as("share"))
+      .orderBy(col("cnt").desc, col(keyCol))
+      .limit(topN)
+    top.withColumn("rank",
+      row_number()
+        .over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col(keyCol)))
+        .cast("long"))
+  }
 }

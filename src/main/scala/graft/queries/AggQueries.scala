@@ -243,6 +243,27 @@ object AggQueries {
                  grouping_id() AS gid
           FROM documents_gs
           GROUP BY GROUPING SETS ((lang), (source), ())""")
-      })
+      }),
+
+    // Per-key mode: each customer's most frequent order priority,
+    // ties broken by the smallest value. Two hash aggregations and a
+    // struct-min — no window, no per-key sort, so the plan is safe
+    // for billion-key cardinality (a row_number window here would
+    // sort every (key, value) group; the struct-min folds map-side).
+    QueryDef(
+      "q122_group_mode",
+      Some("""
+        WITH c AS (SELECT o_custkey, o_orderpriority, count(*) AS cnt
+                   FROM orders GROUP BY 1, 2),
+        r AS (SELECT o_custkey, o_orderpriority, cnt,
+                     row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY cnt DESC, o_orderpriority) AS rn
+              FROM c)
+        SELECT o_custkey, o_orderpriority AS mode_o_orderpriority,
+               cnt AS n_mode
+        FROM r WHERE rn = 1"""),
+      (s, d) =>
+        graft.ops.Aggregates.groupMode(
+          t(s, d, "orders"), "o_custkey", "o_orderpriority"))
   )
 }

@@ -383,6 +383,41 @@ object EventQueries {
         Events.cumulativeReach(
           t(s, d, "events").select(col("user_id"),
             expr("ts div 86400000000000").as("day")),
-          "user_id", "day"))
+          "user_id", "day")),
+
+    // Per-user Pearson correlation between epoch day and the props
+    // metric — q105's slope question normalized to [−1, 1]. Five
+    // DECIMAL(38,0) sums in one hash agg (order-independent), exact
+    // integer numerator/variances, then two correctly-rounded sqrts
+    // and one division — bit-identical across engines, unlike the
+    // built-in corr() whose double accumulation is partition-order-
+    // dependent. Zero variance on either axis → NULL.
+    QueryDef(
+      "q121_pearson",
+      Some("""
+        WITH e AS (SELECT user_id,
+                          epoch_us(ts) // 86400000000 AS day,
+                          CAST(regexp_extract(props, '[0-9]+') AS BIGINT)
+                            AS k
+                   FROM events),
+        g AS (SELECT user_id, count(*) AS n, sum(day) AS sx,
+                     sum(k) AS sy, sum(day*k) AS sxy,
+                     sum(day*day) AS sxx, sum(k*k) AS syy
+              FROM e GROUP BY 1)
+        SELECT user_id, n,
+               CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0
+                    THEN NULL
+                    ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+                       / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                        * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END
+                 AS pearson_r
+        FROM g"""),
+      (s, d) =>
+        graft.ops.Aggregates.groupPearson(
+          t(s, d, "events").select(col("user_id"),
+            expr("ts div 86400000000000").as("day"),
+            regexp_extract(col("props"), "[0-9]+", 0).cast("long")
+              .as("k")),
+          "user_id", "day", "k"))
   )
 }

@@ -170,6 +170,28 @@ object ScaleQueries {
             sum(when(col("bucket") < 10, 1L).otherwise(0L))
               .as("n_sampled"),
             sum(col("nt")).as("total_tokens"))
-      })
+      }),
+
+    // Heavy-hitter key diagnostic: top-20 l_suppkey values by row
+    // count with exact share-of-total — the pre-flight skew probe for
+    // any shuffle on that key (q56's salting is the cure; this is the
+    // diagnosis). Total arrives as a one-row broadcast, never a
+    // driver-side count(); the rank window runs after the top-20 cut.
+    QueryDef(
+      "q120_heavy_hitters",
+      Some("""
+        WITH g AS (SELECT l_suppkey, count(*) AS cnt
+                   FROM lineitem GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM g),
+        top AS (SELECT l_suppkey, cnt,
+                       CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)
+                         AS share
+                FROM g, tot
+                ORDER BY cnt DESC, l_suppkey LIMIT 20)
+        SELECT l_suppkey, cnt, share,
+               CAST(row_number() OVER (ORDER BY cnt DESC, l_suppkey)
+                 AS BIGINT) AS rank
+        FROM top"""),
+      (s, d) => Skew.heavyHitters(t(s, d, "lineitem"), "l_suppkey", 20))
   )
 }

@@ -333,4 +333,52 @@ class LakeOpsSpec extends AnyFunSuite {
     assert(n.getOrElse("train", 0) > n.getOrElse("val", 0) &&
       n.getOrElse("train", 0) > n.getOrElse("test", 0))
   }
+
+  // ---- groupPearson ----
+
+  test("groupPearson: ±1 on exact lines, null on zero variance") {
+    val df = Seq(
+      (1L, 0L, 1L), (1L, 1L, 3L), (1L, 2L, 5L),   // y = 2x+1  -> +1
+      (2L, 0L, 9L), (2L, 1L, 7L), (2L, 2L, 5L),   // y = 9-2x  -> -1
+      (3L, 0L, 4L), (3L, 1L, 4L), (3L, 2L, 4L))   // constant y -> null
+      .toDF("k", "x", "y")
+    val r = graft.ops.Aggregates.groupPearson(df, "k", "x", "y")
+      .collect()
+      .map(x => x.getLong(0) ->
+        (if (x.isNullAt(2)) None else Some(x.getDouble(2)))).toMap
+    assert(math.abs(r(1L).get - 1.0) < 1e-12)
+    assert(math.abs(r(2L).get + 1.0) < 1e-12)
+    assert(r(3L) == None)
+  }
+
+  // ---- groupMode ----
+
+  test("groupMode: highest count wins, ties break to smallest value") {
+    val df = Seq(
+      ("a", "x"), ("a", "y"), ("a", "y"),          // y wins on count
+      ("b", "q"), ("b", "p"),                      // tie -> p (smaller)
+      ("c", "z"))
+      .toDF("g", "v")
+    val r = graft.ops.Aggregates.groupMode(df, "g", "v")
+      .collect().map(x => x.getString(0) -> ((x.getString(1),
+        x.getLong(2)))).toMap
+    assert(r == Map("a" -> (("y", 2L)), "b" -> (("p", 1L)),
+      "c" -> (("z", 1L))))
+  }
+
+  // ---- heavyHitters ----
+
+  test("heavyHitters: exact shares, rank order, tie-break at the cut") {
+    // key 1: 4 rows, key 2: 3 rows, keys 3 and 4: 2 rows each (tie),
+    // key 5: 1 row — topN=3 must cut at key 3 (tie broken ascending).
+    val df = (Seq.fill(4)(1L) ++ Seq.fill(3)(2L) ++ Seq.fill(2)(3L) ++
+      Seq.fill(2)(4L) ++ Seq(5L)).toDF("k")
+    val r = graft.ops.Skew.heavyHitters(df, "k", 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+        x.getLong(3)))
+    assert(r.toSeq == Seq(
+      (1L, 4L, 4.0 / 12.0, 1L),
+      (2L, 3L, 3.0 / 12.0, 2L),
+      (3L, 2L, 2.0 / 12.0, 3L)))
+  }
 }
