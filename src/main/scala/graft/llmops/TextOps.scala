@@ -509,6 +509,86 @@ object TextOps {
         (col("n_hit") > 0).as("contaminated"))
   }
 
+  /** Chi-square keyness: the terms that most distinguish a focus
+    * corpus from a reference corpus (keyword extraction / domain-drift
+    * detection for training mixes). For each term with document
+    * frequency a in focus and b in reference (c, d the complements):
+    *
+    *   χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)),  N = Nf + Nr
+    *
+    * All terms of the formula are exact DECIMAL(38,0) integers — the
+    * single IEEE division at the end makes the score (and therefore
+    * the top-N cut, tie-broken by term) bit-identical across engines.
+    * No log-likelihood variant on purpose: G² needs ln(), and libm
+    * rounding differs across engines (q57/q87 precedent).
+    *
+    * Shape: per-corpus distinct (doc, term) explode → ONE hash agg per
+    * term over the flagged union; corpus sizes arrive as a one-row
+    * broadcast (never a driver-side count()); top-N cut is
+    * TakeOrderedAndProject. Vocabulary-sized intermediate, no joins on
+    * the corpus side. */
+  def chiSquareKeyness(focus: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def docTerms(df: DataFrame, flag: Int) = df
+      .select(col(idCol),
+        explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .select(col("term"), lit(flag).as("is_focus"))
+    val perTerm = docTerms(focus, 1).unionAll(docTerms(reference, 0))
+      .groupBy(col("term"))
+      .agg(sum(col("is_focus")).cast("long").as("df_focus"),
+        sum(lit(1) - col("is_focus")).cast("long").as("df_ref"))
+    val totals = focus.agg(count(lit(1)).as("_nf"))
+      .crossJoin(reference.agg(count(lit(1)).as("_nr")))
+    val d38 = DecimalType(38, 0)
+    val a = col("df_focus").cast(d38)
+    val b = col("df_ref").cast(d38)
+    val c = col("_nf").cast(d38) - a
+    val dd = col("_nr").cast(d38) - b
+    val n = (col("_nf") + col("_nr")).cast(d38)
+    val num = n * (a * dd - b * c) * (a * dd - b * c)
+    val den = (a + b) * (c + dd) * (a + c) * (b + dd)
+    perTerm.crossJoin(broadcast(totals))
+      .select(col("term"), col("df_focus"), col("df_ref"),
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(num.cast("double") / den.cast("double"))
+          .as("chi2"))
+      .orderBy(col("chi2").desc_nulls_last, col("term"))
+      .limit(topN)
+  }
+
+  /** Bigram language-model counts: for every adjacent token pair, the
+    * pair count, the first-token continuation mass, and the
+    * conditional probability c(w1 w2)/c(w1 ·) — the n-gram LM
+    * estimation step (and the repeated-collocation miner when sorted
+    * by count). Bigrams come from a position-indexed `transform` over
+    * the token array — no self-join, no window over raw rows. The
+    * denominator is a window sum over the AGGREGATED bigram table
+    * partitioned by w1 (vocabulary-sized, spillable — q57's df
+    * precedent), so the raw corpus is touched exactly once. minCount
+    * bounds the output (counts are exact, so the cut is total). */
+  def bigramCounts(df: DataFrame, textCol: String,
+      minCount: Long): DataFrame = {
+    val toks = tokens(col(textCol))
+    val pairs = df
+      .select(toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(slice(toks, 1, size(toks) - 1),
+          |  (w, i) -> struct(w AS w1, toks[i + 1] AS w2))"""
+          .stripMargin)).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val counted = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    counted
+      .withColumn("c1",
+        sum(col("c12")).over(Window.partitionBy(col("w1"))))
+      .filter(col("c12") >= minCount)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        (col("c12").cast("double") / col("c1").cast("double"))
+          .as("p_cond"))
+  }
+
   /** Cross-document duplicate n-gram fraction: per doc, the share of
     * its distinct shingles that occur in MORE THAN ONE document
     * corpus-wide — the cross-doc repetition signal quality filters

@@ -222,6 +222,31 @@ object Aggregates {
         .as("pearson_r"))
   }
 
+  /** Per-key dispersion index (variance-to-mean ratio) over INTEGER
+    * values — the burstiness diagnostic: ~1 means Poisson-like
+    * arrivals, >1 means bursty (e.g. daily event counts that spike).
+    * Population variance over mean, reduced to one exact integer
+    * fraction:
+    *
+    *   VMR = ((n·Σv² − (Σv)²) / n²) / (Σv / n) = (n·Σv² − (Σv)²) / (n·Σv)
+    *
+    * Three DECIMAL(38,0) sums in one hash agg, one IEEE division at
+    * the end (bit-identical cross-engine). Keys whose values sum to
+    * zero → NULL (mean 0 has no ratio). */
+  def dispersionIndex(df: DataFrame, keyCol: String,
+      valCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val v = col(valCol).cast(d38)
+    val g = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"), sum(v).as("s1"), sum(v * v).as("s2"))
+    val n = col("n").cast(d38)
+    val num = n * col("s2") - col("s1") * col("s1")
+    val den = n * col("s1")
+    g.select(col(keyCol), col("n"),
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double")).as("vmr"))
+  }
+
   /** Per-key mode (most frequent value) with a total tie-break:
     * highest count wins, ties broken by the SMALLEST value. Two hash
     * aggregations — (key, value) counts, then a struct-min per key —

@@ -378,6 +378,76 @@ object CorpusQueries {
             array_join(
               transform(sort_array(collect_list(col("doc_id"))),
                 _.cast("string")), ",").as("postings"))
-          .filter(col("df") >= 25))
+          .filter(col("df") >= 25)),
+
+    // Chi-square keyness: top-50 terms distinguishing the src0 slice
+    // from the rest of the corpus — keyword extraction / domain-drift
+    // detection for training mixes. Every χ² term is an exact
+    // DECIMAL(38,0) integer; ONE IEEE division at the end makes the
+    // score and the top-50 cut (tie-broken by term) engine-exact.
+    // Corpus sizes arrive as a one-row broadcast, never a driver
+    // count().
+    QueryDef(
+      "q123_chi2_keyness",
+      Some("""
+        WITH t AS (SELECT doc_id, source,
+                          list_distinct(string_split(text, ' '))
+                            AS terms
+                   FROM documents),
+        e AS (SELECT unnest(terms) AS term,
+                     CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS f
+              FROM t),
+        g AS (SELECT term, CAST(sum(f) AS BIGINT) AS df_focus,
+                     CAST(sum(1 - f) AS BIGINT) AS df_ref
+              FROM e GROUP BY 1),
+        tot AS (SELECT count(*) FILTER (WHERE source = 'src0') AS nf,
+                       count(*) FILTER (WHERE source <> 'src0') AS nr
+                FROM documents),
+        x AS (SELECT term, df_focus, df_ref,
+                     CAST(df_focus AS HUGEINT) AS a,
+                     CAST(df_ref AS HUGEINT) AS b,
+                     CAST(nf AS HUGEINT) - df_focus AS c,
+                     CAST(nr AS HUGEINT) - df_ref AS dd,
+                     CAST(nf + nr AS HUGEINT) AS n
+              FROM g, tot)
+        SELECT term, df_focus, df_ref,
+               CASE WHEN (a+b)*(c+dd)*(a+c)*(b+dd) = 0 THEN NULL
+                    ELSE CAST(n*(a*dd-b*c)*(a*dd-b*c) AS DOUBLE)
+                       / CAST((a+b)*(c+dd)*(a+c)*(b+dd) AS DOUBLE) END
+                 AS chi2
+        FROM x
+        ORDER BY chi2 DESC NULLS LAST, term LIMIT 50"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        TextOps.chiSquareKeyness(
+          docs.filter(col("source") === "src0"),
+          docs.filter(col("source") =!= "src0"),
+          "doc_id", "text", topN = 50)
+      }),
+
+    // Bigram LM counts: adjacent-pair counts + conditional probability
+    // c(w1 w2)/c(w1 ·) — the n-gram language-model estimation step and
+    // the collocation miner. Bigrams via a position-indexed transform
+    // over the token array (no self-join, no raw-row window); the
+    // continuation mass is a window over the AGGREGATED bigram table.
+    QueryDef(
+      "q124_bigram_lm",
+      Some("""
+        WITH t AS (SELECT string_split(text, ' ') AS toks
+                   FROM documents
+                   WHERE len(string_split(text, ' ')) >= 2),
+        b0 AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM t),
+        b AS (SELECT toks[i] AS w1, toks[i+1] AS w2 FROM b0),
+        c AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+        w AS (SELECT w1, w2, c12,
+                     CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT)
+                       AS c1
+              FROM c)
+        SELECT w1, w2, c12, c1,
+               CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p_cond
+        FROM w WHERE c12 >= 5"""),
+      (s, d) =>
+        TextOps.bigramCounts(t(s, d, "documents"), "text",
+          minCount = 5L))
   )
 }

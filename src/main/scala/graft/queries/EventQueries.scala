@@ -418,6 +418,35 @@ object EventQueries {
             expr("ts div 86400000000000").as("day"),
             regexp_extract(col("props"), "[0-9]+", 0).cast("long")
               .as("k")),
-          "user_id", "day", "k"))
+          "user_id", "day", "k")),
+
+    // Per-type burstiness: dispersion index (variance-to-mean ratio)
+    // of daily event counts — ~1 is Poisson-like traffic, >1 is
+    // bursty. Reduced to ONE exact integer fraction
+    // (n·Σc² − (Σc)²)/(n·Σc): three DECIMAL sums in one hash agg over
+    // the tiny (type, day) count table, one IEEE division at the end.
+    QueryDef(
+      "q125_dispersion",
+      Some("""
+        WITH dcnt AS (SELECT event_type,
+                             epoch_us(ts) // 86400000000 AS day,
+                             count(*) AS c
+                      FROM events GROUP BY 1, 2),
+        g AS (SELECT event_type, count(*) AS n, sum(c) AS s1,
+                     sum(c*c) AS s2
+              FROM dcnt GROUP BY 1)
+        SELECT event_type, n,
+               CASE WHEN n*s1 = 0 THEN NULL
+                    ELSE CAST(n*s2 - s1*s1 AS DOUBLE)
+                       / CAST(n*s1 AS DOUBLE) END AS vmr
+        FROM g"""),
+      (s, d) =>
+        graft.ops.Aggregates.dispersionIndex(
+          t(s, d, "events")
+            .select(col("event_type"),
+              expr("ts div 86400000000000").as("day"))
+            .groupBy(col("event_type"), col("day"))
+            .agg(count(lit(1)).as("c")),
+          "event_type", "c"))
   )
 }

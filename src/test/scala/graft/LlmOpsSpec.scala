@@ -516,4 +516,46 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(1L) == ((3L, 1L, 1.0 / 3.0)))
     assert(got(2L) == ((2L, 2L, 1.0)))
   }
+
+  test("chiSquareKeyness: exclusive term maxes, shared term scores 0") {
+    // focus: both docs have 'x'; reference: neither does; 'c' appears
+    // in ONE doc per side -> perfectly balanced, chi2 exactly 0. A
+    // term present in EVERY doc of both corpora has zero margin
+    // (c+d = 0) and is NULL by design — the oracle agrees.
+    val focus = Seq((1L, "x c"), (2L, "x")).toDF("doc_id", "text")
+    val ref = Seq((3L, "y c"), (4L, "y")).toDF("doc_id", "text")
+    val got = TextOps.chiSquareKeyness(focus, ref, "doc_id", "text", 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
+    // exclusive terms: a=2,b=0,c=0,d=2 -> chi2 = 4*(4)^2/(2*2*2*2) = 4
+    assert(got("x") == ((2L, 0L, 4.0)))
+    assert(got("y") == ((0L, 2L, 4.0)))
+    assert(got("c") == ((1L, 1L, 0.0)))
+  }
+
+  test("bigramCounts: pair counts, continuation mass, conditional p") {
+    val df = Seq("a b", "a b", "a c", "z").toDF("text")
+    val got = TextOps.bigramCounts(df, "text", minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(("a", "b")) == ((2L, 3L, 2.0 / 3.0)))
+    assert(got(("a", "c")) == ((1L, 3L, 1.0 / 3.0)))
+    assert(got.size == 2) // single-token doc contributes no bigram
+  }
+
+  test("dispersionIndex: 0 for constant counts, exact for bursty") {
+    val df = Seq(
+      ("flat", 5L), ("flat", 5L), ("flat", 5L),
+      ("burst", 1L), ("burst", 1L), ("burst", 10L),
+      ("zero", 0L), ("zero", 0L))
+      .toDF("k", "c")
+    val got = graft.ops.Aggregates.dispersionIndex(df, "k", "c")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got("flat") == Some(0.0))
+    // n=3 s1=12 s2=102: (306-144)/36 = 4.5
+    assert(got("burst") == Some(4.5))
+    assert(got("zero") == None)
+  }
 }
