@@ -144,6 +144,33 @@ object LlmQueries {
         TextOps.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
           minJac = 0.2, maxDf = 1000)),
 
+    // Prefix-filtered EXACT Jaccard join at the near-dup threshold
+    // (0.8): only each doc's (df asc, hash) prefix enters the inverted
+    // index — ~5× fewer index rows at t=0.8, zero false negatives —
+    // then candidates verify by exact array intersection. Because the
+    // algorithm is lossless, the oracle is the TRUE uncapped Jaccard
+    // pair set: this query proves the prefix filter drops nothing.
+    // Stopword shingles sort to the end of every doc and never enter
+    // a prefix, so q41's hot-key cap is structurally unnecessary here.
+    QueryDef(
+      "q126_jaccard_prefix_join",
+      Some(s"""
+        WITH $dkShingles,
+        sh AS (SELECT doc_id, len(shsd) AS nsh, unnest(shsd) AS sh
+               FROM (SELECT doc_id, list_distinct(
+                       list_transform(shs, g -> ${dkHash60("g")})) shsd
+                     FROM sarr)),
+        c AS (SELECT a.doc_id da, b.doc_id db, a.nsh na, b.nsh nb,
+                     count(*) common
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4)
+        SELECT da AS doc_a, db AS doc_b,
+               CAST(common AS DOUBLE)/(na+nb-common) AS jac
+        FROM c WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.8"""),
+      (s, d) =>
+        TextOps.prefixJaccardJoin(t(s, d, "documents"), "doc_id",
+          "text", minJac = 0.8)),
+
     // MinHash signatures (4 permutations over the Mersenne prime).
     QueryDef(
       "q42_dedup_minhash_sigs",

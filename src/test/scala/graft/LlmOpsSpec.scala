@@ -517,6 +517,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(2L) == ((2L, 2L, 1.0)))
   }
 
+  test("prefixJaccardJoin == uncapped inverted-index join (lossless)") {
+    // near-dup pair (1,2), exact-dup pair (3,4), unrelated 5; doc 6
+    // shares only STOPWORD-ish shingles with everyone (high df) —
+    // prefix filtering must still consider it where needed and the
+    // exact verify must then reject it.
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"$base iota"), (2L, s"$base kappa"),
+      (3L, "one two three four five six"),
+      (4L, "one two three four five six"),
+      (5L, "totally different words here entirely now"),
+      (6L, s"alpha beta gamma unrelated tail words"))
+      .toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    for (t <- Seq(0.5, 0.8)) {
+      val fast = TextOps.prefixJaccardJoin(docs, "doc_id", "text", t)
+        .collect().map(key).toSet
+      val brute = TextOps.ngramJaccardPairs(docs, "doc_id", "text",
+        minJac = t, maxDf = Int.MaxValue).collect().map(key).toSet
+      assert(fast == brute, s"threshold $t")
+      assert(fast.map(p => (p._1, p._2)).contains((3L, 4L)))
+    }
+  }
+
   test("chiSquareKeyness: exclusive term maxes, shared term scores 0") {
     // focus: both docs have 'x'; reference: neither does; 'c' appears
     // in ONE doc per side -> perfectly balanced, chi2 exactly 0. A

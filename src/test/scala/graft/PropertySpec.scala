@@ -447,4 +447,33 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("prefixJaccardJoin = brute-force Jaccard over random corpora") {
+    // Small vocab forces shared shingles (incl. high-df ones, the
+    // case the (df, hash) canonical order is designed around).
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.choose(3, 9).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    def sh(t: String): Set[String] =
+      if (t.split(" ").length >= 3)
+        t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      else Set.empty
+    samples(Gen.listOfN(8, doc), 6).foreach { corpus =>
+      val df = corpus.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      for (thr <- Seq(0.3, 0.6, 0.9)) {
+        val got = graft.llmops.TextOps
+          .prefixJaccardJoin(df, "doc_id", "text", thr)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val want = (for {
+          i <- corpus.indices; j <- corpus.indices if i < j
+          a = sh(corpus(i)); b = sh(corpus(j))
+          if a.nonEmpty && b.nonEmpty
+          jac = (a & b).size.toDouble / (a | b).size
+          if jac >= thr
+        } yield (i.toLong, j.toLong)).toSet
+        assert(got == want, s"thr=$thr corpus=$corpus")
+      }
+    }
+  }
 }
