@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -447,6 +448,52 @@ object EventQueries {
               expr("ts div 86400000000000").as("day"))
             .groupBy(col("event_type"), col("day"))
             .agg(count(lit(1)).as("c")),
-          "event_type", "c"))
+          "event_type", "c")),
+
+    // First/last-touch attribution: for every purchase, the first and
+    // the most recent preceding touch event (click/view) of the same
+    // user — both in ONE pass: ignore-nulls first/last over a
+    // (user, ts, event_id)-ordered preceding-rows frame, then filter
+    // to conversions. One exchange + one sort for any number of
+    // conversions; never a per-purchase self-join or as-of probe.
+    QueryDef(
+      "q129_attribution",
+      Some("""
+        WITH e AS (SELECT user_id, event_id, event_type,
+                          epoch_us(ts) AS us,
+                          CASE WHEN event_type IN ('click', 'view')
+                               THEN event_id END AS touch
+                   FROM events),
+        w AS (SELECT user_id, event_id, event_type, us,
+                     first_value(touch IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS first_touch,
+                     last_value(touch IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS last_touch
+              FROM e)
+        SELECT user_id, event_id, us AS purchase_us,
+               first_touch, last_touch
+        FROM w WHERE event_type = 'purchase'"""),
+      (s, d) => {
+        val touch = when(col("event_type").isin("click", "view"),
+          col("event_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts div 1000").as("us"))
+          .withColumn("first_touch", first(touch, ignoreNulls = true)
+            .over(w))
+          .withColumn("last_touch", last(touch, ignoreNulls = true)
+            .over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"),
+            col("us").as("purchase_us"), col("first_touch"),
+            col("last_touch"))
+      })
   )
 }

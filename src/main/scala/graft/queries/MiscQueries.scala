@@ -215,6 +215,32 @@ object MiscQueries {
             substring_index(col("path"), "/", -1).as("src_file"))
           .groupBy(col("snapshot_dir"), col("src_file"))
           .agg(count(lit(1)).as("n_rows"))
-      })
+      }),
+
+    // Whole-row argmax per key: each customer's highest-value order
+    // carried as a row, via ONE hash aggregation on a comparable
+    // struct (folds map-side at any key cardinality) — the
+    // deterministic replacement for max_by/arg_max, whose tie
+    // behavior is undefined in both engines; here ties on price break
+    // to the larger orderkey by struct comparison, a total order.
+    QueryDef(
+      "q128_argmax_record",
+      Some("""
+        WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                          row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey DESC)
+                            AS rn
+                   FROM orders)
+        SELECT o_custkey, o_orderkey AS top_orderkey,
+               o_totalprice AS top_price
+        FROM r WHERE rn = 1"""),
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(max(struct(col("o_totalprice"), col("o_orderkey")))
+            .as("m"))
+          .select(col("o_custkey"),
+            col("m.o_orderkey").as("top_orderkey"),
+            col("m.o_totalprice").as("top_price")))
   )
 }

@@ -123,5 +123,37 @@ object TimeQueries {
           .agg(
             count(lit(1)).as("n"),
             Aggregates.decSum(col("o_totalprice")).as("sum_price")))
+  ,
+
+    // Hopping (sliding) windows in batch: 1-hour windows every 15
+    // minutes — Spark's native `window(ts, size, slide)` generator
+    // (each event expands to size/slide = 4 window rows map-side, then
+    // one hash agg; the same TimeWindow semantics Structured Streaming
+    // uses, so batch and streaming agree). Oracle: explicit 4-way
+    // window-start expansion — floor-aligned starts, integer µs.
+    QueryDef(
+      "q127_hopping_window",
+      Some("""
+        WITH e AS (SELECT epoch_us(ts) AS us, event_type, "value"
+                   FROM events),
+        x AS (SELECT (us // 900000000 - i.i) * 900000000
+                       AS win_start_us,
+                     event_type, "value"
+              FROM e, (SELECT unnest(range(0, 4)) AS i) i)
+        SELECT win_start_us, event_type, count(*) AS n,
+               CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE)
+                 AS sum_value
+        FROM x GROUP BY 1, 2"""),
+      (s, d) =>
+        t(s, d, "events")
+          .select(expr("timestamp_micros(ts div 1000)").as("tsx"),
+            col("event_type"), col("value"))
+          .groupBy(
+            window(col("tsx"), "1 hour", "15 minutes").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            Aggregates.decSum(col("value")).as("sum_value"))
+          .select(unix_micros(col("w.start")).as("win_start_us"),
+            col("event_type"), col("n"), col("sum_value")))
   )
 }

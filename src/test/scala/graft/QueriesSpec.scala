@@ -63,4 +63,38 @@ class QueriesSpec extends AnyFunSuite {
       assert(a == b, s"$q result depends on partitioning")
     }
   }
+
+  test("hopping windows: every event lands in exactly size/slide windows") {
+    import org.apache.spark.sql.functions._
+    val nEvents = spark.read
+      .parquet(s"$sf/events.parquet").count()
+    val winTotal = SparkEntry.queries("q127_hopping_window")(spark, sf)
+      .agg(sum("n")).head.getLong(0)
+    assert(winTotal == 4 * nEvents)
+  }
+
+  test("attribution: touches precede the purchase; purchase count kept") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("q129_attribution")(spark, sf)
+    val nPurch = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "purchase").count()
+    assert(r.count() == nPurch)
+    // first/last touch are defined over the SAME frame: one is null
+    // iff the other is (no touch precedes the purchase)
+    assert(r.filter(col("first_touch").isNull !==
+      col("last_touch").isNull).count() == 0)
+    // each user's earliest purchase with a non-null first_touch must
+    // keep that same first_touch on every LATER purchase (first touch
+    // never changes once set — growing frame, ignore-nulls first)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("purchase_us"), col("event_id"))
+    val drift = r
+      .withColumn("ft0", first(col("first_touch"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("first_touch").isNotNull &&
+        (col("first_touch") !== col("ft0")))
+    assert(drift.count() == 0)
+  }
 }
