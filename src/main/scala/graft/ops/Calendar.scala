@@ -41,4 +41,28 @@ object Calendar {
       .select(date_format(col("d"), "yyyy-MM-dd").as(dayKey))
     days.join(perDay, Seq(dayKey), "left").na.fill(0, fillCols)
   }
+
+  /** Per-key forward fill over a dense integer-day grid: each key gets
+    * its own min..max day scaffold (per-key sequence explode — bounded
+    * by the key's span, never a global calendar join), missing days
+    * take the most recent present value (ignore-nulls `last` over a
+    * growing frame). The first day of every key is present by
+    * construction (it IS that key's min), so the filled column is
+    * never null. One join on (key, day) + one window sort per key. */
+  def forwardFill(df: DataFrame, keyCol: String, dayCol: String,
+      valCol: String): DataFrame = {
+    val bounds = df.groupBy(col(keyCol))
+      .agg(min(col(dayCol)).as("_lo"), max(col(dayCol)).as("_hi"))
+    val grid = bounds.select(col(keyCol),
+      explode(sequence(col("_lo"), col("_hi"))).as(dayCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(dayCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    grid.join(df, Seq(keyCol, dayCol), "left")
+      .select(col(keyCol), col(dayCol),
+        last(col(valCol), ignoreNulls = true).over(w)
+          .as(s"${valCol}_filled"),
+        col(valCol).isNotNull.as("was_present"))
+  }
 }

@@ -312,4 +312,33 @@ object Events {
         (col("__week") - col("cohort_week")).as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Per-key interval-union coverage (sweep line): total length of the
+    * UNION of [start, end) intervals — overlapping sessions counted
+    * once, the "real online time" question naive duration sums
+    * overstate. Classic boundary decomposition: +1/−1 deltas, one sort
+    * per key on (t, delta desc) — openings before closings at a tie,
+    * so touching intervals stay continuous — running active count,
+    * and each boundary-to-next gap counts iff something is open. Tied
+    * boundaries produce zero-width gaps, so intra-tie permutation
+    * cannot change the sum (engine-exact despite the sort tie). ONE
+    * exchange + ONE sort per key, integer arithmetic end to end. */
+  def intervalCoverage(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val b = df.select(col(keyCol), col(startCol).as("t"),
+        lit(1L).as("d"))
+      .unionAll(df.select(col(keyCol), col(endCol).as("t"),
+        lit(-1L).as("d")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("t"), col("d").desc)
+    val swept = b
+      .withColumn("running", sum(col("d")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .withColumn("gap", lead(col("t"), 1).over(w) - col("t"))
+    swept.groupBy(col(keyCol))
+      .agg(sum(when(col("running") > 0, col("gap")).otherwise(0L))
+        .as("covered"),
+        sum(when(col("d") === 1, 1L).otherwise(0L)).as("n_intervals"))
+  }
 }

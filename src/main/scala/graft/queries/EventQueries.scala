@@ -494,6 +494,41 @@ object EventQueries {
           .select(col("user_id"), col("event_id"),
             col("us").as("purchase_us"), col("first_touch"),
             col("last_touch"))
-      })
+      }),
+
+    // Interval-union coverage: each event opens a 30-minute session
+    // [ts, ts+30min); per user, the total length of the UNION of those
+    // sessions — overlaps counted once (the "real online time" naive
+    // duration sums overstate). Sweep line: ±1 boundary deltas, one
+    // sort per user, running open count, gap counts iff something is
+    // open. Integer µs end to end.
+    QueryDef(
+      "q131_interval_coverage",
+      Some("""
+        WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                           epoch_us(ts) + 1800000000 AS e
+                    FROM events),
+        b AS (SELECT user_id, s AS t, 1 AS d FROM iv
+              UNION ALL
+              SELECT user_id, e AS t, -1 AS d FROM iv),
+        sw AS (SELECT user_id, t, d,
+                      sum(d) OVER (PARTITION BY user_id
+                        ORDER BY t, d DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS running,
+                      lead(t) OVER (PARTITION BY user_id
+                        ORDER BY t, d DESC) - t AS gap
+               FROM b)
+        SELECT user_id,
+               CAST(sum(CASE WHEN running > 0 THEN gap ELSE 0 END)
+                 AS BIGINT) AS covered,
+               count(*) FILTER (WHERE d = 1) AS n_intervals
+        FROM sw GROUP BY 1"""),
+      (s, d) =>
+        Events.intervalCoverage(
+          t(s, d, "events").select(col("user_id"),
+            expr("ts div 1000").as("s"),
+            expr("ts div 1000 + 1800000000").as("e")),
+          "user_id", "s", "e"))
   )
 }

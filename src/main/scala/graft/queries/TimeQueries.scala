@@ -154,6 +154,42 @@ object TimeQueries {
           .agg(count(lit(1)).as("n"),
             Aggregates.decSum(col("value")).as("sum_value"))
           .select(unix_micros(col("w.start")).as("win_start_us"),
-            col("event_type"), col("n"), col("sum_value")))
+            col("event_type"), col("n"), col("sum_value"))),
+
+    // Per-key forward fill (gap-filled time series): each user's
+    // sparse daily value sums become a dense min..max day grid, gaps
+    // carrying the most recent present value — the
+    // last-observation-carried-forward step before any
+    // rolling/trend computation on irregular data. Per-key sequence
+    // explode (no global calendar), ignore-nulls last over a growing
+    // frame.
+    QueryDef(
+      "q130_forward_fill",
+      Some("""
+        WITH v AS (SELECT user_id,
+                          epoch_us(ts) // 86400000000 AS day,
+                          CAST(sum(CAST("value" AS DECIMAL(18,4)))
+                            AS DOUBLE) AS v
+                   FROM events GROUP BY 1, 2),
+        b AS (SELECT user_id, min(day) lo, max(day) hi
+              FROM v GROUP BY 1),
+        grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS day
+                 FROM b),
+        j AS (SELECT g.user_id, g.day, v.v
+              FROM grid g LEFT JOIN v USING (user_id, day))
+        SELECT user_id, day,
+               last_value(v IGNORE NULLS) OVER
+                 (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS v_filled,
+               v IS NOT NULL AS was_present
+        FROM j"""),
+      (s, d) =>
+        Calendar.forwardFill(
+          t(s, d, "events")
+            .groupBy(col("user_id"),
+              expr("ts div 86400000000000").as("day"))
+            .agg(Aggregates.decSum(col("value")).as("v")),
+          "user_id", "day", "v"))
   )
 }

@@ -334,6 +334,39 @@ class LakeOpsSpec extends AnyFunSuite {
       n.getOrElse("train", 0) > n.getOrElse("test", 0))
   }
 
+  // ---- forwardFill ----
+
+  test("forwardFill: gaps carry last value, per-key grid bounds") {
+    val df = Seq(
+      ("a", 10L, 1.0), ("a", 13L, 4.0),           // gap 11,12 -> 1.0
+      ("b", 5L, 7.0))                              // singleton key
+      .toDF("k", "day", "v")
+    val r = graft.ops.Calendar.forwardFill(df, "k", "day", "v")
+      .collect()
+      .map(x => (x.getString(0), x.getLong(1)) ->
+        ((x.getDouble(2), x.getBoolean(3)))).toMap
+    assert(r == Map(
+      ("a", 10L) -> ((1.0, true)), ("a", 11L) -> ((1.0, false)),
+      ("a", 12L) -> ((1.0, false)), ("a", 13L) -> ((4.0, true)),
+      ("b", 5L) -> ((7.0, true))))
+  }
+
+  // ---- intervalCoverage ----
+
+  test("intervalCoverage: overlap once, touching continuous, disjoint sums") {
+    val df = Seq(
+      ("ov", 0L, 10L), ("ov", 5L, 15L),    // union [0,15) = 15
+      ("tc", 0L, 10L), ("tc", 10L, 20L),   // touching -> 20
+      ("dj", 0L, 10L), ("dj", 20L, 30L),   // disjoint -> 20
+      ("nest", 0L, 100L), ("nest", 10L, 20L)) // nested -> 100
+      .toDF("k", "s", "e")
+    val r = graft.ops.Events.intervalCoverage(df, "k", "s", "e")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map("ov" -> ((15L, 2L)), "tc" -> ((20L, 2L)),
+      "dj" -> ((20L, 2L)), "nest" -> ((100L, 2L))))
+  }
+
   // ---- groupPearson ----
 
   test("groupPearson: ±1 on exact lines, null on zero variance") {
