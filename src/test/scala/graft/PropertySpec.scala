@@ -448,6 +448,92 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("groupPearson: |r| <= 1 and matches the BigInt formula") {
+    val row = Gen.zip(Gen.choose(1L, 3L), Gen.choose(-50L, 50L),
+      Gen.choose(-50L, 50L))
+    samples(Gen.listOfN(40, row), 8).foreach { rows =>
+      val got = graft.ops.Aggregates.groupPearson(
+        rows.toDF("k", "x", "y"), "k", "x", "y")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      rows.groupBy(_._1).foreach { case (k, g) =>
+        val n = BigInt(g.size)
+        val sx = g.map(r => BigInt(r._2)).sum
+        val sy = g.map(r => BigInt(r._3)).sum
+        val sxy = g.map(r => BigInt(r._2) * r._3).sum
+        val sxx = g.map(r => BigInt(r._2) * r._2).sum
+        val syy = g.map(r => BigInt(r._3) * r._3).sum
+        val dx = n * sxx - sx * sx
+        val dy = n * syy - sy * sy
+        if (dx == 0 || dy == 0) assert(got(k) == None)
+        else {
+          val want = (n * sxy - sx * sy).toDouble /
+            (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble))
+          assert(got(k) == Some(want), s"key $k")
+          assert(math.abs(got(k).get) <= 1.0 + 1e-12)
+        }
+      }
+    }
+  }
+
+  test("groupMode/heavyHitters/dispersionIndex = brute force") {
+    val row = Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 5L))
+    samples(Gen.listOfN(60, row), 8).foreach { rows =>
+      val df = rows.toDF("k", "v")
+      // mode: max count, ties to smallest value
+      val gotMode = graft.ops.Aggregates.groupMode(df, "k", "v")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      rows.groupBy(_._1).foreach { case (k, g) =>
+        val cnt = g.groupBy(_._2).view.mapValues(_.size.toLong)
+        val best = cnt.toSeq.minBy { case (v, c) => (-c, v) }
+        assert(gotMode(k) == ((best._1, best._2)), s"mode key $k")
+      }
+      // heavy hitters: top-3 by (count desc, key asc), exact shares
+      val gotHh = graft.ops.Skew.heavyHitters(df, "k", 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getLong(3)))
+      val wantHh = rows.groupBy(_._1).view
+        .mapValues(_.size.toLong).toSeq
+        .sortBy { case (k, c) => (-c, k) }.take(3)
+      assert(gotHh.map(h => (h._1, h._2)).toSeq == wantHh)
+      gotHh.zipWithIndex.foreach { case ((_, c, share, rank), i) =>
+        assert(rank == i + 1)
+        assert(share == c.toDouble / rows.size)
+      }
+      // dispersion: matches the integer fraction, never negative
+      val gotVmr = graft.ops.Aggregates.dispersionIndex(df, "k", "v")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      rows.groupBy(_._1).foreach { case (k, g) =>
+        val n = BigInt(g.size)
+        val s1 = g.map(r => BigInt(r._2)).sum
+        val s2 = g.map(r => BigInt(r._2) * r._2).sum
+        if (s1 == 0) assert(gotVmr(k) == None)
+        else {
+          val want = (n * s2 - s1 * s1).toDouble / (n * s1).toDouble
+          assert(gotVmr(k) == Some(want), s"vmr key $k")
+          assert(gotVmr(k).get >= 0.0)
+        }
+      }
+    }
+  }
+
+  test("intervalCoverage = merged-interval union length") {
+    val iv = Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 40L),
+      Gen.choose(1L, 15L)).map { case (k, s, len) => (k, s, s + len) }
+    samples(Gen.listOfN(12, iv), 8).foreach { ivs =>
+      val got = graft.ops.Events.intervalCoverage(
+        ivs.toDF("k", "s", "e"), "k", "s", "e")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      ivs.groupBy(_._1).foreach { case (k, g) =>
+        // brute force: count covered integer points via half-open sets
+        val covered = g.flatMap(iv => iv._2 until iv._3).toSet.size
+        assert(got(k) == covered.toLong, s"key $k intervals $g")
+      }
+    }
+  }
+
   test("prefixJaccardJoin = brute-force Jaccard over random corpora") {
     // Small vocab forces shared shingles (incl. high-df ones, the
     // case the (df, hash) canonical order is designed around).
