@@ -55,7 +55,11 @@ def main():
         except Exception as e:
             rows.append((name, spark.get(name), None, f"oracle error: {e}"))
             continue
+        # bench emits compact short keys ("q41") since the driver-tail
+        # truncation fix; fall back from the full oracle name
         st = spark.get(name)
+        if st is None:
+            st = spark.get(name.split("_")[0])
         if st is None:
             rows.append((name, None, dt, "no spark timing"))
             continue
