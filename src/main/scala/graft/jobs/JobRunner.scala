@@ -181,6 +181,30 @@ object JobRunner {
             }
           }
         graft.ops.Profile.fkAudit(s, rels)
+      }),
+      // pre-shuffle skew diagnostic: top-N keys by row count with
+      // exact share-of-total (decide salting/AQE BEFORE the job melts)
+      "heavy_hitters" -> ((s, o) => {
+        val in = o.getOrElse("in-table",
+          sys.error("--in-table required for heavy_hitters"))
+        val key = o.getOrElse("key",
+          sys.error("--key required for heavy_hitters"))
+        val topN = o.get("top").map(_.toInt).getOrElse(20)
+        graft.ops.Skew.heavyHitters(s.read.parquet(in), key, topN)
+      }),
+      // union length of [start, end) intervals per key — overlaps
+      // counted once (sweep line, Events.intervalCoverage)
+      "interval_coverage" -> ((s, o) => {
+        val in = o.getOrElse("in-table",
+          sys.error("--in-table required for interval_coverage"))
+        val key = o.getOrElse("key",
+          sys.error("--key required for interval_coverage"))
+        val startCol = o.getOrElse("start-col",
+          sys.error("--start-col required for interval_coverage"))
+        val endCol = o.getOrElse("end-col",
+          sys.error("--end-col required for interval_coverage"))
+        graft.ops.Events.intervalCoverage(s.read.parquet(in), key,
+          startCol, endCol)
       }))
 
   /** Input-name → schema for the schematized readers. */

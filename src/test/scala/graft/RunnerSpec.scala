@@ -221,4 +221,30 @@ class RunnerSpec extends AnyFunSuite {
     assert(unknown.map(_.getString(0)).toSeq.sorted ==
       Seq("FAILED", "FINISHED"))
   }
+
+  test("JobRunner: heavy_hitters lake job ranks keys with exact shares") {
+    val dir = Files.createTempDirectory("graft-runner-hh").toString
+    val s0 = graft.core.Sessions.local(4, "graft-runner-test")
+    import s0.implicits._
+    (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold"))
+      .toDF("k").write.parquet(s"$dir/t")
+    val hh = JobRunner.lakeJobs("heavy_hitters")(
+      s0, Map("in-table" -> s"$dir/t", "key" -> "k", "top" -> "2"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3)))
+    assert(hh.toSeq == Seq(("hot", 6L, 0.6, 1L), ("warm", 3L, 0.3, 2L)))
+  }
+
+  test("JobRunner: interval_coverage lake job counts overlaps once") {
+    val dir = Files.createTempDirectory("graft-runner-iv").toString
+    val s0 = graft.core.Sessions.local(4, "graft-runner-test")
+    import s0.implicits._
+    Seq(("u", 0L, 10L), ("u", 5L, 15L)).toDF("k", "s", "e")
+      .write.parquet(s"$dir/iv")
+    val cov = JobRunner.lakeJobs("interval_coverage")(
+      s0, Map("in-table" -> s"$dir/iv", "key" -> "k",
+        "start-col" -> "s", "end-col" -> "e")).head()
+    assert(cov.getString(0) == "u")
+    assert(cov.getLong(1) == 15L && cov.getLong(2) == 2L)
+  }
 }
