@@ -60,6 +60,21 @@ object Streams {
       col("*")).drop("window")
   }
 
+  /** Hopping (sliding) event-time windows with a late-data watermark —
+    * the streaming twin of the batch q127: each event lands in
+    * size/slide windows (the SAME TimeWindow generator, so batch and
+    * streaming aggregate identically), watermark bounds the open-window
+    * state to O(rate × (size + lateness)). */
+  def hoppingCounts(df: DataFrame, tsCol: String, size: String,
+      slide: String, lateness: String): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), size, slide))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("n"))
+
   /** Watermarked exactly-once-ish dedup — the streaming form of
     * `drop_duplicates(["GlobalJobId"])` over multi-day re-reads
     * (condor_crab_unique_users.py:91). State for ids older than the

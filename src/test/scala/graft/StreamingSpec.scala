@@ -38,6 +38,28 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 00:24:00.0", 1L)))
   }
 
+  test("hopping windows: each event lands in size/slide windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    input.addData((ts(1), 1.0), (ts(13), 2.0))
+    val hopped = Streams.hoppingCounts(
+      input.toDF().toDF("ts", "value"), "ts",
+      "12 minutes", "6 minutes", "1 minute")
+    val q = Streams.toMemory(hopped, "hops")
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT win_start, n FROM hops ORDER BY win_start")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1)))
+    // event@1 -> windows starting 23:54 and 00:00; event@13 -> 00:06
+    // and 00:12; each event in exactly 12/6 = 2 windows
+    assert(got.map(_._2).sum == 4L)
+    assert(got.toSeq == Seq(
+      ("2023-12-31 23:54:00.0", 1L),
+      ("2024-01-01 00:00:00.0", 1L),
+      ("2024-01-01 00:06:00.0", 1L),
+      ("2024-01-01 00:12:00.0", 1L)))
+  }
+
   test("watermarked dedup drops same-key re-reads within the window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
