@@ -190,6 +190,45 @@ object TimeQueries {
             .groupBy(col("user_id"),
               expr("ts div 86400000000000").as("day"))
             .agg(Aggregates.decSum(col("value")).as("v")),
-          "user_id", "day", "v"))
+          "user_id", "day", "v")),
+
+    // Top-k per group over an AGGREGATE metric (top-3 suppliers by
+    // revenue per nation): aggregate → rank window → filter. Spark
+    // plans the rank filter as WindowGroupLimit — a partial top-k
+    // BEFORE the exchange, so each map task forwards at most k rows
+    // per group instead of the whole aggregate table (the per-group
+    // twin of q22's TakeOrderedAndProject). Revenue is the exact
+    // DECIMAL sum of per-row double products (identical operands both
+    // engines; no decimal half-tie exists for binary doubles at scale
+    // 4, the engine's standing analysis).
+    QueryDef(
+      "q132_topk_per_group",
+      Some("""
+        WITH r AS (SELECT s.s_nationkey, l.l_suppkey,
+                          CAST(sum(CAST(l_extendedprice*(1-l_discount)
+                            AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+                   FROM lineitem l
+                   JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   GROUP BY 1, 2),
+        k AS (SELECT s_nationkey, l_suppkey, revenue,
+                     row_number() OVER (PARTITION BY s_nationkey
+                       ORDER BY revenue DESC, l_suppkey) AS rn
+              FROM r)
+        SELECT s_nationkey, l_suppkey, revenue,
+               CAST(rn AS BIGINT) AS rn
+        FROM k WHERE rn <= 3"""),
+      (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_nationkey"), col("l_suppkey"))
+          .agg(Aggregates.decSum(
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+        val w = Window.partitionBy(col("s_nationkey"))
+          .orderBy(col("revenue").desc, col("l_suppkey"))
+        rev.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+      })
   )
 }
