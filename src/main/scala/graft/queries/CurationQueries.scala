@@ -328,6 +328,28 @@ object CurationQueries {
               .as("n_flagged"))
       }),
 
+    // Percent-rank score calibration: a doc's length percentile WITHIN
+    // its language — the cross-source normalization step before mixing
+    // heterogeneous quality scores (absolute thresholds don't transfer
+    // between a forum dump and an encyclopedia; percentiles do).
+    // percent_rank = (rank−1)/(n−1) is rational in exact integers with
+    // one IEEE division, ties share a value, singleton groups pin 0 —
+    // identical semantics in both engines.
+    QueryDef(
+      "q133_percentile_calib",
+      Some("""
+        SELECT doc_id, lang, n_chars,
+               percent_rank() OVER (PARTITION BY lang
+                 ORDER BY n_chars) AS pr
+        FROM documents"""),
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            percent_rank().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("lang")).orderBy(col("n_chars")))
+              .as("pr"))),
+
     // Global segment-level dedup with reassembly (the C4/RefinedWeb
     // boilerplate-line removal): 16-token segments survive only at
     // their first corpus occurrence; docs reassemble from surviving
