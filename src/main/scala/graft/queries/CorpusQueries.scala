@@ -448,6 +448,48 @@ object CorpusQueries {
         FROM w WHERE c12 >= 5"""),
       (s, d) =>
         TextOps.bigramCounts(t(s, d, "documents"), "text",
-          minCount = 5L))
+          minCount = 5L)),
+
+    // Vocabulary richness per source: type-token ratio and hapax
+    // fraction — the lexical-diversity fingerprint that separates
+    // template/boilerplate mills (low TTR) from organic text, and a
+    // dedup-effectiveness before/after metric. One (source, term)
+    // hash agg, one per-source rollup; both ratios are single IEEE
+    // divisions of exact counts.
+    QueryDef(
+      "q135_vocab_richness",
+      Some("""
+        WITH tt AS (SELECT source, unnest(string_split(text, ' '))
+                      AS term
+                    FROM documents),
+        c AS (SELECT source, term, count(*) AS cnt
+              FROM tt GROUP BY 1, 2)
+        SELECT source,
+               CAST(sum(cnt) AS BIGINT) AS total_tokens,
+               count(*) AS distinct_terms,
+               count(*) FILTER (WHERE cnt = 1) AS hapax_terms,
+               CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+                 AS ttr,
+               CAST(count(*) FILTER (WHERE cnt = 1) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS hapax_frac
+        FROM c GROUP BY 1"""),
+      (s, d) => {
+        val c = t(s, d, "documents")
+          .select(col("source"),
+            explode(TextOps.tokens(col("text"))).as("term"))
+          .groupBy(col("source"), col("term"))
+          .agg(count(lit(1)).as("cnt"))
+        c.groupBy(col("source"))
+          .agg(sum(col("cnt")).as("total_tokens"),
+            count(lit(1)).as("distinct_terms"),
+            graft.ops.Aggregates.countIf(col("cnt") === 1)
+              .as("hapax_terms"))
+          .select(col("source"), col("total_tokens"),
+            col("distinct_terms"), col("hapax_terms"),
+            (col("distinct_terms").cast("double") /
+              col("total_tokens").cast("double")).as("ttr"),
+            (col("hapax_terms").cast("double") /
+              col("distinct_terms").cast("double")).as("hapax_frac"))
+      })
   )
 }

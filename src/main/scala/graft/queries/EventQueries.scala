@@ -529,6 +529,39 @@ object EventQueries {
           t(s, d, "events").select(col("user_id"),
             expr("ts div 1000").as("s"),
             expr("ts div 1000 + 1800000000").as("e")),
-          "user_id", "s", "e"))
+          "user_id", "s", "e")),
+
+    // Time-to-convert: each user's first signup and first purchase AT
+    // OR AFTER it, as a latency — the activation-funnel latency table
+    // (feed q83's exact quantiles for the report). One per-user hash
+    // agg for the signup anchor, one key join back, one conditional
+    // min — never a per-user sort or a purchase×signup self-join.
+    QueryDef(
+      "q136_time_to_convert",
+      Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                   FROM events),
+        su AS (SELECT user_id, min(us) AS signup_us FROM e
+               WHERE event_type = 'signup' GROUP BY 1),
+        pu AS (SELECT e.user_id, su.signup_us, min(e.us) AS purchase_us
+               FROM e JOIN su USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.us >= su.signup_us
+               GROUP BY 1, 2)
+        SELECT user_id, signup_us, purchase_us,
+               purchase_us - signup_us AS latency_us
+        FROM pu"""),
+      (s, d) => {
+        val e = t(s, d, "events").select(col("user_id"),
+          col("event_type"), expr("ts div 1000").as("us"))
+        val su = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("us")).as("signup_us"))
+        e.filter(col("event_type") === "purchase")
+          .join(su, "user_id")
+          .filter(col("us") >= col("signup_us"))
+          .groupBy(col("user_id"), col("signup_us"))
+          .agg(min(col("us")).as("purchase_us"))
+          .select(col("user_id"), col("signup_us"), col("purchase_us"),
+            (col("purchase_us") - col("signup_us")).as("latency_us"))
+      })
   )
 }

@@ -381,6 +381,91 @@ object LlmQueries2 {
                  AS top_bigram_frac
         FROM b"""),
       (s, d) =>
-        TextOps.repetitionMetrics(t(s, d, "documents"), "doc_id", "text"))
+        TextOps.repetitionMetrics(t(s, d, "documents"), "doc_id", "text")),
+
+    // Embedding centroid drift: each label's mean DIRECTION vs the
+    // global mean direction, as an L2 distance — the embedding-space
+    // drift monitor (a shifted source/model shows up here before any
+    // downstream metric moves). Vectors are unit-normalized per row
+    // first (IEEE ops on identical operands — deterministic), which
+    // makes the statistic scale-invariant AND bounds every component
+    // in [−1, 1], so the exact DECIMAL(38,9) per-dim sums can never
+    // overflow — a raw-component centroid would blow the decimal
+    // range on near-floatmax values (adversarial corpus, observed).
+    // Zero-norm vectors carry no direction and are excluded (the
+    // cosineWithNorms guard's aggregation-side twin). Per-dim sums
+    // stay DECIMAL through BOTH aggregation levels (label and global
+    // reuse the same partials — one corpus pass), each centroid
+    // component is ONE IEEE division, and the 64-dim distance folds
+    // sequentially over dim-sorted arrays (the dkDot parity
+    // convention), never a float sum race.
+    QueryDef(
+      "q134_embed_drift",
+      Some("""
+        WITH v AS (SELECT label, embedding,
+                          sqrt(list_reduce(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),
+                            (a, b) -> a + b)) AS nrm
+                   FROM embeddings),
+        e AS (SELECT label, dim,
+                     CAST(embedding[dim] AS DOUBLE) / nrm AS x
+              FROM (SELECT label, embedding, nrm,
+                      unnest(range(1, len(embedding)+1)) AS dim
+                    FROM v WHERE nrm > 0)),
+        pl AS (SELECT label, dim,
+                      sum(CAST(x AS DECIMAL(38,9))) AS sdec,
+                      count(*) AS n
+               FROM e GROUP BY 1, 2),
+        g AS (SELECT dim,
+                     CAST(sum(sdec) AS DOUBLE)
+                       / CAST(sum(n) AS DOUBLE) AS gc
+              FROM pl GROUP BY 1),
+        j AS (SELECT pl.label, pl.dim, pl.n,
+                     CAST(pl.sdec AS DOUBLE) / CAST(pl.n AS DOUBLE)
+                       AS c,
+                     g.gc
+              FROM pl JOIN g USING (dim)),
+        arr AS (SELECT label, min(n) AS n_vecs,
+                       list(c ORDER BY dim) AS ca,
+                       list(gc ORDER BY dim) AS ga
+                FROM j GROUP BY 1)
+        SELECT label, n_vecs,
+               sqrt(list_reduce(list_transform(list_zip(ca, ga),
+                 s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))
+                    * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))),
+                 (x, y) -> x + y)) AS drift
+        FROM arr"""),
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val e = t(s, d, "embeddings")
+          .select(col("label"), col("embedding"),
+            sqrt(Similarity.norm2(col("embedding"))).as("nrm"))
+          .filter(col("nrm") > 0)
+          .select(col("label"), col("nrm"),
+            posexplode(col("embedding")).as(Seq("dim0", "xf")))
+          .select(col("label"), (col("dim0") + 1).as("dim"),
+            (col("xf").cast("double") / col("nrm")).as("x"))
+        val pl = e.groupBy(col("label"), col("dim"))
+          .agg(sum(col("x").cast(DecimalType(38, 9))).as("sdec"),
+            count(lit(1)).as("n"))
+        val g = pl.groupBy(col("dim"))
+          .agg((sum(col("sdec")).cast("double") /
+            sum(col("n")).cast("double")).as("gc"))
+        val j = pl.join(broadcast(g), "dim")
+          .select(col("label"), col("dim"), col("n"),
+            (col("sdec").cast("double") / col("n").cast("double"))
+              .as("c"), col("gc"))
+        val arr = j.groupBy(col("label"))
+          .agg(min(col("n")).as("n_vecs"),
+            transform(sort_array(collect_list(
+              struct(col("dim"), col("c")))), s => s("c")).as("ca"),
+            transform(sort_array(collect_list(
+              struct(col("dim"), col("gc")))), s => s("gc")).as("ga"))
+        arr.select(col("label"), col("n_vecs"),
+          sqrt(aggregate(
+            zip_with(col("ca"), col("ga"),
+              (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, v) => acc + v)).as("drift"))
+      })
   )
 }
