@@ -46,13 +46,15 @@ object Bench {
     // every BENCH_r{1..4}.json tail is exactly 2000 chars and the JSON
     // line's head is cut off -> "parsed": null all four rounds). With
     // ~100 full query names the line is ~3.5k chars; shortening keys to
-    // their qNN prefix and values to 3 decimals keeps it ~1.3k so the
-    // whole line survives the tail capture. Full-resolution timings
+    // their qNN prefix and values to 2 decimals keeps it ~1.6k at 136
+    // queries, so the whole line survives the tail capture. (3 decimals
+    // was ~1.8k — too close to the cap to keep growing the registry.)
+    // Full-resolution timings
     // (full names, full doubles) go to bench_full.json for the local
     // bench_regression.py gate.
     def short(name: String): String = name.takeWhile(_ != '_')
     val qs = results
-      .map { case (k, v) => "\"" + short(k) + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + short(k) + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
