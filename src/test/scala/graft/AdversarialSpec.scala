@@ -78,6 +78,16 @@ class AdversarialSpec extends AnyFunSuite {
         grouped.withColumn("len", length(col("text"))),
         "doc_id", Seq("src", "len"), Seq("text")),
       "text_a", "text_b").count() >= 0)
+    // mid-round-5 operators: keyness totals both corpora (empty docs
+    // contribute the "" term, both engines agree); bigrams skip
+    // single-token docs; the prefix join is total on shingle-less docs
+    assert(TextOps.chiSquareKeyness(grouped.filter(col("src") === 0),
+      grouped.filter(col("src") === 1), "doc_id", "text", 100)
+      .count() >= 1)
+    assert(TextOps.bigramCounts(docs, "text", minCount = 1L)
+      .count() >= 1)
+    assert(TextOps.prefixJaccardJoin(docs, "doc_id", "text", 0.5)
+      .count() >= 0)
   }
 
   test("similarity operators tolerate zero/huge/denormal vectors") {
