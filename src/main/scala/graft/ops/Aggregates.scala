@@ -222,6 +222,56 @@ object Aggregates {
         .as("pearson_r"))
   }
 
+  /** Exact trailing rolling median over INTEGER values on an integer
+    * grid: RANGE frame [x − span + 1, x], window contents collected
+    * and sorted IN-ROW (bounded by span — never a per-key global
+    * sort), median = avg of the two middle ranks (exact: .5 is
+    * representable; odd windows collapse both ranks to the middle).
+    * The engine-neutral form of `median() OVER (RANGE ...)`, whose
+    * result dtype differs between engines. */
+  def rollingMedian(df: DataFrame, keyCol: String, xCol: String,
+      valCol: String, span: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(xCol))
+      .rangeBetween(-(span - 1), 0)
+    val arr = sort_array(collect_list(col(valCol)).over(w))
+    val sz = size(arr)
+    val lo = element_at(arr, ((sz + 1) / 2).cast("int"))
+    val hi = element_at(arr, (sz / 2 + 1).cast("int"))
+    df.select(col(keyCol), col(xCol), col(valCol),
+      ((lo.cast("double") + hi.cast("double")) / 2).as("roll_median"))
+  }
+
+  /** Winsorized mean over INTEGER values: values clipped at the exact
+    * p05/p95 rank values (disc definition, integer rank math:
+    * ceil(q·n) = (q·n rounded up) via integer division), then an
+    * exact-decimal mean — the outlier-robust mean that, unlike
+    * trimming, keeps n constant. One ranked window + one conditional
+    * agg + one key join (cuts table is one row per group — AQE
+    * broadcasts it when groups are few); ranks give totality (every
+    * non-empty group has both cut values by construction). */
+  def winsorizedMean(df: DataFrame, keyCol: String, valCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(valCol), col(tieCol))
+    val ranked = df.select(col(keyCol), col(valCol),
+      row_number().over(w).as("rn"),
+      count(lit(1)).over(Window.partitionBy(col(keyCol))).as("n"))
+    val cuts = ranked
+      .groupBy(col(keyCol))
+      .agg(
+        min(when(col("rn") === expr("(n + 19) div 20"), col(valCol)))
+          .as("lo"),
+        min(when(col("rn") === expr("(n * 19 + 19) div 20"),
+          col(valCol))).as("hi"),
+        max(col("n")).as("n"))
+    df.join(cuts, keyCol)
+      .groupBy(col(keyCol))
+      .agg(max(col("n")).as("n"), max(col("lo")).as("p05"),
+        max(col("hi")).as("p95"),
+        decAvg(least(greatest(col(valCol), col("lo")), col("hi")))
+          .as("wins_mean"))
+  }
+
   /** Per-key dispersion index (variance-to-mean ratio) over INTEGER
     * values — the burstiness diagnostic: ~1 means Poisson-like
     * arrivals, >1 means bursty (e.g. daily event counts that spike).

@@ -350,6 +350,38 @@ object CurationQueries {
                 .partitionBy(col("lang")).orderBy(col("n_chars")))
               .as("pr"))),
 
+    // Winsorized mean doc length per language: values clipped at the
+    // exact p05/p95 rank values, then an exact-decimal mean — the
+    // robust center that, unlike trimming, keeps n constant (q109's
+    // MAD gates outliers; this REPORTS with them neutralized). All
+    // rank math in integer division; one ranked window + one key join.
+    QueryDef(
+      "q138_winsorized_mean",
+      Some("""
+        WITH r AS (SELECT lang, n_chars,
+                          row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars, doc_id) AS rn,
+                          count(*) OVER (PARTITION BY lang) AS n
+                   FROM documents),
+        cuts AS (SELECT lang,
+                        min(CASE WHEN rn = (n+19)//20
+                            THEN n_chars END) AS lo,
+                        min(CASE WHEN rn = (n*19+19)//20
+                            THEN n_chars END) AS hi,
+                        max(n) AS n
+                 FROM r GROUP BY 1)
+        SELECT d.lang, max(c.n) AS n,
+               max(c.lo) AS p05, max(c.hi) AS p95,
+               CAST(sum(CAST(least(greatest(d.n_chars, c.lo), c.hi)
+                 AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS wins_mean
+        FROM documents d JOIN cuts c USING (lang)
+        GROUP BY 1"""),
+      (s, d) =>
+        graft.ops.Aggregates.winsorizedMean(
+          t(s, d, "documents").select(col("lang"), col("n_chars"),
+            col("doc_id")),
+          "lang", "n_chars", "doc_id")),
+
     // Global segment-level dedup with reassembly (the C4/RefinedWeb
     // boilerplate-line removal): 16-token segments survive only at
     // their first corpus occurrence; docs reassemble from surviving

@@ -562,6 +562,37 @@ object EventQueries {
           .agg(min(col("us")).as("purchase_us"))
           .select(col("user_id"), col("signup_us"), col("purchase_us"),
             (col("purchase_us") - col("signup_us")).as("latency_us"))
-      })
+      }),
+
+    // Exact 7-day rolling median of daily activity per user — the
+    // outlier-robust twin of q79's rolling sum (one spike day moves a
+    // rolling mean for a week; the median shrugs). RANGE frame over
+    // the integer day grid, window contents sorted IN-ROW (bounded by
+    // the 7-day span, never a per-key global sort); even windows take
+    // the exact two-middle average (.5 is representable, no tie risk).
+    QueryDef(
+      "q137_rolling_median",
+      Some("""
+        WITH dcnt AS (SELECT user_id,
+                             epoch_us(ts) // 86400000000 AS day,
+                             count(*) AS c
+                      FROM events GROUP BY 1, 2),
+        w AS (SELECT user_id, day, c,
+                     list_sort(list(c) OVER (PARTITION BY user_id
+                       ORDER BY day RANGE BETWEEN 6 PRECEDING
+                         AND CURRENT ROW)) AS arr
+              FROM dcnt)
+        SELECT user_id, day, c,
+               (CAST(arr[(len(arr)+1)//2] AS DOUBLE)
+                + CAST(arr[len(arr)//2+1] AS DOUBLE)) / 2
+                 AS roll_median
+        FROM w"""),
+      (s, d) =>
+        graft.ops.Aggregates.rollingMedian(
+          t(s, d, "events")
+            .groupBy(col("user_id"),
+              expr("ts div 86400000000000").as("day"))
+            .agg(count(lit(1)).as("c")),
+          "user_id", "day", "c", span = 7L))
   )
 }

@@ -334,6 +334,35 @@ class LakeOpsSpec extends AnyFunSuite {
       n.getOrElse("train", 0) > n.getOrElse("test", 0))
   }
 
+  // ---- rollingMedian ----
+
+  test("rollingMedian: exact middle, even-window average, range bound") {
+    val df = Seq(
+      ("u", 1L, 10L), ("u", 2L, 2L), ("u", 3L, 30L),  // span grows
+      ("u", 10L, 100L))                                // gap: own window
+      .toDF("k", "x", "v")
+    val r = graft.ops.Aggregates.rollingMedian(df, "k", "x", "v", 7L)
+      .collect().map(x => x.getLong(1) -> x.getDouble(3)).toMap
+    assert(r(1L) == 10.0)            // [10]
+    assert(r(2L) == 6.0)             // [2,10] -> (2+10)/2
+    assert(r(3L) == 10.0)            // [2,10,30]
+    assert(r(10L) == 100.0)          // days 4..10 window: only day 10
+  }
+
+  // ---- winsorizedMean ----
+
+  test("winsorizedMean: clips at exact rank values, keeps n") {
+    // 20 values 1..20: p05 rank = ceil(1) = 1 -> lo=1,
+    // p95 rank = ceil(19) = 19 -> hi=19; clipped mean =
+    // (sum(1..19) + 19)/20 = (190+19)/20 = 10.45
+    val df = (1L to 20L).map(v => ("g", v, v)).toDF("k", "v", "id")
+    val r = graft.ops.Aggregates.winsorizedMean(df, "k", "v", "id")
+      .head()
+    assert(r.getLong(1) == 20L)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 19L)
+    assert(r.getDouble(4) == 10.45)
+  }
+
   // ---- forwardFill ----
 
   test("forwardFill: gaps carry last value, per-key grid bounds") {
