@@ -593,6 +593,67 @@ object EventQueries {
             .groupBy(col("user_id"),
               expr("ts div 86400000000000").as("day"))
             .agg(count(lit(1)).as("c")),
-          "user_id", "day", "c", span = 7L))
+          "user_id", "day", "c", span = 7L)),
+
+    // CUSUM changepoint scan: per event type, the day where the
+    // cumulative deviation of daily volume from its mean peaks — the
+    // classic level-shift detector (a step change makes |CUSUM| grow
+    // linearly; noise keeps it near zero). Determinism without float
+    // accumulation: CUSUM_d = cum_d − rn·mean where cum is an EXACT
+    // Long running sum and mean one decimal-exact division — each row
+    // is three IEEE ops on identical operands, never a running double
+    // sum. One count agg + one join + one window per type.
+    QueryDef(
+      "q139_cusum_changepoint",
+      Some("""
+        WITH dcnt AS (SELECT event_type,
+                             epoch_us(ts) // 86400000000 AS day,
+                             count(*) AS c
+                      FROM events GROUP BY 1, 2),
+        m AS (SELECT event_type, count(*) AS n,
+                     CAST(sum(CAST(c AS DECIMAL(18,4))) AS DOUBLE) AS s
+              FROM dcnt GROUP BY 1),
+        w AS (SELECT d.event_type, d.day, m.n,
+                     sum(c) OVER (PARTITION BY d.event_type
+                       ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum,
+                     row_number() OVER (PARTITION BY d.event_type
+                       ORDER BY day) AS rn,
+                     m.s
+              FROM dcnt d JOIN m USING (event_type)),
+        cu AS (SELECT event_type, day, n,
+                      CAST(cum AS DOUBLE) - rn * (s / n) AS cusum
+               FROM w),
+        r AS (SELECT event_type, day, n, cusum,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY abs(cusum) DESC, day) AS rk
+              FROM cu)
+        SELECT event_type, CAST(n AS BIGINT) AS n_days,
+               day AS cp_day, cusum AS cp_cusum
+        FROM r WHERE rk = 1"""),
+      (s, d) => {
+        val dcnt = t(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("ts div 86400000000000").as("day"))
+          .agg(count(lit(1)).as("c"))
+        val m = dcnt.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            graft.ops.Aggregates.decSum(col("c")).as("s"))
+        val wd = Window.partitionBy(col("event_type"))
+          .orderBy(col("day"))
+        val cu = dcnt.join(m, "event_type")
+          .withColumn("cum", sum(col("c"))
+            .over(wd.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("rn", row_number().over(wd))
+          .select(col("event_type"), col("day"), col("n"),
+            (col("cum").cast("double") -
+              col("rn") * (col("s") / col("n"))).as("cusum"))
+        val rk = Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("cusum")).desc, col("day"))
+        cu.withColumn("rk", row_number().over(rk))
+          .filter(col("rk") === 1)
+          .select(col("event_type"), col("n").as("n_days"),
+            col("day").as("cp_day"), col("cusum").as("cp_cusum"))
+      })
   )
 }

@@ -172,6 +172,52 @@ object ScaleQueries {
             sum(col("nt")).as("total_tokens"))
       }),
 
+    // Quality-aware dedup survivorship: per duplicate cluster keep the
+    // HIGHEST-quality member (ties to lowest doc_id) — what a curation
+    // pipeline actually ships, vs keepList's lowest-id rule. Oracle =
+    // recursive-CTE transitive closure + the same rational quality
+    // score + a rank — so the survivor choice, not just the clustering,
+    // is cross-engine-verified. One rank window per cluster after the
+    // components join (DedupClusters.keepListBy).
+    QueryDef(
+      "q140_dedup_survivors",
+      Some(s"""
+        WITH RECURSIVE $dkPairs,
+        edges AS (SELECT da s, db d FROM p UNION SELECT db, da FROM p),
+        reach AS (
+          SELECT s AS node, s AS r FROM edges
+          UNION
+          SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.node),
+        comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY 1),
+        q AS (SELECT doc_id,
+                     CAST(len(string_split(text,' ')) AS BIGINT) nt,
+                     CAST(length(replace(text,' ','')) AS BIGINT) nc,
+                     CAST(len(list_filter(string_split(text,' '),
+                       x -> list_contains(['the','a','of','and','to',
+                         'in','is','it'], x))) AS BIGINT) he
+              FROM documents),
+        scored AS (SELECT doc_id,
+                     CAST(800*he + 6*nt*least(nt,100) + 75*least(nc,8*nt)
+                       AS DOUBLE) / (2000.0*CAST(nt AS DOUBLE)) AS prio
+                   FROM q),
+        lab AS (SELECT s.doc_id, s.prio,
+                       coalesce(comp.cluster, s.doc_id) AS cluster
+                FROM scored s LEFT JOIN comp ON comp.node = s.doc_id),
+        r AS (SELECT doc_id, cluster,
+                     row_number() OVER (PARTITION BY cluster
+                       ORDER BY prio DESC, doc_id) AS rk
+              FROM lab)
+        SELECT doc_id, cluster, rk = 1 AS is_kept FROM r"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val scored = docs.select(
+          (col("doc_id") +:
+            TextOps.qualityColumns(col("text"))): _*)
+          .select(col("doc_id"), col("quality_score").as("prio"))
+        DedupClusters.keepListBy(scored, "doc_id", "prio",
+          jaccardPairs(s, d), "da", "db", maxIters = 100)
+      }),
+
     // Heavy-hitter key diagnostic: top-20 l_suppkey values by row
     // count with exact share-of-total — the pre-flight skew probe for
     // any shuffle on that key (q56's salting is the cure; this is the

@@ -48,7 +48,8 @@ class QueriesSpec extends AnyFunSuite {
     // (the reference's first() trap, window frames, greedy packing).
     // Hash the full result under different shuffle widths.
     val sensitive = Seq("q37_top2_struct_rank", "q39_first_carry",
-      "q60_token_packing", "q22_topk", "q54_dedup_clusters")
+      "q60_token_packing", "q22_topk", "q54_dedup_clusters",
+      "q140_dedup_survivors")
     def resultHash(q: String): Int =
       SparkEntry.queries(q)(spark, sf)
         .collect()
