@@ -490,6 +490,63 @@ object CorpusQueries {
               col("total_tokens").cast("double")).as("ttr"),
             (col("hapax_terms").cast("double") /
               col("distinct_terms").cast("double")).as("hapax_frac"))
+      }),
+
+    // Cross-source vocabulary overlap matrix: shared distinct terms,
+    // per-direction containment and Jaccard for every source pair —
+    // the redundancy audit run BEFORE mixing corpora (a source whose
+    // vocab is 95% contained in another adds little diversity). The
+    // self-join key is the term, but pair volume is bounded by
+    // #sources² per term, never by corpus size — the safe kind of
+    // inverted-index join.
+    QueryDef(
+      "q141_source_overlap",
+      Some("""
+        WITH st AS (SELECT DISTINCT source,
+                           unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+        sz AS (SELECT source, count(*) AS n FROM st GROUP BY 1),
+        sh AS (SELECT a.source AS src_a, b.source AS src_b,
+                      count(*) AS n_shared
+               FROM st a JOIN st b
+                 ON a.term = b.term AND a.source < b.source
+               GROUP BY 1, 2)
+        SELECT sh.src_a, sh.src_b, sh.n_shared,
+               za.n AS n_a, zb.n AS n_b,
+               CAST(sh.n_shared AS DOUBLE) / CAST(za.n AS DOUBLE)
+                 AS contain_a,
+               CAST(sh.n_shared AS DOUBLE) / CAST(zb.n AS DOUBLE)
+                 AS contain_b,
+               CAST(sh.n_shared AS DOUBLE)
+                 / CAST(za.n + zb.n - sh.n_shared AS DOUBLE)
+                 AS jaccard
+        FROM sh JOIN sz za ON za.source = sh.src_a
+                JOIN sz zb ON zb.source = sh.src_b"""),
+      (s, d) => {
+        val st = t(s, d, "documents")
+          .select(col("source"),
+            explode(TextOps.tokens(col("text"))).as("term"))
+          .distinct()
+        val sz = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val sh = st.select(col("source").as("src_a"), col("term"))
+          .join(st.select(col("source").as("src_b"), col("term")),
+            Seq("term"))
+          .filter(col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_shared"))
+        sh.join(broadcast(sz.select(col("source").as("src_a"),
+            col("n").as("n_a"))), "src_a")
+          .join(broadcast(sz.select(col("source").as("src_b"),
+            col("n").as("n_b"))), "src_b")
+          .select(col("src_a"), col("src_b"), col("n_shared"),
+            col("n_a"), col("n_b"),
+            (col("n_shared").cast("double") / col("n_a").cast("double"))
+              .as("contain_a"),
+            (col("n_shared").cast("double") / col("n_b").cast("double"))
+              .as("contain_b"),
+            (col("n_shared").cast("double") /
+              (col("n_a") + col("n_b") - col("n_shared"))
+                .cast("double")).as("jaccard"))
       })
   )
 }

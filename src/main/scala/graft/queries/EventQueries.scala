@@ -654,6 +654,54 @@ object EventQueries {
           .filter(col("rk") === 1)
           .select(col("event_type"), col("n").as("n_days"),
             col("day").as("cp_day"), col("cusum").as("cp_cusum"))
+      }),
+
+    // Behavior co-occurrence lift: for every event-type pair, how much
+    // more often users do BOTH than independence predicts —
+    // lift = n_ab·N / (n_a·n_b) (the market-basket association rule).
+    // Per-user distinct types first, so the pair join is bounded by
+    // #types² per user, never by event volume; exact integer products,
+    // ONE IEEE division; totals arrive as a one-row broadcast.
+    QueryDef(
+      "q142_cooccurrence_lift",
+      Some("""
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        n1 AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+        tot AS (SELECT count(DISTINCT user_id) AS nu FROM events),
+        pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                      count(*) AS n_ab
+               FROM ut a JOIN ut b ON a.user_id = b.user_id
+                 AND a.event_type < b.event_type
+               GROUP BY 1, 2)
+        SELECT pr.type_a, pr.type_b, pr.n_ab,
+               na.n AS n_a, nb.n AS n_b,
+               CAST(pr.n_ab * tot.nu AS DOUBLE)
+                 / CAST(na.n * nb.n AS DOUBLE) AS lift
+        FROM pr JOIN n1 na ON na.event_type = pr.type_a
+                JOIN n1 nb ON nb.event_type = pr.type_b
+                CROSS JOIN tot"""),
+      (s, d) => {
+        val ut = t(s, d, "events")
+          .select(col("user_id"), col("event_type")).distinct()
+        val n1 = ut.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = t(s, d, "events")
+          .agg(countDistinct(col("user_id")).as("nu"))
+        val pr = ut.select(col("user_id"), col("event_type").as("type_a"))
+          .join(ut.select(col("user_id"), col("event_type").as("type_b")),
+            Seq("user_id"))
+          .filter(col("type_a") < col("type_b"))
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(count(lit(1)).as("n_ab"))
+        pr.join(broadcast(n1.select(col("event_type").as("type_a"),
+            col("n").as("n_a"))), "type_a")
+          .join(broadcast(n1.select(col("event_type").as("type_b"),
+            col("n").as("n_b"))), "type_b")
+          .crossJoin(broadcast(tot))
+          .select(col("type_a"), col("type_b"), col("n_ab"),
+            col("n_a"), col("n_b"),
+            ((col("n_ab") * col("nu")).cast("double") /
+              (col("n_a") * col("n_b")).cast("double")).as("lift"))
       })
   )
 }
