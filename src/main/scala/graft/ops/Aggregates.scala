@@ -202,11 +202,17 @@ object Aggregates {
     * is partition-order-dependent. Zero variance on either side →
     * null. Same single-hash-agg shape as [[groupTrendSlope]]. */
   def groupPearson(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame =
+    groupPearson(df, Seq(keyCol), xCol, yCol)
+
+  /** Multi-key variant — same contract, composite grouping key (used
+    * by the q144 correlation matrix, keyed on the metric PAIR). */
+  def groupPearson(df: DataFrame, keyCols: Seq[String], xCol: String,
       yCol: String): DataFrame = {
     val d38 = DecimalType(38, 0)
     val x = col(xCol).cast(d38)
     val y = col(yCol).cast(d38)
-    val g = df.groupBy(col(keyCol)).agg(
+    val g = df.groupBy(keyCols.map(col): _*).agg(
       count(lit(1)).as("n"),
       sum(x).as("sx"), sum(y).as("sy"),
       sum(x * y).as("sxy"), sum(x * x).as("sxx"),
@@ -215,11 +221,11 @@ object Aggregates {
     val num = n * col("sxy") - col("sx") * col("sy")
     val dx = n * col("sxx") - col("sx") * col("sx")
     val dy = n * col("syy") - col("sy") * col("sy")
-    g.select(col(keyCol), col("n"),
+    g.select(keyCols.map(col) :+ col("n") :+
       when(dx === 0 || dy === 0, lit(null).cast("double"))
         .otherwise(num.cast("double") /
           (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))))
-        .as("pearson_r"))
+        .as("pearson_r"): _*)
   }
 
   /** Exact trailing rolling median over INTEGER values on an integer

@@ -265,5 +265,46 @@ object AggQueries {
       (s, d) =>
         graft.ops.Aggregates.groupMode(
           t(s, d, "orders"), "o_custkey", "o_orderpriority"))
+  ,
+
+    // Equal-width value histogram (20 bins over the observed range):
+    // the report-grade complement of q78's log2 buckets. Bounds arrive
+    // as a one-row broadcast; bin = floor((x−lo)·20/(hi−lo)) clamped
+    // so x = hi lands in the last bin — floor of identical IEEE
+    // operands is engine-exact (the q58 floor-vs-CAST precedent).
+    QueryDef(
+      "q143_value_histogram",
+      Some("""
+        WITH b AS (SELECT min(o_totalprice) AS lo,
+                          max(o_totalprice) AS hi
+                   FROM orders),
+        x AS (SELECT CASE WHEN hi = lo THEN 0
+                          ELSE least(CAST(floor((o_totalprice - lo)
+                            * 20.0 / (hi - lo)) AS BIGINT), 19) END
+                       AS bin,
+                     o_totalprice
+              FROM orders, b)
+        SELECT bin, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                 AS DOUBLE) AS mass
+        FROM x GROUP BY 1"""),
+      (s, d) => {
+        val b = t(s, d, "orders")
+          .agg(min(col("o_totalprice")).as("lo"),
+            max(col("o_totalprice")).as("hi"))
+        t(s, d, "orders").crossJoin(broadcast(b))
+          .select(
+            // hi = lo (constant column) would divide by zero under
+            // ANSI — a one-bin histogram is the defined result there
+            when(col("hi") === col("lo"), lit(0L))
+              .otherwise(least(
+                floor((col("o_totalprice") - col("lo")) * lit(20.0) /
+                  (col("hi") - col("lo"))).cast("long"), lit(19L)))
+              .as("bin"),
+            col("o_totalprice"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+            decSum(col("o_totalprice")).as("mass"))
+      })
   )
 }

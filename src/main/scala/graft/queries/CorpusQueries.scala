@@ -547,6 +547,68 @@ object CorpusQueries {
             (col("n_shared").cast("double") /
               (col("n_a") + col("n_b") - col("n_shared"))
                 .cast("double")).as("jaccard"))
+      }),
+
+    // Metric correlation matrix: exact Pearson r for every pair of
+    // per-doc integer metrics (chars, tokens, stopword hits) — the
+    // feature-redundancy audit before building quality composites
+    // (two metrics with r ≈ 1 double-count one signal). Melt to
+    // (doc, metric, v), pair within doc (bounded by #metrics²),
+    // then q121's DECIMAL-exact Pearson keyed on the metric PAIR.
+    QueryDef(
+      "q144_metric_correlation",
+      Some("""
+        WITH m AS (
+          SELECT doc_id, 'n_chars' AS metric, n_chars AS v
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 'n_tokens',
+                 CAST(len(string_split(text, ' ')) AS BIGINT)
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 'n_stop',
+                 CAST(len(list_filter(string_split(text, ' '),
+                   x -> list_contains(['the','a','of','and','to','in',
+                     'is','it'], x))) AS BIGINT)
+          FROM documents),
+        p AS (SELECT a.metric AS metric_a, b.metric AS metric_b,
+                     a.v AS x, b.v AS y
+              FROM m a JOIN m b ON a.doc_id = b.doc_id
+                AND a.metric < b.metric),
+        g AS (SELECT metric_a, metric_b, count(*) AS n,
+                     sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+                     sum(x*x) AS sxx, sum(y*y) AS syy
+              FROM p GROUP BY 1, 2)
+        SELECT metric_a, metric_b, n,
+               CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0
+                    THEN NULL
+                    ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+                       / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                        * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END
+                 AS pearson_r
+        FROM g"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+        val m = docs.select(col("doc_id"),
+          explode(array(
+            struct(lit("n_chars").as("metric"),
+              col("n_chars").cast("long").as("v")),
+            struct(lit("n_tokens").as("metric"),
+              size(TextOps.tokens(col("text"))).cast("long").as("v")),
+            struct(lit("n_stop").as("metric"),
+              size(filter(TextOps.tokens(col("text")),
+                w => w.isin(stop: _*))).cast("long").as("v"))))
+            .as("mv"))
+          .select(col("doc_id"), col("mv.metric").as("metric"),
+            col("mv.v").as("v"))
+        val pairs = m.select(col("doc_id"),
+            col("metric").as("metric_a"), col("v").as("x"))
+          .join(m.select(col("doc_id"), col("metric").as("metric_b"),
+            col("v").as("y")), Seq("doc_id"))
+          .filter(col("metric_a") < col("metric_b"))
+        graft.ops.Aggregates.groupPearson(pairs,
+          Seq("metric_a", "metric_b"), "x", "y")
       })
   )
 }
