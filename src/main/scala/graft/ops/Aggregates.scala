@@ -278,6 +278,52 @@ object Aggregates {
           .as("wins_mean"))
   }
 
+  /** Per-key OLS regression diagnostics over INTEGER (x, y): slope,
+    * intercept, RMSE, and the count of 3σ residual outliers — the
+    * "which keys have a trend that does NOT explain their data"
+    * question ([[groupTrendSlope]] reports the trend; this reports
+    * where the fit breaks). Determinism chain: slope from exact
+    * DECIMAL sums (one division), intercept from the same sums (one
+    * more), each residual three IEEE ops on identical operands, and
+    * the residual-square sum goes through the decimal cast (order-
+    * independent) before ONE sqrt. Constant-x keys (undefined slope)
+    * are excluded. Two passes over the rows (sums, then residuals
+    * via one key join) — never a window. */
+  def regressionOutliers(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val x = col(xCol).cast(d38)
+    val y = col(yCol).cast(d38)
+    val g = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+    val n = col("n").cast(d38)
+    val den = n * col("sxx") - col("sx") * col("sx")
+    val fit = g
+      .filter(den =!= 0)
+      .select(col(keyCol), col("n"),
+        ((n * col("sxy") - col("sx") * col("sy")).cast("double") /
+          den.cast("double")).as("b"),
+        col("sx").cast("double").as("sxd"),
+        col("sy").cast("double").as("syd"))
+      .select(col(keyCol), col("n"), col("b"),
+        ((col("syd") - col("b") * col("sxd")) / col("n")).as("a"))
+    val res = df.join(fit, keyCol)
+      .select(col(keyCol), col("n"), col("a"), col("b"),
+        (col(yCol).cast("double") - col("a") -
+          col("b") * col(xCol).cast("double")).as("res"))
+    val rmse = res.groupBy(col(keyCol))
+      .agg(sqrt(sum((col("res") * col("res"))
+        .cast(DecimalType(18, 6))).cast("double") / count(lit(1)))
+        .as("rmse"))
+    res.join(rmse, keyCol)
+      .groupBy(col(keyCol))
+      .agg(max(col("n")).as("n"), max(col("a")).as("intercept"),
+        max(col("b")).as("slope"), max(col("rmse")).as("rmse"),
+        countIf(abs(col("res")) > lit(3.0) * col("rmse"))
+          .as("n_outliers"))
+  }
+
   /** Per-key dispersion index (variance-to-mean ratio) over INTEGER
     * values — the burstiness diagnostic: ~1 means Poisson-like
     * arrivals, >1 means bursty (e.g. daily event counts that spike).

@@ -702,6 +702,55 @@ object EventQueries {
             col("n_a"), col("n_b"),
             ((col("n_ab") * col("nu")).cast("double") /
               (col("n_a") * col("n_b")).cast("double")).as("lift"))
-      })
+      }),
+
+    // OLS regression diagnostics: slope, intercept, RMSE and 3σ
+    // residual-outlier count per user — q105 reports the trend, this
+    // reports where the fit BREAKS (a user whose metric is not
+    // linear-in-time at all). Exact-decimal sums feed both fit
+    // parameters; residuals are per-row IEEE on identical operands;
+    // the residual-square sum goes through the decimal cast before
+    // one sqrt. Never a window; two row passes + key joins.
+    QueryDef(
+      "q145_regression_outliers",
+      Some("""
+        WITH e AS (SELECT user_id,
+                          epoch_us(ts) // 86400000000 AS day,
+                          CAST(regexp_extract(props, '[0-9]+') AS BIGINT)
+                            AS k
+                   FROM events),
+        g AS (SELECT user_id, count(*) AS n, sum(day) AS sx,
+                     sum(k) AS sy, sum(day*k) AS sxy,
+                     sum(day*day) AS sxx
+              FROM e GROUP BY 1),
+        fit AS (SELECT user_id, n,
+                       CAST(n*sxy - sx*sy AS DOUBLE)
+                         / CAST(n*sxx - sx*sx AS DOUBLE) AS b,
+                       CAST(sx AS DOUBLE) AS sxd,
+                       CAST(sy AS DOUBLE) AS syd
+                FROM g WHERE n*sxx - sx*sx <> 0),
+        ab AS (SELECT user_id, n, b,
+                      (syd - b * sxd) / n AS a
+               FROM fit),
+        r AS (SELECT e.user_id, ab.n, ab.a, ab.b,
+                     CAST(e.k AS DOUBLE) - ab.a
+                       - ab.b * CAST(e.day AS DOUBLE) AS res
+              FROM e JOIN ab USING (user_id)),
+        s AS (SELECT user_id,
+                     sqrt(CAST(sum(CAST(res*res AS DECIMAL(18,6)))
+                       AS DOUBLE) / count(*)) AS rmse
+              FROM r GROUP BY 1)
+        SELECT r.user_id, max(r.n) AS n, max(r.a) AS intercept,
+               max(r.b) AS slope, max(s.rmse) AS rmse,
+               count(*) FILTER (WHERE abs(r.res) > 3.0 * s.rmse)
+                 AS n_outliers
+        FROM r JOIN s USING (user_id) GROUP BY 1"""),
+      (s, d) =>
+        graft.ops.Aggregates.regressionOutliers(
+          t(s, d, "events").select(col("user_id"),
+            expr("ts div 86400000000000").as("day"),
+            regexp_extract(col("props"), "[0-9]+", 0).cast("long")
+              .as("k")),
+          "user_id", "day", "k"))
   )
 }

@@ -396,6 +396,26 @@ class LakeOpsSpec extends AnyFunSuite {
       "dj" -> ((20L, 2L)), "nest" -> ((100L, 2L))))
   }
 
+  // ---- regressionOutliers ----
+
+  test("regressionOutliers: perfect fit has zero RMSE and outliers") {
+    val perfect = (0L to 9L).map(x => (1L, x, 2 * x + 1))
+    // mid-range spike: an END spike has leverage (it tilts the fit
+    // toward itself and can dodge the 3σ gate — observed); a middle
+    // spike only shifts the intercept and stays flagged
+    val spiked = (0L to 19L).map(x =>
+      (2L, x, if (x == 10L) 1000L else x))
+    val df = (perfect ++ spiked).toDF("k", "x", "y")
+    val r = graft.ops.Aggregates.regressionOutliers(df, "k", "x", "y")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getDouble(2), x.getDouble(3), x.getDouble(4),
+          x.getLong(5)))).toMap
+    // exact integer sums -> slope exactly 2, intercept exactly 1
+    assert(r(1L) == ((1.0, 2.0, 0.0, 0L)))
+    val (_, _, rmse2, out2) = r(2L)
+    assert(rmse2 > 0 && out2 >= 1L) // the 1000 spike breaks the fit
+  }
+
   // ---- groupPearson ----
 
   test("groupPearson: ±1 on exact lines, null on zero variance") {
