@@ -519,6 +519,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rollingMedian/winsorizedMean = brute force on random data") {
+    val row = Gen.zip(Gen.choose(1L, 2L), Gen.choose(0L, 12L),
+      Gen.choose(0L, 100L))
+    samples(Gen.listOfN(25, row), 6).foreach { rows0 =>
+      // one value per (key, x) — the rolling grid expects a keyed grid
+      val rows = rows0.groupBy(r => (r._1, r._2)).values
+        .map(_.head).toSeq
+      val df = rows.toDF("k", "x", "v")
+      val gotRm = graft.ops.Aggregates
+        .rollingMedian(df, "k", "x", "v", span = 5L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          r.getDouble(3)).toMap
+      rows.foreach { case (k, x, _) =>
+        val win = rows.filter(r => r._1 == k && r._2 <= x &&
+          r._2 > x - 5).map(_._3).sorted
+        val want = (win((win.size - 1) / 2) + win(win.size / 2)) / 2.0
+        assert(gotRm((k, x)) == want, s"key $k x $x win $win")
+      }
+      // winsorized mean: brute force the same rank clipping
+      val gotWm = graft.ops.Aggregates.winsorizedMean(
+        rows.map(r => (r._1, r._3, r._2 * 100 + r._1))
+          .toDF("k", "v", "id"), "k", "v", "id")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      rows.groupBy(_._1).foreach { case (k, g) =>
+        val vs = g.map(r => (r._3, r._2 * 100 + r._1)).sorted.map(_._1)
+        val n = vs.size
+        val lo = vs(((n + 19) / 20).toInt - 1)
+        val hi = vs(((n * 19 + 19) / 20).toInt - 1)
+        val clipped = vs.map(v => math.min(math.max(v, lo), hi))
+        val want = clipped.sum.toDouble / n
+        val (gl, gh, gm) = gotWm(k)
+        assert((gl, gh) == ((lo, hi)), s"cuts key $k")
+        assert(math.abs(gm - want) < 1e-9, s"mean key $k")
+      }
+    }
+  }
+
   test("intervalCoverage = merged-interval union length") {
     val iv = Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 40L),
       Gen.choose(1L, 15L)).map { case (k, s, len) => (k, s, s + len) }
