@@ -523,10 +523,14 @@ object CorpusQueries {
         FROM sh JOIN sz za ON za.source = sh.src_a
                 JOIN sz zb ON zb.source = sh.src_b"""),
       (s, d) => {
+        // st feeds THREE consumers (sizes + both join sides); the lazy
+        // localCheckpoint materializes the corpus explode+distinct once
+        // (Retrieval.bm25TopK precedent — Catalyst would inline it 3×)
         val st = t(s, d, "documents")
           .select(col("source"),
             explode(TextOps.tokens(col("text"))).as("term"))
           .distinct()
+          .localCheckpoint(false)
         val sz = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
         val sh = st.select(col("source").as("src_a"), col("term"))
           .join(st.select(col("source").as("src_b"), col("term")),

@@ -681,8 +681,11 @@ object EventQueries {
                 JOIN n1 nb ON nb.event_type = pr.type_b
                 CROSS JOIN tot"""),
       (s, d) => {
+        // ut feeds three consumers (singles + both pair-join sides);
+        // checkpoint the distinct once (q141/bm25 precedent)
         val ut = t(s, d, "events")
           .select(col("user_id"), col("event_type")).distinct()
+          .localCheckpoint(false)
         val n1 = ut.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"))
         val tot = t(s, d, "events")
