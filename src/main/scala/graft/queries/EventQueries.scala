@@ -24,6 +24,23 @@ object EventQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Tables.load(s, d, n)
 
+  /** DuckDB CTE: per-event epoch day + the props numeric metric —
+    * shared by the trend/correlation/regression family (q105, q121,
+    * q145), whose Spark twin is [[eventsDayK]]. */
+  private val dkDayK =
+    """e AS (SELECT user_id,
+      |             epoch_us(ts) // 86400000000 AS day,
+      |             CAST(regexp_extract(props, '[0-9]+') AS BIGINT)
+      |               AS k
+      |      FROM events)""".stripMargin
+
+  /** Spark twin of [[dkDayK]]: (user_id, day, k) from the events
+    * table (ts is epoch-nanos Long under nanosAsLong). */
+  private def eventsDayK(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events").select(col("user_id"),
+      expr("ts div 86400000000000").as("day"),
+      regexp_extract(col("props"), "[0-9]+", 0).cast("long").as("k"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // As-of join: each purchase picks up the latest signup of the same
@@ -316,12 +333,8 @@ object EventQueries {
     // have slope NULL (zero denominator), never a divide error.
     QueryDef(
       "q105_trend_slope",
-      Some("""
-        WITH e AS (SELECT user_id,
-                          epoch_us(ts) // 86400000000 AS day,
-                          CAST(regexp_extract(props, '[0-9]+') AS BIGINT)
-                            AS k
-                   FROM events),
+      Some(s"""
+        WITH $dkDayK,
         g AS (SELECT user_id, count(*) AS n, sum(day) AS sx,
                      sum(k) AS sy, sum(day*k) AS sxy,
                      sum(day*day) AS sxx
@@ -333,10 +346,7 @@ object EventQueries {
         FROM g"""),
       (s, d) =>
         graft.ops.Aggregates.groupTrendSlope(
-          t(s, d, "events").select(col("user_id"),
-            expr("ts div 86400000000000").as("day"),
-            regexp_extract(col("props"), "[0-9]+", 0).cast("long")
-              .as("k")),
+          eventsDayK(s, d),
           "user_id", "day", "k")),
 
     // Rolling 7-day distinct actives (WAU): COUNT DISTINCT over a
@@ -395,12 +405,8 @@ object EventQueries {
     // dependent. Zero variance on either axis → NULL.
     QueryDef(
       "q121_pearson",
-      Some("""
-        WITH e AS (SELECT user_id,
-                          epoch_us(ts) // 86400000000 AS day,
-                          CAST(regexp_extract(props, '[0-9]+') AS BIGINT)
-                            AS k
-                   FROM events),
+      Some(s"""
+        WITH $dkDayK,
         g AS (SELECT user_id, count(*) AS n, sum(day) AS sx,
                      sum(k) AS sy, sum(day*k) AS sxy,
                      sum(day*day) AS sxx, sum(k*k) AS syy
@@ -415,10 +421,7 @@ object EventQueries {
         FROM g"""),
       (s, d) =>
         graft.ops.Aggregates.groupPearson(
-          t(s, d, "events").select(col("user_id"),
-            expr("ts div 86400000000000").as("day"),
-            regexp_extract(col("props"), "[0-9]+", 0).cast("long")
-              .as("k")),
+          eventsDayK(s, d),
           "user_id", "day", "k")),
 
     // Per-type burstiness: dispersion index (variance-to-mean ratio)
@@ -716,12 +719,8 @@ object EventQueries {
     // one sqrt. Never a window; two row passes + key joins.
     QueryDef(
       "q145_regression_outliers",
-      Some("""
-        WITH e AS (SELECT user_id,
-                          epoch_us(ts) // 86400000000 AS day,
-                          CAST(regexp_extract(props, '[0-9]+') AS BIGINT)
-                            AS k
-                   FROM events),
+      Some(s"""
+        WITH $dkDayK,
         g AS (SELECT user_id, count(*) AS n, sum(day) AS sx,
                      sum(k) AS sy, sum(day*k) AS sxy,
                      sum(day*day) AS sxx
@@ -750,10 +749,7 @@ object EventQueries {
         FROM r JOIN s USING (user_id) GROUP BY 1"""),
       (s, d) =>
         graft.ops.Aggregates.regressionOutliers(
-          t(s, d, "events").select(col("user_id"),
-            expr("ts div 86400000000000").as("day"),
-            regexp_extract(col("props"), "[0-9]+", 0).cast("long")
-              .as("k")),
+          eventsDayK(s, d),
           "user_id", "day", "k"))
   )
 }
