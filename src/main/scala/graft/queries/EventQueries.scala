@@ -750,6 +750,46 @@ object EventQueries {
       (s, d) =>
         graft.ops.Aggregates.regressionOutliers(
           eventsDayK(s, d),
-          "user_id", "day", "k"))
+          "user_id", "day", "k")),
+
+    // Inter-arrival gap quantiles: exact p50/p90/p99 of the time
+    // between consecutive events per type — the telemetry question
+    // behind rate alerts and watermark tuning ("how late is late?").
+    // One lag window for the gaps, then the q83 exact-disc quantile
+    // machinery (rank math in Long, never an approx sketch).
+    QueryDef(
+      "q147_interarrival_quantiles",
+      Some("""
+        WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us
+                   FROM events),
+        g AS (SELECT event_type, event_id,
+                     us - lag(us) OVER (PARTITION BY event_type
+                       ORDER BY us, event_id) AS gap
+              FROM e),
+        v AS (SELECT event_type, event_id, gap FROM g
+              WHERE gap IS NOT NULL),
+        r AS (SELECT event_type, gap,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY gap, event_id) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM v)
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+               max(CASE WHEN rn = (1*n + 1) // 2 THEN gap END) AS p50,
+               max(CASE WHEN rn = (9*n + 9) // 10 THEN gap END) AS p90,
+               max(CASE WHEN rn = (99*n + 99) // 100 THEN gap END)
+                 AS p99
+        FROM r GROUP BY 1"""),
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("us"), col("event_id"))
+        val gaps = t(s, d, "events")
+          .select(col("event_type"), col("event_id"),
+            expr("ts div 1000").as("us"))
+          .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+          .filter(col("gap").isNotNull)
+        graft.ops.Aggregates.quantilesDisc(gaps, "event_type", "gap",
+          "event_id", Seq(("p50", 1, 2), ("p90", 9, 10),
+            ("p99", 99, 100)))
+      })
   )
 }

@@ -218,6 +218,55 @@ object ScaleQueries {
           jaccardPairs(s, d), "da", "db", maxIters = 100)
       }),
 
+    // Dedup-weighted effective corpus size: every doc weighs
+    // 1/|its duplicate cluster|, so a thousand near-identical pages
+    // count once — the honest "how much data do I really have" number
+    // (raw token counts overstate exactly where dedup matters most).
+    // Per-doc weights are single IEEE divisions; their sum goes
+    // through the mirrored decimal cast, so the total is engine-exact.
+    QueryDef(
+      "q146_effective_tokens",
+      Some(s"""
+        WITH RECURSIVE $dkPairs,
+        edges AS (SELECT da s, db d FROM p UNION SELECT db, da FROM p),
+        reach AS (
+          SELECT s AS node, s AS r FROM edges
+          UNION
+          SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.node),
+        comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY 1),
+        lab AS (SELECT d.doc_id, d.lang,
+                       CAST(len(string_split(d.text, ' ')) AS BIGINT)
+                         AS nt,
+                       coalesce(comp.cluster, d.doc_id) AS cluster
+                FROM documents d
+                LEFT JOIN comp ON comp.node = d.doc_id),
+        sz AS (SELECT cluster, count(*) AS csize FROM lab GROUP BY 1)
+        SELECT lang, count(*) AS n_docs,
+               count(DISTINCT l.cluster) AS n_clusters,
+               CAST(sum(nt) AS BIGINT) AS raw_tokens,
+               CAST(sum(CAST(CAST(nt AS DOUBLE) / CAST(csize AS DOUBLE)
+                 AS DECIMAL(18,9))) AS DOUBLE) AS effective_tokens
+        FROM lab l JOIN sz USING (cluster)
+        GROUP BY 1"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val nt = docs.select(col("doc_id"), col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+        val kl = DedupClusters.keepList(docs, "doc_id",
+            jaccardPairs(s, d), "da", "db", maxIters = 100)
+          .select(col("doc_id"), col("cluster"))
+        val sz = kl.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("csize"))
+        nt.join(kl, "doc_id").join(sz, "cluster")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("cluster")).as("n_clusters"),
+            sum(col("nt")).as("raw_tokens"),
+            sum((col("nt").cast("double") / col("csize").cast("double"))
+              .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+              .cast("double").as("effective_tokens"))
+      }),
+
     // Heavy-hitter key diagnostic: top-20 l_suppkey values by row
     // count with exact share-of-total — the pre-flight skew probe for
     // any shuffle on that key (q56's salting is the cure; this is the
