@@ -33,10 +33,11 @@ def main():
     # needs a parent-distinct + a count agg — ~4 exchanges per
     # relationship is the minimal shape, and relationships scale the
     # query linearly, not any single shuffle).
-    # q140 embeds the same iterative component rounds as q54 (its
-    # exchange count tracks convergence depth, not plan quality)
+    # q140/q146 embed the same iterative component rounds as q54
+    # (their exchange counts track convergence depth, not plan quality)
     exempt = {"q54_dedup_clusters", "q65_curation_pipeline",
-              "q114_fk_audit", "q140_dedup_survivors"}
+              "q114_fk_audit", "q140_dedup_survivors",
+              "q146_effective_tokens"}
     failures = []
     rows = []
     for path in sorted(glob.glob(os.path.join(args.plans_dir, "*.txt"))):
