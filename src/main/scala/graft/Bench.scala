@@ -53,8 +53,13 @@ object Bench {
     // (full names, full doubles) go to bench_full.json for the local
     // bench_regression.py gate.
     def short(name: String): String = name.takeWhile(_ != '_')
+    // trailing zeros stripped ("0.50" -> "0.5", "2.00" -> "2"): ~120
+    // chars of headroom at 147 queries, so a loaded-box sweep with
+    // three-digit values still fits the 2000-char tail
+    def num(v: Double): String =
+      f"$v%.2f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
     val qs = results
-      .map { case (k, v) => "\"" + short(k) + "\":" + f"$v%.2f" }
+      .map { case (k, v) => "\"" + short(k) + "\":" + num(v) }
       .mkString("{", ",", "}")
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

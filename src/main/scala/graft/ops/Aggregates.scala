@@ -312,9 +312,12 @@ object Aggregates {
       .select(col(keyCol), col("n"), col("a"), col("b"),
         (col(yCol).cast("double") - col("a") -
           col("b") * col(xCol).cast("double")).as("res"))
+    // DECIMAL(38,6): |res| up to 10^16 squares without overflow —
+    // (18,6) would blow up (ANSI throw) at |res| > 10^6, i.e. exactly
+    // on the off-trend rows the 3σ gate exists to catch
     val rmse = res.groupBy(col(keyCol))
       .agg(sqrt(sum((col("res") * col("res"))
-        .cast(DecimalType(18, 6))).cast("double") / count(lit(1)))
+        .cast(DecimalType(38, 6))).cast("double") / count(lit(1)))
         .as("rmse"))
     res.join(rmse, keyCol)
       .groupBy(col(keyCol))
@@ -354,9 +357,15 @@ object Aggregates {
     * aggregations — (key, value) counts, then a struct-min per key —
     * and no window function, so no per-key sort and no single-partition
     * risk regardless of key or value cardinality. The struct min orders
-    * by (−count, value), which is exactly (count desc, value asc). */
+    * by (−count, value), which is exactly (count desc, value asc).
+    * NULL values are IGNORED (standard aggregate semantics) — without
+    * the filter, Spark's struct comparison would rank a null value
+    * FIRST in a tie while a rank-based engine formulation ranks it
+    * last, a silent cross-engine divergence on nullable columns. Keys
+    * whose values are all null drop out, as with min/max. */
   def groupMode(df: DataFrame, keyCol: String, valCol: String): DataFrame =
-    df.groupBy(col(keyCol), col(valCol))
+    df.filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol), col(valCol))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col(keyCol))
       .agg(min(struct((-col("cnt")).as("neg"), col(valCol).as("v")))

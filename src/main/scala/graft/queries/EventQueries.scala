@@ -691,8 +691,9 @@ object EventQueries {
           .localCheckpoint(false)
         val n1 = ut.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"))
-        val tot = t(s, d, "events")
-          .agg(countDistinct(col("user_id")).as("nu"))
+        // distinct users from the checkpointed ut, not a second full
+        // corpus scan — every counted user has ≥1 event type
+        val tot = ut.agg(countDistinct(col("user_id")).as("nu"))
         val pr = ut.select(col("user_id"), col("event_type").as("type_a"))
           .join(ut.select(col("user_id"), col("event_type").as("type_b")),
             Seq("user_id"))
@@ -739,7 +740,7 @@ object EventQueries {
                        - ab.b * CAST(e.day AS DOUBLE) AS res
               FROM e JOIN ab USING (user_id)),
         s AS (SELECT user_id,
-                     sqrt(CAST(sum(CAST(res*res AS DECIMAL(18,6)))
+                     sqrt(CAST(sum(CAST(res*res AS DECIMAL(38,6)))
                        AS DOUBLE) / count(*)) AS rmse
               FROM r GROUP BY 1)
         SELECT r.user_id, max(r.n) AS n, max(r.a) AS intercept,

@@ -439,7 +439,8 @@ class LakeOpsSpec extends AnyFunSuite {
     val df = Seq(
       ("a", "x"), ("a", "y"), ("a", "y"),          // y wins on count
       ("b", "q"), ("b", "p"),                      // tie -> p (smaller)
-      ("c", "z"))
+      ("b", null),                                  // nulls ignored
+      ("c", "z"), ("d", null))                      // all-null key drops
       .toDF("g", "v")
     val r = graft.ops.Aggregates.groupMode(df, "g", "v")
       .collect().map(x => x.getString(0) -> ((x.getString(1),
