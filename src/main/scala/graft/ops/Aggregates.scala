@@ -120,6 +120,38 @@ object Aggregates {
         col("__tot").as("total_weight"))
   }
 
+  /** Exact weighted quantiles per group: for each q = num/den, the
+    * smallest value (in (value, tie) order) whose running weight
+    * reaches q of the group total — `den·cumw ≥ num·totw AND
+    * den·(cumw − w) < num·totw` picks exactly one row per quantile,
+    * in pure integer arithmetic ([[weightedMedian]] is the
+    * num/den = 1/2 case). "p90 doc length weighted by token mass"
+    * answers where the TOKENS live, which a row-weighted p90 does not.
+    * One exchange on the group key; cumsum and total share the sort;
+    * each quantile is a conditional max in ONE final hash agg. */
+  def weightedQuantiles(df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String, tieCol: String,
+      qs: Seq[(String, Int, Int)]): DataFrame = {
+    val order = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(tieCol))
+    val cum = sum(col(weightCol)).over(
+      order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val tot = sum(col(weightCol)).over(
+      Window.partitionBy(col(groupCol))
+        .rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing))
+    val w = df.select(col(groupCol), col(valueCol), col(weightCol),
+      cum.as("__cum"), tot.as("__tot"))
+    val qCols = qs.map { case (name, num, den) =>
+      max(when(
+        col("__cum") * den >= col("__tot") * num &&
+          (col("__cum") - col(weightCol)) * den < col("__tot") * num,
+        col(valueCol))).as(name)
+    }
+    w.groupBy(col(groupCol))
+      .agg(max(col("__tot")).as("total_weight"), qCols: _*)
+  }
+
   /** Robust outlier gate: per-group median / MAD (median absolute
     * deviation) over an INTEGER value column, flagging values with
     * `|x − median| > k·MAD` — the heavy-tail-safe alternative to

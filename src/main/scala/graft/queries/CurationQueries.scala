@@ -350,6 +350,40 @@ object CurationQueries {
                 .partitionBy(col("lang")).orderBy(col("n_chars")))
               .as("pr"))),
 
+    // Token-weighted length quantiles: p50/p90 doc length per language
+    // weighted by TOKEN MASS — answers where the tokens live, which
+    // the row-weighted quantile (q81/q83) does not: one 100k-token doc
+    // moves this p90 as much as a thousand 100-token docs. Pure
+    // integer thresholds (den·cumw ≥ num·totw), q107's machinery
+    // generalized to arbitrary q.
+    QueryDef(
+      "q148_weighted_quantiles",
+      Some("""
+        WITH t AS (SELECT doc_id, lang, n_chars,
+                          CAST(len(string_split(text, ' ')) AS BIGINT)
+                            AS w
+                   FROM documents),
+        r AS (SELECT lang, n_chars, w,
+                     sum(w) OVER (PARTITION BY lang
+                       ORDER BY n_chars, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum,
+                     sum(w) OVER (PARTITION BY lang) AS tot
+              FROM t)
+        SELECT lang, CAST(max(tot) AS BIGINT) AS total_weight,
+               max(CASE WHEN cum*2 >= tot AND (cum-w)*2 < tot
+                   THEN n_chars END) AS wp50,
+               max(CASE WHEN cum*10 >= tot*9 AND (cum-w)*10 < tot*9
+                   THEN n_chars END) AS wp90
+        FROM r GROUP BY 1"""),
+      (s, d) =>
+        graft.ops.Aggregates.weightedQuantiles(
+          t(s, d, "documents").select(col("doc_id"), col("lang"),
+            col("n_chars"),
+            size(TextOps.tokens(col("text"))).cast("long").as("w")),
+          "lang", "n_chars", "w", "doc_id",
+          Seq(("wp50", 1, 2), ("wp90", 9, 10)))),
+
     // Winsorized mean doc length per language: values clipped at the
     // exact p05/p95 rank values, then an exact-decimal mean — the
     // robust center that, unlike trimming, keeps n constant (q109's

@@ -197,6 +197,28 @@ class LakeOpsSpec extends AnyFunSuite {
     assert(r == Map("a" -> ((3L, 12L)), "b" -> ((1L, 2L))))
   }
 
+  test("weightedQuantiles: p50 = weightedMedian; heavy tail pulls p90") {
+    val df = Seq(
+      // g: values 1..4, weight 10 on value 4 -> wp50 = wp90 = 4
+      ("g", 1L, 1L, 1L), ("g", 2L, 1L, 2L), ("g", 3L, 1L, 3L),
+      ("g", 4L, 10L, 4L),
+      // h: uniform weights 1..10 -> wp50 = 5, wp90 = 9
+      ("h", 1L, 1L, 5L), ("h", 2L, 1L, 6L), ("h", 3L, 1L, 7L),
+      ("h", 4L, 1L, 8L), ("h", 5L, 1L, 9L), ("h", 6L, 1L, 10L),
+      ("h", 7L, 1L, 11L), ("h", 8L, 1L, 12L), ("h", 9L, 1L, 13L),
+      ("h", 10L, 1L, 14L))
+      .toDF("g", "v", "w", "id")
+    val r = graft.ops.Aggregates.weightedQuantiles(df, "g", "v", "w",
+      "id", Seq(("wp50", 1, 2), ("wp90", 9, 10)))
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(2), x.getLong(3)))).toMap
+    assert(r == Map("g" -> ((4L, 4L)), "h" -> ((5L, 9L))))
+    // the 1/2 quantile IS the weighted median
+    val wm = graft.ops.Aggregates.weightedMedian(df, "g", "v", "w", "id")
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.view.mapValues(_._1).toMap == wm)
+  }
+
   test("weightedMedian singleton group returns its only value") {
     val df = Seq(("a", 42L, 7L, 1L)).toDF("g", "v", "w", "id")
     val r = graft.ops.Aggregates.weightedMedian(df, "g", "v", "w", "id")
