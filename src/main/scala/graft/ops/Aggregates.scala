@@ -291,9 +291,13 @@ object Aggregates {
       tieCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(valCol), col(tieCol))
+    // ranked feeds BOTH the cuts aggregation and the clip-mean join;
+    // the lazy localCheckpoint materializes the scan + window once
+    // (either consumer alone would otherwise re-run them)
     val ranked = df.select(col(keyCol), col(valCol),
       row_number().over(w).as("rn"),
       count(lit(1)).over(Window.partitionBy(col(keyCol))).as("n"))
+      .localCheckpoint(false)
     val cuts = ranked
       .groupBy(col(keyCol))
       .agg(
@@ -302,7 +306,10 @@ object Aggregates {
         min(when(col("rn") === expr("(n * 19 + 19) div 20"),
           col(valCol))).as("hi"),
         max(col("n")).as("n"))
-    df.join(cuts, keyCol)
+    // join the RANKED rows (they carry keyCol + valCol) back to the
+    // cuts, not the raw input — one scan of df total, the window's
+    // exchange feeds both the cuts and the clip-mean
+    ranked.select(col(keyCol), col(valCol)).join(cuts, keyCol)
       .groupBy(col(keyCol))
       .agg(max(col("n")).as("n"), max(col("lo")).as("p05"),
         max(col("hi")).as("p95"),

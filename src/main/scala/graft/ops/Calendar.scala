@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time bucketing and dense-calendar scaffolding (SURVEY.md §2.6).
@@ -55,10 +56,8 @@ object Calendar {
       .agg(min(col(dayCol)).as("_lo"), max(col(dayCol)).as("_hi"))
     val grid = bounds.select(col(keyCol),
       explode(sequence(col("_lo"), col("_hi"))).as(dayCol))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol)).orderBy(col(dayCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, 0)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
     grid.join(df, Seq(keyCol, dayCol), "left")
       .select(col(keyCol), col(dayCol),
         last(col(valCol), ignoreNulls = true).over(w)

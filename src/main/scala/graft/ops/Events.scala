@@ -329,12 +329,11 @@ object Events {
         lit(1L).as("d"))
       .unionAll(df.select(col(keyCol), col(endCol).as("t"),
         lit(-1L).as("d")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol)).orderBy(col("t"), col("d").desc)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("t"), col("d").desc)
     val swept = b
-      .withColumn("running", sum(col("d")).over(
-        w.rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, 0)))
+      .withColumn("running",
+        sum(col("d")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("gap", lead(col("t"), 1).over(w) - col("t"))
     swept.groupBy(col(keyCol))
       .agg(sum(when(col("running") > 0, col("gap")).otherwise(0L))

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation by key salting (SURVEY.md §4; the reference splits
@@ -43,7 +44,12 @@ object Skew {
     * Ties at the cut break by key ascending, so the result is a total
     * order and stable across engines. */
   def heavyHitters(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    // g feeds both the total and the share projection — the lazy
+    // localCheckpoint materializes the key-count aggregation once
+    // (Catalyst would otherwise inline the full scan+agg subtree into
+    // both consumers; bm25TopK precedent)
     val g = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
     val tot = g.agg(sum(col("cnt")).as("_total"))
     val top = g.crossJoin(broadcast(tot))
       .select(col(keyCol), col("cnt"),
@@ -52,9 +58,7 @@ object Skew {
       .orderBy(col("cnt").desc, col(keyCol))
       .limit(topN)
     top.withColumn("rank",
-      row_number()
-        .over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("cnt").desc, col(keyCol)))
+      row_number().over(Window.orderBy(col("cnt").desc, col(keyCol)))
         .cast("long"))
   }
 }

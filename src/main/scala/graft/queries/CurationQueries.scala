@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -136,7 +137,7 @@ object CurationQueries {
           col("total_tokens"),
           (col("n_docs").cast("double") /
             sum(col("n_docs")).over(
-              org.apache.spark.sql.expressions.Window
+              Window
                 .partitionBy(col("lang"))).cast("double"))
             .as("lang_share"))
       }),
@@ -346,7 +347,7 @@ object CurationQueries {
         t(s, d, "documents")
           .select(col("doc_id"), col("lang"), col("n_chars"),
             percent_rank().over(
-              org.apache.spark.sql.expressions.Window
+              Window
                 .partitionBy(col("lang")).orderBy(col("n_chars")))
               .as("pr"))),
 

@@ -41,6 +41,22 @@ object EventQueries {
       expr("ts div 86400000000000").as("day"),
       regexp_extract(col("props"), "[0-9]+", 0).cast("long").as("k"))
 
+  /** DuckDB CTE: per-(key, epoch day) event counts — shared by the
+    * daily-volume family (q125 dispersion, q137 rolling median, q139
+    * CUSUM), whose Spark twin is [[dailyCounts]]. */
+  private def dkDailyCounts(keyCol: String): String =
+    s"""dcnt AS (SELECT $keyCol,
+       |               epoch_us(ts) // 86400000000 AS day,
+       |               count(*) AS c
+       |        FROM events GROUP BY 1, 2)""".stripMargin
+
+  /** Spark twin of [[dkDailyCounts]]: per-(key, day) counts. */
+  private def dailyCounts(s: SparkSession, d: String,
+      keyCol: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col(keyCol), expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // As-of join: each purchase picks up the latest signup of the same
@@ -431,11 +447,8 @@ object EventQueries {
     // the tiny (type, day) count table, one IEEE division at the end.
     QueryDef(
       "q125_dispersion",
-      Some("""
-        WITH dcnt AS (SELECT event_type,
-                             epoch_us(ts) // 86400000000 AS day,
-                             count(*) AS c
-                      FROM events GROUP BY 1, 2),
+      Some(s"""
+        WITH ${dkDailyCounts("event_type")},
         g AS (SELECT event_type, count(*) AS n, sum(c) AS s1,
                      sum(c*c) AS s2
               FROM dcnt GROUP BY 1)
@@ -446,12 +459,7 @@ object EventQueries {
         FROM g"""),
       (s, d) =>
         graft.ops.Aggregates.dispersionIndex(
-          t(s, d, "events")
-            .select(col("event_type"),
-              expr("ts div 86400000000000").as("day"))
-            .groupBy(col("event_type"), col("day"))
-            .agg(count(lit(1)).as("c")),
-          "event_type", "c")),
+          dailyCounts(s, d, "event_type"), "event_type", "c")),
 
     // First/last-touch attribution: for every purchase, the first and
     // the most recent preceding touch event (click/view) of the same
@@ -575,11 +583,8 @@ object EventQueries {
     // the exact two-middle average (.5 is representable, no tie risk).
     QueryDef(
       "q137_rolling_median",
-      Some("""
-        WITH dcnt AS (SELECT user_id,
-                             epoch_us(ts) // 86400000000 AS day,
-                             count(*) AS c
-                      FROM events GROUP BY 1, 2),
+      Some(s"""
+        WITH ${dkDailyCounts("user_id")},
         w AS (SELECT user_id, day, c,
                      list_sort(list(c) OVER (PARTITION BY user_id
                        ORDER BY day RANGE BETWEEN 6 PRECEDING
@@ -592,11 +597,8 @@ object EventQueries {
         FROM w"""),
       (s, d) =>
         graft.ops.Aggregates.rollingMedian(
-          t(s, d, "events")
-            .groupBy(col("user_id"),
-              expr("ts div 86400000000000").as("day"))
-            .agg(count(lit(1)).as("c")),
-          "user_id", "day", "c", span = 7L)),
+          dailyCounts(s, d, "user_id"), "user_id", "day", "c",
+          span = 7L)),
 
     // CUSUM changepoint scan: per event type, the day where the
     // cumulative deviation of daily volume from its mean peaks — the
@@ -608,11 +610,8 @@ object EventQueries {
     // sum. One count agg + one join + one window per type.
     QueryDef(
       "q139_cusum_changepoint",
-      Some("""
-        WITH dcnt AS (SELECT event_type,
-                             epoch_us(ts) // 86400000000 AS day,
-                             count(*) AS c
-                      FROM events GROUP BY 1, 2),
+      Some(s"""
+        WITH ${dkDailyCounts("event_type")},
         m AS (SELECT event_type, count(*) AS n,
                      CAST(sum(CAST(c AS DECIMAL(18,4))) AS DOUBLE) AS s
               FROM dcnt GROUP BY 1),
@@ -635,10 +634,7 @@ object EventQueries {
                day AS cp_day, cusum AS cp_cusum
         FROM r WHERE rk = 1"""),
       (s, d) => {
-        val dcnt = t(s, d, "events")
-          .groupBy(col("event_type"),
-            expr("ts div 86400000000000").as("day"))
-          .agg(count(lit(1)).as("c"))
+        val dcnt = dailyCounts(s, d, "event_type")
         val m = dcnt.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
             graft.ops.Aggregates.decSum(col("c")).as("s"))
