@@ -267,6 +267,40 @@ object ScaleQueries {
               .cast("double").as("effective_tokens"))
       }),
 
+    // Duplicate-cluster size distribution: how many clusters of each
+    // size, and how much doc mass sits in them — the canonical dedup
+    // report (a corpus whose mass sits in large clusters shrinks a lot
+    // under dedup; one dominated by singletons does not). Singletons
+    // count via the keepList coalesce; two hash aggs over the
+    // component labels.
+    QueryDef(
+      "q149_cluster_sizes",
+      Some(s"""
+        WITH RECURSIVE $dkPairs,
+        edges AS (SELECT da s, db d FROM p UNION SELECT db, da FROM p),
+        reach AS (
+          SELECT s AS node, s AS r FROM edges
+          UNION
+          SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.node),
+        comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY 1),
+        lab AS (SELECT d.doc_id,
+                       coalesce(comp.cluster, d.doc_id) AS cluster
+                FROM documents d
+                LEFT JOIN comp ON comp.node = d.doc_id),
+        sz AS (SELECT cluster, count(*) AS csize FROM lab GROUP BY 1)
+        SELECT csize, count(*) AS n_clusters,
+               CAST(csize * count(*) AS BIGINT) AS n_docs
+        FROM sz GROUP BY 1"""),
+      (s, d) => {
+        val kl = DedupClusters.keepList(t(s, d, "documents"), "doc_id",
+          jaccardPairs(s, d), "da", "db", maxIters = 100)
+        kl.groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+          .groupBy(col("csize"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .select(col("csize"), col("n_clusters"),
+            (col("csize") * col("n_clusters")).as("n_docs"))
+      }),
+
     // Heavy-hitter key diagnostic: top-20 l_suppkey values by row
     // count with exact share-of-total — the pre-flight skew probe for
     // any shuffle on that key (q56's salting is the cure; this is the

@@ -37,7 +37,7 @@ def main():
     # (their exchange counts track convergence depth, not plan quality)
     exempt = {"q54_dedup_clusters", "q65_curation_pipeline",
               "q114_fk_audit", "q140_dedup_survivors",
-              "q146_effective_tokens"}
+              "q146_effective_tokens", "q149_cluster_sizes"}
     failures = []
     rows = []
     for path in sorted(glob.glob(os.path.join(args.plans_dir, "*.txt"))):
