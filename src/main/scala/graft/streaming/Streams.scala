@@ -208,6 +208,60 @@ object Streams {
         OutputMode.Update())
   }
 
+  final case class AlertState(total: Long, sinceAlert: Long)
+  final case class Alert(key: String, total: Long, crossings: Long)
+
+  /** Threshold-crossing alerts via transformWithState: unlike
+    * [[runningTotals]]' always-emit counters, this emits a row ONLY
+    * when a key accumulates another `every` events since its last
+    * alert — the alerting (conditional-emission) state pattern, where
+    * silence IS the common case and downstream sees milestones, not a
+    * firehose. A batch delivering several multiples at once emits one
+    * alert per crossing, so no milestone is skipped. */
+  class ThresholdAlertProcessor(every: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long), Alert] {
+    @transient private var state:
+        org.apache.spark.sql.streaming.ValueState[AlertState] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[AlertState]("alerts",
+        org.apache.spark.sql.Encoders.product[AlertState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[Alert] = {
+      val prev = Option(state.get()).getOrElse(AlertState(0L, 0L))
+      val arrived = rows.size.toLong
+      val total = prev.total + arrived
+      val pending = prev.sinceAlert + arrived
+      val crossings = pending / every
+      state.update(AlertState(total, pending % every))
+      // sinceAlert ≡ total % every by induction, so the running total
+      // at the i-th crossing is an exact multiple of `every` and the
+      // cumulative milestone number is that total div every
+      (1L to crossings).iterator.map { i =>
+        val totAt = total - (pending - i * every)
+        Alert(key, totAt, totAt / every)
+      }
+    }
+  }
+
+  /** Milestone alerts: one output row per `every` events per key. */
+  def thresholdAlerts(ds: Dataset[(String, Long)], every: Long)
+      : Dataset[Alert] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(new ThresholdAlertProcessor(every),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** `foreachBatch` upsert into a day-partitioned parquet store — the
     * durable replacement for the reference's pickle state
     * (hpc_running_cores_and_corehr.py:645-667): each micro-batch

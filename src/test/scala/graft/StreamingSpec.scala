@@ -217,6 +217,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("u1", 2L, 3.0), ("u2", 1L, 5.0)))
   }
 
+  test("thresholdAlerts emit only at milestones, none skipped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val input = MemoryStream[(String, Long)]
+    val alerts = Streams.thresholdAlerts(input.toDS(), every = 3L)
+    val q = alerts.toDF().writeStream.format("memory")
+      .queryName("alerts").outputMode("update").start()
+    // batch 1: u1 gets 2 events (below threshold -> silence)
+    input.addData(("u1", 1L), ("u1", 2L))
+    q.processAllAvailable()
+    // batch 2: u1 gets 7 more -> crossings at totals 3, 6, 9 (three
+    // milestones in ONE batch, none skipped); u2 only 1 (silence)
+    input.addData((1L to 7L).map(i => ("u1", i)) :+ (("u2", 1L)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+      "SELECT key, total, crossings FROM alerts ORDER BY total")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("u1", 3L, 1L), ("u1", 6L, 2L),
+      ("u1", 9L, 3L)))
+  }
+
   test("native session_window merges gap-bounded sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
