@@ -557,6 +557,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("chiSquareKeyness = BigInt contingency formula on random corpora") {
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val doc = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val gen = Gen.zip(Gen.listOfN(5, doc), Gen.listOfN(4, doc))
+    samples(gen, 6).foreach { case (focus, ref) =>
+      val fDf = focus.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val rDf = ref.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.llmops.TextOps
+        .chiSquareKeyness(fDf, rDf, "doc_id", "text", 100)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+      val fSets = focus.map(_.split(" ").toSet)
+      val rSets = ref.map(_.split(" ").toSet)
+      val vocab = (fSets ++ rSets).flatten.toSet
+      assert(got.keySet == vocab)
+      vocab.foreach { term =>
+        val a = BigInt(fSets.count(_ contains term))
+        val b = BigInt(rSets.count(_ contains term))
+        val c = BigInt(focus.size) - a
+        val dd = BigInt(ref.size) - b
+        val n = BigInt(focus.size + ref.size)
+        val den = (a + b) * (c + dd) * (a + c) * (b + dd)
+        val want =
+          if (den == 0) None
+          else Some((n * (a * dd - b * c) * (a * dd - b * c)).toDouble /
+            den.toDouble)
+        assert(got(term) == ((a.toLong, b.toLong, want)),
+          s"term $term focus=$focus ref=$ref")
+      }
+    }
+  }
+
   test("intervalCoverage = merged-interval union length") {
     val iv = Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 40L),
       Gen.choose(1L, 15L)).map { case (k, s, len) => (k, s, s + len) }
