@@ -78,10 +78,13 @@ object Profile {
       rels: Seq[(String, DataFrame, String, DataFrame, String)])
       : DataFrame =
     rels.map { case (name, child, ck, parent, pk) =>
-      val p = parent.select(col(pk)).distinct()
+      // parent key aliased before the join: when child FK and parent
+      // key share a name (both "custkey", the common real-schema case)
+      // an unaliased col(ck) === col(pk) is ambiguous and throws
+      val p = parent.select(col(pk).as("__pk")).distinct()
         .withColumn("__hit", lit(1))
       child.select(col(ck))
-        .join(p, col(ck) === col(pk), "left")
+        .join(p, col(ck) === col("__pk"), "left")
         .agg(count(lit(1)).as("n_rows"),
           sum(when(col("__hit").isNull, 1L).otherwise(0L))
             .as("n_orphans"))

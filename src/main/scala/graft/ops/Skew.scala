@@ -47,7 +47,14 @@ object Skew {
     // g feeds both the total and the share projection — the lazy
     // localCheckpoint materializes the key-count aggregation once
     // (Catalyst would otherwise inline the full scan+agg subtree into
-    // both consumers; bm25TopK precedent)
+    // both consumers; bm25TopK precedent). Trade-off at cluster scale:
+    // localCheckpoint truncates lineage into executor-local storage,
+    // so losing an executor mid-job makes its partitions unrecoverable
+    // and fails the job (it restarts cleanly — the checkpoint holds no
+    // cross-job state). For long multi-hour production runs where that
+    // restart is expensive, swap in persist(MEMORY_AND_DISK_2) or a
+    // reliable checkpoint; for this diagnostic (seconds over an
+    // aggregate already reduced to |keys| rows) plan-reuse wins.
     val g = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(false)
     val tot = g.agg(sum(col("cnt")).as("_total"))

@@ -351,8 +351,11 @@ object Streams {
     * rows to a history store — CDC into the (current, history) pair a
     * lake serves point-in-time queries from (`Events.asOfJoin` over
     * the history). Per batch: ONE key join of batch-latest against
-    * current, then two writes (history append, current
-    * tmp-then-swap). Exactly-once to the degree of foreachBatch's
+    * current, then two writes (history append, current written to a
+    * tmp dir and swapped in via rename-aside — the previous state
+    * survives as `__prev` until the new current is in place, so a
+    * crash never leaves an empty store). Exactly-once to the degree
+    * of foreachBatch's
     * contract: a replayed batch re-emits its history rows, dedupable
     * on (key, batch_id). First batch bootstraps an empty store.
     * Absence of a key from a batch is NOT a delete — streams carry
@@ -367,17 +370,35 @@ object Streams {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val cols = keys ++ compareCols
+          // tsCol desc picks the batch-latest row per key; compareCols
+          // desc break same-timestamp ties so two equal-ts updates in
+          // one micro-batch resolve to ONE deterministic winner (the
+          // repo-wide tieCol convention)
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(keys.map(col): _*)
-            .orderBy(col(tsCol).desc)
+            .orderBy(col(tsCol).desc +: compareCols.map(col(_).desc): _*)
           val latest = batch
             .select((cols :+ tsCol).map(col): _*)
             .withColumn("__rk", row_number().over(w))
             .filter(col("__rk") === 1)
             .select(cols.map(col): _*)
-          val current =
-            try spark.read.parquet(currentDir).select(cols.map(col): _*)
-            catch { case _: Throwable => latest.limit(0) } // bootstrap
+          val currentPath = new org.apache.hadoop.fs.Path(currentDir)
+          val prevPath = new org.apache.hadoop.fs.Path(currentDir + "__prev")
+          val hconf = spark.sparkContext.hadoopConfiguration
+          val fs = currentPath.getFileSystem(hconf)
+          // Bootstrap tolerates ONLY a missing store: first batch, or a
+          // crash between the two swap renames below (then __prev still
+          // holds the last complete state). Any read failure on an
+          // EXISTING path (corrupt footer, permissions, transient FS
+          // error) propagates — substituting an empty frame there would
+          // silently reset the store and re-emit every key as 'added'.
+          def readStore(p: org.apache.hadoop.fs.Path): Option[DataFrame] =
+            if (fs.exists(p))
+              Some(spark.read.parquet(p.toString).select(cols.map(col): _*))
+            else None
+          val current = readStore(currentPath)
+            .orElse(readStore(prevPath))
+            .getOrElse(latest.limit(0))
           val delta = graft.ops.Incremental.snapshotDiff(
             current, latest, keys, compareCols)
             .filter(col("status") =!= "removed")
@@ -386,14 +407,17 @@ object Streams {
             current, latest.withColumn("__op", lit("U")),
             keys, compareCols, "__op")
           delta.write.mode("append").parquet(historyDir)
-          val tmp = currentDir + "__tmp"
-          nextCurrent.write.mode("overwrite").parquet(tmp)
-          val hconf = spark.sparkContext.hadoopConfiguration
-          val fs = new org.apache.hadoop.fs.Path(currentDir)
-            .getFileSystem(hconf)
-          fs.delete(new org.apache.hadoop.fs.Path(currentDir), true)
-          fs.rename(new org.apache.hadoop.fs.Path(tmp),
-            new org.apache.hadoop.fs.Path(currentDir))
+          val tmp = new org.apache.hadoop.fs.Path(currentDir + "__tmp")
+          nextCurrent.write.mode("overwrite").parquet(tmp.toString)
+          // Rename-aside swap: current moves to __prev before tmp moves
+          // in, so at every instant a complete store exists on disk
+          // (current, or __prev during the two-rename window) — unlike
+          // delete-then-rename, where a crash after the delete left
+          // nothing. __prev is dropped only after the new current lands.
+          fs.delete(prevPath, true)
+          if (fs.exists(currentPath)) fs.rename(currentPath, prevPath)
+          fs.rename(tmp, currentPath)
+          fs.delete(prevPath, true)
           ()
         }
       }

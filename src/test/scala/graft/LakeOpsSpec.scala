@@ -336,6 +336,14 @@ class LakeOpsSpec extends AnyFunSuite {
     assert(r.getLong(1) == 4L && r.getLong(2) == 2L) // 99 and null
   }
 
+  test("fkAudit works when child FK and parent key share a name") {
+    val child = Seq(1L, 5L).toDF("custkey")
+    val parent = Seq(1L, 2L).toDF("custkey")
+    val r = graft.ops.Profile.fkAudit(spark,
+      Seq(("same-name", child, "custkey", parent, "custkey"))).head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 1L)
+  }
+
   // ---- trainSplit ----
 
   test("trainSplit is total, deterministic, and growth-stable") {
