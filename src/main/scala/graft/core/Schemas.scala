@@ -154,10 +154,21 @@ object Schemas {
     s("replica_time_create", DoubleType),
     s("replica_time_updater", DoubleType)))
 
-  /** PhEDEx summary rows — schemas.py:389-402. */
+  /** PhEDEx summary rows — schemas.py:389-402. Note: the reference's
+    * declared schema is stale — degraded/phedex.py:84 WRITES six
+    * columns (groupid appended) and mergePhedex.go:112-121 READS six;
+    * [[phedexSummaryGid]] below is the schema the files actually
+    * carry, this one is kept for schema-registry parity. */
   val phedexSummary: StructType = StructType(Seq(
     s("date", LongType), s("site", StringType), s("dataset", StringType),
     s("size", LongType), s("replica_date", LongType)))
+
+  /** PhEDEx summary rows as actually written/read by the snapshot +
+    * merge pipeline (degraded/phedex.py:84, mergePhedex.go:112-121):
+    * the five [[phedexSummary]] columns plus the owning group id
+    * (null in CSV → -1 downstream). */
+  val phedexSummaryGid: StructType = StructType(
+    phedexSummary.fields.toSeq :+ s("groupid", LongType))
 
   /** DBS+PhEDEx aggregation output — schemas.py:440-458. */
   val dbsPhedex: StructType = StructType(Seq(

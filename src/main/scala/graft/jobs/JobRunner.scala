@@ -66,6 +66,35 @@ object JobRunner {
           0L, Long.MaxValue)),
       "rucio_daily" -> (Seq("replicas", "files"),
         (_, in) => RucioJobs.dailyTally(in("replicas"), in("files"))),
+      // cutoff/minTb pinned wide-open for the CLI form (the reference's
+      // defaults live in its cron wrapper); library callers pass real ones
+      "rucio_not_read_since" -> (
+        Seq("replicas", "dids", "contents", "rses"),
+        (_, in) => RucioJobs.notReadSince(
+          RucioJobs.rseDatasetAccess(
+            RucioJobs.fileRseTsSize(in("replicas"), in("dids")),
+            RucioJobs.fileToDataset(in("contents"))
+              .withColumnRenamed("file_name", "f_name")),
+          in("rses"), 0.0, Long.MaxValue)),
+      "rucio_last_access_bins" -> (Seq("replicas", "dids", "contents"),
+        (_, in) => RucioJobs.lastAccessYearBins(
+          RucioJobs.rseDatasetAccess(
+            RucioJobs.fileRseTsSize(in("replicas"), in("dids")),
+            RucioJobs.fileToDataset(in("contents"))
+              .withColumnRenamed("file_name", "f_name")))),
+      "phedex_snapshot" -> (Seq("phedex"),
+        (_, in) => PhedexJobs.siteSnapshot(in("phedex"))),
+      "phedex_agg" -> (Seq("phedex_summary"),
+        (_, in) => PhedexJobs.snapshotAgg(in("phedex_summary"))),
+      "merge_phedex" -> (Seq("phedex_summary"),
+        (_, in) => PhedexJobs.mergeSnapshots(in("phedex_summary"))),
+      "dbs_phedex" -> (
+        Seq("datasets", "files", "access_types", "acq_eras", "proc_eras",
+          "mod_configs", "out_configs", "rel_versions", "phedex"),
+        (_, in) => PhedexJobs.dbsPhedex(in("datasets"), in("files"),
+          in("access_types"), in("acq_eras"), in("proc_eras"),
+          in("mod_configs"), in("out_configs"), in("rel_versions"),
+          in("phedex"))),
       // ts is the run's nominal date column; the CLI caller sets it in
       // production, fixtures pin it (data_aggregation.py main --date)
       "popularity_4streams" -> (
@@ -217,7 +246,14 @@ object JobRunner {
     "jm" -> Schemas.jobMonitoring, "phedex" -> Schemas.phedex,
     "aaa" -> Schemas.aaaEnvelope, "eos" -> Schemas.eosEnvelope,
     "condor_hs06" -> Schemas.condorHs06Envelope,
-    "fwjr" -> Schemas.wmarchiveEnvelope)
+    "fwjr" -> Schemas.wmarchiveEnvelope,
+    "phedex_summary" -> Schemas.phedexSummaryGid,
+    "access_types" -> Schemas.dbsAccessTypes,
+    "acq_eras" -> Schemas.dbsAcquisitionEras,
+    "proc_eras" -> Schemas.dbsProcessingEras,
+    "mod_configs" -> Schemas.dbsModConfigs,
+    "out_configs" -> Schemas.dbsOutConfigs,
+    "rel_versions" -> Schemas.dbsRelVersions)
 
   def parseArgs(args: Array[String]): Map[String, String] =
     args.sliding(2, 2).collect {

@@ -130,6 +130,126 @@ object RucioJobs {
         sum(col("total_bytes")).as("sum_size"),
         max(col("last_accessed_at")).as("last_access"))
 
+  /** File × RSE × timestamps × size combine
+    * (degraded/rucio_datasets_last_access_ts.py:106-195): available
+    * cms-scope replicas (backfill paths excluded) LEFT-joined to file
+    * DIDs on name; size by REPLICAS-first priority, access and create
+    * times as the greatest of the two sides' values. One shuffle on
+    * file name; everything else is narrow. */
+  def fileRseTsSize(replicas: DataFrame, dids: DataFrame,
+      backfillPrefix: String = "/store/backfill/"): DataFrame = {
+    val rep = replicas
+      .filter(col("SCOPE") === "cms" &&
+        !col("NAME").startsWith(backfillPrefix))
+      .select(col("NAME").as("f_name"),
+        lower(hex(col("RSE_ID"))).as("rse_id"),
+        col("BYTES").as("f_size_replicas"),
+        col("ACCESSED_AT").as("rep_accessed_at"),
+        col("CREATED_AT").as("rep_created_at"))
+    val fd = dids
+      .filter(col("DID_TYPE") === "F" && col("HIDDEN") === 0 &&
+        col("DELETED_AT").isNull && col("SCOPE") === "cms")
+      .select(col("NAME").as("f_name"), col("BYTES").as("f_size_dids"),
+        col("ACCESSED_AT").as("dids_accessed_at"),
+        col("CREATED_AT").as("dids_created_at"))
+    rep.join(fd, Seq("f_name"), "left")
+      .select(col("f_name"), col("rse_id"),
+        Aggregates.coalescePriority(col("f_size_replicas"),
+          col("f_size_dids")).as("f_size"),
+        greatest(col("dids_accessed_at"), col("rep_accessed_at"))
+          .as("accessed_at"),
+        greatest(col("dids_created_at"), col("rep_created_at"))
+          .as("created_at"))
+  }
+
+  /** Per-(RSE, dataset) access profile — the shared aggregate beneath
+    * both report families (rucio_datasets_last_access_ts.py:223-319):
+    * TB size (10^12 denominator, round 5), last access/create, file
+    * counts incl. how many files were EVER accessed (a dataset with
+    * even one never-accessed file is suspect for the not-read report).
+    * Input rows are [[fileRseTsSize]] output joined to a (f_name →
+    * dataset) map with dataset null rows dropped (the reference's
+    * get_df_dataset_file_rse_ts_size). */
+  def rseDatasetAccess(files: DataFrame, f2d: DataFrame): DataFrame =
+    files
+      .join(f2d, Seq("f_name"), "left")
+      .filter(col("dataset").isNotNull)
+      .groupBy(col("rse_id"), col("dataset"))
+      .agg(
+        round(sum(col("f_size")) / lit(1e12), 5)
+          .as("dataset_size_in_rse_tb"),
+        max(col("accessed_at")).as("last_access_of_dataset_in_rse"),
+        max(col("created_at")).as("last_create_of_dataset_in_rse"),
+        Aggregates.countIf(col("accessed_at").isNotNull)
+          .as("n_accessed_files"),
+        count(lit(1)).as("n_files"))
+
+  /** Datasets not read since the cutoff
+    * (rucio_datasets_last_access_ts.py:258-319): accessed at least
+    * once, last access older than `cutoffEpochMs`, bigger than
+    * `minTb`. RSE names land via the broadcast dim. */
+  def notReadSince(access: DataFrame, rses: DataFrame, minTb: Double,
+      cutoffEpochMs: Long): DataFrame =
+    access
+      .filter(col("last_access_of_dataset_in_rse").isNotNull &&
+        col("last_access_of_dataset_in_rse") < cutoffEpochMs &&
+        col("dataset_size_in_rse_tb") > minTb)
+      .join(broadcast(prepRses(rses)), Seq("rse_id"), "left")
+      .select(col("rse").as("rse_name"), col("dataset"),
+        col("dataset_size_in_rse_tb"),
+        col("last_access_of_dataset_in_rse"), col("n_files"),
+        col("n_accessed_files"))
+
+  /** Datasets NEVER read (rucio_datasets_last_access_ts.py:223-255):
+    * no file of the dataset in that RSE was ever accessed. */
+  def neverRead(access: DataFrame, rses: DataFrame,
+      minTb: Double): DataFrame =
+    access
+      .filter(col("last_access_of_dataset_in_rse").isNull &&
+        col("dataset_size_in_rse_tb") > minTb)
+      .join(broadcast(prepRses(rses)), Seq("rse_id"), "left")
+      .select(col("rse").as("rse_name"), col("dataset"),
+        col("dataset_size_in_rse_tb"),
+        col("last_create_of_dataset_in_rse"), col("n_files"))
+
+  /** Cross-RSE dataset rollup for the main report
+    * (rucio_datasets_last_access_ts.py:322-336): size spread across
+    * copies, overall last access, deterministic RSE list (the
+    * reference's collect_list order is undefined; sort_array makes it
+    * reproducible). */
+  def datasetMainSummary(sub: DataFrame): DataFrame =
+    sub
+      .groupBy(col("dataset"))
+      .agg(
+        max(col("dataset_size_in_rse_tb")).as("max_size_tb"),
+        min(col("dataset_size_in_rse_tb")).as("min_size_tb"),
+        avg(col("dataset_size_in_rse_tb")).as("avg_size_tb"),
+        sum(col("dataset_size_in_rse_tb")).as("sum_size_tb"),
+        max(col("last_access_of_dataset_in_rse")).as("last_access"),
+        array_join(sort_array(collect_set(col("rse_name"))), ", ")
+          .as("rses"))
+
+  /** Access-recency histogram — the binned size report the reference
+    * renders as its last-access HTML (src/html/
+    * rucio_datasets_last_access_ts): datasets bucketed by the UTC
+    * YEAR of their overall last access (epoch-millis), never-read
+    * datasets in a `never` bucket, TB and dataset counts per bucket.
+    * Two hash aggregations; the year domain is bounded, so the second
+    * is a few dozen groups at any scale. */
+  def lastAccessYearBins(access: DataFrame): DataFrame =
+    access
+      .groupBy(col("dataset"))
+      .agg(sum(col("dataset_size_in_rse_tb")).as("tb"),
+        max(col("last_access_of_dataset_in_rse")).as("last_access"))
+      .groupBy(
+        // session TZ is pinned UTC (Sessions), so year() is the UTC year
+        when(col("last_access").isNull, lit("never"))
+          .otherwise(year(timestamp_millis(col("last_access")))
+            .cast("string"))
+          .as("access_year"))
+      .agg(round(sum(col("tb")), 5).as("total_tb"),
+        count(lit(1)).as("n_datasets"))
+
   /** Daily replica tally (rucio_daily.py:30-63): the source-file
     * provenance consumer — the dump date ("tally day") is parsed out of
     * each replica row's ORIGINATING FILE PATH via `input_file_name()` +

@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.jobs.{PhedexJobs, RucioJobs}
+
+/** Oracle coverage for the round-6 reference job tails: the PhEDEx
+  * snapshot-merge family (degraded/phedex.py + src/Go/mergePhedex.go +
+  * degraded/phedex_agg.py) and the Rucio last-access report
+  * (degraded/rucio_datasets_last_access_ts.py), each run through the
+  * REAL job operators over frames shaped out of the testdata tables —
+  * the oracle re-derives the same result in DuckDB SQL, including the
+  * Go merge's quirky sequential day-fold (a lambda `list_reduce` on
+  * the DuckDB side, a SQL higher-order `aggregate` on the Spark side).
+  */
+object JobShapeQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.loadSpread(s, d, n)
+
+  /** lineitem → the phedex-summary contract (date, site, dataset,
+    * size, replica_date, groupid); every fourth line number plays the
+    * null-gid role so the merge's gid-adoption path is exercised. */
+  private def summaryFromLineitem(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").select(
+      date_format(col("l_shipdate"), "yyyyMMdd").cast("long").as("date"),
+      concat_ws("_", col("l_returnflag"), col("l_linestatus")).as("site"),
+      (col("l_partkey") % 200).as("dataset"),
+      floor(col("l_extendedprice")).cast("long").as("size"),
+      (col("l_suppkey") % 5).cast("long").as("replica_date"),
+      when(col("l_linenumber") % 4 === 0, lit(null).cast("long"))
+        .otherwise((col("l_suppkey") % 3).cast("long")).as("groupid"))
+
+  private val dkSummary =
+    """src AS (
+      |  SELECT CAST(strftime(l_shipdate, '%Y%m%d') AS BIGINT) AS date,
+      |         l_returnflag || '_' || l_linestatus AS site,
+      |         l_partkey % 200 AS dataset,
+      |         CAST(floor(l_extendedprice) AS BIGINT) AS size,
+      |         CAST(l_suppkey % 5 AS BIGINT) AS rdate,
+      |         CASE WHEN l_linenumber % 4 = 0 THEN -1
+      |              ELSE l_suppkey % 3 END AS gid0
+      |  FROM lineitem)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // The mergePhedex.go cross-day replica merge (the reference's one
+    // published perf number: 1 yr single-threaded in ~40 min) as a
+    // distributed shuffle + ordered per-key fold. The oracle replays
+    // the exact Go recurrence — integer division, early-day
+    // over-weighting and all — via a DuckDB struct list_reduce.
+    QueryDef(
+      "q150_phedex_merge",
+      Some(s"""
+        WITH $dkSummary,
+        gidn AS (
+          SELECT *, CASE WHEN gid0 = -1
+                      THEN coalesce(max(CASE WHEN gid0 <> -1 THEN gid0 END)
+                             OVER (PARTITION BY site, dataset, rdate), -1)
+                      ELSE gid0 END AS gid
+          FROM src),
+        days AS (
+          SELECT site, dataset, rdate, gid, date,
+                 CAST(sum(size) AS BIGINT) AS day_size
+          FROM gidn GROUP BY 1, 2, 3, 4, 5),
+        agg AS (
+          SELECT site, dataset, rdate, gid,
+                 min(date) AS min_date, max(date) AS max_date,
+                 count(*) AS days, max(day_size) AS max_size,
+                 list(day_size ORDER BY date) AS s
+          FROM days GROUP BY 1, 2, 3, 4),
+        folded AS (
+          SELECT *, list_reduce(
+            list_transform(s, x ->
+              {'a': x, 'd': CAST(1 AS BIGINT), 'last': x}),
+            (acc, e) -> {
+              'a': CASE WHEN acc.d = 1 THEN acc.last
+                        ELSE (acc.a * acc.d + acc.last) // (acc.d + 1) END,
+              'd': acc.d + 1,
+              'last': e.last}) AS st
+          FROM agg)
+        SELECT site, dataset, rdate, gid, min_date, max_date,
+               CASE WHEN st.d = 1 THEN st.last
+                    ELSE (st.a * st.d + st.last) // (st.d + 1)
+               END AS ave_size,
+               max_size, days
+        FROM folded"""),
+      (s, d) => PhedexJobs.mergeSnapshots(summaryFromLineitem(s, d))),
+
+    // phedex_agg.py's snapshot-range extremes + days_present span over
+    // an orders-shaped snapshot store.
+    QueryDef(
+      "q151_phedex_span",
+      Some("""
+        WITH src AS (
+          SELECT o_orderpriority AS site,
+                 o_custkey % 100 AS dataset,
+                 CAST(floor(o_totalprice / 1000) AS BIGINT) AS size,
+                 CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS date,
+                 CAST(strftime(CAST(o_orderdate AS DATE)
+                        - CAST(o_orderkey % 40 AS INTEGER),
+                      '%Y%m%d') AS BIGINT) AS replica_date
+          FROM orders)
+        SELECT site, dataset, size,
+               min(date) AS min_date, max(date) AS max_date,
+               min(replica_date) AS min_rdate,
+               max(replica_date) AS max_rdate,
+               CAST(date_diff('day',
+                 least(strptime(CAST(min(date) AS VARCHAR), '%Y%m%d'),
+                       strptime(CAST(min(replica_date) AS VARCHAR),
+                                '%Y%m%d')),
+                 greatest(strptime(CAST(max(date) AS VARCHAR), '%Y%m%d'),
+                          strptime(CAST(max(replica_date) AS VARCHAR),
+                                   '%Y%m%d'))) AS INTEGER) AS days
+        FROM src GROUP BY 1, 2, 3"""),
+      (s, d) => PhedexJobs.snapshotAgg(
+        t(s, d, "orders").select(
+          col("o_orderpriority").as("site"),
+          (col("o_custkey") % 100).as("dataset"),
+          floor(col("o_totalprice") / 1000).cast("long").as("size"),
+          date_format(col("o_orderdate"), "yyyyMMdd").cast("long")
+            .as("date"),
+          date_format(
+            date_sub(col("o_orderdate"), (col("o_orderkey") % 40)
+              .cast("int")), "yyyyMMdd").cast("long")
+            .as("replica_date")))),
+
+    // rucio_datasets_last_access_ts's binned size report: events play
+    // file-replica rows (one dataset per user; users ≡ 0 mod 10 never
+    // read, others pushed back 0-7 years so the report spans real
+    // buckets), datasets bucket by the UTC year of their overall last
+    // access, TB + counts per bucket. Sizes stay exact longs until the
+    // final /1e12, so the double rounding is order-independent.
+    QueryDef(
+      "q152_last_access_bins",
+      Some("""
+        WITH files AS (
+          SELECT event_id AS f_name, event_type AS rse_id,
+                 CAST(floor("value" * 1e9) AS BIGINT) AS f_size,
+                 CASE WHEN user_id % 10 = 0 THEN NULL
+                      ELSE epoch_ns(ts) // 1000000
+                           - (user_id % 8) * 31557600000 END AS accessed_at,
+                 epoch_ns(ts) // 1000000 - 1000000 AS created_at
+          FROM events),
+        f2d AS (SELECT event_id AS f_name, user_id AS dataset
+                FROM events),
+        acc AS (
+          SELECT rse_id, dataset,
+                 round(CAST(sum(f_size) AS DOUBLE) / 1e12, 5) AS tb,
+                 max(accessed_at) AS last_acc
+          FROM files JOIN f2d USING (f_name)
+          GROUP BY 1, 2),
+        ds AS (SELECT dataset, sum(tb) AS tb, max(last_acc) AS last_access
+               FROM acc GROUP BY 1)
+        SELECT CASE WHEN last_access IS NULL THEN 'never'
+                    ELSE CAST(year(make_timestamp(last_access * 1000))
+                              AS VARCHAR) END AS access_year,
+               round(sum(tb), 5) AS total_tb,
+               count(*) AS n_datasets
+        FROM ds GROUP BY 1"""),
+      (s, d) => {
+        val e = t(s, d, "events")
+        val files = e.select(
+          col("event_id").as("f_name"),
+          col("event_type").as("rse_id"),
+          floor(col("value") * lit(1e9)).cast("long").as("f_size"),
+          when(col("user_id") % 10 === 0, lit(null).cast("long"))
+            .otherwise(expr("ts div 1000000") -
+              (col("user_id") % 8) * lit(31557600000L))
+            .as("accessed_at"),
+          (expr("ts div 1000000") - lit(1000000L)).as("created_at"))
+        val f2d = e.select(col("event_id").as("f_name"),
+          col("user_id").as("dataset"))
+        RucioJobs.lastAccessYearBins(
+          RucioJobs.rseDatasetAccess(files, f2d))
+      }))
+}

@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.Schemas
-import graft.jobs.{CondorJobs, DbsJobs, PopularityJobs, RucioJobs,
-  WmArchiveJobs}
+import graft.jobs.{CondorJobs, DbsJobs, PhedexJobs, PopularityJobs,
+  RucioJobs, WmArchiveJobs}
 
 /** End-to-end job specs on synthetic micro-fixtures of the reference's
   * input schemas (FIXTURES.md §B) — the per-job CI the reference never
@@ -308,6 +308,71 @@ class JobsSpec extends AnyFunSuite {
       && got.getLong(5) == 400L && got.getLong(6) == 9L)
   }
 
+  test("last-access family: replica-priority sizes, greatest-ts, " +
+    "not-read/never-read split, UTC year bins") {
+    val replicas = spark.createDataFrame(
+      java.util.Arrays.asList(
+        // accessed 2010-01-01 UTC (replica side), created older
+        Row("f1", bid(0x0a), 300000000000L, "A", "cms",
+          1262304000000L, 1200000000000L, 0L),
+        // BYTES null → DID size fallback; never accessed
+        Row("f2", bid(0x0a), null, "A", "cms", null, 1200000000000L, 0L),
+        Row("/store/backfill/x", bid(0x0a), 5L, "A", "cms", 1L, 1L, 0L),
+        Row("f5", bid(0x0a), 7L, "A", "other", 1L, 1L, 0L)), // non-cms
+      Schemas.rucioReplicas)
+    val dids = spark.createDataFrame(
+      java.util.Arrays.asList(
+        // DID access 500ms later than replica → greatest wins
+        Row("f1", "cms", "F", 0, null, 90L, 1262304000500L,
+          1100000000000L),
+        Row("f2", "cms", "F", 0, null, 200000000000L, null,
+          1300000000000L)),
+      Schemas.rucioDids)
+    val f2d = Seq(("f1", "/DS/One/RAW"), ("f2", "/DS/Two/RAW"))
+      .toDF("f_name", "dataset")
+    val rses = spark.createDataFrame(
+      java.util.Arrays.asList(Row(bid(0x0a), "T1_US_FNAL_Disk", "DISK",
+        null)),
+      Schemas.rucioRses)
+
+    val files = RucioJobs.fileRseTsSize(replicas, dids)
+      .orderBy("f_name").collect()
+    assert(files.length == 2) // backfill + non-cms dropped
+    assert(files(0).getAs[Long]("f_size") == 300000000000L) // replica first
+    assert(files(0).getAs[Long]("accessed_at") == 1262304000500L)
+    assert(files(1).getAs[Long]("f_size") == 200000000000L) // DID fallback
+    assert(files(1).isNullAt(files(1).fieldIndex("accessed_at")))
+    assert(files(1).getAs[Long]("created_at") == 1300000000000L)
+
+    val access = RucioJobs.rseDatasetAccess(
+      RucioJobs.fileRseTsSize(replicas, dids), f2d)
+    val nrs = RucioJobs.notReadSince(access, rses, 0.1, 1600000000000L)
+      .collect()
+    assert(nrs.length == 1) // only /DS/One was ever accessed
+    assert(nrs(0).getAs[String]("rse_name") == "T1_US_FNAL_Disk")
+    assert(nrs(0).getAs[String]("dataset") == "/DS/One/RAW")
+    assert(nrs(0).getAs[Double]("dataset_size_in_rse_tb") == 0.3)
+    val nr = RucioJobs.neverRead(access, rses, 0.1).collect()
+    assert(nr.length == 1 &&
+      nr(0).getAs[String]("dataset") == "/DS/Two/RAW" &&
+      nr(0).getAs[Double]("dataset_size_in_rse_tb") == 0.2)
+
+    val bins = RucioJobs.lastAccessYearBins(access)
+      .orderBy("access_year").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(bins.toSeq == Seq(("2010", 0.3, 1L), ("never", 0.2, 1L)))
+
+    val main = RucioJobs.datasetMainSummary(
+      Seq(("/DS/One/RAW", "rseA", 0.3, 99L),
+        ("/DS/One/RAW", "rseB", 0.1, 101L))
+        .toDF("dataset", "rse_name", "dataset_size_in_rse_tb",
+          "last_access_of_dataset_in_rse")).head()
+    assert(main.getAs[Double]("max_size_tb") == 0.3 &&
+      main.getAs[Double]("sum_size_tb") == 0.4 &&
+      main.getAs[Long]("last_access") == 101L &&
+      main.getAs[String]("rses") == "rseA, rseB")
+  }
+
   // ---- Condor fixtures ----
   private def condorRow(jobId: String, status: String, site: String,
       cpuHr: Double, coreHr: Double, user: String, tpe: String,
@@ -396,5 +461,123 @@ class JobsSpec extends AnyFunSuite {
     assert(r.getString(0) == "taskA" && r.getString(1) == "siteX")
     assert(r.getDouble(2) == 80.0) // 16 / (10*2) — dup + failure dropped
     assert(r.getLong(3) == 1)
+  }
+
+  // ---- PhEDEx fixtures ----
+
+  test("phedex siteSnapshot: tape-endpoint filter, block roll-up, " +
+    "UTC replica date") {
+    val phedex = Seq(
+      (1704103200.0, "/PrimA/Proc-v1/RAW", "T1_US_FNAL_Disk", 100L,
+        1493161200.0, 5),
+      (1704103200.0, "/PrimA/Proc-v1/RAW", "T1_US_FNAL_Disk", 200L,
+        1493161200.0, 5),
+      (1704103200.0, "/PrimA/Proc-v1/RAW", "T1_US_FNAL_MSS", 999L,
+        1493161200.0, 5),
+      (1704103200.0, "/PrimA/Proc-v1/RAW", "T0_CH_CERN_Export", 1L,
+        1493161200.0, 5))
+      .toDF("now_sec", "dataset_name", "node_name", "block_bytes",
+        "replica_time_create", "br_user_group_id")
+    val got = PhedexJobs.siteSnapshot(phedex).collect()
+    assert(got.length == 1) // _MSS and _Export dropped, blocks summed
+    val r = got(0)
+    // date derived from the dump's own now_sec (2024-01-01 UTC)
+    assert(r.getAs[String]("date") == "20240101")
+    assert(r.getAs[String]("site") == "T1_US_FNAL_Disk")
+    assert(r.getAs[Long]("size") == 300L)
+    assert(r.getAs[String]("replica_date") == "20170425")
+    assert(r.getAs[Long]("groupid") == 5L)
+    // explicit --date overrides the derived day (phedex.py:70)
+    assert(PhedexJobs.siteSnapshot(phedex, Some("20240107"))
+      .head().getAs[String]("date") == "20240107")
+  }
+
+  test("mergeSnapshots reproduces the Go day-fold, intra-day roll-up " +
+    "and gid adoption") {
+    // day totals 10,20,30,40 — the mergePhedex.go trace gives
+    // ave = ((2*10+20)/3*3+30)/4*... = 21, max day total 40
+    val rows = Seq(
+      (20240101L, "S", "/D", 4L, 20231201L, Some(7L)),
+      (20240101L, "S", "/D", 6L, 20231201L, None), // same-day split + null gid
+      (20240102L, "S", "/D", 20L, 20231201L, Some(7L)),
+      (20240103L, "S", "/D", 30L, 20231201L, None),
+      (20240104L, "S", "/D", 40L, 20231201L, Some(7L)),
+      // second key: single day, no valid gid anywhere → gid -1, ave = total
+      (20240102L, "S", "/E", 55L, 20231215L, None))
+      .toDF("date", "site", "dataset", "size", "replica_date", "groupid")
+    val got = PhedexJobs.mergeSnapshots(rows).orderBy("dataset").collect()
+    assert(got.length == 2)
+    val d = got(0)
+    assert(d.getAs[String]("dataset") == "/D" &&
+      d.getAs[Long]("gid") == 7L) // null gids adopted the valid 7
+    assert(d.getAs[Long]("min_date") == 20240101L &&
+      d.getAs[Long]("max_date") == 20240104L)
+    assert(d.getAs[Long]("days") == 4L)
+    assert(d.getAs[Long]("max_size") == 40L)
+    assert(d.getAs[Long]("ave_size") == 21L) // Go recurrence, int div
+    val e = got(1)
+    assert(e.getAs[Long]("gid") == -1L && e.getAs[Long]("days") == 1L &&
+      e.getAs[Long]("ave_size") == 55L && e.getAs[Long]("max_size") == 55L)
+  }
+
+  test("phedex snapshotAgg: per-(site,dataset,size) extremes + " +
+    "days_present span") {
+    val rows = Seq(
+      (20240101L, "S", "/D", 100L, 20231230L, Some(1L)),
+      (20240103L, "S", "/D", 100L, 20231231L, Some(1L)),
+      (20240102L, "S", "/D", 999L, 20231230L, Some(1L)))
+      .toDF("date", "site", "dataset", "size", "replica_date", "groupid")
+    val got = PhedexJobs.snapshotAgg(rows).orderBy("size").collect()
+    assert(got.length == 2) // size participates in the key (phedex_agg.py:83)
+    val r = got(0)
+    assert(r.getAs[Long]("min_date") == 20240101L &&
+      r.getAs[Long]("max_date") == 20240103L)
+    assert(r.getAs[Long]("min_rdate") == 20231230L &&
+      r.getAs[Long]("max_rdate") == 20231231L)
+    // span = 2023-12-30 .. 2024-01-03 = 4 days (days_present semantics)
+    assert(r.getAs[Int]("days") == 4)
+  }
+
+  test("dbsPhedex: 5-way DBS join, VALID filter, release chain, " +
+    "phedex enrich, dataset split") {
+    val ddf = Seq(
+      (1L, "/PrimA/Proc-v1/RAW", 1.0e9, 1, 1, 10, 20),
+      (2L, "/PrimB/Proc-v2/AOD", 2.0e9, 1, 2, 10, 20), // DELETED → dropped
+      (3L, "/PrimC/Proc-v3/AOD", 3.0e9, 0, 1, 10, 20)) // invalid → dropped
+      .toDF("d_dataset_id", "d_dataset", "d_creation_date",
+        "d_is_dataset_valid", "d_dataset_access_type_id",
+        "d_acquisition_era_id", "d_processing_era_id")
+    val fdf = Seq((1L, 100L, 1.0e6), (1L, 200L, 2.0e6), (2L, 5L, 9.0),
+      (3L, 5L, 9.0))
+      .toDF("f_dataset_id", "f_event_count", "f_file_size")
+    val daf = Seq((1, "VALID"), (2, "DELETED"))
+      .toDF("dataset_access_type_id", "dataset_access_type")
+    val aef = Seq((10, "Run2024A"))
+      .toDF("acquisition_era_id", "acquisition_era_name")
+    val pef = Seq((20, 7.0)).toDF("processing_era_id", "processing_version")
+    val mcf = Seq((1L, 30L), (2L, 30L), (3L, 30L))
+      .toDF("mc_dataset_id", "mc_output_mod_config_id")
+    val ocf = Seq((30L, 40L))
+      .toDF("oc_output_mod_config_id", "oc_release_version_id")
+    val rvf = Seq((40L, "CMSSW_14_0_0"))
+      .toDF("r_release_version_id", "r_release_version")
+    val phedex = Seq(
+      ("T1_US_FNAL_Disk", "/PrimA/Proc-v1/RAW", "y", 100L, 1493161200.0),
+      ("T1_US_FNAL_Disk", "/PrimA/Proc-v1/RAW", "y", 50L, 1493171200.0))
+      .toDF("node_name", "dataset_name", "dataset_is_open", "block_bytes",
+        "replica_time_create")
+    val got = PhedexJobs.dbsPhedex(ddf, fdf, daf, aef, pef, mcf, ocf,
+      rvf, phedex).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[Long]("evts") == 300L)
+    assert(r.getAs[Double]("size") == 3.0e6)
+    assert(r.getAs[String]("r_release_version") == "CMSSW_14_0_0")
+    assert(r.getAs[String]("node_name") == "T1_US_FNAL_Disk")
+    assert(r.getAs[Long]("pbr_size") == 150L)
+    assert(r.getAs[Double]("max_replica_time") == 1493171200.0)
+    assert(r.getAs[String]("primds") == "PrimA" &&
+      r.getAs[String]("procds") == "Proc-v1" &&
+      r.getAs[String]("tier") == "RAW")
   }
 }
