@@ -10,6 +10,16 @@ count exceeds --max-exchanges — a regression tripwire for
 accidentally-added shuffles. q54/q65 are exempt: their plans embed the
 iterative component rounds, so the exchange count varies with
 convergence, not with plan quality.
+
+Also FAILS on any GLOBAL window (WindowExec with no partition spec —
+the "Moving all data to a single partition" warning) whose input
+subtree contains no limit or aggregation: a global window directly
+over fact-sized data single-threads the whole table at scale. The
+three intentional global windows in the repo (heavyHitters' rank
+after limit(topN), cumulative reach over distinct days, range-shard
+prefix over distinct sort values) all sit above a TakeOrdered/
+HashAggregate and pass STRUCTURALLY — no name-based exemptions, so a
+future unbounded one cannot hide behind the warning noise.
 """
 import argparse
 import glob
@@ -20,6 +30,63 @@ import sys
 JOIN_RE = re.compile(
     r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
     r"BroadcastNestedLoopJoin|CartesianProduct)")
+
+# Nodes that provably bound the row count flowing into a global window:
+# a limit caps it outright; a hash/sort aggregate reduces to the
+# grouping-key domain (every intentional global-window site in the repo
+# aggregates on a bounded value domain — days, distinct sort values —
+# or ranks a limit output).
+BOUNDING_NODES = {"TakeOrderedAndProject", "CollectLimit", "GlobalLimit",
+                  "LocalLimit", "HashAggregate", "SortAggregate",
+                  "ObjectHashAggregate"}
+
+TREE_LINE_RE = re.compile(r"^([\s:+|-]*)\*?\(?\d*\)?\s*([A-Za-z]\S*).*\((\d+)\)\s*$")
+
+
+def global_window_ids(text):
+    """Window node ids whose Arguments carry no partition spec."""
+    out = []
+    for m in re.finditer(r"^\((\d+)\) Window\s*$", text, re.M):
+        nid = m.group(1)
+        dm = re.search(r"^\(%s\) Window\n(?:.+\n)*?Arguments: (.+)$" % nid,
+                       text, re.M)
+        if not dm:
+            continue
+        groups = dm.group(1).split("], [")
+        if len(groups) >= 3:
+            continue  # [functions], [partition], [order]
+        if len(groups) == 2 and not re.search(r" (ASC|DESC)\b", groups[1]):
+            continue  # [functions], [partition] (unbounded frame form)
+        out.append(nid)  # [functions], [order] or [functions] → global
+    return out
+
+
+def unbounded_global_windows(text):
+    """Global-window node ids with no limit/aggregate beneath them."""
+    bad = []
+    want = set(global_window_ids(text))
+    if not want:
+        return bad
+    # parse every plan-tree block (main plan + subquery trees)
+    nodes = []  # (line_no, indent, first_token, id)
+    for i, line in enumerate(text.splitlines()):
+        tm = TREE_LINE_RE.match(line)
+        if tm and ("+-" in line or ":-" in line or
+                   re.match(r"^\S", line)):
+            nodes.append((i, len(tm.group(1)), tm.group(2), tm.group(3)))
+    for idx, (_, indent, tok, nid) in enumerate(nodes):
+        if tok != "Window" or nid not in want:
+            continue
+        bounded = False
+        for _, ind2, tok2, _ in nodes[idx + 1:]:
+            if ind2 <= indent:
+                break  # left the window's subtree
+            if tok2 in BOUNDING_NODES:
+                bounded = True
+                break
+        if not bounded:
+            bad.append(nid)
+    return bad
 
 
 def main():
@@ -55,6 +122,10 @@ def main():
             failures.append(name)
         if n_exch > args.max_exchanges and name not in exempt:
             flags.append(f"EXCHANGES>{args.max_exchanges}")
+            failures.append(name)
+        unbounded = unbounded_global_windows(text)
+        if unbounded:
+            flags.append("UNBOUNDED-GLOBAL-WINDOW:" + ",".join(unbounded))
             failures.append(name)
         rows.append((name, n_exch, ",".join(joins) or "-",
                      "y" if pushed else "-", " ".join(flags)))
