@@ -125,4 +125,145 @@ object Transports {
     }
     override def close(): Unit = sink.close()
   }
+
+  /** OpenSearch index lifecycle (osearch/osearch.py:103-147): dated
+    * index names rotated off an index template plus the
+    * create-with-mapping request emitted when the index does not
+    * exist yet ("happens in the first batch of the month, ideally"). */
+  object OpenSearchIndex {
+
+    /** `template` → `template[-YYYY[-MM[-DD]]]` by rotation mode
+      * (get_or_create_index, osearch.py:116-137): "Y"/"M"/"D" add UTC
+      * date parts of `epochSec`, anything else uses the bare template
+      * as a single index. */
+    def dated(template: String, epochSec: Long, mod: String): String = {
+      val fmt = mod.toUpperCase match {
+        case "Y" => "yyyy"
+        case "M" => "yyyy-MM"
+        case "D" => "yyyy-MM-dd"
+        case _ => return template
+      }
+      val d = java.time.format.DateTimeFormatter.ofPattern(fmt)
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochSecond(epochSec))
+      s"$template-$d"
+    }
+
+    /** `PUT /<idx>` carrying the mapping+settings JSON — the
+      * indices.create call of make_mapping (osearch.py:103-115). */
+    def createRequest(idx: String, mappingAndSettingsJson: String): String =
+      s"PUT /$idx\ncontent-type: application/json\n\n" +
+        mappingAndSettingsJson + "\n"
+
+    /** `GET /<idx>` — the existence probe of get_or_create_index. */
+    def getRequest(idx: String): String = s"GET /$idx\n"
+  }
+
+  /** OpenSearch transport with index rotation: documents go to the
+    * dated index for `epochSec`, and the first send through a given
+    * index name emits the create-with-mapping request if the `exists`
+    * probe says the index is missing (the reference performs the probe
+    * as a GET against the cluster; CI injects a predicate). One
+    * create per transport instance per index — executor-parallel
+    * pushes may race the create exactly as the reference's
+    * `ignore=400` tolerates: the request is idempotent. */
+  final class RotatingOpenSearchTransport(template: String, mod: String,
+      mappingAndSettingsJson: String, epochSec: Long,
+      exists: String => Boolean, sink: ByteSink)
+      extends DocSink.Transport {
+    @transient private var ensured: Set[String] = Set.empty
+    override def send(docs: Seq[String]): Unit = {
+      val idx = OpenSearchIndex.dated(template, epochSec, mod)
+      if (ensured == null) ensured = Set.empty
+      if (!ensured.contains(idx)) {
+        if (!exists(idx))
+          sink.write(OpenSearchIndex
+            .createRequest(idx, mappingAndSettingsJson)
+            .getBytes(StandardCharsets.UTF_8))
+        ensured += idx
+      }
+      val req =
+        s"POST /$idx/_bulk\ncontent-type: application/x-ndjson\n\n" +
+          OpenSearchBulk.body(docs)
+      sink.write(req.getBytes(StandardCharsets.UTF_8))
+    }
+    override def close(): Unit = sink.close()
+  }
+
+  /** Blocking single-frame reader for the client side of the STOMP
+    * conversation: bytes up to the NUL frame terminator, decoded
+    * UTF-8; EOL (heart-beat) bytes between frames are skipped. Returns
+    * None on a cleanly closed stream. */
+  object StompWire {
+    def readFrame(in: java.io.InputStream): Option[String] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      var b = in.read()
+      while (b == '\n' || b == '\r') b = in.read() // inter-frame EOLs
+      if (b < 0) return None
+      while (b > 0) { // NUL terminates the frame; -1 = peer closed
+        buf.write(b)
+        b = in.read()
+      }
+      Some(new String(buf.toByteArray, StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Socket-backed STOMP client with the connection lifecycle the
+    * byte-exact [[StompTransport]] leaves to the caller
+    * (cern_monit.py:38-63 via StompAMQ: connect → CONNECTED handshake,
+    * one SEND per document, DISCONNECT with receipt await on close,
+    * reconnect-and-resend once on a broken connection). Constructed on
+    * the driver, connects lazily on the executor — sockets are
+    * @transient, so the transport serializes into foreachPartition
+    * like every other [[DocSink.Transport]]. */
+  final class StompSocketClient(host: String, port: Int, vhost: String,
+      login: String, passcode: String, destination: String)
+      extends DocSink.Transport {
+    @transient private var socket: java.net.Socket = _
+    @transient private var out: java.io.OutputStream = _
+    @transient private var in: java.io.InputStream = _
+
+    private def connect(): Unit = {
+      socket = new java.net.Socket(host, port)
+      out = socket.getOutputStream
+      in = socket.getInputStream
+      out.write(Stomp.connect(vhost, login, passcode))
+      out.flush()
+      val resp = StompWire.readFrame(in).getOrElse(
+        sys.error("broker closed during CONNECT handshake"))
+      if (!resp.startsWith("CONNECTED"))
+        sys.error(s"STOMP handshake refused: ${resp.linesIterator.next()}")
+    }
+
+    private def reconnect(): Unit = {
+      try if (socket != null) socket.close() catch { case _: Exception => }
+      socket = null
+      connect()
+    }
+
+    override def send(docs: Seq[String]): Unit = {
+      if (socket == null) connect()
+      docs.foreach { d =>
+        val frame = Stomp.send(destination, d)
+        try { out.write(frame); out.flush() }
+        catch { case _: java.io.IOException =>
+          // one reconnect-and-resend: at-least-once, like the
+          // reference's StompAMQ reconnect (consumers dedup on doc ids)
+          reconnect()
+          out.write(frame); out.flush()
+        }
+      }
+    }
+
+    override def close(): Unit = if (socket != null) {
+      try {
+        out.write(Stomp.disconnect("graft-close"))
+        out.flush()
+        StompWire.readFrame(in) match {
+          case Some(r) if r.startsWith("RECEIPT") => () // clean shutdown
+          case other => sys.error(s"no RECEIPT on disconnect: $other")
+        }
+      } finally { socket.close(); socket = null }
+    }
+  }
 }
