@@ -104,6 +104,44 @@ object DbsJobs {
     other.join(dbsDatasets,
         other("dataset") === dbsDatasets("d_dataset"), "left_anti")
 
+  /** Checksum hunt (dbs_adler.py:42-55): datasets ⋈ files on dataset
+    * id, keep files whose adler32 checksum is in the suspect list
+    * (the reference pins 17 corrupted checksums inline; callers pass
+    * theirs), distinct rows out. The IN-list compiles to a pushed-down
+    * scan filter on f_adler32 — the scan never surfaces clean files. */
+  def adlerFiles(datasets: DataFrame, files: DataFrame,
+      adlers: Seq[String]): DataFrame =
+    datasets.select(col("d_dataset_id"), col("d_dataset"))
+      .join(files.select(col("f_dataset_id"), col("f_logical_file_name"),
+        col("f_adler32"))
+        .filter(col("f_adler32").isin(adlers: _*)),
+        col("d_dataset_id") === col("f_dataset_id"))
+      .select(col("d_dataset_id"), col("d_dataset"),
+        col("f_logical_file_name"), col("f_adler32"))
+      .distinct()
+
+  /** The reference's 17 inline suspect checksums (dbs_adler.py:49-50)
+    * — kept as the CLI default so `--job dbs_adler` reproduces the
+    * published run. */
+  val ReferenceAdlers: Seq[String] = Seq(
+    "ad8f6ad2", "9c441343", "f68d5dca", "81c90e2a", "471d2524",
+    "a3c1f077", "6f0018a0", "8bb03b60", "d504882c", "5ede357f",
+    "b05303c3", "716d1776", "7e9cf258", "1945804b", "ec7bc1d7",
+    "12c87747", "94f2aa32")
+
+  /** LFN suffix hunt (dbs_lfn.py:42-56): blocks ⋈ files on block id,
+    * files matching the LIKE pattern (the reference hunts one ROOT
+    * file GUID across all blocks). The leading-wildcard LIKE can't
+    * prune the scan — it IS a full-file-table predicate by design;
+    * the join only sees surviving rows. */
+  def lfnPattern(blocks: DataFrame, files: DataFrame,
+      pattern: String): DataFrame =
+    blocks.select(col("b_block_id"), col("b_block_name"))
+      .join(files.select(col("f_block_id"), col("f_logical_file_name"))
+        .filter(col("f_logical_file_name").like(pattern)),
+        col("b_block_id") === col("f_block_id"))
+      .select(col("b_block_name"), col("f_logical_file_name"))
+
   /** Campaign × site size matrix with top-2 sites per campaign
     * (reports/aggregate_campaigns.py:137-205). The row-UDF top-2
     * pickers (`get_mss`/`get_second_mss`) become a pure-Catalyst

@@ -66,6 +66,17 @@ object JobRunner {
           0L, Long.MaxValue)),
       "rucio_daily" -> (Seq("replicas", "files"),
         (_, in) => RucioJobs.dailyTally(in("replicas"), in("files"))),
+      "dbs_adler" -> (Seq("datasets", "files"),
+        (_, in) => DbsJobs.adlerFiles(in("datasets"), in("files"),
+          DbsJobs.ReferenceAdlers)),
+      "dbs_lfn" -> (Seq("blocks", "files"),
+        (_, in) => DbsJobs.lfnPattern(in("blocks"), in("files"),
+          "%00047DB7-9F77-E011-ADC8-00215E21D9A8.root")),
+      // jm summary CSV/parquet from a prior aggregation run; agg
+      // column pinned to the reference's default report
+      "jm_stats" -> (Seq("jm_summary"),
+        (_, in) => PopularityJobs.jmStats(in("jm_summary"),
+          "JobExecExitCode")),
       // cutoff/minTb pinned wide-open for the CLI form (the reference's
       // defaults live in its cron wrapper); library callers pass real ones
       "rucio_not_read_since" -> (

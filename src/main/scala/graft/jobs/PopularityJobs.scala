@@ -106,6 +106,21 @@ object PopularityJobs {
       "crab", expr("try_cast(WrapCPU AS DOUBLE)"),
       expr("try_cast(WrapWC AS DOUBLE)"))
 
+  /** JobMonitoring site summary (jm_stats.py:32-62): the pandas
+    * per-site groupby-sum report — per (SiteName, aggregate column:
+    * JobExecExitCode / FileType / Type) totals of cpu, exit-code
+    * counts and wall clock. The reference loops sites in pandas and
+    * renders pies; the aggregation itself is one hash aggregate here,
+    * with a total tie-break order so the report is deterministic. */
+  def jmStats(summary: DataFrame, aggCol: String): DataFrame =
+    summary
+      .groupBy(col("SiteName"), col(aggCol))
+      .agg(
+        sum(col("tot_cpu")).as("tot_cpu"),
+        sum(col("ecode_count")).as("ecode_count"),
+        sum(col("tot_wc")).as("tot_wc"))
+      .orderBy(col("SiteName"), col(aggCol))
+
   /** Per-stream aggregate to the shared output schema
     * (data_aggregation.py:81-89): group by the full user/dataset/site
     * key, count accesses, derive the site tier, sum cpu/wall time.

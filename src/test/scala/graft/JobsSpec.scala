@@ -463,6 +463,45 @@ class JobsSpec extends AnyFunSuite {
     assert(r.getLong(3) == 1)
   }
 
+  test("adlerFiles: suspect-checksum IN-list, distinct, 4-col shape") {
+    val ds = Seq((1L, "/PrimA/Proc-v1/RAW")).toDF("d_dataset_id", "d_dataset")
+    val fs = Seq(
+      (1L, "/store/f1", "ad8f6ad2"), (1L, "/store/f1", "ad8f6ad2"), // dup
+      (1L, "/store/f2", "deadbeef"))
+      .toDF("f_dataset_id", "f_logical_file_name", "f_adler32")
+    val got = DbsJobs.adlerFiles(ds, fs, DbsJobs.ReferenceAdlers).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[String]("f_logical_file_name") == "/store/f1" &&
+      got(0).getAs[String]("f_adler32") == "ad8f6ad2")
+  }
+
+  test("lfnPattern: LIKE suffix hunt joined back to block names") {
+    val blocks = Seq((100L, "/P/C/RAW#b1"), (101L, "/P/C/RAW#b2"))
+      .toDF("b_block_id", "b_block_name")
+    val fs = Seq(
+      (100L, "/store/a/00047DB7-9F77-E011-ADC8-00215E21D9A8.root"),
+      (101L, "/store/b/other.root"))
+      .toDF("f_block_id", "f_logical_file_name")
+    val got = DbsJobs.lfnPattern(blocks, fs,
+      "%00047DB7-9F77-E011-ADC8-00215E21D9A8.root").collect()
+    assert(got.length == 1 &&
+      got(0).getAs[String]("b_block_name") == "/P/C/RAW#b1")
+  }
+
+  test("jmStats: per-(site, exit code) sums in report order") {
+    val summary = Seq(
+      ("T1_X", 8021L, 10.0, 2L, 20.0), ("T1_X", 8021L, 5.0, 1L, 10.0),
+      ("T1_X", 0L, 1.0, 7L, 2.0), ("T2_Y", 0L, 3.0, 4L, 6.0))
+      .toDF("SiteName", "JobExecExitCode", "tot_cpu", "ecode_count",
+        "tot_wc")
+    val got = PopularityJobs.jmStats(summary, "JobExecExitCode").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+      r.getLong(3), r.getDouble(4))).toSeq == Seq(
+      ("T1_X", 0L, 1.0, 7L, 2.0),
+      ("T1_X", 8021L, 15.0, 3L, 30.0),
+      ("T2_Y", 0L, 3.0, 4L, 6.0)))
+  }
+
   // ---- PhEDEx fixtures ----
 
   test("phedex siteSnapshot: tape-endpoint filter, block roll-up, " +
