@@ -172,6 +172,20 @@ object JobRunner {
         import s.implicits._
         Seq((in, dest, df.count())).toDF("result", "dest", "n_rows")
       }),
+      // advance a phedex merge-state table by one day's snapshot (the
+      // nightly incremental form of merge_phedex; state is parquet,
+      // the day snapshot csv or parquet like the batch job's input)
+      "merge_phedex_day" -> ((s, o) => {
+        val statePath = o.getOrElse("in-state",
+          sys.error("--in-state required for merge_phedex_day"))
+        val dayPath = o.getOrElse("in-day",
+          sys.error("--in-day required for merge_phedex_day"))
+        val day =
+          if (o.getOrElse("fmt", "parquet") == "csv")
+            IO.csv(s, Schemas.phedexSummaryGid, Seq(dayPath))
+          else s.read.parquet(dayPath)
+        PhedexJobs.mergeDay(s.read.parquet(statePath), day)
+      }),
       // delta between two dated snapshots of the same keyed table
       // (added/removed/changed rows out; see Incremental.snapshotDiff)
       "snapshot_diff" -> ((s, o) => {

@@ -116,10 +116,15 @@ object PhedexJobs {
     * entry per day in the range (≤366 for the reference's yearly
     * runs), so executor memory is bounded by key-cardinality × range
     * days, never by row count. */
-  def mergeSnapshots(summary: DataFrame): DataFrame = {
+  def mergeSnapshots(summary: DataFrame): DataFrame =
+    finalizeMerged(mergeState(summary))
+
+  /** Per-(site, dataset, rdate) adoption of the group's valid gid by
+    * null/-1 rows — see [[mergeSnapshots]]'s gid-normalization note. */
+  private def adoptGids(summary: DataFrame): DataFrame = {
     val gidW = Window.partitionBy(col("site"), col("dataset"),
       col("replica_date"))
-    val gidNorm = summary
+    summary
       .withColumn("gid0", coalesce(col("groupid"), lit(-1L)))
       .withColumn("gid",
         when(col("gid0") === -1L,
@@ -127,7 +132,19 @@ object PhedexJobs {
             max(when(col("gid0") =!= -1L, col("gid0"))).over(gidW),
             lit(-1L)))
           .otherwise(col("gid0")))
-    val daySums = gidNorm
+  }
+
+  /** The Go program's LIVE accumulator per key (mergePhedex.go:131-139
+    * `Value`), built in one batch pass: day bounds, distinct-day
+    * count, max day total, and the three fold registers — running
+    * average `a`, days-at-last-roll `d`, and the latest day's total
+    * `last` (postProcess has NOT been applied). [[finalizeMerged]]
+    * produces the report; [[mergeDay]] advances this state by one new
+    * day without re-reading history — the form a nightly job keeps at
+    * scale instead of refolding a year of snapshots (the Go program
+    * refolds: ~40 min single-threaded per run). */
+  def mergeState(summary: DataFrame): DataFrame = {
+    val daySums = adoptGids(summary)
       .groupBy(col("site"), col("dataset"),
         col("replica_date").as("rdate"), col("gid"), col("date"))
       .agg(sum(col("size")).as("day_size"))
@@ -143,26 +160,145 @@ object PhedexJobs {
       .withColumn("__s", expr("transform(__seq, x -> x.day_size)"))
       // the Go recurrence as a SQL higher-order fold; `div` keeps the
       // reference's int64 truncating division (all sizes are ≥ 0)
-      .withColumn("ave_size", expr(
-        """CASE WHEN size(__s) = 1 THEN element_at(__s, 1) ELSE
-          |  aggregate(
-          |    slice(__s, 2, size(__s) - 1),
-          |    struct(CAST(element_at(__s, 1) AS BIGINT) AS a,
-          |           CAST(1 AS BIGINT) AS d,
-          |           CAST(element_at(__s, 1) AS BIGINT) AS last),
-          |    (acc, e) -> struct(
-          |      CASE WHEN acc.d = 1 THEN acc.last
-          |           ELSE (acc.a * acc.d + acc.last) div (acc.d + 1)
-          |      END AS a,
-          |      acc.d + CAST(1 AS BIGINT) AS d,
-          |      CAST(e AS BIGINT) AS last),
-          |    acc -> CASE WHEN acc.d = 1 THEN acc.last
-          |                ELSE (acc.a * acc.d + acc.last) div (acc.d + 1)
-          |           END)
-          |END""".stripMargin))
+      .withColumn("__st", expr(
+        """aggregate(
+          |  slice(__s, 2, size(__s) - 1),
+          |  struct(CAST(element_at(__s, 1) AS BIGINT) AS a,
+          |         CAST(1 AS BIGINT) AS d,
+          |         CAST(element_at(__s, 1) AS BIGINT) AS last),
+          |  (acc, e) -> struct(
+          |    CASE WHEN acc.d = 1 THEN acc.last
+          |         ELSE (acc.a * acc.d + acc.last) div (acc.d + 1)
+          |    END AS a,
+          |    acc.d + CAST(1 AS BIGINT) AS d,
+          |    CAST(e AS BIGINT) AS last))""".stripMargin))
+      .select(col("site"), col("dataset"), col("rdate"), col("gid"),
+        col("min_date"), col("max_date"), col("days"), col("max_size"),
+        col("__st.a").as("a"), col("__st.d").as("d"),
+        col("__st.last").as("last"))
+  }
+
+  /** postProcess (mergePhedex.go:211-224) over a [[mergeState]] frame:
+    * fold the pending day into the average and emit the report
+    * columns. Pure projection — no shuffle. */
+  def finalizeMerged(state: DataFrame): DataFrame =
+    state
+      .withColumn("ave_size",
+        when(col("d") === 1L, col("last"))
+          .otherwise(expr("(a * d + last) div (d + 1)")))
       .select(col("site"), col("dataset"), col("rdate"), col("gid"),
         col("min_date"), col("max_date"), col("ave_size"),
         col("max_size"), col("days"))
+
+  /** Incremental merge: advance a [[mergeState]] frame by ONE day's
+    * [[siteSnapshot]] output — the nightly-update form of the Go
+    * refold. Per matched key, the Go per-record update
+    * (mergePhedex.go:293-320) collapses to one branch pair:
+    *
+    *  - new day (`date > max_date`): roll the average
+    *    (A' = d==1 ? last : (a·d+last) div (d+1)), d+1, day total
+    *    becomes `last`, bounds/days/max update;
+    *  - same day re-fed (`date == max_date`): the day total
+    *    accumulates into `last` (no roll), max_size tracks the new
+    *    total — byte-identical to the Go's intra-day lastSize growth.
+    *
+    * Gid adoption spans state ∪ day: a day-side -1 adopts the group's
+    * valid gid (state- or day-side); a -1 STATE re-keys onto a valid
+    * gid the day introduces (the Go giddict conversion). When that
+    * re-key collides with an existing valid-gid state, the Go
+    * overwrites by arrival order (printing 'surprising'); here the
+    * row with more accumulated days survives — deterministic, and
+    * identical whenever the collision doesn't happen (it requires the
+    * same key to have accumulated under BOTH gids, which one
+    * sequential pass can't produce).
+    *
+    * Shape: one window over (site, dataset, rdate) on the small
+    * union-of-keys frame + one full-outer join on the state key —
+    * state is the accumulator table (one row per replica), the day is
+    * one snapshot; both shuffle once on the same key. Late days
+    * (`date < max_date`) violate the fold's ordering contract and
+    * fail the run loudly rather than corrupt the average. */
+  def mergeDay(state: DataFrame, daySummary: DataFrame): DataFrame = {
+    val key = Seq("site", "dataset", "rdate", "gid")
+    val daySums = adoptGids(daySummary)
+      .groupBy(col("site"), col("dataset"),
+        col("replica_date").as("rdate"), col("gid"), col("date"))
+      .agg(sum(col("size")).as("day_size"))
+    // cross-side gid adoption: -1 keys (either side) adopt the max
+    // valid gid present in the (site, dataset, rdate) group
+    val tagged = state.select(
+      col("site"), col("dataset"), col("rdate"), col("gid"),
+      struct(col("min_date"), col("max_date"), col("days"),
+        col("max_size"), col("a"), col("d"), col("last")).as("__state"),
+      lit(null).cast("long").as("date"),
+      lit(null).cast("long").as("day_size"))
+      .unionByName(daySums.select(
+        col("site"), col("dataset"), col("rdate"), col("gid"),
+        lit(null).cast("struct<min_date:bigint,max_date:bigint," +
+          "days:bigint,max_size:bigint,a:bigint,d:bigint,last:bigint>")
+          .as("__state"),
+        col("date"), col("day_size")))
+    val groupW = Window.partitionBy(col("site"), col("dataset"),
+      col("rdate"))
+    val adopted = tagged
+      .withColumn("gid",
+        when(col("gid") === -1L,
+          coalesce(max(when(col("gid") =!= -1L, col("gid"))).over(groupW),
+            lit(-1L)))
+          .otherwise(col("gid")))
+    // collapse re-keyed collisions (state rows only; day rows of one
+    // date already collapsed per key by the aggregation above, and a
+    // re-keyed day row merges with the valid-gid day row by summing)
+    val states = adopted.filter(col("__state").isNotNull)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(key.map(col): _*)
+          .orderBy(col("__state.days").desc, col("__state.min_date"))))
+      .filter(col("__rk") === 1)
+      .select(key.map(col) :+ col("__state"): _*)
+    val days = adopted.filter(col("day_size").isNotNull)
+      .groupBy(key.map(col): _*)
+      .agg(max(col("date")).as("date"), sum(col("day_size")).as("day_size"))
+    states.join(days, key, "full")
+      .select(
+        key.map(col) ++ Seq(
+          // least/greatest skip nulls, so absent-today and brand-new
+          // keys fall out of the same expressions
+          least(col("__state.min_date"), col("date")).as("min_date"),
+          greatest(col("__state.max_date"), col("date")).as("max_date"),
+          when(col("date").isNull, col("__state.days")) // key absent today
+            .when(col("__state").isNull, lit(1L))
+            .when(col("date") === col("__state.max_date"),
+              col("__state.days"))
+            .when(col("date") > col("__state.max_date"),
+              col("__state.days") + 1L)
+            .otherwise(raise_error(format_string(
+              "mergeDay: late day %d behind state max_date %d",
+              col("date"), col("__state.max_date")))).as("days"),
+          when(col("date").isNull, col("__state.max_size"))
+            .when(col("__state").isNull, col("day_size"))
+            .when(col("date") === col("__state.max_date"),
+              greatest(col("__state.max_size"),
+                col("__state.last") + col("day_size")))
+            .otherwise(greatest(col("__state.max_size"),
+              col("day_size"))).as("max_size"),
+          when(col("date").isNull, col("__state.a"))
+            .when(col("__state").isNull, col("day_size"))
+            .when(col("date") === col("__state.max_date"),
+              col("__state.a"))
+            .otherwise(when(col("__state.d") === 1L, col("__state.last"))
+              .otherwise(expr(
+                "(__state.a * __state.d + __state.last) div " +
+                  "(__state.d + 1)"))).as("a"),
+          when(col("date").isNull, col("__state.d"))
+            .when(col("__state").isNull, lit(1L))
+            .when(col("date") === col("__state.max_date"),
+              col("__state.d"))
+            .otherwise(col("__state.d") + 1L).as("d"),
+          when(col("date").isNull, col("__state.last"))
+            .when(col("__state").isNull, col("day_size"))
+            .when(col("date") === col("__state.max_date"),
+              col("__state.last") + col("day_size"))
+            .otherwise(col("day_size")).as("last")): _*)
   }
 
   /** DBS × PhEDEx dataset summary (degraded/dbs_phedex.py:44-110):

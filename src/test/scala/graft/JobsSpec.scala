@@ -559,6 +559,51 @@ class JobsSpec extends AnyFunSuite {
       e.getAs[Long]("ave_size") == 55L && e.getAs[Long]("max_size") == 55L)
   }
 
+  test("mergeDay: day-by-day incremental fold == batch refold, " +
+    "incl. cross-day gid re-key and same-day re-feed") {
+    val rows = Seq(
+      (20240101L, "S", "/D", 4L, 1L, Some(7L)),
+      (20240101L, "S", "/D", 6L, 1L, None),
+      (20240102L, "S", "/D", 20L, 1L, Some(7L)),
+      (20240103L, "S", "/D", 30L, 1L, None), // no valid gid TODAY → state's
+      (20240104L, "S", "/D", 40L, 1L, Some(7L)),
+      (20240102L, "S", "/E", 55L, 2L, None), // -1 state until day 3...
+      (20240103L, "S", "/E", 5L, 2L, Some(3L)), // ...re-keys onto gid 3
+      (20240104L, "S", "/E", 2L, 2L, None))
+      .toDF("date", "site", "dataset", "size", "replica_date", "groupid")
+    val dates = rows.select("date").distinct().orderBy("date")
+      .collect().map(_.getLong(0))
+    var state = PhedexJobs.mergeState(rows.limit(0)) // empty bootstrap
+    for (d <- dates)
+      state = PhedexJobs.mergeDay(state, rows.filter(col("date") === d))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("site", "dataset", "rdate", "gid")
+        .collect().map(_.toSeq).toSeq
+    assert(canon(PhedexJobs.finalizeMerged(state)) ==
+      canon(PhedexJobs.mergeSnapshots(rows)))
+
+    // same-day re-feed accumulates into the open day without a roll —
+    // identical to the batch that saw both rows of that day at once
+    val extra = Seq((20240104L, "S", "/D", 10L, 1L, Some(7L)))
+      .toDF("date", "site", "dataset", "size", "replica_date", "groupid")
+    val refed = PhedexJobs.mergeDay(state, extra)
+    assert(canon(PhedexJobs.finalizeMerged(refed)) ==
+      canon(PhedexJobs.mergeSnapshots(rows.unionByName(extra))))
+    val dRow = PhedexJobs.finalizeMerged(refed)
+      .filter(col("dataset") === "/D").head()
+    assert(dRow.getAs[Long]("days") == 4L) // day 4 stayed one day
+    assert(dRow.getAs[Long]("max_size") == 50L) // 40 + 10 re-fed
+    assert(dRow.getAs[Long]("ave_size") == 23L) // (17*4+50) div 5
+
+    // a day arriving BEHIND the state's max_date fails loudly instead
+    // of silently corrupting the running average
+    val late = Seq((20240102L, "S", "/D", 1L, 1L, Some(7L)))
+      .toDF("date", "site", "dataset", "size", "replica_date", "groupid")
+    intercept[Exception] {
+      PhedexJobs.mergeDay(refed, late).collect()
+    }
+  }
+
   test("phedex snapshotAgg: per-(site,dataset,size) extremes + " +
     "days_present span") {
     val rows = Seq(
