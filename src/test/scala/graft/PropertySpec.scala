@@ -636,4 +636,53 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  /** The mergePhedex.go recurrence in plain Scala, straight off
+    * mergePhedex.go:293-320 + postProcess 211-224 — the independent
+    * reference the SQL higher-order fold is checked against. */
+  private def goFold(daySums: Seq[Long]): Long = {
+    var a = 0L; var d = 1L; var last = daySums.head
+    for (s <- daySums.tail) {
+      a = if (d == 1) last else (a * d + last) / (d + 1)
+      d += 1
+      last = s
+    }
+    if (d == 1) last else (a * d + last) / (d + 1)
+  }
+
+  test("phedex merge fold == plain-Scala Go recurrence on random " +
+    "day sequences, batch and incremental") {
+    import graft.jobs.PhedexJobs
+    val seqs = samples(
+      Gen.choose(1, 9).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0L, 1000000L))), n = 12)
+    // one key per generated sequence, days consecutive from 20240101
+    val rows = seqs.zipWithIndex.flatMap { case (days, k) =>
+      days.zipWithIndex.map { case (s, i) =>
+        (20240101L + i, "S", s"/DS$k", s, 1L, Some(1L))
+      }
+    }
+    val df = rows
+      .toDF("date", "site", "dataset", "size", "replica_date", "groupid")
+    val want = seqs.zipWithIndex.map { case (days, k) =>
+      s"/DS$k" -> goFold(days)
+    }.toMap
+    // batch refold
+    val batch = PhedexJobs.mergeSnapshots(df)
+      .select("dataset", "ave_size", "days").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    seqs.zipWithIndex.foreach { case (days, k) =>
+      assert(batch(s"/DS$k") == ((want(s"/DS$k"), days.size.toLong)),
+        s"batch mismatch for $days")
+    }
+    // incremental day-by-day fold reaches the same state
+    val dates = rows.map(_._1).distinct.sorted
+    var state = PhedexJobs.mergeState(df.limit(0))
+    for (dt <- dates)
+      state = PhedexJobs.mergeDay(state, df.filter(col("date") === dt))
+    val inc = PhedexJobs.finalizeMerged(state)
+      .select("dataset", "ave_size").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(inc == want.map { case (k, v) => k -> v })
+  }
 }
