@@ -578,6 +578,53 @@ object TextOps {
         (col("n_hit") > 0).as("contaminated"))
   }
 
+  /** Bloom-filter decontamination — the sketch form of
+    * [[decontaminate]] for eval suites whose distinct shingle set is
+    * too large to broadcast exactly: at 1% fpp a Bloom filter costs
+    * ~1.2 bytes per eval shingle versus ~16+ for the exact broadcast
+    * relation, so a 100M-shingle benchmark union fits in ~120 MB of
+    * executor memory instead of ~2 GB. The filter is built once over
+    * the (benchmark-sized) eval side with `DataFrameStatFunctions
+    * .bloomFilter`, broadcast, and probed per training shingle in a
+    * narrow map — the 100 TB training side never shuffles for the
+    * probe at all (one exchange fewer than [[decontaminate]]: even
+    * the per-doc re-aggregation disappears because the probe counts
+    * inside the row's shingle array).
+    *
+    * Error contract: NO false negatives (a contaminated doc is always
+    * flagged — the hygiene-critical direction); clean shingles
+    * false-positive at ≈ fpp, so `n_hit` is an upper bound on the
+    * true count and `contaminated` over-flags at most fpp per
+    * shingle. Sketch contents are engine-specific → spec-verified
+    * against the exact operator (q55 rows-only precedent for the
+    * gate).
+    *
+    * The probe is a Scala UDF by necessity, not habit: Spark's
+    * BloomFilterMightContain expression is internal to runtime-filter
+    * planning and not callable; the UDF is a bit-test over a
+    * broadcast array — no codegen boundary matters at that cost. */
+  def bloomDecontaminate(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, fpp: Double = 0.01): DataFrame = {
+    val evalSh = eval
+      .select(explode(array_distinct(transform(shingles(col(textCol)),
+        g => hash60(g)))).as("esh"))
+      .distinct()
+    // two driver-coordinated jobs over the BENCHMARK-sized side only
+    // (count sizes the filter honestly; build aggregates the sketch)
+    val n = math.max(evalSh.count(), 1L)
+    val bloom = evalSh.stat.bloomFilter("esh", n, fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(bloom)
+    val probe = udf((shs: Seq[Long]) =>
+      if (shs == null) 0L else shs.count(bc.value.mightContainLong(_)).toLong)
+    train
+      .select(col(idCol), array_distinct(transform(
+        shingles(col(textCol)), g => hash60(g))).as("arr"))
+      .select(col(idCol),
+        size(col("arr")).cast("long").as("n_shingles"),
+        probe(col("arr")).as("n_hit"))
+      .withColumn("contaminated", col("n_hit") > 0)
+  }
+
   /** Chi-square keyness: the terms that most distinguish a focus
     * corpus from a reference corpus (keyword extraction / domain-drift
     * detection for training mixes). For each term with document

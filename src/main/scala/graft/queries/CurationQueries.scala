@@ -59,6 +59,22 @@ object CurationQueries {
           "doc_id", "text")
       }),
 
+    // Bloom-filter decontamination — q72's scale path for eval suites
+    // too big to broadcast exactly (sketch ≈ 1.2 bytes/shingle at 1%
+    // fpp). Sketch contents are engine-specific → rows-only check
+    // (q55 precedent); the spec proves no-false-negatives against the
+    // exact operator.
+    QueryDef(
+      "q153_decontaminate_bloom",
+      None,
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        TextOps.bloomDecontaminate(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text")
+      }),
+
     // Cross-document duplicate n-gram fraction: the share of each
     // doc's shingles that occur in >1 document corpus-wide — catches
     // boilerplate mass that pairwise near-dup detection cannot.

@@ -41,6 +41,36 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getLong(2) == 0L && !r.getBoolean(3))
   }
 
+  test("bloomDecontaminate: no false negatives vs the exact operator, " +
+    "hit counts bounded above, FP rate near fpp") {
+    // enough distinct clean shingles that a broken filter would show
+    val train = (1L to 120L).map(i =>
+      (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e")).toDF("doc_id", "text")
+    val contaminated = Seq(
+      (500L, "alpha beta gamma delta"), (501L, "one two three"))
+      .toDF("doc_id", "text")
+    val eval = Seq((9L, "alpha beta gamma"), (10L, "one two three"))
+      .toDF("doc_id", "text")
+    val all = train.unionByName(contaminated)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getBoolean(3)))).toMap
+    val exact = toMap(TextOps.decontaminate(all, eval, "doc_id", "text"))
+    val bloom = toMap(
+      TextOps.bloomDecontaminate(all, eval, "doc_id", "text", fpp = 0.01))
+    assert(bloom.keySet == exact.keySet)
+    exact.foreach { case (id, (nsh, nhitExact, contExact)) =>
+      val (nshB, nhitB, contB) = bloom(id)
+      assert(nshB == nsh)
+      assert(nhitB >= nhitExact) // false positives only, never negatives
+      if (contExact) assert(contB) // every true contamination flagged
+    }
+    // at fpp=1% over ~360 clean shingles, expect ≈ 4 spurious hits;
+    // 30 would mean the filter is broken, not unlucky
+    val spurious = exact.keys.map(id => bloom(id)._2 - exact(id)._2).sum
+    assert(spurious <= 30L, s"spurious hits: $spurious")
+  }
+
   // ---- dupNgramFraction ----
 
   test("dup-ngram fraction: 1.0 for clones, 0.0 for unique and short") {
