@@ -73,6 +73,48 @@ object Similarity {
           .as("cos_sim")), k)
   }
 
+  /** Two-stage truncated-dimension search (the Matryoshka / PCA-prefix
+    * pattern): stage 1 scores every corpus row on only the FIRST
+    * `dPrefix` dims and keeps `m` coarse candidates per query; stage 2
+    * reranks exactly those candidates with the full-dimension cosine
+    * and keeps `k`. Fully deterministic — both stages rank on
+    * sequential-fold doubles with the candidate id as tie-break — so
+    * the result is engine-reproducible end to end (unlike recall-based
+    * ANN contracts).
+    *
+    * Scale shape: the corpus-wide work is the stage-1 scan, which
+    * reads `dPrefix/dim` of the vector bytes when the prefix is stored
+    * as its own column (store it that way at 100 TB — parquet column
+    * pruning then skips the full vectors entirely), and the stage-1
+    * window shuffles only (query_id, cand_id, score) narrow rows,
+    * never vectors. Stage 2 touches full vectors for exactly
+    * `#queries × m` rows: the candidate list is broadcast back
+    * against the corpus as a semi-join, so the 100 TB side is scanned
+    * once per stage and never shuffled. */
+  def twoStageTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dPrefix: Int, m: Int, k: Int): DataFrame = {
+    require(m >= k, s"rerank pool m=$m must be >= k=$k")
+    val pre = slice(col(vecCol), 1, dPrefix)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      pre.as("qp"), norm2(pre).as("qpn")))
+    val c = corpus.select(col(idCol).as("cand_id"), pre.as("cp"),
+      norm2(pre).as("cpn"))
+    val coarse = topK(c.join(q, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosineWithNorms(col("qp"), col("cp"), col("qpn"), col("cpn"))
+          .as("cos_sim")), m)
+      .select(col("query_id"), col("cand_id"))
+    val qf = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), norm2(col(vecCol)).as("qn")))
+    val cf = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      norm2(col(vecCol)).as("cn"))
+    topK(cf.join(broadcast(coarse), Seq("cand_id"))
+      .join(qf, Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn"))
+          .as("cos_sim")), k)
+  }
+
   /** IVF-style cell-restricted top-k: candidates share the query's
     * `cellCol` (the coarse quantizer cell — at scale, the partition
     * key of the vector store, so the scan prunes to one cell). */

@@ -320,6 +320,44 @@ object LlmQueries {
           "vec_id", "embedding", 5)
       }),
 
+    // Two-stage truncated-dim search: coarse top-20 on the first 8 of
+    // 64 dims, exact rerank to top-5. Deterministic in both stages
+    // (sequential-fold doubles, cand_id tie-break) → full hash oracle,
+    // unlike recall-contracted ANN.
+    QueryDef(
+      "q154_sim_twostage_topk",
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding v, embedding[1:8] p
+                   FROM embeddings),
+        en AS (SELECT vec_id, v, p,
+                      ${dkDot("p", "p")} AS pn,
+                      ${dkDot("v", "v")} AS nn
+               FROM e),
+        coarse AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 ${dkCos(dkDot("q.p", "c.p"), "q.pn", "c.pn")} AS cos_pre
+          FROM en q JOIN en c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 8),
+        pool AS (SELECT query_id, cand_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_pre DESC, cand_id) AS rk FROM coarse)
+          WHERE rk <= 20),
+        rer AS (
+          SELECT p.query_id, p.cand_id,
+                 ${dkCos(dkDot("q.v", "c.v"), "q.nn", "c.nn")} AS cos_sim
+          FROM pool p
+          JOIN en q ON q.vec_id = p.query_id
+          JOIN en c ON c.vec_id = p.cand_id)
+        SELECT query_id, cand_id, cos_sim, rk FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, cand_id) AS INT) AS rk FROM rer)
+        WHERE rk <= 5"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.twoStageTopK(e.filter(col("vec_id") < 8), e,
+          "vec_id", "embedding", dPrefix = 8, m = 20, k = 5)
+      }),
+
     // IVF-style top-3 restricted to the query's label cell.
     QueryDef(
       "q46_sim_ivf_topk",

@@ -144,6 +144,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(top.forall(_.getLong(1) != 0L))
   }
 
+  test("twoStageTopK: exact when pool spans corpus; prefix prefilter " +
+    "can only drop, never reorder, the reranked top-k") {
+    val rnd = new scala.util.Random(42)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 3)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val brute = key(Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", 4))
+    // m = full corpus → stage 1 drops nothing → identical to brute force
+    val exact = key(Similarity.twoStageTopK(
+      q, vecs, "vec_id", "embedding", dPrefix = 4, m = 40, k = 4))
+    assert(exact == brute)
+    // tight pool: every returned hit still ranks by the FULL cosine,
+    // so any candidate the two-stage shares with brute force must sit
+    // at the same-or-better rank (prefix filtering drops, never swaps)
+    val tight = Similarity.twoStageTopK(
+        q, vecs, "vec_id", "embedding", dPrefix = 4, m = 8, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    val bruteRk = brute.map { case ((qid, rk), cid) => (qid, cid) -> rk }
+    tight.foreach { case ((qid, cid), rk) =>
+      bruteRk.get((qid, cid)).foreach(brk => assert(rk <= brk,
+        s"two-stage rank $rk worse than brute $brk for ($qid,$cid)"))
+    }
+  }
+
   test("lshBucket: same vector same bucket, bounded by 2^nBits") {
     val vecs = Seq(Array.fill(64)(0.5f), Array.fill(64)(0.5f),
       Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)).toDF("v")
