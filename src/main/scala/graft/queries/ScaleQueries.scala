@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.llmops.{DedupClusters, TextOps}
+import graft.llmops.{DedupClusters, Sketches, TextOps}
 import graft.ops.Skew
 
 /** Scale-pattern operators: duplicate-cluster resolution (the tail of
@@ -321,6 +321,48 @@ object ScaleQueries {
                CAST(row_number() OVER (ORDER BY cnt DESC, l_suppkey)
                  AS BIGINT) AS rank
         FROM top"""),
-      (s, d) => Skew.heavyHitters(t(s, d, "lineitem"), "l_suppkey", 20))
+      (s, d) => Skew.heavyHitters(t(s, d, "lineitem"), "l_suppkey", 20)),
+
+    // Count-min sketch term frequencies, probed at the exact top-30
+    // terms. md5-derived bucket hashes make the whole sketch
+    // engine-reproducible, so unlike q55/q153 the ESTIMATE is
+    // hash-oracled cross-engine, and the `dominates` column pins the
+    // no-undercount guarantee in the gate itself. Build aggregates
+    // into a 4x256-cell domain → map-side collapse; the exchange
+    // carries <= 1024 rows per mapper partition however large the
+    // corpus or vocabulary (the scale substitute for q120's exact
+    // vocabulary shuffle).
+    QueryDef(
+      "q155_countmin_freq",
+      Some("""
+        WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+                     FROM documents),
+        hb AS (SELECT term, CAST(i AS INT) AS hrow,
+                      ('0x'||substr(md5(CAST(i AS VARCHAR)||':'||term),
+                        1, 15))::BIGINT % 256 AS bucket
+               FROM tok, range(4) r(i)),
+        sk AS (SELECT hrow, bucket, count(*) AS cnt
+               FROM hb GROUP BY 1, 2),
+        ex AS (SELECT term, count(*) AS exact_n FROM tok GROUP BY 1),
+        top AS (SELECT term, exact_n FROM ex
+                ORDER BY exact_n DESC, term LIMIT 30),
+        pb AS (SELECT t.term, t.exact_n, CAST(i AS INT) AS hrow,
+                      ('0x'||substr(md5(CAST(i AS VARCHAR)||':'||t.term),
+                        1, 15))::BIGINT % 256 AS bucket
+               FROM top t, range(4) r(i))
+        SELECT pb.term, pb.exact_n, min(sk.cnt) AS cms_n,
+               min(sk.cnt) >= pb.exact_n AS dominates
+        FROM pb JOIN sk USING (hrow, bucket)
+        GROUP BY pb.term, pb.exact_n"""),
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("term"))
+        val sketch = Sketches.countMinBuild(toks, "term", d = 4, w = 256)
+        val top = toks.groupBy(col("term"))
+          .agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("term")).limit(30)
+        Sketches.countMinEstimate(top, "term", sketch, d = 4, w = 256)
+          .withColumn("dominates", col("cms_n") >= col("exact_n"))
+      })
   )
 }

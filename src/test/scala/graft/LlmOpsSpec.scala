@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.llmops.{Multimodal, Similarity, TextOps}
+import graft.llmops.{Multimodal, Similarity, Sketches, TextOps}
 
 /** Unit tests for the training-data-pipeline operators: shingling,
   * MinHash/LSH, SimHash, similarity search, text analysis, multimodal
@@ -177,6 +177,31 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(got(0) == got(1))
     assert(got.forall(b => b >= 0 && b < 256))
+  }
+
+  test("count-min sketch: never undercounts, exact when collision-free, " +
+    "bounded size") {
+    val terms = (1 to 50).flatMap(i => Seq.fill(i)(s"t$i")).toDF("term")
+    val sketch = Sketches.countMinBuild(terms, "term", d = 4, w = 256)
+    assert(sketch.count() <= 4L * 256)
+    val probes = (1 to 50).map(i => (s"t$i", i.toLong))
+      .toDF("term", "exact_n")
+    val est = Sketches.countMinEstimate(probes, "term", sketch, 4, 256)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+    est.foreach { case (t, (exact, cms)) =>
+      assert(cms >= exact, s"$t undercounted: $cms < $exact")
+    }
+    // 50 distinct terms into 256 buckets per row, min over 4 rows:
+    // a term overestimates only if it collides in ALL rows — with
+    // these md5 buckets that never happens at this density, so the
+    // estimate is exact (a broken min() or hash would surface here)
+    assert(est.forall { case (_, (exact, cms)) => cms == exact })
+    // unseen terms: min over 4 buckets of residual mass — must not
+    // exceed the heaviest counter, and an all-empty row path gives 0
+    val unseen = Seq(("zzz_never", 0L)).toDF("term", "exact_n")
+    val u = Sketches.countMinEstimate(unseen, "term", sketch, 4, 256)
+      .head().getLong(2)
+    assert(u >= 0L && u <= 50L)
   }
 
   test("langId picks the dominant stopword language") {
