@@ -613,6 +613,65 @@ object CorpusQueries {
           .filter(col("metric_a") < col("metric_b"))
         graft.ops.Aggregates.groupPearson(pairs,
           Seq("metric_a", "metric_b"), "x", "y")
+      }),
+
+    // Zipf profile per source: term frequency at doubling ranks
+    // (1,2,4,...,128) plus vocabulary size, token mass, and top-10
+    // head share. The Zipf exponent falls out as
+    // log2(cnt@r / cnt@2r) between consecutive rows — derived by the
+    // CONSUMER, keeping the engine log-free (libm log diverges across
+    // engines in the last ulp; repo determinism rule). The rank<=128
+    // window plans as WindowGroupLimit, so each source keeps a
+    // 128-row heap per partition instead of sorting its whole
+    // vocabulary; the aggregates are plain map-side-combined sums.
+    QueryDef(
+      "q156_zipf_profile",
+      Some("""
+        WITH tok AS (SELECT source, unnest(string_split(text, ' ')) term
+                     FROM documents),
+        tf AS (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2),
+        rk AS (SELECT source, term, c,
+                      CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY c DESC, term) AS INT) AS rank
+               FROM tf),
+        st AS (SELECT source, count(*) AS n_distinct,
+                      CAST(sum(c) AS BIGINT) AS n_tokens
+               FROM tf GROUP BY 1),
+        h AS (SELECT source, CAST(sum(c) AS BIGINT) AS top10
+              FROM rk WHERE rank <= 10 GROUP BY 1)
+        SELECT rk.source, rank, c AS cnt, st.n_distinct, st.n_tokens,
+               CAST(h.top10 AS DOUBLE) / CAST(st.n_tokens AS DOUBLE)
+                 AS top10_share
+        FROM rk JOIN st USING (source) JOIN h USING (source)
+        WHERE rank IN (1, 2, 4, 8, 16, 32, 64, 128)"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // tf feeds the rank window AND the vocabulary aggregates —
+        // checkpoint it once (q141/q142 shared-relation precedent)
+        // so the tokenize+count subtree isn't inlined per consumer
+        val tf = t(s, d, "documents")
+          .select(col("source"), explode(TextOps.tokens(col("text")))
+            .as("term"))
+          .groupBy(col("source"), col("term"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint(false)
+        val rk = tf.select(col("source"), col("c"),
+          row_number().over(Window.partitionBy(col("source"))
+            .orderBy(col("c").desc, col("term"))).as("rank"))
+          .filter(col("rank") <= 128)
+          .localCheckpoint(false) // <= 128 rows/source, reused twice
+        val st = tf.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_distinct"),
+            sum(col("c")).as("n_tokens"))
+        val h = rk.filter(col("rank") <= 10)
+          .groupBy(col("source")).agg(sum(col("c")).as("top10"))
+        rk.filter(col("rank").isin(1, 2, 4, 8, 16, 32, 64, 128))
+          .join(broadcast(st), Seq("source"))
+          .join(broadcast(h), Seq("source"))
+          .select(col("source"), col("rank"), col("c").as("cnt"),
+            col("n_distinct"), col("n_tokens"),
+            (col("top10").cast("double") / col("n_tokens").cast("double"))
+              .as("top10_share"))
       })
   )
 }
