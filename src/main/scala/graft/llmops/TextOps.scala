@@ -611,15 +611,23 @@ object TextOps {
       .distinct()
     // two driver-coordinated jobs over the BENCHMARK-sized side only
     // (count sizes the filter honestly; build aggregates the sketch)
-    val n = math.max(evalSh.count(), 1L)
+    val n = evalSh.count()
+    val base = train
+      .select(col(idCol), array_distinct(transform(
+        shingles(col(textCol)), g => hash60(g))).as("arr"))
+    if (n == 0L) {
+      // shingle-less eval suite: nothing can be contaminated, and a
+      // zero-item BloomFilter's bit buffer is null (probing it NPEs)
+      return base.select(col(idCol),
+        size(col("arr")).cast("long").as("n_shingles"),
+        lit(0L).as("n_hit"))
+        .withColumn("contaminated", lit(false))
+    }
     val bloom = evalSh.stat.bloomFilter("esh", n, fpp)
     val bc = train.sparkSession.sparkContext.broadcast(bloom)
     val probe = udf((shs: Seq[Long]) =>
       if (shs == null) 0L else shs.count(bc.value.mightContainLong(_)).toLong)
-    train
-      .select(col(idCol), array_distinct(transform(
-        shingles(col(textCol)), g => hash60(g))).as("arr"))
-      .select(col(idCol),
+    base.select(col(idCol),
         size(col("arr")).cast("long").as("n_shingles"),
         probe(col("arr")).as("n_hit"))
       .withColumn("contaminated", col("n_hit") > 0)

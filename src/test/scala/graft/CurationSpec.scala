@@ -71,6 +71,17 @@ class CurationSpec extends AnyFunSuite {
     assert(spurious <= 30L, s"spurious hits: $spurious")
   }
 
+  test("bloomDecontaminate: shingle-less eval suite marks nothing " +
+    "(zero-item BloomFilter would NPE on probe)") {
+    val train = Seq((1L, "a b c d e"), (2L, "x")).toDF("doc_id", "text")
+    val eval = Seq((9L, "ab"), (10L, "")).toDF("doc_id", "text") // < 3 tokens
+    val got = TextOps.bloomDecontaminate(train, eval, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got.length == 2)
+    assert(got.forall(r => r.getLong(2) == 0L && !r.getBoolean(3)))
+    assert(got(0).getLong(1) == 3L && got(1).getLong(1) == 0L)
+  }
+
   // ---- dupNgramFraction ----
 
   test("dup-ngram fraction: 1.0 for clones, 0.0 for unique and short") {
