@@ -44,6 +44,18 @@ object Sketches {
       .groupBy(col("hb.hrow").as("hrow"), col("hb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Additive merge: a CMS is LINEAR in its input — counters of the
+    * union are the sums of counters — so shard- or batch-local
+    * sketches combine exactly (not approximately-on-approximate: the
+    * merged sketch is bit-identical to one built over the union, which
+    * the spec pins). This is what makes the sketch maintainable
+    * incrementally (streaming store) and buildable per-partition at
+    * 100 TB without ever co-shuffling the raw term streams. */
+  def countMinMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("hrow"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** Point-estimate the frequency of each probe term: min over the d
     * rows of the term's bucket counters. Absent buckets count 0 (a term
     * the sketch never saw estimates 0 only if at least one of its

@@ -423,6 +423,47 @@ object Streams {
       }
       .start()
 
+  /** Incrementally maintained count-min sketch store: each micro-batch
+    * builds its own (bounded, ≤ d·w rows) sketch and merges it
+    * ADDITIVELY into the parquet store — CMS linearity means the store
+    * equals the sketch of everything ever streamed, exactly. The
+    * firehose never shuffles beyond its bounded-domain map-side
+    * aggregation; the read-modify-write touches only the tiny sketch.
+    * Swap discipline is toScdStore's rename-aside: a complete store
+    * exists on disk at every instant, and bootstrap tolerates only a
+    * MISSING store (a read failure on an existing one propagates —
+    * silently restarting counters from zero would undercount, the one
+    * error a CMS must never make). */
+  def toCmsStore(stream: DataFrame, termCol: String, d: Int, w: Int,
+      storeDir: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val batchSketch = graft.llmops.Sketches
+            .countMinBuild(batch, termCol, d, w)
+          val storePath = new org.apache.hadoop.fs.Path(storeDir)
+          val prevPath = new org.apache.hadoop.fs.Path(storeDir + "__prev")
+          val hconf = spark.sparkContext.hadoopConfiguration
+          val fs = storePath.getFileSystem(hconf)
+          def readStore(p: org.apache.hadoop.fs.Path): Option[DataFrame] =
+            if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+          val merged = readStore(storePath).orElse(readStore(prevPath))
+            .map(cur => graft.llmops.Sketches.countMinMerge(cur, batchSketch))
+            .getOrElse(batchSketch)
+          val tmp = new org.apache.hadoop.fs.Path(storeDir + "__tmp")
+          merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(prevPath, true)
+          if (fs.exists(storePath)) fs.rename(storePath, prevPath)
+          fs.rename(tmp, storePath)
+          fs.delete(prevPath, true)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming document egress: each micro-batch pushes its rows as
     * JSON documents through a DocSink transport (STOMP frames,
     * OpenSearch bulk bodies, …) from the EXECUTORS — the streaming

@@ -296,6 +296,34 @@ class StreamingSpec extends AnyFunSuite {
       (2L, "added", 0L), (3L, "added", 1L)))
   }
 
+  test("toCmsStore: streamed sketch equals one-shot batch sketch " +
+    "(CMS linearity), survives across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-cms").toString
+    val (store, ckpt) = (s"$dir/store", s"$dir/ckpt")
+    val input = MemoryStream[String]
+    val q = Streams.toCmsStore(input.toDF().toDF("term"),
+      "term", d = 4, w = 64, store, ckpt)
+    val b1 = Seq("a", "a", "b", "c")
+    val b2 = Seq("a", "c", "c", "d")
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val streamed = m(spark.read.parquet(store))
+    val oneShot = m(graft.llmops.Sketches.countMinBuild(
+      (b1 ++ b2).toDF("term"), "term", d = 4, w = 64))
+    assert(streamed == oneShot)
+    // probe through the streamed store: exact at this density
+    val est = graft.llmops.Sketches.countMinEstimate(
+      Seq(("a", 3L), ("c", 3L), ("d", 1L)).toDF("term", "exact_n"),
+      "term", spark.read.parquet(store), 4, 64)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(est == Map("a" -> 3L, "c" -> 3L, "d" -> 1L))
+  }
+
   test("file source streams incrementally and lands in a day store") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream").toString
