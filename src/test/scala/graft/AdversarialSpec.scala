@@ -88,6 +88,34 @@ class AdversarialSpec extends AnyFunSuite {
       .count() >= 1)
     assert(TextOps.prefixJaccardJoin(docs, "doc_id", "text", 0.5)
       .count() >= 0)
+    // round-6 operators: bloom decontamination total on degenerate
+    // docs AND on an eval suite with no shingles at all; CMS build is
+    // empty on an empty term stream, estimate then returns all zeros
+    assert(TextOps.bloomDecontaminate(docs, docs.limit(1), "doc_id",
+      "text").count() == n)
+    assert(TextOps.bloomDecontaminate(docs,
+      docs.filter(col("doc_id") < 0), "doc_id", "text").count() == n)
+    val emptySketch = graft.llmops.Sketches.countMinBuild(
+      docs.filter(col("doc_id") < 0)
+        .select(explode(TextOps.tokens(col("text"))).as("term")),
+      "term", 4, 64)
+    assert(emptySketch.count() == 0)
+    assert(graft.llmops.Sketches.countMinEstimate(
+      Seq("w").toDF("term"), "term", emptySketch, 4, 64)
+      .head().getLong(1) == 0L)
+  }
+
+  test("twoStageTopK tolerates zero-norm prefixes and empty corpora") {
+    // first-4-dims prefix of the zero and axis vectors has zero norm →
+    // stage-1 cosine is 0 by the guard, never an ANSI throw
+    val wide = vecs.withColumn("embedding",
+      concat(col("embedding"), col("embedding")))
+    assert(Similarity.twoStageTopK(wide.filter(col("vec_id") === 0),
+      wide, "vec_id", "embedding", dPrefix = 4, m = 4, k = 2)
+      .count() == 2)
+    assert(Similarity.twoStageTopK(wide.filter(col("vec_id") < 0),
+      wide, "vec_id", "embedding", dPrefix = 4, m = 4, k = 2)
+      .count() == 0)
   }
 
   test("similarity operators tolerate zero/huge/denormal vectors") {
