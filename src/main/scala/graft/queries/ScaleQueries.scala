@@ -363,6 +363,102 @@ object ScaleQueries {
           .orderBy(col("exact_n").desc, col("term")).limit(30)
         Sketches.countMinEstimate(top, "term", sketch, d = 4, w = 256)
           .withColumn("dominates", col("cms_n") >= col("exact_n"))
+      }),
+
+    // Cross-source duplication matrix: which source PAIRS share
+    // near-duplicates, and how many docs are implicated — the report
+    // that decides which feed to drop when two crawls overlap. Rides
+    // the q41 df-capped pair pipeline; sources attach by joining the
+    // (bounded-by-contract) pair set to the corpus, never the corpus
+    // to itself. Pair sources normalize to (least, greatest) so the
+    // matrix is upper-triangular regardless of pair orientation.
+    QueryDef(
+      "q157_cross_source_dups",
+      Some(s"""
+        WITH $dkPairs,
+        ps AS (SELECT p.da, p.db,
+                      least(a.source, b.source) AS src_a,
+                      greatest(a.source, b.source) AS src_b
+               FROM p JOIN documents a ON a.doc_id = p.da
+                      JOIN documents b ON b.doc_id = p.db),
+        np AS (SELECT src_a, src_b, count(*) AS n_pairs
+               FROM ps GROUP BY 1, 2),
+        dd AS (SELECT src_a, src_b, count(DISTINCT d) AS n_dup_docs
+               FROM (SELECT src_a, src_b, da AS d FROM ps
+                     UNION ALL SELECT src_a, src_b, db FROM ps)
+               GROUP BY 1, 2)
+        SELECT np.src_a, np.src_b, np.n_pairs, dd.n_dup_docs
+        FROM np JOIN dd USING (src_a, src_b)"""),
+      (s, d) => {
+        val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+        val ps = jaccardPairs(s, d)
+          .join(src.select(col("doc_id").as("da"),
+            col("source").as("sa")), Seq("da"))
+          .join(src.select(col("doc_id").as("db"),
+            col("source").as("sb")), Seq("db"))
+          .select(col("da"), col("db"),
+            least(col("sa"), col("sb")).as("src_a"),
+            greatest(col("sa"), col("sb")).as("src_b"))
+          .localCheckpoint(false) // feeds both aggregates below
+        val np = ps.groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+        val dd = ps.select(col("src_a"), col("src_b"), col("da").as("d"))
+          .unionByName(ps.select(col("src_a"), col("src_b"),
+            col("db").as("d")))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(countDistinct(col("d")).as("n_dup_docs"))
+        np.join(dd, Seq("src_a", "src_b"))
+      }),
+
+    // Quality-gate survival curve: docs and token mass surviving each
+    // score threshold (0.00, 0.05, ..., 0.95) — the decision table
+    // behind choosing q65's 0.25 gate. Per-doc scoring is the q50/q65
+    // formula (IEEE on identical operands); bucketing floors
+    // score*20, and the cumulative-from-top runs over <= 20
+    // aggregated rows (bounded value domain — the structurally-safe
+    // global window class the plan audit admits).
+    QueryDef(
+      "q158_quality_survival",
+      Some("""
+        WITH q AS (SELECT doc_id,
+                     CAST(len(string_split(text,' ')) AS BIGINT) nt,
+                     CAST(length(replace(text,' ','')) AS BIGINT) nc,
+                     CAST(len(list_filter(string_split(text,' '),
+                       x -> list_contains(['the','a','of','and','to',
+                         'in','is','it'], x))) AS BIGINT) he
+                   FROM documents),
+        scored AS (SELECT doc_id, nt,
+                     CAST(800*he + 6*nt*least(nt,100) + 75*least(nc,8*nt)
+                       AS DOUBLE) / (2000.0*CAST(nt AS DOUBLE)) AS score
+                   FROM q),
+        b AS (SELECT least(CAST(floor(score*20) AS INT), 19) AS bucket,
+                     count(*) AS n, CAST(sum(nt) AS BIGINT) AS tok
+              FROM scored GROUP BY 1)
+        SELECT bucket, CAST(bucket AS DOUBLE)/20.0 AS threshold,
+               CAST(sum(n) OVER (ORDER BY bucket DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS n_docs_surviving,
+               CAST(sum(tok) OVER (ORDER BY bucket DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS tokens_surviving
+        FROM b"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = t(s, d, "documents")
+          .select(col("doc_id") +:
+            size(TextOps.tokens(col("text"))).cast("long").as("nt") +:
+            TextOps.qualityColumns(col("text")): _*)
+        val b = scored
+          .select(least(floor(col("quality_score") * 20).cast("int"),
+            lit(19)).as("bucket"), col("nt"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"), sum(col("nt")).as("tok"))
+        val w = Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        b.select(col("bucket"),
+          (col("bucket").cast("double") / 20.0).as("threshold"),
+          sum(col("n")).over(w).as("n_docs_surviving"),
+          sum(col("tok")).over(w).as("tokens_surviving"))
       })
   )
 }
