@@ -49,7 +49,11 @@ class QueriesSpec extends AnyFunSuite {
     // Hash the full result under different shuffle widths.
     val sensitive = Seq("q37_top2_struct_rank", "q39_first_carry",
       "q60_token_packing", "q22_topk", "q54_dedup_clusters",
-      "q140_dedup_survivors")
+      "q140_dedup_survivors",
+      // round-6: two-stage rerank (rank on cosine), zipf rank cut,
+      // survival cumulative window — all totally ordered by contract
+      "q154_sim_twostage_topk", "q156_zipf_profile",
+      "q158_quality_survival")
     def resultHash(q: String): Int =
       SparkEntry.queries(q)(spark, sf)
         .collect()
