@@ -633,6 +633,52 @@ object TextOps {
       .withColumn("contaminated", col("n_hit") > 0)
   }
 
+  /** Longest common token run per candidate pair — the substring-level
+    * diagnostic behind "deduplicate exact spans, not whole documents"
+    * (cf. training-data dedup at the 50-token granularity): for each
+    * near-dup candidate pair, the length in TOKENS of the longest
+    * contiguous span both docs share. Same-hash shingles of the two
+    * docs join on value; equal-diagonal (pa − pb) matches that sit at
+    * consecutive positions form islands (grp = pa − row_number), and
+    * the longest island + (n−1) is the shared token span.
+    *
+    * Scale shape: every relation is bounded by the CANDIDATE PAIR set
+    * (the caller passes q41/q126-style bounded pairs, so the match
+    * join is |pairs| × shared-shingles, never corpus²); the island
+    * window partitions by (pair, diagonal) — millions of tiny
+    * partitions, the shape window sorts handle best. Repeated
+    * shingles inside a doc produce all alignments, which LCS
+    * requires. */
+  def longestCommonRun(df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      n: Int = 3): DataFrame = {
+    // both the position index (A and B sides of the match join) and
+    // the candidate pairs (whose generating pipeline is itself deep)
+    // feed two consumers — checkpoint each once (q126 docArr
+    // precedent) so the shingle kernel and the pair pipeline are not
+    // inlined per consumer
+    val pos = df.select(col(idCol).as("doc"),
+        posexplode(shingles(col(textCol), n)).as(Seq("p", "g")))
+      .select(col("doc"), col("p"), hash60(col("g")).as("sh"))
+      .localCheckpoint(false)
+    val m = pairs.select(col(aCol).as("da"), col(bCol).as("db"))
+      .localCheckpoint(false)
+      .join(pos.select(col("doc").as("da"), col("p").as("pa"),
+        col("sh")), Seq("da"))
+      .join(pos.select(col("doc").as("db"), col("p").as("pb"),
+        col("sh")), Seq("db", "sh"))
+    m.select(col("da"), col("db"), (col("pa") - col("pb")).as("diag"),
+        col("pa"), (col("pa") - row_number().over(
+          Window.partitionBy(col("da"), col("db"), col("pa") - col("pb"))
+            .orderBy(col("pa")))).as("grp"))
+      .groupBy(col("da"), col("db"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("da"), col("db"))
+      .agg((max(col("run")) + (n - 1)).as("lcs_tokens"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("lcs_tokens"))
+  }
+
   /** Chi-square keyness: the terms that most distinguish a focus
     * corpus from a reference corpus (keyword extraction / domain-drift
     * detection for training mixes). For each term with document

@@ -459,6 +459,37 @@ object ScaleQueries {
           (col("bucket").cast("double") / 20.0).as("threshold"),
           sum(col("n")).over(w).as("n_docs_surviving"),
           sum(col("tok")).over(w).as("tokens_surviving"))
-      })
+      }),
+
+    // Longest common token run per near-dup pair: the substring-level
+    // dedup diagnostic ("dedupe exact spans, not whole docs" — the
+    // 50-token-granularity idea). Equal-shingle matches on the same
+    // diagonal (pa-pb) form islands via grp = pa - row_number; the
+    // longest island + (n-1) is the shared span in tokens. Bounded by
+    // the q41 candidate-pair contract end to end.
+    QueryDef(
+      "q159_pair_lcs",
+      Some(s"""
+        WITH $dkPairs,
+        pos AS (SELECT doc_id, CAST(i AS BIGINT) AS pp,
+                       ('0x'||substr(md5(array_to_string(toks[i:i+2],' ')),
+                         1, 15))::BIGINT AS sh
+                FROM t, unnest(range(1, len(toks)-1)) r(i)
+                WHERE len(toks) >= 3),
+        m AS (SELECT pr.da, pr.db, a.pp AS pa, b.pp AS pb
+              FROM p pr JOIN pos a ON a.doc_id = pr.da
+                        JOIN pos b ON b.doc_id = pr.db AND a.sh = b.sh),
+        i AS (SELECT da, db, pa - pb AS diag, pa,
+                     pa - row_number() OVER (PARTITION BY da, db, pa - pb
+                       ORDER BY pa) AS grp
+              FROM m),
+        r AS (SELECT da, db, count(*) AS run
+              FROM i GROUP BY da, db, diag, grp)
+        SELECT da AS doc_a, db AS doc_b,
+               CAST(max(run) + 2 AS BIGINT) AS lcs_tokens
+        FROM r GROUP BY 1, 2"""),
+      (s, d) =>
+        TextOps.longestCommonRun(t(s, d, "documents"), "doc_id", "text",
+          jaccardPairs(s, d), "da", "db"))
   )
 }

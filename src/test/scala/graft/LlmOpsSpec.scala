@@ -179,6 +179,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.forall(b => b >= 0 && b < 256))
   }
 
+  test("longestCommonRun: exact shared-span length in tokens") {
+    val docs = Seq(
+      (1L, "a b c d e x y z"),       // shares "a b c d e" with 2
+      (2L, "q r a b c d e s t"),
+      (3L, "u v w a b c"),           // shares "a b c" with 1 and 2
+      (4L, "m n o p q1 q2 q3 q4")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))
+      .toDF("da", "db")
+    val got = TextOps.longestCommonRun(docs, "doc_id", "text",
+      pairs, "da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // (1,2): run of 3 consecutive shingles "a b c","b c d","c d e" → 5
+    assert(got((1L, 2L)) == 5L)
+    assert(got((1L, 3L)) == 3L && got((2L, 3L)) == 3L)
+    // no shared shingle at all → pair absent, not zero
+    assert(!got.contains((1L, 4L)))
+    // self-repetition alignment: doc 5 repeats the span; best single
+    // contiguous alignment against doc 6 is still the 4-token span
+    val rep = Seq((5L, "a b c d a b c d"), (6L, "a b c d z z z"))
+      .toDF("doc_id", "text")
+    val g2 = TextOps.longestCommonRun(rep, "doc_id", "text",
+      Seq((5L, 6L)).toDF("da", "db"), "da", "db").head().getLong(2)
+    assert(g2 == 4L)
+  }
+
   test("count-min sketch: never undercounts, exact when collision-free, " +
     "bounded size") {
     val terms = (1 to 50).flatMap(i => Seq.fill(i)(s"t$i")).toDF("term")
