@@ -151,6 +151,28 @@ object Multimodal {
     }
   }
 
+  /** Deterministic evenly-spaced frame sampling: s = min(k, n_frames)
+    * frames per media row, frame j at index ⌊j·n_frames/s⌋ — the
+    * standard keyframe grid. The frame PAYLOAD is a stub fingerprint
+    * (hash60 of "doc:idx") standing in for the codec's decoded frame
+    * bytes — this container ships no image/audio codecs — while the
+    * schema, explode shape, and integer grid are exactly what a real
+    * sampler emits. Scan → narrow map → explode bounded by k; no
+    * shuffle, so at 100 TB the sampler runs at input bandwidth. */
+  def sampleFrames(spark: SparkSession, docs: DataFrame,
+      k: Int): DataFrame =
+    decodeFeatures(packAsMedia(docs)).toDF()
+      .select(col("doc_id"), col("n_frames"),
+        least(lit(k), col("n_frames")).as("s"))
+      .select(col("doc_id"), col("n_frames"), col("s"),
+        explode(sequence(lit(0), col("s") - 1)).as("sample_j"))
+      .select(col("doc_id"), col("n_frames"),
+        col("sample_j").cast("int").as("sample_j"),
+        expr("CAST((sample_j * n_frames) DIV s AS INT)").as("frame_idx"))
+      .withColumn("frame_stub", TextOps.hash60(concat(
+        col("doc_id").cast("string"), lit(":"),
+        col("frame_idx").cast("string"))))
+
   /** Full pipeline: pack → decode → per-source feature aggregate.
     * `source` is carried through the decode, so this is scan → narrow
     * map → one hash aggregation — no join anywhere. */

@@ -517,6 +517,33 @@ object LlmQueries {
                avg(width) AS avg_width,
                max(n_frames) AS max_frames
         FROM f GROUP BY 1, 2"""),
-      (s, d) => Multimodal.featureStats(s, t(s, d, "documents")))
+      (s, d) => Multimodal.featureStats(s, t(s, d, "documents"))),
+
+    // Deterministic keyframe sampling over the multimodal rows: the
+    // evenly-spaced ⌊j·n/s⌋ grid a video pipeline feeds to a vision
+    // encoder. The stub fingerprint stands in for decoded frame bytes
+    // (no codecs in this container); the grid itself is exact integer
+    // math, hash-oracled end to end.
+    QueryDef(
+      "q160_frame_sample",
+      Some("""
+        WITH g AS (SELECT doc_id,
+                          CAST(octet_length(encode(text)) AS BIGINT)
+                            AS n_bytes
+                   FROM documents),
+        f AS (SELECT doc_id, CAST(n_bytes%24 + 1 AS INT) AS n_frames
+              FROM g),
+        s AS (SELECT doc_id, n_frames,
+                     least(4, n_frames) AS ns FROM f),
+        j AS (SELECT doc_id, n_frames, CAST(i AS INT) AS sample_j,
+                     CAST((CAST(i AS INT) * n_frames) // ns AS INT)
+                       AS frame_idx
+              FROM s, unnest(range(ns)) r(i))
+        SELECT doc_id, n_frames, sample_j, frame_idx,
+               ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':'||
+                 CAST(frame_idx AS VARCHAR)), 1, 15))::BIGINT
+                 AS frame_stub
+        FROM j"""),
+      (s, d) => Multimodal.sampleFrames(s, t(s, d, "documents"), 4))
   )
 }

@@ -179,6 +179,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.forall(b => b >= 0 && b < 256))
   }
 
+  test("sampleFrames: min(k, n_frames) frames on the even grid, " +
+    "indices in range, deterministic stub") {
+    val docs = Seq((1L, "x" * 10, "s", 10L), (2L, "y" * 49, "s", 49L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val got = Multimodal.sampleFrames(spark, docs, 4)
+      .orderBy("doc_id", "sample_j").collect()
+    // doc 1: 10 bytes → n_frames = 11, s = 4 → idx 0,2,5,8
+    val d1 = got.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getInt(3)).toSeq == Seq(0, 2, 5, 8))
+    // doc 2: 49 bytes → n_frames = 2, s = 2 → idx 0,1 (k caps at n)
+    val d2 = got.filter(_.getLong(0) == 2L)
+    assert(d2.map(_.getInt(3)).toSeq == Seq(0, 1))
+    got.foreach { r =>
+      assert(r.getInt(3) >= 0 && r.getInt(3) < r.getInt(1))
+      assert(r.getLong(4) >= 0L) // stub fingerprint present
+    }
+  }
+
   test("longestCommonRun: exact shared-span length in tokens") {
     val docs = Seq(
       (1L, "a b c d e x y z"),       // shares "a b c d e" with 2
