@@ -685,4 +685,54 @@ class PropertySpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(inc == want.map { case (k, v) => k -> v })
   }
+
+  test("count-min estimate dominates and bounds exact counts on " +
+    "random corpora") {
+    val corpora = samples(Gen.listOfN(200,
+      Gen.choose(1, 40).map(i => s"w$i")), 4)
+    corpora.foreach { terms =>
+      val df = terms.toDF("term")
+      val sketch = graft.llmops.Sketches.countMinBuild(df, "term", 4, 128)
+      val exact = terms.groupBy(identity).map { case (t, g) =>
+        (t, g.size.toLong)
+      }.toSeq.toDF("term", "exact_n")
+      val est = graft.llmops.Sketches
+        .countMinEstimate(exact, "term", sketch, 4, 128)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      est.foreach { case (t, ex, cms) =>
+        assert(cms >= ex, s"$t undercounted")
+        // min over d rows can never exceed the total stream length
+        assert(cms <= terms.length.toLong)
+      }
+    }
+  }
+
+  test("longestCommonRun = brute-force LCS over random token pairs") {
+    val doc = Gen.listOfN(12, Gen.choose(1, 6).map(i => s"t$i"))
+    val cases = samples(Gen.zip(doc, doc), 12)
+      .filter { case (a, b) => a.size >= 3 && b.size >= 3 }
+    def bruteLcs(a: Seq[String], b: Seq[String]): Int = {
+      var best = 0
+      for (i <- a.indices; j <- b.indices) {
+        var k = 0
+        while (i + k < a.size && j + k < b.size && a(i + k) == b(j + k))
+          k += 1
+        best = math.max(best, k)
+      }
+      best
+    }
+    cases.zipWithIndex.foreach { case ((a, b), idx) =>
+      val docs = Seq((1L, a.mkString(" ")), (2L, b.mkString(" ")))
+        .toDF("doc_id", "text")
+      val got = TextOps.longestCommonRun(docs, "doc_id", "text",
+        Seq((1L, 2L)).toDF("da", "db"), "da", "db")
+        .collect().map(_.getLong(2)).headOption
+      val want = bruteLcs(a, b)
+      if (want >= 3) assert(got.contains(want.toLong),
+        s"case $idx: got $got want $want for\n  $a\n  $b")
+      // spans shorter than one shingle are invisible by construction
+      else assert(got.isEmpty,
+        s"case $idx: pair with max run $want must yield no row")
+    }
+  }
 }
