@@ -1,6 +1,7 @@
 package graft.jobs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit}
 
 import graft.core.{IO, Schemas, Sessions}
 
@@ -245,6 +246,45 @@ object JobRunner {
           sys.error("--key required for heavy_hitters"))
         val topN = o.get("top").map(_.toInt).getOrElse(20)
         graft.ops.Skew.heavyHitters(s.read.parquet(in), key, topN)
+      }),
+      // benchmark decontamination: per-doc eval-shingle hit counts
+      // over a training corpus; --bloom swaps the exact broadcast for
+      // the sketch probe when the eval suite is too big to broadcast
+      // (no false negatives either way — bloom only over-flags ≤ fpp)
+      "decontaminate" -> ((s, o) => {
+        val train = o.getOrElse("in-train",
+          sys.error("--in-train required for decontaminate"))
+        val eval = o.getOrElse("in-eval",
+          sys.error("--in-eval required for decontaminate"))
+        val idCol = o.getOrElse("id-col", "doc_id")
+        val textCol = o.getOrElse("text-col", "text")
+        val (tDf, eDf) = (s.read.parquet(train), s.read.parquet(eval))
+        if (o.contains("bloom"))
+          graft.llmops.TextOps.bloomDecontaminate(tDf, eDf, idCol,
+            textCol, o.get("fpp").map(_.toDouble).getOrElse(0.01))
+        else
+          graft.llmops.TextOps.decontaminate(tDf, eDf, idCol, textCol)
+      }),
+      // near-dup dedup report: cluster-size distribution of the
+      // df-capped n-gram Jaccard candidate graph (the shrink-estimate
+      // a curation run reads before committing to a keep-list)
+      "dedup_report" -> ((s, o) => {
+        val in = o.getOrElse("in-docs",
+          sys.error("--in-docs required for dedup_report"))
+        val idCol = o.getOrElse("id-col", "doc_id")
+        val textCol = o.getOrElse("text-col", "text")
+        val minJac = o.get("min-jac").map(_.toDouble).getOrElse(0.2)
+        val docs = s.read.parquet(in)
+        val pairs = graft.llmops.TextOps.ngramJaccardPairs(docs, idCol,
+            textCol, minJac = minJac)
+          .select(col("doc_a").as("da"), col("doc_b").as("db"))
+        graft.llmops.DedupClusters
+          .keepList(docs, idCol, pairs, "da", "db", maxIters = 100)
+          .groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+          .groupBy(col("csize"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .select(col("csize"), col("n_clusters"),
+            (col("csize") * col("n_clusters")).as("n_docs"))
       }),
       // union length of [start, end) intervals per key — overlaps
       // counted once (sweep line, Events.intervalCoverage)

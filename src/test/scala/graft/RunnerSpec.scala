@@ -235,6 +235,41 @@ class RunnerSpec extends AnyFunSuite {
     assert(hh.toSeq == Seq(("hot", 6L, 0.6, 1L), ("warm", 3L, 0.3, 2L)))
   }
 
+  test("JobRunner: decontaminate lake job, exact and bloom forms agree " +
+    "on flags") {
+    val dir = Files.createTempDirectory("graft-runner-dc").toString
+    val s0 = graft.core.Sessions.local(4, "graft-runner-test")
+    import s0.implicits._
+    Seq((1L, "alpha beta gamma delta"), (2L, "clean words only here"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/train")
+    Seq((9L, "alpha beta gamma")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/eval")
+    def flags(opts: Map[String, String]) =
+      JobRunner.lakeJobs("decontaminate")(s0,
+        Map("in-train" -> s"$dir/train", "in-eval" -> s"$dir/eval")
+          ++ opts)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val exact = flags(Map.empty)
+    assert(exact == Map(1L -> true, 2L -> false))
+    val bloom = flags(Map("bloom" -> "true"))
+    assert(bloom(1L)) // bloom must never miss a true contamination
+  }
+
+  test("JobRunner: dedup_report lake job emits the cluster-size " +
+    "distribution") {
+    val dir = Files.createTempDirectory("graft-runner-dr").toString
+    val s0 = graft.core.Sessions.local(4, "graft-runner-test")
+    import s0.implicits._
+    // 2 exact clones + 1 unique doc → one 2-cluster, one singleton
+    Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    val rep = JobRunner.lakeJobs("dedup_report")(
+      s0, Map("in-docs" -> s"$dir/docs"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(rep == Map(1L -> ((1L, 1L)), 2L -> ((1L, 2L))))
+  }
+
   test("JobRunner: interval_coverage lake job counts overlaps once") {
     val dir = Files.createTempDirectory("graft-runner-iv").toString
     val s0 = graft.core.Sessions.local(4, "graft-runner-test")
