@@ -358,6 +358,77 @@ object LlmQueries {
           "vec_id", "embedding", dPrefix = 8, m = 20, k = 5)
       }),
 
+    // ANN quality report: recall@5 of the two-stage truncated-dim
+    // search against the brute-force ground truth, per query — the
+    // tuning table for choosing (dPrefix, m). Both rankings are
+    // deterministic, so the recall itself is engine-exact; the left
+    // join keeps queries with zero overlap visible at recall 0.
+    QueryDef(
+      "q161_ann_recall",
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding v, embedding[1:8] p
+                   FROM embeddings),
+        en AS (SELECT vec_id, v, p,
+                      ${dkDot("p", "p")} AS pn,
+                      ${dkDot("v", "v")} AS nn
+               FROM e),
+        bscored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 ${dkCos(dkDot("q.v", "c.v"), "q.nn", "c.nn")} AS cs
+          FROM en q JOIN en c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 8),
+        brute AS (SELECT query_id, cand_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cs DESC, cand_id) AS rk FROM bscored)
+          WHERE rk <= 5),
+        coarse AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 ${dkCos(dkDot("q.p", "c.p"), "q.pn", "c.pn")} AS cp
+          FROM en q JOIN en c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 8),
+        pool AS (SELECT query_id, cand_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cp DESC, cand_id) AS rk FROM coarse)
+          WHERE rk <= 20),
+        rer AS (
+          SELECT p.query_id, p.cand_id,
+                 ${dkCos(dkDot("q.v", "c.v"), "q.nn", "c.nn")} AS cs
+          FROM pool p
+          JOIN en q ON q.vec_id = p.query_id
+          JOIN en c ON c.vec_id = p.cand_id),
+        two AS (SELECT query_id, cand_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cs DESC, cand_id) AS rk FROM rer)
+          WHERE rk <= 5),
+        hit AS (SELECT b.query_id, count(t.cand_id) AS n_overlap
+                FROM brute b LEFT JOIN two t
+                  ON t.query_id = b.query_id AND t.cand_id = b.cand_id
+                GROUP BY 1)
+        SELECT query_id, n_overlap,
+               CAST(n_overlap AS DOUBLE) / 5.0 AS recall
+        FROM hit"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+        // each side is a complete operator output of #queries×k rows;
+        // checkpoint them so the comparison join doesn't re-inline
+        // both search pipelines (q65 composition precedent)
+        val brute = Similarity.bruteForceTopK(q, e, "vec_id",
+          "embedding", 5).select(col("query_id"), col("cand_id"))
+          .localCheckpoint(false)
+        val two = Similarity.twoStageTopK(q, e, "vec_id", "embedding",
+          dPrefix = 8, m = 20, k = 5)
+          .select(col("query_id"), col("cand_id").as("tc"))
+          .localCheckpoint(false)
+        brute.join(two,
+            brute("query_id") === two("query_id") &&
+              col("cand_id") === col("tc"), "left")
+          .groupBy(brute("query_id"))
+          .agg(count(col("tc")).as("n_overlap"))
+          .select(col("query_id"), col("n_overlap"),
+            (col("n_overlap").cast("double") / 5.0).as("recall"))
+      }),
+
     // IVF-style top-3 restricted to the query's label cell.
     QueryDef(
       "q46_sim_ivf_topk",
