@@ -36,12 +36,29 @@ object TextOps {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Word n-gram shingles (default 3). Empty array when the document is
-    * shorter than n — `sequence(1,0)` would DESCEND in Spark, so guard. */
+    * shorter than n.
+    *
+    * Built as a zip_with fold over shifted copies of the token array —
+    * NOT as `transform(sequence(...), i => slice(tokens, i, n))`. In
+    * that formulation the lambda body captures the un-bound `split`
+    * expression, and higher-order-function lambdas re-evaluate their
+    * captured subtrees per element (no subexpression elimination
+    * inside the lambda), so each document paid O(tokens) splits ×
+    * O(tokens) elements = O(tokens²) — measured 20× slower on the
+    * corpus shingle kernel. Here each zip_with lambda touches only its
+    * own arguments; `split` is evaluated a constant number of times
+    * per row and the whole kernel is O(tokens · n).
+    *
+    * zip_with pads the shorter (shifted) side with nulls and `concat`
+    * null-propagates, so trailing partial grams become null; the final
+    * slice to size−(n−1) drops exactly those. Tokens are never null
+    * (split output), so concat ≡ concat_ws(" ") here bit-for-bit. */
   def shingles(text: Column, n: Int = 3): Column = {
     val t = tokens(text)
-    when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", slice(t, i, lit(n)))))
+    val grams = (2 to n).foldLeft(t)((acc, k) =>
+      zip_with(acc, slice(t, lit(k), size(t)),
+        (x, y) => concat(x, lit(" "), y)))
+    when(size(t) >= n, slice(grams, lit(1), size(t) - (n - 1)))
       .otherwise(array().cast("array<string>"))
   }
 
@@ -76,10 +93,17 @@ object TextOps {
         shingles(col(textCol)), g => hash60(g))).as("arr"))
       .select(col("doc"), size(col("arr")).as("nsh"),
         explode(col("arr")).as("sh"))
+    // Lazy localCheckpoint: `kept` feeds BOTH sides of the self-join,
+    // and neither ReuseExchange (defeated by AQE's broadcast
+    // conversion at small inputs) nor stage reuse kicks in for the
+    // aliased sides — without it the scan + shingle-md5 + window df
+    // pipeline, the heaviest stage, runs twice. Same executor-loss
+    // tradeoff as Retrieval.bm25TopK (documented there).
     val kept = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("df") <= maxDf)
       .select(col("doc"), col("nsh"), col("sh"))
+      .localCheckpoint(false)
     val a = kept.select(col("doc").as("da"), col("nsh").as("na"), col("sh"))
     val b = kept.select(col("doc").as("db"), col("nsh").as("nb"), col("sh"))
     val agg = a.join(b, Seq("sh"))
@@ -187,10 +211,13 @@ object TextOps {
       .select(col("doc"), size(col("arr")).as("nsh"),
         explode(col("arr")).as("sh"))
       .filter(col("nsh") >= minShingles)
+    // Lazy localCheckpoint: single materialization for the two join
+    // sides — same rationale as ngramJaccardPairs.
     val kept = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("df") <= maxDf)
       .select(col("doc"), col("nsh"), col("sh"))
+      .localCheckpoint(false)
     // The JOIN stays on unordered pairs (da < db — half the rows of a
     // da ≠ db join, and both sides reuse one exchange+sort); `common`
     // is symmetric, only the denominator differs per direction, so the
