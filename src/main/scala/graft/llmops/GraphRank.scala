@@ -1,0 +1,64 @@
+package graft.llmops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative link analysis over an edge table — PageRank without
+  * GraphX: the rank vector is a DataFrame keyed by node, one
+  * shuffle-join per iteration, exactly the shape of
+  * [[DedupClusters]]' label propagation. Used over the near-dup pair
+  * graph to rank CLUSTER CENTERS: inside a duplicate cluster the doc
+  * with the highest stationary probability is the one most connected
+  * to the rest — a principled keep-policy when clusters are dense and
+  * star-shaped (keep the hub, drop the spokes).
+  *
+  * 100 TB shape: edges carry (src, dst, out-degree) and are
+  * materialized once; each iteration is one join edge⋈rank on src and
+  * one aggregation on dst — both shuffles on node id, reusing the same
+  * partitioning, with map-side partial aggregation on the contribution
+  * sums. Nothing is collected to the driver; the node count enters as
+  * a one-row broadcast. Iterations are a fixed unroll (plan depth
+  * `iters`, not a convergence loop), which keeps the whole thing one
+  * deterministic DAG the oracle can mirror CTE-for-CTE.
+  *
+  * Determinism: per-node contribution sums are sequential folds in
+  * src-id order (association-fixed doubles — the bm25TopK precedent),
+  * and all scalar arithmetic is IEEE-exact division/multiplication,
+  * so ranks are bit-reproducible across engines.
+  */
+object GraphRank {
+
+  /** `iters` PageRank iterations over the undirected graph given by
+    * unordered `pairs` (each row one edge; both directions are
+    * generated internally). Every node starts at 1/n; a step is
+    * pr(v) = (1−d)/n + d · Σ_{u~v} pr(u)/deg(u), with the sum folded
+    * in u order. Output: (node, pagerank). */
+  def pageRank(pairs: DataFrame, aCol: String, bCol: String,
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val e = pairs.select(col(aCol).as("s"), col(bCol).as("t"))
+      .unionByName(pairs.select(col(bCol).as("s"), col(aCol).as("t")))
+    val deg = e.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    // edge+degree table feeds every iteration: materialize once
+    // (lazy localCheckpoint — the ngramJaccardPairs rationale; the
+    // upstream here is itself the whole pair-join pipeline)
+    val ew = e.join(deg, "s").localCheckpoint(false)
+    val nn = ew.select(col("s")).distinct().agg(count(lit(1)).as("n"))
+    val reset = 1.0 - damping
+    var p = ew.select(col("s").as("v")).distinct()
+      .crossJoin(broadcast(nn))
+      .select(col("v"), (lit(1.0) / col("n").cast("double")).as("pr"))
+    for (_ <- 1 to iters) {
+      p = ew.join(p, ew("s") === p("v"))
+        .select(col("t"), struct(col("s"),
+          (col("pr") / col("deg").cast("double")).as("p")).as("c"))
+        .groupBy(col("t"))
+        .agg(aggregate(transform(sort_array(collect_list(col("c"))),
+          x => x.getField("p")), lit(0.0), (acc, v) => acc + v).as("sum"))
+        .crossJoin(broadcast(nn))
+        .select(col("t").as("v"),
+          (lit(reset) / col("n").cast("double") +
+            lit(damping) * col("sum")).as("pr"))
+    }
+    p.select(col("v").as("node"), col("pr").as("pagerank"))
+  }
+}

@@ -53,8 +53,12 @@ object TextOps {
     * null-propagates, so trailing partial grams become null; the final
     * slice to size−(n−1) drops exactly those. Tokens are never null
     * (split output), so concat ≡ concat_ws(" ") here bit-for-bit. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val t = tokens(text)
+  def shingles(text: Column, n: Int = 3): Column =
+    arrayShingles(tokens(text), n)
+
+  /** N-gram shingles over ANY string-array column (token arrays,
+    * event-type sequences, …) — the zip_with fold described above. */
+  def arrayShingles(t: Column, n: Int): Column = {
     val grams = (2 to n).foldLeft(t)((acc, k) =>
       zip_with(acc, slice(t, lit(k), size(t)),
         (x, y) => concat(x, lit(" "), y)))

@@ -118,19 +118,30 @@ object Events {
     * sessions with a running sum of flags, then one hash aggregation.
     * One exchange on `key`, WindowExec sorts/spills per key; `tieCol`
     * makes the within-key order total so re-runs hash-match. */
-  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
-      valueCol: String, gap: Long, tieCol: String,
-      ticksPerSecond: Long = 1000000L): DataFrame = {
+  /** The labeling stage of [[sessionize]] on its own: every input row
+    * back, plus a per-key `session` number — for consumers that need
+    * the session MEMBERS (ordered paths, per-session sequences), not
+    * just the aggregate. Same one-exchange window shape. */
+  def sessionLabels(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, gap: Long): DataFrame = {
     val byKey = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col(tieCol))
-    val flagged = events.select(
-      col(keyCol), col(tsCol), col(tieCol), col(valueCol))
+    events
       .withColumn("__new",
         when(col(tsCol) - lag(col(tsCol), 1).over(byKey) <= gap, 0L)
           .otherwise(1L))
-    val numbered = flagged.withColumn("session",
-      sum(col("__new")).over(
-        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("session",
+        sum(col("__new")).over(
+          byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new")
+  }
+
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, gap: Long, tieCol: String,
+      ticksPerSecond: Long = 1000000L): DataFrame = {
+    val numbered = sessionLabels(
+      events.select(col(keyCol), col(tsCol), col(tieCol), col(valueCol)),
+      keyCol, tsCol, tieCol, gap)
     numbered
       .groupBy(col(keyCol), col("session"))
       .agg(

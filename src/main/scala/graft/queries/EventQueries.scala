@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.llmops.TextOps
 import graft.ops.Events
 
 /** Event-stream batch operators over the `events` table: as-of join
@@ -787,6 +788,60 @@ object EventQueries {
         graft.ops.Aggregates.quantilesDisc(gaps, "event_type", "gap",
           "event_id", Seq(("p50", 1, 2), ("p90", 9, 10),
             ("p99", 99, 100)))
+      }),
+
+    // Session path mining: the 20 most frequent length-3 event-type
+    // sequences INSIDE a session (q76's 30-min gap sessions) — the
+    // "what do users actually do" behavioral report. Composes the
+    // sessionize labeling stage with the n-gram shingle kernel over
+    // the per-session ordered event-type array; per-session arrays
+    // are gap-bounded, so collect_list stays small however large the
+    // event log, and the trigram count is an ordinary hash agg.
+    QueryDef(
+      "q165_session_paths",
+      Some("""
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                          event_type
+                   FROM events),
+        f AS (SELECT user_id, event_id, ts_us, event_type,
+                     CASE WHEN ts_us - lag(ts_us) OVER
+                            (PARTITION BY user_id
+                             ORDER BY ts_us, event_id) <= 1800000000
+                          THEN 0 ELSE 1 END AS nf
+              FROM e),
+        n AS (SELECT user_id, event_id, ts_us, event_type,
+                     CAST(sum(nf) OVER (PARTITION BY user_id
+                       ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS session
+              FROM f),
+        sq AS (SELECT user_id, session,
+                      list(event_type ORDER BY ts_us, event_id) AS path
+               FROM n GROUP BY 1, 2),
+        tri AS (SELECT path[i] || ' ' || path[i+1] || ' ' || path[i+2]
+                         AS path3
+                FROM sq, unnest(range(1, len(path) - 1)) r(i)
+                WHERE len(path) >= 3)
+        SELECT path3, count(*) AS n_occurrences
+        FROM tri GROUP BY 1
+        ORDER BY n_occurrences DESC, path3 LIMIT 20"""),
+      (s, d) => {
+        val e = t(s, d, "events").select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"))
+        val labeled = Events.sessionLabels(e, "user_id", "ts_us",
+          "event_id", gap = 1800000000L)
+        val seqs = labeled
+          .groupBy(col("user_id"), col("session"))
+          .agg(transform(sort_array(collect_list(struct(col("ts_us"),
+            col("event_id"), col("event_type")))),
+            x => x.getField("event_type")).as("path"))
+        seqs
+          .select(explode(TextOps.arrayShingles(col("path"), 3))
+            .as("path3"))
+          .groupBy(col("path3"))
+          .agg(count(lit(1)).as("n_occurrences"))
+          .orderBy(col("n_occurrences").desc, col("path3"))
+          .limit(20)
       })
   )
 }

@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.llmops.{Retrieval, Similarity, SparseSim, TextOps}
+
+/** Round-6 retrieval-fusion surface: sparse-vector similarity and
+  * hybrid (lexical ⊕ dense) search — the two retrieval shapes a
+  * training-data pipeline adds on top of plain BM25 (q87) and plain
+  * ANN (q45): TF-IDF cosine pair mining for weighted near-dup
+  * detection, and reciprocal-rank fusion for "more-like-this"
+  * retrieval that is robust to either system's failure modes
+  * (Cormack/Clarke/Buettcher RRF, SIGIR 2009).
+  */
+object RetrievalQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.loadSpread(s, d, n)
+
+  /** DuckDB fragment: IEEE dot product via ordered list fold (the
+    * LlmQueries convention — list_zip preserves element order). */
+  private def dkDot(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), " +
+      s"s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)), (x,y) -> x+y)"
+
+  private def dkCos(dot: String, na: String, nb: String): String =
+    s"(CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 " +
+      s"ELSE $dot / (sqrt($na)*sqrt($nb)) END)"
+
+  private val K1 = 1.2
+  private val B = 0.75
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TF-IDF cosine near-dup pairs over the SHINGLE inverted index:
+    // the WEIGHTED sibling of q41's set Jaccard — rare shared
+    // trigrams dominate the score, corpus-hot shingles (df > 1000)
+    // are excluded (no idf signal AND they are the quadratic join
+    // keys; the cap serves both ends, mirrored in the oracle). All
+    // double sums are shingle-ordered sequential folds. At the 0.3
+    // gate this recovers exactly the planted near-dup pairs at
+    // sf0.01 while candidate pairs stay df-cap bounded.
+    QueryDef(
+      "q162_sparse_cosine_pairs",
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text,' ') toks
+                   FROM documents),
+        sarr AS (SELECT doc_id,
+                   CASE WHEN len(toks) >= 3
+                        THEN list_transform(range(1, len(toks)-1),
+                               i -> array_to_string(toks[i:i+2], ' '))
+                        ELSE []::VARCHAR[] END AS shs
+                 FROM t),
+        tok AS (SELECT doc_id, unnest(shs) AS term FROM sarr),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        w AS (SELECT doc_id, term,
+                CAST(tf.tf * nd.n_docs AS DOUBLE) / dfx.df AS w
+              FROM tf JOIN dfx USING (term) CROSS JOIN nd
+              WHERE dfx.df <= 1000),
+        nrm AS (SELECT doc_id,
+                  sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list(w*w ORDER BY term)), (a, b) -> a + b)) AS nrm
+                FROM w GROUP BY doc_id),
+        num AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list(a.w * b.w ORDER BY a.term)), (x, y) -> x + y)
+                    AS num
+                FROM w a JOIN w b
+                  ON a.term = b.term AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+        SELECT num.da AS doc_a, num.db AS doc_b,
+               num.num / (x.nrm * y.nrm) AS cos_sim
+        FROM num JOIN nrm x ON x.doc_id = num.da
+                 JOIN nrm y ON y.doc_id = num.db
+        WHERE num.num / (x.nrm * y.nrm) >= 0.3"""),
+      (s, d) =>
+        SparseSim.tfidfCosinePairs(t(s, d, "documents"), "doc_id", "text",
+          minCos = 0.3, maxDf = 1000)),
+
+    // Hybrid retrieval with reciprocal-rank fusion: per query doc
+    // (doc_id < 8, the q45 query set), fuse (a) BM25 over its top-3
+    // tf-idf terms ("more-like-this" lexical probe, q57's selection)
+    // with (b) exact dense cosine top-10 (q45), via
+    // rrf = Σ 1/(60+rank). Ranks are ints, the two fractions are
+    // added in fixed order, so fusion is engine-exact end to end.
+    QueryDef(
+      "q163_rrf_hybrid",
+      Some(s"""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+                     FROM documents),
+        tf0 AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfx AS (SELECT term, count(*) AS df FROM tf0 GROUP BY 1),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        qsc AS (SELECT doc_id, term,
+                  CAST(tf0.tf * nd.n_docs AS DOUBLE) / dfx.df AS score
+                FROM tf0 JOIN dfx USING (term) CROSS JOIN nd
+                WHERE tf0.doc_id < 8),
+        qt AS (SELECT doc_id AS query_id, term FROM (
+                 SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, term) AS rk FROM qsc)
+               WHERE rk <= 3),
+        tl AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+        tok2 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                        unnest(toks) AS term
+                 FROM tl),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(CAST(sum(len(toks)) AS BIGINT) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE) AS avgdl
+               FROM tl),
+        m AS (SELECT tok2.* FROM tok2
+              JOIN (SELECT DISTINCT term FROM qt) USING (term)),
+        btf AS (SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf
+                FROM m GROUP BY 1, 2, 3),
+        bdf AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM m GROUP BY 1),
+        sc AS (SELECT qt.query_id, btf.doc_id, btf.term,
+                 (CAST(st.n_docs AS DOUBLE) - CAST(bdf.df AS DOUBLE)
+                    + 0.5)
+                 / (CAST(bdf.df AS DOUBLE) + 0.5)
+                 * (CAST(btf.tf AS DOUBLE) * ${K1 + 1.0})
+                 / (CAST(btf.tf AS DOUBLE) + ${K1} * (${1.0 - B}
+                      + ${B} * CAST(btf.dl AS DOUBLE) / st.avgdl)) AS s
+               FROM btf JOIN bdf USING (term) JOIN qt USING (term)
+               CROSS JOIN st),
+        g AS (SELECT query_id, doc_id,
+                list_reduce(
+                  list_prepend(CAST(0.0 AS DOUBLE),
+                    list(s ORDER BY term)),
+                  (a, b) -> a + b) AS score
+              FROM sc GROUP BY 1, 2),
+        sp AS (SELECT query_id, doc_id, rk FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS rk FROM g)
+               WHERE rk <= 10),
+        e AS (SELECT vec_id, embedding v,
+                     ${dkDot("embedding", "embedding")} AS nn
+              FROM embeddings),
+        dsc AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                       ${dkCos(dkDot("q.v", "c.v"), "q.nn", "c.nn")}
+                         AS cos_sim
+                FROM e q JOIN e c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 8),
+        dn AS (SELECT query_id, cand_id, rk FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, cand_id) AS rk FROM dsc)
+               WHERE rk <= 10),
+        fused AS (SELECT coalesce(sp.query_id, dn.query_id) AS query_id,
+                         coalesce(sp.doc_id, dn.cand_id) AS cand_id,
+                         coalesce(CAST(1.0 AS DOUBLE)/(60 + sp.rk),
+                           CAST(0.0 AS DOUBLE))
+                         + coalesce(CAST(1.0 AS DOUBLE)/(60 + dn.rk),
+                           CAST(0.0 AS DOUBLE)) AS rrf
+                  FROM sp FULL OUTER JOIN dn
+                    ON sp.query_id = dn.query_id
+                   AND sp.doc_id = dn.cand_id)
+        SELECT query_id, cand_id, rrf, rk FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf DESC, cand_id) AS INT) AS rk
+          FROM fused WHERE cand_id <> query_id)
+        WHERE rk <= 5"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        // query-term selection: q57's exact top-3 tf-idf expression,
+        // restricted to the 8 query docs AFTER the corpus-wide df
+        // window (at 100 TB the df table would be precomputed; the
+        // per-query tail is 8 rows either way)
+        val tf = docs
+          .select(col("doc_id"), explode(TextOps.tokens(col("text")))
+            .as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val withDf = tf.withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("term"))))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = withDf.filter(col("doc_id") < 8)
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("term"),
+            ((col("tf") * col("n_docs")).cast("double") / col("df"))
+              .as("score"))
+        val wq = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        val qt = scored
+          .select(col("doc_id").as("query_id"), col("term"),
+            row_number().over(wq).as("rk"))
+          .filter(col("rk") <= 3)
+          .select(col("query_id"), col("term"))
+        val sparse = Retrieval.bm25TopK(docs, qt, "doc_id", "text",
+          "query_id", "term", k1 = K1, b = B, k = 10)
+          .select(col("query_id"), col("doc_id").as("cand_id"),
+            col("rk").as("rk_s"))
+        val emb = t(s, d, "embeddings")
+        val dense = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 10)
+          .select(col("query_id"), col("cand_id"), col("rk").as("rk_d"))
+        val fused = sparse
+          .join(dense, Seq("query_id", "cand_id"), "full_outer")
+          .filter(col("cand_id") =!= col("query_id"))
+          .select(col("query_id"), col("cand_id"),
+            (coalesce(lit(1.0) / (col("rk_s") + lit(60)).cast("double"),
+              lit(0.0)) +
+              coalesce(lit(1.0) / (col("rk_d") + lit(60)).cast("double"),
+                lit(0.0))).as("rrf"))
+        val wf = Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("cand_id"))
+        fused
+          .select(col("query_id"), col("cand_id"), col("rrf"),
+            row_number().over(wf).as("rk"))
+          .filter(col("rk") <= 5)
+      })
+  )
+}

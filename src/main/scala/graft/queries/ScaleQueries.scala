@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.llmops.{DedupClusters, Sketches, TextOps}
+import graft.llmops.{DedupClusters, GraphRank, Sketches, TextOps}
 import graft.ops.Skew
 
 /** Scale-pattern operators: duplicate-cluster resolution (the tail of
@@ -490,6 +490,57 @@ object ScaleQueries {
         FROM r GROUP BY 1, 2"""),
       (s, d) =>
         TextOps.longestCommonRun(t(s, d, "documents"), "doc_id", "text",
-          jaccardPairs(s, d), "da", "db"))
+          jaccardPairs(s, d), "da", "db")),
+
+    // PageRank (3 fixed iterations, d = 0.85) over the near-dup pair
+    // graph: ranks cluster HUBS — the doc most connected to the rest
+    // of its duplicate cluster, a principled keep-policy for dense
+    // star-shaped clusters. One join + one fold-aggregation per
+    // iteration (GraphRank scaladoc for the 100 TB budget); every
+    // double sum is a src-ordered sequential fold, every scalar op
+    // IEEE-exact, so three unrolled CTE layers reproduce Spark's
+    // ranks bit-for-bit.
+    QueryDef(
+      "q164_pair_pagerank",
+      Some(s"""
+        WITH $dkPairs,
+        e AS (SELECT da AS s, db AS t FROM p
+              UNION ALL SELECT db, da FROM p),
+        deg AS (SELECT s, count(*) AS deg FROM e GROUP BY 1),
+        nn AS (SELECT count(DISTINCT s) AS n FROM e),
+        r0 AS (SELECT DISTINCT s AS v,
+                      CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS pr
+               FROM e CROSS JOIN nn),
+        r1 AS (SELECT e.t AS v,
+                 CAST(${1.0 - 0.85} AS DOUBLE) / CAST(nn.n AS DOUBLE)
+                 + CAST(0.85 AS DOUBLE) * list_reduce(
+                     list_prepend(CAST(0.0 AS DOUBLE),
+                       list(r0.pr / CAST(deg.deg AS DOUBLE)
+                            ORDER BY e.s)), (a, b) -> a + b) AS pr
+               FROM e JOIN deg USING (s) JOIN r0 ON r0.v = e.s
+               CROSS JOIN nn
+               GROUP BY e.t, nn.n),
+        r2 AS (SELECT e.t AS v,
+                 CAST(${1.0 - 0.85} AS DOUBLE) / CAST(nn.n AS DOUBLE)
+                 + CAST(0.85 AS DOUBLE) * list_reduce(
+                     list_prepend(CAST(0.0 AS DOUBLE),
+                       list(r1.pr / CAST(deg.deg AS DOUBLE)
+                            ORDER BY e.s)), (a, b) -> a + b) AS pr
+               FROM e JOIN deg USING (s) JOIN r1 ON r1.v = e.s
+               CROSS JOIN nn
+               GROUP BY e.t, nn.n),
+        r3 AS (SELECT e.t AS v,
+                 CAST(${1.0 - 0.85} AS DOUBLE) / CAST(nn.n AS DOUBLE)
+                 + CAST(0.85 AS DOUBLE) * list_reduce(
+                     list_prepend(CAST(0.0 AS DOUBLE),
+                       list(r2.pr / CAST(deg.deg AS DOUBLE)
+                            ORDER BY e.s)), (a, b) -> a + b) AS pr
+               FROM e JOIN deg USING (s) JOIN r2 ON r2.v = e.s
+               CROSS JOIN nn
+               GROUP BY e.t, nn.n)
+        SELECT v AS node, pr AS pagerank FROM r3"""),
+      (s, d) =>
+        GraphRank.pageRank(jaccardPairs(s, d), "da", "db",
+          iters = 3, damping = 0.85))
   )
 }

@@ -678,4 +678,55 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got("burst") == Some(4.5))
     assert(got("zero") == None)
   }
+
+  test("arrayShingles: generic arrays, matches shingles on tokens") {
+    val df = Seq("a b c d e", "x y", "").toDF("text")
+    val both = df.select(
+      TextOps.shingles($"text", 2).as("s"),
+      TextOps.arrayShingles(TextOps.tokens($"text"), 2).as("a"))
+      .collect()
+    both.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    val bi = both(0).getSeq[String](0)
+    assert(bi == Seq("a b", "b c", "c d", "d e"))
+  }
+
+  test("tfidfCosinePairs: clones hit cos 1, disjoint docs absent") {
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "w1 w2 w3 w4 w5 w6"), // exact clone of 1
+      (3L, "z1 z2 z3 z4 z5 z6"), // disjoint vocabulary
+      (4L, "w1 w2 w3 q4 q5 q6")) // shares a prefix shingle with 1/2
+      .toDF("doc_id", "text")
+    val got = graft.llmops.SparseSim
+      .tfidfCosinePairs(df, "doc_id", "text", minCos = 0.0, maxDf = 100)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(got((1L, 2L)) - 1.0) < 1e-12)
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // partial overlap scores strictly between 0 and the clone pair
+    assert(got((1L, 4L)) > 0.0 && got((1L, 4L)) < 0.99)
+    // symmetry of the construction: (2,4) must equal (1,4) exactly
+    assert(got((2L, 4L)) == got((1L, 4L)))
+  }
+
+  test("pageRank: ranks sum to 1, hub of a star outranks leaves") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+      .toDF("da", "db")
+    val pr = graft.llmops.GraphRank.pageRank(pairs, "da", "db",
+      iters = 3, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+    assert(pr(1L) > pr(2L) * 2)
+    // leaves are symmetric — identical ranks, bit for bit
+    assert(pr(2L) == pr(3L) && pr(3L) == pr(4L) && pr(4L) == pr(5L))
+  }
+
+  test("pageRank: two disjoint edges stay uniform at 1/n") {
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("da", "db")
+    val pr = graft.llmops.GraphRank.pageRank(pairs, "da", "db",
+      iters = 3, damping = 0.85)
+      .collect().map(r => r.getDouble(1))
+    assert(pr.length == 4)
+    pr.foreach(v => assert(math.abs(v - 0.25) < 1e-12))
+  }
 }
