@@ -46,15 +46,17 @@ object SparseSim {
     val withDf = tf.withColumn("df",
       count(lit(1)).over(Window.partitionBy(col("term"))))
     val n = df.agg(count(lit(1)).as("n_docs"))
-    // weights feed THREE consumers (norms + both self-join sides):
-    // materialize once — same rationale as ngramJaccardPairs
+    // weights feed three consumers (norms + both self-join sides) in
+    // ONE action — a lazy localCheckpoint cannot dedupe work within
+    // the first job (measured neutral), so the plan stays pure and
+    // fault-tolerant; Catalyst shares the scan via exchange reuse
+    // where it can
     val w = withDf.filter(col("df") <= maxDf)
       .crossJoin(broadcast(n))
       // q57's exact weight expression (integer product → cast →
       // divide) so the two tf-idf surfaces agree bit-for-bit
       .select(col("doc"), col("term"),
         ((col("tf") * col("n_docs")).cast("double") / col("df")).as("w"))
-      .localCheckpoint(false)
     val orderedFold = (c: org.apache.spark.sql.Column) =>
       aggregate(transform(sort_array(c), x => x.getField("p")),
         lit(0.0), (acc, v) => acc + v)

@@ -97,17 +97,10 @@ object TextOps {
         shingles(col(textCol)), g => hash60(g))).as("arr"))
       .select(col("doc"), size(col("arr")).as("nsh"),
         explode(col("arr")).as("sh"))
-    // Lazy localCheckpoint: `kept` feeds BOTH sides of the self-join,
-    // and neither ReuseExchange (defeated by AQE's broadcast
-    // conversion at small inputs) nor stage reuse kicks in for the
-    // aliased sides — without it the scan + shingle-md5 + window df
-    // pipeline, the heaviest stage, runs twice. Same executor-loss
-    // tradeoff as Retrieval.bm25TopK (documented there).
     val kept = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("df") <= maxDf)
       .select(col("doc"), col("nsh"), col("sh"))
-      .localCheckpoint(false)
     val a = kept.select(col("doc").as("da"), col("nsh").as("na"), col("sh"))
     val b = kept.select(col("doc").as("db"), col("nsh").as("nb"), col("sh"))
     val agg = a.join(b, Seq("sh"))
@@ -215,13 +208,10 @@ object TextOps {
       .select(col("doc"), size(col("arr")).as("nsh"),
         explode(col("arr")).as("sh"))
       .filter(col("nsh") >= minShingles)
-    // Lazy localCheckpoint: single materialization for the two join
-    // sides — same rationale as ngramJaccardPairs.
     val kept = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("df") <= maxDf)
       .select(col("doc"), col("nsh"), col("sh"))
-      .localCheckpoint(false)
     // The JOIN stays on unordered pairs (da < db — half the rows of a
     // da ≠ db join, and both sides reuse one exchange+sort); `common`
     // is symmetric, only the denominator differs per direction, so the

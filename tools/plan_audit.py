@@ -101,10 +101,16 @@ def main():
     # relationship is the minimal shape, and relationships scale the
     # query linearly, not any single shuffle).
     # q140/q146 embed the same iterative component rounds as q54
-    # (their exchange counts track convergence depth, not plan quality)
+    # (their exchange counts track convergence depth, not plan quality).
+    # q163 composes THREE independent retrieval pipelines (tf-idf query
+    # terms, BM25, dense top-k) plus rank fusion in one DAG — each
+    # component alone is within budget; q164 unrolls 3 PageRank
+    # iterations (one join + one agg exchange each) on top of the pair
+    # pipeline — exchange count tracks iteration count, not plan waste.
     exempt = {"q54_dedup_clusters", "q65_curation_pipeline",
               "q114_fk_audit", "q140_dedup_survivors",
-              "q146_effective_tokens", "q149_cluster_sizes"}
+              "q146_effective_tokens", "q149_cluster_sizes",
+              "q163_rrf_hybrid", "q164_pair_pagerank"}
     failures = []
     rows = []
     for path in sorted(glob.glob(os.path.join(args.plans_dir, "*.txt"))):
