@@ -212,6 +212,155 @@ object RetrievalQueries {
           .select(col("query_id"), col("cand_id"), col("rrf"),
             row_number().over(wf).as("rk"))
           .filter(col("rk") <= 5)
+      }),
+
+    // kNN label-consistency audit (label-noise detection): for a
+    // deterministic 4% probe sample (vec_id % 25 = 0), how many of
+    // each probe's 5 nearest neighbors carry the SAME label? Per-label
+    // integer sums only (matches are counted, never averaged as
+    // floats), with one final exact-integer division — so the report
+    // is engine-exact. Scale shape: the probe set is broadcast, the
+    // corpus is streamed once (q45's bruteForceTopK contract); the
+    // label joins are on the already-top-k rows (probes × 5).
+    QueryDef(
+      "q166_knn_label_consistency",
+      Some(s"""
+        WITH e AS (SELECT vec_id, label, embedding v,
+                          ${dkDot("embedding", "embedding")} AS nn
+                   FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, q.label AS qlabel,
+                 c.vec_id AS cand_id, c.label AS clabel,
+                 ${dkCos(dkDot("q.v", "c.v"), "q.nn", "c.nn")} AS cos_sim
+          FROM e q JOIN e c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id % 25 = 0),
+        knn AS (SELECT query_id, qlabel, clabel FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, cand_id) AS rk FROM scored)
+                WHERE rk <= 5),
+        per_q AS (SELECT query_id, qlabel,
+                         count(*) FILTER (WHERE clabel = qlabel)
+                           AS n_same
+                  FROM knn GROUP BY 1, 2)
+        SELECT qlabel AS label,
+               count(*) AS n_probes,
+               CAST(sum(n_same) AS BIGINT) AS n_neighbors_same,
+               CAST(sum(n_same) AS DOUBLE) / (5 * count(*))
+                 AS consistency
+        FROM per_q GROUP BY 1"""),
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val labels = emb.select(col("vec_id"), col("label"))
+        val knn = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") % 25 === 0), emb,
+          "vec_id", "embedding", 5)
+        val perQ = knn
+          .join(broadcast(labels.select(col("vec_id").as("query_id"),
+            col("label").as("qlabel"))), Seq("query_id"))
+          .join(broadcast(labels.select(col("vec_id").as("cand_id"),
+            col("label").as("clabel"))), Seq("cand_id"))
+          .groupBy(col("query_id"), col("qlabel"))
+          .agg(sum(when(col("clabel") === col("qlabel"), 1L)
+            .otherwise(0L)).as("n_same"))
+        perQ.groupBy(col("qlabel").as("label"))
+          .agg(count(lit(1)).as("n_probes"),
+            sum(col("n_same")).as("n_neighbors_same"))
+          .select(col("label"), col("n_probes"), col("n_neighbors_same"),
+            (col("n_neighbors_same").cast("double") /
+              (lit(5) * col("n_probes"))).as("consistency"))
+      }),
+
+    // Label-centroid margin (mislabeled-example mining): per probe,
+    // cosine to its OWN label's centroid vs the best other-label
+    // centroid; a negative margin flags a likely label error.
+    // Centroids ride q63's kmeansUpdate with label-as-cell — per-dim
+    // id-ordered folds, so the mean vectors are engine-exact; each
+    // probe×label cosine folds over dims in order. Scale shape: the
+    // centroid table is labels×dims rows (broadcast), probes stream.
+    QueryDef(
+      "q167_centroid_margin",
+      Some(s"""
+        WITH dims AS (SELECT vec_id, label,
+                        CAST(embedding[i] AS DOUBLE) AS x,
+                        CAST(i AS INT) AS dim
+                      FROM embeddings,
+                        unnest(range(1, len(embedding) + 1)) r(i)),
+        cent AS (SELECT label AS clabel, dim,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(x ORDER BY vec_id)), (a, b) -> a + b)
+                   / count(*) AS mean_x
+                 FROM dims GROUP BY 1, 2),
+        pr AS (SELECT * FROM dims WHERE vec_id % 25 = 0),
+        pc AS (SELECT pr.vec_id, pr.label, cent.clabel,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(pr.x * cent.mean_x ORDER BY pr.dim)),
+                   (a, b) -> a + b) AS dot,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(pr.x * pr.x ORDER BY pr.dim)),
+                   (a, b) -> a + b) AS nq,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(cent.mean_x * cent.mean_x ORDER BY pr.dim)),
+                   (a, b) -> a + b) AS nc
+               FROM pr JOIN cent ON pr.dim = cent.dim
+               GROUP BY 1, 2, 3),
+        cosd AS (SELECT vec_id, label, clabel,
+                   CASE WHEN nq = 0 OR nc = 0 THEN 0.0
+                        ELSE dot / (sqrt(nq)*sqrt(nc)) END AS cos_c
+                 FROM pc),
+        own AS (SELECT vec_id, label, cos_c AS cos_own FROM cosd
+                WHERE clabel = label),
+        oth AS (SELECT vec_id, clabel AS other_label,
+                       cos_c AS cos_other FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos_c DESC, clabel) AS rk
+                  FROM cosd WHERE clabel <> label)
+                WHERE rk = 1)
+        SELECT own.vec_id, own.label, own.cos_own,
+               oth.other_label, oth.cos_other,
+               own.cos_own - oth.cos_other AS margin
+        FROM own JOIN oth ON own.vec_id = oth.vec_id"""),
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cent = Similarity.kmeansUpdate(
+          emb.select(col("vec_id"), col("label").as("cell")),
+          emb, "vec_id", "embedding")
+          .select(col("cell").as("clabel"), col("dim"),
+            col("mean_x"))
+        val pr = emb.filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("dim0", "x")))
+          .select(col("vec_id"), col("label"),
+            (col("dim0") + 1).as("dim"), col("x").cast("double").as("x"))
+        val fold = (c: org.apache.spark.sql.Column) =>
+          aggregate(transform(sort_array(c), v => v.getField("p")),
+            lit(0.0), (acc, v) => acc + v)
+        val pc = pr.join(broadcast(cent), Seq("dim"))
+          .groupBy(col("vec_id"), col("label"), col("clabel"))
+          .agg(
+            fold(collect_list(struct(col("dim"),
+              (col("x") * col("mean_x")).as("p")))).as("dot"),
+            fold(collect_list(struct(col("dim"),
+              (col("x") * col("x")).as("p")))).as("nq"),
+            fold(collect_list(struct(col("dim"),
+              (col("mean_x") * col("mean_x")).as("p")))).as("nc"))
+        val cosd = pc.select(col("vec_id"), col("label"), col("clabel"),
+          when(col("nq") === 0 || col("nc") === 0, lit(0.0))
+            .otherwise(col("dot") / (sqrt(col("nq")) * sqrt(col("nc"))))
+            .as("cos_c"))
+        val own = cosd.filter(col("clabel") === col("label"))
+          .select(col("vec_id"), col("label"), col("cos_c").as("cos_own"))
+        val wo = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos_c").desc, col("clabel"))
+        val oth = cosd.filter(col("clabel") =!= col("label"))
+          .select(col("vec_id"), col("clabel"), col("cos_c"),
+            row_number().over(wo).as("rk"))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("clabel").as("other_label"),
+            col("cos_c").as("cos_other"))
+        own.join(oth, Seq("vec_id"))
+          .select(col("vec_id"), col("label"), col("cos_own"),
+            col("other_label"), col("cos_other"),
+            (col("cos_own") - col("cos_other")).as("margin"))
       })
   )
 }
