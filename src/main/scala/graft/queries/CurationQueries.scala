@@ -470,6 +470,75 @@ object CurationQueries {
           t(s, d, "documents")
             .select(col("doc_id"),
               coalesce(col("text"), lit("")).as("text")),
-          "doc_id", "text"))
+          "doc_id", "text")),
+
+    // Token-budget waterfilling: given per-source token totals and a
+    // budget of half the corpus, find the uniform per-source cap C
+    // such that Σ min(T_s, C) fills the budget — the "cap the big
+    // crawls, keep the small curated sets whole" allocation rule of
+    // mixture design. Solved in closed form over the T-ascending
+    // prefix: for boundary row j, cand = (B − P_{j−1}) ÷ (n−j+1) is
+    // THE cap iff cand < T_j and T_{j−1} ≤ cand; B ≥ total ⇒ no cap.
+    // Pure integer arithmetic end to end (floor division on
+    // non-negative operands, where Spark div ≡ DuckDB //), so both
+    // engines agree exactly. The global window runs over one row per
+    // SOURCE (beneath a hash aggregate — the structurally-bounded
+    // class the plan audit admits).
+    QueryDef(
+      "q169_token_waterfill",
+      Some("""
+        WITH tok AS (SELECT source,
+                       CAST(sum(len(string_split(text,' '))) AS BIGINT)
+                         AS t
+                     FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(sum(t) AS BIGINT) AS total,
+                       count(*) AS n FROM tok),
+        s AS (SELECT source, t,
+                CAST(row_number() OVER (ORDER BY t, source) AS BIGINT)
+                  AS rn,
+                CAST(sum(t) OVER (ORDER BY t, source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS p,
+                lag(t) OVER (ORDER BY t, source) AS prev_t
+              FROM tok),
+        c AS (SELECT s.*,
+                     (tot.total // 2 - (p - t)) // (tot.n - rn + 1)
+                       AS cand
+              FROM s CROSS JOIN tot),
+        cap AS (SELECT min(cand) AS cap FROM c
+                WHERE cand < t
+                  AND (prev_t IS NULL OR prev_t <= cand))
+        SELECT source, t AS tokens,
+               least(t, coalesce(cap.cap, t)) AS allocation,
+               (cap.cap IS NOT NULL AND t > cap.cap) AS capped
+        FROM tok CROSS JOIN cap"""),
+      (s, d) => {
+        val tok = t(s, d, "documents")
+          .groupBy(col("source"))
+          .agg(sum(size(TextOps.tokens(col("text"))).cast("long"))
+            .as("t"))
+        val tot = tok.agg(sum(col("t")).as("total"),
+          count(lit(1)).as("n"))
+        val w = Window.orderBy(col("t"), col("source"))
+        val sdf = tok.select(col("source"), col("t"),
+          row_number().over(w).cast("long").as("rn"),
+          sum(col("t")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("p"),
+          lag(col("t"), 1).over(w).as("prev_t"))
+        val c = sdf.crossJoin(broadcast(tot))
+          .withColumn("cand",
+            expr("(total div 2 - (p - t)) div (n - rn + 1)"))
+        val cap = c
+          .filter(col("cand") < col("t") &&
+            (col("prev_t").isNull || col("prev_t") <= col("cand")))
+          .agg(min(col("cand")).as("cap"))
+        tok.crossJoin(broadcast(cap))
+          .select(col("source"), col("t").as("tokens"),
+            least(col("t"), coalesce(col("cap"), col("t")))
+              .as("allocation"),
+            (col("cap").isNotNull && col("t") > col("cap"))
+              .as("capped"))
+      })
   )
 }

@@ -541,6 +541,96 @@ object ScaleQueries {
         SELECT v AS node, pr AS pagerank FROM r3"""),
       (s, d) =>
         GraphRank.pageRank(jaccardPairs(s, d), "da", "db",
-          iters = 3, damping = 0.85))
+          iters = 3, damping = 0.85)),
+
+    // KMV (k-minimum-values) source-overlap sketch: the sketch-scale
+    // sibling of q141's exact source-pair overlap (the q153↔q72
+    // pattern). Per source keep only the 256 smallest distinct shingle
+    // hashes; a pair's Jaccard estimate is the both-sources fraction
+    // among the k smallest of the sketch UNION (Bar-Yossef et al.
+    // 2002). Corpus-wide work is ONE distinct + one per-source top-k
+    // window; the pair stage touches ≤ 2k rows per source pair —
+    // #sources² × k, never corpus². Everything is integer/set
+    // arithmetic plus one final exact division, so the estimate is
+    // engine-exact (unlike HLL, a KMV sketch has no engine-specific
+    // representation).
+    QueryDef(
+      "q168_kmv_source_jaccard",
+      Some(s"""
+        WITH t AS (SELECT source, string_split(text,' ') toks
+                   FROM documents),
+        sarr AS (SELECT source,
+                   CASE WHEN len(toks) >= 3
+                        THEN list_transform(range(1, len(toks)-1),
+                               i -> array_to_string(toks[i:i+2], ' '))
+                        ELSE []::VARCHAR[] END AS shsx
+                 FROM t),
+        shs AS (SELECT DISTINCT source, h FROM (
+                  SELECT source, unnest(list_transform(shsx,
+                    g -> ('0x'||substr(md5(g),1,15))::BIGINT)) AS h
+                  FROM sarr)),
+        kmv AS (SELECT source, h FROM (
+                  SELECT source, h, row_number() OVER (
+                    PARTITION BY source ORDER BY h) AS rk FROM shs)
+                WHERE rk <= 256),
+        ps AS (SELECT a.source sa, b.source sb
+               FROM (SELECT DISTINCT source FROM kmv) a
+               JOIN (SELECT DISTINCT source FROM kmv) b
+                 ON a.source < b.source),
+        m AS (SELECT ps.sa, ps.sb, k.h,
+                     max(CASE WHEN k.source = ps.sa THEN 1 ELSE 0 END)
+                       AS in_a,
+                     max(CASE WHEN k.source = ps.sb THEN 1 ELSE 0 END)
+                       AS in_b
+              FROM ps JOIN kmv k
+                ON k.source = ps.sa OR k.source = ps.sb
+              GROUP BY 1, 2, 3),
+        r AS (SELECT sa, sb, in_a, in_b, row_number() OVER (
+                PARTITION BY sa, sb ORDER BY h) AS rk FROM m)
+        SELECT sa AS src_a, sb AS src_b,
+               CAST(count(*) AS BIGINT) AS k_used,
+               CAST(count(*) FILTER (in_a = 1 AND in_b = 1) AS BIGINT)
+                 AS n_both,
+               CAST(count(*) FILTER (in_a = 1 AND in_b = 1) AS DOUBLE)
+                 / count(*) AS est_jaccard
+        FROM r WHERE rk <= 256 GROUP BY 1, 2"""),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 256
+        val sh = t(s, d, "documents")
+          .select(col("source"), explode(array_distinct(transform(
+            TextOps.shingles(col("text")), g => TextOps.hash60(g))))
+            .as("h"))
+          .distinct()
+        val kmv = sh
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("source")).orderBy(col("h"))))
+          .filter(col("rk") <= k)
+          .select(col("source"), col("h"))
+        val srcs = kmv.select(col("source")).distinct()
+        val ps = srcs.select(col("source").as("sa"))
+          .join(srcs.select(col("source").as("sb")),
+            col("sa") < col("sb"))
+        val ra = ps.join(kmv, col("source") === col("sa"))
+          .select(col("sa"), col("sb"), col("h"),
+            lit(1).as("in_a"), lit(0).as("in_b"))
+        val rb = ps.join(kmv, col("source") === col("sb"))
+          .select(col("sa"), col("sb"), col("h"),
+            lit(0).as("in_a"), lit(1).as("in_b"))
+        val merged = ra.unionByName(rb)
+          .groupBy(col("sa"), col("sb"), col("h"))
+          .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+        val ranked = merged.withColumn("rk", row_number().over(
+          Window.partitionBy(col("sa"), col("sb")).orderBy(col("h"))))
+          .filter(col("rk") <= k)
+        val isBoth = when(col("in_a") === 1 && col("in_b") === 1, 1L)
+          .otherwise(0L)
+        ranked.groupBy(col("sa").as("src_a"), col("sb").as("src_b"))
+          .agg(count(lit(1)).as("k_used"), sum(isBoth).as("n_both"))
+          .select(col("src_a"), col("src_b"), col("k_used"),
+            col("n_both"),
+            (col("n_both").cast("double") / col("k_used"))
+              .as("est_jaccard"))
+      })
   )
 }
