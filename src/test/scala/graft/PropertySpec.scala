@@ -735,4 +735,76 @@ class PropertySpec extends AnyFunSuite {
         s"case $idx: pair with max run $want must yield no row")
     }
   }
+
+  test("KMV estimate is EXACT when k >= |union| (random corpora)") {
+    // With the sketch cap above the union size, the k-minimum-values
+    // sketch IS the full distinct set and the estimator degenerates to
+    // exact Jaccard — a sharp correctness anchor for the estimator
+    // plumbing (flags, union ranking, k_used denominators). Runs the
+    // REGISTERED q168 end to end against brute-force set Jaccard.
+    val docGen = Gen.listOfN(10, Gen.choose(1, 10).map(i => s"w$i"))
+    val corpora = samples(Gen.listOfN(6, docGen), 6)
+    corpora.zipWithIndex.foreach { case (docs, idx) =>
+      val df = docs.zipWithIndex.map { case (toks, i) =>
+        (i.toLong, toks.mkString(" "), s"src${i % 2}")
+      }.toDF("doc_id", "text", "source")
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"kmv$idx").toString
+      df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      def shingleSet(rows: Seq[Seq[String]]): Set[Seq[String]] =
+        rows.flatMap(t => t.sliding(3).filter(_.size == 3).map(_.toSeq))
+          .toSet
+      val bySrc = docs.zipWithIndex.groupBy(_._2 % 2)
+        .view.mapValues(v => shingleSet(v.map(_._1))).toMap
+      val inter = (bySrc(0) intersect bySrc(1)).size
+      val union = (bySrc(0) union bySrc(1)).size
+      val rows = graft.SparkEntry
+        .queries("q168_kmv_source_jaccard")(spark, dir).collect()
+      if (union == 0) assert(rows.isEmpty, s"case $idx: expected empty")
+      else {
+        assert(rows.length == 1, s"case $idx: ${rows.length} pairs")
+        val r = rows.head
+        assert(r.getLong(2) == union.toLong,
+          s"case $idx: k_used ${r.getLong(2)} != union $union")
+        assert(r.getLong(3) == inter.toLong,
+          s"case $idx: n_both ${r.getLong(3)} != inter $inter")
+        assert(math.abs(r.getDouble(4) -
+          inter.toDouble / union) < 1e-12, s"case $idx: est off")
+      }
+    }
+  }
+
+  test("waterfilling: budget-feasible, maximal, order-free (random)") {
+    val tGen = Gen.listOfN(7, Gen.choose(1L, 2000L))
+    samples(tGen, 15).zipWithIndex.foreach { case (ts, idx) =>
+      val total = ts.sum
+      val b = total / 2
+      // reference implementation: integer binary search on the cap
+      def filled(c: Long): Long = ts.map(math.min(_, c)).sum
+      val docs = ts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, Seq.fill(t.toInt)("w").mkString(" "), s"s$i")
+      }.toDF("doc_id", "text", "source")
+      // run the registered query body against a temp view-less frame:
+      // reuse CurationQueries' exact pipeline by writing to a temp dir
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"wf$idx").toString
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = graft.SparkEntry
+        .queries("q169_token_waterfill")(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+      val alloc = out.values.map(_._2).sum
+      assert(alloc <= b, s"case $idx: allocation $alloc exceeds $b")
+      // maximality: raising the implied cap by 1 must overshoot (when
+      // anything was capped at all)
+      val caps = out.values.filter(_._3).map(_._2)
+      if (caps.nonEmpty) {
+        val c = caps.head
+        assert(caps.forall(_ == c), s"case $idx: non-uniform cap $caps")
+        assert(filled(c + 1) > b,
+          s"case $idx: cap $c not maximal (cap+1 still fits $b)")
+      } else assert(alloc == math.min(total, filled(Long.MaxValue)),
+        s"case $idx: uncapped but allocation $alloc != total")
+    }
+  }
 }
