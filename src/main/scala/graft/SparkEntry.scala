@@ -19,7 +19,8 @@ object SparkEntry {
       ShapeQueries.defs ++ MiscQueries.defs ++ LlmQueries.defs ++
       LlmQueries2.defs ++ ScaleQueries.defs ++ CurationQueries.defs ++
       EventQueries.defs ++ CorpusQueries.defs ++ CorpusLakeQueries.defs ++
-      JobShapeQueries.defs ++ RetrievalQueries.defs
+      JobShapeQueries.defs ++ RetrievalQueries.defs ++
+      DiversityQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The 5-way join + aggregate exercises scan, broadcast join, shuffle

@@ -132,4 +132,30 @@ object Mixture {
         .when(bucket < trainPct + valPct, lit("val"))
         .otherwise(lit("test")))
   }
+
+  /** Source-interleaved curriculum order: rank docs WITHIN each group
+    * by (`scoreCol` desc, id), then emit the global training order
+    * that round-robins the groups at each rank — position 1..G are
+    * the per-group best docs, the next G the second-best, and so on.
+    * This is the deterministic "quality-first but source-balanced"
+    * ordering a curriculum data loader wants: no source ever floods a
+    * training window, and the order is a pure function of the corpus.
+    *
+    * The global position over the (rank, group) total order uses
+    * [[Sharding.globalRowNumber]]'s prefix decomposition — the rank
+    * domain is bounded by the largest group, so no single-partition
+    * window anywhere. Returns the first `topK` positions. */
+  def curriculumOrder(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, topK: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val ranked = df
+      .select(col(idCol), col(groupCol), col(scoreCol))
+      .withColumn("src_rank", row_number().over(w))
+    Sharding.globalRowNumber(ranked, "src_rank", groupCol)
+      .filter(col("rn") <= topK)
+      .select(col("rn").as("position"), col(idCol), col(groupCol),
+        col("src_rank"), col(scoreCol))
+  }
 }

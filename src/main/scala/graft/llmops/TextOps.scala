@@ -113,6 +113,70 @@ object TextOps {
       .select(col("da").as("doc_a"), col("db").as("doc_b"), jac.as("jac"))
   }
 
+  /** Incremental-ingestion dedup gate: for each `incoming` doc, decide
+    * admission against the existing `base` corpus — dropped on an
+    * exact duplicate (md5 of text, the q40 fingerprint) or a
+    * near-duplicate (n-gram Jaccard ≥ `minJac` vs ANY base doc).
+    * Within-batch duplicates are out of scope by contract (run the
+    * self-join family on the batch itself for those).
+    *
+    * This is the DIRECTED sibling of [[ngramJaccardPairs]]: the
+    * inverted-index join is incoming-shingles × base-shingles only,
+    * so a daily batch of B docs against a corpus of N never pays the
+    * N×N self-join — candidate work is proportional to the batch.
+    * The hot-shingle df cap is computed over base ∪ incoming (the
+    * corpus as it would look post-ingest), same declared contract as
+    * the self-join so an oracle can mirror it. The exact-dup check is
+    * a semi join on the md5 fingerprint — hash join on one exchange,
+    * no sort. Returns one row per incoming doc:
+    * (doc_id, drop_exact, drop_near, is_admitted). */
+  def incrementalAdmissions(base: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String,
+      minJac: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+    def shingleIndex(df: DataFrame) = df
+      .select(col(idCol).as("doc"), array_distinct(transform(
+        shingles(col(textCol)), g => hash60(g))).as("arr"))
+      .select(col("doc"), size(col("arr")).as("nsh"),
+        explode(col("arr")).as("sh"))
+    val all = shingleIndex(base).withColumn("inc", lit(false))
+      .unionByName(shingleIndex(incoming).withColumn("inc", lit(true)))
+    // the capped index feeds BOTH join sides; the lazy checkpoint
+    // stops Catalyst re-running the two-table scan + df window per
+    // side (the executor-loss recompute trade-off documented on
+    // bm25TopK applies)
+    val kept = all
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("df") <= maxDf)
+      .localCheckpoint(false)
+    val b = kept.filter(!col("inc"))
+      .select(col("doc").as("db"), col("nsh").as("nb"), col("sh"))
+    val i = kept.filter(col("inc"))
+      .select(col("doc").as("di"), col("nsh").as("ni"), col("sh"))
+    val jac = col("common").cast("double") /
+      (col("ni") + col("nb") - col("common"))
+    val near = i.join(b, Seq("sh"))
+      .groupBy(col("di"), col("db"), col("ni"), col("nb"))
+      .agg(count(lit(1)).as("common"))
+      .filter(jac >= minJac)
+      .select(col("di").as("doc_id")).distinct()
+      .withColumn("dn", lit(true))
+    val exact = incoming
+      .select(col(idCol).as("doc_id"), md5(col(textCol)).as("fp"))
+      .join(base.select(md5(col(textCol)).as("fp")), Seq("fp"),
+        "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("de", lit(true))
+    incoming.select(col(idCol).as("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("de"), lit(false)).as("drop_exact"),
+        coalesce(col("dn"), lit(false)).as("drop_near"),
+        (coalesce(col("de"), lit(false)) === lit(false) &&
+          coalesce(col("dn"), lit(false)) === lit(false))
+          .as("is_admitted"))
+  }
+
   /** Prefix-filtered exact Jaccard self-join (the PPJoin family:
     * Chaudhuri/Ganti/Kaushik SSJoin 2006, Xiao et al. 2008). For a
     * Jaccard threshold t, two shingle sets can only match if they

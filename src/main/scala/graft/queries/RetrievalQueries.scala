@@ -343,10 +343,15 @@ object RetrievalQueries {
               (col("x") * col("x")).as("p")))).as("nq"),
             fold(collect_list(struct(col("dim"),
               (col("mean_x") * col("mean_x")).as("p")))).as("nc"))
+        // cosd feeds TWO consumers (own-label row + best-other rank);
+        // the lazy checkpoint stops Catalyst re-inlining the whole
+        // probe×centroid fold pipeline into both (q141/bm25
+        // precedent; probes×labels rows, trivially small)
         val cosd = pc.select(col("vec_id"), col("label"), col("clabel"),
           when(col("nq") === 0 || col("nc") === 0, lit(0.0))
             .otherwise(col("dot") / (sqrt(col("nq")) * sqrt(col("nc"))))
             .as("cos_c"))
+          .localCheckpoint(false)
         val own = cosd.filter(col("clabel") === col("label"))
           .select(col("vec_id"), col("label"), col("cos_c").as("cos_own"))
         val wo = Window.partitionBy(col("vec_id"))
@@ -361,6 +366,60 @@ object RetrievalQueries {
           .select(col("vec_id"), col("label"), col("cos_own"),
             col("other_label"), col("cos_other"),
             (col("cos_own") - col("cos_other")).as("margin"))
+      }),
+
+    // kNN confusion matrix: per probe, the majority label among its 5
+    // nearest neighbors (ties broken toward the smaller label — total
+    // order) vs its actual label, aggregated to (true, predicted)
+    // counts — the label-quality report on top of q166's per-label
+    // consistency. Same probe/stream shape as q166: integer votes,
+    // deterministic rank, no floating aggregation at all.
+    QueryDef(
+      "q177_knn_confusion",
+      Some(s"""
+        WITH e AS (SELECT vec_id, label, embedding v,
+                          ${dkDot("embedding", "embedding")} AS nn
+                   FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, q.label AS qlabel,
+                 c.vec_id AS cand_id, c.label AS clabel,
+                 ${dkCos(dkDot("q.v", "c.v"), "q.nn", "c.nn")} AS cos_sim
+          FROM e q JOIN e c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id % 25 = 0),
+        knn AS (SELECT query_id, qlabel, clabel FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, cand_id) AS rk FROM scored)
+                WHERE rk <= 5),
+        votes AS (SELECT query_id, qlabel, clabel, count(*) AS n
+                  FROM knn GROUP BY 1, 2, 3),
+        pred AS (SELECT query_id, qlabel, clabel AS plabel FROM (
+                   SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY n DESC, clabel) AS rk FROM votes)
+                 WHERE rk = 1)
+        SELECT qlabel AS true_label, plabel AS pred_label,
+               count(*) AS n_probes
+        FROM pred GROUP BY 1, 2"""),
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val labels = emb.select(col("vec_id"), col("label"))
+        val knn = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") % 25 === 0), emb,
+          "vec_id", "embedding", 5)
+        val votes = knn
+          .join(broadcast(labels.select(col("vec_id").as("query_id"),
+            col("label").as("qlabel"))), Seq("query_id"))
+          .join(broadcast(labels.select(col("vec_id").as("cand_id"),
+            col("label").as("clabel"))), Seq("cand_id"))
+          .groupBy(col("query_id"), col("qlabel"), col("clabel"))
+          .agg(count(lit(1)).as("n"))
+        val wv = Window.partitionBy(col("query_id"))
+          .orderBy(col("n").desc, col("clabel"))
+        votes
+          .withColumn("rk", row_number().over(wv))
+          .filter(col("rk") === 1)
+          .groupBy(col("qlabel").as("true_label"),
+            col("clabel").as("pred_label"))
+          .agg(count(lit(1)).as("n_probes"))
       })
   )
 }

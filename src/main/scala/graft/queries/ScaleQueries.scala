@@ -602,11 +602,16 @@ object ScaleQueries {
             TextOps.shingles(col("text")), g => TextOps.hash60(g))))
             .as("h"))
           .distinct()
+        // the sketch feeds THREE consumers (source list + both pair
+        // sides); the lazy checkpoint keeps the corpus-wide distinct
+        // + per-source top-k from being recomputed per consumer
+        // (sources×k rows — nothing to store)
         val kmv = sh
           .withColumn("rk", row_number().over(
             Window.partitionBy(col("source")).orderBy(col("h"))))
           .filter(col("rk") <= k)
           .select(col("source"), col("h"))
+          .localCheckpoint(false)
         val srcs = kmv.select(col("source")).distinct()
         val ps = srcs.select(col("source").as("sa"))
           .join(srcs.select(col("source").as("sb")),

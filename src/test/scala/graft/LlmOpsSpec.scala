@@ -729,4 +729,54 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(pr.length == 4)
     pr.foreach(v => assert(math.abs(v - 0.25) < 1e-12))
   }
+
+  test("incrementalAdmissions: exact dup, near dup, and fresh doc") {
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different text about spark physical plans"))
+      .toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // exact
+      (11L, "the quick brown fox jumps over the lazy dog tonight"), // near
+      (12L, "zebra yak xylophone walrus vulture unicorn tiger"), // fresh
+      (13L, "zebra yak xylophone walrus vulture unicorn tiger")) // dup of 12
+      .toDF("doc_id", "text")
+    val got = TextOps.incrementalAdmissions(base, inc, "doc_id", "text",
+      minJac = 0.5, maxDf = 1000)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(got(10L)._1, "exact dup must set drop_exact")
+    assert(got(10L)._2, "an exact dup is also a near dup")
+    assert(!got(10L)._3)
+    assert(!got(11L)._1 && got(11L)._2 && !got(11L)._3)
+    assert(got(12L) == ((false, false, true)))
+    // within-batch duplicates are out of scope by contract: 13 is a
+    // copy of 12 but neither matches the BASE, so both are admitted
+    assert(got(13L) == ((false, false, true)))
+  }
+
+  test("incrementalAdmissions: empty batch and empty base are total") {
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val none = docs.filter(col("doc_id") < 0)
+    assert(TextOps.incrementalAdmissions(docs, none,
+      "doc_id", "text").count() == 0L)
+    val vsEmpty = TextOps.incrementalAdmissions(none, docs,
+      "doc_id", "text").collect()
+    assert(vsEmpty.length == 1 && vsEmpty(0).getBoolean(3))
+  }
+
+  test("curriculumOrder round-robins sources rank by rank") {
+    val df = Seq(
+      ("s1", 1L, 0.9), ("s1", 2L, 0.5), ("s1", 3L, 0.1),
+      ("s2", 4L, 0.8), ("s2", 5L, 0.7),
+      ("s3", 6L, 0.3)).toDF("source", "doc_id", "score")
+    val got = graft.llmops.Mixture
+      .curriculumOrder(df, "source", "doc_id", "score", topK = 10)
+      .orderBy("position").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // rank 1 of each source first (source order), then rank 2, ...
+    assert(got.toSeq == Seq(1L -> 1L, 2L -> 4L, 3L -> 6L,
+      4L -> 2L, 5L -> 5L, 6L -> 3L))
+  }
 }

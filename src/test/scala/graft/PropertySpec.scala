@@ -807,4 +807,89 @@ class PropertySpec extends AnyFunSuite {
         s"case $idx: uncapped but allocation $alloc != total")
     }
   }
+
+  private val divWord = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+  private val divDoc = Gen.choose(1, 6)
+    .flatMap(n => Gen.listOfN(n, divWord)).map(_.mkString(" "))
+  private val divCorpus =
+    Gen.listOfN(6, Gen.zip(Gen.oneOf("s0", "s1", "s2"), divDoc))
+
+  test("tokenDiversity = brute force (counts, ttr, Gini-Simpson)") {
+    samples(divCorpus, 4).foreach { rows =>
+      val got = graft.llmops.CorpusDiversity
+        .tokenDiversity(rows.toDF("source", "text"), "source", "text")
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+        .toMap
+      rows.groupBy(_._1).foreach { case (src, rs) =>
+        val toks = rs.flatMap(_._2.split(" "))
+        val n = toks.size.toLong
+        val counts = toks.groupBy(identity).map(_._2.size.toLong)
+        val sumsq = counts.map(c => BigInt(c) * BigInt(c)).sum
+        val (gn, gt, gttr, ggini) = got(src)
+        assert(gn == n && gt == counts.size.toLong)
+        assert(gttr == counts.size.toDouble / n.toDouble)
+        assert(ggini == 1.0 - sumsq.toDouble / (n.toDouble * n.toDouble))
+      }
+    }
+  }
+
+  test("tvDistance = brute force; bounded [0,1]; 0 iff same mix") {
+    samples(divCorpus, 4).foreach { rows =>
+      val bySrc = rows.groupBy(_._1).map { case (s, rs) =>
+        val toks = rs.flatMap(_._2.split(" "))
+        s -> (toks.size.toLong,
+          toks.groupBy(identity).map { case (t, xs) =>
+            t -> xs.size.toLong
+          })
+      }
+      val got = graft.llmops.CorpusDiversity
+        .tvDistance(rows.toDF("source", "text"), "source", "text")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      val srcs = bySrc.keys.toSeq.sorted
+      assert(got.size == srcs.combinations(2).size)
+      for (Seq(sa, sb) <- srcs.combinations(2)) {
+        val (ta, ca) = bySrc(sa)
+        val (tb, cb) = bySrc(sb)
+        val shared = ca.keySet.intersect(cb.keySet)
+        val mdiff = shared.toSeq.map(t =>
+          (BigInt(ca(t)) * tb - BigInt(cb(t)) * ta).abs).sum
+        val num = mdiff +
+          BigInt(ta - shared.toSeq.map(ca).sum) * tb +
+          BigInt(tb - shared.toSeq.map(cb).sum) * ta
+        val want = num.toDouble / (2.0 * ta.toDouble * tb.toDouble)
+        val (gShared, gTv) = got((sa, sb))
+        assert(gShared == shared.size.toLong)
+        assert(gTv == want, s"pair ($sa,$sb)")
+        assert(gTv >= 0.0 && gTv <= 1.0)
+        if (ca == cb) assert(gTv == 0.0)
+      }
+    }
+  }
+
+  test("coreTokenCoverage = brute force under the (gcnt,term) order") {
+    val k = 2
+    samples(divCorpus, 4).foreach { rows =>
+      val global = rows.flatMap(_._2.split(" "))
+        .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val top = global.toSeq.sortBy { case (t, c) => (-c, t) }
+        .take(k).map(_._1).toSet
+      val got = graft.llmops.CorpusDiversity
+        .coreTokenCoverage(rows.toDF("source", "text"),
+          "source", "text", k = k)
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      rows.groupBy(_._1).foreach { case (src, rs) =>
+        val toks = rs.flatMap(_._2.split(" "))
+        val covered = toks.count(top).toLong
+        val (gn, gc, gcov) = got(src)
+        assert(gn == toks.size.toLong && gc == covered)
+        assert(gcov == covered.toDouble / toks.size.toDouble)
+      }
+    }
+  }
 }

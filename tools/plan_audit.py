@@ -107,10 +107,15 @@ def main():
     # component alone is within budget; q164 unrolls 3 PageRank
     # iterations (one join + one agg exchange each) on top of the pair
     # pipeline — exchange count tracks iteration count, not plan waste.
+    # q162: the tf-idf weight relation feeds three consumers (norms +
+    # both self-join sides) in ONE action; a lazy checkpoint measured
+    # neutral there (see SparseSim scaladoc), so the exchange count
+    # tracks consumer fan-out, not plan waste.
     exempt = {"q54_dedup_clusters", "q65_curation_pipeline",
               "q114_fk_audit", "q140_dedup_survivors",
               "q146_effective_tokens", "q149_cluster_sizes",
-              "q163_rrf_hybrid", "q164_pair_pagerank"}
+              "q162_sparse_cosine_pairs", "q163_rrf_hybrid",
+              "q164_pair_pagerank"}
     failures = []
     rows = []
     for path in sorted(glob.glob(os.path.join(args.plans_dir, "*.txt"))):
