@@ -72,4 +72,50 @@ object Sketches {
       .groupBy(keep: _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_n"))
   }
+
+  /** KMV (k-minimum-values) distinct-count sketch per group: the k
+    * smallest DISTINCT `hashCol` values (Bar-Yossef et al. 2002 —
+    * the same sketch q168 uses for source overlap, factored as a
+    * maintainable structure). ≤ k rows per group by construction.
+    *
+    * Scale shape: one distinct (map-side combinable) + one per-group
+    * top-k window whose rank-≤-k filter compiles to WindowGroupLimit
+    * (partial top-k BEFORE the exchange — each mapper ships at most
+    * k rows per group, never its hash stream). */
+  def kmvBuild(items: DataFrame, groupCol: String, hashCol: String,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(hashCol))
+    items.select(col(groupCol), col(hashCol)).distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(groupCol), col(hashCol))
+  }
+
+  /** Merge two KMV sketches: kmv_k(A ∪ B) = the k smallest of
+    * distinct(kmv_k(A) ∪ kmv_k(B)) — EXACTLY the sketch a single
+    * pass over A ∪ B would build (the spec pins this law), because
+    * any value among the union's k smallest is among its own side's
+    * k smallest. Like [[countMinMerge]], this is what makes the
+    * sketch incrementally maintainable: per-shard/per-day sketches
+    * combine losslessly without re-touching the streams. */
+  def kmvMerge(a: DataFrame, b: DataFrame, groupCol: String,
+      hashCol: String, k: Int): DataFrame =
+    kmvBuild(a.unionByName(b), groupCol, hashCol, k)
+
+  /** Distinct-count estimate from a KMV sketch over `hash60` values
+    * (uniform on [0, 2⁶⁰)): with n = sketch size and h_k = its
+    * largest value, the estimate is (k−1)·2⁶⁰/h_k, and EXACT (= n)
+    * while the sketch is not yet full (n < k). One IEEE division of
+    * exactly-representable operands — engine-reproducible, which is
+    * why this estimator can be oracled where HLL (q55) cannot. */
+  def kmvDistinctEstimate(sketch: DataFrame, groupCol: String,
+      hashCol: String, k: Int): DataFrame =
+    sketch.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("k_used"), max(col(hashCol)).as("hk"))
+      .select(col(groupCol), col("k_used"),
+        when(col("k_used") < k, col("k_used").cast("double"))
+          .otherwise(lit((k - 1).toDouble) *
+            lit(1152921504606846976.0) / col("hk").cast("double"))
+          .as("est_distinct"))
 }

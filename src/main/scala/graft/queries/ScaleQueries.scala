@@ -636,6 +636,66 @@ object ScaleQueries {
             col("n_both"),
             (col("n_both").cast("double") / col("k_used"))
               .as("est_jaccard"))
+      }),
+
+    // KMV distinct-count estimate per source vs the exact count — the
+    // ORACLED approximate-distinct (q55's HLL is rows-only because
+    // its sketch is engine-private; a KMV over md5-derived hashes is
+    // bit-reproducible anywhere): k=64 smallest distinct shingle
+    // hashes per source, estimate (k-1)*2^60/h_k, exact below k. The
+    // shingle relation feeds the exact count AND the sketch, so it is
+    // checkpointed once.
+    QueryDef(
+      "q179_kmv_distinct",
+      Some("""
+        WITH t AS (SELECT source, string_split(text,' ') toks
+                   FROM documents),
+        sarr AS (SELECT source,
+                   CASE WHEN len(toks) >= 3
+                        THEN list_transform(range(1, len(toks)-1),
+                               i -> array_to_string(toks[i:i+2], ' '))
+                        ELSE []::VARCHAR[] END AS shsx
+                 FROM t),
+        shs AS (SELECT DISTINCT source, h FROM (
+                  SELECT source, unnest(list_transform(shsx,
+                    g -> ('0x'||substr(md5(g),1,15))::BIGINT)) AS h
+                  FROM sarr)),
+        ex AS (SELECT source, count(*) AS exact_distinct
+               FROM shs GROUP BY 1),
+        kmv AS (SELECT source, h FROM (
+                  SELECT source, h, row_number() OVER (
+                    PARTITION BY source ORDER BY h) AS rk FROM shs)
+                WHERE rk <= 64),
+        est AS (SELECT source, count(*) AS k_used,
+                  CASE WHEN count(*) < 64
+                       THEN CAST(count(*) AS DOUBLE)
+                       ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0
+                            / CAST(max(h) AS DOUBLE)
+                  END AS est_distinct
+                FROM kmv GROUP BY 1)
+        SELECT ex.source, ex.exact_distinct, est.k_used,
+               est.est_distinct,
+               (est.est_distinct - ex.exact_distinct)
+                 / ex.exact_distinct AS rel_err
+        FROM ex JOIN est USING (source)"""),
+      (s, d) => {
+        val k = 64
+        val shs = t(s, d, "documents")
+          .select(col("source"), explode(array_distinct(transform(
+            TextOps.shingles(col("text")), g => TextOps.hash60(g))))
+            .as("h"))
+          .distinct()
+          // feeds the exact count AND the sketch build
+          .localCheckpoint(false)
+        val ex = shs.groupBy(col("source"))
+          .agg(count(lit(1)).as("exact_distinct"))
+        val est = Sketches.kmvDistinctEstimate(
+          Sketches.kmvBuild(shs, "source", "h", k), "source", "h", k)
+        ex.join(est, Seq("source"))
+          .select(col("source"), col("exact_distinct"), col("k_used"),
+            col("est_distinct"),
+            ((col("est_distinct") - col("exact_distinct")) /
+              col("exact_distinct")).as("rel_err"))
       })
   )
 }

@@ -870,6 +870,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("KMV merge law: merge of side sketches = sketch of the union") {
+    val k = 4
+    val item = Gen.zip(Gen.oneOf("g1", "g2"), Gen.choose(0L, 1000L))
+    samples(Gen.zip(Gen.listOfN(10, item), Gen.listOfN(10, item)), 4)
+      .foreach { case (xs, ys) =>
+        val a = xs.toDF("g", "h")
+        val b = ys.toDF("g", "h")
+        def rows(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        val merged = graft.llmops.Sketches.kmvMerge(
+          graft.llmops.Sketches.kmvBuild(a, "g", "h", k),
+          graft.llmops.Sketches.kmvBuild(b, "g", "h", k), "g", "h", k)
+        val direct = graft.llmops.Sketches.kmvBuild(
+          a.unionByName(b), "g", "h", k)
+        assert(rows(merged) == rows(direct))
+      }
+  }
+
+  test("kmvDistinctEstimate: exact below k, (k-1)*2^60/h_k at k") {
+    val k = 3
+    samples(Gen.listOfN(8, Gen.choose(0L, (1L << 60) - 1)), 4)
+      .foreach { hs =>
+        val df = hs.map(("g", _)).toDF("g", "h")
+        val sketch = graft.llmops.Sketches.kmvBuild(df, "g", "h", k)
+        val got = graft.llmops.Sketches
+          .kmvDistinctEstimate(sketch, "g", "h", k)
+          .collect().head
+        val distinct = hs.distinct.sorted
+        if (distinct.size < k)
+          assert(got.getDouble(2) == distinct.size.toDouble)
+        else {
+          val hk = distinct(k - 1)
+          assert(got.getLong(1) == k.toLong)
+          assert(got.getDouble(2) ==
+            (k - 1).toDouble * 1152921504606846976.0 / hk.toDouble)
+        }
+      }
+  }
+
   test("coreTokenCoverage = brute force under the (gcnt,term) order") {
     val k = 2
     samples(divCorpus, 4).foreach { rows =>
