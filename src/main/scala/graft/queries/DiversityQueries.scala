@@ -315,5 +315,57 @@ object DiversityQueries {
             (count(lit(1)) - countDistinct(md5(col("text"))))
               .as("n_redundant"),
             (count(lit(1)).cast("double") /
-              countDistinct(md5(col("text")))).as("inflation"))))
+              countDistinct(md5(col("text")))).as("inflation"))),
+
+    // Per-doc typicality under the corpus unigram distribution: the
+    // mean corpus probability of the doc's tokens, sum_t cnt_d(t)·g(t)
+    // / (n_tokens·N) — the RATIONAL analog of a CCNet-style
+    // perplexity gate (language-model cross-entropy needs ln, which
+    // differs in the last ulp across libm builds; this statistic ranks
+    // docs the same way for gating: low typicality = tokens rare
+    // corpus-wide). Integer numerators in DECIMAL(38,0)/HUGEINT, one
+    // multiply + one divide in IEEE double at the end. The term join
+    // runs on per-(doc,term) aggregated rows, so a stopword term
+    // contributes one row per doc containing it, never per occurrence;
+    // N arrives by one-row broadcast, never a driver count().
+    QueryDef(
+      "q181_doc_typicality",
+      Some("""
+        WITH tok AS (SELECT doc_id,
+                            unnest(string_split(text,' ')) AS term
+                     FROM documents),
+        dt AS (SELECT doc_id, term, count(*) AS cnt_d
+               FROM tok GROUP BY 1, 2),
+        g AS (SELECT term, count(*) AS gcnt FROM tok GROUP BY 1),
+        n AS (SELECT count(*) AS n_total FROM tok),
+        per AS (SELECT dt.doc_id,
+                  CAST(sum(dt.cnt_d) AS BIGINT) AS n_tokens,
+                  sum(CAST(dt.cnt_d*g.gcnt AS HUGEINT)) AS wsum
+                FROM dt JOIN g USING (term) GROUP BY 1)
+        SELECT doc_id, n_tokens,
+               CAST(wsum AS BIGINT) AS sum_cnt,
+               CAST(wsum AS DOUBLE) /
+                 (CAST(n_tokens AS DOUBLE) * CAST(n.n_total AS DOUBLE))
+                 AS typicality
+        FROM per, n"""),
+      (s, d) => {
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " "))
+            .as("term"))
+        val dt = tok.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("cnt_d"))
+        val g = tok.groupBy(col("term")).agg(count(lit(1)).as("gcnt"))
+        val n = tok.agg(count(lit(1)).as("n_total"))
+        dt.join(g, Seq("term"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("cnt_d")).as("n_tokens"),
+            sum((col("cnt_d") * col("gcnt"))
+              .cast("decimal(38,0)")).as("wsum"))
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("n_tokens"),
+            col("wsum").cast("long").as("sum_cnt"),
+            (col("wsum").cast("double") /
+              (col("n_tokens").cast("double") *
+                col("n_total").cast("double"))).as("typicality"))
+      }))
 }

@@ -615,6 +615,70 @@ object LlmQueries {
                  CAST(frame_idx AS VARCHAR)), 1, 15))::BIGINT
                  AS frame_stub
         FROM j"""),
-      (s, d) => Multimodal.sampleFrames(s, t(s, d, "documents"), 4))
+      (s, d) => Multimodal.sampleFrames(s, t(s, d, "documents"), 4)),
+
+    // LSH banding audit: recall of the MinHash-LSH candidate set (q43)
+    // against the exact n-gram-Jaccard ground truth (q41's contract),
+    // banded by true Jaccard — the S-curve a dedup engineer reads to
+    // pick (bands, rows-per-band) before trusting LSH at corpus scale.
+    // Both sides are complete operator outputs (candidate pairs are
+    // ~linear in corpus size by the bucket-cap contract; truth pairs by
+    // the df cap), so the audit join is pair-bounded, never quadratic.
+    // Each side checkpoints before the comparison join (q161
+    // precedent) so the shingle kernel isn't re-inlined per consumer.
+    QueryDef(
+      "q180_lsh_recall_curve",
+      Some(s"""
+        WITH $dkLshCand,
+        sh2 AS (SELECT doc_id, len(shsd) AS nsh, unnest(shsd) AS sh
+                FROM (SELECT doc_id, list_distinct(
+                        list_transform(shs, g -> ${dkHash60("g")})) shsd
+                      FROM sarr)),
+        kept AS (SELECT sh FROM sh2 GROUP BY sh HAVING count(*) <= 1000),
+        truth AS (SELECT * FROM (
+            SELECT da, db,
+                   CAST(common AS DOUBLE)/(na+nb-common) AS jac
+            FROM (SELECT a.doc_id da, b.doc_id db, a.nsh na, b.nsh nb,
+                         count(*) common
+                  FROM sh2 a JOIN sh2 b
+                    ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  JOIN kept k ON a.sh = k.sh
+                  GROUP BY 1, 2, 3, 4))
+          WHERE jac >= 0.2),
+        lab AS (SELECT CASE WHEN jac >= 0.8 THEN '[0.8,1.0]'
+                            WHEN jac >= 0.6 THEN '[0.6,0.8)'
+                            WHEN jac >= 0.4 THEN '[0.4,0.6)'
+                            ELSE '[0.2,0.4)' END AS jac_band,
+                       CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END
+                         AS caught
+                FROM truth t LEFT JOIN cand c
+                  ON c.doc_a = t.da AND c.doc_b = t.db)
+        SELECT jac_band, count(*) AS n_pairs,
+               CAST(sum(caught) AS BIGINT) AS n_caught,
+               CAST(sum(caught) AS DOUBLE)/count(*) AS recall
+        FROM lab GROUP BY 1"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val truth = TextOps.ngramJaccardPairs(docs, "doc_id", "text",
+            minJac = 0.2, maxDf = 1000)
+          .localCheckpoint(false)
+        val cand = TextOps.lshCandidatePairs(
+            TextOps.minhashSignatures(docs, "doc_id", "text"), "doc_id")
+          .withColumn("hit", lit(1))
+          .localCheckpoint(false)
+        truth.join(cand, Seq("doc_a", "doc_b"), "left")
+          .select(
+            when(col("jac") >= 0.8, "[0.8,1.0]")
+              .when(col("jac") >= 0.6, "[0.6,0.8)")
+              .when(col("jac") >= 0.4, "[0.4,0.6)")
+              .otherwise("[0.2,0.4)").as("jac_band"),
+            coalesce(col("hit"), lit(0)).as("caught"))
+          .groupBy(col("jac_band"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("caught")).cast("long").as("n_caught"))
+          .select(col("jac_band"), col("n_pairs"), col("n_caught"),
+            (col("n_caught").cast("double") / col("n_pairs"))
+              .as("recall"))
+      })
   )
 }
