@@ -59,6 +59,12 @@ object Sessions {
     if (!spark.catalog.functionExists("nfc_normalize"))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "nfc_normalize", graft.functions.NfcNormalize.builder, "builtin")
+    if (!spark.catalog.functionExists("shingle_hash60"))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "shingle_hash60", graft.functions.ShingleHash60.builder, "builtin")
+    if (!spark.catalog.functionExists("minhash_slots"))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "minhash_slots", graft.functions.MinhashSlots.builder, "builtin")
     if (!spark.experimental.extraOptimizations
         .contains(graft.functions.LevenshteinThreshold))
       spark.experimental.extraOptimizations =

@@ -72,6 +72,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SimhashFold.info, SimhashFold.builder))
     ext.injectFunction((FunctionIdentifier("nfc_normalize"),
       NfcNormalize.info, NfcNormalize.builder))
+    ext.injectFunction((FunctionIdentifier("shingle_hash60"),
+      ShingleHash60.info, ShingleHash60.builder))
+    ext.injectFunction((FunctionIdentifier("minhash_slots"),
+      MinhashSlots.info, MinhashSlots.builder))
     ext.injectOptimizerRule(_ => LevenshteinThreshold)
   }
 }

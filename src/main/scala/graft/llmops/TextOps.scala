@@ -35,6 +35,21 @@ object TextOps {
   /** Whitespace tokens (single-space convention of the corpus). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Distinct hash60 values of a document's word n-gram shingles —
+    * the map kernel of the whole dedup family (q41/q43/q52/q72/q126).
+    * Runs as the native codegen'd `graft.functions.ShingleHash60`:
+    * one JVM loop, incremental md5 over token bytes, no intermediate
+    * shingle strings, CSE-deduped when an optimizer collapse leaves
+    * multiple references. Bit-identical to [[shingleHashesComposed]]
+    * (PropertySpec pins the equivalence); the DuckDB oracles keep the
+    * same `list_distinct(list_transform(...))` definition. */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    call_function("shingle_hash60", tokens(text), lit(n))
+
+  /** The same from built-ins only — kept for the parity pin. */
+  def shingleHashesComposed(text: Column, n: Int = 3): Column =
+    array_distinct(transform(shingles(text, n), g => hash60(g)))
+
   /** Word n-gram shingles (default 3). Empty array when the document is
     * shorter than n.
     *
@@ -93,8 +108,7 @@ object TextOps {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       minJac: Double = 0.2, maxDf: Int = 1000): DataFrame = {
     val sh = df
-      .select(col(idCol).as("doc"), array_distinct(transform(
-        shingles(col(textCol)), g => hash60(g))).as("arr"))
+      .select(col(idCol).as("doc"), shingleHashes(col(textCol)).as("arr"))
       .select(col("doc"), size(col("arr")).as("nsh"),
         explode(col("arr")).as("sh"))
     val kept = sh
@@ -134,8 +148,7 @@ object TextOps {
       idCol: String, textCol: String,
       minJac: Double = 0.5, maxDf: Int = 1000): DataFrame = {
     def shingleIndex(df: DataFrame) = df
-      .select(col(idCol).as("doc"), array_distinct(transform(
-        shingles(col(textCol)), g => hash60(g))).as("arr"))
+      .select(col(idCol).as("doc"), shingleHashes(col(textCol)).as("arr"))
       .select(col("doc"), size(col("arr")).as("nsh"),
         explode(col("arr")).as("sh"))
     val all = shingleIndex(base).withColumn("inc", lit(false))
@@ -207,8 +220,7 @@ object TextOps {
     // Catalyst inlines the corpus scan + md5 shingle kernel — the
     // heaviest stage — into each one (Retrieval.bm25TopK precedent).
     val docArr = df
-      .select(col(idCol).as("doc"), array_distinct(transform(
-        shingles(col(textCol)), g => hash60(g))).as("arr"))
+      .select(col(idCol).as("doc"), shingleHashes(col(textCol)).as("arr"))
       .filter(size(col("arr")) > 0)
       .localCheckpoint(false)
     val sh = docArr
@@ -267,8 +279,7 @@ object TextOps {
       minContain: Double = 0.5, minShingles: Int = 5,
       maxDf: Int = 1000): DataFrame = {
     val sh = df
-      .select(col(idCol).as("doc"), array_distinct(transform(
-        shingles(col(textCol)), g => hash60(g))).as("arr"))
+      .select(col(idCol).as("doc"), shingleHashes(col(textCol)).as("arr"))
       .select(col("doc"), size(col("arr")).as("nsh"),
         explode(col("arr")).as("sh"))
       .filter(col("nsh") >= minShingles)
@@ -322,25 +333,25 @@ object TextOps {
     * no stateful stage. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val hs = array_distinct(transform(shingles(col(textCol)),
-      g => hash60(g)))
     // the shingle-existence filter uses the CHEAP equivalent predicate
-    // (token count), not size(hs): a predicate on hs would be pushed
-    // below the projection and re-evaluate the whole md5 pipeline per
-    // row — HOF expressions are excluded from codegen subexpression
-    // elimination, so only the multi-reference non-collapse of
-    // CollapseProject keeps hs single-evaluation
+    // (token count), not size of the hash array: a predicate on the
+    // array would be pushed below the projection and force a second
+    // evaluation of the md5 kernel per row. The slots themselves come
+    // from ONE native fold (minhash_slots ∘ shingle_hash60) — both
+    // codegen'd, so even when CollapseProject inlines the fold into
+    // each of the four element_at consumers, whole-stage codegen's
+    // subexpression elimination evaluates it once per row (the
+    // composed HOF form was CodegenFallback, CSE-exempt, and paid the
+    // kernel 4× under the q43 banding explode).
+    val slots = call_function("minhash_slots",
+      shingleHashes(col(textCol)))
     df.filter(size(tokens(col(textCol))) >= 3)
-      .select(col(idCol), hs.as("hs"))
+      .select(col(idCol), slots.as("slots"))
       .select(col(idCol),
-        minhashSlotArray(col("hs"), MinHashPerms(0)._1, MinHashPerms(0)._2)
-          .as("sig_0"),
-        minhashSlotArray(col("hs"), MinHashPerms(1)._1, MinHashPerms(1)._2)
-          .as("sig_1"),
-        minhashSlotArray(col("hs"), MinHashPerms(2)._1, MinHashPerms(2)._2)
-          .as("sig_2"),
-        minhashSlotArray(col("hs"), MinHashPerms(3)._1, MinHashPerms(3)._2)
-          .as("sig_3"))
+        element_at(col("slots"), 1).as("sig_0"),
+        element_at(col("slots"), 2).as("sig_1"),
+        element_at(col("slots"), 3).as("sig_2"),
+        element_at(col("slots"), 4).as("sig_3"))
   }
 
   /** LSH candidate pairs from MinHash signatures: band the k=4 signature
@@ -651,8 +662,7 @@ object TextOps {
         g => hash60(g))).as("esh"))
       .distinct()
     val trainSh = train
-      .select(col(idCol), array_distinct(transform(
-        shingles(col(textCol)), g => hash60(g))).as("arr"))
+      .select(col(idCol), shingleHashes(col(textCol)).as("arr"))
       .select(col(idCol), size(col("arr")).cast("long").as("n_shingles"),
         explode_outer(col("arr")).as("sh"))
     trainSh
@@ -691,15 +701,13 @@ object TextOps {
   def bloomDecontaminate(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, fpp: Double = 0.01): DataFrame = {
     val evalSh = eval
-      .select(explode(array_distinct(transform(shingles(col(textCol)),
-        g => hash60(g)))).as("esh"))
+      .select(explode(shingleHashes(col(textCol))).as("esh"))
       .distinct()
     // two driver-coordinated jobs over the BENCHMARK-sized side only
     // (count sizes the filter honestly; build aggregates the sketch)
     val n = evalSh.count()
     val base = train
-      .select(col(idCol), array_distinct(transform(
-        shingles(col(textCol)), g => hash60(g))).as("arr"))
+      .select(col(idCol), shingleHashes(col(textCol)).as("arr"))
     if (n == 0L) {
       // shingle-less eval suite: nothing can be contaminated, and a
       // zero-item BloomFilter's bit buffer is null (probing it NPEs)
@@ -861,8 +869,7 @@ object TextOps {
   def dupNgramFraction(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val sh = df
-      .select(col(idCol), array_distinct(transform(
-        shingles(col(textCol)), g => hash60(g))).as("arr"))
+      .select(col(idCol), shingleHashes(col(textCol)).as("arr"))
       .select(col(idCol), size(col("arr")).cast("long").as("n_ngrams"),
         explode_outer(col("arr")).as("sh"))
     val withDf = sh.withColumn("df",

@@ -271,8 +271,7 @@ object DiversityQueries {
       (s, d) => {
         val docs = t(s, d, "documents")
         val sh = docs.select(col("doc_id"),
-          explode(array_distinct(transform(
-            TextOps.shingles(col("text")), g => TextOps.hash60(g))))
+          explode(TextOps.shingleHashes(col("text")))
             .as("sh"))
         val per = sh
           .withColumn("df", count(lit(1)).over(

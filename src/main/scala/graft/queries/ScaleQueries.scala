@@ -598,8 +598,7 @@ object ScaleQueries {
         import org.apache.spark.sql.expressions.Window
         val k = 256
         val sh = t(s, d, "documents")
-          .select(col("source"), explode(array_distinct(transform(
-            TextOps.shingles(col("text")), g => TextOps.hash60(g))))
+          .select(col("source"), explode(TextOps.shingleHashes(col("text")))
             .as("h"))
           .distinct()
         // the sketch feeds THREE consumers (source list + both pair
@@ -681,8 +680,7 @@ object ScaleQueries {
       (s, d) => {
         val k = 64
         val shs = t(s, d, "documents")
-          .select(col("source"), explode(array_distinct(transform(
-            TextOps.shingles(col("text")), g => TextOps.hash60(g))))
+          .select(col("source"), explode(TextOps.shingleHashes(col("text")))
             .as("h"))
           .distinct()
           // feeds the exact count AND the sketch build

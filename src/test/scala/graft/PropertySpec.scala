@@ -113,6 +113,50 @@ class PropertySpec extends AnyFunSuite {
     df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("native shingle_hash60 == composed distinct/transform/hash60") {
+    // covers: < n tokens (empty), exactly n, repeats (dedup order),
+    // unicode bytes, empty tokens from double spaces
+    val tricky = Seq("", "a", "a b", "a b c", "a b c d e",
+      "x x x x x", "é ñ 日 本 語 ü", "a  b c d", "t1 t2 t1 t2 t1 t2 t1")
+    val rand = samples(Gen.listOf(token).map(_.mkString(" ")), 40)
+    val df = (tricky ++ rand).toDF("s")
+      .select(TextOps.shingleHashes(col("s")).as("native"),
+        TextOps.shingleHashesComposed(col("s")).as("composed"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+    // non-default n
+    val df2 = (tricky ++ rand).toDF("s")
+      .select(TextOps.shingleHashes(col("s"), 2).as("native"),
+        TextOps.shingleHashesComposed(col("s"), 2).as("composed"))
+    df2.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("native minhash_slots == composed transform/array_min per slot") {
+    val rand = samples(Gen.listOf(token).map(_.mkString(" ")), 40)
+      .filter(_.split(" ").length >= 3)
+    val df = rand.toDF("text").withColumn("doc_id",
+      monotonically_increasing_id())
+    val native = TextOps.minhashSignatures(df, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq.tail)
+    val hs = TextOps.shingleHashesComposed(col("text"))
+    val composed = df.filter(size(TextOps.tokens(col("text"))) >= 3)
+      .select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"),
+        TextOps.minhashSlotArray(col("hs"),
+          TextOps.MinHashPerms(0)._1, TextOps.MinHashPerms(0)._2),
+        TextOps.minhashSlotArray(col("hs"),
+          TextOps.MinHashPerms(1)._1, TextOps.MinHashPerms(1)._2),
+        TextOps.minhashSlotArray(col("hs"),
+          TextOps.MinHashPerms(2)._1, TextOps.MinHashPerms(2)._2),
+        TextOps.minhashSlotArray(col("hs"),
+          TextOps.MinHashPerms(3)._1, TextOps.MinHashPerms(3)._2))
+      .orderBy("doc_id").collect().map(_.toSeq.tail)
+    assert(native.toSeq == composed.toSeq)
+  }
+
   test("hash60 stays in [0, 2^60) and equal inputs collide") {
     val toks = samples(token, 40)
     val got = (toks ++ toks).toDF("s")
