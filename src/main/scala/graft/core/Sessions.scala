@@ -65,6 +65,9 @@ object Sessions {
     if (!spark.catalog.functionExists("minhash_slots"))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "minhash_slots", graft.functions.MinhashSlots.builder, "builtin")
+    if (!spark.catalog.functionExists("repeat_gram"))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "repeat_gram", graft.functions.RepeatGram.builder, "builtin")
     if (!spark.experimental.extraOptimizations
         .contains(graft.functions.LevenshteinThreshold))
       spark.experimental.extraOptimizations =

@@ -76,6 +76,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ShingleHash60.info, ShingleHash60.builder))
     ext.injectFunction((FunctionIdentifier("minhash_slots"),
       MinhashSlots.info, MinhashSlots.builder))
+    ext.injectFunction((FunctionIdentifier("repeat_gram"),
+      RepeatGram.info, RepeatGram.builder))
     ext.injectOptimizerRule(_ => LevenshteinThreshold)
   }
 }

@@ -586,6 +586,93 @@ object TextOps {
   private def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*)))
 
+  /** Within-doc longest repeated n-gram (the Gopher/RefinedWeb
+    * repetition-rule family): per document, the largest n ≤ maxN for
+    * which some n-gram occurs ≥ 2 times (overlapping occurrences
+    * count) and the occurrence count of the most-repeated gram at
+    * that n; (0, 0) when nothing repeats. Runs as the native
+    * codegen'd `graft.functions.RepeatGram` — a pure per-row
+    * projection, because shipping every token of a 100 TB corpus
+    * through a groupBy(doc, n, gram) shuffle to compute a per-row
+    * number is the canonical scale mistake this engine avoids. */
+  def repeatGramMax(df: DataFrame, idCol: String, textCol: String,
+      maxN: Int = 8): DataFrame = {
+    val rg = call_function("repeat_gram", tokens(col(textCol)),
+      lit(maxN))
+    df.select(col(idCol), rg.as("rg"))
+      .select(col(idCol),
+        element_at(col("rg"), 1).as("max_rep_n"),
+        element_at(col("rg"), 2).as("n_reps"))
+  }
+
+  /** Curation-rule waterfall: apply a FIXED ordered rule set and
+    * report, per rule, how many documents fail there first and how
+    * many survive rules 1..k — the attrition funnel a curation
+    * engineer reads to see which gate eats the corpus. Rules (all
+    * integer-rational comparisons, so any engine agrees exactly):
+    *
+    *   1 min_len         — ≥ 30 tokens;
+    *   2 char_per_token  — mean token length in [4.2, 4.9]
+    *                       (42·nt ≤ 10·chars ≤ 49·nt);
+    *   3 stopword        — stopword-token ratio ≥ 1/32;
+    *   4 dup_tokens      — duplicate-token fraction ≤ 13/20;
+    *   5 shared_shingles — fraction of the doc's distinct 3-shingles
+    *                       shared with ANY other doc ≤ 4/5 (docs with
+    *                       no shingle pass — no evidence).
+    *
+    * Rules 1–4 are per-row projections (narrow at any scale); rule 5
+    * is the near-dup-mass statistic: ONE explode + window count on
+    * the shingle hash (WindowExec spills; same shape as q73) and one
+    * key join back. The funnel itself is a single global aggregation
+    * of first-failure indices — ten map-side-combined counters, then
+    * `stack` to one row per rule. */
+  def filterWaterfall(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val toks = tokens(col(textCol))
+    val base = df.select(col(idCol),
+      size(toks).cast("long").as("nt"),
+      length(regexp_replace(col(textCol), " ", "")).cast("long")
+        .as("nc"),
+      size(array_distinct(toks)).cast("long").as("nd"),
+      size(filter(toks, x => x.isInCollection(stops))).cast("long")
+        .as("he"))
+    val sh = df.select(col(idCol),
+      explode(shingleHashes(col(textCol))).as("sh"))
+    val mass = sh
+      .withColumn("cdf",
+        count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("nsh"),
+        sum(when(col("cdf") > 1, 1L).otherwise(0L)).as("ndup"))
+    val ff = base.join(mass, Seq(idCol), "left")
+      .select(
+        when(col("nt") < 30, 1)
+          .when(col("nc") * 10 < col("nt") * 42 ||
+            col("nc") * 10 > col("nt") * 49, 2)
+          .when(col("he") * 32 < col("nt"), 3)
+          .when((col("nt") - col("nd")) * 20 > col("nt") * 13, 4)
+          .when(coalesce(col("ndup"), lit(0L)) * 5 >
+            coalesce(col("nsh"), lit(0L)) * 4, 5)
+          .otherwise(6).as("ff"))
+    def dropped(k: Int) = sum(when(col("ff") === k, 1L).otherwise(0L))
+    def surviving(k: Int) = sum(when(col("ff") > k, 1L).otherwise(0L))
+    ff.agg(
+        dropped(1).as("d1"), surviving(1).as("s1"),
+        dropped(2).as("d2"), surviving(2).as("s2"),
+        dropped(3).as("d3"), surviving(3).as("s3"),
+        dropped(4).as("d4"), surviving(4).as("s4"),
+        dropped(5).as("d5"), surviving(5).as("s5"))
+      .selectExpr(
+        """stack(5,
+          |  1, 'min_len',         d1, s1,
+          |  2, 'char_per_token',  d2, s2,
+          |  3, 'stopword',        d3, s3,
+          |  4, 'dup_tokens',      d4, s4,
+          |  5, 'shared_shingles', d5, s5)
+          |AS (rule_idx, rule_name, n_dropped, n_surviving)""".stripMargin)
+  }
+
   /** Heuristic language ID: stopword-hit argmax with a fixed tie-break
     * (de < en < es < fr), 'und' when no list matches. One narrow map. */
   def langId(text: Column): Column = {

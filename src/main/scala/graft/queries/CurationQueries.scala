@@ -539,6 +539,91 @@ object CurationQueries {
               .as("allocation"),
             (col("cap").isNotNull && col("t") > col("cap"))
               .as("capped"))
-      })
+      }),
+
+    // Curation-rule waterfall: per ordered rule, documents failing
+    // there FIRST and documents surviving the prefix — the attrition
+    // funnel that tells a curation engineer which gate eats the
+    // corpus (TextOps.filterWaterfall scaladoc has the rule list;
+    // all thresholds integer-rational, so both engines agree
+    // bit-for-bit).
+    QueryDef(
+      "q182_filter_waterfall",
+      Some(s"""
+        WITH $dkShArr,
+        b AS (SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) nt,
+                     CAST(length(replace(text,' ','')) AS BIGINT) nc,
+                     CAST(len(list_distinct(toks)) AS BIGINT) nd,
+                     CAST(len(list_filter(toks, x -> list_contains(
+                       ['the','a','of','and','to','in','is','it'], x)))
+                       AS BIGINT) he
+              FROM (SELECT doc_id, text, string_split(text,' ') toks
+                    FROM documents)),
+        m AS (SELECT doc_id, count(*) nsh,
+                     count(*) FILTER (WHERE cdf > 1) ndup
+              FROM (SELECT doc_id, sh,
+                           count(*) OVER (PARTITION BY sh) cdf
+                    FROM (SELECT doc_id, unnest(arr) sh FROM shl))
+              GROUP BY 1),
+        ff AS (SELECT CASE
+                 WHEN nt < 30 THEN 1
+                 WHEN nc*10 < nt*42 OR nc*10 > nt*49 THEN 2
+                 WHEN he*32 < nt THEN 3
+                 WHEN (nt-nd)*20 > nt*13 THEN 4
+                 WHEN coalesce(ndup,0)*5 > coalesce(nsh,0)*4 THEN 5
+                 ELSE 6 END AS f
+               FROM b LEFT JOIN m USING (doc_id)),
+        a AS (SELECT
+                count(*) FILTER (WHERE f = 1) d1,
+                count(*) FILTER (WHERE f > 1) s1,
+                count(*) FILTER (WHERE f = 2) d2,
+                count(*) FILTER (WHERE f > 2) s2,
+                count(*) FILTER (WHERE f = 3) d3,
+                count(*) FILTER (WHERE f > 3) s3,
+                count(*) FILTER (WHERE f = 4) d4,
+                count(*) FILTER (WHERE f > 4) s4,
+                count(*) FILTER (WHERE f = 5) d5,
+                count(*) FILTER (WHERE f > 5) s5
+              FROM ff)
+        SELECT CAST(1 AS INT) rule_idx, 'min_len' rule_name,
+               d1 n_dropped, s1 n_surviving FROM a
+        UNION ALL SELECT 2, 'char_per_token', d2, s2 FROM a
+        UNION ALL SELECT 3, 'stopword', d3, s3 FROM a
+        UNION ALL SELECT 4, 'dup_tokens', d4, s4 FROM a
+        UNION ALL SELECT 5, 'shared_shingles', d5, s5 FROM a"""),
+      (s, d) =>
+        TextOps.filterWaterfall(t(s, d, "documents"), "doc_id", "text")),
+
+    // Within-doc longest repeated n-gram (Gopher repetition family):
+    // largest n <= 8 with a gram occurring >= 2 times (overlaps
+    // count) + the top occurrence count at that n. Spark side is ONE
+    // narrow projection (native repeat_gram kernel, no shuffle); the
+    // oracle rebuilds the same statistic relationally.
+    QueryDef(
+      "q183_repeat_gram",
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text,' ') toks
+                   FROM documents),
+        ns AS (SELECT unnest(range(1, 9)) AS n),
+        g AS (SELECT doc_id, n,
+                     unnest(CASE WHEN len(toks) >= n + 1
+                       THEN list_transform(range(1, len(toks)-n+2),
+                              i -> array_to_string(toks[i:i+n-1], ' '))
+                       ELSE []::VARCHAR[] END) AS gram
+              FROM t CROSS JOIN ns),
+        c AS (SELECT doc_id, n, count(*) cnt
+              FROM g GROUP BY doc_id, n, gram HAVING count(*) >= 2),
+        mx AS (SELECT doc_id, max(n) AS max_rep_n FROM c GROUP BY 1),
+        top AS (SELECT c.doc_id, mx.max_rep_n, max(c.cnt) AS n_reps
+                FROM c JOIN mx ON c.doc_id = mx.doc_id
+                  AND c.n = mx.max_rep_n
+                GROUP BY 1, 2)
+        SELECT t.doc_id,
+               coalesce(top.max_rep_n, 0) AS max_rep_n,
+               coalesce(top.n_reps, 0) AS n_reps
+        FROM t LEFT JOIN top ON t.doc_id = top.doc_id"""),
+      (s, d) =>
+        TextOps.repeatGramMax(t(s, d, "documents"), "doc_id", "text"))
   )
 }

@@ -779,4 +779,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(1L -> 1L, 2L -> 4L, 3L -> 6L,
       4L -> 2L, 5L -> 5L, 6L -> 3L))
   }
+
+  test("repeatGramMax: overlap counting, largest-n wins, no-repeat zero") {
+    val df = Seq(
+      (1L, "a b c a b c a b"), // 5-gram "a b c a b" at pos 1 and 4
+      (2L, "x x x x"),         // overlapping trigram "x x x" at 1 and 2
+      (3L, "p q r s t"),       // no repeats at any n
+      (4L, "m"),               // single token
+      (5L, "u v u w u")        // only the unigram "u" repeats (3×)
+    ).toDF("doc_id", "text")
+    val got = TextOps.repeatGramMax(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 5L, 2L), (2L, 3L, 2L), (3L, 0L, 0L),
+      (4L, 0L, 0L), (5L, 1L, 3L)))
+  }
+
+  test("filterWaterfall: funnel counts are consistent and ordered") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = TextOps.filterWaterfall(docs, "doc_id", "text")
+      .orderBy("rule_idx").collect()
+    assert(rows.length == 5)
+    val total = docs.count()
+    // survivors after rule 1 = total - dropped at rule 1; each later
+    // survivor count = previous survivors - dropped there
+    var surv = total
+    rows.foreach { r =>
+      surv -= r.getLong(2)
+      assert(r.getLong(3) == surv)
+    }
+  }
 }
