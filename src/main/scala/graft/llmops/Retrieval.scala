@@ -59,6 +59,20 @@ object Retrieval {
     val tf = matched.groupBy(col(idCol), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(false)
+    bm25FromTf(tf, stats, queries, idCol, queryIdCol, termCol, k1, b, k)
+  }
+
+  /** [[bm25TopK]] over a PRE-BUILT query-term-filtered tf table
+    * (one row per (doc, term, dl) with its count) and a one-row
+    * (n_docs, avgdl) stats frame — the entry point for pipelines that
+    * already materialized the postings/tf stage (q112's table, or a
+    * composition like q163 that derives the probe terms from the same
+    * explode): the corpus is tokenized ONCE instead of once per
+    * consumer. Scoring, fold order, and ranking are byte-identical to
+    * [[bm25TopK]], which delegates here. */
+  def bm25FromTf(tf: DataFrame, stats: DataFrame, queries: DataFrame,
+      idCol: String, queryIdCol: String, termCol: String,
+      k1: Double, b: Double, k: Int): DataFrame = {
     // tf already holds exactly one row per (doc, term) — document
     // frequency is a count over it, not a second corpus scan
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -166,32 +166,53 @@ object RetrievalQueries {
         WHERE rk <= 5"""),
       (s, d) => {
         val docs = t(s, d, "documents")
-        // query-term selection: q57's exact top-3 tf-idf expression,
-        // restricted to the 8 query docs AFTER the corpus-wide df
-        // window (at 100 TB the df table would be precomputed; the
-        // per-query tail is 8 rows either way)
+        // ONE corpus tokenization feeds everything lexical: the
+        // (doc, term, dl, tf) table is checkpointed and then serves
+        // (a) document frequencies, (b) the query-doc slice that
+        // picks probe terms, and (c) the BM25 scoring via bm25FromTf
+        // — the naive composition re-explodes the corpus once per
+        // consumer, which at 100 TB is the whole job re-run thrice.
         val tf = docs
-          .select(col("doc_id"), explode(TextOps.tokens(col("text")))
-            .as("term"))
-          .groupBy(col("doc_id"), col("term"))
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("dl"),
+            explode(TextOps.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("dl"), col("term"))
           .agg(count(lit(1)).as("tf"))
-        val withDf = tf.withColumn("df",
-          count(lit(1)).over(Window.partitionBy(col("term"))))
+          .localCheckpoint(false)
+        // df as ONE hash aggregation joined back to the 8-query
+        // slice — the window-over-every-term form shuffles AND sorts
+        // the whole vocabulary to annotate rows of which only the
+        // query slice survives
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
-        val scored = withDf.filter(col("doc_id") < 8)
+        val scored = dfreq
+          .join(broadcast(tf.filter(col("doc_id") < 8)), Seq("term"))
           .crossJoin(broadcast(n))
           .select(col("doc_id"), col("term"),
             ((col("tf") * col("n_docs")).cast("double") / col("df"))
               .as("score"))
         val wq = Window.partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("term"))
+        // 8 queries × 3 terms: checkpointed so the two probe-list
+        // broadcasts inside the BM25 stage don't re-execute the
+        // tf/df pipeline that produced it
         val qt = scored
           .select(col("doc_id").as("query_id"), col("term"),
             row_number().over(wq).as("rk"))
           .filter(col("rk") <= 3)
           .select(col("query_id"), col("term"))
-        val sparse = Retrieval.bm25TopK(docs, qt, "doc_id", "text",
-          "query_id", "term", k1 = K1, b = B, k = 10)
+          .localCheckpoint(false)
+        val stats = docs.agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(TextOps.tokens(col("text"))).cast("long"))
+              .as("sum_dl"))
+          .select(col("n_docs"),
+            (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+              .as("avgdl"))
+        val probe = tf.join(
+          broadcast(qt.select(col("term")).distinct()), Seq("term"))
+        val sparse = Retrieval.bm25FromTf(probe, stats, qt,
+            "doc_id", "query_id", "term", k1 = K1, b = B, k = 10)
           .select(col("query_id"), col("doc_id").as("cand_id"),
             col("rk").as("rk_s"))
         val emb = t(s, d, "embeddings")
