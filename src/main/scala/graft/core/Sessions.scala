@@ -68,6 +68,10 @@ object Sessions {
     if (!spark.catalog.functionExists("repeat_gram"))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "repeat_gram", graft.functions.RepeatGram.builder, "builtin")
+    if (!spark.catalog.functionExists("shingle_hash60_all"))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "shingle_hash60_all",
+        graft.functions.ShingleHashAll60.builder, "builtin")
     if (!spark.experimental.extraOptimizations
         .contains(graft.functions.LevenshteinThreshold))
       spark.experimental.extraOptimizations =

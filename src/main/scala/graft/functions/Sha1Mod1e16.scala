@@ -78,6 +78,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinhashSlots.info, MinhashSlots.builder))
     ext.injectFunction((FunctionIdentifier("repeat_gram"),
       RepeatGram.info, RepeatGram.builder))
+    ext.injectFunction((FunctionIdentifier("shingle_hash60_all"),
+      ShingleHashAll60.info, ShingleHashAll60.builder))
     ext.injectOptimizerRule(_ => LevenshteinThreshold)
   }
 }

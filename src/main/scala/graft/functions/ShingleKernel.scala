@@ -81,12 +81,24 @@ object ShingleHash60 {
     * order. Null tokens are impossible for `split` output but hash as
     * empty strings for safety (matches concat's null-propagation only
     * in never-taken paths). Fewer than n tokens → empty array. */
-  def compute(tokens: ArrayData, n: Int): ArrayData = {
+  def compute(tokens: ArrayData, n: Int): ArrayData =
+    computeImpl(tokens, n, dedup = true)
+
+  /** [[compute]] without the dedup — one hash PER POSITION, index i
+    * of the result = the gram starting at token i (the positional
+    * form the duplicated-span extractor consumes). */
+  def computeAll(tokens: ArrayData, n: Int): ArrayData =
+    computeImpl(tokens, n, dedup = false)
+
+  private def computeImpl(tokens: ArrayData, n: Int,
+      dedup: Boolean): ArrayData = {
     val m = tokens.numElements()
     if (m < n) return new GenericArrayData(Array.emptyLongArray)
     val md = digests.get()
     val out = new scala.collection.mutable.ArrayBuffer[Long](m - n + 1)
-    val seen = new java.util.HashSet[java.lang.Long](2 * (m - n + 1))
+    val seen =
+      if (dedup) new java.util.HashSet[java.lang.Long](2 * (m - n + 1))
+      else null
     var i = 0
     while (i <= m - n) {
       md.reset()
@@ -102,7 +114,7 @@ object ShingleHash60 {
       var b = 0
       while (b < 8) { acc = (acc << 8) | (d(b) & 0xffL); b += 1 }
       val h = acc >>> 4
-      if (seen.add(h)) out += h
+      if (seen == null || seen.add(h)) out += h
       i += 1
     }
     new GenericArrayData(out.toArray)
@@ -113,6 +125,49 @@ object ShingleHash60 {
 
   def builder(children: Seq[Expression]): Expression =
     ShingleHash60(children.head, children(1))
+}
+
+/** Positional sibling of [[ShingleHash60]]: NO dedup — element i is
+  * the hash of the n-gram starting at token i, so `posexplode` over
+  * the result yields (position, gram-hash) pairs. Same incremental-md5
+  * kernel, same codegen/CSE properties. */
+case class ShingleHashAll60(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != ArrayType(StringType, containsNull = false) &&
+      left.dataType != ArrayType(StringType, containsNull = true))
+      TypeCheckResult.TypeCheckFailure(
+        s"shingle_hash60_all requires ARRAY<STRING>, got ${left.dataType.sql}")
+    else if (right.dataType != IntegerType || !right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "shingle_hash60_all gram size must be a literal INT")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash60_all"
+
+  override protected def nullSafeEval(tokens: Any, n: Any): Any =
+    ShingleHash60.computeAll(tokens.asInstanceOf[ArrayData],
+      n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, n) => s"graft.functions.ShingleHash60.computeAll($t, $n)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ShingleHashAll60 =
+    copy(left = newLeft, right = newRight)
+}
+
+object ShingleHashAll60 {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[ShingleHashAll60].getName, "shingle_hash60_all")
+
+  def builder(children: Seq[Expression]): Expression =
+    ShingleHashAll60(children.head, children(1))
 }
 
 /** Native single-pass MinHash fold: given a shingle-hash array,

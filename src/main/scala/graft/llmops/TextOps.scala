@@ -50,6 +50,12 @@ object TextOps {
   def shingleHashesComposed(text: Column, n: Int = 3): Column =
     array_distinct(transform(shingles(text, n), g => hash60(g)))
 
+  /** Positional (non-distinct) shingle hashes: element i = the hash
+    * of the n-gram starting at token i — the form the duplicated-span
+    * extractor posexplodes. Native `shingle_hash60_all` kernel. */
+  def shingleHashesAll(text: Column, n: Int = 3): Column =
+    call_function("shingle_hash60_all", tokens(text), lit(n))
+
   /** Word n-gram shingles (default 3). Empty array when the document is
     * shorter than n.
     *
@@ -671,6 +677,63 @@ object TextOps {
           |  4, 'dup_tokens',      d4, s4,
           |  5, 'shared_shingles', d5, s5)
           |AS (rule_idx, rule_name, n_dropped, n_surviving)""".stripMargin)
+  }
+
+  /** Cross-document duplicated-span extraction — the positional form
+    * of exact substring dedup (the operator a "dedup the repeated
+    * passages, not whole documents" pipeline needs; q73 measures the
+    * duplicated MASS, this one finds WHERE it sits). Per document:
+    * every token position whose k-gram also occurs in ANOTHER
+    * document marks tokens [p, p+k−1] as duplicated; overlapping or
+    * adjacent marked intervals merge into maximal spans (the classic
+    * gaps-and-islands fold). Output per doc: token count, number of
+    * maximal duplicated spans, tokens covered by them, and the
+    * covered fraction; docs with no cross-doc gram keep zeros.
+    *
+    * 100 TB shape: one positional explode → one distinct + hash
+    * aggregation for per-gram doc counts (partial-aggregated; no
+    * window over the gram key) → one shuffle join back on the gram
+    * hash → per-doc window for the island fold (partitioned by doc —
+    * never global). The gram-hash join key is uniform by
+    * construction; a boilerplate gram shared by millions of docs
+    * multiplies only its own positions, linear in true duplication
+    * mass. */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val base = df.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("nt"),
+      shingleHashesAll(col(textCol), n).as("hs"))
+    val pos = base.select(col(idCol), col("nt"),
+      posexplode(col("hs")).as(Seq("p", "gh")))
+    val docGram = pos.select(col(idCol), col("gh")).distinct()
+    val shared = docGram
+      .groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") > 1)
+      .select(col("gh"))
+    val rep = pos.join(shared, Seq("gh"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("p"))
+    val islands = rep
+      .withColumn("newi",
+        when(col("p") > coalesce(lag(col("p"), 1).over(w),
+          lit(Long.MinValue)) + n, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("newi")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("nt"), col("island"))
+      .agg((max(col("p")) - min(col("p")) + n).as("covered"))
+      .groupBy(col(idCol), col("nt"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("covered")).as("covered_tokens"))
+    df.select(col(idCol), size(tokens(col(textCol))).cast("long")
+        .as("n_tokens"))
+      .join(islands.select(col(idCol), col("n_spans"),
+        col("covered_tokens")), Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_span_frac"))
   }
 
   /** Heuristic language ID: stopword-hit argmax with a fixed tie-break

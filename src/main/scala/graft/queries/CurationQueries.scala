@@ -624,6 +624,54 @@ object CurationQueries {
                coalesce(top.n_reps, 0) AS n_reps
         FROM t LEFT JOIN top ON t.doc_id = top.doc_id"""),
       (s, d) =>
-        TextOps.repeatGramMax(t(s, d, "documents"), "doc_id", "text"))
+        TextOps.repeatGramMax(t(s, d, "documents"), "doc_id", "text")),
+
+    // Cross-document duplicated-span extraction: positions whose
+    // trigram occurs in ANOTHER doc, merged into maximal spans
+    // (gaps-and-islands) — q73 measures duplicated mass, this one
+    // finds WHERE it sits, the unit a passage-level dedup rewrites.
+    QueryDef(
+      "q184_dup_spans",
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text,' ') toks
+                   FROM documents),
+        base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) nt, toks
+                 FROM t),
+        pos AS (SELECT doc_id, nt, toks,
+                       unnest(range(1, nt - 1)) AS p
+                FROM base WHERE nt >= 3),
+        pg AS (SELECT doc_id, nt, p,
+                      ('0x'||substr(md5(
+                        array_to_string(toks[p:p+2],' ')),1,15))::BIGINT
+                        AS gh
+               FROM pos),
+        shared AS (SELECT gh FROM (
+                     SELECT gh, count(DISTINCT doc_id) c
+                     FROM pg GROUP BY 1) WHERE c > 1),
+        rep AS (SELECT pg.* FROM pg JOIN shared USING (gh)),
+        isl AS (SELECT doc_id, nt, p,
+                       CASE WHEN p > coalesce(lag(p) OVER (
+                              PARTITION BY doc_id ORDER BY p),
+                              -100000) + 3 THEN 1 ELSE 0 END AS ni
+                FROM rep),
+        ids AS (SELECT doc_id, nt, p,
+                       sum(ni) OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS island
+                FROM isl),
+        per AS (SELECT doc_id, nt, island,
+                       max(p) - min(p) + 3 AS covered
+                FROM ids GROUP BY 1, 2, 3),
+        agg AS (SELECT doc_id, count(*) AS n_spans,
+                       CAST(sum(covered) AS BIGINT) AS covered_tokens
+                FROM per GROUP BY 1)
+        SELECT b.doc_id, b.nt AS n_tokens,
+               coalesce(a.n_spans, 0) AS n_spans,
+               coalesce(a.covered_tokens, 0) AS covered_tokens,
+               CAST(coalesce(a.covered_tokens, 0) AS DOUBLE) /
+                 CAST(b.nt AS DOUBLE) AS dup_span_frac
+        FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id"""),
+      (s, d) =>
+        TextOps.dupSpans(t(s, d, "documents"), "doc_id", "text"))
   )
 }

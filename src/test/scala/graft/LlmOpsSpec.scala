@@ -795,6 +795,21 @@ class LlmOpsSpec extends AnyFunSuite {
       (4L, 0L, 0L), (5L, 1L, 3L)))
   }
 
+  test("dupSpans: island merging, disjoint spans, zero for unique docs") {
+    val df = Seq(
+      (1L, "a b c d e f"),          // shares "a b c","b c d" → one span
+      (2L, "x y a b c d z"),        // same grams at p2,p3 → one span
+      (3L, "q r s"),                // nothing shared
+      (4L, "a b c q q q b c d")     // shared at p0 and p6 → two spans
+    ).toDF("doc_id", "text")
+    val got = TextOps.dupSpans(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq((1L, 6L, 1L, 4L), (2L, 7L, 1L, 4L),
+      (3L, 3L, 0L, 0L), (4L, 9L, 2L, 6L)))
+  }
+
   test("filterWaterfall: funnel counts are consistent and ordered") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val rows = TextOps.filterWaterfall(docs, "doc_id", "text")

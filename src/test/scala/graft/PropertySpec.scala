@@ -134,6 +134,19 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native shingle_hash60_all == composed transform/hash60") {
+    val tricky = Seq("", "a", "a b", "a b c", "a b c d e",
+      "x x x x x", "é ñ 日 本 語 ü", "a  b c d", "t1 t2 t1 t2 t1 t2 t1")
+    val rand = samples(Gen.listOf(token).map(_.mkString(" ")), 40)
+    val df = (tricky ++ rand).toDF("s")
+      .select(TextOps.shingleHashesAll(col("s")).as("native"),
+        transform(TextOps.shingles(col("s")),
+          g => TextOps.hash60(g)).as("composed"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
   test("native minhash_slots == composed transform/array_min per slot") {
     val rand = samples(Gen.listOf(token).map(_.mkString(" ")), 40)
       .filter(_.split(" ").length >= 3)
