@@ -736,6 +736,46 @@ object TextOps {
           col("n_tokens").cast("double")).as("dup_span_frac"))
   }
 
+  /** Passage-level dedup REWRITE — the acting half of [[dupSpans]]:
+    * tokens covered by any cross-document duplicated span are removed
+    * and the survivors re-joined in order, giving the deduplicated
+    * text a training run consumes. Contract: symmetric removal (every
+    * doc sharing a gram loses the span — the conservative "boilerplate
+    * scrub" policy; an ownership-keeping variant needs a global
+    * keeper election, which is [[ngramJaccardPairs]]+DedupClusters
+    * territory). Per doc the covered-position set rides back as ONE
+    * array (collect_set, bounded by doc length) and the rewrite is a
+    * per-row indexed filter — no token-level shuffle beyond the span
+    * detection itself. */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val pos = df.select(col(idCol),
+      posexplode(shingleHashesAll(col(textCol), n)).as(Seq("p", "gh")))
+    val shared = pos.select(col(idCol), col("gh")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") > 1)
+      .select(col("gh"))
+    val covered = pos.join(shared, Seq("gh"))
+      .select(col(idCol),
+        explode(sequence(col("p"), col("p") + (n - 1))).as("ci"))
+      .distinct()
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("ci"))).as("cov"))
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .join(covered, Seq(idCol), "left")
+      // null-safe BEFORE the lambda: array_contains(NULL, i) is NULL,
+      // and a NULL lambda result drops the token — every token of an
+      // uncovered doc would vanish
+      .withColumn("cov", coalesce(col("cov"), array().cast("array<int>")))
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_removed"),
+        concat_ws(" ",
+          filter(col("toks"),
+            (_, i) => !array_contains(col("cov"), i)))
+          .as("text_deduped"))
+  }
+
   /** Heuristic language ID: stopword-hit argmax with a fixed tie-break
     * (de < en < es < fr), 'und' when no list matches. One narrow map. */
   def langId(text: Column): Column = {

@@ -672,6 +672,42 @@ object CurationQueries {
                  CAST(b.nt AS DOUBLE) AS dup_span_frac
         FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id"""),
       (s, d) =>
-        TextOps.dupSpans(t(s, d, "documents"), "doc_id", "text"))
+        TextOps.dupSpans(t(s, d, "documents"), "doc_id", "text")),
+
+    // Passage-level dedup rewrite — q184's acting half: covered
+    // tokens removed, survivors re-joined in order (symmetric
+    // boilerplate-scrub policy; see TextOps.removeDupSpans scaladoc).
+    // String equality of the rebuilt text is the strictest possible
+    // cross-engine check of the span semantics.
+    QueryDef(
+      "q185_dedup_rewrite",
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text,' ') toks
+                   FROM documents),
+        base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) nt, toks
+                 FROM t),
+        pos AS (SELECT doc_id, nt, toks, unnest(range(1, nt - 1)) AS p
+                FROM base WHERE nt >= 3),
+        pg AS (SELECT doc_id, p,
+                      ('0x'||substr(md5(
+                        array_to_string(toks[p:p+2],' ')),1,15))::BIGINT
+                        AS gh
+               FROM pos),
+        shared AS (SELECT gh FROM (
+                     SELECT gh, count(DISTINCT doc_id) c
+                     FROM pg GROUP BY 1) WHERE c > 1),
+        cov0 AS (SELECT DISTINCT doc_id, unnest([p, p+1, p+2]) AS ci
+                 FROM pg JOIN shared USING (gh)),
+        covl AS (SELECT doc_id, list(ci ORDER BY ci) AS cov
+                 FROM cov0 GROUP BY 1)
+        SELECT b.doc_id, b.nt AS n_tokens,
+               CAST(coalesce(len(c.cov), 0) AS BIGINT) AS n_removed,
+               coalesce(array_to_string(
+                 [b.toks[i] FOR i IN range(1, len(b.toks)+1)
+                  IF NOT list_contains(coalesce(c.cov, []::BIGINT[]), i)],
+                 ' '), '') AS text_deduped
+        FROM base b LEFT JOIN covl c USING (doc_id)"""),
+      (s, d) =>
+        TextOps.removeDupSpans(t(s, d, "documents"), "doc_id", "text"))
   )
 }

@@ -810,6 +810,20 @@ class LlmOpsSpec extends AnyFunSuite {
       (3L, 3L, 0L, 0L), (4L, 9L, 2L, 6L)))
   }
 
+  test("removeDupSpans: rewrites covered spans out, keeps order") {
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b c d z"),
+      (3L, "q r s"),
+      (4L, "a b c q q q b c d")
+    ).toDF("doc_id", "text")
+    val got = TextOps.removeDupSpans(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+    assert(got == Seq((1L, 4L, "e f"), (2L, 4L, "x y z"),
+      (3L, 0L, "q r s"), (4L, 6L, "q q q")))
+  }
+
   test("filterWaterfall: funnel counts are consistent and ordered") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val rows = TextOps.filterWaterfall(docs, "doc_id", "text")
