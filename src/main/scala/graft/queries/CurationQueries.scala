@@ -708,6 +708,65 @@ object CurationQueries {
                  ' '), '') AS text_deduped
         FROM base b LEFT JOIN covl c USING (doc_id)"""),
       (s, d) =>
-        TextOps.removeDupSpans(t(s, d, "documents"), "doc_id", "text"))
+        TextOps.removeDupSpans(t(s, d, "documents"), "doc_id", "text")),
+
+    // Chance-corrected agreement (Cohen's kappa) between two curation
+    // gates — the QA statistic for "is the cheap gate a usable proxy
+    // for the expensive one". Computed from the 2×2 contingency
+    // counts with ALL products in exact integers (DECIMAL/HUGEINT)
+    // and one final double division:
+    // κ = (n·(n11+n00) − (a1·b1 + a0·b0)) / (n² − (a1·b1 + a0·b0)).
+    // Gates: A = length ≥ 30 tokens; B = stopword ratio ≥ 1/32.
+    QueryDef(
+      "q187_gate_kappa",
+      Some("""
+        WITH b AS (SELECT
+                     CAST(len(string_split(text,' ')) AS BIGINT) nt,
+                     CAST(len(list_filter(string_split(text,' '),
+                       x -> list_contains(['the','a','of','and','to',
+                         'in','is','it'], x))) AS BIGINT) he
+                   FROM documents),
+        g AS (SELECT nt >= 30 AS ga, he*32 >= nt AS gb FROM b),
+        c AS (SELECT
+                count(*) AS n,
+                count(*) FILTER (WHERE ga AND gb) AS n11,
+                count(*) FILTER (WHERE ga AND NOT gb) AS n10,
+                count(*) FILTER (WHERE NOT ga AND gb) AS n01,
+                count(*) FILTER (WHERE NOT ga AND NOT gb) AS n00
+              FROM g)
+        SELECT n, n11, n10, n01, n00,
+               CAST(CAST(n AS HUGEINT)*(n11+n00)
+                      - (CAST(n11+n10 AS HUGEINT)*(n11+n01)
+                         + CAST(n01+n00 AS HUGEINT)*(n10+n00))
+                    AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT)*n
+                      - (CAST(n11+n10 AS HUGEINT)*(n11+n01)
+                         + CAST(n01+n00 AS HUGEINT)*(n10+n00))
+                    AS DOUBLE) AS kappa
+        FROM c"""),
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+        val g = t(s, d, "documents").select(
+          (size(toks).cast("long") >= 30).as("ga"),
+          (size(filter(toks, x => x.isInCollection(stops)))
+            .cast("long") * 32 >= size(toks).cast("long")).as("gb"))
+        def cnt(c: org.apache.spark.sql.Column) =
+          sum(when(c, 1L).otherwise(0L))
+        val cts = g.agg(
+          count(lit(1)).as("n"),
+          cnt(col("ga") && col("gb")).as("n11"),
+          cnt(col("ga") && !col("gb")).as("n10"),
+          cnt(!col("ga") && col("gb")).as("n01"),
+          cnt(!col("ga") && !col("gb")).as("n00"))
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast("decimal(38,0)")
+        val pe = dec(col("n11") + col("n10")) * (col("n11") + col("n01")) +
+          dec(col("n01") + col("n00")) * (col("n10") + col("n00"))
+        cts.select(col("n"), col("n11"), col("n10"), col("n01"),
+          col("n00"),
+          ((dec(col("n")) * (col("n11") + col("n00")) - pe).cast("double") /
+            (dec(col("n")) * col("n") - pe).cast("double")).as("kappa"))
+      })
   )
 }

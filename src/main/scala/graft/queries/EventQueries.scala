@@ -842,6 +842,47 @@ object EventQueries {
           .agg(count(lit(1)).as("n_occurrences"))
           .orderBy(col("n_occurrences").desc, col("path3"))
           .limit(20)
+      }),
+
+    // Exponentially time-decayed event mass per type, half-life = one
+    // day with base 2 — so every per-event weight is the DYADIC
+    // 2^(shift−age)/2^shift: integer-valued doubles whose sums stay
+    // below 2^53, making the whole statistic bit-exact in IEEE across
+    // engines and summation orders (the usual e^{-λt} decay is
+    // libm-dependent in the last ulp). The decay anchor (newest day)
+    // and the normalizing shift (day span) come from ONE broadcast
+    // bounds row — no driver-side clock, no second scan.
+    QueryDef(
+      "q186_time_decay",
+      Some("""
+        WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day
+                   FROM events),
+        b AS (SELECT max(day) AS maxd, min(day) AS mind FROM e),
+        x AS (SELECT event_type,
+                     datediff('day', day, maxd) AS age,
+                     datediff('day', mind, maxd) AS shift
+              FROM e, b)
+        SELECT event_type, count(*) AS n_events,
+               sum(power(2.0, shift - age)) / power(2.0, max(shift))
+                 AS decayed_mass
+        FROM x GROUP BY 1"""),
+      (s, d) => {
+        val e = t(s, d, "events").select(col("event_type"),
+          to_date(expr("timestamp_micros(ts div 1000)")).as("day"))
+        val bounds = e.agg(max(col("day")).as("maxd"),
+          min(col("day")).as("mind"))
+        e.crossJoin(broadcast(bounds))
+          .select(col("event_type"),
+            datediff(col("maxd"), col("day")).as("age"),
+            datediff(col("maxd"), col("mind")).as("shift"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(pow(lit(2.0), (col("shift") - col("age"))
+              .cast("double"))).as("num"),
+            max(col("shift")).as("sh"))
+          .select(col("event_type"), col("n_events"),
+            (col("num") / pow(lit(2.0), col("sh").cast("double")))
+              .as("decayed_mass"))
       })
   )
 }
