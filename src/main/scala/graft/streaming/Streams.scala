@@ -84,6 +84,21 @@ object Streams {
     df.withWatermark(tsCol, lateness)
       .dropDuplicates(keys :+ tsCol)
 
+  /** Retry-tolerant streaming dedup: drops a key's re-delivery even
+    * when the duplicate carries a DIFFERENT event time (an
+    * at-least-once source re-emitting with a fresh timestamp — the
+    * case [[dedupByKey]]'s (keys, ts) identity misses), as long as it
+    * arrives within the watermark delay of the first-seen row; state
+    * for a key is evicted once the watermark passes it, so state size
+    * is bounded by the delay window instead of growing with the
+    * stream (`dropDuplicates` on keys alone would pin every key
+    * forever). This is Spark's `dropDuplicatesWithinWatermark` — the
+    * exact semantic a monitoring feed with producer retries needs. */
+  def dedupRetries(df: DataFrame, tsCol: String, lateness: String,
+      keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Per-key session aggregation with custom state
     * (`mapGroupsWithState`): collapses a key's events into evolving
     * (n, sum, last-seen) state with a processing-time idle timeout —

@@ -75,6 +75,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("job1", "job2"))
   }
 
+  test("retry dedup drops re-deliveries with DIFFERENT timestamps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    // job1 re-delivered twice with fresh timestamps (producer retry):
+    // (keys :+ ts) identity would keep all three; within-watermark
+    // dedup keeps only the first
+    input.addData(("job1", ts(1)), ("job1", ts(2)), ("job2", ts(2)),
+      ("job1", ts(3)))
+    val dd = Streams.dedupRetries(input.toDF().toDF("job_id", "ts"),
+      "ts", "10 minutes", Seq("job_id"))
+    val q = Streams.toMemory(dd, "retrydedup", OutputMode.Append())
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql(
+      "SELECT job_id, ts FROM retrydedup ORDER BY job_id")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)))
+    assert(got.toSeq == Seq(("job1", ts(1)), ("job2", ts(2))))
+  }
+
   test("stream-static enrich: micro-batches join the broadcast dim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
