@@ -633,16 +633,31 @@ object TextOps {
     * of first-failure indices — ten map-side-combined counters, then
     * `stack` to one row per rule. */
   def filterWaterfall(df: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
+      : DataFrame =
+    waterfallByGroup(df, idCol, textCol, groupCol = None)
+
+  /** [[filterWaterfall]] sliced per group (e.g. per source): the same
+    * ordered rules and first-failure fold, keyed by `groupCol` — the
+    * grid that shows WHICH feed dies at WHICH gate. Grouped
+    * aggregation instead of the global one; everything else
+    * identical. */
+  def filterWaterfallBy(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame =
+    waterfallByGroup(df, idCol, textCol, Some(groupCol))
+
+  private def waterfallByGroup(df: DataFrame, idCol: String,
+      textCol: String, groupCol: Option[String]): DataFrame = {
     val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
     val toks = tokens(col(textCol))
-    val base = df.select(col(idCol),
-      size(toks).cast("long").as("nt"),
+    val gcols = groupCol.toSeq
+    val base = df.select((col(idCol) +:
+      gcols.map(col) :+
+      size(toks).cast("long").as("nt") :+
       length(regexp_replace(col(textCol), " ", "")).cast("long")
-        .as("nc"),
-      size(array_distinct(toks)).cast("long").as("nd"),
+        .as("nc") :+
+      size(array_distinct(toks)).cast("long").as("nd") :+
       size(filter(toks, x => x.isInCollection(stops))).cast("long")
-        .as("he"))
+        .as("he")): _*)
     val sh = df.select(col(idCol),
       explode(shingleHashes(col(textCol))).as("sh"))
     val mass = sh
@@ -652,7 +667,7 @@ object TextOps {
       .agg(count(lit(1)).as("nsh"),
         sum(when(col("cdf") > 1, 1L).otherwise(0L)).as("ndup"))
     val ff = base.join(mass, Seq(idCol), "left")
-      .select(
+      .select((gcols.map(col) :+
         when(col("nt") < 30, 1)
           .when(col("nc") * 10 < col("nt") * 42 ||
             col("nc") * 10 > col("nt") * 49, 2)
@@ -660,23 +675,29 @@ object TextOps {
           .when((col("nt") - col("nd")) * 20 > col("nt") * 13, 4)
           .when(coalesce(col("ndup"), lit(0L)) * 5 >
             coalesce(col("nsh"), lit(0L)) * 4, 5)
-          .otherwise(6).as("ff"))
+          .otherwise(6).as("ff")): _*)
     def dropped(k: Int) = sum(when(col("ff") === k, 1L).otherwise(0L))
     def surviving(k: Int) = sum(when(col("ff") > k, 1L).otherwise(0L))
-    ff.agg(
-        dropped(1).as("d1"), surviving(1).as("s1"),
-        dropped(2).as("d2"), surviving(2).as("s2"),
-        dropped(3).as("d3"), surviving(3).as("s3"),
-        dropped(4).as("d4"), surviving(4).as("s4"),
-        dropped(5).as("d5"), surviving(5).as("s5"))
-      .selectExpr(
-        """stack(5,
-          |  1, 'min_len',         d1, s1,
-          |  2, 'char_per_token',  d2, s2,
-          |  3, 'stopword',        d3, s3,
-          |  4, 'dup_tokens',      d4, s4,
-          |  5, 'shared_shingles', d5, s5)
-          |AS (rule_idx, rule_name, n_dropped, n_surviving)""".stripMargin)
+    val counters = Seq(
+      dropped(1).as("d1"), surviving(1).as("s1"),
+      dropped(2).as("d2"), surviving(2).as("s2"),
+      dropped(3).as("d3"), surviving(3).as("s3"),
+      dropped(4).as("d4"), surviving(4).as("s4"),
+      dropped(5).as("d5"), surviving(5).as("s5"))
+    val agged = groupCol match {
+      case Some(g) => ff.groupBy(col(g))
+        .agg(counters.head, counters.tail: _*)
+      case None => ff.agg(counters.head, counters.tail: _*)
+    }
+    val stacked =
+      """stack(5,
+        |  1, 'min_len',         d1, s1,
+        |  2, 'char_per_token',  d2, s2,
+        |  3, 'stopword',        d3, s3,
+        |  4, 'dup_tokens',      d4, s4,
+        |  5, 'shared_shingles', d5, s5)
+        |AS (rule_idx, rule_name, n_dropped, n_surviving)""".stripMargin
+    agged.selectExpr(gcols ++ Seq(stacked): _*)
   }
 
   /** Cross-document duplicated-span extraction — the positional form

@@ -767,6 +767,58 @@ object CurationQueries {
           col("n00"),
           ((dec(col("n")) * (col("n11") + col("n00")) - pe).cast("double") /
             (dec(col("n")) * col("n") - pe).cast("double")).as("kappa"))
-      })
+      }),
+
+    // q182's waterfall sliced per source: which feed dies at which
+    // gate. Same rules, same first-failure fold, grouped aggregation.
+    QueryDef(
+      "q188_waterfall_by_source",
+      Some(s"""
+        WITH $dkShArr,
+        b AS (SELECT doc_id, source,
+                     CAST(len(toks) AS BIGINT) nt,
+                     CAST(length(replace(text,' ','')) AS BIGINT) nc,
+                     CAST(len(list_distinct(toks)) AS BIGINT) nd,
+                     CAST(len(list_filter(toks, x -> list_contains(
+                       ['the','a','of','and','to','in','is','it'], x)))
+                       AS BIGINT) he
+              FROM (SELECT doc_id, source, text,
+                           string_split(text,' ') toks
+                    FROM documents)),
+        m AS (SELECT doc_id, count(*) nsh,
+                     count(*) FILTER (WHERE cdf > 1) ndup
+              FROM (SELECT doc_id, sh,
+                           count(*) OVER (PARTITION BY sh) cdf
+                    FROM (SELECT doc_id, unnest(arr) sh FROM shl))
+              GROUP BY 1),
+        ff AS (SELECT source, CASE
+                 WHEN nt < 30 THEN 1
+                 WHEN nc*10 < nt*42 OR nc*10 > nt*49 THEN 2
+                 WHEN he*32 < nt THEN 3
+                 WHEN (nt-nd)*20 > nt*13 THEN 4
+                 WHEN coalesce(ndup,0)*5 > coalesce(nsh,0)*4 THEN 5
+                 ELSE 6 END AS f
+               FROM b LEFT JOIN m USING (doc_id)),
+        a AS (SELECT source,
+                count(*) FILTER (WHERE f = 1) d1,
+                count(*) FILTER (WHERE f > 1) s1,
+                count(*) FILTER (WHERE f = 2) d2,
+                count(*) FILTER (WHERE f > 2) s2,
+                count(*) FILTER (WHERE f = 3) d3,
+                count(*) FILTER (WHERE f > 3) s3,
+                count(*) FILTER (WHERE f = 4) d4,
+                count(*) FILTER (WHERE f > 4) s4,
+                count(*) FILTER (WHERE f = 5) d5,
+                count(*) FILTER (WHERE f > 5) s5
+              FROM ff GROUP BY 1)
+        SELECT source, CAST(1 AS INT) rule_idx, 'min_len' rule_name,
+               d1 n_dropped, s1 n_surviving FROM a
+        UNION ALL SELECT source, 2, 'char_per_token', d2, s2 FROM a
+        UNION ALL SELECT source, 3, 'stopword', d3, s3 FROM a
+        UNION ALL SELECT source, 4, 'dup_tokens', d4, s4 FROM a
+        UNION ALL SELECT source, 5, 'shared_shingles', d5, s5 FROM a"""),
+      (s, d) =>
+        TextOps.filterWaterfallBy(t(s, d, "documents"), "doc_id",
+          "text", "source"))
   )
 }
