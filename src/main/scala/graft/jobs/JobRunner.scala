@@ -109,6 +109,11 @@ object JobRunner {
           in("phedex"))),
       // ts is the run's nominal date column; the CLI caller sets it in
       // production, fixtures pin it (data_aggregation.py main --date)
+      // corpus-release audit: exact dedup -> waterfall gate -> span
+      // scrub -> per-source summary (graft.llmops.CorpusRelease)
+      "corpus_release" -> (Seq("docs"),
+        (_, in) => graft.llmops.CorpusRelease.summary(
+          in("docs"), "doc_id", "text", "source")),
       "popularity_4streams" -> (
         Seq("cmssw", "aaa", "eos", "jm", "files", "blocks", "datasets",
           "phedex"),

@@ -1,0 +1,74 @@
+package graft.llmops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The composed corpus-release pipeline — what a training-data user
+  * actually runs before cutting a dataset: exact dedup (keep the
+  * lowest-id copy per byte-identical text, q40's fingerprint) →
+  * 5-rule quality waterfall (TextOps.filterWaterfall's gates) →
+  * passage-level duplicated-span scrub (TextOps.removeDupSpans) →
+  * per-source release summary. Every stage is an independently
+  * oracled operator; this is the q65-style composition at job level,
+  * registered as `corpus_release` in [[graft.jobs.JobRunner]].
+  *
+  * Scale shape: the md5 window keys on the text fingerprint (uniform;
+  * byte-identical mass collapses to one key each), the gate is the
+  * waterfall's one shingle-df shuffle, the scrub re-runs span
+  * detection over SURVIVORS only (the post-gate corpus — spans are
+  * defined against what ships, not against dropped spam), and the
+  * summary is one grouped aggregation. No driver-side state.
+  */
+object CorpusRelease {
+
+  /** Released documents: (idCol, sourceCol, n_tokens, n_removed,
+    * text_deduped) for every doc that survives exact dedup + the
+    * waterfall, with duplicated spans scrubbed. */
+  def released(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol)))
+    val exact = docs
+      .withColumn("__first", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("__first"))
+      .drop("__first")
+    val survivors = exact
+      .join(TextOps.waterfallFirstFail(exact, idCol, textCol), Seq(idCol))
+      .filter(col("ff") === 6)
+      .drop("ff")
+    TextOps.removeDupSpans(survivors, idCol, textCol)
+      .join(docs.select(col(idCol), col(sourceCol)), Seq(idCol))
+  }
+
+  /** Per-source release audit: docs in, dropped at each stage, docs
+    * and tokens out. `tokens_scrubbed` counts tokens removed by the
+    * span scrub from RELEASED docs only. */
+  def summary(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol)))
+    val tagged = docs
+      .withColumn("__first", min(col(idCol)).over(w))
+      .withColumn("__exact_dup", col(idCol) =!= col("__first"))
+    val exact = tagged.filter(!col("__exact_dup"))
+    val ff = exact
+      .join(TextOps.waterfallFirstFail(exact, idCol, textCol), Seq(idCol))
+    val rel = TextOps.removeDupSpans(
+      ff.filter(col("ff") === 6).drop("ff"), idCol, textCol)
+    val stages = tagged.select(col(idCol), col(sourceCol),
+        col("__exact_dup"))
+      .join(ff.select(col(idCol), col("ff")), Seq(idCol), "left")
+      .join(rel.select(col(idCol), col("n_tokens"), col("n_removed")),
+        Seq(idCol), "left")
+    stages.groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_in"),
+        sum(when(col("__exact_dup"), 1L).otherwise(0L))
+          .as("n_exact_dropped"),
+        sum(when(!col("__exact_dup") && col("ff") =!= 6, 1L)
+          .otherwise(0L)).as("n_gate_dropped"),
+        sum(when(col("ff") === 6, 1L).otherwise(0L)).as("n_released"),
+        sum(coalesce(col("n_removed"), lit(0L))).as("tokens_scrubbed"),
+        sum(coalesce(col("n_tokens") - col("n_removed"), lit(0L)))
+          .as("tokens_released"))
+  }
+}

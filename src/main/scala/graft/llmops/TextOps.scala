@@ -645,19 +645,21 @@ object TextOps {
       groupCol: String): DataFrame =
     waterfallByGroup(df, idCol, textCol, Some(groupCol))
 
-  private def waterfallByGroup(df: DataFrame, idCol: String,
-      textCol: String, groupCol: Option[String]): DataFrame = {
+  /** Per-document first-failing rule index of the waterfall (1-5, or
+    * 6 = survives every gate) — the reusable core of the funnel and
+    * of any pipeline that needs the gate DECISION per doc
+    * (CorpusRelease). Same rules as [[filterWaterfall]]'s scaladoc. */
+  def waterfallFirstFail(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
     val toks = tokens(col(textCol))
-    val gcols = groupCol.toSeq
-    val base = df.select((col(idCol) +:
-      gcols.map(col) :+
-      size(toks).cast("long").as("nt") :+
+    val base = df.select(col(idCol),
+      size(toks).cast("long").as("nt"),
       length(regexp_replace(col(textCol), " ", "")).cast("long")
-        .as("nc") :+
-      size(array_distinct(toks)).cast("long").as("nd") :+
+        .as("nc"),
+      size(array_distinct(toks)).cast("long").as("nd"),
       size(filter(toks, x => x.isInCollection(stops))).cast("long")
-        .as("he")): _*)
+        .as("he"))
     val sh = df.select(col(idCol),
       explode(shingleHashes(col(textCol))).as("sh"))
     val mass = sh
@@ -666,8 +668,8 @@ object TextOps {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("nsh"),
         sum(when(col("cdf") > 1, 1L).otherwise(0L)).as("ndup"))
-    val ff = base.join(mass, Seq(idCol), "left")
-      .select((gcols.map(col) :+
+    base.join(mass, Seq(idCol), "left")
+      .select(col(idCol),
         when(col("nt") < 30, 1)
           .when(col("nc") * 10 < col("nt") * 42 ||
             col("nc") * 10 > col("nt") * 49, 2)
@@ -675,7 +677,15 @@ object TextOps {
           .when((col("nt") - col("nd")) * 20 > col("nt") * 13, 4)
           .when(coalesce(col("ndup"), lit(0L)) * 5 >
             coalesce(col("nsh"), lit(0L)) * 4, 5)
-          .otherwise(6).as("ff")): _*)
+          .otherwise(6).as("ff"))
+  }
+
+  private def waterfallByGroup(df: DataFrame, idCol: String,
+      textCol: String, groupCol: Option[String]): DataFrame = {
+    val gcols = groupCol.toSeq
+    val ff = df.select((col(idCol) +: gcols.map(col)): _*)
+      .join(waterfallFirstFail(df, idCol, textCol), Seq(idCol))
+      .select((gcols.map(col) :+ col("ff")): _*)
     def dropped(k: Int) = sum(when(col("ff") === k, 1L).otherwise(0L))
     def surviving(k: Int) = sum(when(col("ff") > k, 1L).otherwise(0L))
     val counters = Seq(

@@ -664,4 +664,43 @@ class JobsSpec extends AnyFunSuite {
       r.getAs[String]("procds") == "Proc-v1" &&
       r.getAs[String]("tier") == "RAW")
   }
+
+  test("corpus_release: exact dup, gate drop, span scrub all audited") {
+    import spark.implicits._
+    // a 30-token doc passing every gate: one stopword (3 chars) +
+    // distinct 4/5-char tokens keeping chars/token inside [4.2, 4.9]
+    def tokens(tag: String, n4: Int, n5: Int, extra: Seq[String]) =
+      Seq("the") ++ (1 to n4).map(i => f"$tag$i%03d") ++
+        (1 to n5).map(i => f"$tag${i}%04d") ++ extra
+    val passA = tokens("a", 15, 14, Nil).mkString(" ")          // 30 toks
+    val shared = Seq("ppppp", "qqqqq", "rrrrr")
+    val passD = tokens("d", 18, 8, shared).mkString(" ")        // 30 toks
+    val passE = tokens("e", 18, 8, shared).mkString(" ")
+    val docs = Seq(
+      (1L, passA, "s1"),
+      (2L, passA, "s1"),   // byte-identical → exact-dup dropped
+      (3L, "x y", "s1"),   // fails min_len
+      (4L, passD, "s2"),
+      (5L, passE, "s2")    // shares one trigram with doc 4 → scrub
+    ).toDF("doc_id", "text", "source")
+    val got = graft.llmops.CorpusRelease
+      .summary(docs, "doc_id", "text", "source")
+      .orderBy("source").collect()
+    val s1 = got(0); val s2 = got(1)
+    assert(s1.getAs[Long]("n_in") == 3 &&
+      s1.getAs[Long]("n_exact_dropped") == 1 &&
+      s1.getAs[Long]("n_gate_dropped") == 1 &&
+      s1.getAs[Long]("n_released") == 1 &&
+      s1.getAs[Long]("tokens_scrubbed") == 0 &&
+      s1.getAs[Long]("tokens_released") == 30)
+    assert(s2.getAs[Long]("n_released") == 2 &&
+      s2.getAs[Long]("tokens_scrubbed") == 6 &&
+      s2.getAs[Long]("tokens_released") == 54)
+    // the released frame carries the scrubbed text for shipping
+    val rel = graft.llmops.CorpusRelease
+      .released(docs, "doc_id", "text", "source")
+    assert(rel.count() == 3)
+    assert(rel.filter(col("doc_id") === 4L).select("text_deduped")
+      .head().getString(0).split(" ").length == 27)
+  }
 }

@@ -824,6 +824,25 @@ class LlmOpsSpec extends AnyFunSuite {
       (3L, 0L, "q r s"), (4L, 6L, "q q q")))
   }
 
+  test("dupSpans and removeDupSpans agree on covered mass (sf0.001)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val spans = TextOps.dupSpans(docs, "doc_id", "text")
+      .select(col("doc_id"), col("covered_tokens"))
+    val rewritten = TextOps.removeDupSpans(docs, "doc_id", "text")
+    // the islands' covered token mass IS the removed-position count,
+    // and the rebuilt text holds exactly the survivors
+    val joined = spans.join(rewritten, Seq("doc_id")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("covered_tokens") == r.getAs[Long]("n_removed"))
+      val kept = r.getAs[String]("text_deduped")
+      val keptCount =
+        if (kept.isEmpty) 0L else kept.split(" ").length.toLong
+      assert(keptCount ==
+        r.getAs[Long]("n_tokens") - r.getAs[Long]("n_removed"))
+    }
+  }
+
   test("filterWaterfall: funnel counts are consistent and ordered") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val rows = TextOps.filterWaterfall(docs, "doc_id", "text")
