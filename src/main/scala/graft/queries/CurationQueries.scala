@@ -819,6 +819,91 @@ object CurationQueries {
         UNION ALL SELECT source, 5, 'shared_shingles', d5, s5 FROM a"""),
       (s, d) =>
         TextOps.filterWaterfallBy(t(s, d, "documents"), "doc_id",
-          "text", "source"))
+          "text", "source")),
+
+    // The WHOLE corpus-release pipeline (llmops/CorpusRelease,
+    // JobRunner `corpus_release`) as one oracled query: exact dedup →
+    // waterfall gate → span scrub over survivors → per-source audit.
+    // The oracle replays every stage relationally, so the composed
+    // job — not just its pieces — is hash-verified.
+    QueryDef(
+      "q189_corpus_release",
+      Some("""
+        WITH firsts AS (SELECT doc_id, text, source,
+                          min(doc_id) OVER (PARTITION BY md5(text))
+                            AS first_id
+                        FROM documents),
+        exact AS (SELECT doc_id, text, source FROM firsts
+                  WHERE doc_id = first_id),
+        et AS (SELECT doc_id, text, string_split(text,' ') toks
+               FROM exact),
+        b AS (SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) nt,
+                     CAST(length(replace(text,' ','')) AS BIGINT) nc,
+                     CAST(len(list_distinct(toks)) AS BIGINT) nd,
+                     CAST(len(list_filter(toks, x -> list_contains(
+                       ['the','a','of','and','to','in','is','it'], x)))
+                       AS BIGINT) he
+              FROM et),
+        shl AS (SELECT doc_id,
+                  CASE WHEN len(toks) >= 3
+                       THEN list_distinct(list_transform(
+                              range(1, len(toks)-1),
+                              i -> ('0x'||substr(md5(array_to_string(
+                                     toks[i:i+2],' ')),1,15))::BIGINT))
+                       ELSE []::BIGINT[] END AS arr
+                FROM et),
+        m AS (SELECT doc_id, count(*) nsh,
+                     count(*) FILTER (WHERE cdf > 1) ndup
+              FROM (SELECT doc_id, sh,
+                           count(*) OVER (PARTITION BY sh) cdf
+                    FROM (SELECT doc_id, unnest(arr) sh FROM shl))
+              GROUP BY 1),
+        ff AS (SELECT doc_id, CASE
+                 WHEN nt < 30 THEN 1
+                 WHEN nc*10 < nt*42 OR nc*10 > nt*49 THEN 2
+                 WHEN he*32 < nt THEN 3
+                 WHEN (nt-nd)*20 > nt*13 THEN 4
+                 WHEN coalesce(ndup,0)*5 > coalesce(nsh,0)*4 THEN 5
+                 ELSE 6 END AS f
+               FROM b LEFT JOIN m USING (doc_id)),
+        surv AS (SELECT et.doc_id, et.toks,
+                        CAST(len(et.toks) AS BIGINT) nt
+                 FROM et JOIN ff USING (doc_id) WHERE f = 6),
+        pos AS (SELECT doc_id, toks, nt, unnest(range(1, nt - 1)) AS p
+                FROM surv WHERE nt >= 3),
+        pg AS (SELECT doc_id, p,
+                      ('0x'||substr(md5(array_to_string(
+                        toks[p:p+2],' ')),1,15))::BIGINT AS gh
+               FROM pos),
+        sharedg AS (SELECT gh FROM (
+                      SELECT gh, count(DISTINCT doc_id) c
+                      FROM pg GROUP BY 1) WHERE c > 1),
+        cov0 AS (SELECT DISTINCT doc_id, unnest([p, p+1, p+2]) AS ci
+                 FROM pg JOIN sharedg USING (gh)),
+        covl AS (SELECT doc_id, count(*) AS nrem FROM cov0 GROUP BY 1),
+        rel AS (SELECT s.doc_id, s.nt,
+                       CAST(coalesce(c.nrem, 0) AS BIGINT) AS nrem
+                FROM surv s LEFT JOIN covl c USING (doc_id)),
+        stage AS (SELECT f0.source,
+                         (f0.doc_id <> f0.first_id) AS exdup,
+                         ff.f, rel.nt, rel.nrem
+                  FROM firsts f0
+                  LEFT JOIN ff ON f0.doc_id = ff.doc_id
+                  LEFT JOIN rel ON f0.doc_id = rel.doc_id)
+        SELECT source,
+               count(*) AS n_in,
+               count(*) FILTER (WHERE exdup) AS n_exact_dropped,
+               count(*) FILTER (WHERE NOT exdup AND f <> 6)
+                 AS n_gate_dropped,
+               count(*) FILTER (WHERE f = 6) AS n_released,
+               CAST(sum(coalesce(nrem, 0)) AS BIGINT)
+                 AS tokens_scrubbed,
+               CAST(sum(coalesce(nt - nrem, 0)) AS BIGINT)
+                 AS tokens_released
+        FROM stage GROUP BY 1"""),
+      (s, d) =>
+        graft.llmops.CorpusRelease.summary(t(s, d, "documents"),
+          "doc_id", "text", "source"))
   )
 }
