@@ -57,6 +57,40 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Hard-negative triplet mining for contrastive embedding training:
+    * per query, the top-ranked neighbor is the POSITIVE and ranks
+    * `skip+1 .. skip+kNeg` are the hard negatives — similar enough to
+    * be informative, ranked on the same deterministic
+    * (cosine desc, id) total order as every search in this engine, so
+    * the mined training set is byte-reproducible across runs and
+    * engines (random negative sampling is not, and easy random
+    * negatives teach the model nothing). One scored pass + one window
+    * + a per-query self-join of k+1 narrow rows. */
+  def hardNegativeTriplets(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, kNeg: Int = 3, skip: Int = 5)
+      : DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), norm2(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      norm2(col(vecCol)).as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    val ranked = c.join(q, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn"))
+          .as("cos_sim"))
+      .select(col("query_id"), col("cand_id"), col("cos_sim"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= skip + kNeg)
+    val pos = ranked.filter(col("rk") === 1)
+      .select(col("query_id"), col("cand_id").as("pos_id"),
+        col("cos_sim").as("pos_cos"))
+    val negs = ranked.filter(col("rk") > skip)
+      .select(col("query_id"), col("cand_id").as("neg_id"),
+        col("cos_sim").as("neg_cos"), col("rk").as("neg_rank"))
+    pos.join(negs, Seq("query_id"))
+  }
+
   /** Brute-force top-k: for each row of `queries` (small, broadcast),
     * score every corpus row, keep k by (cosine desc, id). Excludes
     * self-matches on equal ids. Norms are computed once per vector in

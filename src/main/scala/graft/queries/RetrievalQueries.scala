@@ -441,6 +441,38 @@ object RetrievalQueries {
           .groupBy(col("qlabel").as("true_label"),
             col("clabel").as("pred_label"))
           .agg(count(lit(1)).as("n_probes"))
+      }),
+
+    // Hard-negative triplet mining for contrastive training: rank 1 =
+    // positive, ranks 6-8 = hard negatives, on the engine-wide
+    // deterministic (cosine desc, id) order — byte-reproducible
+    // training pairs where random sampling is not.
+    QueryDef(
+      "q190_hard_negatives",
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding v,
+                          ${dkDot("embedding", "embedding")} AS nn
+                   FROM embeddings),
+        sc AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                      ${dkCos(dkDot("q.v", "c.v"), "q.nn", "c.nn")} AS cs
+               FROM e q JOIN e c ON q.vec_id <> c.vec_id
+               WHERE q.vec_id < 8),
+        rk AS (SELECT query_id, cand_id, cs,
+                      CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cs DESC, cand_id) AS INT) AS rk
+               FROM sc),
+        pos AS (SELECT query_id, cand_id AS pos_id, cs AS pos_cos
+                FROM rk WHERE rk = 1),
+        negs AS (SELECT query_id, cand_id AS neg_id, cs AS neg_cos,
+                        rk AS neg_rank
+                 FROM rk WHERE rk > 5 AND rk <= 8)
+        SELECT p.query_id, p.pos_id, p.pos_cos,
+               n.neg_id, n.neg_cos, n.neg_rank
+        FROM pos p JOIN negs n USING (query_id)"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.hardNegativeTriplets(e.filter(col("vec_id") < 8), e,
+          "vec_id", "embedding", kNeg = 3, skip = 5)
       })
   )
 }
