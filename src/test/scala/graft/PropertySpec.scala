@@ -134,6 +134,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native kernels: interpreted (constant-folded) == codegen path") {
+    // literal inputs are constant-folded at plan time through
+    // nullSafeEval (interpreted); column inputs run the generated
+    // code — the two paths must agree or a folded subexpression
+    // would silently diverge from the per-row value
+    val doc = "t1 t2 t3 t1 t2 t3 t4"
+    val lits = spark.range(1).select(
+      TextOps.shingleHashes(lit(doc)).as("sh"),
+      TextOps.shingleHashesAll(lit(doc)).as("sha"),
+      call_function("minhash_slots",
+        TextOps.shingleHashes(lit(doc))).as("ms"),
+      call_function("repeat_gram",
+        TextOps.tokens(lit(doc)), lit(8)).as("rg")).head()
+    val cols = Seq(doc).toDF("text").select(
+      TextOps.shingleHashes(col("text")).as("sh"),
+      TextOps.shingleHashesAll(col("text")).as("sha"),
+      call_function("minhash_slots",
+        TextOps.shingleHashes(col("text"))).as("ms"),
+      call_function("repeat_gram",
+        TextOps.tokens(col("text")), lit(8)).as("rg")).head()
+    assert(lits.getSeq[Long](0) == cols.getSeq[Long](0))
+    assert(lits.getSeq[Long](1) == cols.getSeq[Long](1))
+    assert(lits.getSeq[Long](2) == cols.getSeq[Long](2))
+    assert(lits.getSeq[Long](3) == cols.getSeq[Long](3))
+  }
+
   test("native shingle_hash60_all == composed transform/hash60") {
     val tricky = Seq("", "a", "a b", "a b c", "a b c d e",
       "x x x x x", "é ñ 日 本 語 ü", "a  b c d", "t1 t2 t1 t2 t1 t2 t1")
