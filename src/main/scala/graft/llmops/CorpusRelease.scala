@@ -28,14 +28,23 @@ object CorpusRelease {
   def released(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String): DataFrame = {
     val w = Window.partitionBy(md5(col(textCol)))
+    // each stage boundary is lazily checkpointed: the gate scans its
+    // input twice (per-row rules + shingle df) and the scrub three
+    // times (positions, coverage, rebuild) — without the barrier
+    // Catalyst re-inlines the ENTIRE upstream pipeline into every
+    // consumer and the composed plan multiplies (measured 43
+    // exchanges; with barriers each stage keeps its own audited
+    // shape). Same trade-off note as Retrieval.bm25TopK.
     val exact = docs
       .withColumn("__first", min(col(idCol)).over(w))
       .filter(col(idCol) === col("__first"))
       .drop("__first")
+      .localCheckpoint(false)
     val survivors = exact
       .join(TextOps.waterfallFirstFail(exact, idCol, textCol), Seq(idCol))
       .filter(col("ff") === 6)
       .drop("ff")
+      .localCheckpoint(false)
     TextOps.removeDupSpans(survivors, idCol, textCol)
       .join(docs.select(col(idCol), col(sourceCol)), Seq(idCol))
   }
@@ -46,12 +55,15 @@ object CorpusRelease {
   def summary(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String): DataFrame = {
     val w = Window.partitionBy(md5(col(textCol)))
+    // stage barriers — see [[released]]'s checkpoint note
     val tagged = docs
       .withColumn("__first", min(col(idCol)).over(w))
       .withColumn("__exact_dup", col(idCol) =!= col("__first"))
+      .localCheckpoint(false)
     val exact = tagged.filter(!col("__exact_dup"))
     val ff = exact
       .join(TextOps.waterfallFirstFail(exact, idCol, textCol), Seq(idCol))
+      .localCheckpoint(false)
     val rel = TextOps.removeDupSpans(
       ff.filter(col("ff") === 6).drop("ff"), idCol, textCol)
     val stages = tagged.select(col(idCol), col(sourceCol),

@@ -111,11 +111,16 @@ def main():
     # both self-join sides) in ONE action; a lazy checkpoint measured
     # neutral there (see SparseSim scaladoc), so the exchange count
     # tracks consumer fan-out, not plan waste.
+    # q189 composes FOUR stages (md5-window exact dedup, waterfall
+    # gate, span scrub, audit joins) behind per-stage checkpoint
+    # barriers — 9 exchanges is the sum of its stages' audited shapes
+    # (it was 43 before the barriers; the barrier fix is the real
+    # guard, the exemption covers the honest composed count).
     exempt = {"q54_dedup_clusters", "q65_curation_pipeline",
               "q114_fk_audit", "q140_dedup_survivors",
               "q146_effective_tokens", "q149_cluster_sizes",
               "q162_sparse_cosine_pairs", "q163_rrf_hybrid",
-              "q164_pair_pagerank"}
+              "q164_pair_pagerank", "q189_corpus_release"}
     failures = []
     rows = []
     for path in sorted(glob.glob(os.path.join(args.plans_dir, "*.txt"))):
