@@ -229,6 +229,39 @@ object TimeQueries {
           .orderBy(col("revenue").desc, col("l_suppkey"))
         rev.withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 3)
+      }),
+
+    // ntile + cume_dist decile table: per-language n_chars deciles
+    // with bucket bounds and the bucket's cumulative-distribution
+    // ceiling. Both functions are deterministic under the total
+    // (n_chars, doc_id) order — ntile emits integer bucket ids and
+    // cume_dist is an exact integer ratio in one IEEE division — so
+    // the whole decile report hash-matches across engines.
+    QueryDef(
+      "q191_decile_table",
+      Some("""
+        WITH d AS (SELECT lang, n_chars,
+                          ntile(10) OVER (PARTITION BY lang
+                            ORDER BY n_chars, doc_id) AS decile,
+                          cume_dist() OVER (PARTITION BY lang
+                            ORDER BY n_chars, doc_id) AS cd
+                   FROM documents)
+        SELECT lang, CAST(decile AS INT) AS decile,
+               count(*) AS n_docs,
+               min(n_chars) AS lo, max(n_chars) AS hi,
+               max(cd) AS cd_hi
+        FROM d GROUP BY 1, 2"""),
+      (s, d) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        t(s, d, "documents")
+          .select(col("lang"), col("n_chars"),
+            ntile(10).over(w).as("decile"),
+            cume_dist().over(w).as("cd"))
+          .groupBy(col("lang"), col("decile"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"),
+            max(col("cd")).as("cd_hi"))
       })
   )
 }
