@@ -146,6 +146,27 @@ object JobRunner {
         Seq((store, n)).toDF("store", "n_files")
       }),
       // export a curated corpus as N deterministic shards + manifest
+      // full corpus release + export: run the CorpusRelease pipeline
+      // (exact dedup -> waterfall -> span scrub) and ship the released
+      // docs as deterministic shards; the summary artifact is the
+      // per-source audit (same frame as the corpus_release query job)
+      "corpus_release_export" -> ((s, o) => {
+        val in = o.getOrElse("in-docs",
+          sys.error("--in-docs required for corpus_release_export"))
+        val dest = o.getOrElse("dest",
+          sys.error("--dest required for corpus_release_export"))
+        val n = o.get("shards").map(_.toInt).getOrElse(32)
+        val docs = s.read.parquet(in)
+        val rel = graft.llmops.CorpusRelease
+          .released(docs, "doc_id", "text", "source")
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text_deduped")
+              .as("text"),
+            org.apache.spark.sql.functions.col("source"))
+        graft.llmops.Sharding.writeSharded(s, rel, "doc_id", n, dest)
+        graft.llmops.CorpusRelease.summary(docs, "doc_id", "text",
+          "source")
+      }),
       "shard_export" -> ((s, o) => {
         val in = o.getOrElse("in-docs",
           sys.error("--in-docs required for shard_export"))

@@ -96,6 +96,36 @@ class RunnerSpec extends AnyFunSuite {
     assert(shardDirs.toSeq == (0 until 4).map(i => s"shard=$i"))
   }
 
+  test("JobRunner: corpus_release_export ships scrubbed shards + audit") {
+    val dir = Files.createTempDirectory("graft-runner-cre").toString
+    val s0 = graft.core.Sessions.local(4, "graft-runner-test")
+    import s0.implicits._
+    // 40 docs, each 30+ tokens passing every gate, all unique; plus
+    // one exact duplicate pair and one too-short doc
+    val good = (1 to 40).map { i =>
+      // 30 tokens: "the" + 15 distinct 4-char + 14 distinct 5-char
+      // (chars/token = 133/30 ≈ 4.43, inside the [4.2, 4.9] gate);
+      // token ids globally unique so no cross-doc shingles
+      val toks = Seq("the") ++
+        (1 to 15).map(n => f"c${i * 15 + n}%03d") ++
+        (1 to 14).map(n => f"d${i * 14 + n}%04d")
+      (i.toLong, toks.mkString(" "), s"src${i % 3}")
+    }
+    val extra = Seq((41L, good.head._2, "src0"), (42L, "x y", "src1"))
+    (good ++ extra).toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/docs")
+    val audit = JobRunner.lakeJobs("corpus_release_export")(
+      s0, Map("in-docs" -> s"$dir/docs", "dest" -> s"$dir/rel",
+        "shards" -> "4")).collect()
+    assert(audit.map(_.getAs[Long]("n_in")).sum == 42)
+    assert(audit.map(_.getAs[Long]("n_exact_dropped")).sum == 1)
+    assert(audit.map(_.getAs[Long]("n_released")).sum == 40)
+    val released = s0.read.parquet(s"$dir/rel")
+    assert(released.count() == 40)
+    assert(Set("doc_id", "text", "source", "shard")
+      .subsetOf(released.columns.toSet))
+  }
+
   test("JobRunner: report_export lake job writes the HTML + SVG tail") {
     val dir = Files.createTempDirectory("graft-runner-rep").toString
     val s0 = graft.core.Sessions.local(4, "graft-runner-test")
