@@ -843,6 +843,19 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("waterfall grid marginalizes to the global funnel (sf0.001)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val global = TextOps.filterWaterfall(docs, "doc_id", "text")
+      .orderBy("rule_idx").collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    val summed = TextOps.filterWaterfallBy(docs, "doc_id", "text", "source")
+      .groupBy(col("rule_idx"))
+      .agg(sum(col("n_dropped")).as("d"), sum(col("n_surviving")).as("s"))
+      .orderBy("rule_idx").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(global.toSeq == summed.toSeq)
+  }
+
   test("filterWaterfall: funnel counts are consistent and ordered") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val rows = TextOps.filterWaterfall(docs, "doc_id", "text")
