@@ -118,4 +118,52 @@ object Sketches {
           .otherwise(lit((k - 1).toDouble) *
             lit(1152921504606846976.0) / col("hk").cast("double"))
           .as("est_distinct"))
+
+  /** Deterministic Bloom bit positions for a key: hash60(key# i) mod m
+    * for i = 1..h — md5-derived like every sketch here, so the exact
+    * bit layout (and therefore every false positive) is reproducible
+    * in any engine. */
+  private def bloomPositions(key: Column, m: Int, h: Int): Column =
+    array((1 to h).map(i =>
+      TextOps.hash60(concat(key.cast("string"), lit("#" + i))) % m): _*)
+
+  /** Bloom-filter join pruning, RELATIONALLY: the build side's bit
+    * SET (≤ m rows — broadcast, the filter itself) semi-joins the
+    * probe side's per-key positions; a key "passes" iff all h of its
+    * bits are set — bit-for-bit the classic broadcast-bitset Bloom,
+    * expressed as one broadcast join + one count aggregation so no
+    * UDF, no driver bitset, and the probe side is touched once. The
+    * audit a planner wants before trusting the filter: keys passing,
+    * true matches (exact semi join), false positives, and the FP rate
+    * among true negatives. m and h are part of the declared contract
+    * (mirrored in the oracle), so the FP count is engine-exact — the
+    * only Bloom in the registry whose *mistakes* hash-match. */
+  def bloomJoinAudit(build: DataFrame, probe: DataFrame,
+      buildKey: String, probeKey: String, m: Int = 4096, h: Int = 3)
+      : DataFrame = {
+    val bits = build
+      .select(explode(bloomPositions(col(buildKey), m, h)).as("pos"))
+      .distinct()
+    val probeKeys = probe.select(col(probeKey).as("k")).distinct()
+    val pass = probeKeys
+      .select(col("k"), explode(bloomPositions(col("k"), m, h)).as("pos"))
+      .join(broadcast(bits), Seq("pos"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_set"))
+      .filter(col("n_set") === h)
+      .select(col("k"))
+    val trueKeys = probeKeys.join(
+      build.select(col(buildKey).as("k")).distinct(), Seq("k"),
+      "left_semi")
+    val nk = probeKeys.agg(count(lit(1)).as("n_probe_keys"))
+    val np = pass.agg(count(lit(1)).as("n_pass"))
+    val nt = trueKeys.agg(count(lit(1)).as("n_true"))
+    nk.crossJoin(broadcast(np)).crossJoin(broadcast(nt))
+      .select(col("n_probe_keys"), col("n_pass"), col("n_true"),
+        (col("n_pass") - col("n_true")).as("n_false_pos"),
+        when(col("n_probe_keys") === col("n_true"), lit(0.0))
+          .otherwise((col("n_pass") - col("n_true")).cast("double") /
+            (col("n_probe_keys") - col("n_true")).cast("double"))
+          .as("fp_rate"))
+  }
 }

@@ -694,6 +694,49 @@ object ScaleQueries {
             col("est_distinct"),
             ((col("est_distinct") - col("exact_distinct")) /
               col("exact_distinct")).as("rel_err"))
-      })
+      }),
+
+    // Bloom-filter join-pruning audit: the urgent-orders key set as a
+    // deterministic md5 Bloom (m = 65536, h = 3) probed by every
+    // lineitem order key — passing keys, true matches, and the FALSE
+    // POSITIVES, which hash-match because the bit layout is
+    // hash60-derived (the only Bloom in the registry whose mistakes
+    // are engine-exact; Sketches.bloomJoinAudit scaladoc has the
+    // relational-bitset shape).
+    QueryDef(
+      "q192_bloom_join_audit",
+      Some("""
+        WITH bk AS (SELECT DISTINCT o_orderkey AS k FROM orders
+                    WHERE o_orderpriority = '1-URGENT'),
+        hs AS (SELECT unnest([1, 2, 3]) AS i),
+        bits AS (SELECT DISTINCT
+                   ('0x'||substr(md5(CAST(k AS VARCHAR)||'#'||i),1,15))
+                     ::BIGINT % 65536 AS pos
+                 FROM bk, hs),
+        pk AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+        pp AS (SELECT k,
+                 ('0x'||substr(md5(CAST(k AS VARCHAR)||'#'||i),1,15))
+                   ::BIGINT % 65536 AS pos
+               FROM pk, hs),
+        pass AS (SELECT k FROM pp JOIN bits USING (pos)
+                 GROUP BY k HAVING count(*) = 3),
+        agg AS (SELECT
+                  (SELECT count(*) FROM pk) AS n_probe_keys,
+                  (SELECT count(*) FROM pass) AS n_pass,
+                  (SELECT count(*) FROM pk
+                   WHERE k IN (SELECT k FROM bk)) AS n_true)
+        SELECT n_probe_keys, n_pass, n_true,
+               n_pass - n_true AS n_false_pos,
+               CASE WHEN n_probe_keys = n_true THEN 0.0
+                    ELSE CAST(n_pass - n_true AS DOUBLE)
+                         / CAST(n_probe_keys - n_true AS DOUBLE)
+               END AS fp_rate
+        FROM agg"""),
+      (s, d) =>
+        Sketches.bloomJoinAudit(
+          t(s, d, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT"),
+          t(s, d, "lineitem"),
+          "o_orderkey", "l_orderkey", m = 65536, h = 3))
   )
 }

@@ -248,6 +248,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(u >= 0L && u <= 50L)
   }
 
+  test("bloom join audit: no false negatives, saturation drives fp up") {
+    val build = (1L to 100L).map(i => i * 7).toDF("bk")
+    val probe = (1L to 2000L).toDF("pk")
+    val a = Sketches.bloomJoinAudit(build, probe, "bk", "pk",
+      m = 8192, h = 3).head()
+    val nTrue = probe.join(build, col("pk") === col("bk"), "left_semi")
+      .count()
+    // every true match must pass (the Bloom guarantee) ...
+    assert(a.getAs[Long]("n_true") == nTrue)
+    assert(a.getAs[Long]("n_pass") >= a.getAs[Long]("n_true"))
+    assert(a.getAs[Long]("n_false_pos") ==
+      a.getAs[Long]("n_pass") - a.getAs[Long]("n_true"))
+    // ... and a saturated filter (tiny m) passes nearly everything
+    val sat = Sketches.bloomJoinAudit(build, probe, "bk", "pk",
+      m = 16, h = 3).head()
+    assert(sat.getAs[Long]("n_pass") > a.getAs[Long]("n_pass"))
+  }
+
   test("langId picks the dominant stopword language") {
     val df = Seq("the cat is in the hat", "el gato es un gato",
       "der hund ist ein hund", "xyzzy plugh").toDF("text")
