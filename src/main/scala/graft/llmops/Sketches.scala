@@ -144,21 +144,33 @@ object Sketches {
     val bits = build
       .select(explode(bloomPositions(col(buildKey), m, h)).as("pos"))
       .distinct()
+    // the distinct probe-key table feeds three consumers (bloom
+    // probe, exact semi join, total count) — checkpoint it once
+    // rather than re-running the corpus distinct per consumer
+    // (CorpusRelease barrier precedent)
     val probeKeys = probe.select(col(probeKey).as("k")).distinct()
-    val pass = probeKeys
+      .localCheckpoint(false)
+    // per-key bit membership count; a key passes iff all h bits set.
+    // The bit set broadcasts (≤ m rows — it IS the filter), so the
+    // probe side never shuffles for the membership test; the exact
+    // build-key side broadcasts for the truth flag (the build side of
+    // a bloom-pruned join is the small side by construction).
+    val passed = probeKeys
       .select(col("k"), explode(bloomPositions(col("k"), m, h)).as("pos"))
       .join(broadcast(bits), Seq("pos"))
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n_set"))
       .filter(col("n_set") === h)
-      .select(col("k"))
-    val trueKeys = probeKeys.join(
-      build.select(col(buildKey).as("k")).distinct(), Seq("k"),
-      "left_semi")
-    val nk = probeKeys.agg(count(lit(1)).as("n_probe_keys"))
-    val np = pass.agg(count(lit(1)).as("n_pass"))
-    val nt = trueKeys.agg(count(lit(1)).as("n_true"))
-    nk.crossJoin(broadcast(np)).crossJoin(broadcast(nt))
+      .select(col("k"), lit(1).as("__pass"))
+    val truth = build.select(col(buildKey).as("k")).distinct()
+      .select(col("k"), lit(1).as("__true"))
+    probeKeys
+      .join(broadcast(passed), Seq("k"), "left")
+      .join(broadcast(truth), Seq("k"), "left")
+      .agg(
+        count(lit(1)).as("n_probe_keys"),
+        sum(coalesce(col("__pass"), lit(0))).cast("long").as("n_pass"),
+        sum(coalesce(col("__true"), lit(0))).cast("long").as("n_true"))
       .select(col("n_probe_keys"), col("n_pass"), col("n_true"),
         (col("n_pass") - col("n_true")).as("n_false_pos"),
         when(col("n_probe_keys") === col("n_true"), lit(0.0))
