@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, hash, max}
+
 import graft.core.Sessions
 
 /** Scaling-curve harness: min-of-reps warm timings for a query list
@@ -20,9 +22,17 @@ object ScaleBench {
     def drop(): Unit =
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+    // force FULL row evaluation: a bare count() lets ColumnPruning
+    // delete pure-projection workloads (q183's repeat_gram kernel,
+    // q185's text rebuild) and the "measurement" times a row-count
+    // scan — hashing every output column keeps the whole plan live
+    // while adding only a cheap fold per row
+    def force(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.agg(max(hash(df.columns.map(col): _*))).count(); ()
+    }
     // warmup sweep: JIT + codegen caches
     names.foreach { n =>
-      try SparkEntry.queries(n)(spark, sfs.head).count()
+      try force(SparkEntry.queries(n)(spark, sfs.head))
       catch { case _: Throwable => () }
       drop()
     }
@@ -31,7 +41,7 @@ object ScaleBench {
       val mins = sfs.map { sf =>
         val ts = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          fn(spark, sf).count()
+          force(fn(spark, sf))
           val dt = (System.nanoTime() - t0) / 1e9
           drop()
           dt

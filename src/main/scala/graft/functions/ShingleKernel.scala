@@ -215,14 +215,13 @@ object MinhashSlots {
 
   def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
-    if (n == 0)
-      return new GenericArrayData(
-        Array[Any](null, null, null, null))
     val mins = Array(Long.MaxValue, Long.MaxValue, Long.MaxValue,
       Long.MaxValue)
+    var any = false
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
+        any = true
         val xm = arr.getLong(i) % P
         var j = 0
         while (j < 4) {
@@ -233,6 +232,12 @@ object MinhashSlots {
       }
       i += 1
     }
+    // empty AND all-null inputs both yield all-null slots — array_min
+    // ignores null elements and returns null over none, so the
+    // composed-form parity holds for every admissible input, not just
+    // the containsNull=false arrays shingle_hash60 produces
+    if (!any)
+      return new GenericArrayData(Array[Any](null, null, null, null))
     new GenericArrayData(mins)
   }
 

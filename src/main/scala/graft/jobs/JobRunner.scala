@@ -157,15 +157,16 @@ object JobRunner {
           sys.error("--dest required for corpus_release_export"))
         val n = o.get("shards").map(_.toInt).getOrElse(32)
         val docs = s.read.parquet(in)
-        val rel = graft.llmops.CorpusRelease
-          .released(docs, "doc_id", "text", "source")
-          .select(org.apache.spark.sql.functions.col("doc_id"),
-            org.apache.spark.sql.functions.col("text_deduped")
-              .as("text"),
-            org.apache.spark.sql.functions.col("source"))
+        // one staged pass serves both outputs — released()+summary()
+        // separately would run the three heaviest stages twice
+        val (rel0, audit) = graft.llmops.CorpusRelease
+          .releaseAndAudit(docs, "doc_id", "text", "source")
+        val rel = rel0.select(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text_deduped").as("text"),
+          org.apache.spark.sql.functions.col("source"))
         graft.llmops.Sharding.writeSharded(s, rel, "doc_id", n, dest)
-        graft.llmops.CorpusRelease.summary(docs, "doc_id", "text",
-          "source")
+        audit
       }),
       "shard_export" -> ((s, o) => {
         val in = o.getOrElse("in-docs",

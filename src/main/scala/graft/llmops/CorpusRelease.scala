@@ -22,40 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object CorpusRelease {
 
-  /** Released documents: (idCol, sourceCol, n_tokens, n_removed,
-    * text_deduped) for every doc that survives exact dedup + the
-    * waterfall, with duplicated spans scrubbed. */
-  def released(docs: DataFrame, idCol: String, textCol: String,
-      sourceCol: String): DataFrame = {
+  /** The three staged frames every consumer derives from, each
+    * boundary lazily checkpointed: the gate scans its input twice
+    * (per-row rules + shingle df) and the scrub three times
+    * (positions, coverage, rebuild) — without the barrier Catalyst
+    * re-inlines the ENTIRE upstream pipeline into every consumer and
+    * the composed plan multiplies (measured 43 exchanges; with
+    * barriers each stage keeps its own audited shape). Same
+    * trade-off note as Retrieval.bm25TopK. Returns
+    * (tagged, ff, rel): all docs with exact-dup flags; survivors of
+    * exact dedup with their first-failing rule; the scrubbed
+    * released docs. */
+  private def staged(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val w = Window.partitionBy(md5(col(textCol)))
-    // each stage boundary is lazily checkpointed: the gate scans its
-    // input twice (per-row rules + shingle df) and the scrub three
-    // times (positions, coverage, rebuild) — without the barrier
-    // Catalyst re-inlines the ENTIRE upstream pipeline into every
-    // consumer and the composed plan multiplies (measured 43
-    // exchanges; with barriers each stage keeps its own audited
-    // shape). Same trade-off note as Retrieval.bm25TopK.
-    val exact = docs
-      .withColumn("__first", min(col(idCol)).over(w))
-      .filter(col(idCol) === col("__first"))
-      .drop("__first")
-      .localCheckpoint(false)
-    val survivors = exact
-      .join(TextOps.waterfallFirstFail(exact, idCol, textCol), Seq(idCol))
-      .filter(col("ff") === 6)
-      .drop("ff")
-      .localCheckpoint(false)
-    TextOps.removeDupSpans(survivors, idCol, textCol)
-      .join(docs.select(col(idCol), col(sourceCol)), Seq(idCol))
-  }
-
-  /** Per-source release audit: docs in, dropped at each stage, docs
-    * and tokens out. `tokens_scrubbed` counts tokens removed by the
-    * span scrub from RELEASED docs only. */
-  def summary(docs: DataFrame, idCol: String, textCol: String,
-      sourceCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol)))
-    // stage barriers — see [[released]]'s checkpoint note
     val tagged = docs
       .withColumn("__first", min(col(idCol)).over(w))
       .withColumn("__exact_dup", col(idCol) =!= col("__first"))
@@ -66,6 +46,15 @@ object CorpusRelease {
       .localCheckpoint(false)
     val rel = TextOps.removeDupSpans(
       ff.filter(col("ff") === 6).drop("ff"), idCol, textCol)
+    (tagged, ff, rel)
+  }
+
+  private def releasedFrom(rel: DataFrame, docs: DataFrame,
+      idCol: String, sourceCol: String): DataFrame =
+    rel.join(docs.select(col(idCol), col(sourceCol)), Seq(idCol))
+
+  private def summaryFrom(tagged: DataFrame, ff: DataFrame,
+      rel: DataFrame, idCol: String, sourceCol: String): DataFrame = {
     val stages = tagged.select(col(idCol), col(sourceCol),
         col("__exact_dup"))
       .join(ff.select(col(idCol), col("ff")), Seq(idCol), "left")
@@ -82,5 +71,35 @@ object CorpusRelease {
         sum(coalesce(col("n_removed"), lit(0L))).as("tokens_scrubbed"),
         sum(coalesce(col("n_tokens") - col("n_removed"), lit(0L)))
           .as("tokens_released"))
+  }
+
+  /** Released documents: (idCol, n_tokens, n_removed, text_deduped,
+    * sourceCol) for every doc that survives exact dedup + the
+    * waterfall, with duplicated spans scrubbed. */
+  def released(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val (_, _, rel) = staged(docs, idCol, textCol)
+    releasedFrom(rel, docs, idCol, sourceCol)
+  }
+
+  /** Per-source release audit: docs in, dropped at each stage, docs
+    * and tokens out. `tokens_scrubbed` counts tokens removed by the
+    * span scrub from RELEASED docs only. */
+  def summary(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val (tagged, ff, rel) = staged(docs, idCol, textCol)
+    summaryFrom(tagged, ff, rel, idCol, sourceCol)
+  }
+
+  /** Both outputs off ONE staged pass — the export job's entry point:
+    * calling [[released]] and [[summary]] separately re-runs the
+    * md5 window, the waterfall shuffle, and the span scrub (the
+    * job's three heaviest stages) once per output; here the shared
+    * checkpointed frames serve both. */
+  def releaseAndAudit(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): (DataFrame, DataFrame) = {
+    val (tagged, ff, rel) = staged(docs, idCol, textCol)
+    (releasedFrom(rel, docs, idCol, sourceCol),
+      summaryFrom(tagged, ff, rel, idCol, sourceCol))
   }
 }

@@ -69,19 +69,11 @@ object Similarity {
   def hardNegativeTriplets(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, kNeg: Int = 3, skip: Int = 5)
       : DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("qv"), norm2(col(vecCol)).as("qn")))
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
-      norm2(col(vecCol)).as("cn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("cand_id"))
-    val ranked = c.join(q, col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"),
-        cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn"))
-          .as("cos_sim"))
-      .select(col("query_id"), col("cand_id"), col("cos_sim"),
-        row_number().over(w).as("rk"))
-      .filter(col("rk") <= skip + kNeg)
+    // the ranking IS bruteForceTopK's — one scoring kernel, so a fix
+    // to the zero-norm guard or tie-break there cannot diverge from
+    // the triplets mined here
+    val ranked = bruteForceTopK(queries, corpus, idCol, vecCol,
+      skip + kNeg)
     val pos = ranked.filter(col("rk") === 1)
       .select(col("query_id"), col("cand_id").as("pos_id"),
         col("cos_sim").as("pos_cos"))

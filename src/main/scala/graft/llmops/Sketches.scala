@@ -144,28 +144,26 @@ object Sketches {
     val bits = build
       .select(explode(bloomPositions(col(buildKey), m, h)).as("pos"))
       .distinct()
-    // the distinct probe-key table feeds three consumers (bloom
-    // probe, exact semi join, total count) — checkpoint it once
-    // rather than re-running the corpus distinct per consumer
-    // (CorpusRelease barrier precedent)
+    // per-key bit membership: LEFT join each probe position against
+    // the broadcast bit set (≤ m rows — it IS the filter, the ONLY
+    // broadcast bounded by the sketch parameter) and count hits in
+    // the same aggregation that collapses the h positions — keys with
+    // zero set bits survive the left join, so no key list is ever
+    // joined back (a `passed` key set is bounded only by the match
+    // rate: a saturated filter would broadcast the whole probe side).
+    // The truth flag broadcasts the BUILD key set — small by
+    // construction (it is the side worth building a Bloom from).
     val probeKeys = probe.select(col(probeKey).as("k")).distinct()
-      .localCheckpoint(false)
-    // per-key bit membership count; a key passes iff all h bits set.
-    // The bit set broadcasts (≤ m rows — it IS the filter), so the
-    // probe side never shuffles for the membership test; the exact
-    // build-key side broadcasts for the truth flag (the build side of
-    // a bloom-pruned join is the small side by construction).
-    val passed = probeKeys
-      .select(col("k"), explode(bloomPositions(col("k"), m, h)).as("pos"))
-      .join(broadcast(bits), Seq("pos"))
-      .groupBy(col("k"))
-      .agg(count(lit(1)).as("n_set"))
-      .filter(col("n_set") === h)
-      .select(col("k"), lit(1).as("__pass"))
     val truth = build.select(col(buildKey).as("k")).distinct()
       .select(col("k"), lit(1).as("__true"))
     probeKeys
-      .join(broadcast(passed), Seq("k"), "left")
+      .select(col("k"), explode(bloomPositions(col("k"), m, h)).as("pos"))
+      .join(broadcast(bits.withColumn("__hit", lit(1))), Seq("pos"),
+        "left")
+      .groupBy(col("k"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).as("n_set"))
+      .select(col("k"),
+        when(col("n_set") === h, 1).otherwise(0).as("__pass"))
       .join(broadcast(truth), Seq("k"), "left")
       .agg(
         count(lit(1)).as("n_probe_keys"),

@@ -794,16 +794,26 @@ object TextOps {
       .agg(sort_array(collect_list(col("ci"))).as("cov"))
     df.select(col(idCol), tokens(col(textCol)).as("toks"))
       .join(covered, Seq(idCol), "left")
-      // null-safe BEFORE the lambda: array_contains(NULL, i) is NULL,
-      // and a NULL lambda result drops the token — every token of an
-      // uncovered doc would vanish
+      // null-safe BEFORE any use: cov is NULL for uncovered docs
       .withColumn("cov", coalesce(col("cov"), array().cast("array<int>")))
+      .select(col(idCol), col("toks"), col("cov"),
+        // gap extraction off the SORTED covered list: between
+        // consecutive covered positions a < b the kept run is
+        // a+1..b-1, with sentinels -1 and n_tokens closing the ends.
+        // O(n_tokens + n_covered) per row — an indexed
+        // `filter(toks, i => !array_contains(cov, i))` is
+        // O(n_tokens · n_covered), the same per-row quadratic shape
+        // the shingle-kernel fix removed (heavily-duplicated long
+        // docs are exactly where this operator does the most work)
+        concat(array(lit(-1)), col("cov"),
+          array(size(col("toks")))).as("bounds"))
       .select(col(idCol),
         size(col("toks")).cast("long").as("n_tokens"),
         size(col("cov")).cast("long").as("n_removed"),
-        concat_ws(" ",
-          filter(col("toks"),
-            (_, i) => !array_contains(col("cov"), i)))
+        concat_ws(" ", flatten(zip_with(
+          slice(col("bounds"), lit(1), size(col("bounds")) - 1),
+          slice(col("bounds"), lit(2), size(col("bounds")) - 1),
+          (a, b) => slice(col("toks"), a + lit(2), b - a - 1))))
           .as("text_deduped"))
   }
 

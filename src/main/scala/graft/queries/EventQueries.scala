@@ -860,28 +860,43 @@ object EventQueries {
         b AS (SELECT max(day) AS maxd, min(day) AS mind FROM e),
         x AS (SELECT event_type,
                      datediff('day', day, maxd) AS age,
-                     datediff('day', mind, maxd) AS shift
+                     least(datediff('day', mind, maxd), 80) AS shiftp
               FROM e, b)
         SELECT event_type, count(*) AS n_events,
-               sum(power(2.0, shift - age)) / power(2.0, max(shift))
-                 AS decayed_mass
+               CAST(sum(CASE WHEN age <= shiftp
+                 THEN CAST(power(2.0, shiftp - age) AS HUGEINT)
+                 ELSE 0::HUGEINT END) AS DOUBLE)
+               / power(2.0, max(shiftp)) AS decayed_mass
         FROM x GROUP BY 1"""),
       (s, d) => {
         val e = t(s, d, "events").select(col("event_type"),
           to_date(expr("timestamp_micros(ts div 1000)")).as("day"))
         val bounds = e.agg(max(col("day")).as("maxd"),
           min(col("day")).as("mind"))
+        // span clamped at 80 and weights summed in DECIMAL(38,0):
+        // each weight 2^(shiftp−age) is an exact power of two (exact
+        // as a double AND in the decimal), so the sum is exact at ANY
+        // event count and summation order — the raw double sum was
+        // only exact below 2^53 total mass, i.e. its cross-engine
+        // hash guarantee silently expired with corpus growth (and
+        // power(2, span) overflowed to Inf past 1023 days). Events
+        // older than 80 half-lives carry weight < 2^-80 ≈ 0 and are
+        // dropped — stated truncation, mirrored in the oracle.
         e.crossJoin(broadcast(bounds))
           .select(col("event_type"),
             datediff(col("maxd"), col("day")).as("age"),
-            datediff(col("maxd"), col("mind")).as("shift"))
+            least(datediff(col("maxd"), col("mind")), lit(80))
+              .as("shiftp"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_events"),
-            sum(pow(lit(2.0), (col("shift") - col("age"))
-              .cast("double"))).as("num"),
-            max(col("shift")).as("sh"))
+            sum(when(col("age") <= col("shiftp"),
+              pow(lit(2.0), (col("shiftp") - col("age")).cast("double"))
+                .cast("decimal(38,0)"))
+              .otherwise(lit(0).cast("decimal(38,0)"))).as("num"),
+            max(col("shiftp")).as("sh"))
           .select(col("event_type"), col("n_events"),
-            (col("num") / pow(lit(2.0), col("sh").cast("double")))
+            (col("num").cast("double") /
+              pow(lit(2.0), col("sh").cast("double")))
               .as("decayed_mass"))
       })
   )
