@@ -102,4 +102,29 @@ class QueriesSpec extends AnyFunSuite {
         (col("first_touch") !== col("ft0")))
     assert(drift.count() == 0)
   }
+
+  test("q186 span clamp: a 100-day corpus stays finite and exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the driver corpora span 29 days, so the DECIMAL/clamp path for
+    // long histories is pinned here: events at ages 0, 79, 80 (weight
+    // 2^80, 2^1, 2^0) and 100 days (beyond the clamp → weight 0)
+    val dayNs = 86400L * 1000000000L
+    val t0 = 1700000000L * 1000000000L
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-decay").toString
+    Seq(
+      ("a", t0),                 // age 0
+      ("a", t0 - 79L * dayNs),   // age 79
+      ("a", t0 - 80L * dayNs),   // age 80 (= clamped span)
+      ("a", t0 - 100L * dayNs)   // age 100 → truncated to weight 0
+    ).toDF("event_type", "ts").write.parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q186_time_decay")(spark, dir).head()
+    assert(r.getAs[Long]("n_events") == 4)
+    val mass = r.getAs[Double]("decayed_mass")
+    // (2^80 + 2 + 1) / 2^80 — finite, > 1, and the age-100 event
+    // contributes nothing
+    assert(!mass.isNaN && !mass.isInfinite)
+    assert(mass == (math.pow(2.0, 80) + 3.0) / math.pow(2.0, 80))
+  }
 }
