@@ -28,8 +28,29 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     Sessions.ensureQueryConfs(spark)
     catalog.getOrElseUpdate((spark, s"$dir/$name.parquet"),
-      spark.read.parquet(s"$dir/$name.parquet"))
+      normalize(name, spark.read.parquet(s"$dir/$name.parquet")))
   }
+
+  /** Pin the generator-facing contract regardless of parquet vintage.
+    *
+    * `events.ts` is epoch NANOS as BIGINT downstream. Parquet
+    * TIMESTAMP(NANOS) already arrives that way (Spark reads
+    * nanos-precision timestamps as LongType); a TIMESTAMP(MICROS)
+    * file instead surfaces as TIMESTAMP/TIMESTAMP_NTZ, so convert —
+    * `unix_micros * 1000` is exact, and the UTC session timezone
+    * (`Sessions.ensureQueryConfs`) makes the NTZ→instant cast the
+    * identity. The DuckDB oracles read the same file through
+    * `epoch_ns(ts)`, which agrees under both vintages. */
+  private def normalize(name: String, df: DataFrame): DataFrame =
+    if (name != "events") df
+    else df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampType) |
+          Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr(
+            "unix_micros(cast(ts as timestamp)) * 1000"))
+      case _ => df
+    }
 
   /** Load with guaranteed map-side parallelism: a small parquet file
     * arrives as one split, which serializes any compute-heavy
