@@ -30,4 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.warehouse.dir=/tmp/graft-warehouse",
   "-Dderby.system.home=/tmp/graft-derby",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 192-query bench sweep generates one whole-stage-codegen class per
+  // stage per query; the JDK 17 default ReservedCodeCacheSize (240m)
+  // fills mid-suite, the JIT stops compiling, and UNCHANGED late-suite
+  // queries drift 1.4-2x slower (the r6 "drift cluster"). 1g keeps the
+  // whole sweep JIT-compiled.
+  "-XX:ReservedCodeCacheSize=1g",
 )
