@@ -3,6 +3,7 @@ package graft.llmops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.core.Checkpoints.BarrierOps
 
 /** Corpus-composition diagnostics over the unigram token distribution:
   * lexical diversity per source, pairwise distributional distance
@@ -75,7 +76,7 @@ object CorpusDiversity {
     // sides); the lazy checkpoint stops Catalyst re-running the
     // corpus tokenize+aggregate per consumer (q141/bm25 precedent —
     // groups×vocab rows, orders of magnitude below the corpus)
-    val c = tokenCounts(df, groupCol, textCol).localCheckpoint(false)
+    val c = tokenCounts(df, groupCol, textCol).barrier()
     val totals = c.groupBy(col(groupCol))
       .agg(sum(col("cnt")).as("total"))
     val a = c.select(col(groupCol).as("source_a"), col("term"),

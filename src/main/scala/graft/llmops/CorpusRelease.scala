@@ -3,6 +3,7 @@ package graft.llmops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.Checkpoints.BarrierOps
 
 /** The composed corpus-release pipeline — what a training-data user
   * actually runs before cutting a dataset: exact dedup (keep the
@@ -39,11 +40,11 @@ object CorpusRelease {
     val tagged = docs
       .withColumn("__first", min(col(idCol)).over(w))
       .withColumn("__exact_dup", col(idCol) =!= col("__first"))
-      .localCheckpoint(false)
+      .barrier()
     val exact = tagged.filter(!col("__exact_dup"))
     val ff = exact
       .join(TextOps.waterfallFirstFail(exact, idCol, textCol), Seq(idCol))
-      .localCheckpoint(false)
+      .barrier()
     val rel = TextOps.removeDupSpans(
       ff.filter(col("ff") === 6).drop("ff"), idCol, textCol)
     (tagged, ff, rel)

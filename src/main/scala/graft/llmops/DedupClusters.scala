@@ -78,16 +78,19 @@ object DedupClusters {
           least(col("label"), coalesce(col("nmin"), col("label")))
             .as("label"),
           (col("nmin") < col("label")).as("chg"))
-      // Reliable checkpoint when the session has a checkpoint dir
-      // (fault-tolerant: blocks survive executor loss — the right
-      // choice on a preemptible 100 TB cluster); localCheckpoint
-      // otherwise (executor-memory blocks only: an executor loss after
-      // a checkpoint round makes the labels unrecomputable and fails
+      // Reliable checkpoint under graft.checkpoint.reliable OR when
+      // the session already has a checkpoint dir (fault-tolerant:
+      // blocks survive executor loss — the right choice on a
+      // preemptible 100 TB cluster); localCheckpoint otherwise
+      // (executor-memory blocks only: an executor loss after a
+      // checkpoint round makes the labels unrecomputable and fails
       // the job — acceptable in local mode, where there is exactly one
       // "executor" and its loss is the job's loss anyway).
       val next =
         if ((iter + 1) % lineageEvery == 0 && (iter + 1) >= probeAfter) {
-          if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          if (graft.core.Checkpoints.reliable(nextPlan))
+            graft.core.Checkpoints.barrier(nextPlan, eager = true)
+          else if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
             nextPlan.checkpoint(true)
           else nextPlan.localCheckpoint(true)
         } else nextPlan.persist()

@@ -2,6 +2,7 @@ package graft.llmops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.core.Checkpoints.BarrierOps
 
 /** Iterative link analysis over an edge table — PageRank without
   * GraphX: the rank vector is a DataFrame keyed by node, one
@@ -42,7 +43,7 @@ object GraphRank {
     // a lazy localCheckpoint, or the whole upstream pair pipeline
     // re-inlines into all `iters` join stages (measured 1.7x on q164;
     // same executor-loss tradeoff as Retrieval.bm25TopK)
-    val ew = e.join(deg, "s").localCheckpoint(false)
+    val ew = e.join(deg, "s").barrier()
     val nn = ew.select(col("s")).distinct().agg(count(lit(1)).as("n"))
     val reset = 1.0 - damping
     var p = ew.select(col("s").as("v")).distinct()

@@ -3,6 +3,7 @@ package graft.llmops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.Checkpoints.BarrierOps
 
 /** Sparse lexical retrieval over the corpus: BM25 scoring of a small
   * query set against every document — the retrieval side of a
@@ -58,7 +59,7 @@ object Retrieval {
     // The checkpoint materializes tf once, both branches read blocks.
     val tf = matched.groupBy(col(idCol), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+      .barrier()
     bm25FromTf(tf, stats, queries, idCol, queryIdCol, termCol, k1, b, k)
   }
 

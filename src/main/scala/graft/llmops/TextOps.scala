@@ -3,6 +3,7 @@ package graft.llmops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.Checkpoints.BarrierOps
 
 /** Text-pipeline operators for large-scale training-data curation:
   * tokenization, shingling, MinHash, SimHash, language ID, quality
@@ -166,7 +167,7 @@ object TextOps {
     val kept = all
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("df") <= maxDf)
-      .localCheckpoint(false)
+      .barrier()
     val b = kept.filter(!col("inc"))
       .select(col("doc").as("db"), col("nsh").as("nb"), col("sh"))
     val i = kept.filter(col("inc"))
@@ -228,7 +229,7 @@ object TextOps {
     val docArr = df
       .select(col(idCol).as("doc"), shingleHashes(col(textCol)).as("arr"))
       .filter(size(col("arr")) > 0)
-      .localCheckpoint(false)
+      .barrier()
     val sh = docArr
       .select(col("doc"), size(col("arr")).as("nsh"),
         explode(col("arr")).as("sh"))
@@ -984,9 +985,9 @@ object TextOps {
     val pos = df.select(col(idCol).as("doc"),
         posexplode(shingles(col(textCol), n)).as(Seq("p", "g")))
       .select(col("doc"), col("p"), hash60(col("g")).as("sh"))
-      .localCheckpoint(false)
+      .barrier()
     val m = pairs.select(col(aCol).as("da"), col(bCol).as("db"))
-      .localCheckpoint(false)
+      .barrier()
       .join(pos.select(col("doc").as("da"), col("p").as("pa"),
         col("sh")), Seq("da"))
       .join(pos.select(col("doc").as("db"), col("p").as("pb"),

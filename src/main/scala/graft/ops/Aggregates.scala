@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.core.Checkpoints.BarrierOps
 
 /** Reusable aggregation building blocks (SURVEY.md §2.5).
   *
@@ -297,7 +298,7 @@ object Aggregates {
     val ranked = df.select(col(keyCol), col(valCol),
       row_number().over(w).as("rn"),
       count(lit(1)).over(Window.partitionBy(col(keyCol))).as("n"))
-      .localCheckpoint(false)
+      .barrier()
     val cuts = ranked
       .groupBy(col(keyCol))
       .agg(

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.Checkpoints.BarrierOps
 
 /** Skew mitigation by key salting (SURVEY.md §4; the reference splits
   * plans by value instead — degraded/dbs_condor.py:133-144 — which AQE
@@ -56,7 +57,7 @@ object Skew {
     // reliable checkpoint; for this diagnostic (seconds over an
     // aggregate already reduced to |keys| rows) plan-reuse wins.
     val g = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+      .barrier()
     val tot = g.agg(sum(col("cnt")).as("_total"))
     val top = g.crossJoin(broadcast(tot))
       .select(col(keyCol), col("cnt"),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.llmops.{Mixture, Retrieval, TextOps}
+import graft.core.Checkpoints.BarrierOps
 
 /** Round-5 corpus operators: boilerplate chunk-frequency filtering,
   * BM25 retrieval, Unicode NFC canonicalization (native expression),
@@ -530,7 +531,7 @@ object CorpusQueries {
           .select(col("source"),
             explode(TextOps.tokens(col("text"))).as("term"))
           .distinct()
-          .localCheckpoint(false)
+          .barrier()
         val sz = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
         val sh = st.select(col("source").as("src_a"), col("term"))
           .join(st.select(col("source").as("src_b"), col("term")),
@@ -654,12 +655,12 @@ object CorpusQueries {
             .as("term"))
           .groupBy(col("source"), col("term"))
           .agg(count(lit(1)).as("c"))
-          .localCheckpoint(false)
+          .barrier()
         val rk = tf.select(col("source"), col("c"),
           row_number().over(Window.partitionBy(col("source"))
             .orderBy(col("c").desc, col("term"))).as("rank"))
           .filter(col("rank") <= 128)
-          .localCheckpoint(false) // <= 128 rows/source, reused twice
+          .barrier() // <= 128 rows/source, reused twice
         val st = tf.groupBy(col("source"))
           .agg(count(lit(1)).as("n_distinct"),
             sum(col("c")).as("n_tokens"))

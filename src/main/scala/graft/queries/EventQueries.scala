@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.llmops.TextOps
 import graft.ops.Events
+import graft.core.Checkpoints.BarrierOps
 
 /** Event-stream batch operators over the `events` table: as-of join
   * and gap sessionization (`ops/Events`). The oracle for q75 is
@@ -685,7 +686,7 @@ object EventQueries {
         // checkpoint the distinct once (q141/bm25 precedent)
         val ut = t(s, d, "events")
           .select(col("user_id"), col("event_type")).distinct()
-          .localCheckpoint(false)
+          .barrier()
         val n1 = ut.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"))
         // distinct users from the checkpointed ut, not a second full

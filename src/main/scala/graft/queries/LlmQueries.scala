@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.llmops.{Multimodal, Similarity, TextOps}
+import graft.core.Checkpoints.BarrierOps
 
 /** Training-data-pipeline operator family (SURVEY.md §7.1 `llmops`):
   * deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash,
@@ -415,11 +416,11 @@ object LlmQueries {
         // both search pipelines (q65 composition precedent)
         val brute = Similarity.bruteForceTopK(q, e, "vec_id",
           "embedding", 5).select(col("query_id"), col("cand_id"))
-          .localCheckpoint(false)
+          .barrier()
         val two = Similarity.twoStageTopK(q, e, "vec_id", "embedding",
           dPrefix = 8, m = 20, k = 5)
           .select(col("query_id"), col("cand_id").as("tc"))
-          .localCheckpoint(false)
+          .barrier()
         brute.join(two,
             brute("query_id") === two("query_id") &&
               col("cand_id") === col("tc"), "left")
@@ -661,11 +662,11 @@ object LlmQueries {
         val docs = t(s, d, "documents")
         val truth = TextOps.ngramJaccardPairs(docs, "doc_id", "text",
             minJac = 0.2, maxDf = 1000)
-          .localCheckpoint(false)
+          .barrier()
         val cand = TextOps.lshCandidatePairs(
             TextOps.minhashSignatures(docs, "doc_id", "text"), "doc_id")
           .withColumn("hit", lit(1))
-          .localCheckpoint(false)
+          .barrier()
         truth.join(cand, Seq("doc_a", "doc_b"), "left")
           .select(
             when(col("jac") >= 0.8, "[0.8,1.0]")

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.llmops.{Retrieval, Similarity, SparseSim, TextOps}
+import graft.core.Checkpoints.BarrierOps
 
 /** Round-6 retrieval-fusion surface: sparse-vector similarity and
   * hybrid (lexical ⊕ dense) search — the two retrieval shapes a
@@ -178,7 +179,7 @@ object RetrievalQueries {
             explode(TextOps.tokens(col("text"))).as("term"))
           .groupBy(col("doc_id"), col("dl"), col("term"))
           .agg(count(lit(1)).as("tf"))
-          .localCheckpoint(false)
+          .barrier()
         // df as ONE hash aggregation joined back to the 8-query
         // slice — the window-over-every-term form shuffles AND sorts
         // the whole vocabulary to annotate rows of which only the
@@ -201,7 +202,7 @@ object RetrievalQueries {
             row_number().over(wq).as("rk"))
           .filter(col("rk") <= 3)
           .select(col("query_id"), col("term"))
-          .localCheckpoint(false)
+          .barrier()
         val stats = docs.agg(
             count(lit(1)).as("n_docs"),
             sum(size(TextOps.tokens(col("text"))).cast("long"))
@@ -372,7 +373,7 @@ object RetrievalQueries {
           when(col("nq") === 0 || col("nc") === 0, lit(0.0))
             .otherwise(col("dot") / (sqrt(col("nq")) * sqrt(col("nc"))))
             .as("cos_c"))
-          .localCheckpoint(false)
+          .barrier()
         val own = cosd.filter(col("clabel") === col("label"))
           .select(col("vec_id"), col("label"), col("cos_c").as("cos_own"))
         val wo = Window.partitionBy(col("vec_id"))

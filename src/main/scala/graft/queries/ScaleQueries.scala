@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.llmops.{DedupClusters, GraphRank, Sketches, TextOps}
 import graft.ops.Skew
+import graft.core.Checkpoints.BarrierOps
 
 /** Scale-pattern operators: duplicate-cluster resolution (the tail of
   * the dedup pipeline), salted two-stage aggregation for skew, and the
@@ -399,7 +400,7 @@ object ScaleQueries {
           .select(col("da"), col("db"),
             least(col("sa"), col("sb")).as("src_a"),
             greatest(col("sa"), col("sb")).as("src_b"))
-          .localCheckpoint(false) // feeds both aggregates below
+          .barrier() // feeds both aggregates below
         val np = ps.groupBy(col("src_a"), col("src_b"))
           .agg(count(lit(1)).as("n_pairs"))
         val dd = ps.select(col("src_a"), col("src_b"), col("da").as("d"))
@@ -610,7 +611,7 @@ object ScaleQueries {
             Window.partitionBy(col("source")).orderBy(col("h"))))
           .filter(col("rk") <= k)
           .select(col("source"), col("h"))
-          .localCheckpoint(false)
+          .barrier()
         val srcs = kmv.select(col("source")).distinct()
         val ps = srcs.select(col("source").as("sa"))
           .join(srcs.select(col("source").as("sb")),
@@ -684,7 +685,7 @@ object ScaleQueries {
             .as("h"))
           .distinct()
           // feeds the exact count AND the sketch build
-          .localCheckpoint(false)
+          .barrier()
         val ex = shs.groupBy(col("source"))
           .agg(count(lit(1)).as("exact_distinct"))
         val est = Sketches.kmvDistinctEstimate(
