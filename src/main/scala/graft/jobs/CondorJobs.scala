@@ -143,4 +143,98 @@ object CondorJobs {
         sum(col("ChirpCMSSWReadBytes")).as("ChirpCMSSWReadBytes"))
       .na.fill("Unknown", Seq("Datatier", "PrimaryDataset", "Dataset"))
   }
+
+  /** The nine HPC accounting channels of degraded/hpc_at_cms.py:84-108
+    * (the CMSMONIT-341 site/entry routing), as a when-cascade over
+    * (Site, GLIDEIN_Entry_Name, RemoteHost). The conditions partition
+    * the eligible rows (each is keyed on a disjoint entry-name set),
+    * so the cascade order only mirrors the reference's d1..d9 listing;
+    * rows matching no channel route to null and are dropped. */
+  def hpcChannel(site: Column, entry: Column, host: Column): Column = {
+    val nersc1 = Seq("CMSHTPC_T3_US_NERSC_Cori_SL7", "CMSHTPC_T3_US_NERSC_Cori",
+      "CMSHTPC_T3_US_NERSC_Cori_SL7_PREM", "CMSHTPC_T3_US_NERSC_Cori_SL6_PREM")
+    val nersc2 = Seq("CMSHTPC_T3_US_NERSC_Cori_KNL_SL7",
+      "CMSHTPC_T3_US_NERSC_Cori_KNL")
+    val tacc7 = Seq("CMSHTPC_T3_US_TACC-Stampede2", "CMSHTPC_T3_US_TACC")
+    when(site === "T3_US_NERSC" && entry.isin(nersc1: _*), "NERSC_Cori")
+      .when(site === "T3_US_NERSC" && entry.isin(nersc2: _*), "NERSC_Cori_KNL")
+      .when(site === "T3_US_PSC", "PSC_Bridges")
+      .when(site === "T3_US_SDSC" && entry === "CMSHTPC_T3_US_SDSC_osg-comet",
+        "SDSC_Comet")
+      .when(site === "T3_US_SDSC" && entry === "CMSHTPC_T3_US_SDSC-Expanse",
+        "SDSC_Expanse")
+      .when((site === "T3_US_TACC" || site === "T3_US_OSG")
+        && entry === "OSG_US_TACC_JETSTREAM", "TACC_Jetstream")
+      .when(site === "T3_US_TACC" && entry.isin(tacc7: _*), "TACC_Stampede2")
+      .when(site === "T3_US_TACC" && entry === "CMSHTPC_T3_US_TACC_FRONTERA",
+        "TACC_Frontera")
+      .when(site === "T1_IT_CNAF"
+        && (host.isNull || host.endsWith("marconi.cineca.it")), "CNAF_Marconi")
+  }
+
+  /** HPC-at-CMS hourly core-hour series (degraded/hpc_at_cms.py:
+    * 53-160): completed non-failed jobs at the six HPC sites in
+    * [startMs, endMs), deduped on GlobalJobId, routed to a channel by
+    * [[hpcChannel]], then RequestCpus summed per (hour, channel) over
+    * a DENSE hourly spine — every hour of the window appears for every
+    * channel, zero-filled, like the reference's `pd.Grouper(freq='1H')`
+    * resample concat'd against the full `date_list` index.
+    *
+    * The reference computes this by `toPandas()` on the driver — nine
+    * boolean-mask copies of the whole window — then resamples each;
+    * here it is one distributed pass: filter → dedup (shuffle on
+    * GlobalJobId) → single map-side-partial aggregate, and the spine
+    * is `spark.range(hours) × 9 channels` (driver-size arithmetic
+    * only, no collect). Long (hour, channel, request_cpus) output —
+    * the plot layer pivots; note the reference's final concat drops
+    * its d4 (SDSC_Comet) column, a plotting bug we do not reproduce.
+    * RecordTime is epoch millis; RequestCpus is double (the envelope
+    * schema, hpc_at_cms.py:44). */
+  def hpcAtCms(condor: DataFrame, startMs: Long, endMs: Long): DataFrame = {
+    val hpcSites = Seq("T3_US_NERSC", "T3_US_PSC", "T3_US_SDSC",
+      "T3_US_TACC", "T3_US_OSG", "T1_IT_CNAF")
+    val binned = condor
+      .filter(col("Status") === "Completed" && col("JobFailed") === 0
+        && col("RecordTime") >= startMs && col("RecordTime") < endMs
+        && col("Site").isin(hpcSites: _*))
+      .dropDuplicates(Seq("GlobalJobId"))
+      .withColumn("channel", hpcChannel(col("Site"),
+        col("GLIDEIN_Entry_Name"), col("RemoteHost")))
+      .filter(col("channel").isNotNull)
+      .groupBy(
+        Calendar.tumblingBinSeconds(expr("RecordTime div 1000"), 3600L)
+          .as("hour"),
+        col("channel"))
+      // RequestCpus is double in the envelope but integral in practice;
+      // decimal(18,1) addition is order-independent (hash-stable) while
+      // keeping any fractional-cpu rows exact
+      .agg(Aggregates.decSum(col("RequestCpus"), 1).as("request_cpus"))
+    val spark = condor.sparkSession
+    val channels = Seq("NERSC_Cori", "NERSC_Cori_KNL", "PSC_Bridges",
+      "SDSC_Comet", "SDSC_Expanse", "TACC_Jetstream", "TACC_Stampede2",
+      "TACC_Frontera", "CNAF_Marconi")
+    // Spine bounds stay in-plan: explicit window bounds when the
+    // caller gave finite ones (zero rows for silent hours, like the
+    // reference's date_list), the data's own hour extremes otherwise
+    // (the wide-open CLI form — a literal spine over (0, MaxValue)
+    // would be astronomically long). `binned` feeds both the bounds
+    // aggregate and the fill join → one materialization barrier.
+    val b = graft.core.Checkpoints.barrier(binned)
+    val startHour = startMs / 1000 / 3600 * 3600
+    val endHour = (endMs / 1000 - 1) / 3600 * 3600
+    val h0 = if (startMs > 0L) lit(startHour)
+      else coalesce(min(col("hour")), lit(0L))
+    val h1 = if (endMs < Long.MaxValue) lit(endHour)
+      else coalesce(max(col("hour")), lit(-3600L))
+    val spine = b
+      .agg(h0.as("h0"), h1.as("h1"))
+      .select(explode(when(col("h1") >= col("h0"),
+        sequence(col("h0"), col("h1"), lit(3600L)))
+        .otherwise(array())).as("hour"))
+      .crossJoin(spark.createDataFrame(channels.map(Tuple1(_)))
+        .toDF("channel"))
+    spine
+      .join(b, Seq("hour", "channel"), "left")
+      .na.fill(0L, Seq("request_cpus"))
+  }
 }

@@ -142,6 +142,30 @@ object DbsJobs {
         col("b_block_id") === col("f_block_id"))
       .select(col("b_block_name"), col("f_logical_file_name"))
 
+  /** Per-dataset file/event/size totals (reports/aggregate_dbs.py:
+    * 57-74): datasets ⋈ blocks on dataset id ⋈ files on block id,
+    * then sums per dataset name. Faithfully keeps the reference's
+    * quirk of summing `b_file_count` over FILE-level rows (each
+    * block's count is added once per file in the block) — the report
+    * builder downstream normalizes against the same convention. The
+    * reference persists the 3-way join MEMORY_AND_DISK because it was
+    * written for two consumers; with the single aggregate the join
+    * streams straight into a map-side partial sum, so no persist.
+    * At scale: blocks⋈files shuffles on block id, the aggregate on
+    * dataset name — both unavoidable; datasets is dimension-sized and
+    * broadcast. */
+  def tierDbsReport(datasets: DataFrame, blocks: DataFrame,
+      files: DataFrame): DataFrame =
+    blocks
+      .join(files, blocks("b_block_id") === files("f_block_id"))
+      .join(broadcast(datasets),
+        blocks("b_dataset_id") === datasets("d_dataset_id"))
+      .groupBy(col("d_dataset").as("dataset"))
+      .agg(
+        Aggregates.decSum(col("b_file_count"), 0).as("nfiles"),
+        Aggregates.decSum(col("f_event_count"), 0).as("nevents"),
+        Aggregates.decSum(col("f_file_size"), 0).as("size"))
+
   /** Campaign × site size matrix with top-2 sites per campaign
     * (reports/aggregate_campaigns.py:137-205). The row-UDF top-2
     * pickers (`get_mss`/`get_second_mss`) become a pure-Catalyst

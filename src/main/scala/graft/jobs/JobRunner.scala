@@ -96,6 +96,22 @@ object JobRunner {
               .withColumnRenamed("file_name", "f_name")))),
       "phedex_snapshot" -> (Seq("phedex"),
         (_, in) => PhedexJobs.siteSnapshot(in("phedex"))),
+      // reports/aggregate_phedex.py — same pipeline as phedex_snapshot
+      // (the reference carries both scripts); both names registered
+      "tier_phedex" -> (Seq("phedex"),
+        (_, in) => PhedexJobs.siteSnapshot(in("phedex"))),
+      "tier_dbs" -> (Seq("datasets", "blocks", "files"),
+        (_, in) => DbsJobs.tierDbsReport(in("datasets"), in("blocks"),
+          in("files"))),
+      "campaign_tier" -> (
+        Seq("datasets", "files", "access_types", "phedex"),
+        (_, in) => PhedexJobs.campaignTierReport(in("datasets"),
+          in("files"), in("access_types"), in("phedex"))),
+      // window bounds wide-open for the CLI form (the reference's cron
+      // wrapper passes --start/--end); library callers pass real ones
+      "hpc_at_cms" -> (Seq("condor"),
+        (_, in) => CondorJobs.hpcAtCms(
+          CondorJobs.flatten(in("condor")), 0L, Long.MaxValue)),
       "phedex_agg" -> (Seq("phedex_summary"),
         (_, in) => PhedexJobs.snapshotAgg(in("phedex_summary"))),
       "merge_phedex" -> (Seq("phedex_summary"),

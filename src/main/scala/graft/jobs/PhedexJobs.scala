@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.NameAlgebra
+import graft.ops.{Aggregates, NameAlgebra}
 
 /** PhEDEx-family jobs (degraded/phedex.py, degraded/dbs_phedex.py,
   * degraded/phedex_agg.py, src/Go/mergePhedex.go) re-expressed
@@ -29,7 +29,9 @@ object PhedexJobs {
     !(site.endsWith("_MSS") || site.endsWith("_Buffer") ||
       site.endsWith("_Export"))
 
-  /** Daily PhEDEx snapshot (degraded/phedex.py:65-90): per (site,
+  /** Daily PhEDEx snapshot (degraded/phedex.py:65-90, identical shape
+    * to reports/aggregate_phedex.py:70-93 — registered under both
+    * `phedex_snapshot` and `tier_phedex`): per (site,
     * dataset, replica-create-time, group) block-byte totals for one
     * dump day, with the human replica date (unix2human, UTC yyyyMMdd —
     * the session timezone is pinned UTC in [[graft.core.Sessions]] so
@@ -309,6 +311,54 @@ object PhedexJobs {
             .when(col("date") === col("__state.max_date"),
               col("__state.last") + col("day_size"))
             .otherwise(col("day_size")).as("last")): _*)
+  }
+
+  /** Campaign × tier disk report (reports/aggregate_campaign_tier.py:
+    * 78-145): DBS VALID per-dataset size (files ⋈ datasets ⋈ access
+    * types) joined to the PhEDEx per-dataset replica size — where
+    * `size_on_disk` zeroes tape/staging endpoints via [[siteFilter]]
+    * instead of the reference's row UDF — then rolled up to
+    * (campaign, tier) with campaign/tier cut from the dataset name
+    * (`split('/')[2]`/`[3]`), and the top `limit` rows by combined
+    * dbs+phedex size. The reference's two `agg({'size':'sum'})` UDF
+    * passes collapse into one codegen'd aggregate per side.
+    *
+    * At scale: daf is a handful of rows (broadcast); both per-dataset
+    * aggregates shuffle on dataset name and meet in an AQE-planned
+    * join; the campaign×tier rollup is low-cardinality so the final
+    * orderBy+limit is a TakeOrderedAndProject, never a global sort. */
+  def campaignTierReport(ddf: DataFrame, fdf: DataFrame, daf: DataFrame,
+      phedex: DataFrame, limit: Int = 100): DataFrame = {
+    val dbsSize = fdf
+      .select(col("f_dataset_id"), col("f_file_size"))
+      .join(ddf.select(col("d_dataset_id"), col("d_dataset"),
+        col("d_dataset_access_type_id")),
+        col("f_dataset_id") === col("d_dataset_id"))
+      .join(broadcast(daf),
+        col("d_dataset_access_type_id") === daf("dataset_access_type_id"))
+      .filter(col("dataset_access_type") === "VALID")
+      .groupBy(col("d_dataset").as("dataset"))
+      .agg(Aggregates.decSum(col("f_file_size"), 0).as("dbs_size"))
+    val phedexSize = phedex
+      .select(col("dataset_name").as("dataset"),
+        col("block_bytes").as("size"), col("node_name").as("site"))
+      .groupBy(col("dataset"))
+      .agg(
+        Aggregates.decSum(col("size"), 0).as("phedex_size"),
+        Aggregates.decSum(
+          when(siteFilter(col("site")), col("size")).otherwise(lit(0L)), 0)
+          .as("size_on_disk"))
+    phedexSize
+      .join(dbsSize, "dataset")
+      .groupBy(
+        NameAlgebra.campaign(col("dataset")).as("campaign"),
+        NameAlgebra.dataTier(col("dataset")).as("tier"))
+      .agg(
+        Aggregates.decSum(col("dbs_size"), 0).as("dbs_size"),
+        Aggregates.decSum(col("phedex_size"), 0).as("phedex_size"),
+        Aggregates.decSum(col("size_on_disk"), 0).as("size_on_disk"))
+      .orderBy((col("dbs_size") + col("phedex_size")).desc)
+      .limit(limit)
   }
 
   /** DBS × PhEDEx dataset summary (degraded/dbs_phedex.py:44-110):

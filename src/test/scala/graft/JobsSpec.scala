@@ -703,4 +703,98 @@ class JobsSpec extends AnyFunSuite {
     assert(rel.filter(col("doc_id") === 4L).select("text_deduped")
       .head().getString(0).split(" ").length == 27)
   }
+
+  test("tierDbsReport: 3-way join keeps the reference's per-file " +
+    "b_file_count sum") {
+    val blocks = Seq(
+      (100L, 1L, 2L), // block 100 in dataset 1, file_count 2
+      (101L, 2L, 1L))
+      .toDF("b_block_id", "b_dataset_id", "b_file_count")
+    val f = Seq(
+      (10L, 100L, 100L, 1e9), (11L, 100L, 250L, 2e9),
+      (12L, 101L, 50L, 5e8))
+      .toDF("f_file_id", "f_block_id", "f_event_count", "f_file_size")
+    val got = DbsJobs.tierDbsReport(datasets, blocks, f)
+      .orderBy("dataset").collect()
+    assert(got.length == 2)
+    val a = got(0) // /PrimA: block 100 has 2 files -> nfiles = 2+2 = 4
+    assert(a.getAs[String]("dataset") == "/PrimA/Proc-v1/RAW")
+    assert(a.getAs[Double]("nfiles") == 4.0) // reference's quirk, kept
+    assert(a.getAs[Double]("nevents") == 350.0)
+    assert(a.getAs[Double]("size") == 3e9)
+    assert(got(1).getAs[Double]("nfiles") == 1.0)
+  }
+
+  test("campaignTierReport: VALID-only DBS size, tape-zeroed disk " +
+    "size, campaign×tier rollup, top-limit order") {
+    val ddf = Seq(
+      (1L, "/PrimA/Camp1-v1/RAW", 1L), (2L, "/PrimB/Camp1-v1/AOD", 1L),
+      (3L, "/PrimC/Camp2-v1/RAW", 2L)) // access type 2 = PRODUCTION
+      .toDF("d_dataset_id", "d_dataset", "d_dataset_access_type_id")
+    val fdf = Seq(
+      (1L, 100L), (1L, 200L), (2L, 400L), (3L, 999L))
+      .toDF("f_dataset_id", "f_file_size")
+    val daf = Seq((1L, "VALID"), (2L, "PRODUCTION"))
+      .toDF("dataset_access_type_id", "dataset_access_type")
+    val phedex = Seq(
+      ("/PrimA/Camp1-v1/RAW", 50L, "T1_US_FNAL_Disk"),
+      ("/PrimA/Camp1-v1/RAW", 70L, "T1_US_FNAL_MSS"), // tape: size yes, disk no
+      ("/PrimB/Camp1-v1/AOD", 30L, "T2_CH_CERN"),
+      ("/PrimC/Camp2-v1/RAW", 10L, "T2_CH_CERN")) // dropped: not VALID
+      .toDF("dataset_name", "block_bytes", "node_name")
+    val got = PhedexJobs.campaignTierReport(ddf, fdf, daf, phedex)
+      .collect()
+    assert(got.length == 2) // Camp2 dataset not VALID -> absent
+    val raw = got.find(r => r.getAs[String]("tier") == "RAW").get
+    assert(raw.getAs[String]("campaign") == "Camp1-v1")
+    assert(raw.getAs[Double]("dbs_size") == 300.0)
+    assert(raw.getAs[Double]("phedex_size") == 120.0)
+    assert(raw.getAs[Double]("size_on_disk") == 50.0)
+    // order: RAW (300+120) before AOD (400+30) -> no; AOD=430 > RAW=420
+    assert(got(0).getAs[String]("tier") == "AOD")
+    // limit honored
+    assert(PhedexJobs.campaignTierReport(ddf, fdf, daf, phedex, limit = 1)
+      .count() == 1)
+  }
+
+  test("hpcAtCms: channel routing, GlobalJobId dedup, dense hourly " +
+    "spine with zero fill") {
+    val h0 = 1704103200000L // 2024-01-01 10:00 UTC, hour-aligned
+    val rows = Seq(
+      // NERSC c1, duplicated GlobalJobId -> counted once
+      ("j1", h0 + 60000L, "Completed", 0L, "T3_US_NERSC",
+        "CMSHTPC_T3_US_NERSC_Cori_SL7", null.asInstanceOf[String], 32.0),
+      ("j1", h0 + 60000L, "Completed", 0L, "T3_US_NERSC",
+        "CMSHTPC_T3_US_NERSC_Cori_SL7", null.asInstanceOf[String], 32.0),
+      // CNAF with null RemoteHost -> CNAF_Marconi
+      ("j2", h0 + 3660000L, "Completed", 0L, "T1_IT_CNAF",
+        "whatever", null.asInstanceOf[String], 8.0),
+      // CNAF with marconi host suffix
+      ("j3", h0 + 3720000L, "Completed", 0L, "T1_IT_CNAF",
+        "x", "r123.marconi.cineca.it", 4.0),
+      // CNAF with non-marconi host -> routed to null, dropped
+      ("j4", h0 + 3780000L, "Completed", 0L, "T1_IT_CNAF",
+        "x", "other.host", 100.0),
+      // failed job -> dropped
+      ("j5", h0 + 60000L, "Completed", 1L, "T3_US_NERSC",
+        "CMSHTPC_T3_US_NERSC_Cori_SL7", null.asInstanceOf[String], 64.0),
+      // TACC Jetstream via OSG site alias
+      ("j6", h0 + 60000L, "Completed", 0L, "T3_US_OSG",
+        "OSG_US_TACC_JETSTREAM", null.asInstanceOf[String], 16.0))
+      .toDF("GlobalJobId", "RecordTime", "Status", "JobFailed", "Site",
+        "GLIDEIN_Entry_Name", "RemoteHost", "RequestCpus")
+    // explicit 3-hour window -> spine = 3 hours x 9 channels
+    val got = CondorJobs.hpcAtCms(rows, h0, h0 + 3 * 3600000L)
+    assert(got.count() == 27)
+    def at(hr: Long, ch: String): Double = got
+      .filter(col("hour") === (h0 / 1000 + hr * 3600) &&
+        col("channel") === ch)
+      .head().getAs[Double]("request_cpus")
+    assert(at(0, "NERSC_Cori") == 32.0) // deduped, failed job excluded
+    assert(at(0, "TACC_Jetstream") == 16.0)
+    assert(at(1, "CNAF_Marconi") == 12.0) // null host + marconi host
+    assert(at(2, "CNAF_Marconi") == 0.0) // dense zero row
+    // wide-open window -> spine from the data's own hour extremes (2h)
+    assert(CondorJobs.hpcAtCms(rows, 0L, Long.MaxValue).count() == 18)
+  }
 }
