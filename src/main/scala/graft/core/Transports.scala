@@ -111,6 +111,53 @@ object Transports {
   object OpenSearchBulk {
     def body(docs: Seq[String]): String =
       docs.map(d => "{\"index\":{}}\n" + d + "\n").mkString
+
+    /** Per-item failures out of a `_bulk` reply (the CERN MONIT
+      * endpoints return `errors:true` with per-item `error` objects on
+      * partial failure — osearch.py:93-101 counts them the same way):
+      * 0-based item index → `type: reason`. `errors:false` short-
+      * circuits without walking the items. Jackson rides along on the
+      * Spark classpath. */
+    def failedItems(response: String): Seq[(Int, String)] = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = m.readTree(response)
+      if (root == null || !root.path("errors").asBoolean(false)) Nil
+      else {
+        val items = root.path("items")
+        (0 until items.size()).flatMap { i =>
+          // each item wraps its result under the action name (index/
+          // create/update); take the first field's error node if any
+          val it = items.get(i)
+          val op = if (it.fieldNames().hasNext) it.get(it.fieldNames().next())
+            else it
+          val err = op.path("error")
+          if (err.isMissingNode || err.isNull) None
+          else Some(i -> (err.path("type").asText("unknown") + ": " +
+            err.path("reason").asText("")))
+        }
+      }
+    }
+
+    /** One bulk round-trip with bounded retry of just the failed
+      * items: `post` sends an NDJSON body and returns the `_bulk`
+      * reply. Returns the items still failed after `retries`
+      * re-submissions (empty = all landed). At-least-once like the
+      * STOMP path: a retried item that actually landed before the
+      * failure reply is deduped downstream on doc ids. */
+    def sendWithRetry(docs: Seq[String], post: String => String,
+        retries: Int = 1): Seq[(Int, String)] = {
+      var pending = docs.zipWithIndex.map { case (d, i) => i -> d }
+      var failures = Seq.empty[(Int, String)]
+      var round = 0
+      while (pending.nonEmpty && round <= retries) {
+        val reply = post(body(pending.map(_._2)))
+        val failed = failedItems(reply)
+        failures = failed.map { case (pos, why) => pending(pos)._1 -> why }
+        pending = failed.map { case (pos, _) => pending(pos) }
+        round += 1
+      }
+      failures
+    }
   }
 
   /** OpenSearch transport: each chunk becomes one bulk request —
@@ -261,6 +308,14 @@ object Transports {
         out.flush()
         StompWire.readFrame(in) match {
           case Some(r) if r.startsWith("RECEIPT") => () // clean shutdown
+          case Some(r) if r.startsWith("ERROR") =>
+            // a broker ERROR queued since the last send surfaces here
+            // (STOMP 1.2 §ERROR: the broker closes after sending it);
+            // raise it with the broker's message so the job fails loud
+            val msg = r.linesIterator
+              .find(_.startsWith("message:")).map(_.drop(8))
+              .getOrElse(r.linesIterator.drop(1).mkString(" ").take(120))
+            sys.error(s"broker ERROR on shutdown: $msg")
           case other => sys.error(s"no RECEIPT on disconnect: $other")
         }
       } finally { socket.close(); socket = null }
