@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Sessions
+
+/** Build an sf1-equivalent documents corpus from the driver's sf0.1
+  * table for the pair-family scaling curve (SCALE.md): 10 replicas,
+  * doc_ids offset per replica, and — for replicas 1..9 — a replica
+  * tag token spliced in every 4th word.
+  *
+  * Why the tag: a verbatim 10x copy would give every doc 10 exact
+  * twins, so pair-join outputs would grow ~100x per bucket and the
+  * "measurement" would time an artifact no real 10x corpus has (dup
+  * CLUSTERS scale with corpus size; cluster SIZE does not). The tag
+  * keeps intra-replica duplicate structure byte-identical while
+  * guaranteeing zero cross-replica shingle overlap (every 3..5-gram
+  * spans a tag), and it keeps the base VOCABULARY shared — so hot
+  * terms' document frequency really grows 10x, stressing the df-cap
+  * and skew paths exactly as a real 10x corpus would.
+  *
+  * Usage: runMain graft.MakeScaleCorpus <outDir>
+  */
+object MakeScaleCorpus {
+  def main(args: Array[String]): Unit = {
+    val out = args(0)
+    val spark = Sessions.local()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val reps = spark.range(10).select(col("id").cast("int").as("rep"))
+    val scaled = docs
+      .crossJoin(reps)
+      .select(
+        (col("doc_id") + col("rep").cast("long") * 10000000L).as("doc_id"),
+        when(col("rep") === 0, col("text")).otherwise(
+          array_join(
+            flatten(transform(
+              // group words in 4s, append the replica tag after each group
+              filter(
+                transform(split(col("text"), " "),
+                  (w, i) => when(i % 4 === 0,
+                    slice(split(col("text"), " "), i + 1, lit(4)))),
+                g => g.isNotNull),
+              g => concat(g, array(concat(lit("rep"), col("rep")))))),
+            " ")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+    scaled
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val n = spark.read.parquet(s"$out/documents.parquet").count()
+    println(s"[make-scale-corpus] wrote $n docs to $out")
+    spark.stop()
+  }
+}

@@ -9,14 +9,20 @@ import graft.core.Sessions
   * SCALE.md §pair-joins. Leaked checkpoint blocks are dropped between
   * runs (same rationale as [[Bench]]) so cross-query JVM state doesn't
   * pollute the curve.
-  * Usage: runMain graft.ScaleBench <q1,q2,...> [reps]
+  * Usage: runMain graft.ScaleBench <q1,q2,...> [reps] [dir1,dir2,...]
+  * The optional dir list (default: the three driver corpora) lets the
+  * curve extend one decade onto the generated sf1 corpus
+  * (graft.MakeScaleCorpus); the printed exponent is always between
+  * the LAST TWO dirs.
   */
 object ScaleBench {
   def main(args: Array[String]): Unit = {
     val names = args(0).split(",").toSeq
     val reps = if (args.length > 1) args(1).toInt else 3
-    val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-      "/root/testdata/sf0.1")
+    val sfs =
+      if (args.length > 2) args(2).split(",").toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")
     val spark = Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
     def drop(): Unit =
@@ -48,8 +54,9 @@ object ScaleBench {
         }
         ts.min
       }
-      val exp = math.log10(mins(2) / mins(1))
-      println(f"[scalebench] $n: ${mins(0)}%.2f ${mins(1)}%.2f ${mins(2)}%.2f exp=$exp%.2f")
+      val exp = math.log10(mins.last / mins(mins.size - 2))
+      val series = mins.map(m => f"$m%.2f").mkString(" ")
+      println(f"[scalebench] $n: $series exp=$exp%.2f")
     }
     spark.stop()
   }

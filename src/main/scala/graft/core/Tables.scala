@@ -40,7 +40,18 @@ object Tables {
     * `unix_micros * 1000` is exact, and the UTC session timezone
     * (`Sessions.ensureQueryConfs`) makes the NTZ→instant cast the
     * identity. The DuckDB oracles read the same file through
-    * `epoch_ns(ts)`, which agrees under both vintages. */
+    * `epoch_ns(ts)`, which agrees under both vintages.
+    *
+    * Two documented bounds on the MICROS fallback path (advisor,
+    * round 6): (1) replacing `ts` with a derived expression defeats
+    * parquet predicate pushdown and row-group min/max pruning for
+    * filters on `ts`, so a micros-vintage corpus scans full row
+    * groups — filter on the raw timestamp before conversion if that
+    * path ever gets hot (the canonical driver corpus is
+    * TIMESTAMP(NANOS), which takes the no-op branch); (2)
+    * `unix_micros * 1000` wraps past 2262-04-11 (Long nanos range) —
+    * the same ceiling any epoch-nanos representation has, including
+    * the NANOS vintage itself. */
   private def normalize(name: String, df: DataFrame): DataFrame =
     if (name != "events") df
     else df.schema.find(_.name == "ts").map(_.dataType) match {
