@@ -175,5 +175,87 @@ object JobShapeQueries {
           col("user_id").as("dataset"))
         RucioJobs.lastAccessYearBins(
           RucioJobs.rseDatasetAccess(files, f2d))
+      }),
+
+    // reports/aggregate_campaign_tier.py end-to-end under oracle:
+    // TWO independently aggregated sides (DBS VALID sizes; PhEDEx
+    // replica sizes with tape-zeroed disk bytes) meet on dataset name,
+    // roll up to campaign×tier, top-k by the combined size. part plays
+    // the DBS dataset dim (name synthesized /P{m}/C{brand}/{tier}),
+    // lineitem plays both the DBS file table and — re-joined to part
+    // for the name — the PhEDEx replica dump with _MSS/_Buffer/_Export
+    // endpoints cut from disk bytes. 75 (campaign,tier) groups < the
+    // 100 limit, so the top-k boundary is tie-free by construction.
+    QueryDef(
+      "q193_campaign_tier_report",
+      Some("""
+        WITH ddf AS (
+          SELECT p_partkey AS did,
+                 '/P' || (p_partkey % 10) || '/C' || p_brand || '/' ||
+                 (CASE p_partkey % 3 WHEN 0 THEN 'RAW'
+                   WHEN 1 THEN 'AOD' ELSE 'MINIAOD' END) AS dataset,
+                 CASE WHEN p_size % 3 = 0 THEN 'VALID'
+                      WHEN p_size % 3 = 1 THEN 'PRODUCTION'
+                      ELSE 'DEPRECATED' END AS access_type
+          FROM part),
+        dbs AS (
+          SELECT dataset,
+                 CAST(sum(CAST(floor(l_extendedprice) AS BIGINT))
+                      AS DOUBLE) AS dbs_size
+          FROM lineitem JOIN ddf ON l_partkey = did
+          WHERE access_type = 'VALID' GROUP BY 1),
+        phx AS (
+          SELECT dataset,
+                 CAST(sum(b) AS DOUBLE) AS phedex_size,
+                 CAST(sum(CASE WHEN suffix IN ('_MSS','_Buffer','_Export')
+                          THEN 0 ELSE b END) AS DOUBLE) AS size_on_disk
+          FROM (SELECT dataset,
+                       CAST(floor(l_quantity * 100) AS BIGINT) AS b,
+                       CASE l_linenumber % 4 WHEN 0 THEN '_MSS'
+                         WHEN 1 THEN '_Buffer'
+                         WHEN 2 THEN '_Export' ELSE '' END AS suffix
+                FROM lineitem JOIN ddf ON l_partkey = did)
+          GROUP BY 1)
+        SELECT * FROM (
+          SELECT split_part(dataset, '/', 3) AS campaign,
+                 split_part(dataset, '/', 4) AS tier,
+                 CAST(sum(CAST(dbs_size AS DECIMAL(18,0))) AS DOUBLE)
+                   AS dbs_size,
+                 CAST(sum(CAST(phedex_size AS DECIMAL(18,0))) AS DOUBLE)
+                   AS phedex_size,
+                 CAST(sum(CAST(size_on_disk AS DECIMAL(18,0))) AS DOUBLE)
+                   AS size_on_disk
+          FROM phx JOIN dbs USING (dataset)
+          GROUP BY 1, 2)
+        ORDER BY dbs_size + phedex_size DESC LIMIT 100"""),
+      (s, d) => {
+        val part = t(s, d, "part")
+        val li = t(s, d, "lineitem")
+        val name = concat(lit("/P"), col("p_partkey") % 10,
+          lit("/C"), col("p_brand"), lit("/"),
+          when(col("p_partkey") % 3 === 0, "RAW")
+            .when(col("p_partkey") % 3 === 1, "AOD")
+            .otherwise("MINIAOD"))
+        val ddf = part.select(
+          col("p_partkey").as("d_dataset_id"), name.as("d_dataset"),
+          (col("p_size") % 3 + 1).as("d_dataset_access_type_id"))
+        val daf = part.sparkSession
+          .createDataFrame(Seq((1L, "VALID"), (2L, "PRODUCTION"),
+            (3L, "DEPRECATED")))
+          .toDF("dataset_access_type_id", "dataset_access_type")
+        val fdf = li.select(
+          col("l_partkey").as("f_dataset_id"),
+          floor(col("l_extendedprice")).cast("long").as("f_file_size"))
+        val phedex = li
+          .join(part, col("l_partkey") === col("p_partkey"))
+          .select(
+            name.as("dataset_name"),
+            floor(col("l_quantity") * 100).cast("long").as("block_bytes"),
+            concat(lit("T"), col("l_suppkey") % 3, lit("_X"),
+              when(col("l_linenumber") % 4 === 0, "_MSS")
+                .when(col("l_linenumber") % 4 === 1, "_Buffer")
+                .when(col("l_linenumber") % 4 === 2, "_Export")
+                .otherwise("")).as("node_name"))
+        graft.jobs.PhedexJobs.campaignTierReport(ddf, fdf, daf, phedex)
       }))
 }
