@@ -50,6 +50,30 @@ object MakeScaleCorpus {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     val n = spark.read.parquet(s"$out/documents.parquet").count()
     println(s"[make-scale-corpus] wrote $n docs to $out")
+    // embeddings: same 10-replica scheme; each replica's vectors are
+    // cyclically rotated by its replica index — norms (and so every
+    // cosine within a replica) are preserved exactly, while replicas
+    // spread across embedding space instead of stacking 10 exact
+    // twins on every point (which would give q45's top-k degenerate
+    // zero-distance neighbors no real 10x corpus has). IVF/LSH cell
+    // populations then grow ~10x in count, not 10x in density.
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val scaledEmb = emb
+      .crossJoin(reps)
+      .select(
+        (col("vec_id") + col("rep").cast("long") * 10000000L).as("vec_id"),
+        when(col("rep") === 0, col("embedding")).otherwise(
+          concat(
+            slice(col("embedding"), col("rep") + 1,
+              size(col("embedding")) - col("rep")),
+            slice(col("embedding"), lit(1), col("rep"))))
+          .as("embedding"),
+        col("label"))
+    scaledEmb
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
+    println(s"[make-scale-corpus] wrote $ne embeddings to $out")
     spark.stop()
   }
 }

@@ -32,8 +32,14 @@ object Sessions {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
+  /** Local session; `GRAFT_SHUFFLE_PARTITIONS` overrides the
+    * shuffle-partition count (default = cores) for scale experiments —
+    * on a real cluster this is the knob that grows with data volume
+    * (SCALE.md measures q162's sf1 sensitivity to it). */
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
-    val s = builder(s"local[$cores]", cores).appName(appName).getOrCreate()
+    val sp = sys.env.get("GRAFT_SHUFFLE_PARTITIONS")
+      .map(_.toInt).getOrElse(cores)
+    val s = builder(s"local[$cores]", sp).appName(appName).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

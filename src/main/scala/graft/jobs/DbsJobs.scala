@@ -142,6 +142,46 @@ object DbsJobs {
         col("b_block_id") === col("f_block_id"))
       .select(col("b_block_name"), col("f_logical_file_name"))
 
+  /** Leftovers report (reports/aggregate_leftovers.py:49-155): PhEDEx
+    * replicas whose dataset is absent from DBS, in the reference's two
+    * variants — "all" (absent from the VALID-with-files DBS view: a
+    * VALID dataset with no file rows still counts as leftover, because
+    * the reference inner-joins fdf before subtracting) and "orphans"
+    * (absent from DBS datasets of ANY validity). Orphans ⊆ all, so one
+    * frame with an `is_orphan` flag carries both reference outputs:
+    * filter for the orphans file, project it away for the all file.
+    * `sites` is the reference's collect_set, array_sort'd so the frame
+    * is deterministic. Campaign is the name's third token.
+    *
+    * Shape at scale: both DBS sides reduce to distinct dataset-name
+    * sets (dimension-sized) before any join against the fact-sized
+    * PhEDEx aggregate; the anti/flag joins are broadcastable. The
+    * reference's two driver-side `.collect()[0]` size totals are left
+    * to the report layer — no driver state here. */
+  def leftoversReport(ddf: DataFrame, daf: DataFrame, fdf: DataFrame,
+      phedex: DataFrame): DataFrame = {
+    val phedexAgg = phedex
+      .groupBy(col("dataset_name").as("dataset"))
+      .agg(
+        Aggregates.decSum(col("block_bytes"), 0).as("phedex_size"),
+        array_sort(collect_set(col("node_name"))).as("sites"))
+    val validWithFiles = ddf
+      .join(broadcast(daf),
+        ddf("d_dataset_access_type_id") === daf("dataset_access_type_id"))
+      .filter(col("dataset_access_type") === "VALID")
+      .join(fdf, ddf("d_dataset_id") === fdf("f_dataset_id"), "left_semi")
+      .select(col("d_dataset").as("dataset")).distinct()
+    val anyDbs = ddf.select(col("d_dataset").as("dataset")).distinct()
+    phedexAgg
+      .join(validWithFiles, Seq("dataset"), "left_anti")
+      .join(anyDbs.withColumn("in_dbs", lit(1)), Seq("dataset"), "left")
+      .select(
+        col("dataset"),
+        NameAlgebra.campaign(col("dataset")).as("campaign"),
+        col("sites"), col("phedex_size"),
+        col("in_dbs").isNull.as("is_orphan"))
+  }
+
   /** Per-dataset file/event/size totals (reports/aggregate_dbs.py:
     * 57-74): datasets ⋈ blocks on dataset id ⋈ files on block id,
     * then sums per dataset name. Faithfully keeps the reference's

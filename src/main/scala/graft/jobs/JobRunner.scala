@@ -100,6 +100,10 @@ object JobRunner {
       // (the reference carries both scripts); both names registered
       "tier_phedex" -> (Seq("phedex"),
         (_, in) => PhedexJobs.siteSnapshot(in("phedex"))),
+      "leftovers_report" -> (
+        Seq("datasets", "access_types", "files", "phedex"),
+        (_, in) => DbsJobs.leftoversReport(in("datasets"),
+          in("access_types"), in("files"), in("phedex"))),
       "tier_dbs" -> (Seq("datasets", "blocks", "files"),
         (_, in) => DbsJobs.tierDbsReport(in("datasets"), in("blocks"),
           in("files"))),

@@ -704,6 +704,35 @@ class JobsSpec extends AnyFunSuite {
       .head().getString(0).split(" ").length == 27)
   }
 
+  test("leftoversReport: VALID-with-files subtract vs any-DBS orphan " +
+    "subtract, campaign + sorted site set") {
+    val ddf = Seq(
+      (1L, "/A/Camp1/RAW", 1L),  // VALID with files -> not leftover
+      (2L, "/B/Camp1/RAW", 1L),  // VALID but NO file rows -> leftover, not orphan
+      (3L, "/C/Camp2/AOD", 2L))  // PRODUCTION -> leftover, not orphan
+      .toDF("d_dataset_id", "d_dataset", "d_dataset_access_type_id")
+    val daf = Seq((1L, "VALID"), (2L, "PRODUCTION"))
+      .toDF("dataset_access_type_id", "dataset_access_type")
+    val fdf = Seq(Tuple1(1L)).toDF("f_dataset_id")
+    val phedex = Seq(
+      ("/A/Camp1/RAW", 10L, "T1_X"),
+      ("/B/Camp1/RAW", 20L, "T1_X"), ("/B/Camp1/RAW", 5L, "T2_Y"),
+      ("/C/Camp2/AOD", 40L, "T2_Y"),
+      ("/D/Camp3/RAW", 80L, "T3_Z")) // in no DBS view -> orphan
+      .toDF("dataset_name", "block_bytes", "node_name")
+    val got = DbsJobs.leftoversReport(ddf, daf, fdf, phedex)
+      .orderBy("dataset").collect()
+    assert(got.map(_.getAs[String]("dataset")).toSeq ==
+      Seq("/B/Camp1/RAW", "/C/Camp2/AOD", "/D/Camp3/RAW"))
+    val b = got(0)
+    assert(b.getAs[String]("campaign") == "Camp1")
+    assert(b.getAs[scala.collection.Seq[String]]("sites").toSeq ==
+      Seq("T1_X", "T2_Y"))
+    assert(b.getAs[Double]("phedex_size") == 25.0)
+    assert(got.map(_.getAs[Boolean]("is_orphan")).toSeq ==
+      Seq(false, false, true))
+  }
+
   test("tierDbsReport: 3-way join keeps the reference's per-file " +
     "b_file_count sum") {
     val blocks = Seq(
