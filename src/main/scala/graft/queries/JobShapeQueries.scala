@@ -257,5 +257,95 @@ object JobShapeQueries {
                 .when(col("l_linenumber") % 4 === 2, "_Export")
                 .otherwise("")).as("node_name"))
         graft.jobs.PhedexJobs.campaignTierReport(ddf, fdf, daf, phedex)
+      }),
+
+    // degraded/hpc_at_cms.py end-to-end under oracle: the 9-channel
+    // site/entry router, GlobalJobId dedup, and the DENSE hourly spine
+    // (every hour between the data's extremes × every channel,
+    // zero-filled — DuckDB's generate_series plays the spine). Every
+    // envelope column derives from the dedup key alone, so duplicate
+    // GlobalJobIds are bit-identical rows and drop_duplicates is
+    // deterministic on both engines (SELECT DISTINCT in the oracle).
+    // Status/JobFailed/entry mismatches exercise every drop path.
+    QueryDef(
+      "q194_hpc_hourly_resample",
+      Some("""
+        WITH rows AS (
+          SELECT DISTINCT event_id % 500 AS k FROM events),
+        env AS (
+          SELECT k,
+            1700000000000 + (k % 50) * 3711000 AS rt,
+            CASE WHEN k % 25 = 0 THEN 'Running'
+                 ELSE 'Completed' END AS status,
+            CASE WHEN k % 30 = 0 THEN 1 ELSE 0 END AS failed,
+            k % 8 AS r,
+            CAST(k % 64 + 1 AS DOUBLE) AS cpus
+          FROM rows),
+        routed AS (
+          SELECT (rt // 1000 // 3600) * 3600 AS hour,
+            CASE r WHEN 0 THEN 'NERSC_Cori'
+                   WHEN 1 THEN 'NERSC_Cori_KNL'
+                   WHEN 2 THEN 'PSC_Bridges'
+                   WHEN 3 THEN CASE WHEN k % 2 = 1 THEN NULL
+                                    ELSE 'SDSC_Comet' END
+                   WHEN 4 THEN 'SDSC_Expanse'
+                   WHEN 5 THEN 'TACC_Jetstream'
+                   WHEN 6 THEN 'TACC_Frontera'
+                   -- the Spark side splits k%16 into null-host vs
+                   -- marconi-host rows; BOTH satisfy hpcChannel's
+                   -- (isNull OR endswith) predicate, so the oracle
+                   -- routes them identically
+                   ELSE 'CNAF_Marconi' END AS channel,
+            cpus
+          FROM env WHERE status = 'Completed' AND failed = 0),
+        binned AS (
+          SELECT hour, channel,
+                 CAST(sum(CAST(cpus AS DECIMAL(18,1))) AS DOUBLE)
+                   AS request_cpus
+          FROM routed WHERE channel IS NOT NULL GROUP BY 1, 2),
+        spine AS (
+          SELECT unnest(generate_series((SELECT min(hour) FROM binned),
+                                        (SELECT max(hour) FROM binned),
+                                        3600)) AS hour),
+        chans AS (
+          SELECT unnest(['NERSC_Cori','NERSC_Cori_KNL','PSC_Bridges',
+            'SDSC_Comet','SDSC_Expanse','TACC_Jetstream',
+            'TACC_Stampede2','TACC_Frontera','CNAF_Marconi'])
+            AS channel)
+        SELECT s.hour, c.channel,
+               coalesce(b.request_cpus, 0.0) AS request_cpus
+        FROM spine s CROSS JOIN chans c
+        LEFT JOIN binned b ON b.hour = s.hour AND b.channel = c.channel"""),
+      (s, d) => {
+        val k = col("event_id") % 500
+        val env = t(s, d, "events")
+          .select(
+            concat(lit("j"), k).as("GlobalJobId"),
+            (lit(1700000000000L) + (k % 50) * 3711000L).as("RecordTime"),
+            when(k % 25 === 0, "Running").otherwise("Completed")
+              .as("Status"),
+            when(k % 30 === 0, 1L).otherwise(0L).as("JobFailed"),
+            when(k % 8 === 0, "T3_US_NERSC")
+              .when(k % 8 === 1, "T3_US_NERSC")
+              .when(k % 8 === 2, "T3_US_PSC")
+              .when(k % 8 === 3, "T3_US_SDSC")
+              .when(k % 8 === 4, "T3_US_SDSC")
+              .when(k % 8 === 5, "T3_US_OSG")
+              .when(k % 8 === 6, "T3_US_TACC")
+              .otherwise("T1_IT_CNAF").as("Site"),
+            when(k % 8 === 0, "CMSHTPC_T3_US_NERSC_Cori_SL7")
+              .when(k % 8 === 1, "CMSHTPC_T3_US_NERSC_Cori_KNL")
+              .when(k % 8 === 2, "whatever")
+              .when(k % 8 === 3,
+                when(k % 2 === 1, "OTHER") // routes to null -> dropped
+                  .otherwise("CMSHTPC_T3_US_SDSC_osg-comet"))
+              .when(k % 8 === 4, "CMSHTPC_T3_US_SDSC-Expanse")
+              .when(k % 8 === 5, "OSG_US_TACC_JETSTREAM")
+              .when(k % 8 === 6, "CMSHTPC_T3_US_TACC_FRONTERA")
+              .otherwise("x").as("GLIDEIN_Entry_Name"),
+            when(k % 16 < 8, lit(null).cast("string"))
+              .otherwise("r1.marconi.cineca.it").as("RemoteHost"),
+            (k % 64 + 1).cast("double").as("RequestCpus"))
+        graft.jobs.CondorJobs.hpcAtCms(env, 0L, Long.MaxValue)
       }))
 }
