@@ -48,9 +48,31 @@ object IO {
     spark.read.option("samplingRatio", samplingRatio.toString).json(paths: _*)
 
   /** Native Avro scan (replaces the legacy newAPIHadoopFile converter
-    * path, spark_utils.py:434-478). */
+    * path, spark_utils.py:434-478). Prefers the spark-avro connector
+    * (splittable, vectorized — clusters add it via `--packages` exactly
+    * as the reference's run_spark wrapper does); when the connector jar
+    * is absent, falls back to [[AvroIO.read]] on the avro core API that
+    * ships in every Spark distribution (per-file parallelism, streaming
+    * decode — see AvroIO's scale notes). */
   def avro(spark: SparkSession, paths: Seq[String]): DataFrame =
-    spark.read.format("avro").load(paths: _*)
+    try spark.read.format("avro").load(paths: _*)
+    catch {
+      case e: Exception if connectorMissing(e) => AvroIO.read(spark, paths)
+    }
+
+  /** Avro write with the same connector-first / core-API-fallback
+    * policy as [[avro]]. */
+  def writeAvro(df: DataFrame, out: String): Unit =
+    try df.write.mode(SaveMode.Overwrite).format("avro").save(out)
+    catch {
+      case e: Exception if connectorMissing(e) => AvroIO.write(df, out)
+    }
+
+  private def connectorMissing(e: Exception): Boolean = {
+    val m = Option(e.getMessage).getOrElse("")
+    m.contains("DATA_SOURCE_NOT_FOUND") ||
+      (m.contains("Failed to find") && m.contains("avro"))
+  }
 
   def parquet(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.parquet(paths: _*)

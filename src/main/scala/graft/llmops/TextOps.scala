@@ -1279,6 +1279,76 @@ object TextOps {
         col("n_oov").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Learn the first `k` byte-pair-encoding merges from the corpus —
+    * the training loop of a BPE tokenizer, distributed.
+    *
+    * Shape at 100 TB: ONE corpus-scale aggregation (token → frequency)
+    * up front; every iteration after that runs on the VOCABULARY table
+    * (unique words — millions of rows when the corpus is billions), so
+    * the loop cost is independent of corpus size. Per iteration:
+    *   1. adjacent-symbol pair counts weighted by word frequency
+    *      (explode over word length — vocab × avg-word-len rows);
+    *   2. argmax pair via TakeOrdered(1) with a total (count DESC,
+    *      lhs, rhs) tie-break — no driver collect; the winner re-enters
+    *      as a one-row broadcast;
+    *   3. greedy left-to-right merge of that pair inside every word —
+    *      a single `aggregate` fold per word (narrow, codegen'd), the
+    *      exact semantics of the classic BPE merge pass ([a,a,a,a,a]
+    *      with merge (a,a) → [aa,aa,a]).
+    * Each iteration's vocab frame sits behind a [[graft.core.Checkpoints]]
+    * barrier: the frame feeds both the next pair count and the next
+    * merge, and without the barrier the diamond re-computes the whole
+    * loop prefix per branch (2^k blowup).
+    *
+    * Returns the merge table (merge_rank, lhs, rhs, pair_count) — k
+    * rows, fully deterministic, engine-exact (q196 pins it against a
+    * windowed gaps-and-islands formulation of the same greedy pass in
+    * DuckDB — two independent constructions of the merge semantics
+    * agreeing on the hash). */
+  def learnBpeMerges(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "learnBpeMerges wants k >= 1")
+    val vocab = df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("toks"),
+        col("cnt"))
+    var cur = vocab.barrier()
+    val merges = (1 to k).map { r =>
+      val best = cur
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> struct(element_at(toks, i) AS lhs,
+            |              element_at(toks, i + 1) AS rhs))"""
+            .stripMargin)).as("p"), col("cnt"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("cnt")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .withColumn("merge_rank", lit(r).cast("int"))
+        .barrier()
+      cur = cur
+        .crossJoin(broadcast(
+          best.select(col("lhs").as("_a"), col("rhs").as("_b"))))
+        .select(expr(
+          """aggregate(toks, CAST(array() AS ARRAY<STRING>),
+            |  (acc, x) -> CASE WHEN size(acc) > 0
+            |                    AND element_at(acc, -1) = _a AND x = _b
+            |              THEN concat(slice(acc, 1, size(acc) - 1),
+            |                          array(concat(_a, _b)))
+            |              ELSE concat(acc, array(x)) END)"""
+            .stripMargin).as("toks"), col("cnt"))
+        .barrier()
+      best
+    }
+    merges.reduce(_ unionByName _)
+      .select(col("merge_rank"), col("lhs"), col("rhs"), col("pair_count"))
+  }
+
   // substring(Column, Column, Column) has no functions._ overload
   private def substring(str: Column, pos: Column, len: Column): Column =
     call_function("substring", str, pos, len)

@@ -466,6 +466,83 @@ object LlmQueries2 {
             zip_with(col("ca"), col("ga"),
               (a, b) => (a - b) * (a - b)),
             lit(0.0), (acc, v) => acc + v)).as("drift"))
-      })
+      }),
+
+    // BPE tokenizer training: the first 4 learned merges
+    // (TextOps.learnBpeMerges scaladoc has the iteration shape). The
+    // oracle re-derives the SAME greedy left-to-right merge pass as a
+    // windowed gaps-and-islands construction (consecutive match runs,
+    // odd positions applied) — an independent formulation of the merge
+    // semantics whose hash must agree with the Spark fold.
+    QueryDef(
+      "q196_bpe_merges",
+      Some(bpeOracleSql(4)),
+      (s, d) =>
+        graft.llmops.TextOps
+          .learnBpeMerges(t(s, d, "documents"), "text", 4)
+          .orderBy(col("merge_rank")))
   )
+
+  /** DuckDB BPE training oracle for `k` merges: per-iteration CTE
+    * block = weighted adjacent-pair counts → argmax (count DESC, lhs,
+    * rhs) → greedy merge via islands-of-matches with odd-position
+    * application (provably the fold semantics: a run of overlapping
+    * matches applies at offsets 0,2,4,…). */
+  private def bpeOracleSql(k: Int): String = {
+    val init = """
+      w1 AS (
+        SELECT word AS wid,
+               list_transform(range(1, len(word) + 1),
+                              i -> word[i:i]) AS toks,
+               cnt
+        FROM (SELECT word, count(*) AS cnt
+              FROM (SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents)
+              WHERE word <> '' GROUP BY 1))"""
+    val iters = (1 to k).map { r =>
+      s"""
+      pe$r AS (SELECT wid, cnt, unnest(range(1, len(toks))) AS i, toks
+               FROM w$r),
+      p$r AS (SELECT toks[i] AS lhs, toks[i + 1] AS rhs,
+                     CAST(sum(cnt) AS BIGINT) AS c
+              FROM pe$r GROUP BY 1, 2),
+      b$r AS (SELECT lhs, rhs, c FROM p$r
+              ORDER BY c DESC, lhs, rhs LIMIT 1),
+      t$r AS (SELECT wid, cnt, unnest(range(1, len(toks) + 1)) AS i, toks
+              FROM w$r),
+      m$r AS (SELECT wid, cnt, i, toks[i] AS t,
+                     CASE WHEN toks[i] = (SELECT lhs FROM b$r)
+                           AND toks[i + 1] = (SELECT rhs FROM b$r)
+                          THEN 1 ELSE 0 END AS ms
+              FROM t$r),
+      g$r AS (SELECT *, i - row_number()
+                        OVER (PARTITION BY wid, ms ORDER BY i) AS grp
+              FROM m$r),
+      a$r AS (SELECT *, CASE WHEN ms = 1 AND row_number()
+                          OVER (PARTITION BY wid, ms, grp ORDER BY i)
+                          % 2 = 1
+                        THEN 1 ELSE 0 END AS app
+              FROM g$r),
+      n$r AS (SELECT wid, cnt, i, app,
+                     lag(app) OVER (PARTITION BY wid ORDER BY i)
+                       AS prev_app,
+                     CASE WHEN app = 1
+                          THEN t || lead(t)
+                                 OVER (PARTITION BY wid ORDER BY i)
+                          ELSE t END AS nt
+              FROM a$r),
+      w${r + 1} AS (SELECT wid, list(nt ORDER BY i) AS toks,
+                           any_value(cnt) AS cnt
+                    FROM n$r WHERE COALESCE(prev_app, 0) = 0
+                    GROUP BY wid)"""
+    }.mkString(",")
+    val union = (1 to k)
+      .map(r => s"SELECT $r AS merge_rank, lhs, rhs, c AS pair_count FROM b$r")
+      .mkString("\n        UNION ALL ")
+    s"""
+      WITH $init,$iters
+      SELECT merge_rank, lhs, rhs, pair_count FROM (
+        $union)
+      ORDER BY merge_rank"""
+  }
 }

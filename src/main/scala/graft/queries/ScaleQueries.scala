@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.llmops.{DedupClusters, GraphRank, Sketches, TextOps}
+import graft.llmops.{DedupClusters, GraphRank, Sharding, Sketches, TextOps}
 import graft.ops.Skew
 import graft.core.Checkpoints.BarrierOps
 
@@ -738,6 +738,43 @@ object ScaleQueries {
           t(s, d, "orders")
             .filter(col("o_orderpriority") === "1-URGENT"),
           t(s, d, "lineitem"),
-          "o_orderkey", "l_orderkey", m = 65536, h = 3))
+          "o_orderkey", "l_orderkey", m = 65536, h = 3)),
+
+    // Z-order (Morton) clustering key — the multi-dimensional layout
+    // sort (Sharding.zorderKey scaladoc; ZorderSpec measures the
+    // footer-level pruning effect). Both engines build the key from
+    // the SAME generated bit-interleave arithmetic (zTermsSql), so the
+    // per-z-bucket occupancy and dim bounding boxes are hash-exact.
+    QueryDef(
+      "q195_zorder_cells",
+      Some(s"""
+        WITH z AS (SELECT
+                     ${zTermsSql("l_partkey % 256", "l_suppkey % 256", 8)}
+                       AS zkey,
+                     l_partkey % 256 AS px, l_suppkey % 256 AS sx
+                   FROM lineitem)
+        SELECT zkey >> 8 AS z_bucket, count(*) AS n,
+               min(px) AS pmin, max(px) AS pmax,
+               min(sx) AS smin, max(sx) AS smax
+        FROM z GROUP BY 1"""),
+      (s, d) => {
+        val px = (col("l_partkey") % 256).cast("long")
+        val sx = (col("l_suppkey") % 256).cast("long")
+        t(s, d, "lineitem")
+          .select(Sharding.zorderKey(Seq(px, sx), 8).as("zkey"),
+            px.as("px"), sx.as("sx"))
+          .groupBy(shiftright(col("zkey"), 8).as("z_bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("px")).as("pmin"), max(col("px")).as("pmax"),
+            min(col("sx")).as("smin"), max(col("sx")).as("smax"))
+      })
   )
+
+  /** The Morton interleave as SQL arithmetic — bit i of x to position
+    * 2i, of y to 2i+1; disjoint positions make `+` the bitwise OR.
+    * Mirrors Sharding.zorderKey term-for-term. */
+  private def zTermsSql(xExpr: String, yExpr: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"(((($xExpr) >> $i) & 1) << ${2 * i})",
+      s"(((($yExpr) >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llmops.TextOps
+
+/** BPE merge learning (TextOps.learnBpeMerges) pinned on hand-computed
+  * corpora: the classic low/lower/newest/widest example, and the
+  * overlapping-run case that distinguishes the greedy left-to-right
+  * merge from naive replace-all. */
+class BpeSpec extends AnyFunSuite {
+
+  lazy val spark = graft.core.Sessions.local(4, "graft-bpe-test")
+
+  test("classic corpus: merges and counts match the hand derivation") {
+    import spark.implicits._
+    val df = Seq(
+      "low low low low low",
+      "lower lower",
+      "newest newest newest",
+      "widest").toDF("text")
+    val got = TextOps.learnBpeMerges(df, "text", 4)
+      .orderBy("merge_rank")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    // by-hand: pair counts l-o:7 o-w:7 (tie -> lexicographic lhs) ...
+    assert(got == Seq(
+      (1, "l", "o", 7L),
+      (2, "lo", "w", 7L),
+      (3, "e", "s", 4L),
+      (4, "es", "t", 4L)))
+  }
+
+  test("overlapping runs merge greedily left-to-right") {
+    import spark.implicits._
+    val df = Seq("aaaaa aaaaa").toDF("text")
+    val got = TextOps.learnBpeMerges(df, "text", 2)
+      .orderBy("merge_rank")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    // word 'aaaaa' x2: 4 overlapping (a,a) pairs per word -> count 8;
+    // greedy merge gives [aa,aa,a], NOT [aaaa,a] or replace-all
+    // artifacts. Round 2: pairs (aa,aa):2 and (aa,a):2 tie ->
+    // rhs 'a' < 'aa' picks (aa,a).
+    assert(got == Seq(
+      (1, "a", "a", 8L),
+      (2, "aa", "a", 2L)))
+  }
+
+  test("single-char and empty tokens do not break the loop") {
+    import spark.implicits._
+    val df = Seq("x y  z", "ab ab").toDF("text")
+    val got = TextOps.learnBpeMerges(df, "text", 1).collect()
+    assert(got.length == 1)
+    assert(got.head.getString(1) == "a" && got.head.getString(2) == "b")
+  }
+}
