@@ -1304,7 +1304,14 @@ object TextOps {
     * rows, fully deterministic, engine-exact (q196 pins it against a
     * windowed gaps-and-islands formulation of the same greedy pass in
     * DuckDB — two independent constructions of the merge semantics
-    * agreeing on the hash). */
+    * agreeing on the hash).
+    *
+    * Scale limit is k, not corpus size: one Spark job per merge is the
+    * right harness for the corpus-side statistics (small k, huge
+    * corpus), not for a production 30k-merge tokenizer — there, run
+    * THIS operator for the corpus pass, then finish the merge loop
+    * driver-side over the collected vocabulary once it fits (vocab ≪
+    * corpus by Heaps' law). */
   def learnBpeMerges(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k >= 1, "learnBpeMerges wants k >= 1")
     val vocab = df
