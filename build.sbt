@@ -29,7 +29,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // static conf: keep saveAsTable/bucketing artifacts out of the repo
   "-Dspark.sql.warehouse.dir=/tmp/graft-warehouse",
   "-Dderby.system.home=/tmp/graft-derby",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: local[32] is one JVM doing 32 executors' work; the
+  // heavy collect_list aggregations (q162-family ordered folds) are
+  // memory-sensitive — measured 1.5x slower at 3g and ~2.5x slower
+  // late in a 196-query sweep at 8g (old-gen occupancy), flat at 16g.
+  // The box has 128 GiB; a real cluster sizes executor memory the
+  // same way (4-8 GiB per ~4 cores).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // A 192-query bench sweep generates one whole-stage-codegen class per
   // stage per query; the JDK 17 default ReservedCodeCacheSize (240m)
   // fills mid-suite, the JIT stops compiling, and UNCHANGED late-suite
