@@ -1312,14 +1312,21 @@ object TextOps {
     * THIS operator for the corpus pass, then finish the merge loop
     * driver-side over the collected vocabulary once it fits (vocab ≪
     * corpus by Heaps' law). */
-  def learnBpeMerges(df: DataFrame, textCol: String, k: Int): DataFrame = {
-    require(k >= 1, "learnBpeMerges wants k >= 1")
+  def learnBpeMerges(df: DataFrame, textCol: String, k: Int): DataFrame =
+    bpeLoop(df, textCol, k)._1
+
+  /** The BPE iteration shared by [[learnBpeMerges]] and
+    * [[bpeCompressionBySource]]: returns (merge table, encoded vocab
+    * `(w, toks, cnt)` after all k merges). */
+  private def bpeLoop(df: DataFrame, textCol: String, k: Int)
+      : (DataFrame, DataFrame) = {
+    require(k >= 1, "bpeLoop wants k >= 1")
     val vocab = df
       .select(explode(tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w"))
       .agg(count(lit(1)).as("cnt"))
-      .select(
+      .select(col("w"),
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
           .as("toks"),
         col("cnt"))
@@ -1341,7 +1348,7 @@ object TextOps {
       cur = cur
         .crossJoin(broadcast(
           best.select(col("lhs").as("_a"), col("rhs").as("_b"))))
-        .select(expr(
+        .select(col("w"), expr(
           """aggregate(toks, CAST(array() AS ARRAY<STRING>),
             |  (acc, x) -> CASE WHEN size(acc) > 0
             |                    AND element_at(acc, -1) = _a AND x = _b
@@ -1352,8 +1359,41 @@ object TextOps {
         .barrier()
       best
     }
-    merges.reduce(_ unionByName _)
-      .select(col("merge_rank"), col("lhs"), col("rhs"), col("pair_count"))
+    (merges.reduce(_ unionByName _)
+      .select(col("merge_rank"), col("lhs"), col("rhs"), col("pair_count")),
+      cur)
+  }
+
+  /** Apply the k learned merges back to the corpus and report per-source
+    * token compression — the acceptance metric of a tokenizer-training
+    * run (how many symbols per word the vocabulary buys each source).
+    *
+    * No second corpus pass for the encode: words are encoded once in
+    * the VOCABULARY (the [[bpeLoop]] output), and per-source word
+    * counts (one corpus aggregation) join against it — corpus tokens
+    * are never re-processed per merge. Output per source: word count,
+    * symbol counts before (characters) and after the merges, and the
+    * compression ratio (exact integer sums, one final double
+    * division). */
+  def bpeCompressionBySource(df: DataFrame, textCol: String,
+      sourceCol: String, k: Int): DataFrame = {
+    val enc = bpeLoop(df, textCol, k)._2
+      .select(col("w"), size(col("toks")).as("n_after_w"))
+    val perSource = df
+      .select(col(sourceCol).as("source"),
+        explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("scnt"))
+    perSource.join(enc, "w")
+      .groupBy(col("source"))
+      .agg(
+        sum(col("scnt")).as("n_words"),
+        sum(col("scnt") * length(col("w"))).as("n_tokens_before"),
+        sum(col("scnt") * col("n_after_w")).as("n_tokens_after"))
+      .withColumn("compression",
+        col("n_tokens_before").cast("double") /
+          col("n_tokens_after").cast("double"))
   }
 
   // substring(Column, Column, Column) has no functions._ overload

@@ -480,7 +480,36 @@ object LlmQueries2 {
       (s, d) =>
         graft.llmops.TextOps
           .learnBpeMerges(t(s, d, "documents"), "text", 4)
-          .orderBy(col("merge_rank")))
+          .orderBy(col("merge_rank"))),
+
+    // Tokenizer acceptance metric: apply the 4 learned merges back to
+    // the corpus, report per-source symbol compression
+    // (TextOps.bpeCompressionBySource — the encode runs on the
+    // VOCABULARY, never a second corpus pass). The oracle reuses the
+    // q196 CTE chain's final encoded vocab w5 and joins it to
+    // per-(source, word) counts; exact integer sums, one double
+    // division.
+    QueryDef(
+      "q197_bpe_compression",
+      Some(s"""
+        WITH ${bpeCtes(4)},
+        ws AS (SELECT source, word, count(*) AS scnt
+               FROM (SELECT source,
+                            unnest(string_split(text, ' ')) AS word
+                     FROM documents)
+               WHERE word <> '' GROUP BY 1, 2)
+        SELECT source,
+               CAST(sum(scnt) AS BIGINT) AS n_words,
+               CAST(sum(scnt * len(wid)) AS BIGINT) AS n_tokens_before,
+               CAST(sum(scnt * len(toks)) AS BIGINT) AS n_tokens_after,
+               CAST(sum(scnt * len(wid)) AS DOUBLE) /
+                 CAST(sum(scnt * len(toks)) AS DOUBLE) AS compression
+        FROM ws JOIN w5 ON ws.word = w5.wid
+        GROUP BY 1 ORDER BY 1"""),
+      (s, d) =>
+        graft.llmops.TextOps
+          .bpeCompressionBySource(t(s, d, "documents"), "text", "source", 4)
+          .orderBy(col("source")))
   )
 
   /** DuckDB BPE training oracle for `k` merges: per-iteration CTE
@@ -489,6 +518,19 @@ object LlmQueries2 {
     * application (provably the fold semantics: a run of overlapping
     * matches applies at offsets 0,2,4,…). */
   private def bpeOracleSql(k: Int): String = {
+    val union = (1 to k)
+      .map(r => s"SELECT $r AS merge_rank, lhs, rhs, c AS pair_count FROM b$r")
+      .mkString("\n        UNION ALL ")
+    s"""
+      WITH ${bpeCtes(k)}
+      SELECT merge_rank, lhs, rhs, pair_count FROM (
+        $union)
+      ORDER BY merge_rank"""
+  }
+
+  /** The shared BPE CTE chain: w1 (char-split vocab) through w{k+1}
+    * (vocab after k merges), with b1..bk the chosen merges. */
+  private def bpeCtes(k: Int): String = {
     val init = """
       w1 AS (
         SELECT word AS wid,
@@ -536,13 +578,6 @@ object LlmQueries2 {
                     FROM n$r WHERE COALESCE(prev_app, 0) = 0
                     GROUP BY wid)"""
     }.mkString(",")
-    val union = (1 to k)
-      .map(r => s"SELECT $r AS merge_rank, lhs, rhs, c AS pair_count FROM b$r")
-      .mkString("\n        UNION ALL ")
-    s"""
-      WITH $init,$iters
-      SELECT merge_rank, lhs, rhs, pair_count FROM (
-        $union)
-      ORDER BY merge_rank"""
+    s"$init,$iters"
   }
 }

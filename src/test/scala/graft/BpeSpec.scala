@@ -49,6 +49,22 @@ class BpeSpec extends AnyFunSuite {
       (2, "aa", "a", 2L)))
   }
 
+  test("per-source compression from the encoded vocabulary") {
+    import spark.implicits._
+    val df = Seq(
+      ("low low low low low", "A"), ("lower lower", "A"),
+      ("newest newest newest", "B"), ("widest", "B")).toDF("text", "source")
+    val got = TextOps.bpeCompressionBySource(df, "text", "source", 4)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // global merges (l,o),(lo,w),(e,s),(es,t) encode low->1 symbol,
+    // lower->3, newest->4, widest->4
+    assert(got == Seq(
+      ("A", 7L, 25L, 11L),
+      ("B", 4L, 24L, 16L)))
+  }
+
   test("single-char and empty tokens do not break the loop") {
     import spark.implicits._
     val df = Seq("x y  z", "ab ab").toDF("text")
