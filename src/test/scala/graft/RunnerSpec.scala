@@ -38,6 +38,41 @@ class RunnerSpec extends AnyFunSuite {
     assert(lines.exists(l => l.startsWith("AOD,50,")))
   }
 
+  test("JobRunner: event_count_by_tier end-to-end from AVRO dumps " +
+    "(connector-free fallback)") {
+    val spark = graft.core.Sessions.local(4, "graft-runner-avro")
+    val dir = Files.createTempDirectory("graft-runner-avro").toString
+    // same dump content as the CSV test, shipped as avro container
+    // files through IO.writeAvro (in this sandbox: the AvroIO
+    // fallback) — proves the reference's avro ingest path end-to-end
+    // without the spark-avro connector
+    Files.writeString(JPaths.get(s"$dir/datasets.csv"),
+      "1,/PrimA/Proc-v1/RAW,1,1,1,1,1,1,1,1,0.0,null,0.0,x,0.0,x\n" +
+        "2,/PrimB/Proc-v2/AOD,1,1,1,1,1,1,1,1,0.0,null,0.0,x,0.0,x\n")
+    Files.writeString(JPaths.get(s"$dir/files.csv"),
+      "10,/store/f1,1,1,1,1,c,100,1000.0,1,a,m,0.0,0.0,x,0.0,x\n" +
+        "11,/store/f2,1,1,1,1,c,250,2000.0,1,a,m,0.0,0.0,x,0.0,x\n" +
+        "12,/store/f3,1,2,1,1,c,50,500.0,1,a,m,0.0,0.0,x,0.0,x\n")
+    graft.core.IO.writeAvro(
+      graft.core.IO.csv(spark, Schemas.dbsDatasets,
+        Seq(s"$dir/datasets.csv")), s"$dir/datasets.avro")
+    graft.core.IO.writeAvro(
+      graft.core.IO.csv(spark, Schemas.dbsFiles,
+        Seq(s"$dir/files.csv")), s"$dir/files.avro")
+    JobRunner.main(Array(
+      "--job", "event_count_by_tier",
+      "--in-datasets", s"$dir/datasets.avro",
+      "--in-files", s"$dir/files.avro",
+      "--fmt", "avro",
+      "--out", s"$dir/out"))
+    val lines = Files.list(JPaths.get(s"$dir/out")).toArray
+      .map(_.toString).filter(_.endsWith(".csv"))
+      .flatMap(p => scala.io.Source.fromFile(p).getLines()).sorted
+    assert(lines.exists(l => l.startsWith("RAW,350,")),
+      s"RAW events=350 expected in ${lines.toSeq}")
+    assert(lines.exists(l => l.startsWith("AOD,50,")))
+  }
+
   test("JobRunner: block_lumis end-to-end through the file_lumis " +
     "schema binding") {
     val dir = Files.createTempDirectory("graft-runner-bl").toString
