@@ -176,4 +176,61 @@ object Sketches {
             (col("n_probe_keys") - col("n_true")).cast("double"))
           .as("fp_rate"))
   }
+
+  /** Deterministic quantile-sample sketch per group: the VALUES of the
+    * k rows whose `hash60(key)` is smallest — a uniform-without-
+    * replacement sample whose membership is a pure function of the
+    * data (no `rand()`), so any engine draws the SAME sample and the
+    * quantile estimates are hash-oracled, where a t-digest/KLL's
+    * internals could not be.
+    *
+    * Same scale shape as [[kmvBuild]]: the rank-≤-k filter compiles to
+    * WindowGroupLimit, so each mapper ships at most k rows per group.
+    * Same merge law too (bottom-k of a union = bottom-k of the merged
+    * bottom-k's, SketchesSpec pins it): per-shard/per-day sketches
+    * combine losslessly, which is what makes this the 100 TB route to
+    * "p50/p90 per key" — the exact per-group sort (q83) touches every
+    * row; this touches k per group after a map-side prune. */
+  def quantileSampleBuild(items: DataFrame, groupCol: String,
+      keyCol: String, valueCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("h"))
+    items
+      .select(col(groupCol),
+        TextOps.hash60(col(keyCol).cast("string")).as("h"),
+        col(valueCol).as("v"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(groupCol), col("h"), col("v"))
+  }
+
+  /** Merge two quantile-sample sketches (disjoint or overlapping
+    * shards): distinct-by-(h,v) union, then bottom-k again. */
+  def quantileSampleMerge(a: DataFrame, b: DataFrame, groupCol: String,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("h"))
+    a.unionByName(b).distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(groupCol), col("h"), col("v"))
+  }
+
+  /** Type-1 (pure-indexing) quantile estimates from a sample sketch:
+    * value at rank ceil(q·n) of the sorted sample — no interpolation,
+    * so the estimate IS a data value and engine-exact. `qs` are
+    * (label, fraction) pairs; output one `<label>` column each plus
+    * `n_sample`. The sample is ≤ k values per group, so the per-group
+    * sort is bounded regardless of corpus size. */
+  def quantileSampleEstimate(sketch: DataFrame, groupCol: String,
+      qs: Seq[(String, Double)]): DataFrame = {
+    val agged = sketch.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_sample"),
+        sort_array(collect_list(col("v"))).as("vs"))
+    agged.select(
+      col(groupCol) +: col("n_sample") +: qs.map { case (label, q) =>
+        element_at(col("vs"),
+          ceil(lit(q) * col("n_sample")).cast("int")).as(label)
+      }: _*)
+  }
 }

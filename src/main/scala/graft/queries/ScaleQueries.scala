@@ -767,6 +767,65 @@ object ScaleQueries {
           .agg(count(lit(1)).as("n"),
             min(col("px")).as("pmin"), max(col("px")).as("pmax"),
             min(col("sx")).as("smin"), max(col("sx")).as("smax"))
+      }),
+
+    // Deterministic quantile-sample sketch vs the exact per-group
+    // quantiles (Sketches.quantileSampleBuild scaladoc) — sample
+    // membership is md5-derived, so even the sketch's ERRORS are
+    // hash-oracled (the q192 Bloom-audit precedent, for quantiles).
+    QueryDef(
+      "q198_quantile_sample",
+      Some("""
+        WITH h AS (SELECT event_type AS grp,
+                     ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15))
+                       ::BIGINT AS h,
+                     value AS v
+                   FROM events WHERE value IS NOT NULL),
+        s AS (SELECT grp, v FROM
+                (SELECT grp, h, v, row_number()
+                   OVER (PARTITION BY grp ORDER BY h) AS rk FROM h)
+              WHERE rk <= 64),
+        est AS (SELECT grp, count(*) AS n_sample,
+                       list(v ORDER BY v) AS vs
+                FROM s GROUP BY 1),
+        ex AS (SELECT grp, count(*) AS n, list(v ORDER BY v) AS vs
+               FROM h GROUP BY 1)
+        SELECT est.grp AS event_type, ex.n, est.n_sample,
+               est.vs[CAST(ceil(0.5 * est.n_sample) AS INT)] AS q50_est,
+               ex.vs[CAST(ceil(0.5 * ex.n) AS INT)] AS q50_exact,
+               abs(est.vs[CAST(ceil(0.5 * est.n_sample) AS INT)]
+                   - ex.vs[CAST(ceil(0.5 * ex.n) AS INT)]) AS q50_err,
+               est.vs[CAST(ceil(0.9 * est.n_sample) AS INT)] AS q90_est,
+               ex.vs[CAST(ceil(0.9 * ex.n) AS INT)] AS q90_exact,
+               abs(est.vs[CAST(ceil(0.9 * est.n_sample) AS INT)]
+                   - ex.vs[CAST(ceil(0.9 * ex.n) AS INT)]) AS q90_err
+        FROM est JOIN ex ON est.grp = ex.grp
+        ORDER BY 1"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .filter(col("value").isNotNull)
+          .select(col("event_type"), col("event_id"), col("value"))
+        val est = Sketches.quantileSampleEstimate(
+          Sketches.quantileSampleBuild(ev, "event_type", "event_id",
+            "value", 64),
+          "event_type", Seq("q50_est" -> 0.5, "q90_est" -> 0.9))
+        // the exact side is the AUDIT (full per-group sort); the
+        // sketch is the product at scale
+        val exact = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sort_array(collect_list(col("value"))).as("vs"))
+          .select(col("event_type"), col("n"),
+            element_at(col("vs"),
+              ceil(lit(0.5) * col("n")).cast("int")).as("q50_exact"),
+            element_at(col("vs"),
+              ceil(lit(0.9) * col("n")).cast("int")).as("q90_exact"))
+        est.join(exact, "event_type")
+          .select(col("event_type"), col("n"), col("n_sample"),
+            col("q50_est"), col("q50_exact"),
+            abs(col("q50_est") - col("q50_exact")).as("q50_err"),
+            col("q90_est"), col("q90_exact"),
+            abs(col("q90_est") - col("q90_exact")).as("q90_err"))
+          .orderBy(col("event_type"))
       })
   )
 

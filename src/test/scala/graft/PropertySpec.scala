@@ -857,6 +857,56 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("quantile sample: merge law + brute-force sample quantiles " +
+    "(random)") {
+    // (1) bottom-k of a shard union == merge of per-shard sketches;
+    // (2) the estimate equals the brute-force type-1 quantile of the
+    // deterministic bottom-k-by-hash sample.
+    val gen = Gen.listOfN(80,
+      Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 1000000L),
+        Gen.choose(-100, 100)))
+    samples(gen, 6).zipWithIndex.foreach { case (rows0, idx) =>
+      // unique keys per row (reservoir semantics: one row per key)
+      val rows = rows0.zipWithIndex.map { case ((g, _, v), i) =>
+        (s"g$g", i.toLong, v.toDouble)
+      }
+      val df = rows.toDF("grp", "key", "v")
+      val k = 16
+      val sk = graft.llmops.Sketches
+        .quantileSampleBuild(df, "grp", "key", "v", k)
+      // merge law over a 2-way shard split
+      val (sa, sb) = rows.partition(_._2 % 2 == 0)
+      val merged = graft.llmops.Sketches.quantileSampleMerge(
+        graft.llmops.Sketches.quantileSampleBuild(
+          sa.toDF("grp", "key", "v"), "grp", "key", "v", k),
+        graft.llmops.Sketches.quantileSampleBuild(
+          sb.toDF("grp", "key", "v"), "grp", "key", "v", k),
+        "grp", k)
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDouble(2))).sortBy(t => (t._1, t._2)).toSeq
+      assert(canon(merged) == canon(sk), s"case $idx: merge law broken")
+      // estimate == brute-force quantile of the same hash-min sample
+      def h(key: Long): BigInt =
+        BigInt(java.security.MessageDigest.getInstance("MD5")
+          .digest(key.toString.getBytes)
+          .take(8).map("%02x".format(_)).mkString.take(15), 16)
+      val est = graft.llmops.Sketches.quantileSampleEstimate(
+        sk, "grp", Seq("q50" -> 0.5, "q90" -> 0.9))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      rows.groupBy(_._1).foreach { case (g, grows) =>
+        val sample = grows.sortBy(r => h(r._2)).take(k).map(_._3).sorted
+        val n = sample.size
+        def q(p: Double) = sample(math.ceil(p * n).toInt - 1)
+        val (gotN, got50, got90) = est(g)
+        assert(gotN == n.toLong, s"case $idx/$g: n $gotN != $n")
+        assert(got50 == q(0.5), s"case $idx/$g: q50 $got50 != ${q(0.5)}")
+        assert(got90 == q(0.9), s"case $idx/$g: q90 $got90 != ${q(0.9)}")
+      }
+    }
+  }
+
   test("waterfilling: budget-feasible, maximal, order-free (random)") {
     val tGen = Gen.listOfN(7, Gen.choose(1L, 2000L))
     samples(tGen, 15).zipWithIndex.foreach { case (ts, idx) =>
