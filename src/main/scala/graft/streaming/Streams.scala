@@ -479,6 +479,46 @@ object Streams {
       }
       .start()
 
+  /** Incrementally maintained quantile-sample store: per micro-batch,
+    * build the bottom-k-by-hash sample (Sketches.quantileSampleBuild)
+    * and merge it into the parquet store under the sketch's lossless
+    * merge law — the streamed store equals the one-shot batch sketch
+    * over all data seen (StreamingSpec pins it), so p50/p90 per key
+    * stay queryable at any moment without re-touching history. Same
+    * rename-aside swap as [[toCmsStore]] (crash between renames leaves
+    * a recoverable copy). */
+  def toQuantileSampleStore(stream: DataFrame, groupCol: String,
+      keyCol: String, valueCol: String, k: Int,
+      storeDir: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val batchSketch = graft.llmops.Sketches
+            .quantileSampleBuild(batch, groupCol, keyCol, valueCol, k)
+          val storePath = new org.apache.hadoop.fs.Path(storeDir)
+          val prevPath = new org.apache.hadoop.fs.Path(storeDir + "__prev")
+          val hconf = spark.sparkContext.hadoopConfiguration
+          val fs = storePath.getFileSystem(hconf)
+          def readStore(p: org.apache.hadoop.fs.Path): Option[DataFrame] =
+            if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+          val merged = readStore(storePath).orElse(readStore(prevPath))
+            .map(cur => graft.llmops.Sketches
+              .quantileSampleMerge(cur, batchSketch, groupCol, k))
+            .getOrElse(batchSketch)
+          val tmp = new org.apache.hadoop.fs.Path(storeDir + "__tmp")
+          merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(prevPath, true)
+          if (fs.exists(storePath)) fs.rename(storePath, prevPath)
+          fs.rename(tmp, storePath)
+          fs.delete(prevPath, true)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming document egress: each micro-batch pushes its rows as
     * JSON documents through a DocSink transport (STOMP frames,
     * OpenSearch bulk bodies, …) from the EXECUTORS — the streaming

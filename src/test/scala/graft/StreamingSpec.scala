@@ -343,6 +343,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(est == Map("a" -> 3L, "c" -> 3L, "d" -> 1L))
   }
 
+  test("toQuantileSampleStore: streamed sample equals one-shot batch " +
+    "sketch (merge law), estimates flow through") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-qsample").toString
+    val (store, ckpt) = (s"$dir/store", s"$dir/ckpt")
+    val input = MemoryStream[(String, Long, Double)]
+    val q = Streams.toQuantileSampleStore(
+      input.toDF().toDF("grp", "key", "v"),
+      "grp", "key", "v", k = 8, store, ckpt)
+    val b1 = (0 until 20).map(i => ("g1", i.toLong, i * 1.0))
+    val b2 = (20 until 40).map(i => ("g1", i.toLong, i * 1.0)) ++
+      (0 until 5).map(i => ("g2", 100L + i, i * 10.0))
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val streamed = canon(spark.read.parquet(store))
+    val oneShot = canon(graft.llmops.Sketches.quantileSampleBuild(
+      (b1 ++ b2).toDF("grp", "key", "v"), "grp", "key", "v", 8))
+    assert(streamed == oneShot)
+    // estimates read straight off the maintained store
+    val est = graft.llmops.Sketches.quantileSampleEstimate(
+      spark.read.parquet(store), "grp", Seq("q50" -> 0.5))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == Map("g1" -> 8L, "g2" -> 5L))
+  }
+
   test("file source streams incrementally and lands in a day store") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream").toString
