@@ -216,6 +216,61 @@ object Sketches {
       .select(col(groupCol), col("h"), col("v"))
   }
 
+  /** Priority sampling (Duffield–Lund–Thorup, JACM 2007): the
+    * weighted companion of [[quantileSampleBuild]]. Each row gets
+    * priority w/u with u = hash60(key)/2⁶⁰ ∈ (0,1]; the k highest
+    * priorities are the sample, τ = the (k+1)-th priority, and
+    * Σ max(w, τ) over the sample is an UNBIASED estimator of any
+    * group's total weight — the standard sketch for "how many tokens
+    * does this slice hold" questions answered from k rows instead of
+    * a full scan.
+    *
+    * Everything is IEEE mult/div/compare on exactly-representable
+    * inputs (integer weights, md5-derived u), so sample membership, τ,
+    * and the estimate reproduce bit-for-bit in any engine — the
+    * estimator's ERROR is hash-oracled (q199). The estimator sum folds
+    * over ≤ k values in rank order (bounded, deterministic order).
+    * Output per group: n, k_used, tau, est_sum, exact_sum, rel_err —
+    * the exact side is the audit; at 100 TB only the sample ships.
+    * Scale shape: the rank-≤-k+1 filter compiles to WindowGroupLimit,
+    * so each mapper ships at most k+1 rows per group. */
+  def prioritySampleSummary(items: DataFrame, groupCol: String,
+      keyCol: String, weightCol: String, k: Int): DataFrame = {
+    val base = items.select(col(groupCol),
+      col(keyCol).cast("string").as("key"),
+      col(weightCol).cast("long").as("w"))
+    val u = (TextOps.hash60(col("key")).cast("double") /
+      lit(1152921504606846976.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("pri").desc, col("key"))
+    val ranked = base
+      .withColumn("pri", col("w").cast("double") / u)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k + 1)
+    val tau = ranked.groupBy(col(groupCol))
+      .agg(when(count(lit(1)) === (k + 1), min(col("pri")))
+        .otherwise(lit(0.0)).as("tau"))
+    val est = ranked.filter(col("rk") <= k)
+      .join(tau, groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("k_used"),
+        min(col("tau")).as("tau"),
+        aggregate(
+          transform(
+            sort_array(collect_list(struct(col("rk"),
+              greatest(col("w").cast("double"), col("tau")).as("wa")))),
+            s => s.getField("wa")),
+          lit(0.0), (acc, v) => acc + v).as("est_sum"))
+    val exact = base.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("exact_sum"))
+    est.join(exact, groupCol)
+      .select(col(groupCol), col("n"), col("k_used"), col("tau"),
+        col("est_sum"), col("exact_sum"),
+        (abs(col("est_sum") - col("exact_sum").cast("double")) /
+          col("exact_sum").cast("double")).as("rel_err"))
+  }
+
   /** Type-1 (pure-indexing) quantile estimates from a sample sketch:
     * value at rank ceil(q·n) of the sorted sample — no interpolation,
     * so the estimate IS a data value and engine-exact. `qs` are

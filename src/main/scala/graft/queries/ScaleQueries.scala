@@ -826,6 +826,56 @@ object ScaleQueries {
             col("q90_est"), col("q90_exact"),
             abs(col("q90_est") - col("q90_exact")).as("q90_err"))
           .orderBy(col("event_type"))
+      }),
+
+    // Priority sampling (Sketches.prioritySampleSummary scaladoc):
+    // weighted subset-sum estimation from k rows per group, with the
+    // estimator's error itself hash-oracled. Weights are integered
+    // with an explicit floor() because Spark's double→long cast
+    // truncates while DuckDB's rounds — floor is IEEE-exact in both.
+    QueryDef(
+      "q199_priority_sample",
+      Some("""
+        WITH h AS (SELECT event_type AS grp,
+                     CAST(event_id AS VARCHAR) AS key,
+                     CAST(floor(abs(value) * 1000) AS BIGINT) + 1 AS w,
+                     (('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15))
+                        ::BIGINT)::DOUBLE / 1152921504606846976.0 AS u
+                   FROM events WHERE value IS NOT NULL),
+        r AS (SELECT grp, key, w, CAST(w AS DOUBLE) / u AS pri,
+                     row_number() OVER (PARTITION BY grp
+                       ORDER BY CAST(w AS DOUBLE) / u DESC, key) AS rk
+              FROM h),
+        kept AS (SELECT * FROM r WHERE rk <= 65),
+        tau AS (SELECT grp, CASE WHEN count(*) = 65 THEN min(pri)
+                            ELSE 0.0 END AS tau
+                FROM kept GROUP BY 1),
+        samp AS (SELECT kept.grp AS grp, rk,
+                        greatest(CAST(w AS DOUBLE), tau.tau) AS wa
+                 FROM kept JOIN tau ON kept.grp = tau.grp
+                 WHERE rk <= 64),
+        est AS (SELECT samp.grp AS grp, count(*) AS k_used,
+                       list_reduce(list(wa ORDER BY rk),
+                                   (a, b) -> a + b) AS est_sum
+                FROM samp GROUP BY 1),
+        ex AS (SELECT grp, count(*) AS n,
+                      CAST(sum(w) AS BIGINT) AS exact_sum
+               FROM h GROUP BY 1)
+        SELECT est.grp AS event_type, ex.n, est.k_used, tau.tau,
+               est.est_sum, ex.exact_sum,
+               abs(est.est_sum - CAST(ex.exact_sum AS DOUBLE))
+                 / CAST(ex.exact_sum AS DOUBLE) AS rel_err
+        FROM est JOIN ex ON est.grp = ex.grp
+                 JOIN tau ON est.grp = tau.grp
+        ORDER BY 1"""),
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .filter(col("value").isNotNull)
+          .select(col("event_type"), col("event_id"),
+            (floor(abs(col("value")) * 1000) + 1).cast("long").as("wgt"))
+        Sketches.prioritySampleSummary(ev, "event_type", "event_id",
+          "wgt", 64)
+          .orderBy(col("event_type"))
       })
   )
 

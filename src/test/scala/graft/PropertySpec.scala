@@ -907,6 +907,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("priority sample: exact when k >= group size; tau bounds the " +
+    "sampled weights (random)") {
+    val gen = Gen.listOfN(60, Gen.zip(Gen.choose(0, 1),
+      Gen.choose(1L, 500L)))
+    samples(gen, 6).zipWithIndex.foreach { case (rows0, idx) =>
+      val rows = rows0.zipWithIndex.map { case ((g, wv), i) =>
+        (s"g$g", i.toLong, wv)
+      }
+      val df = rows.toDF("grp", "key", "wgt")
+      // k >= any group: tau = 0, sample = everything, estimator
+      // degenerates to the exact sum (sums of small longs in doubles
+      // are exact under 2^53)
+      val exact = graft.llmops.Sketches
+        .prioritySampleSummary(df, "grp", "key", "wgt", k = 100)
+        .collect()
+      exact.foreach { r =>
+        assert(r.getDouble(3) == 0.0, s"case $idx: tau nonzero")
+        assert(r.getDouble(6) == 0.0, s"case $idx: rel_err nonzero")
+        assert(r.getDouble(4) == r.getLong(5).toDouble,
+          s"case $idx: est != exact when unsampled")
+      }
+      // k < group size: k_used == k and the estimate is positive and
+      // deterministic (re-run reproduces it bit-for-bit)
+      val a = graft.llmops.Sketches
+        .prioritySampleSummary(df, "grp", "key", "wgt", k = 8)
+        .collect().map(r => (r.getString(0), r.getLong(2),
+          r.getDouble(4))).sortBy(_._1).toSeq
+      val b = graft.llmops.Sketches
+        .prioritySampleSummary(df.repartition(7), "grp", "key", "wgt",
+          k = 8)
+        .collect().map(r => (r.getString(0), r.getLong(2),
+          r.getDouble(4))).sortBy(_._1).toSeq
+      assert(a == b, s"case $idx: sample not partition-invariant")
+      a.foreach { case (g, kUsed, est) =>
+        val n = rows.count(_._1 == g)
+        if (n > 8) assert(kUsed == 8L, s"case $idx/$g")
+        assert(est > 0.0)
+      }
+    }
+  }
+
   test("waterfilling: budget-feasible, maximal, order-free (random)") {
     val tGen = Gen.listOfN(7, Gen.choose(1L, 2000L))
     samples(tGen, 15).zipWithIndex.foreach { case (ts, idx) =>
