@@ -680,6 +680,94 @@ object LlmQueries {
           .select(col("jac_band"), col("n_pairs"), col("n_caught"),
             (col("n_caught").cast("double") / col("n_pairs"))
               .as("recall"))
+      }),
+
+    // Retrieval-quality evaluation harness: MRR, capped recall@10 and
+    // dyadic DCG@10 of the dense top-k against label ground truth, per
+    // label. Every metric is built from INTEGER-scaled per-query terms
+    // (reciprocal ranks ×2520 = lcm(1..10), DCG gains as 2^(10-rk)),
+    // summed exactly and divided ONCE — so the whole eval, not just
+    // the rankings, is hash-oracled (classic log2-based nDCG is libm-
+    // dependent; the dyadic gain ladder ranks systems identically).
+    QueryDef(
+      "q200_retrieval_eval",
+      Some(s"""
+        WITH e AS (SELECT vec_id, label, embedding v,
+                          ${dkDot("embedding", "embedding")} AS nn
+                   FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 q.label AS lq, c.label AS lc2,
+                 ${dkCos(dkDot("q.v", "c.v"), "q.nn", "c.nn")} AS cos_sim
+          FROM e q JOIN e c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 64),
+        ranked AS (SELECT query_id, lq, lc2, rk FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, cand_id) AS rk FROM scored)
+          WHERE rk <= 10),
+        perq AS (SELECT query_id, lq,
+                   count(*) FILTER (WHERE lq = lc2) AS hits,
+                   min(rk) FILTER (WHERE lq = lc2) AS first_rel,
+                   COALESCE(CAST(sum(1::BIGINT << (10 - rk))
+                     FILTER (WHERE lq = lc2) AS BIGINT), 0) AS dcgx
+                 FROM ranked GROUP BY 1, 2),
+        lcnt AS (SELECT label, count(*) AS n_label
+                 FROM embeddings GROUP BY 1),
+        agg AS (SELECT lq AS label, count(*) AS n_queries,
+                  CAST(sum(hits) AS BIGINT) AS shits,
+                  CAST(sum(CASE WHEN first_rel IS NULL THEN 0
+                           ELSE 2520 // first_rel END) AS BIGINT) AS smrr,
+                  CAST(sum(dcgx) AS BIGINT) AS sdcg
+                FROM perq GROUP BY 1)
+        SELECT agg.label, n_queries, n_label,
+               CAST(smrr AS DOUBLE) / (2520.0 * n_queries) AS mrr,
+               CAST(shits AS DOUBLE)
+                 / CAST(n_queries * least(greatest(n_label - 1, 1), 10)
+                        AS DOUBLE) AS recall_at_10,
+               CAST(sdcg AS DOUBLE) / (512.0 * n_queries) AS dcg_at_10
+        FROM agg JOIN lcnt ON agg.label = lcnt.label
+        ORDER BY 1"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val ranked = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < 64), e, "vec_id", "embedding", 10)
+        val lab = e.select(col("vec_id"), col("label"))
+        val perq = ranked
+          .join(lab.select(col("vec_id").as("query_id"),
+            col("label").as("lq")), "query_id")
+          .join(lab.select(col("vec_id").as("cand_id"),
+            col("label").as("lc2")), "cand_id")
+          .groupBy(col("query_id"), col("lq"))
+          .agg(
+            sum(when(col("lq") === col("lc2"), 1L).otherwise(0L))
+              .as("hits"),
+            min(when(col("lq") === col("lc2"), col("rk")))
+              .as("first_rel"),
+            coalesce(sum(when(col("lq") === col("lc2"),
+              expr("shiftleft(CAST(1 AS BIGINT), 10 - rk)"))), lit(0L))
+              .as("dcgx"))
+        val lcnt = e.groupBy(col("label"))
+          .agg(count(lit(1)).as("n_label"))
+        perq
+          .groupBy(col("lq").as("label"))
+          .agg(count(lit(1)).as("n_queries"),
+            sum(col("hits")).as("shits"),
+            sum(coalesce(expr("2520 div first_rel"), lit(0L))).as("smrr"),
+            sum(col("dcgx")).as("sdcg"))
+          .join(broadcast(lcnt), "label")
+          .select(col("label"), col("n_queries"), col("n_label"),
+            (col("smrr").cast("double") /
+              (lit(2520.0) * col("n_queries"))).as("mrr"),
+            // greatest(...,1): a singleton label has no relevant docs;
+            // hits are 0 there, so clamping the denominator keeps the
+            // metric finite (0) instead of ANSI-dividing by zero
+            (col("shits").cast("double") /
+              (col("n_queries") *
+                least(greatest(col("n_label") - 1, lit(1L)), lit(10L)))
+                .cast("double")).as("recall_at_10"),
+            (col("sdcg").cast("double") /
+              (lit(512.0) * col("n_queries"))).as("dcg_at_10"))
+          .orderBy(col("label"))
       })
   )
 }
