@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Checkpoints.BarrierOps
+import graft.llmops.TextOps
+
+/** Record-linkage / reconciliation operators: the master-data side of a
+  * lake that ingests the same entities from several feeds (the
+  * reference reconciles DBS vs PhEDEx vs Rucio views of the same
+  * datasets — src/python/CMSSpark/dbs_phedex.py's join-of-truth shape).
+  *
+  * Everything here is exact-arithmetic and engine-neutral so the DuckDB
+  * oracle can hash-match: per-field survivorship is argmax over an
+  * integer version, sampling membership is md5-derived, and the
+  * agreement statistics are integer pair counts with one final
+  * division.
+  */
+object Linkage {
+
+  /** Golden-record survivorship: collapse N versioned records per key
+    * into one row taking, PER FIELD, the value from the latest version
+    * where that field is non-null (fields go missing independently per
+    * feed, so "latest record wins" would resurrect nulls).
+    *
+    * Shape: ONE hash aggregation — each field is
+    * `max_by(field, version IF field non-null)`, whose partial state is
+    * a single (version, value) pair, so the merge is map-side
+    * combinable and the plan is a plain two-phase agg regardless of how
+    * many duplicate records a hot entity has. No window, no self-join.
+    * DuckDB parity: `arg_max(field, CASE WHEN field IS NOT NULL THEN
+    * version END)` (both engines skip null ordering keys). */
+  def goldenRecord(records: DataFrame, keyCols: Seq[String],
+      versionCol: String, fieldCols: Seq[String]): DataFrame = {
+    val aggs = fieldCols.map(f =>
+      max_by(col(f), when(col(f).isNotNull, col(versionCol))).as(f)) ++
+      Seq(count(lit(1)).as("n_records"),
+        max(col(versionCol)).as("last_version"))
+    records
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Point-in-time (temporal) join: enrich each fact row with the
+    * dimension attributes that were valid AT the fact's timestamp,
+    * against an SCD2 dimension of `[valid_from, valid_to)` intervals
+    * ([[Incremental.scdHistory]] output; open interval = null
+    * valid_to). The lookup side of the SCD2 story: q103 builds the
+    * history, this reads it back without scanning N snapshots.
+    *
+    * Shape: ONE equi-join on the key with the interval test as a join
+    * residual — per key the dimension holds one row per value change
+    * (bounded, typically ≤ a few), so the residual filters a handful of
+    * candidates per fact row and the plan is an ordinary shuffle (or
+    * broadcast, if the dim is small) hash join, never a range
+    * explosion. Intervals are disjoint per key by construction, so at
+    * most one dim row survives per fact row — no dedup pass needed. */
+  def pointInTimeJoin(fact: DataFrame, factKey: String, atCol: String,
+      dim: DataFrame, dimKey: String,
+      validFromCol: String = "valid_from",
+      validToCol: String = "valid_to"): DataFrame = {
+    val d = dim.select(
+      col(dimKey).as("__dk"),
+      col(validFromCol).as("__vf"),
+      col(validToCol).as("__vt"),
+      struct(dim.columns.filterNot(
+        Set(dimKey, validFromCol, validToCol)).map(col): _*).as("__dv"))
+    fact
+      .join(d,
+        fact(factKey) === col("__dk") &&
+          fact(atCol) >= col("__vf") &&
+          (col("__vt").isNull || fact(atCol) < col("__vt")),
+        "left")
+      .select(fact.columns.map(col) :+ col("__dv"): _*)
+  }
+
+  /** Coordinated (join-preserving) Bernoulli sample membership: keep a
+    * row iff `hash60(key || tag) % 100 < pct`. Because membership
+    * depends only on the KEY VALUE, applying the same (tag, pct) to a
+    * fact table's foreign key and the dimension's primary key yields
+    * samples with intact referential integrity — every sampled order's
+    * customer is sampled — so sampled joins are exact joins of samples
+    * and per-group sums scale by 100/pct unbiasedly. Independent
+    * uniform sampling of each table would keep only pct² of join pairs
+    * and orphan the rest. Narrow per-row compute, no shuffle, stable as
+    * the tables grow (yesterday's sample never reshuffles). */
+  def coordinatedKeep(key: Column, tag: String, pct: Int): Column =
+    pmod(TextOps.hash60(concat(key.cast("string"), lit(tag))),
+      lit(100L)) < pct
+
+  /** Clustering-agreement statistics between two label columns by pair
+    * counting: the contingency-table reductions behind the Rand index
+    * and ARI — how much two independent groupings of the same rows
+    * (two dedup algorithms, a heuristic vs a model) agree, without
+    * aligning their label vocabularies.
+    *
+    * Returns ONE row: `n`, `pairs_total` = C(n,2), `pairs_both` =
+    * Σ_ij C(n_ij,2) (pairs co-grouped by both), `pairs_a` / `pairs_b`
+    * (pairs co-grouped by each side), `rand_index` (one division of
+    * exact integers), and `ari` (the standard adjusted form — the
+    * expression tree is mirrored verbatim in the q203 oracle so the
+    * IEEE arithmetic is bit-identical).
+    *
+    * Shape: one hash agg to cells (|A|×|B| rows — tiny), then the A/B
+    * marginals and the scalars are aggregations OF THE CELLS, never a
+    * second pass over the data; the row-level pair space (C(n,2)) is
+    * never materialized. The cells frame is barriered once and feeds
+    * all three reductions. */
+  def clusterAgreement(df: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    // x*(x-1) is always even, so the double division is exact; the
+    // cast keeps the pair counts BIGINT like the oracle's `//`.
+    def c2(x: Column): Column = ((x * (x - 1)) / 2).cast("long")
+    val cells = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("nij"))
+      .barrier()
+    val sc = cells.agg(sum(c2(col("nij"))).cast("long")
+        .as("pairs_both"),
+      sum(col("nij")).as("n"))
+    val sa = cells.groupBy(col(aCol)).agg(sum(col("nij")).as("ai"))
+      .agg(sum(c2(col("ai"))).as("pairs_a"))
+    val sb = cells.groupBy(col(bCol)).agg(sum(col("nij")).as("bj"))
+      .agg(sum(c2(col("bj"))).as("pairs_b"))
+    val d = (c: String) => col(c).cast("double")
+    sc.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .withColumn("pairs_total", c2(col("n")))
+      .withColumn("rand_index",
+        (d("pairs_total") + lit(2.0) * d("pairs_both") - d("pairs_a") -
+          d("pairs_b")) / d("pairs_total"))
+      .withColumn("ari",
+        (d("pairs_both") - d("pairs_a") * d("pairs_b") /
+          d("pairs_total")) /
+          ((d("pairs_a") + d("pairs_b")) / lit(2.0) -
+            d("pairs_a") * d("pairs_b") / d("pairs_total")))
+      .select(col("n"), col("pairs_total"), col("pairs_both"),
+        col("pairs_a"), col("pairs_b"), col("rand_index"), col("ari"))
+  }
+}

@@ -731,10 +731,15 @@ object LlmQueries {
         val e = t(s, d, "embeddings")
         val ranked = Similarity.bruteForceTopK(
           e.filter(col("vec_id") < 64), e, "vec_id", "embedding", 10)
-        val lab = e.select(col("vec_id"), col("label"))
-        val perq = ranked
-          .join(lab.select(col("vec_id").as("query_id"),
-            col("label").as("lq")), "query_id")
+        // the narrow (vec_id, label) frame feeds three consumers
+        // (query labels, candidate labels, per-label counts) — barrier
+        // it so the vectors-bearing table is scanned once for all of
+        // them, and broadcast the nQueries×k ranked side through both
+        // label joins so the corpus-sized label side streams unshuffled.
+        val lab = e.select(col("vec_id"), col("label")).barrier()
+        val perq = broadcast(broadcast(ranked)
+            .join(lab.select(col("vec_id").as("query_id"),
+              col("label").as("lq")), "query_id"))
           .join(lab.select(col("vec_id").as("cand_id"),
             col("label").as("lc2")), "cand_id")
           .groupBy(col("query_id"), col("lq"))
@@ -746,7 +751,7 @@ object LlmQueries {
             coalesce(sum(when(col("lq") === col("lc2"),
               expr("shiftleft(CAST(1 AS BIGINT), 10 - rk)"))), lit(0L))
               .as("dcgx"))
-        val lcnt = e.groupBy(col("label"))
+        val lcnt = lab.groupBy(col("label"))
           .agg(count(lit(1)).as("n_label"))
         perq
           .groupBy(col("lq").as("label"))
@@ -767,7 +772,6 @@ object LlmQueries {
                 .cast("double")).as("recall_at_10"),
             (col("sdcg").cast("double") /
               (lit(512.0) * col("n_queries"))).as("dcg_at_10"))
-          .orderBy(col("label"))
       })
   )
 }

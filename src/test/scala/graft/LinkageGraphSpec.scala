@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Graphs, Linkage, Skew}
+
+/** Unit pins for the reconciliation/graph family (q201–q208): hand-
+  * sized inputs with enumerable expected outputs, plus the exact-
+  * equality law of the salted join. */
+class LinkageGraphSpec extends AnyFunSuite {
+
+  lazy val spark = graft.core.Sessions.local(4, "graft-linkage-test")
+  import spark.implicits._
+
+  test("goldenRecord takes per-field latest non-null, not latest row") {
+    val feeds = Seq(
+      // entity 1: name only in v0, acct updated each version,
+      // seg goes missing in the LAST version — must not resurrect null
+      (1L, 0L, Option("alice"), Option(10.0), Option("A")),
+      (1L, 1L, None, Option(20.0), Option("B")),
+      (1L, 2L, None, Option(30.0), None),
+      // entity 2: single record
+      (2L, 5L, Option("bob"), None, Option("C")))
+      .toDF("k", "v", "name", "acct", "seg")
+    val g = Linkage.goldenRecord(feeds, Seq("k"), "v",
+      Seq("name", "acct", "seg"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val e1 = g(1L)
+    assert(e1.getString(1) == "alice")     // survived from v0
+    assert(e1.getDouble(2) == 30.0)        // latest non-null
+    assert(e1.getString(3) == "B")         // v2's null did not win
+    assert(e1.getLong(4) == 3 && e1.getLong(5) == 2L)
+    val e2 = g(2L)
+    assert(e2.getString(1) == "bob" && e2.isNullAt(2))
+  }
+
+  test("pointInTimeJoin resolves the interval valid at the fact ts") {
+    val dim = Seq(
+      (1L, "v1", 10L, Option(20L)),
+      (1L, "v2", 20L, None),
+      (2L, "w1", 5L, Option(6L)))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val fact = Seq((1L, 9L), (1L, 10L), (1L, 19L), (1L, 20L),
+      (1L, 99L), (2L, 6L)).toDF("k", "at")
+    val out = Linkage.pointInTimeJoin(fact, "k", "at", dim, "k")
+      .select(col("k"), col("at"), col("__dv.attr").as("attr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(out((1L, 9L)) == null)          // before first interval
+    assert(out((1L, 10L)) == "v1")         // inclusive valid_from
+    assert(out((1L, 19L)) == "v1")
+    assert(out((1L, 20L)) == "v2")         // exclusive valid_to
+    assert(out((1L, 99L)) == "v2")         // open interval
+    assert(out((2L, 6L)) == null)          // after closed interval
+    // exactly one output row per fact row (disjoint intervals)
+    assert(Linkage.pointInTimeJoin(fact, "k", "at", dim, "k")
+      .count() == fact.count())
+  }
+
+  test("clusterAgreement: identical clusterings score 1.0") {
+    val df = Seq((1, "a", "x"), (2, "a", "x"), (3, "b", "y"),
+      (4, "b", "y"), (5, "c", "z")).toDF("id", "ca", "cb")
+    val r = Linkage.clusterAgreement(df, "ca", "cb").collect()(0)
+    assert(r.getAs[Long]("n") == 5)
+    assert(r.getAs[Long]("pairs_total") == 10)
+    assert(r.getAs[Long]("pairs_both") == 2)
+    assert(r.getAs[Long]("pairs_a") == 2)
+    assert(r.getAs[Long]("pairs_b") == 2)
+    assert(r.getAs[Double]("rand_index") == 1.0)
+    assert(r.getAs[Double]("ari") == 1.0)
+  }
+
+  test("clusterAgreement: hand contingency case") {
+    // A splits {1,2,3|4}, B splits {1,2|3,4}: cells (a,x)=2,(a,y)=1,
+    // (b,y)=1 → both=1, a=3, b=2; rand = (6+2-3-2)/6 = 0.5
+    val df = Seq((1, "a", "x"), (2, "a", "x"), (3, "a", "y"),
+      (4, "b", "y")).toDF("id", "ca", "cb")
+    val r = Linkage.clusterAgreement(df, "ca", "cb").collect()(0)
+    assert(r.getAs[Long]("pairs_both") == 1)
+    assert(r.getAs[Long]("pairs_a") == 3)
+    assert(r.getAs[Long]("pairs_b") == 2)
+    assert(r.getAs[Double]("rand_index") == 0.5)
+  }
+
+  test("coordinatedKeep preserves referential integrity of samples") {
+    val dim = spark.range(1, 2000).select(col("id").as("k"))
+    val fact = spark.range(1, 6000)
+      .select(pmod(col("id") * 7, lit(1999L) + 1).as("k"))
+      .filter(col("k") > 0)
+    val dimS = dim.filter(Linkage.coordinatedKeep(col("k"), ":t", 20))
+    val factS = fact.filter(Linkage.coordinatedKeep(col("k"), ":t", 20))
+    // sampled fact keys are a subset of sampled dim keys
+    assert(factS.join(dimS, Seq("k"), "left_anti").count() == 0)
+    // and the sample is non-trivial on both sides
+    assert(dimS.count() > 0 && factS.count() > 0)
+    // membership at a tighter pct is a subset (nested samples)
+    val dim10 = dim.filter(Linkage.coordinatedKeep(col("k"), ":t", 10))
+    assert(dim10.join(dimS, Seq("k"), "left_anti").count() == 0)
+  }
+
+  test("triangleCounts: K4 has 4 triangles, 3 per vertex") {
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("src", "dst")
+    val out = Graphs.triangleCounts(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("degreeCapped drops every edge touching a hub") {
+    // star around 0 (degree 4) plus one far edge
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (5L, 6L))
+      .toDF("src", "dst")
+    val kept = Graphs.degreeCapped(e, 3)
+      .collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    assert(kept == Set((5L, 6L)))
+  }
+
+  test("bfsHops: min hop distances, bounded, unreachable absent") {
+    // path 1-2-3-4-5-6 plus shortcut 1-4, isolated component 8-9
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (1L, 4L), (8L, 9L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("v")
+    val out = Graphs.bfsHops(e, seeds, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L,
+      5L -> 2L, 6L -> 3L))   // 3 via min(2-3, 1-4-3); 8/9 unreachable
+  }
+
+  test("saltedJoin is exactly the plain inner join") {
+    // skewed fact: key 1 dominates
+    val fact = spark.range(0, 3000)
+      .select(when(col("id") % 10 < 8, 1L).otherwise(col("id") % 50)
+        .as("fk"), col("id").as("rowid"))
+    val dim = spark.range(0, 50).select(col("id").as("pk"),
+      concat(lit("d"), col("id")).as("attr"))
+    val plain = fact.join(dim, col("fk") === col("pk"))
+      .groupBy(col("attr")).agg(count(lit(1)).as("n"),
+        sum(col("rowid")).as("s"))
+    val salted = Skew.saltedJoin(fact, "fk", dim, "pk",
+        struct(col("rowid")), 8)
+      .groupBy(col("attr")).agg(count(lit(1)).as("n"),
+        sum(col("rowid")).as("s"))
+    assert(plain.unionByName(salted).distinct().count() ==
+      plain.count())
+    assert(plain.count() == salted.count())
+  }
+}
