@@ -27,6 +27,37 @@ object Calendar {
       .cast("long")
   }
 
+  /** Partition-gap report: per key, which integer time bins between
+    * that key's first and last observed bin are MISSING — the "did the
+    * feed skip snapshots" audit behind the reference's day_delta /
+    * candidateDirs fallback logic, generalized to any bin width.
+    * Returns first/last bin, expected/present/missing counts, and the
+    * longest consecutive run of missing bins.
+    *
+    * Shape: one distinct-(key,bin) aggregation, then ONE window (lead
+    * over the per-key bin order) over the distinct frame — the window
+    * input is bounded by #present bins, never by raw event volume, so
+    * the audit costs one shuffle however hot the stream is. The gap
+    * arithmetic is pure integers (`next - bin - 1`). */
+  def missingBins(df: DataFrame, keyCol: String, binCol: Column)
+      : DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__bin"))
+    df.select(col(keyCol), binCol.cast("long").as("__bin"))
+      .distinct()
+      .withColumn("__gap",
+        coalesce(lead(col("__bin"), 1).over(w) - col("__bin") - 1,
+          lit(0L)))
+      .groupBy(col(keyCol))
+      .agg(
+        min(col("__bin")).as("first_bin"),
+        max(col("__bin")).as("last_bin"),
+        (max(col("__bin")) - min(col("__bin")) + 1).as("n_expected"),
+        count(lit(1)).as("n_present"),
+        (max(col("__bin")) - min(col("__bin")) + 1 - count(lit(1)))
+          .as("n_missing"),
+        max(col("__gap")).as("longest_gap"))
+  }
+
   /** Dense day scaffold: one row per day between the min and max of
     * `dateCol` in `df`, left-joined with `perDay` (keyed by `dayKey`) and
     * zero-filled on `fillCols`. Day is emitted as a 'yyyy-MM-dd' string for

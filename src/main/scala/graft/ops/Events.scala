@@ -107,6 +107,30 @@ object Events {
       .drop("__bin")
   }
 
+  /** Interval-overlap join: pairs of intervals from `a` and `b` that
+    * share a key AND overlap in time, with the exact integer overlap
+    * length (`min(ends) - max(starts)`, half-open convention —
+    * touching intervals overlap 0 and are dropped). The
+    * machine-downtime × job-runs shape: "how much of each transfer
+    * window did each outage eat".
+    *
+    * Shape: ONE equi-join on the key with the overlap test as a join
+    * residual — correct whenever per-key interval counts are bounded
+    * (the per-entity case). For UNkeyed or hot-key interval sets, bin
+    * both sides with [[rangeJoin]]'s replication trick instead; this
+    * operator deliberately stays the cheap keyed form. Column names
+    * are caller-supplied; output keeps the key, both id columns, both
+    * bounds pairs, and `overlap_len`. */
+  def overlapJoin(a: DataFrame, b: DataFrame, keyCol: String,
+      aId: String, aStart: String, aEnd: String,
+      bId: String, bStart: String, bEnd: String): DataFrame =
+    a.join(b, Seq(keyCol))
+      .withColumn("overlap_len",
+        least(col(aEnd), col(bEnd)) - greatest(col(aStart), col(bStart)))
+      .filter(col("overlap_len") > 0)
+      .select(col(keyCol), col(aId), col(bId), col(aStart), col(aEnd),
+        col(bStart), col(bEnd), col("overlap_len"))
+
   /** Gap-based sessionization: consecutive events of one `key` belong
     * to the same session while the gap to the previous event is ≤
     * `gap` (in the units of `tsCol` — the operator is unit-agnostic);

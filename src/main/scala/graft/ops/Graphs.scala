@@ -72,6 +72,28 @@ object Graphs {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient per vertex: 2·triangles / (deg·(deg−1))
+    * — how clique-like each vertex's neighborhood is (near 1 on genuine
+    * duplicate clusters, near 0 on chains of borderline matches, which
+    * is exactly the q202 use reversed into a per-vertex score). Exact
+    * integer numerator/denominator with ONE final division, so the
+    * score itself is engine-reproducible. Vertices of degree < 2 are
+    * excluded (coefficient undefined). Plan: [[triangleCounts]] + the
+    * degree aggregation joined on the vertex — the triangle frame is
+    * the expensive part and is computed once. */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val e = edges.barrier()
+    val degs = e.select(explode(array(col("src"), col("dst"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2)
+    degs.join(triangleCounts(e), Seq("v"), "left")
+      .select(col("v"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        ((lit(2.0) * coalesce(col("n_triangles"), lit(0L))
+          .cast("double")) /
+          (col("deg") * (col("deg") - 1)).cast("double")).as("coeff"))
+  }
+
   /** Hop-bounded multi-source BFS: minimum hop distance (≤ maxHops)
     * from any seed vertex, over undirected (src < dst) edges. Returns
     * (v, hop) for every reached vertex, seeds at hop 0.

@@ -118,6 +118,34 @@ object Incremental {
           .otherwise(col("old_" + c)).as(c)): _*)
   }
 
+  /** CDC ordering audit: per key, count ADJACENT version pairs whose
+    * event timestamps run backwards (version increases, ts decreases)
+    * — the out-of-order-delivery detector you run before trusting
+    * "latest version wins" merges ([[applyChanges]], `toScdStore`):
+    * inversions mean version order and time order disagree, so a
+    * ts-based consumer and a version-based consumer would converge to
+    * different states. Returns only keys with ≥1 inversion, with the
+    * key's change count, inversion count, and the worst backwards jump
+    * (exact integer tick difference).
+    *
+    * Shape: one window (lag over per-key version order) + one
+    * aggregation — one shuffle on the key; adjacent-pair inversions
+    * (not all-pairs Kendall) keep the cost linear in changes per key. */
+  def orderAudit(changes: DataFrame, keyCol: String, versionCol: String,
+      tsCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(versionCol))
+    changes
+      .withColumn("__back",
+        when(col(tsCol) < lag(col(tsCol), 1).over(w),
+          lag(col(tsCol), 1).over(w) - col(tsCol)).otherwise(lit(0L)))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_changes"),
+        Aggregates.countIf(col("__back") > 0).as("n_inversions"),
+        max(col("__back")).as("max_backstep"))
+      .filter(col("n_inversions") > 0)
+  }
+
   /** Delta between two dated snapshots of the same keyed table: which
     * rows were `added`, `removed`, or `changed` between yesterday's and
     * today's dump (unchanged rows are dropped — the delta is the

@@ -89,6 +89,74 @@ object Linkage {
     pmod(TextOps.hash60(concat(key.cast("string"), lit(tag))),
       lit(100L)) < pct
 
+  /** Per-field disagreement matrix across feed records of the same
+    * entities — the diagnostic you run BEFORE trusting
+    * [[goldenRecord]]'s survivorship: for each field, how many
+    * entities have a value at all, and how many have ≥2 DISTINCT
+    * non-null values across their feed records (i.e. the feeds
+    * actively contradict each other, rather than merely omit).
+    *
+    * Shape: ONE hash aggregation per entity computing every field's
+    * exact distinct count simultaneously (count(DISTINCT f) skips
+    * nulls in both engines), then a second tiny aggregation over
+    * entities, unpivoted to one row per field. The entity frame is
+    * |entities| rows regardless of feed fan-in; no per-field passes. */
+  def fieldConflicts(records: DataFrame, keyCols: Seq[String],
+      fieldCols: Seq[String]): DataFrame = {
+    val perEntity = records
+      .groupBy(keyCols.map(col): _*)
+      .agg(countDistinct(fieldCols.head).as(s"d_${fieldCols.head}"),
+        fieldCols.tail.map(f => countDistinct(col(f)).as(s"d_$f")): _*)
+    val aggs = fieldCols.flatMap(f => Seq(
+      Aggregates.countIf(col(s"d_$f") >= 1).as(s"v_$f"),
+      Aggregates.countIf(col(s"d_$f") >= 2).as(s"c_$f")))
+    val one = perEntity.agg(aggs.head, aggs.tail: _*)
+    // stack, not a union of per-field selects: a union would re-plan
+    // (and re-run) the whole aggregation subtree once per field
+    one.select(expr(
+      s"stack(${fieldCols.size}, " +
+        fieldCols.map(f => s"'$f', `v_$f`, `c_$f`").mkString(", ") +
+        ") as (field, n_with_value, n_conflicted)"))
+  }
+
+  /** SCD2 validity-interval integrity audit: per defect class, how
+    * many `[valid_from, valid_to)` rows violate the history contract —
+    * `overlap` (interval runs past the next one's start), `gap`
+    * (history has a hole before the next interval), `bad_bounds`
+    * (empty or inverted interval), `open_not_last` (a null valid_to
+    * anywhere but the final interval — two "current" versions). The
+    * check a lake runs on every regenerated dimension before letting
+    * [[pointInTimeJoin]] trust disjointness.
+    *
+    * Shape: one window (lead over the per-key interval order) + one
+    * aggregation; every defect is a flag on a single consecutive pair,
+    * so the audit is one shuffle on the key regardless of history
+    * depth. Emits all four classes (zero counts included) so the
+    * report schema is stable. */
+  def scdAudit(dim: DataFrame, keyCol: String,
+      validFromCol: String = "valid_from",
+      validToCol: String = "valid_to"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(validFromCol))
+    val vt = col(validToCol)
+    val nf = lead(col(validFromCol), 1).over(w)
+    val flagged = dim.select(
+      (vt.isNotNull && nf.isNotNull && vt > nf).as("overlap"),
+      (vt.isNotNull && nf.isNotNull && vt < nf).as("gap"),
+      (vt.isNotNull && vt <= col(validFromCol)).as("bad_bounds"),
+      (vt.isNull && nf.isNotNull).as("open_not_last"))
+    val one = flagged.agg(
+      Aggregates.countIf(col("overlap")).as("overlap"),
+      Aggregates.countIf(col("gap")).as("gap"),
+      Aggregates.countIf(col("bad_bounds")).as("bad_bounds"),
+      Aggregates.countIf(col("open_not_last")).as("open_not_last"))
+    // stack, not a union of per-defect selects (see fieldConflicts)
+    one.select(expr(
+      "stack(4, 'overlap', overlap, 'gap', gap, " +
+        "'bad_bounds', bad_bounds, 'open_not_last', open_not_last) " +
+        "as (defect, n_rows)"))
+  }
+
   /** Clustering-agreement statistics between two label columns by pair
     * counting: the contingency-table reductions behind the Rand index
     * and ARI — how much two independent groupings of the same rows

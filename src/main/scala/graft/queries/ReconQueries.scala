@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ops.{Aggregates, Graphs, Incremental, Linkage, Skew}
+import graft.ops.{Aggregates, Calendar, Events, Graphs, Incremental,
+  Linkage, Skew}
 
 /** Reconciliation / linkage / graph-structure operator family: the
   * master-data and graph-analysis layer over a multi-feed lake —
@@ -48,6 +49,41 @@ object ReconQueries {
         e AS (SELECT src, dst FROM e0
               JOIN keep ka ON e0.src = ka.v
               JOIN keep kb ON e0.dst = kb.v)"""
+
+  /** Shared q205/q209 derivation: three deterministic feed versions
+    * per customer. Fields go missing independently per feed; names
+    * AGREE across feeds for even keys and CONFLICT for odd ones (the
+    * version-suffixed variant), acctbal always drifts per version,
+    * mktsegment is always consistent — so the conflict matrix has a
+    * nonzero, a near-total, and a zero row. */
+  private val feedsCte = """
+        feeds AS (
+          SELECT c_custkey, v,
+                 CASE WHEN (c_custkey + v) % 3 = 0 THEN NULL
+                      ELSE c_name || '#' ||
+                        CASE WHEN c_custkey % 2 = 0 THEN 'x'
+                             ELSE CAST(v AS VARCHAR) END
+                 END AS name,
+                 CASE WHEN (c_custkey + v) % 4 = 0 THEN NULL
+                      ELSE c_acctbal + v END AS acctbal,
+                 CASE WHEN (c_custkey + v) % 5 = 0 THEN NULL
+                      ELSE c_mktsegment END AS mktsegment
+          FROM customer CROSS JOIN range(0, 3) r(v))"""
+
+  private def goldenFeeds(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"),
+        explode(sequence(lit(0L), lit(2L))).as("v"))
+      .select(col("c_custkey"), col("v"),
+        when((col("c_custkey") + col("v")) % 3 === 0, lit(null))
+          .otherwise(concat(col("c_name"), lit("#"),
+            when(col("c_custkey") % 2 === 0, lit("x"))
+              .otherwise(col("v").cast("string")))).as("name"),
+        when((col("c_custkey") + col("v")) % 4 === 0, lit(null))
+          .otherwise(col("c_acctbal") + col("v")).as("acctbal"),
+        when((col("c_custkey") + col("v")) % 5 === 0, lit(null))
+          .otherwise(col("c_mktsegment")).as("mktsegment"))
 
   private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val lp = t(s, d, "lineitem")
@@ -237,17 +273,8 @@ object ReconQueries {
     // self-join, hot entities cost O(1) state.
     QueryDef(
       "q205_golden_record",
-      Some("""
-        WITH feeds AS (
-          SELECT c_custkey, v,
-                 CASE WHEN (c_custkey + v) % 3 = 0 THEN NULL
-                      ELSE c_name || '#' || CAST(v AS VARCHAR)
-                 END AS name,
-                 CASE WHEN (c_custkey + v) % 4 = 0 THEN NULL
-                      ELSE c_acctbal + v END AS acctbal,
-                 CASE WHEN (c_custkey + v) % 5 = 0 THEN NULL
-                      ELSE c_mktsegment END AS mktsegment
-          FROM customer CROSS JOIN range(0, 3) r(v))
+      Some(s"""
+        WITH $feedsCte
         SELECT c_custkey,
                max_by(name, CASE WHEN name IS NOT NULL THEN v END)
                  AS name,
@@ -259,22 +286,9 @@ object ReconQueries {
                count(*) AS n_records,
                max(v) AS last_version
         FROM feeds GROUP BY 1"""),
-      (s, d) => {
-        val feeds = t(s, d, "customer")
-          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
-            col("c_mktsegment"),
-            explode(sequence(lit(0L), lit(2L))).as("v"))
-          .select(col("c_custkey"), col("v"),
-            when((col("c_custkey") + col("v")) % 3 === 0, lit(null))
-              .otherwise(concat(col("c_name"), lit("#"),
-                col("v").cast("string"))).as("name"),
-            when((col("c_custkey") + col("v")) % 4 === 0, lit(null))
-              .otherwise(col("c_acctbal") + col("v")).as("acctbal"),
-            when((col("c_custkey") + col("v")) % 5 === 0, lit(null))
-              .otherwise(col("c_mktsegment")).as("mktsegment"))
-        Linkage.goldenRecord(feeds, Seq("c_custkey"), "v",
-          Seq("name", "acctbal", "mktsegment"))
-      }),
+      (s, d) =>
+        Linkage.goldenRecord(goldenFeeds(s, d), Seq("c_custkey"), "v",
+          Seq("name", "acctbal", "mktsegment"))),
 
     // Native session-window aggregation: Spark's session_window()
     // (SessionWindowing + merging-session aggregate exec) rather than
@@ -375,5 +389,227 @@ object ReconQueries {
           .distinct()
         val seeds = verts.filter(col("v") % 97 === 1)
         Graphs.bfsHops(edges, seeds, 3)
+      }),
+
+    // Per-field feed-disagreement matrix over q205's derived feeds:
+    // for each field, how many entities carry any value and how many
+    // carry ≥2 DISTINCT non-null values (active contradiction, not
+    // mere omission) — the diagnostic run before trusting golden-
+    // record survivorship. One per-entity aggregation computing all
+    // fields' distinct counts at once, then a tiny unpivoted rollup.
+    QueryDef(
+      "q209_feed_conflicts",
+      Some(s"""
+        WITH $feedsCte,
+        pe AS (SELECT c_custkey,
+                      count(DISTINCT name) AS d_name,
+                      count(DISTINCT acctbal) AS d_acctbal,
+                      count(DISTINCT mktsegment) AS d_mktsegment
+               FROM feeds GROUP BY 1)
+        SELECT 'name' AS field,
+               count(*) FILTER (WHERE d_name >= 1) AS n_with_value,
+               count(*) FILTER (WHERE d_name >= 2) AS n_conflicted
+        FROM pe
+        UNION ALL
+        SELECT 'acctbal',
+               count(*) FILTER (WHERE d_acctbal >= 1),
+               count(*) FILTER (WHERE d_acctbal >= 2)
+        FROM pe
+        UNION ALL
+        SELECT 'mktsegment',
+               count(*) FILTER (WHERE d_mktsegment >= 1),
+               count(*) FILTER (WHERE d_mktsegment >= 2)
+        FROM pe"""),
+      (s, d) =>
+        Linkage.fieldConflicts(goldenFeeds(s, d), Seq("c_custkey"),
+          Seq("name", "acctbal", "mktsegment"))),
+
+    // SCD2 integrity audit on a deliberately corrupted dimension:
+    // detect overlapping intervals, history holes, empty/inverted
+    // bounds, and non-final open intervals — the disjointness contract
+    // q204's point-in-time join relies on, checked instead of assumed.
+    // The corruption pattern is deterministic so every defect class
+    // has a known nonzero count.
+    QueryDef(
+      "q210_scd2_integrity",
+      Some("""
+        WITH dim AS (
+          SELECT o_orderkey AS k, 0 AS valid_from,
+                 CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                      ELSE 2 + o_orderkey % 3 END AS valid_to
+          FROM orders WHERE o_orderkey % 100 < 30
+          UNION ALL
+          SELECT o_orderkey, 3,
+                 CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                      WHEN o_orderkey % 17 = 0 THEN 3
+                      ELSE 6 END
+          FROM orders WHERE o_orderkey % 100 < 30),
+        f AS (SELECT k, valid_from, valid_to,
+                     lead(valid_from) OVER
+                       (PARTITION BY k ORDER BY valid_from) AS nf
+              FROM dim)
+        SELECT 'overlap' AS defect,
+               count(*) FILTER (WHERE valid_to IS NOT NULL
+                 AND nf IS NOT NULL AND valid_to > nf) AS n_rows
+        FROM f
+        UNION ALL
+        SELECT 'gap',
+               count(*) FILTER (WHERE valid_to IS NOT NULL
+                 AND nf IS NOT NULL AND valid_to < nf)
+        FROM f
+        UNION ALL
+        SELECT 'bad_bounds',
+               count(*) FILTER (WHERE valid_to IS NOT NULL
+                 AND valid_to <= valid_from)
+        FROM f
+        UNION ALL
+        SELECT 'open_not_last',
+               count(*) FILTER (WHERE valid_to IS NULL
+                 AND nf IS NOT NULL)
+        FROM f"""),
+      (s, d) => {
+        val base = t(s, d, "orders")
+          .filter(col("o_orderkey") % 100 < 30)
+        val first = base.select(col("o_orderkey").as("k"),
+          lit(0).as("valid_from"),
+          when(col("o_orderkey") % 13 === 0, lit(null))
+            .otherwise(lit(2) + col("o_orderkey") % 3)
+            .cast("int").as("valid_to"))
+        val second = base.select(col("o_orderkey").as("k"),
+          lit(3).as("valid_from"),
+          when(col("o_orderkey") % 5 === 0, lit(null))
+            .when(col("o_orderkey") % 17 === 0, lit(3))
+            .otherwise(lit(6)).cast("int").as("valid_to"))
+        Linkage.scdAudit(first.unionByName(second), "k")
+      }),
+
+    // Local clustering coefficient on the co-purchase graph: per
+    // vertex, 2·triangles/(deg·(deg−1)) — clique-likeness of each
+    // neighborhood (≈1 on duplicate cliques, ≈0 on match chains).
+    // Integer numerator/denominator, ONE division, so the score is
+    // engine-exact; degree < 2 excluded (undefined).
+    QueryDef(
+      "q211_clustering_coeff",
+      Some(s"""
+        WITH $edgeCte,
+        tri AS (SELECT w.a, w.b, w.c FROM
+                  (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                   FROM e e1 JOIN e e2 ON e1.dst = e2.src) w
+                JOIN e e3 ON w.a = e3.src AND w.c = e3.dst),
+        tcnt AS (SELECT v, count(*) AS n_triangles FROM
+                   (SELECT a AS v FROM tri
+                    UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri)
+                 GROUP BY 1),
+        dg AS (SELECT v, count(*) AS deg FROM
+                 (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+               GROUP BY 1)
+        SELECT dg.v, deg,
+               COALESCE(n_triangles, 0) AS n_triangles,
+               (2.0 * CAST(COALESCE(n_triangles, 0) AS DOUBLE))
+                 / CAST(deg * (deg - 1) AS DOUBLE) AS coeff
+        FROM dg LEFT JOIN tcnt ON dg.v = tcnt.v
+        WHERE deg >= 2"""),
+      (s, d) => Graphs.clusteringCoefficient(copurchaseEdges(s, d))),
+
+    // Interval-overlap join: per customer, order-derived interval set A
+    // × interval set B with exact integer overlap lengths — the
+    // "how much of each transfer window did each outage eat" shape.
+    // One equi-join on the key with the overlap test as residual;
+    // bounded per-key interval counts keep it linear.
+    QueryDef(
+      "q212_interval_overlap",
+      Some("""
+        WITH a AS (SELECT o_custkey AS k, o_orderkey AS a_id,
+                          o_orderkey % 100 AS a_start,
+                          o_orderkey % 100 + 1 + o_orderkey % 20 AS a_end
+                   FROM orders WHERE o_orderkey % 2 = 0),
+        b AS (SELECT o_custkey AS k, o_orderkey AS b_id,
+                     o_orderkey % 100 AS b_start,
+                     o_orderkey % 100 + 1 + o_orderkey % 20 AS b_end
+              FROM orders WHERE o_orderkey % 2 = 1)
+        SELECT a.k, a_id, b_id, a_start, a_end, b_start, b_end,
+               least(a_end, b_end) - greatest(a_start, b_start)
+                 AS overlap_len
+        FROM a JOIN b ON a.k = b.k
+        WHERE least(a_end, b_end) - greatest(a_start, b_start) > 0"""),
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        def ivals(par: Int, idName: String, sName: String,
+            eName: String) = orders
+          .filter(col("o_orderkey") % 2 === par)
+          .select(col("o_custkey").as("k"),
+            col("o_orderkey").as(idName),
+            (col("o_orderkey") % 100).as(sName),
+            (col("o_orderkey") % 100 + 1 + col("o_orderkey") % 20)
+              .as(eName))
+        Events.overlapJoin(
+          ivals(0, "a_id", "a_start", "a_end"),
+          ivals(1, "b_id", "b_start", "b_end"),
+          "k", "a_id", "a_start", "a_end", "b_id", "b_start", "b_end")
+      }),
+
+    // Partition-gap report: per event_type, which hourly bins between
+    // the type's first and last hour are missing, and the longest
+    // consecutive hole — the day_delta/candidateDirs "did the feed
+    // skip snapshots" audit. The window runs over DISTINCT
+    // (type, hour) rows, never raw events.
+    QueryDef(
+      "q213_partition_gaps",
+      Some("""
+        WITH hb AS (SELECT DISTINCT event_type,
+                           epoch_us(ts) // 3600000000 AS hr
+                    FROM events),
+        g AS (SELECT event_type, hr,
+                     COALESCE(lead(hr) OVER
+                       (PARTITION BY event_type ORDER BY hr) - hr - 1,
+                       0) AS gap
+              FROM hb)
+        SELECT event_type,
+               min(hr) AS first_bin, max(hr) AS last_bin,
+               max(hr) - min(hr) + 1 AS n_expected,
+               count(*) AS n_present,
+               max(hr) - min(hr) + 1 - count(*) AS n_missing,
+               max(gap) AS longest_gap
+        FROM g GROUP BY 1"""),
+      (s, d) =>
+        // loadSpread ts is epoch nanos; µs then hours, integer div
+        Calendar.missingBins(t(s, d, "events"), "event_type",
+          expr("(ts div 1000) div 3600000000"))),
+
+    // CDC ordering audit: keys whose version order and event-time
+    // order disagree (adjacent inversions + worst backwards jump) —
+    // run before trusting any "latest wins" merge. Versions and a
+    // deterministically jittered ts derive from orders; ~1/7 of keys
+    // get one backwards timestamp.
+    QueryDef(
+      "q214_cdc_order_audit",
+      Some("""
+        WITH ch AS (SELECT o_orderkey AS k, v,
+                           o_orderkey * 10 + v * 2
+                             - CASE WHEN v = 1 AND o_orderkey % 7 = 0
+                                    THEN 5 ELSE 0 END AS ts
+                    FROM orders CROSS JOIN range(0, 3) r(v)
+                    WHERE o_orderkey % 100 < 40),
+        f AS (SELECT k, v, ts,
+                     lag(ts) OVER (PARTITION BY k ORDER BY v) AS pts
+              FROM ch),
+        g AS (SELECT k, count(*) AS n_changes,
+                     count(*) FILTER (WHERE ts < pts) AS n_inversions,
+                     max(CASE WHEN ts < pts THEN pts - ts ELSE 0 END)
+                       AS max_backstep
+              FROM f GROUP BY 1)
+        SELECT k, n_changes, n_inversions, max_backstep
+        FROM g WHERE n_inversions > 0"""),
+      (s, d) => {
+        val ch = t(s, d, "orders")
+          .filter(col("o_orderkey") % 100 < 40)
+          .select(col("o_orderkey").as("k"),
+            explode(sequence(lit(0L), lit(2L))).as("v"))
+          .select(col("k"), col("v"),
+            (col("k") * 10 + col("v") * 2 -
+              when(col("v") === 1 && col("k") % 7 === 0, 5)
+                .otherwise(0)).as("ts"))
+        Incremental.orderAudit(ch, "k", "v", "ts")
       }))
 }

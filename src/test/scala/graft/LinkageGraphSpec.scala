@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Graphs, Linkage, Skew}
+import graft.ops.{Calendar, Events, Graphs, Incremental, Linkage, Skew}
 
 /** Unit pins for the reconciliation/graph family (q201–q208): hand-
   * sized inputs with enumerable expected outputs, plus the exact-
@@ -126,6 +126,95 @@ class LinkageGraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L,
       5L -> 2L, 6L -> 3L))   // 3 via min(2-3, 1-4-3); 8/9 unreachable
+  }
+
+  test("fieldConflicts: omission is not conflict") {
+    val feeds = Seq(
+      // entity 1: name agrees, acct contradicts, seg only in one feed
+      (1L, 0L, Option("a"), Option(1.0), Option("S")),
+      (1L, 1L, Option("a"), Option(2.0), None),
+      // entity 2: name missing everywhere, acct single-valued
+      (2L, 0L, None, Option(5.0), Option("T")),
+      (2L, 1L, None, Option(5.0), Option("T")))
+      .toDF("k", "v", "name", "acct", "seg")
+    val m = Linkage.fieldConflicts(feeds, Seq("k"),
+      Seq("name", "acct", "seg"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(m("name") == (1L, 0L))   // one entity has it, same value
+    assert(m("acct") == (2L, 1L))   // entity 1 contradicts
+    assert(m("seg") == (2L, 0L))    // omission in one feed ≠ conflict
+  }
+
+  test("scdAudit flags each defect class exactly") {
+    val dim = Seq(
+      (1L, 0L, Option(5L)), (1L, 4L, Option(8L)),   // overlap (5>4)
+      (2L, 0L, Option(3L)), (2L, 5L, None),          // gap (3<5)
+      (3L, 0L, Option(0L)),                          // bad_bounds
+      (4L, 0L, None), (4L, 3L, Option(6L)),          // open_not_last
+      (5L, 0L, Option(3L)), (5L, 3L, None))          // clean history
+      .toDF("k", "valid_from", "valid_to")
+    val m = Linkage.scdAudit(dim, "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("overlap" -> 1L, "gap" -> 1L, "bad_bounds" -> 1L,
+      "open_not_last" -> 1L))
+  }
+
+  test("clusteringCoefficient: triangle with a pendant") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val out = Graphs.clusteringCoefficient(e)
+      .collect().map(r => r.getAs[Long]("v") ->
+        (r.getAs[Long]("deg"), r.getAs[Long]("n_triangles"),
+          r.getAs[Double]("coeff"))).toMap
+    assert(out(1L) == ((2L, 1L, 1.0)))
+    assert(out(2L) == ((2L, 1L, 1.0)))
+    assert(out(3L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(!out.contains(4L))   // degree 1: undefined, excluded
+  }
+
+  test("overlapJoin: exact lengths, touching intervals dropped") {
+    val a = Seq((1L, 10L, 0L, 10L), (1L, 11L, 20L, 30L))
+      .toDF("k", "a_id", "a_start", "a_end")
+    val b = Seq((1L, 20L, 5L, 25L), (1L, 21L, 10L, 12L),
+      (2L, 22L, 0L, 100L)).toDF("k", "b_id", "b_start", "b_end")
+    val out = Events.overlapJoin(a, b, "k", "a_id", "a_start", "a_end",
+        "b_id", "b_start", "b_end")
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+        -> r.getAs[Long]("overlap_len")).toMap
+    assert(out == Map((10L, 20L) -> 5L, (11L, 20L) -> 5L))
+    // (10,21) touches at 10 → overlap 0 → dropped; key 2 never joins
+  }
+
+  test("missingBins: gap arithmetic over present bins only") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 5L), ("a", 9L), ("a", 2L),
+      ("b", 7L)).toDF("k", "bin")
+    val m = Calendar.missingBins(df, "k", col("bin"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = m("a")
+    assert(a.getAs[Long]("first_bin") == 1 &&
+      a.getAs[Long]("last_bin") == 9)
+    assert(a.getAs[Long]("n_expected") == 9 &&
+      a.getAs[Long]("n_present") == 4 &&
+      a.getAs[Long]("n_missing") == 5)
+    assert(a.getAs[Long]("longest_gap") == 3)   // 6,7,8 between 5 and 9
+    val b = m("b")
+    assert(b.getAs[Long]("n_missing") == 0 &&
+      b.getAs[Long]("longest_gap") == 0)
+  }
+
+  test("orderAudit reports only keys with ts/version inversions") {
+    val ch = Seq(
+      (1L, 0L, 100L), (1L, 1L, 90L), (1L, 2L, 95L),  // one inversion
+      (2L, 0L, 10L), (2L, 1L, 20L))                   // ordered
+      .toDF("k", "v", "ts")
+    val out = Incremental.orderAudit(ch, "k", "v", "ts").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("k") == 1L &&
+      r.getAs[Long]("n_changes") == 3 &&
+      r.getAs[Long]("n_inversions") == 1 &&
+      r.getAs[Long]("max_backstep") == 10)
   }
 
   test("saltedJoin is exactly the plain inner join") {
