@@ -1,6 +1,6 @@
 package graft.llmops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Checkpoints.BarrierOps
@@ -104,5 +104,57 @@ object Retrieval {
     scored.select(col("query_id"), col(idCol), col("score"),
       row_number().over(w).as("rk"))
       .filter(col("rk") <= k)
+  }
+
+  /** Per-depth weight for [[rbo10]]: Σ_{d=m..10} (2520/d)·2^(10−d) —
+    * a common doc at max-rank m contributes to every overlap depth
+    * d ≥ m, so its total scaled weight is this suffix sum. */
+  private val rboSuffixWeight: Column = {
+    val cd = (1 to 10).map(dd => (2520 / dd) * (1 << (10 - dd)))
+    val suffix = (1 to 10).map(m => cd.drop(m - 1).sum.toLong)
+    (1 to 10).foldLeft(lit(0L)) { (acc, m) =>
+      when(col("m") === m, lit(suffix(m - 1))).otherwise(acc)
+    }
+  }
+
+  /** Truncated rank-biased overlap at depth 10 with persistence
+    * p = 1/2, normalized so identical lists score 1.0 — the
+    * label-free way to compare two RANKERS (BM25 vs dense, full-dim
+    * vs truncated-dim) query by query: top-weighted, defined even
+    * when the lists share little. Unlike q200's labeled metrics, RBO
+    * needs no ground truth.
+    *
+    * Engine-exact by the dyadic trick: p = 1/2 makes every depth
+    * weight p^{d+1}/d a dyadic rational; scaling by lcm(1..10)·2^11
+    * turns each common doc's contribution into an INTEGER lookup on
+    * its max rank (suffix-summed weights), summed exactly and divided
+    * ONCE by the identical-list maximum (2520·1023).
+    *
+    * Inputs are rank lists (query_id, cand_id, rk ≤ 10); both sides
+    * are nQueries×10 rows, so the comparison join is trivially
+    * bounded — the expense lives in whatever produced the rankings.
+    * Queries with disjoint lists surface with rbo = 0. */
+  def rbo10(a: DataFrame, b: DataFrame): DataFrame = {
+    // a feeds both the query universe and the comparison join —
+    // barrier so the (often expensive) ranking pipeline behind it is
+    // materialized once, not re-planned per consumer; both rank lists
+    // and the per-query aggregate are nQueries×10-bounded, so every
+    // join here broadcasts.
+    val aa = a.select(col("query_id"), col("cand_id"),
+      col("rk").as("ra")).barrier()
+    val qs = aa.select(col("query_id")).distinct()
+    val joined = aa
+      .join(broadcast(b.select(col("query_id"), col("cand_id"),
+        col("rk").as("rb"))), Seq("query_id", "cand_id"))
+      .withColumn("m", greatest(col("ra"), col("rb")))
+    val per = joined.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(rboSuffixWeight).as("s_scaled"))
+    qs.join(broadcast(per), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("s_scaled"), lit(0L)).as("s_scaled"),
+        (coalesce(col("s_scaled"), lit(0L)).cast("double") /
+          lit(2577960.0)).as("rbo"))
   }
 }

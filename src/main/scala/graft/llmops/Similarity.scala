@@ -369,4 +369,56 @@ object Similarity {
       .select(col("cell"), col("dim"),
         (col("sum_x") / col("n")).as("mean_x"))
   }
+
+  /** Background-similarity histogram from hash-bucket-sampled pairs:
+    * the distribution of cosines between (approximately) random vector
+    * pairs — the corpus-geometry diagnostic that calibrates a near-dup
+    * threshold (where does the random-pair mass end and the duplicate
+    * tail begin?) without touching the O(n²) pair space.
+    *
+    * Sampling is an EQUI-join on `hash60(id)%buckets` — each pair
+    * survives iff both ends land in the same bucket (expected n²/B
+    * pairs, deterministic, reproducible in the oracle) — never a
+    * cross join with a filter, which would still evaluate all n²
+    * pairs. Bins are the 10 dyadic [−1,1] slices (floor((cos+1)·5)),
+    * zero-filled so the histogram schema is stable. */
+  def bucketPairHistogram(df: DataFrame, idCol: String, vecCol: String,
+      buckets: Int): DataFrame = {
+    val tagged = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm2(col(vecCol)).as("nn"),
+      pmod(TextOps.hash60(concat(col(idCol).cast("string"),
+        lit(":pb"))), lit(buckets.toLong)).as("bk"))
+    val pairs = tagged.as("a")
+      .join(tagged.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(cosineWithNorms(col("a.v"), col("b.v"),
+        col("a.nn"), col("b.nn")).as("cos"))
+    val hist = pairs
+      .select(least(floor((col("cos") + 1.0) * 5.0), lit(9.0))
+        .cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
+    // dense 10-bin spine so empty bins surface as zeros
+    val spine = df.sparkSession.range(0, 10)
+      .select(col("id").as("bin"))
+    spine.join(hist, Seq("bin"), "left")
+      .select(col("bin"),
+        (col("bin").cast("double") / 5.0 - 1.0).as("cos_lo"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+  }
+
+  /** Hubness profile: how often each corpus vector appears in the
+    * top-k lists of the query sample — the high-dimensional pathology
+    * check for ANN indexes (hub vectors show up in everyone's
+    * neighborhood and poison both recall metrics and dedup clustering;
+    * antihubs never appear). Returns vectors occurring in ≥ 2 lists
+    * with occurrence and rank-1 counts. The cost is the
+    * [[bruteForceTopK]] sample itself; the profile is one tiny
+    * aggregation of its nQueries×k output. */
+  def hubnessProfile(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame =
+    bruteForceTopK(queries, corpus, idCol, vecCol, k)
+      .groupBy(col("cand_id"))
+      .agg(count(lit(1)).as("n_occ"),
+        graft.ops.Aggregates.countIf(col("rk") === 1).as("n_top1"))
+      .filter(col("n_occ") >= 2)
 }

@@ -1396,6 +1396,100 @@ object TextOps {
           col("n_tokens_after").cast("double"))
   }
 
+  /** Winnowing fingerprint statistics (the MOSS scheme: Schleimer,
+    * Wilkerson & Aiken, SIGMOD'03): slide a window of `w` consecutive
+    * k-gram hashes over each document and select each window's minimum
+    * hash, rightmost position on ties — the selection that guarantees
+    * any shared substring of ≥ w+k−1 tokens yields at least one shared
+    * selected fingerprint, at an expected density of 2/(w+1). Output
+    * per doc: gram/window counts, number of selected (hash, position)
+    * fingerprints, the achieved density (one division), and the
+    * minimum selected hash (a compact doc signature).
+    *
+    * 100 TB shape: the positional hashes come from the codegen'd
+    * shingle kernel; the window minimum is a per-document bounded
+    * sliding frame (rowsBetween(0, w−1)) — partitioned by doc, never
+    * global — and the tie-break rides inside ONE struct-min (no
+    * second pass): min(struct(hash, −pos)) = min hash, rightmost
+    * position. Selected pairs dedup with a per-doc distinct, bounded
+    * by doc length. Docs shorter than w+k−1 tokens report zero
+    * windows (never a null density). */
+  def winnowingStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    val base = df.select(col(idCol),
+      shingleHashesAll(col(textCol), k).as("hs"))
+    val pos = base.select(col(idCol),
+      size(col("hs")).cast("long").as("ng"),
+      posexplode(col("hs")).as(Seq("p", "h")))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("p"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val sel = pos
+      .withColumn("m",
+        min(struct(col("h"), (-col("p")).as("np"))).over(win))
+      .filter(col("p") <= col("ng") - w)   // full windows only
+      .select(col(idCol), col("ng"), col("m.h").as("fh"),
+        col("m.np").as("fnp"))
+      .distinct()
+      .groupBy(col(idCol), col("ng"))
+      .agg(count(lit(1)).as("n_selected"), min(col("fh")).as("min_fp"))
+    // n_grams from the doc itself (sel loses docs with 0 < ng < w,
+    // whose gram count must still be reported)
+    df.select(col(idCol),
+        greatest(size(tokens(col(textCol))).cast("long") - (k - 1),
+          lit(0L)).as("n_grams"))
+      .join(sel.drop("ng"), Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_grams"),
+        greatest(col("n_grams") - (w - 1), lit(0L)).as("n_windows"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        when(col("n_grams") - (w - 1) > 0,
+          coalesce(col("n_selected"), lit(0L)).cast("double") /
+            (col("n_grams") - (w - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("density"),
+        col("min_fp"))
+  }
+
+  /** Boilerplate-position profile: WHERE in documents does cross-doc
+    * duplicated text sit — per relative-position decile (0 = doc
+    * head, 9 = tail), the exact count of gram positions whose k-gram
+    * occurs in another document, and their share of all gram
+    * positions in that decile. Headers/footers/navigation chrome show
+    * up as elevated head/tail deciles; body-text plagiarism is flat —
+    * the diagnostic that decides between positional trimming and
+    * [[removeDupSpans]].
+    *
+    * Decile is integer arithmetic ((p·10) div n_grams, 0-based — no
+    * doubles until the single share division). Same scale shape as
+    * [[dupSpans]]: positional kernel explode → distinct+agg for gram
+    * doc-counts → one join back; the decile rollup is 10 rows. */
+  def boilerplatePosition(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val pos = df
+      .select(col(idCol), shingleHashesAll(col(textCol), n).as("hs"))
+      .select(col(idCol), size(col("hs")).cast("long").as("ng"),
+        posexplode(col("hs")).as(Seq("p", "gh")))
+    val shared = pos.select(col(idCol), col("gh")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") > 1)
+      .select(col("gh"), lit(1).as("__dup"))
+    val flagged = pos
+      .join(shared, Seq("gh"), "left")
+      .select(expr("(p * 10) div ng").as("decile"),
+        coalesce(col("__dup"), lit(0)).as("dup"))
+    val hist = flagged.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("dup")).cast("long").as("n_dup"))
+    df.sparkSession.range(0, 10).select(col("id").as("decile"))
+      .join(hist, Seq("decile"), "left")
+      .select(col("decile"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          coalesce(col("n_dup"), lit(0L)).cast("double") /
+            col("n_grams").cast("double"))
+          .otherwise(lit(0.0)).as("dup_share"))
+  }
+
   // substring(Column, Column, Column) has no functions._ overload
   private def substring(str: Column, pos: Column, len: Column): Column =
     call_function("substring", str, pos, len)

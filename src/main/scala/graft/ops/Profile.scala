@@ -91,4 +91,46 @@ object Profile {
         .select(lit(name).as("relationship"), col("n_rows"),
           col("n_orphans"))
     }.reduce(_.unionByName(_))
+
+  /** Gate-interaction matrix: for every ordered pair of filter
+    * predicates, the exact co-pass count and the cross-product
+    * correlation sign `n·n_both − n_a·n_b` (positive = the gates drop
+    * the SAME rows, so running both buys less than independence
+    * predicts; ~0 = independent, selectivity-ordering the cascade is
+    * safe; negative = anti-correlated). This is the measurement that
+    * decides whether a filter waterfall (q182) may be reordered by
+    * independent selectivities — the correlated case is exactly where
+    * naive selectivity ordering misestimates cost.
+    *
+    * Shape: ONE aggregation computes n, every single-gate count, and
+    * every pairwise count simultaneously (k + k(k−1)/2 conditional
+    * counters in one pass — never k² scans), then a `stack` unpivot of
+    * the one-row result (a union of per-pair selects would re-run the
+    * scan per pair). All exact integers; `corr` stays in BIGINT, so
+    * callers at 100 TB-row scale should bucket first (n·n_both caps at
+    * ~3·10⁹ rows before Long overflow). */
+  def gateInteractions(df: DataFrame,
+      gates: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val pairs = for {
+      i <- gates.indices; j <- gates.indices if i < j
+    } yield (i, j)
+    val aggs =
+      Seq(count(lit(1)).as("n")) ++
+        gates.zipWithIndex.map { case ((_, c), i) =>
+          Aggregates.countIf(c).as(s"g$i") } ++
+        pairs.map { case (i, j) =>
+          Aggregates.countIf(gates(i)._2 && gates(j)._2)
+            .as(s"g${i}_$j") }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = pairs.map { case (i, j) =>
+      s"'${gates(i)._1}', '${gates(j)._1}', `g$i`, `g$j`, `g${i}_$j`"
+    }.mkString(", ")
+    one.select(col("n"), expr(
+        s"stack(${pairs.size}, $stackArgs) " +
+          "as (gate_a, gate_b, n_a, n_b, n_both)"))
+      .select(col("gate_a"), col("gate_b"), col("n"), col("n_a"),
+        col("n_b"), col("n_both"),
+        (col("n") * col("n_both") - col("n_a") * col("n_b"))
+          .as("corr"))
+  }
 }

@@ -904,6 +904,149 @@ object CurationQueries {
         FROM stage GROUP BY 1"""),
       (s, d) =>
         graft.llmops.CorpusRelease.summary(t(s, d, "documents"),
-          "doc_id", "text", "source"))
+          "doc_id", "text", "source")),
+
+    // Winnowing fingerprints (MOSS, SIGMOD'03): per doc, the count of
+    // selected (min-of-each-4-window, rightmost tie-break) 3-gram
+    // hashes, the achieved density (guarantee: any shared run of ≥ 6
+    // tokens yields a shared fingerprint at expected density 2/(w+1)),
+    // and the min selected hash as a compact signature. The oracle
+    // replicates windows by a bounded s≤p≤s+3 join and the tie-break
+    // as row_number ORDER BY (gh, p DESC); the Spark side carries it
+    // inside one struct-min over a sliding frame.
+    QueryDef(
+      "q215_winnowing",
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text,' ') toks
+                   FROM documents),
+        base AS (SELECT doc_id,
+                        CAST(greatest(len(toks)-2, 0) AS BIGINT) AS ng,
+                        toks
+                 FROM t),
+        ph AS (SELECT doc_id, ng, p,
+                      ('0x'||substr(md5(
+                        array_to_string(toks[p:p+2],' ')),1,15))::BIGINT
+                        AS gh
+               FROM (SELECT doc_id, ng, toks,
+                            unnest(range(1, ng + 1)) AS p
+                     FROM base WHERE ng >= 1)),
+        st AS (SELECT doc_id, unnest(range(1, ng - 3 + 1)) AS s
+               FROM base WHERE ng >= 4),
+        j AS (SELECT st.doc_id, st.s, ph.p, ph.gh, ph.ng
+              FROM st JOIN ph ON st.doc_id = ph.doc_id
+                             AND ph.p BETWEEN st.s AND st.s + 3),
+        selr AS (SELECT DISTINCT doc_id, ng, gh, p FROM (
+                   SELECT *, row_number() OVER (
+                     PARTITION BY doc_id, s ORDER BY gh, p DESC) AS rn
+                   FROM j)
+                 WHERE rn = 1),
+        agg AS (SELECT doc_id, count(*) AS n_selected,
+                       min(gh) AS min_fp
+                FROM selr GROUP BY 1)
+        SELECT b.doc_id, b.ng AS n_grams,
+               greatest(b.ng - 3, 0) AS n_windows,
+               coalesce(a.n_selected, 0) AS n_selected,
+               CASE WHEN b.ng - 3 > 0
+                    THEN CAST(coalesce(a.n_selected, 0) AS DOUBLE)
+                         / CAST(b.ng - 3 AS DOUBLE)
+                    ELSE 0.0 END AS density,
+               a.min_fp
+        FROM base b LEFT JOIN agg a USING (doc_id)"""),
+      (s, d) =>
+        TextOps.winnowingStats(t(s, d, "documents"), "doc_id", "text")),
+
+    // Gate-interaction matrix: exact pairwise co-pass counts and the
+    // cross-product correlation sign n·n_both − n_a·n_b over four
+    // curation gates — the measurement that decides whether a filter
+    // waterfall may be reordered by independent selectivities (the
+    // length/word-count pair is strongly positively correlated; lang
+    // is near-independent of both). One aggregation computes all
+    // single and pairwise counters; a union per pair would rescan.
+    QueryDef(
+      "q217_gate_interactions",
+      Some("""
+        WITH g AS (SELECT n_chars >= 200 AS g0,
+                          len(string_split(text,' ')) >= 30 AS g1,
+                          contains(text, ' the ') AS g2,
+                          lang = 'en' AS g3
+                   FROM documents),
+        one AS (SELECT count(*) AS n,
+                       count(*) FILTER (WHERE g0) AS c0,
+                       count(*) FILTER (WHERE g1) AS c1,
+                       count(*) FILTER (WHERE g2) AS c2,
+                       count(*) FILTER (WHERE g3) AS c3,
+                       count(*) FILTER (WHERE g0 AND g1) AS c01,
+                       count(*) FILTER (WHERE g0 AND g2) AS c02,
+                       count(*) FILTER (WHERE g0 AND g3) AS c03,
+                       count(*) FILTER (WHERE g1 AND g2) AS c12,
+                       count(*) FILTER (WHERE g1 AND g3) AS c13,
+                       count(*) FILTER (WHERE g2 AND g3) AS c23
+                FROM g),
+        p AS (
+          SELECT 'min_len' AS gate_a, 'min_words' AS gate_b, n,
+                 c0 AS n_a, c1 AS n_b, c01 AS n_both FROM one
+          UNION ALL SELECT 'min_len', 'has_stopword', n, c0, c2, c02
+            FROM one
+          UNION ALL SELECT 'min_len', 'lang_en', n, c0, c3, c03
+            FROM one
+          UNION ALL SELECT 'min_words', 'has_stopword', n, c1, c2, c12
+            FROM one
+          UNION ALL SELECT 'min_words', 'lang_en', n, c1, c3, c13
+            FROM one
+          UNION ALL SELECT 'has_stopword', 'lang_en', n, c2, c3, c23
+            FROM one)
+        SELECT gate_a, gate_b, n, n_a, n_b, n_both,
+               n * n_both - n_a * n_b AS corr
+        FROM p"""),
+      (s, d) =>
+        graft.ops.Profile.gateInteractions(t(s, d, "documents"), Seq(
+          ("min_len", col("n_chars") >= 200),
+          ("min_words", size(split(col("text"), " ")) >= 30),
+          ("has_stopword", col("text").contains(" the ")),
+          ("lang_en", col("lang") === "en")))),
+
+    // Boilerplate-position profile: per relative-position decile, the
+    // share of gram positions whose trigram occurs in another doc —
+    // elevated head/tail deciles mean chrome (trim positionally), a
+    // flat profile means body duplication (q184/q185 spans). Integer
+    // decile arithmetic; one division per output row.
+    QueryDef(
+      "q220_boilerplate_position",
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text,' ') toks
+                   FROM documents),
+        base AS (SELECT doc_id,
+                        CAST(greatest(len(toks)-2, 0) AS BIGINT) AS ng,
+                        toks
+                 FROM t),
+        pg AS (SELECT doc_id, ng, p,
+                      ('0x'||substr(md5(
+                        array_to_string(toks[p:p+2],' ')),1,15))::BIGINT
+                        AS gh
+               FROM (SELECT doc_id, ng, toks,
+                            unnest(range(1, ng + 1)) AS p
+                     FROM base WHERE ng >= 1)),
+        shared AS (SELECT gh FROM (
+                     SELECT gh, count(DISTINCT doc_id) AS c
+                     FROM pg GROUP BY 1) WHERE c > 1),
+        fl AS (SELECT ((p - 1) * 10) // ng AS decile,
+                      CASE WHEN s.gh IS NOT NULL THEN 1 ELSE 0 END
+                        AS dup
+               FROM pg LEFT JOIN shared s ON pg.gh = s.gh),
+        h AS (SELECT decile, count(*) AS n_grams,
+                     CAST(sum(dup) AS BIGINT) AS n_dup
+              FROM fl GROUP BY 1),
+        sp AS (SELECT unnest(range(0, 10)) AS decile)
+        SELECT sp.decile,
+               coalesce(h.n_grams, 0) AS n_grams,
+               coalesce(h.n_dup, 0) AS n_dup,
+               CASE WHEN coalesce(h.n_grams, 0) > 0
+                    THEN CAST(coalesce(h.n_dup, 0) AS DOUBLE)
+                         / CAST(h.n_grams AS DOUBLE)
+                    ELSE 0.0 END AS dup_share
+        FROM sp LEFT JOIN h ON sp.decile = h.decile"""),
+      (s, d) =>
+        TextOps.boilerplatePosition(t(s, d, "documents"), "doc_id",
+          "text"))
   )
 }

@@ -474,6 +474,132 @@ object RetrievalQueries {
         val e = t(s, d, "embeddings")
         Similarity.hardNegativeTriplets(e.filter(col("vec_id") < 8), e,
           "vec_id", "embedding", kNeg = 3, skip = 5)
+      }),
+
+    // Rank-biased overlap (p = 1/2, depth 10, normalized) between the
+    // full-dimension dense top-10 and the 8-dim-prefix top-10 — the
+    // label-free "how much does dimension truncation change the
+    // ranking" audit (q161 measures recall of a candidate SET; RBO
+    // scores the ORDER, top-weighted). Dyadic p makes every depth
+    // weight an integer after ×lcm(1..10)·2^11, so each common doc
+    // contributes a suffix-summed integer on its max rank — summed
+    // exactly, ONE final division by the identical-list maximum.
+    QueryDef(
+      "q216_rank_rbo",
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding v,
+                          ${dkDot("embedding", "embedding")} AS nn,
+                          embedding[1:8] AS vp,
+                          ${dkDot("embedding[1:8]", "embedding[1:8]")}
+                            AS pn
+                   FROM embeddings),
+        sa AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                      ${dkCos(dkDot("q.v", "c.v"), "q.nn", "c.nn")}
+                        AS cs
+               FROM e q JOIN e c ON q.vec_id <> c.vec_id
+               WHERE q.vec_id < 32),
+        ra AS (SELECT query_id, cand_id, rk FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cs DESC, cand_id) AS rk FROM sa)
+               WHERE rk <= 10),
+        sb AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                      ${dkCos(dkDot("q.vp", "c.vp"), "q.pn", "c.pn")}
+                        AS cs
+               FROM e q JOIN e c ON q.vec_id <> c.vec_id
+               WHERE q.vec_id < 32),
+        rb AS (SELECT query_id, cand_id, rk FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cs DESC, cand_id) AS rk FROM sb)
+               WHERE rk <= 10),
+        j AS (SELECT ra.query_id,
+                     greatest(ra.rk, rb.rk) AS m
+              FROM ra JOIN rb ON ra.query_id = rb.query_id
+                             AND ra.cand_id = rb.cand_id),
+        per AS (SELECT query_id, count(*) AS n_common,
+                       CAST(sum(CASE m
+                         WHEN 1 THEN 1788440 WHEN 2 THEN 498200
+                         WHEN 3 THEN 175640 WHEN 4 THEN 68120
+                         WHEN 5 THEN 27800 WHEN 6 THEN 11672
+                         WHEN 7 THEN 4952 WHEN 8 THEN 2072
+                         WHEN 9 THEN 812 ELSE 252 END) AS BIGINT)
+                         AS s_scaled
+                FROM j GROUP BY 1),
+        qs AS (SELECT DISTINCT query_id FROM ra)
+        SELECT qs.query_id,
+               coalesce(per.n_common, 0) AS n_common,
+               coalesce(per.s_scaled, 0) AS s_scaled,
+               CAST(coalesce(per.s_scaled, 0) AS DOUBLE) / 2577960.0
+                 AS rbo
+        FROM qs LEFT JOIN per ON qs.query_id = per.query_id"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val full = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < 32), e, "vec_id", "embedding", 10)
+        val sl = e.select(col("vec_id"),
+          slice(col("embedding"), 1, 8).as("embedding"))
+        val prefix = Similarity.bruteForceTopK(
+          sl.filter(col("vec_id") < 32), sl, "vec_id", "embedding", 10)
+        Retrieval.rbo10(full, prefix)
+      }),
+
+    // Background-similarity histogram from hash-bucket-sampled pairs:
+    // the random-pair cosine distribution that calibrates the near-dup
+    // threshold (q48's 0.95, q100's 0.3) against the corpus's own
+    // geometry. Pair sampling is an EQUI-join on hash60(id)%16 —
+    // expected n²/16 pairs, never a filtered cross join (which would
+    // still evaluate all n² pairs); at 100 TB the bucket count scales
+    // with n to hold the sample size.
+    QueryDef(
+      "q218_pair_geometry",
+      Some(s"""
+        WITH tg AS (SELECT vec_id AS id, embedding v,
+                           ${dkDot("embedding", "embedding")} AS nn,
+                           ('0x'||substr(md5(
+                             CAST(vec_id AS VARCHAR)||':pb'),1,15))
+                             ::BIGINT % 16 AS bk
+                    FROM embeddings),
+        pr AS (SELECT ${dkCos(dkDot("a.v", "b.v"), "a.nn", "b.nn")}
+                        AS cos
+               FROM tg a JOIN tg b ON a.bk = b.bk AND a.id < b.id),
+        h AS (SELECT CAST(least(floor((cos + 1.0) * 5.0), 9)
+                       AS BIGINT) AS bin,
+                     count(*) AS n_pairs
+              FROM pr GROUP BY 1),
+        sp AS (SELECT unnest(range(0, 10)) AS bin)
+        SELECT sp.bin,
+               CAST(sp.bin AS DOUBLE) / 5.0 - 1.0 AS cos_lo,
+               coalesce(h.n_pairs, 0) AS n_pairs
+        FROM sp LEFT JOIN h ON sp.bin = h.bin"""),
+      (s, d) =>
+        Similarity.bucketPairHistogram(t(s, d, "embeddings"),
+          "vec_id", "embedding", 16)),
+
+    // Hubness profile: corpus vectors appearing in ≥2 of the query
+    // sample's top-10 lists, with occurrence and rank-1 counts — the
+    // high-dimensional pathology check (hub vectors poison ANN recall
+    // and dedup clustering; a flat profile clears the index design).
+    QueryDef(
+      "q219_hubness",
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding v,
+                          ${dkDot("embedding", "embedding")} AS nn
+                   FROM embeddings),
+        sc AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                      ${dkCos(dkDot("q.v", "c.v"), "q.nn", "c.nn")}
+                        AS cs
+               FROM e q JOIN e c ON q.vec_id <> c.vec_id
+               WHERE q.vec_id < 256),
+        rk AS (SELECT query_id, cand_id, rk FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cs DESC, cand_id) AS rk FROM sc)
+               WHERE rk <= 10)
+        SELECT cand_id, count(*) AS n_occ,
+               count(*) FILTER (WHERE rk = 1) AS n_top1
+        FROM rk GROUP BY 1 HAVING count(*) >= 2"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.hubnessProfile(e.filter(col("vec_id") < 256), e,
+          "vec_id", "embedding", 10)
       })
   )
 }

@@ -217,6 +217,125 @@ class LinkageGraphSpec extends AnyFunSuite {
       r.getAs[Long]("max_backstep") == 10)
   }
 
+  test("winnowingStats: density bounds and shared-run guarantee") {
+    val docs = Seq(
+      (1L, "a b c d e f"),                            // 4 grams, 1 window
+      (2L, "x1 x2 P Q R S T U V y1 y2 y3"),           // shares 7-run
+      (3L, "z1 z2 z3 P Q R S T U V z4"),              // with doc 2
+      (4L, "a b c"),                                  // 1 gram, 0 windows
+      (5L, ""))                                       // empty
+      .toDF("doc_id", "text")
+    val out = graft.llmops.TextOps.winnowingStats(docs, "doc_id",
+      "text").collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_grams") == 4 &&
+      d1.getAs[Long]("n_windows") == 1 &&
+      d1.getAs[Long]("n_selected") == 1 &&
+      d1.getAs[Double]("density") == 1.0)
+    assert(out(4L).getAs[Long]("n_windows") == 0 &&
+      out(4L).getAs[Long]("n_selected") == 0 &&
+      out(4L).getAs[Double]("density") == 0.0)
+    assert(out(5L).getAs[Long]("n_grams") == 0)
+    // density bounds: 1/w <= n_selected/n_windows <= 1
+    for (r <- out.values if r.getAs[Long]("n_windows") > 0) {
+      val dens = r.getAs[Double]("density")
+      assert(dens > 0.24 && dens <= 1.0)
+    }
+    // docs 2 and 3 share the 7-token run "P Q R S T U V" (>= w+k-1):
+    // the full selected-set guarantee is exercised on the real corpus
+    // by q215's oracle; here pin the density floor n_windows/w on both
+    assert(out(2L).getAs[Long]("n_selected") >= 2 &&
+      out(3L).getAs[Long]("n_selected") >= 2)
+  }
+
+  test("rbo10: identity, disjoint, and top-swap cases") {
+    def ranks(rows: Seq[(Long, Long, Int)]) =
+      rows.toDF("query_id", "cand_id", "rk")
+    val a = ranks((1 to 10).map(r => (1L, r.toLong, r)))
+    // identical
+    val id = graft.llmops.Retrieval.rbo10(a, a).collect()(0)
+    assert(id.getAs[Long]("n_common") == 10 &&
+      id.getAs[Double]("rbo") == 1.0)
+    // disjoint
+    val b = ranks((1 to 10).map(r => (1L, 100L + r, r)))
+    val dj = graft.llmops.Retrieval.rbo10(a, b).collect()(0)
+    assert(dj.getAs[Long]("n_common") == 0 &&
+      dj.getAs[Double]("rbo") == 0.0)
+    // top-2 swapped: X_1 = 0, X_d = d for d >= 2
+    val sw = ranks(Seq((1L, 1L, 2), (1L, 2L, 1)) ++
+      (3 to 10).map(r => (1L, r.toLong, r)))
+    val s = graft.llmops.Retrieval.rbo10(a, sw).collect()(0)
+    assert(s.getAs[Long]("s_scaled") ==
+      2L * 498200 + (2577960L - 1788440 - 498200))
+  }
+
+  test("gateInteractions: correlated vs disjoint gates") {
+    val df = spark.range(0, 100).select(col("id"),
+      (col("id") < 50).as("low"))
+    val out = graft.ops.Profile.gateInteractions(df, Seq(
+        ("a", col("id") < 50),          // identical to b → max corr
+        ("b", col("id") < 50),
+        ("c", col("id") >= 50)))        // disjoint from a/b
+      .collect()
+      .map(r => (r.getAs[String]("gate_a"), r.getAs[String]("gate_b"))
+        -> r).toMap
+    val ab = out(("a", "b"))
+    assert(ab.getAs[Long]("n_both") == 50 &&
+      ab.getAs[Long]("corr") == 100L * 50 - 50L * 50)
+    val ac = out(("a", "c"))
+    assert(ac.getAs[Long]("n_both") == 0 &&
+      ac.getAs[Long]("corr") == -50L * 50)
+    assert(out.size == 3)
+  }
+
+  test("bucketPairHistogram: stable 10-bin schema, identical pair at top") {
+    val vecs = (0L to 40L).map(i => (i, Array(1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.llmops.Similarity
+      .bucketPairHistogram(vecs, "vec_id", "embedding", 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("cos_lo"), r.getAs[Long]("n_pairs"))).toMap
+    assert(out.size == 10)                      // dense spine
+    assert(out(9)._1 == 0.8)
+    // all vectors identical → every sampled pair lands in bin 9
+    assert((0 to 8).forall(b => out(b.toLong)._2 == 0))
+    assert(out(9)._2 > 0)
+  }
+
+  test("hubnessProfile finds the hub") {
+    // three tight queries + a hub on their axis + three orthogonal
+    // decoys: every query's top-3 is {other two queries, hub}
+    val corpus = (Seq((100L, Array(1f, 0f, 0f, 0f))) ++
+      (1L to 3L).map(i => (i, Array(1f, 0f, 0f, i.toFloat / 100))) ++
+      Seq((11L, Array(0f, 1f, 0f, 0f)), (12L, Array(0f, 0f, 1f, 0f)),
+        (13L, Array(0f, 1f, 1f, 0f))))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") <= 3)
+    val out = graft.llmops.Similarity
+      .hubnessProfile(queries, corpus, "vec_id", "embedding", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_occ"), r.getAs[Long]("n_top1"))).toMap
+    // every non-hub pair has cos ~0.95+; the hub is in all lists but
+    // what we pin is structural: occurrences sum ≤ queries×k and the
+    // hub appears for every query
+    assert(out.contains(100L) && out(100L)._1 == 3)
+  }
+
+  test("boilerplatePosition: shared leading trigram hits decile 0") {
+    val filler1 = (1 to 17).map("x" + _).mkString(" ")
+    val filler2 = (1 to 17).map("y" + _).mkString(" ")
+    val docs = Seq((1L, s"A B C $filler1"), (2L, s"A B C $filler2"))
+      .toDF("doc_id", "text")
+    val out = graft.llmops.TextOps
+      .boilerplatePosition(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup"))).toMap
+    assert(out.size == 10)
+    assert(out(0L)._2 == 2)                     // "A B C" in both docs
+    assert((1 to 9).forall(d => out(d.toLong)._2 == 0))
+    assert(out.values.map(_._1).sum == 36)      // 2 docs × 18 grams
+  }
+
   test("saltedJoin is exactly the plain inner join") {
     // skewed fact: key 1 dominates
     val fact = spark.range(0, 3000)
