@@ -87,6 +87,24 @@ object Sharding {
       sort_array(array(scored: _*)).getItem(0).getField("node"))
   }
 
+  /** Rebalance audit for [[rendezvousAssign]]: the old→new transition
+    * matrix when the node set changes — the measurement behind
+    * rendezvous hashing's selling point (adding a node moves only the
+    * ~1/(N+1) of keys whose new-node score beats their old argmax;
+    * mod-N resharding would move ~N/(N+1) of them). Both assignments
+    * are computed in the SAME narrow projection — one scan, zero
+    * joins, one count aggregation; rows with old = new are the stable
+    * mass, so `1 − Σ_stay/Σ_all` is the measured movement. */
+  def rendezvousRebalance(df: DataFrame, idCol: String,
+      oldNodes: Seq[String], newNodes: Seq[String]): DataFrame =
+    rendezvousAssign(
+        rendezvousAssign(df, idCol, oldNodes)
+          .withColumnRenamed("node", "old_node"),
+        idCol, newNodes)
+      .withColumnRenamed("node", "new_node")
+      .groupBy(col("old_node"), col("new_node"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Exact global row number over (`sortCol`, `idCol`) WITHOUT a
     * single-partition window. `row_number() OVER (ORDER BY ...)` pulls
     * the whole table through one task — the one window shape that can

@@ -92,6 +92,26 @@ object Profile {
           col("n_orphans"))
     }.reduce(_.unionByName(_))
 
+  /** Self-join size forecast WITHOUT running the join: for an
+    * equi-self-join on `keyCol` the output cardinality is exactly
+    * Σ_k c(k)² — computable from the per-key count table alone. This
+    * is the pre-flight check before any pair-producing operator
+    * (sessionization cross products, same-user event pairing,
+    * candidate generation): `join_rows` says whether the join fits,
+    * `max_key_pairs` / `top_key_share` say whether ONE hot key owns
+    * the blow-up (→ salt or cap that key, not the whole join).
+    * One aggregation to per-key counts, one tiny reduction; all exact
+    * integers + a single share division. */
+  def selfJoinForecast(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_join_keys"),
+        sum(col("n") * col("n")).as("join_rows"),
+        max(col("n") * col("n")).as("max_key_pairs"))
+      .select(col("n_join_keys"), col("join_rows"),
+        col("max_key_pairs"),
+        (col("max_key_pairs").cast("double") /
+          col("join_rows").cast("double")).as("top_key_share"))
+
   /** Gate-interaction matrix: for every ordered pair of filter
     * predicates, the exact co-pass count and the cross-product
     * correlation sign `n·n_both − n_a·n_b` (positive = the gates drop

@@ -611,5 +611,60 @@ object ReconQueries {
               when(col("v") === 1 && col("k") % 7 === 0, 5)
                 .otherwise(0)).as("ts"))
         Incremental.orderAudit(ch, "k", "v", "ts")
-      }))
+      }),
+
+    // Rendezvous-rebalance audit: the old→new transition matrix when
+    // node n5 joins the q111 ring — measures rendezvous hashing's
+    // guarantee that only ~1/(N+1) of keys move (a mod-N reshard moves
+    // ~N/(N+1)). Both argmax assignments run in one narrow projection:
+    // one scan, zero joins, one count aggregation.
+    QueryDef(
+      "q221_rendezvous_rebalance",
+      Some(s"""
+        WITH nd5 AS (SELECT unnest(['n0','n1','n2','n3','n4']) AS node),
+        nd6 AS (SELECT unnest(['n0','n1','n2','n3','n4','n5'])
+                  AS node),
+        s5 AS (SELECT d.doc_id, nd5.node,
+                      ${dkHash60(
+          "CAST(d.doc_id AS VARCHAR)||'@'||nd5.node")} AS score
+               FROM documents d CROSS JOIN nd5),
+        a5 AS (SELECT doc_id, node AS old_node FROM
+                 (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, node) AS rk FROM s5)
+               WHERE rk = 1),
+        s6 AS (SELECT d.doc_id, nd6.node,
+                      ${dkHash60(
+          "CAST(d.doc_id AS VARCHAR)||'@'||nd6.node")} AS score
+               FROM documents d CROSS JOIN nd6),
+        a6 AS (SELECT doc_id, node AS new_node FROM
+                 (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, node) AS rk FROM s6)
+               WHERE rk = 1)
+        SELECT old_node, new_node, count(*) AS n_docs
+        FROM a5 JOIN a6 USING (doc_id)
+        GROUP BY 1, 2"""),
+      (s, d) =>
+        graft.llmops.Sharding.rendezvousRebalance(
+          t(s, d, "documents"), "doc_id",
+          Seq("n0", "n1", "n2", "n3", "n4"),
+          Seq("n0", "n1", "n2", "n3", "n4", "n5"))),
+
+    // Self-join size forecast from per-key counts: exact output
+    // cardinality of the events-per-user pairing (Σ c²) plus the hot
+    // key's share — the pre-flight check that decides salt-vs-run
+    // BEFORE paying the shuffle. Never materializes a single pair.
+    QueryDef(
+      "q222_join_size_forecast",
+      Some("""
+        WITH c AS (SELECT user_id, count(*) AS n
+                   FROM events GROUP BY 1)
+        SELECT count(*) AS n_join_keys,
+               CAST(sum(n*n) AS BIGINT) AS join_rows,
+               CAST(max(n*n) AS BIGINT) AS max_key_pairs,
+               CAST(max(n*n) AS DOUBLE) / CAST(sum(n*n) AS DOUBLE)
+                 AS top_key_share
+        FROM c"""),
+      (s, d) =>
+        graft.ops.Profile.selfJoinForecast(t(s, d, "events"),
+          "user_id")))
 }

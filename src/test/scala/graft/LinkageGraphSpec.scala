@@ -336,6 +336,35 @@ class LinkageGraphSpec extends AnyFunSuite {
     assert(out.values.map(_._1).sum == 36)      // 2 docs × 18 grams
   }
 
+  test("rendezvousRebalance: only the new node gains, bounded movement") {
+    val docs = spark.range(0, 2000).select(col("id").as("doc_id"))
+    val old5 = Seq("n0", "n1", "n2", "n3", "n4")
+    val out = graft.llmops.Sharding
+      .rendezvousRebalance(docs, "doc_id", old5, old5 :+ "n5")
+      .collect()
+    // every mover goes TO the new node — rendezvous never reshuffles
+    // between surviving nodes
+    assert(out.forall(r => r.getString(0) == r.getString(1) ||
+      r.getString(1) == "n5"))
+    val moved = out.filter(r => r.getString(0) != r.getString(1))
+      .map(_.getLong(2)).sum
+    val total = out.map(_.getLong(2)).sum
+    assert(total == 2000)
+    // expected 1/6 ≈ 333; allow generous slack for hash variance
+    assert(moved > 200 && moved < 480)
+  }
+
+  test("selfJoinForecast equals the real join cardinality") {
+    val df = Seq(1L, 1L, 1L, 2L, 2L, 3L).toDF("k")
+    val f = graft.ops.Profile.selfJoinForecast(df, "k").collect()(0)
+    assert(f.getAs[Long]("n_join_keys") == 3)
+    assert(f.getAs[Long]("join_rows") == 9 + 4 + 1)
+    assert(f.getAs[Long]("max_key_pairs") == 9)
+    val actual = df.as("a").join(df.as("b"),
+      col("a.k") === col("b.k")).count()
+    assert(f.getAs[Long]("join_rows") == actual)
+  }
+
   test("saltedJoin is exactly the plain inner join") {
     // skewed fact: key 1 dominates
     val fact = spark.range(0, 3000)
