@@ -1490,6 +1490,28 @@ object TextOps {
           .otherwise(lit(0.0)).as("dup_share"))
   }
 
+  /** Group-level MinHash signature: per group, the elementwise MIN of
+    * its documents' [[minhashSignatures]] slots — which IS the MinHash
+    * signature of the union of the documents' shingle sets (min is
+    * associative/commutative/idempotent), so group signatures MERGE:
+    * shard-local group signatures combine by another elementwise min,
+    * and a group's signature never needs its documents co-located.
+    * That mergeability is the whole point — source-vs-source
+    * similarity at 100 TB from a k-longs-per-group frame. Estimate
+    * quality is the standard MinHash ±1/√k; k = 4 here (the engine's
+    * signature width), so downstream estimates are coarse screens,
+    * refined by q168's KMV or q41's exact path. Docs below 3 tokens
+    * carry no signature and drop out, exactly as in the per-doc op. */
+  def groupMinhash(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame =
+    minhashSignatures(df, idCol, textCol)
+      .join(df.select(col(idCol), col(groupCol)), Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(min(col("sig_0")).as("sig_0"),
+        min(col("sig_1")).as("sig_1"),
+        min(col("sig_2")).as("sig_2"),
+        min(col("sig_3")).as("sig_3"))
+
   // substring(Column, Column, Column) has no functions._ overload
   private def substring(str: Column, pos: Column, len: Column): Column =
     call_function("substring", str, pos, len)

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -772,6 +773,177 @@ object LlmQueries {
                 .cast("double")).as("recall_at_10"),
             (col("sdcg").cast("double") /
               (lit(512.0) * col("n_queries"))).as("dcg_at_10"))
+      }),
+
+    // Blocking-quality report (the entity-resolution pair of metrics):
+    // pairs-completeness (what fraction of q41's true near-dup pairs
+    // land in the same cheap block) and reduction ratio (what fraction
+    // of C(n,2) the blocking key avoids scoring). The (lang,
+    // n_chars÷64) key is deliberately naive — the report is the
+    // operator; it tells you whether that key may replace LSH for a
+    // first pass. All counts exact; two single divisions.
+    QueryDef(
+      "q223_blocking_quality",
+      Some(s"""
+        WITH $dkShingles,
+        sh2 AS (SELECT doc_id, len(shsd) AS nsh, unnest(shsd) AS sh
+                FROM (SELECT doc_id, list_distinct(
+                        list_transform(shs, g -> ${dkHash60("g")})) shsd
+                      FROM sarr)),
+        kept AS (SELECT sh FROM sh2 GROUP BY sh
+                 HAVING count(*) <= 1000),
+        truth AS (SELECT * FROM (
+            SELECT da, db,
+                   CAST(common AS DOUBLE)/(na+nb-common) AS jac
+            FROM (SELECT a.doc_id da, b.doc_id db, a.nsh na, b.nsh nb,
+                         count(*) common
+                  FROM sh2 a JOIN sh2 b
+                    ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  JOIN kept k ON a.sh = k.sh
+                  GROUP BY 1, 2, 3, 4))
+          WHERE jac >= 0.2),
+        bl AS (SELECT doc_id, lang, n_chars // 64 AS bkt
+               FROM documents),
+        tb AS (SELECT (a.lang = b.lang AND a.bkt = b.bkt) AS same_block
+               FROM truth tr
+               JOIN bl a ON tr.da = a.doc_id
+               JOIN bl b ON tr.db = b.doc_id),
+        ts AS (SELECT CAST(count(*) AS BIGINT) AS n_truth,
+                      count(*) FILTER (WHERE same_block) AS n_caught
+               FROM tb),
+        cs AS (SELECT CAST(sum(c*(c-1)//2) AS BIGINT) AS n_cand_pairs
+               FROM (SELECT count(*) AS c FROM bl GROUP BY lang, bkt)),
+        ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        SELECT n_truth, n_caught,
+               CAST(n_caught AS DOUBLE) / CAST(n_truth AS DOUBLE)
+                 AS pairs_completeness,
+               n_cand_pairs,
+               n*(n-1)//2 AS n_all_pairs,
+               1.0 - CAST(n_cand_pairs AS DOUBLE)
+                     / CAST(n*(n-1)//2 AS DOUBLE) AS reduction_ratio
+        FROM ts CROSS JOIN cs CROSS JOIN ns"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val truth = TextOps.ngramJaccardPairs(docs, "doc_id", "text",
+          minJac = 0.2, maxDf = 1000).barrier()
+        val bl = docs.select(col("doc_id"), col("lang"),
+          expr("n_chars div 64").as("bkt")).barrier()
+        val tb = truth
+          .join(bl.select(col("doc_id").as("doc_a"),
+            col("lang").as("la"), col("bkt").as("ba")), Seq("doc_a"))
+          .join(bl.select(col("doc_id").as("doc_b"),
+            col("lang").as("lb"), col("bkt").as("bb")), Seq("doc_b"))
+          .select((col("la") === col("lb") && col("ba") === col("bb"))
+            .as("same_block"))
+        val ts = tb.agg(count(lit(1)).as("n_truth"),
+          graft.ops.Aggregates.countIf(col("same_block"))
+            .as("n_caught"))
+        val cs = bl.groupBy(col("lang"), col("bkt"))
+          .agg(count(lit(1)).as("c"))
+          .agg(sum(((col("c") * (col("c") - 1)) / 2).cast("long"))
+            .cast("long").as("n_cand_pairs"))
+        val ns = bl.agg(count(lit(1)).as("n"))
+        ts.crossJoin(broadcast(cs)).crossJoin(broadcast(ns))
+          .select(col("n_truth"), col("n_caught"),
+            (col("n_caught").cast("double") /
+              col("n_truth").cast("double")).as("pairs_completeness"),
+            col("n_cand_pairs"),
+            ((col("n") * (col("n") - 1)) / 2).cast("long")
+              .as("n_all_pairs"),
+            (lit(1.0) - col("n_cand_pairs").cast("double") /
+              ((col("n") * (col("n") - 1)) / 2).cast("long")
+                .cast("double")).as("reduction_ratio"))
+      }),
+
+    // Dedup threshold-sensitivity curve: q41's true pair mass bucketed
+    // by Jaccard decile with a descending cumulative — "how many pairs
+    // does each threshold choice remove". The cumulative window runs
+    // over ≤8 aggregated band rows, never pairs.
+    QueryDef(
+      "q224_dedup_threshold_curve",
+      Some(s"""
+        WITH $dkShingles,
+        sh2 AS (SELECT doc_id, len(shsd) AS nsh, unnest(shsd) AS sh
+                FROM (SELECT doc_id, list_distinct(
+                        list_transform(shs, g -> ${dkHash60("g")})) shsd
+                      FROM sarr)),
+        kept AS (SELECT sh FROM sh2 GROUP BY sh
+                 HAVING count(*) <= 1000),
+        truth AS (SELECT * FROM (
+            SELECT da, db,
+                   CAST(common AS DOUBLE)/(na+nb-common) AS jac
+            FROM (SELECT a.doc_id da, b.doc_id db, a.nsh na, b.nsh nb,
+                         count(*) common
+                  FROM sh2 a JOIN sh2 b
+                    ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  JOIN kept k ON a.sh = k.sh
+                  GROUP BY 1, 2, 3, 4))
+          WHERE jac >= 0.02),
+        bands AS (SELECT CAST(least(floor(jac * 10), 9) AS BIGINT)
+                    AS band,
+                       count(*) AS n_pairs
+                  FROM truth GROUP BY 1)
+        SELECT band,
+               CAST(band AS DOUBLE) / 10.0 AS jac_lo,
+               n_pairs,
+               CAST(sum(n_pairs) OVER (ORDER BY band DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS pairs_at_or_above
+        FROM bands"""),
+      (s, d) => {
+        val truth = TextOps.ngramJaccardPairs(t(s, d, "documents"),
+          "doc_id", "text", minJac = 0.02, maxDf = 1000)
+        val bands = truth
+          .select(least(floor(col("jac") * 10), lit(9.0)).cast("long")
+            .as("band"))
+          .groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+        bands.select(col("band"),
+          (col("band").cast("double") / 10.0).as("jac_lo"),
+          col("n_pairs"),
+          sum(col("n_pairs")).over(
+            Window.orderBy(col("band").desc)
+              .rowsBetween(Window.unboundedPreceding,
+                Window.currentRow)).cast("long")
+            .as("pairs_at_or_above"))
+      }),
+
+    // Group-level MinHash: per-source signature = elementwise min of
+    // doc signatures (= the signature of the union of shingle sets —
+    // min is associative/commutative/idempotent, so group signatures
+    // MERGE across shards without co-locating documents), then
+    // source×source slot agreement as a coarse Jaccard screen
+    // (±1/√4; q168's KMV refines, q41 exacts).
+    QueryDef(
+      "q225_group_minhash",
+      Some(s"""
+        WITH $dkMinhashSigs,
+        gs AS (SELECT d.source,
+                      min(sig_0) AS g0, min(sig_1) AS g1,
+                      min(sig_2) AS g2, min(sig_3) AS g3
+               FROM sigs JOIN documents d USING (doc_id)
+               GROUP BY 1)
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST((a.g0 = b.g0)::INT + (a.g1 = b.g1)::INT
+                  + (a.g2 = b.g2)::INT + (a.g3 = b.g3)::INT AS BIGINT)
+                 AS n_match,
+               CAST((a.g0 = b.g0)::INT + (a.g1 = b.g1)::INT
+                  + (a.g2 = b.g2)::INT + (a.g3 = b.g3)::INT AS DOUBLE)
+                 / 4.0 AS jaccard_est
+        FROM gs a JOIN gs b ON a.source < b.source"""),
+      (s, d) => {
+        val gs = TextOps.groupMinhash(t(s, d, "documents"), "doc_id",
+          "text", "source").barrier()
+        val matches = (0 to 3).map(i =>
+          when(col(s"a.sig_$i") === col(s"b.sig_$i"), 1L)
+            .otherwise(0L)).reduce(_ + _)
+        // the group frame is |sources| rows — broadcast the probe side
+        // so the non-equi pairing is a BNLJ, never a CartesianProduct
+        gs.as("a").join(broadcast(gs.as("b")),
+            col("a.source") < col("b.source"))
+          .select(col("a.source").as("source_a"),
+            col("b.source").as("source_b"),
+            matches.as("n_match"),
+            (matches.cast("double") / 4.0).as("jaccard_est"))
       })
   )
 }

@@ -365,6 +365,22 @@ class LinkageGraphSpec extends AnyFunSuite {
     assert(f.getAs[Long]("join_rows") == actual)
   }
 
+  test("groupMinhash: shard signatures merge to the group signature") {
+    val docs = (1L to 40L).map(i =>
+      (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 11} pad$i",
+        "g")).toDF("doc_id", "text", "src")
+    val whole = graft.llmops.TextOps
+      .groupMinhash(docs, "doc_id", "text", "src").collect()(0)
+    val lo = graft.llmops.TextOps.groupMinhash(
+      docs.filter(col("doc_id") <= 20), "doc_id", "text", "src")
+      .collect()(0)
+    val hi = graft.llmops.TextOps.groupMinhash(
+      docs.filter(col("doc_id") > 20), "doc_id", "text", "src")
+      .collect()(0)
+    for (i <- 1 to 4)   // col 0 is the group key
+      assert(whole.getLong(i) == math.min(lo.getLong(i), hi.getLong(i)))
+  }
+
   test("saltedJoin is exactly the plain inner join") {
     // skewed fact: key 1 dominates
     val fact = spark.range(0, 3000)
