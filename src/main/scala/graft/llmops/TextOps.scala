@@ -1512,6 +1512,18 @@ object TextOps {
         min(col("sig_2")).as("sig_2"),
         min(col("sig_3")).as("sig_3"))
 
+  /** Merge two [[groupMinhash]] frames: elementwise min per group —
+    * the shard/stream combiner the merge law licenses (groups present
+    * on one side only carry through). */
+  def groupMinhashMerge(a: DataFrame, b: DataFrame, groupCol: String)
+      : DataFrame =
+    a.unionByName(b)
+      .groupBy(col(groupCol))
+      .agg(min(col("sig_0")).as("sig_0"),
+        min(col("sig_1")).as("sig_1"),
+        min(col("sig_2")).as("sig_2"),
+        min(col("sig_3")).as("sig_3"))
+
   // substring(Column, Column, Column) has no functions._ overload
   private def substring(str: Column, pos: Column, len: Column): Column =
     call_function("substring", str, pos, len)

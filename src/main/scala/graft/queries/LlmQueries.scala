@@ -944,6 +944,57 @@ object LlmQueries {
             col("b.source").as("source_b"),
             matches.as("n_match"),
             (matches.cast("double") / 4.0).as("jaccard_est"))
+      }),
+
+    // LSH-graph transitivity: global clustering coefficient
+    // 3·triangles / wedges of the q43 candidate graph — the number
+    // that justifies (or indicts) running connected components over
+    // LSH candidates: high transitivity means buckets capture genuine
+    // duplicate CLIQUES, low means chains of accidental collisions
+    // that components would wrongly glue. Wedge space is structurally
+    // bounded by the LSH bucket cap (degree ≤ 4·(cap−1)); exact
+    // integers, one division.
+    QueryDef(
+      "q226_lsh_transitivity",
+      Some(s"""
+        WITH $dkLshCand,
+        e AS (SELECT DISTINCT doc_a AS src, doc_b AS dst FROM cand),
+        deg AS (SELECT v, count(*) AS deg FROM
+                  (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+                GROUP BY 1),
+        w AS (SELECT CAST(sum(deg*(deg-1)//2) AS BIGINT) AS n_wedges
+              FROM deg),
+        tri AS (SELECT count(*) AS t FROM
+                  (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                   FROM e e1 JOIN e e2 ON e1.dst = e2.src) wdg
+                JOIN e e3 ON wdg.a = e3.src AND wdg.c = e3.dst),
+        ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+        SELECT n_edges, n_wedges, CAST(t AS BIGINT) AS n_triangles,
+               CASE WHEN n_wedges > 0
+                    THEN 3.0 * CAST(t AS DOUBLE)
+                         / CAST(n_wedges AS DOUBLE)
+                    ELSE 0.0 END AS transitivity
+        FROM ne CROSS JOIN w CROSS JOIN tri"""),
+      (s, d) => {
+        val cand = TextOps.lshCandidatePairs(
+          TextOps.minhashSignatures(t(s, d, "documents"), "doc_id",
+            "text"), "doc_id")
+        val e = cand.select(col("doc_a").as("src"),
+          col("doc_b").as("dst")).distinct().barrier()
+        val ne = e.agg(count(lit(1)).as("n_edges"))
+        val w = e.select(explode(array(col("src"), col("dst"))).as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+          .agg(sum(((col("deg") * (col("deg") - 1)) / 2).cast("long"))
+            .cast("long").as("n_wedges"))
+        val tri = graft.ops.Graphs.triangleCounts(e)
+          .agg((sum(col("n_triangles")) / 3).cast("long").as("t"))
+        ne.crossJoin(broadcast(w)).crossJoin(broadcast(tri))
+          .select(col("n_edges"), col("n_wedges"),
+            col("t").as("n_triangles"),
+            when(col("n_wedges") > 0,
+              lit(3.0) * col("t").cast("double") /
+                col("n_wedges").cast("double"))
+              .otherwise(lit(0.0)).as("transitivity"))
       })
   )
 }

@@ -449,6 +449,34 @@ object Streams {
     * MISSING store (a read failure on an existing one propagates —
     * silently restarting counters from zero would undercount, the one
     * error a CMS must never make). */
+  /** Shared read-merge-swap cycle of the mergeable-sketch stores:
+    * read the current store (falling back to the rename-aside copy —
+    * bootstrap tolerates only a MISSING store; a read failure on an
+    * existing one propagates, because silently restarting a sketch
+    * from empty is the one error a merge-law store must never make),
+    * merge the batch sketch in, write aside, swap by rename. A
+    * complete store exists on disk at every instant. */
+  private def upsertSketchStore(spark: SparkSession, storeDir: String,
+      batchSketch: DataFrame)(
+      merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val prevPath = new org.apache.hadoop.fs.Path(storeDir + "__prev")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = storePath.getFileSystem(hconf)
+    def readStore(p: org.apache.hadoop.fs.Path): Option[DataFrame] =
+      if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    val merged = readStore(storePath).orElse(readStore(prevPath))
+      .map(cur => merge(cur, batchSketch))
+      .getOrElse(batchSketch)
+    val tmp = new org.apache.hadoop.fs.Path(storeDir + "__tmp")
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(prevPath, true)
+    if (fs.exists(storePath)) fs.rename(storePath, prevPath)
+    fs.rename(tmp, storePath)
+    fs.delete(prevPath, true)
+    ()
+  }
+
   def toCmsStore(stream: DataFrame, termCol: String, d: Int, w: Int,
       storeDir: String, checkpoint: String): StreamingQuery =
     stream.writeStream
@@ -456,25 +484,9 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val batchSketch = graft.llmops.Sketches
-            .countMinBuild(batch, termCol, d, w)
-          val storePath = new org.apache.hadoop.fs.Path(storeDir)
-          val prevPath = new org.apache.hadoop.fs.Path(storeDir + "__prev")
-          val hconf = spark.sparkContext.hadoopConfiguration
-          val fs = storePath.getFileSystem(hconf)
-          def readStore(p: org.apache.hadoop.fs.Path): Option[DataFrame] =
-            if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
-          val merged = readStore(storePath).orElse(readStore(prevPath))
-            .map(cur => graft.llmops.Sketches.countMinMerge(cur, batchSketch))
-            .getOrElse(batchSketch)
-          val tmp = new org.apache.hadoop.fs.Path(storeDir + "__tmp")
-          merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          fs.delete(prevPath, true)
-          if (fs.exists(storePath)) fs.rename(storePath, prevPath)
-          fs.rename(tmp, storePath)
-          fs.delete(prevPath, true)
-          ()
+          upsertSketchStore(batch.sparkSession, storeDir,
+            graft.llmops.Sketches.countMinBuild(batch, termCol, d, w))(
+            graft.llmops.Sketches.countMinMerge)
         }
       }
       .start()
@@ -495,26 +507,37 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val batchSketch = graft.llmops.Sketches
-            .quantileSampleBuild(batch, groupCol, keyCol, valueCol, k)
-          val storePath = new org.apache.hadoop.fs.Path(storeDir)
-          val prevPath = new org.apache.hadoop.fs.Path(storeDir + "__prev")
-          val hconf = spark.sparkContext.hadoopConfiguration
-          val fs = storePath.getFileSystem(hconf)
-          def readStore(p: org.apache.hadoop.fs.Path): Option[DataFrame] =
-            if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
-          val merged = readStore(storePath).orElse(readStore(prevPath))
-            .map(cur => graft.llmops.Sketches
-              .quantileSampleMerge(cur, batchSketch, groupCol, k))
-            .getOrElse(batchSketch)
-          val tmp = new org.apache.hadoop.fs.Path(storeDir + "__tmp")
-          merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          fs.delete(prevPath, true)
-          if (fs.exists(storePath)) fs.rename(storePath, prevPath)
-          fs.rename(tmp, storePath)
-          fs.delete(prevPath, true)
-          ()
+          upsertSketchStore(batch.sparkSession, storeDir,
+            graft.llmops.Sketches
+              .quantileSampleBuild(batch, groupCol, keyCol, valueCol, k))(
+            (cur, b) => graft.llmops.Sketches
+              .quantileSampleMerge(cur, b, groupCol, k))
+        }
+      }
+      .start()
+
+  /** Incrementally maintained group-MinHash store: per micro-batch,
+    * the per-group signature (`TextOps.groupMinhash`) merges into the
+    * parquet store by ELEMENTWISE MIN — which is exactly the signature
+    * of the union of every document ever streamed (min is associative,
+    * commutative, idempotent; q225's batch operator, StreamingSpec
+    * pins streamed ≡ one-shot). Idempotence means replayed batches are
+    * harmless — this store tolerates at-least-once delivery with no
+    * dedup at all, the strongest form of the merge-law story. Same
+    * rename-aside swap as [[toCmsStore]]. */
+  def toGroupMinhashStore(stream: DataFrame, idCol: String,
+      textCol: String, groupCol: String, storeDir: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          upsertSketchStore(batch.sparkSession, storeDir,
+            graft.llmops.TextOps
+              .groupMinhash(batch, idCol, textCol, groupCol))(
+            (cur, b) => graft.llmops.TextOps
+              .groupMinhashMerge(cur, b, groupCol))
         }
       }
       .start()

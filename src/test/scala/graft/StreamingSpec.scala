@@ -373,6 +373,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(est == Map("g1" -> 8L, "g2" -> 5L))
   }
 
+  test("toGroupMinhashStore: streamed ≡ one-shot; replay is harmless " +
+    "(idempotent merge)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-gmh").toString
+    val (store, ckpt) = (s"$dir/store", s"$dir/ckpt")
+    val input = MemoryStream[(Long, String, String)]
+    val q = Streams.toGroupMinhashStore(
+      input.toDF().toDF("doc_id", "text", "src"),
+      "doc_id", "text", "src", store, ckpt)
+    val b1 = (1L to 15L).map(i =>
+      (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tail$i", s"s${i % 2}"))
+    val b2 = (16L to 30L).map(i =>
+      (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tail$i", s"s${i % 2}"))
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    // replay batch 1 verbatim — idempotent min must not change a slot
+    input.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    val streamed = canon(spark.read.parquet(store))
+    val oneShot = canon(graft.llmops.TextOps.groupMinhash(
+      (b1 ++ b2).toDF("doc_id", "text", "src"),
+      "doc_id", "text", "src"))
+    assert(streamed == oneShot)
+  }
+
   test("file source streams incrementally and lands in a day store") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream").toString
