@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.Checkpoints.BarrierOps
 import graft.core.Tables
 import graft.ops.{Aggregates, Calendar, Events, Graphs, Incremental,
   Linkage, Skew}
@@ -666,5 +667,51 @@ object ReconQueries {
         FROM c"""),
       (s, d) =>
         graft.ops.Profile.selfJoinForecast(t(s, d, "events"),
-          "user_id")))
+          "user_id")),
+
+    // Degree assortativity: Pearson correlation of endpoint degrees
+    // over the symmetrized edge list — do high-degree vertices attach
+    // to each other (assortative, >0) or to leaves (disassortative,
+    // <0)? Read together with q211: high clustering + assortative core
+    // means dedup components will chain through hubs. Engine-exact by
+    // the q121 contract: integer moment sums in DECIMAL, sqrt is
+    // IEEE-exact, one final division.
+    QueryDef(
+      "q227_degree_assortativity",
+      Some(s"""
+        WITH $edgeCte,
+        sym AS (SELECT src AS u, dst AS v FROM e
+                UNION ALL SELECT dst, src FROM e),
+        dgs AS (SELECT u AS w, count(*) AS dg FROM sym GROUP BY 1),
+        p AS (SELECT da.dg AS du, db.dg AS dv
+              FROM sym JOIN dgs da ON sym.u = da.w
+                       JOIN dgs db ON sym.v = db.w),
+        g AS (SELECT 'copurchase' AS graph, count(*) AS n,
+                     sum(du) AS sx, sum(dv) AS sy, sum(du*dv) AS sxy,
+                     sum(du*du) AS sxx, sum(dv*dv) AS syy
+              FROM p)
+        SELECT graph, n,
+               CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0
+                    THEN NULL
+                    ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+                       / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                        * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END
+                 AS pearson_r
+        FROM g"""),
+      (s, d) => {
+        val edges = copurchaseEdges(s, d).barrier()
+        val sym = edges.select(col("src").as("u"), col("dst").as("v"))
+          .unionByName(
+            edges.select(col("dst").as("u"), col("src").as("v")))
+        val deg = sym.groupBy(col("u").as("w"))
+          .agg(count(lit(1)).as("dg"))
+          .barrier()
+        val pairs = sym
+          .join(broadcast(deg.select(col("w").as("u"),
+            col("dg").as("du"))), Seq("u"))
+          .join(broadcast(deg.select(col("w").as("v"),
+            col("dg").as("dv"))), Seq("v"))
+          .withColumn("graph", lit("copurchase"))
+        Aggregates.groupPearson(pairs, "graph", "du", "dv")
+      }))
 }

@@ -600,6 +600,118 @@ object RetrievalQueries {
         val e = t(s, d, "embeddings")
         Similarity.hubnessProfile(e.filter(col("vec_id") < 256), e,
           "vec_id", "embedding", 10)
+      }),
+
+    // Paired sign test between two rankers, with an EXACT p-value:
+    // per query, the rank of the first same-label candidate under the
+    // full-dim vs the 8-dim-prefix ranker (missing-in-top-10 ⇒ 11);
+    // wins counted over non-tied queries, and the one-sided binomial
+    // tail P(X ≥ wins | m, ½) computed exactly — C(m,k) by the
+    // integral sequential-product fold (acc·(m−k+i) div i stays an
+    // integer at every step), summed, divided once by 2^m (dyadic ⇒
+    // engine-exact). Significance testing as a first-class, oracled
+    // operator — no normal approximation, no libm.
+    QueryDef(
+      "q228_paired_sign_test",
+      Some(s"""
+        WITH e AS (SELECT vec_id, label, embedding v,
+                          ${dkDot("embedding", "embedding")} AS nn,
+                          embedding[1:8] AS vp,
+                          ${dkDot("embedding[1:8]", "embedding[1:8]")}
+                            AS pn
+                   FROM embeddings),
+        sa AS (SELECT q.vec_id AS query_id, q.label AS lq,
+                      c.vec_id AS cand_id, c.label AS lc,
+                      ${dkCos(dkDot("q.v", "c.v"), "q.nn", "c.nn")}
+                        AS cs
+               FROM e q JOIN e c ON q.vec_id <> c.vec_id
+               WHERE q.vec_id < 32),
+        ra AS (SELECT query_id,
+                      min(rk) FILTER (WHERE lq = lc) AS fr
+               FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cs DESC, cand_id) AS rk FROM sa)
+               WHERE rk <= 10 GROUP BY 1),
+        sb AS (SELECT q.vec_id AS query_id, q.label AS lq,
+                      c.vec_id AS cand_id, c.label AS lc,
+                      ${dkCos(dkDot("q.vp", "c.vp"), "q.pn", "c.pn")}
+                        AS cs
+               FROM e q JOIN e c ON q.vec_id <> c.vec_id
+               WHERE q.vec_id < 32),
+        rb AS (SELECT query_id,
+                      min(rk) FILTER (WHERE lq = lc) AS fr
+               FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cs DESC, cand_id) AS rk FROM sb)
+               WHERE rk <= 10 GROUP BY 1),
+        j AS (SELECT coalesce(ra.fr, 11) AS fa, coalesce(rb.fr, 11) AS fb
+              FROM ra JOIN rb USING (query_id)),
+        stat AS (SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                        count(*) FILTER (WHERE fa <> fb) AS m,
+                        count(*) FILTER (WHERE fa < fb) AS wins_a,
+                        count(*) FILTER (WHERE fb < fa) AS wins_b
+                 FROM j),
+        tail AS (SELECT n_queries, m, wins_a, wins_b,
+                        CAST(sum(CASE WHEN k = 0 THEN 1 ELSE
+                          list_reduce(
+                            list_prepend(CAST(1 AS BIGINT),
+                              range(1, k + 1)),
+                            (acc, i) -> acc * (m - k + i) // i)
+                          END) AS BIGINT) AS tail_sum
+                 FROM (SELECT *, unnest(range(wins_a, m + 1)) AS k
+                       FROM stat)
+                 GROUP BY 1, 2, 3, 4)
+        SELECT n_queries, m, wins_a, wins_b,
+               CAST(tail_sum AS DOUBLE)
+                 / CAST(CAST(1 AS BIGINT) << m AS DOUBLE) AS p_sign
+        FROM tail"""),
+      (s, d) => {
+        // four consumers (queries+corpus under both rankers) — one
+        // materialization of the vector table instead of four scans
+        val e = t(s, d, "embeddings").barrier()
+        val lab = e.select(col("vec_id"), col("label"))
+        def firstRel(ranked: DataFrame): DataFrame =
+          broadcast(broadcast(ranked)
+              .join(lab.select(col("vec_id").as("query_id"),
+                col("label").as("lq")), "query_id"))
+            .join(lab.select(col("vec_id").as("cand_id"),
+              col("label").as("lc")), "cand_id")
+            .groupBy(col("query_id"))
+            .agg(min(when(col("lq") === col("lc"), col("rk")))
+              .as("fr"))
+        val full = firstRel(Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < 32), e, "vec_id", "embedding", 10))
+        val sl = e.select(col("vec_id"),
+          slice(col("embedding"), 1, 8).as("embedding"))
+        val prefix = firstRel(Similarity.bruteForceTopK(
+          sl.filter(col("vec_id") < 32), sl, "vec_id", "embedding",
+          10))
+        val j = full.withColumnRenamed("fr", "fra")
+          .join(broadcast(prefix.withColumnRenamed("fr", "frb")),
+            Seq("query_id"))
+          .select(coalesce(col("fra"), lit(11)).cast("long").as("fa"),
+            coalesce(col("frb"), lit(11)).cast("long").as("fb"))
+        val stat = j.agg(
+          count(lit(1)).as("n_queries"),
+          graft.ops.Aggregates.countIf(col("fa") =!= col("fb")).as("m"),
+          graft.ops.Aggregates.countIf(col("fa") < col("fb"))
+            .as("wins_a"),
+          graft.ops.Aggregates.countIf(col("fb") < col("fa"))
+            .as("wins_b"))
+        stat
+          .select(col("n_queries"), col("m"), col("wins_a"),
+            col("wins_b"),
+            explode(sequence(col("wins_a"), col("m"))).as("k"))
+          .withColumn("c",
+            when(col("k") === 0, lit(1L)).otherwise(expr(
+              "aggregate(sequence(1L, k), CAST(1 AS BIGINT), " +
+                "(acc, i) -> acc * (m - k + i) div i)")))
+          .groupBy(col("n_queries"), col("m"), col("wins_a"),
+            col("wins_b"))
+          .agg(sum(col("c")).cast("long").as("tail_sum"))
+          .select(col("n_queries"), col("m"), col("wins_a"),
+            col("wins_b"),
+            (col("tail_sum").cast("double") /
+              expr("shiftleft(CAST(1 AS BIGINT), CAST(m AS INT))")
+                .cast("double")).as("p_sign"))
       })
   )
 }
