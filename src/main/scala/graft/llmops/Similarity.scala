@@ -393,9 +393,12 @@ object Similarity {
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(cosineWithNorms(col("a.v"), col("b.v"),
         col("a.nn"), col("b.nn")).as("cos"))
+    // clamp BOTH ends: fp arithmetic can put a near-antipodal cosine
+    // an epsilon below −1, whose unclamped bin (−1) would silently
+    // vanish from the spine join and understate the pair count
     val hist = pairs
-      .select(least(floor((col("cos") + 1.0) * 5.0), lit(9.0))
-        .cast("long").as("bin"))
+      .select(greatest(least(floor((col("cos") + 1.0) * 5.0),
+        lit(9.0)), lit(0.0)).cast("long").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
     // dense 10-bin spine so empty bins surface as zeros
     val spine = df.sparkSession.range(0, 10)

@@ -1502,27 +1502,30 @@ object TextOps {
     * signature width), so downstream estimates are coarse screens,
     * refined by q168's KMV or q41's exact path. Docs below 3 tokens
     * carry no signature and drop out, exactly as in the per-doc op. */
-  def groupMinhash(df: DataFrame, idCol: String, textCol: String,
-      groupCol: String): DataFrame =
-    minhashSignatures(df, idCol, textCol)
-      .join(df.select(col(idCol), col(groupCol)), Seq(idCol))
-      .groupBy(col(groupCol))
+  /** The four-slot elementwise-min reduction shared by build and
+    * merge — the one place to touch if the signature widens. */
+  private def slotMins(df: DataFrame, groupCol: String): DataFrame =
+    df.groupBy(col(groupCol))
       .agg(min(col("sig_0")).as("sig_0"),
         min(col("sig_1")).as("sig_1"),
         min(col("sig_2")).as("sig_2"),
         min(col("sig_3")).as("sig_3"))
+
+  def groupMinhash(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame =
+    slotMins(
+      minhashSignatures(df, idCol, textCol)
+        // second scan of df is a 2-column pruned parquet read; the
+        // join keys it back to the signature frame on the doc id
+        .join(df.select(col(idCol), col(groupCol)), Seq(idCol)),
+      groupCol)
 
   /** Merge two [[groupMinhash]] frames: elementwise min per group —
     * the shard/stream combiner the merge law licenses (groups present
     * on one side only carry through). */
   def groupMinhashMerge(a: DataFrame, b: DataFrame, groupCol: String)
       : DataFrame =
-    a.unionByName(b)
-      .groupBy(col(groupCol))
-      .agg(min(col("sig_0")).as("sig_0"),
-        min(col("sig_1")).as("sig_1"),
-        min(col("sig_2")).as("sig_2"),
-        min(col("sig_3")).as("sig_3"))
+    slotMins(a.unionByName(b), groupCol)
 
   // substring(Column, Column, Column) has no functions._ overload
   private def substring(str: Column, pos: Column, len: Column): Column =

@@ -123,13 +123,22 @@ object Events {
     * bounds pairs, and `overlap_len`. */
   def overlapJoin(a: DataFrame, b: DataFrame, keyCol: String,
       aId: String, aStart: String, aEnd: String,
-      bId: String, bStart: String, bEnd: String): DataFrame =
-    a.join(b, Seq(keyCol))
+      bId: String, bStart: String, bEnd: String): DataFrame = {
+    val names = Seq(aId, aStart, aEnd, bId, bStart, bEnd)
+    require(names.distinct.size == names.size,
+      s"overlapJoin: a/b column names must be distinct, got $names " +
+        "(rename one side before joining)")
+    // prune to the named columns so stray same-named payload columns
+    // on the two sides can't make the join output ambiguous
+    a.select(col(keyCol), col(aId), col(aStart), col(aEnd))
+      .join(b.select(col(keyCol), col(bId), col(bStart), col(bEnd)),
+        Seq(keyCol))
       .withColumn("overlap_len",
         least(col(aEnd), col(bEnd)) - greatest(col(aStart), col(bStart)))
       .filter(col("overlap_len") > 0)
       .select(col(keyCol), col(aId), col(bId), col(aStart), col(aEnd),
         col(bStart), col(bEnd), col("overlap_len"))
+  }
 
   /** Gap-based sessionization: consecutive events of one `key` belong
     * to the same session while the gap to the previous event is ≤

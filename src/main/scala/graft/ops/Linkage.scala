@@ -30,7 +30,15 @@ object Linkage {
     * combinable and the plan is a plain two-phase agg regardless of how
     * many duplicate records a hot entity has. No window, no self-join.
     * DuckDB parity: `arg_max(field, CASE WHEN field IS NOT NULL THEN
-    * version END)` (both engines skip null ordering keys). */
+    * version END)` (both engines skip null ordering keys).
+    *
+    * PRECONDITION: `versionCol` is unique per key — max_by/arg_max
+    * leave ties unspecified, so duplicate versions with conflicting
+    * values would make survivorship engine- and run-dependent. Feeds
+    * that can replay a version id must be deduplicated (or the
+    * version made composite, e.g. (version, feed_id)) first;
+    * [[Incremental.orderAudit]]-style per-key checks catch the
+    * violation. */
   def goldenRecord(records: DataFrame, keyCols: Seq[String],
       versionCol: String, fieldCols: Seq[String]): DataFrame = {
     val aggs = fieldCols.map(f =>
@@ -177,9 +185,10 @@ object Linkage {
     * all three reductions. */
   def clusterAgreement(df: DataFrame, aCol: String, bCol: String)
       : DataFrame = {
-    // x*(x-1) is always even, so the double division is exact; the
-    // cast keeps the pair counts BIGINT like the oracle's `//`.
-    def c2(x: Column): Column = ((x * (x - 1)) / 2).cast("long")
+    // x*(x-1) is always even, so >>1 is the exact halving — pure
+    // integer arithmetic (a double division would round above 2^53),
+    // matching the oracle's `//`.
+    def c2(x: Column): Column = shiftright(x * (x - 1), 1)
     val cells = df.groupBy(col(aCol), col(bCol))
       .agg(count(lit(1)).as("nij"))
       .barrier()

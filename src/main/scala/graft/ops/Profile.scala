@@ -131,6 +131,14 @@ object Profile {
     * ~3·10⁹ rows before Long overflow). */
   def gateInteractions(df: DataFrame,
       gates: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(gates.size >= 2,
+      s"gateInteractions needs >= 2 gates, got ${gates.size}")
+    // names are spliced into a generated stack() expression as quoted
+    // literals — restrict to identifier characters rather than escape
+    gates.foreach { case (n, _) =>
+      require(n.matches("[A-Za-z0-9_]+"),
+        s"gate name must be [A-Za-z0-9_]+: '$n'")
+    }
     val pairs = for {
       i <- gates.indices; j <- gates.indices if i < j
     } yield (i, j)

@@ -809,13 +809,16 @@ object LlmQueries {
                JOIN bl a ON tr.da = a.doc_id
                JOIN bl b ON tr.db = b.doc_id),
         ts AS (SELECT CAST(count(*) AS BIGINT) AS n_truth,
-                      count(*) FILTER (WHERE same_block) AS n_caught
+                      coalesce(count(*) FILTER (WHERE same_block), 0)
+                        AS n_caught
                FROM tb),
         cs AS (SELECT CAST(sum(c*(c-1)//2) AS BIGINT) AS n_cand_pairs
                FROM (SELECT count(*) AS c FROM bl GROUP BY lang, bkt)),
         ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
         SELECT n_truth, n_caught,
-               CAST(n_caught AS DOUBLE) / CAST(n_truth AS DOUBLE)
+               CASE WHEN n_truth > 0
+                    THEN CAST(n_caught AS DOUBLE)
+                         / CAST(n_truth AS DOUBLE) END
                  AS pairs_completeness,
                n_cand_pairs,
                n*(n-1)//2 AS n_all_pairs,
@@ -835,24 +838,29 @@ object LlmQueries {
             col("lang").as("lb"), col("bkt").as("bb")), Seq("doc_b"))
           .select((col("la") === col("lb") && col("ba") === col("bb"))
             .as("same_block"))
+        // a dup-free corpus has an EMPTY tb: count → 0 but the
+        // sum-based countIf → NULL, and 0/0 diverges across engines —
+        // coalesce the count and gate the ratio on n_truth > 0
         val ts = tb.agg(count(lit(1)).as("n_truth"),
-          graft.ops.Aggregates.countIf(col("same_block"))
-            .as("n_caught"))
+          coalesce(graft.ops.Aggregates.countIf(col("same_block")),
+            lit(0L)).as("n_caught"))
         val cs = bl.groupBy(col("lang"), col("bkt"))
           .agg(count(lit(1)).as("c"))
-          .agg(sum(((col("c") * (col("c") - 1)) / 2).cast("long"))
+          // c·(c−1) is even ⇒ >>1 is the exact halving; a double
+          // division would round above 2^53 (oracle uses `//`)
+          .agg(sum(shiftright(col("c") * (col("c") - 1), 1))
             .cast("long").as("n_cand_pairs"))
         val ns = bl.agg(count(lit(1)).as("n"))
         ts.crossJoin(broadcast(cs)).crossJoin(broadcast(ns))
           .select(col("n_truth"), col("n_caught"),
-            (col("n_caught").cast("double") /
-              col("n_truth").cast("double")).as("pairs_completeness"),
+            when(col("n_truth") > 0, col("n_caught").cast("double") /
+              col("n_truth").cast("double"))
+              .as("pairs_completeness"),
             col("n_cand_pairs"),
-            ((col("n") * (col("n") - 1)) / 2).cast("long")
-              .as("n_all_pairs"),
+            shiftright(col("n") * (col("n") - 1), 1).as("n_all_pairs"),
             (lit(1.0) - col("n_cand_pairs").cast("double") /
-              ((col("n") * (col("n") - 1)) / 2).cast("long")
-                .cast("double")).as("reduction_ratio"))
+              shiftright(col("n") * (col("n") - 1), 1).cast("double"))
+              .as("reduction_ratio"))
       }),
 
     // Dedup threshold-sensitivity curve: q41's true pair mass bucketed
@@ -984,10 +992,13 @@ object LlmQueries {
         val ne = e.agg(count(lit(1)).as("n_edges"))
         val w = e.select(explode(array(col("src"), col("dst"))).as("v"))
           .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-          .agg(sum(((col("deg") * (col("deg") - 1)) / 2).cast("long"))
+          .agg(sum(shiftright(col("deg") * (col("deg") - 1), 1))
             .cast("long").as("n_wedges"))
+        // triangle-free graph: the global agg over the empty per-vertex
+        // frame yields NULL — coalesce to 0 to match the oracle's count
         val tri = graft.ops.Graphs.triangleCounts(e)
-          .agg((sum(col("n_triangles")) / 3).cast("long").as("t"))
+          .agg(coalesce((sum(col("n_triangles")) / 3).cast("long"),
+            lit(0L)).as("t"))
         ne.crossJoin(broadcast(w)).crossJoin(broadcast(tri))
           .select(col("n_edges"), col("n_wedges"),
             col("t").as("n_triangles"),

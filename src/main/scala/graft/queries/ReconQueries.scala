@@ -183,28 +183,28 @@ object ReconQueries {
       Some("""
         WITH cells AS (SELECT lang, source, count(*) AS nij
                        FROM documents GROUP BY 1, 2),
-        s AS (SELECT CAST(sum(nij*(nij-1)/2) AS BIGINT) AS pairs_both,
+        s AS (SELECT CAST(sum(nij*(nij-1)//2) AS BIGINT) AS pairs_both,
                      CAST(sum(nij) AS BIGINT) AS n
               FROM cells),
-        a AS (SELECT CAST(sum(ai*(ai-1)/2) AS BIGINT) AS pairs_a FROM
+        a AS (SELECT CAST(sum(ai*(ai-1)//2) AS BIGINT) AS pairs_a FROM
                 (SELECT CAST(sum(nij) AS BIGINT) AS ai
                  FROM cells GROUP BY lang)),
-        b AS (SELECT CAST(sum(bj*(bj-1)/2) AS BIGINT) AS pairs_b FROM
+        b AS (SELECT CAST(sum(bj*(bj-1)//2) AS BIGINT) AS pairs_b FROM
                 (SELECT CAST(sum(nij) AS BIGINT) AS bj
                  FROM cells GROUP BY source))
-        SELECT n, CAST(n*(n-1)/2 AS BIGINT) AS pairs_total,
+        SELECT n, n*(n-1)//2 AS pairs_total,
                pairs_both, pairs_a, pairs_b,
-               (CAST(n*(n-1)/2 AS DOUBLE)
+               (CAST(n*(n-1)//2 AS DOUBLE)
                   + 2.0*CAST(pairs_both AS DOUBLE)
                   - CAST(pairs_a AS DOUBLE) - CAST(pairs_b AS DOUBLE))
-                 / CAST(n*(n-1)/2 AS DOUBLE) AS rand_index,
+                 / CAST(n*(n-1)//2 AS DOUBLE) AS rand_index,
                (CAST(pairs_both AS DOUBLE)
                   - CAST(pairs_a AS DOUBLE)*CAST(pairs_b AS DOUBLE)
-                    / CAST(n*(n-1)/2 AS DOUBLE))
+                    / CAST(n*(n-1)//2 AS DOUBLE))
                  / ((CAST(pairs_a AS DOUBLE)+CAST(pairs_b AS DOUBLE))
                       / 2.0
                     - CAST(pairs_a AS DOUBLE)*CAST(pairs_b AS DOUBLE)
-                      / CAST(n*(n-1)/2 AS DOUBLE)) AS ari
+                      / CAST(n*(n-1)//2 AS DOUBLE)) AS ari
         FROM s CROSS JOIN a CROSS JOIN b"""),
       (s, d) =>
         Linkage.clusterAgreement(t(s, d, "documents"), "lang",

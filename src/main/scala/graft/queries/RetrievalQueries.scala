@@ -561,8 +561,8 @@ object RetrievalQueries {
         pr AS (SELECT ${dkCos(dkDot("a.v", "b.v"), "a.nn", "b.nn")}
                         AS cos
                FROM tg a JOIN tg b ON a.bk = b.bk AND a.id < b.id),
-        h AS (SELECT CAST(least(floor((cos + 1.0) * 5.0), 9)
-                       AS BIGINT) AS bin,
+        h AS (SELECT CAST(greatest(least(floor((cos + 1.0) * 5.0),
+                         9), 0) AS BIGINT) AS bin,
                      count(*) AS n_pairs
               FROM pr GROUP BY 1),
         sp AS (SELECT unnest(range(0, 10)) AS bin)
@@ -689,13 +689,17 @@ object RetrievalQueries {
             Seq("query_id"))
           .select(coalesce(col("fra"), lit(11)).cast("long").as("fa"),
             coalesce(col("frb"), lit(11)).cast("long").as("fb"))
+        // countIf is sum-based → NULL over an empty j; coalesce so the
+        // zero-queries case still emits the oracle's (0, 0, 0, 1.0) row
+        // instead of exploding a NULL sequence into nothing
         val stat = j.agg(
           count(lit(1)).as("n_queries"),
-          graft.ops.Aggregates.countIf(col("fa") =!= col("fb")).as("m"),
-          graft.ops.Aggregates.countIf(col("fa") < col("fb"))
-            .as("wins_a"),
-          graft.ops.Aggregates.countIf(col("fb") < col("fa"))
-            .as("wins_b"))
+          coalesce(graft.ops.Aggregates.countIf(col("fa") =!= col("fb")),
+            lit(0L)).as("m"),
+          coalesce(graft.ops.Aggregates.countIf(col("fa") < col("fb")),
+            lit(0L)).as("wins_a"),
+          coalesce(graft.ops.Aggregates.countIf(col("fb") < col("fa")),
+            lit(0L)).as("wins_b"))
         stat
           .select(col("n_queries"), col("m"), col("wins_a"),
             col("wins_b"),
