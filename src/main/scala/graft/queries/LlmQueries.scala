@@ -1006,6 +1006,99 @@ object LlmQueries {
               lit(3.0) * col("t").cast("double") /
                 col("n_wedges").cast("double"))
               .otherwise(lit(0.0)).as("transitivity"))
+      }),
+
+    // SimHash Hamming calibration: the 60-bit Hamming-distance
+    // histogram of TRUE near-dup pairs (exact Jaccard ≥ 0.5) next to
+    // hash-bucket-sampled BACKGROUND pairs — the two curves whose gap
+    // picks q77's maxHamming threshold (dups pile into the low bands,
+    // background centers near 30 bits). Pure integer bands; the
+    // background sample is an equi-join (q218's trick), never a
+    // filtered cross join.
+    QueryDef(
+      "q229_simhash_hamming",
+      Some(s"""
+        WITH $dkShingles,
+        sh2 AS (SELECT doc_id, len(shsd) AS nsh, unnest(shsd) AS sh
+                FROM (SELECT doc_id, list_distinct(
+                        list_transform(shs, g -> ${dkHash60("g")})) shsd
+                      FROM sarr)),
+        kept AS (SELECT sh FROM sh2 GROUP BY sh
+                 HAVING count(*) <= 1000),
+        truth AS (SELECT * FROM (
+            SELECT da, db,
+                   CAST(common AS DOUBLE)/(na+nb-common) AS jac
+            FROM (SELECT a.doc_id da, b.doc_id db, a.nsh na, b.nsh nb,
+                         count(*) common
+                  FROM sh2 a JOIN sh2 b
+                    ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  JOIN kept k ON a.sh = k.sh
+                  GROUP BY 1, 2, 3, 4))
+          WHERE jac >= 0.5),
+        tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+               FROM documents),
+        fq AS (SELECT doc_id, tok, count(*) AS freq FROM tk
+               GROUP BY 1, 2),
+        hh AS (SELECT doc_id, freq, ${dkHash60("tok")} AS hv FROM fq),
+        bs AS (SELECT doc_id, j,
+                      sum(CASE WHEN (hv >> CAST(j AS INT)) & 1 = 1
+                               THEN freq ELSE -freq END) AS sgn
+               FROM hh CROSS JOIN range(0,60) r(j) GROUP BY 1, 2),
+        sims AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN sgn > 0
+                     THEN (1::BIGINT << CAST(j AS INT))
+                     ELSE 0 END) AS BIGINT) AS simhash
+                 FROM bs GROUP BY 1),
+        bg AS (SELECT a.doc_id AS da, b.doc_id AS db FROM
+                 (SELECT doc_id, ${dkHash60(
+          "CAST(doc_id AS VARCHAR)||':shbg'")} % 16 AS bk
+                  FROM documents) a
+                 JOIN (SELECT doc_id, ${dkHash60(
+          "CAST(doc_id AS VARCHAR)||':shbg'")} % 16 AS bk
+                       FROM documents) b
+                   ON a.bk = b.bk AND a.doc_id < b.doc_id),
+        pr AS (SELECT da, db, 'dup' AS label FROM truth
+               UNION ALL
+               SELECT da, db, 'background' FROM bg),
+        hm AS (SELECT pr.label,
+                      CAST(bit_count(xor(x.simhash, y.simhash)) AS INT)
+                        AS hamming
+               FROM pr JOIN sims x ON pr.da = x.doc_id
+                       JOIN sims y ON pr.db = y.doc_id)
+        SELECT label, CAST(hamming // 4 AS BIGINT) AS band,
+               CAST((hamming // 4) * 4 AS BIGINT) AS ham_lo,
+               count(*) AS n_pairs
+        FROM hm GROUP BY 1, 2, 3"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sh = TextOps.simhash60(docs, "doc_id", "text").barrier()
+        val truth = TextOps.ngramJaccardPairs(docs, "doc_id", "text",
+          minJac = 0.5, maxDf = 1000)
+        val keyed = docs.select(col("doc_id"),
+          pmod(TextOps.hash60(concat(col("doc_id").cast("string"),
+            lit(":shbg"))), lit(16L)).as("bk"))
+        val bg = keyed.as("a")
+          .join(keyed.as("b"),
+            col("a.bk") === col("b.bk") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"),
+            col("b.doc_id").as("doc_b"))
+        val pr = truth.select(col("doc_a"), col("doc_b"),
+            lit("dup").as("label"))
+          .unionByName(bg.select(col("doc_a"), col("doc_b"),
+            lit("background").as("label")))
+        pr
+          .join(broadcast(sh.select(col("doc_id").as("doc_a"),
+            col("simhash").as("sa"))), Seq("doc_a"))
+          .join(broadcast(sh.select(col("doc_id").as("doc_b"),
+            col("simhash").as("sb"))), Seq("doc_b"))
+          .select(col("label"),
+            expr("CAST(bit_count(sa ^ sb) AS INT)").as("hamming"))
+          .select(col("label"),
+            expr("CAST(hamming div 4 AS BIGINT)").as("band"),
+            expr("CAST((hamming div 4) * 4 AS BIGINT)").as("ham_lo"))
+          .groupBy(col("label"), col("band"), col("ham_lo"))
+          .agg(count(lit(1)).as("n_pairs"))
       })
   )
 }
