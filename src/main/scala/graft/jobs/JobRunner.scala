@@ -134,6 +134,12 @@ object JobRunner {
       "corpus_release" -> (Seq("docs"),
         (_, in) => graft.llmops.CorpusRelease.summary(
           in("docs"), "doc_id", "text", "source")),
+      // dedup pre-flight: LSH recall S-curve + candidate-graph
+      // transitivity + SimHash Hamming calibration in one report
+      // (graft.llmops.DedupAudit — run per corpus release on a sample)
+      "dedup_audit" -> (Seq("docs"),
+        (_, in) => graft.llmops.DedupAudit.report(
+          in("docs"), "doc_id", "text")),
       "popularity_4streams" -> (
         Seq("cmssw", "aaa", "eos", "jm", "files", "blocks", "datasets",
           "phedex"),

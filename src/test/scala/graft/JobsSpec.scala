@@ -826,4 +826,39 @@ class JobsSpec extends AnyFunSuite {
     // wide-open window -> spine from the data's own hour extremes (2h)
     assert(CondorJobs.hpcAtCms(rows, 0L, Long.MaxValue).count() == 18)
   }
+
+  test("dedup_audit: recall, transitivity and hamming sections agree " +
+    "with the planted dup structure") {
+    import spark.implicits._
+    // two near-identical 24-token docs (one token differs) + unrelated
+    // docs: a single high-Jaccard truth pair LSH must catch
+    val base = (1 to 23).map(i => f"tok$i%03d")
+    val docs = Seq(
+      (1L, (base :+ "aaa").mkString(" "), "s"),
+      (2L, (base :+ "bbb").mkString(" "), "s"),
+      (3L, (1 to 24).map(i => f"zzz$i%03d").mkString(" "), "s"),
+      (4L, (1 to 24).map(i => f"yyy$i%03d").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val rep = graft.jobs.JobRunner.jobs("dedup_audit")._2(spark,
+        Map("docs" -> docs))
+      .collect()
+    val sections = rep.map(_.getString(0)).toSet
+    assert(sections == Set("lsh_recall", "transitivity",
+      "simhash_hamming"))
+    // the planted pair has jac = 22/26 ≈ 0.846 → top band, caught
+    val top = rep.find(r => r.getString(0) == "lsh_recall" &&
+      r.getString(1) == "[0.8,1.0]").get
+    assert(top.getAs[Long]("n") == 1 &&
+      top.getAs[Double]("value") == 1.0)
+    // transitivity defined and bounded (no triangles here → 0.0)
+    val tr = rep.find(_.getString(0) == "transitivity").get
+    assert(tr.getAs[Double]("value") >= 0.0 &&
+      tr.getAs[Double]("value") <= 1.0)
+    // the dup pair sits in a low Hamming band (< 16 bits)
+    val dupBands = rep.filter(r =>
+      r.getString(0) == "simhash_hamming" &&
+        r.getString(1).startsWith("dup@"))
+    assert(dupBands.map(_.getAs[Long]("n")).sum == 1)
+    assert(dupBands.forall(_.getAs[Double]("value") < 16.0))
+  }
 }
