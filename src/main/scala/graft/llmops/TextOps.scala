@@ -1502,6 +1502,49 @@ object TextOps {
     * signature width), so downstream estimates are coarse screens,
     * refined by q168's KMV or q41's exact path. Docs below 3 tokens
     * carry no signature and drop out, exactly as in the per-doc op. */
+  /** The MATCH step of winnowing ([[winnowingStats]] measures the
+    * selection; this one uses it): document pairs sharing at least
+    * `minShared` selected fingerprints — the MOSS plagiarism-detector
+    * join. Because selection guarantees any shared token run of
+    * ≥ w+k−1 yields a shared fingerprint, this finds passage-level
+    * overlap at ~2/(w+1) of the q41 index size.
+    *
+    * Same inverted-index discipline as the Jaccard family: distinct
+    * (doc, fingerprint) rows, a document-frequency cap on the
+    * fingerprint key (boilerplate fingerprints shared by thousands of
+    * docs are exactly the hot join keys — and carry no plagiarism
+    * signal), then the capped self-join and a pair-count filter. */
+  def winnowingMatches(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Int = 2, maxDf: Int = 1000)
+      : DataFrame = {
+    val pos = df
+      .select(col(idCol), shingleHashesAll(col(textCol), k).as("hs"))
+      .select(col(idCol), size(col("hs")).cast("long").as("ng"),
+        posexplode(col("hs")).as(Seq("p", "h")))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("p"))
+      .rowsBetween(Window.currentRow, w - 1)
+    // sel feeds the df cap AND both sides of the pair join — barrier
+    // once so the window pipeline isn't re-planned per consumer
+    val sel = pos
+      .withColumn("m",
+        min(struct(col("h"), (-col("p")).as("np"))).over(win))
+      .filter(col("p") <= col("ng") - w)
+      .select(col(idCol), col("m.h").as("fh"))
+      .distinct()
+      .barrier()
+    val kept = sel.groupBy(col("fh"))
+      .agg(count(lit(1)).as("fdf"))
+      .filter(col("fdf") <= maxDf)
+      .select(col("fh"))
+    val capped = sel.join(kept, Seq("fh")).barrier()
+    capped.select(col("fh"), col(idCol).as("doc_a"))
+      .join(capped.select(col("fh"), col(idCol).as("doc_b")), Seq("fh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** The four-slot elementwise-min reduction shared by build and
     * merge — the one place to touch if the signature widens. */
   private def slotMins(df: DataFrame, groupCol: String): DataFrame =

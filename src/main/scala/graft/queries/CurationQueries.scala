@@ -1047,6 +1047,50 @@ object CurationQueries {
         FROM sp LEFT JOIN h ON sp.decile = h.decile"""),
       (s, d) =>
         TextOps.boilerplatePosition(t(s, d, "documents"), "doc_id",
+          "text")),
+
+    // Winnowing MATCH step (MOSS): document pairs sharing ≥2 selected
+    // fingerprints — passage-overlap detection at ~2/(w+1) of the q41
+    // index size, with the same df-cap discipline on the fingerprint
+    // key (boilerplate fingerprints are the hot join keys AND carry no
+    // signal). The oracle rebuilds selection (window replication,
+    // rightmost tie-break) and the capped pair join independently.
+    QueryDef(
+      "q230_winnowing_matches",
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text,' ') toks
+                   FROM documents),
+        base AS (SELECT doc_id,
+                        CAST(greatest(len(toks)-2, 0) AS BIGINT) AS ng,
+                        toks
+                 FROM t),
+        ph AS (SELECT doc_id, ng, p,
+                      ('0x'||substr(md5(
+                        array_to_string(toks[p:p+2],' ')),1,15))::BIGINT
+                        AS gh
+               FROM (SELECT doc_id, ng, toks,
+                            unnest(range(1, ng + 1)) AS p
+                     FROM base WHERE ng >= 1)),
+        st AS (SELECT doc_id, unnest(range(1, ng - 3 + 1)) AS s
+               FROM base WHERE ng >= 4),
+        j AS (SELECT st.doc_id, st.s, ph.p, ph.gh
+              FROM st JOIN ph ON st.doc_id = ph.doc_id
+                             AND ph.p BETWEEN st.s AND st.s + 3),
+        seld AS (SELECT DISTINCT doc_id, gh FROM (
+                   SELECT *, row_number() OVER (
+                     PARTITION BY doc_id, s ORDER BY gh, p DESC) AS rn
+                   FROM j)
+                 WHERE rn = 1),
+        kept AS (SELECT gh FROM seld GROUP BY gh
+                 HAVING count(*) <= 1000),
+        capped AS (SELECT seld.* FROM seld JOIN kept USING (gh))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_shared
+        FROM capped a JOIN capped b
+          ON a.gh = b.gh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2"""),
+      (s, d) =>
+        TextOps.winnowingMatches(t(s, d, "documents"), "doc_id",
           "text"))
   )
 }
