@@ -124,9 +124,9 @@ object Events {
   def overlapJoin(a: DataFrame, b: DataFrame, keyCol: String,
       aId: String, aStart: String, aEnd: String,
       bId: String, bStart: String, bEnd: String): DataFrame = {
-    val names = Seq(aId, aStart, aEnd, bId, bStart, bEnd)
+    val names = Seq(keyCol, aId, aStart, aEnd, bId, bStart, bEnd)
     require(names.distinct.size == names.size,
-      s"overlapJoin: a/b column names must be distinct, got $names " +
+      s"overlapJoin: key/a/b column names must be distinct, got $names " +
         "(rename one side before joining)")
     // prune to the named columns so stray same-named payload columns
     // on the two sides can't make the join output ambiguous
@@ -140,17 +140,6 @@ object Events {
         col(bStart), col(bEnd), col("overlap_len"))
   }
 
-  /** Gap-based sessionization: consecutive events of one `key` belong
-    * to the same session while the gap to the previous event is ≤
-    * `gap` (in the units of `tsCol` — the operator is unit-agnostic);
-    * a larger gap starts a new session. Returns one row per session
-    * with bounds, event count, duration in seconds
-    * (`ticksPerSecond` converts), and an exact-decimal value sum. The
-    * batch twin of `Streams.sessionize` (mapGroupsWithState) — same
-    * semantics, pure windows: flag session starts with `lag`, number
-    * sessions with a running sum of flags, then one hash aggregation.
-    * One exchange on `key`, WindowExec sorts/spills per key; `tieCol`
-    * makes the within-key order total so re-runs hash-match. */
   /** The labeling stage of [[sessionize]] on its own: every input row
     * back, plus a per-key `session` number — for consumers that need
     * the session MEMBERS (ordered paths, per-session sequences), not
@@ -169,6 +158,17 @@ object Events {
       .drop("__new")
   }
 
+  /** Gap-based sessionization: consecutive events of one `key` belong
+    * to the same session while the gap to the previous event is ≤
+    * `gap` (in the units of `tsCol` — the operator is unit-agnostic);
+    * a larger gap starts a new session. Returns one row per session
+    * with bounds, event count, duration in seconds
+    * (`ticksPerSecond` converts), and an exact-decimal value sum. The
+    * batch twin of `Streams.sessionize` (mapGroupsWithState) — same
+    * semantics, pure windows: flag session starts with `lag`, number
+    * sessions with a running sum of flags, then one hash aggregation.
+    * One exchange on `key`, WindowExec sorts/spills per key; `tieCol`
+    * makes the within-key order total so re-runs hash-match. */
   def sessionize(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, gap: Long, tieCol: String,
       ticksPerSecond: Long = 1000000L): DataFrame = {

@@ -115,9 +115,13 @@ object Linkage {
       .groupBy(keyCols.map(col): _*)
       .agg(countDistinct(fieldCols.head).as(s"d_${fieldCols.head}"),
         fieldCols.tail.map(f => countDistinct(col(f)).as(s"d_$f")): _*)
+    // coalesce: countIf is sum-based, so an EMPTY records frame would
+    // emit NULL counts — the stable-report contract wants zeros
     val aggs = fieldCols.flatMap(f => Seq(
-      Aggregates.countIf(col(s"d_$f") >= 1).as(s"v_$f"),
-      Aggregates.countIf(col(s"d_$f") >= 2).as(s"c_$f")))
+      coalesce(Aggregates.countIf(col(s"d_$f") >= 1), lit(0L))
+        .as(s"v_$f"),
+      coalesce(Aggregates.countIf(col(s"d_$f") >= 2), lit(0L))
+        .as(s"c_$f")))
     val one = perEntity.agg(aggs.head, aggs.tail: _*)
     // stack, not a union of per-field selects: a union would re-plan
     // (and re-run) the whole aggregation subtree once per field
@@ -153,11 +157,16 @@ object Linkage {
       (vt.isNotNull && nf.isNotNull && vt < nf).as("gap"),
       (vt.isNotNull && vt <= col(validFromCol)).as("bad_bounds"),
       (vt.isNull && nf.isNotNull).as("open_not_last"))
+    // coalesce: an EMPTY dimension must still report four zero rows
+    // (countIf is sum-based and yields NULL over zero rows)
     val one = flagged.agg(
-      Aggregates.countIf(col("overlap")).as("overlap"),
-      Aggregates.countIf(col("gap")).as("gap"),
-      Aggregates.countIf(col("bad_bounds")).as("bad_bounds"),
-      Aggregates.countIf(col("open_not_last")).as("open_not_last"))
+      coalesce(Aggregates.countIf(col("overlap")), lit(0L))
+        .as("overlap"),
+      coalesce(Aggregates.countIf(col("gap")), lit(0L)).as("gap"),
+      coalesce(Aggregates.countIf(col("bad_bounds")), lit(0L))
+        .as("bad_bounds"),
+      coalesce(Aggregates.countIf(col("open_not_last")), lit(0L))
+        .as("open_not_last"))
     // stack, not a union of per-defect selects (see fieldConflicts)
     one.select(expr(
       "stack(4, 'overlap', overlap, 'gap', gap, " +

@@ -305,15 +305,20 @@ object ReconQueries {
         WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
                           value
                    FROM events),
-        f AS (SELECT user_id, ts_us, value,
+        f AS (SELECT user_id, event_id, ts_us, value,
                      CASE WHEN ts_us - lag(ts_us) OVER
                             (PARTITION BY user_id
                              ORDER BY ts_us, event_id) < 1800000000
                           THEN 0 ELSE 1 END AS nf
               FROM e),
+        -- the cumulative sum MUST tiebreak on event_id exactly like
+        -- the flag window: with duplicate per-user timestamps a
+        -- ts_us-only order would accumulate flags in a different row
+        -- order than they were computed in, making session ids
+        -- nondeterministic
         n AS (SELECT user_id, ts_us, value,
                      CAST(sum(nf) OVER (PARTITION BY user_id
-                       ORDER BY ts_us
+                       ORDER BY ts_us, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS BIGINT) AS session
               FROM f)

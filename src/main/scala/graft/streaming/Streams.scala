@@ -438,17 +438,6 @@ object Streams {
       }
       .start()
 
-  /** Incrementally maintained count-min sketch store: each micro-batch
-    * builds its own (bounded, ≤ d·w rows) sketch and merges it
-    * ADDITIVELY into the parquet store — CMS linearity means the store
-    * equals the sketch of everything ever streamed, exactly. The
-    * firehose never shuffles beyond its bounded-domain map-side
-    * aggregation; the read-modify-write touches only the tiny sketch.
-    * Swap discipline is toScdStore's rename-aside: a complete store
-    * exists on disk at every instant, and bootstrap tolerates only a
-    * MISSING store (a read failure on an existing one propagates —
-    * silently restarting counters from zero would undercount, the one
-    * error a CMS must never make). */
   /** Shared read-merge-swap cycle of the mergeable-sketch stores:
     * read the current store (falling back to the rename-aside copy —
     * bootstrap tolerates only a MISSING store; a read failure on an
@@ -477,6 +466,13 @@ object Streams {
     ()
   }
 
+  /** Incrementally maintained count-min sketch store: each micro-batch
+    * builds its own (bounded, ≤ d·w rows) sketch and merges it
+    * ADDITIVELY into the parquet store via [[upsertSketchStore]] —
+    * CMS linearity means the store equals the sketch of everything
+    * ever streamed, exactly. The firehose never shuffles beyond its
+    * bounded-domain map-side aggregation; the read-modify-write
+    * touches only the tiny sketch. */
   def toCmsStore(stream: DataFrame, termCol: String, d: Int, w: Int,
       storeDir: String, checkpoint: String): StreamingQuery =
     stream.writeStream
