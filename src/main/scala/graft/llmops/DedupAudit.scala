@@ -29,9 +29,11 @@ import graft.ops.Graphs
   * shared truth and candidate frames are barriered once. */
 object DedupAudit {
 
-  /** Long-format report: (section, dim, n, value). */
-  def report(docs: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
+  /** Long-format report: (section, dim, n, value). `bgBuckets` sizes
+    * the background-pair sampler (expected n²/bgBuckets pairs — grow
+    * it ∝ corpus size; 16 matches the q229 oracle at test scale). */
+  def report(docs: DataFrame, idCol: String, textCol: String,
+      bgBuckets: Long = 16L): DataFrame = {
     val truth = TextOps.ngramJaccardPairs(docs, idCol, textCol,
       minJac = 0.2, maxDf = 1000).barrier()
     val cand = TextOps.lshCandidatePairs(
@@ -74,26 +76,16 @@ object DedupAudit {
             col("n_wedges").cast("double"))
           .otherwise(lit(0.0)).as("value"))
 
-    // q229: dup vs background Hamming histogram (value = band floor)
+    // q229: dup vs background Hamming histogram (value = band floor).
+    // bgBuckets parameterizes the sampler (scale knob — grows with
+    // the corpus; TextOps.backgroundPairSample's scaladoc).
     val sh = TextOps.simhash60(docs, idCol, textCol).barrier()
-    val keyed = docs.select(col(idCol),
-      pmod(TextOps.hash60(concat(col(idCol).cast("string"),
-        lit(":shbg"))), lit(16L)).as("bk"))
-    val bg = keyed.as("a")
-      .join(keyed.as("b"),
-        col("a.bk") === col("b.bk") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+    val bg = TextOps.backgroundPairSample(docs, idCol, bgBuckets)
     val pr = truth.filter(col("jac") >= 0.5)
       .select(col("doc_a"), col("doc_b"), lit("dup").as("label"))
       .unionByName(bg.select(col("doc_a"), col("doc_b"),
         lit("background").as("label")))
-    val hamming = pr
-      .join(broadcast(sh.select(col(idCol).as("doc_a"),
-        col("simhash").as("sa"))), Seq("doc_a"))
-      .join(broadcast(sh.select(col(idCol).as("doc_b"),
-        col("simhash").as("sb"))), Seq("doc_b"))
-      .select(col("label"),
-        expr("CAST(bit_count(sa ^ sb) AS INT)").as("hamming"))
+    val hamming = TextOps.hammingForPairs(pr, sh, idCol, "simhash")
       .select(col("label"),
         expr("CAST((hamming div 4) * 4 AS BIGINT)").as("ham_lo"))
       .groupBy(col("label"), col("ham_lo"))

@@ -464,6 +464,52 @@ object TextOps {
         transform(tokens(col(textCol)), t => hash60(t)), lit(nBits))
         .as("simhash"))
 
+  /** Deterministic background-pair sample: each id is hashed into one
+    * of `buckets` buckets (`hash60(id ∥ salt) % buckets`) and a pair
+    * survives iff both ends share a bucket — expected n²/buckets
+    * pairs via one EQUI-join, reproducible in an oracle, never a
+    * filtered cross join (which would still evaluate all n² pairs;
+    * `Similarity.bucketPairHistogram` is the vector-space twin).
+    *
+    * `buckets` is the scale knob and MUST grow with the corpus:
+    * fixed buckets ⇒ in-bucket pairs grow ~n²/buckets, i.e. still
+    * quadratic. Pick buckets ≈ n / s for an expected n·s/2 sampled
+    * pairs (s = mean bucket size you can afford to pair). Callers
+    * that mirror a fixed-modulus oracle (q229 pins 16 at test scale)
+    * must treat that value as a calibration-sample setting, not a
+    * production one. */
+  def backgroundPairSample(df: DataFrame, idCol: String,
+      buckets: Long, salt: String = ":shbg"): DataFrame = {
+    require(buckets > 0, s"backgroundPairSample: buckets=$buckets")
+    val keyed = df.select(col(idCol),
+      pmod(hash60(concat(col(idCol).cast("string"), lit(salt))),
+        lit(buckets)).as("bk"))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.bk") === col("b.bk") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"),
+        col(s"b.$idCol").as("doc_b"))
+  }
+
+  /** Attach each pair's two per-doc values and their Hamming distance:
+    * `(pairs ⋈ values) ⋈ values` on the two endpoint ids, emitting
+    * `bit_count(va ^ vb)` as `hamming`. NO broadcast hint on the
+    * value side — at calibration scale AQE broadcasts it on its own,
+    * and at corpus scale (10⁸+ docs, where a forced broadcast would
+    * OOM the driver) the planner falls back to a shuffled join, which
+    * is the right plan there. */
+  def hammingForPairs(pairs: DataFrame, values: DataFrame,
+      idCol: String, valueCol: String): DataFrame =
+    pairs
+      .join(values.select(col(idCol).as("doc_a"),
+        col(valueCol).as("__va")), Seq("doc_a"))
+      .join(values.select(col(idCol).as("doc_b"),
+        col(valueCol).as("__vb")), Seq("doc_b"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(__va ^ __vb) AS INT)"))
+      .drop("__va", "__vb")
+
   /** The built-ins-only per-bit HOF form, kept for parity testing
     * (PropertySpec pins native == composed bit-for-bit, the same
     * contract as [[hash60Composed]]). */
@@ -1490,18 +1536,6 @@ object TextOps {
           .otherwise(lit(0.0)).as("dup_share"))
   }
 
-  /** Group-level MinHash signature: per group, the elementwise MIN of
-    * its documents' [[minhashSignatures]] slots — which IS the MinHash
-    * signature of the union of the documents' shingle sets (min is
-    * associative/commutative/idempotent), so group signatures MERGE:
-    * shard-local group signatures combine by another elementwise min,
-    * and a group's signature never needs its documents co-located.
-    * That mergeability is the whole point — source-vs-source
-    * similarity at 100 TB from a k-longs-per-group frame. Estimate
-    * quality is the standard MinHash ±1/√k; k = 4 here (the engine's
-    * signature width), so downstream estimates are coarse screens,
-    * refined by q168's KMV or q41's exact path. Docs below 3 tokens
-    * carry no signature and drop out, exactly as in the per-doc op. */
   /** The MATCH step of winnowing ([[winnowingStats]] measures the
     * selection; this one uses it): document pairs sharing at least
     * `minShared` selected fingerprints — the MOSS plagiarism-detector
@@ -1554,6 +1588,18 @@ object TextOps {
         min(col("sig_2")).as("sig_2"),
         min(col("sig_3")).as("sig_3"))
 
+  /** Group-level MinHash signature: per group, the elementwise MIN of
+    * its documents' [[minhashSignatures]] slots — which IS the MinHash
+    * signature of the union of the documents' shingle sets (min is
+    * associative/commutative/idempotent), so group signatures MERGE:
+    * shard-local group signatures combine by another elementwise min,
+    * and a group's signature never needs its documents co-located.
+    * That mergeability is the whole point — source-vs-source
+    * similarity at 100 TB from a k-longs-per-group frame. Estimate
+    * quality is the standard MinHash ±1/√k; k = 4 here (the engine's
+    * signature width), so downstream estimates are coarse screens,
+    * refined by q168's KMV or q41's exact path. Docs below 3 tokens
+    * carry no signature and drop out, exactly as in the per-doc op. */
   def groupMinhash(df: DataFrame, idCol: String, textCol: String,
       groupCol: String): DataFrame =
     slotMins(

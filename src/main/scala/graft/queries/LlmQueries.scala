@@ -1074,26 +1074,16 @@ object LlmQueries {
         val sh = TextOps.simhash60(docs, "doc_id", "text").barrier()
         val truth = TextOps.ngramJaccardPairs(docs, "doc_id", "text",
           minJac = 0.5, maxDf = 1000)
-        val keyed = docs.select(col("doc_id"),
-          pmod(TextOps.hash60(concat(col("doc_id").cast("string"),
-            lit(":shbg"))), lit(16L)).as("bk"))
-        val bg = keyed.as("a")
-          .join(keyed.as("b"),
-            col("a.bk") === col("b.bk") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"),
-            col("b.doc_id").as("doc_b"))
+        // buckets=16 pins the ORACLE's fixed modulus — a calibration
+        // -sample setting (backgroundPairSample's scaladoc: at corpus
+        // scale the caller grows buckets ∝ n)
+        val bg = TextOps.backgroundPairSample(docs, "doc_id",
+          buckets = 16L)
         val pr = truth.select(col("doc_a"), col("doc_b"),
             lit("dup").as("label"))
           .unionByName(bg.select(col("doc_a"), col("doc_b"),
             lit("background").as("label")))
-        pr
-          .join(broadcast(sh.select(col("doc_id").as("doc_a"),
-            col("simhash").as("sa"))), Seq("doc_a"))
-          .join(broadcast(sh.select(col("doc_id").as("doc_b"),
-            col("simhash").as("sb"))), Seq("doc_b"))
-          .select(col("label"),
-            expr("CAST(bit_count(sa ^ sb) AS INT)").as("hamming"))
+        TextOps.hammingForPairs(pr, sh, "doc_id", "simhash")
           .select(col("label"),
             expr("CAST(hamming div 4 AS BIGINT)").as("band"),
             expr("CAST((hamming div 4) * 4 AS BIGINT)").as("ham_lo"))
