@@ -237,4 +237,93 @@ object CondorJobs {
       .join(b, Seq("hour", "channel"), "left")
       .na.fill(0L, Seq("request_cpus"))
   }
+
+  /** The DBS×Condor merge report (degraded/dbs_condor.py:42-190): one
+    * long-format frame holding the reference's four rollups —
+    * `dataset` and `campaign` aggregated over the RAW condor stream,
+    * `release` and `era` over condor joined to the DBS dimension
+    * closure (ddf⋈fdf⋈daf⋈aef⋈pef for VALID datasets, then
+    * mcf⋈ocf⋈rvf for the release; dbs_condor.py:76-104) restricted to
+    * `KEvents > 0` rows (py:110-117). Group keys per rollup are the
+    * reference's: (scope value, user, ExitCode, Type, TaskType,
+    * RecordTime); measures `sum_evts`/`sum_chr`; `rate` is the
+    * reference's guarded events-per-core-hour UDF (py:124-129: -1
+    * when either sum is NULL or 0 — here a `when` expression, not a
+    * UDF); `tier` = 4th '/'-component of the dataset name, only
+    * meaningful in the `dataset` scope.
+    *
+    * Deliberately NOT ported: the reference's two-pass
+    * ExitCode∈{0,≠0} split (py:133-144) exists only to dodge its
+    * engine's Integer.MAX_VALUE partition limit — the ExitCode is
+    * already a full group key, so the split is a union of disjoint
+    * group subsets computed twice. One hash aggregation per rollup
+    * produces the identical row set (JobsSpec pins the exit-0 /
+    * exit-≠0 subsets against hand-computed frames); `exit_ok`
+    * materializes the split label for consumers of the old layout.
+    * Scale: each rollup is one shuffle on its group key; the DBS
+    * closure is dimension-sized and AQE broadcasts it under the
+    * condor fact stream. */
+  def dbsCondor(condor: DataFrame, ddf: DataFrame, fdf: DataFrame,
+      daf: DataFrame, aef: DataFrame, pef: DataFrame, mcf: DataFrame,
+      ocf: DataFrame, rvf: DataFrame, date: String): DataFrame = {
+    // dbs_condor.py:76-95 — dataset closure + per-dataset stats
+    val fjoin = ddf
+      .join(fdf, col("d_dataset_id") === col("f_dataset_id"))
+      .join(daf,
+        col("d_dataset_access_type_id") === col("dataset_access_type_id"))
+      .join(aef, col("d_acquisition_era_id") === col("acquisition_era_id"))
+      .join(pef, col("d_processing_era_id") === col("processing_era_id"))
+      .filter(col("dataset_access_type") === "VALID"
+        && col("d_is_dataset_valid") === 1)
+      .select(col("d_dataset_id"), col("d_dataset"),
+        col("d_creation_date"), col("f_event_count"), col("f_file_size"),
+        col("dataset_access_type"), col("acquisition_era_name"),
+        col("processing_version"))
+      .distinct()
+    val newdf = fjoin
+      .groupBy(col("d_dataset"), col("d_dataset_id"),
+        col("dataset_access_type"), col("acquisition_era_name"),
+        col("processing_version"))
+      .agg(sum(col("f_event_count")).as("evts"),
+        sum(col("f_file_size")).as("size"),
+        max(col("d_creation_date")).as("dbs_date"))
+    // py:98-104 — release-version closure
+    val aggDbs = newdf
+      .join(mcf, col("d_dataset_id") === col("mc_dataset_id"))
+      .join(ocf,
+        col("mc_output_mod_config_id") === col("oc_output_mod_config_id"))
+      .join(rvf, col("oc_release_version_id") === col("r_release_version_id"))
+      .select(col("d_dataset"), col("acquisition_era_name"),
+        col("r_release_version"))
+    // py:106-117 — the merge; KEvents>0 guards the fact side
+    val merged = condor.filter(col("KEvents") > 0)
+      .join(aggDbs, col("d_dataset") === col("DESIRED_CMSDataset"))
+
+    val rate = when(
+      col("sum_evts").isNotNull && col("sum_evts") =!= 0.0 &&
+        col("sum_chr").isNotNull && col("sum_chr") =!= 0.0,
+      col("sum_evts") / col("sum_chr")).otherwise(lit(-1.0))
+    def rollup(src: DataFrame, scope: String, keyCol: Column,
+        tier: Column): DataFrame =
+      src
+        .groupBy(keyCol.as("key"), col("CRAB_UserHN").as("user"),
+          col("ExitCode").as("exit_code"), col("Type").as("job_type"),
+          col("TaskType").as("task_type"),
+          col("RecordTime").as("rec_time"))
+        .agg(Aggregates.decSum(col("KEvents")).as("sum_evts"),
+          Aggregates.decSum(col("CoreHr")).as("sum_chr"))
+        .select(lit(scope).as("scope"), col("key"), tier.as("tier"),
+          col("user"), (col("exit_code") === 0L).as("exit_ok"),
+          col("exit_code"), col("job_type"), col("task_type"),
+          col("rec_time"), lit(date).as("date"),
+          col("sum_evts"), col("sum_chr"), rate.as("rate"))
+    rollup(condor, "dataset", col("DESIRED_CMSDataset"),
+        split(col("key"), "/").getItem(3))
+      .unionByName(rollup(condor, "campaign", col("Campaign"),
+        lit(null).cast("string")))
+      .unionByName(rollup(merged, "release", col("r_release_version"),
+        lit(null).cast("string")))
+      .unionByName(rollup(merged, "era", col("acquisition_era_name"),
+        lit(null).cast("string")))
+  }
 }

@@ -417,6 +417,94 @@ class JobsSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 8.0 && r.getLong(3) == 1)
   }
 
+  // ---- dbs_condor fixtures (degraded/dbs_condor.py) ----
+  private def dbsCondorRow(jobId: String, kEvents: Double,
+      campaign: String, coreHr: Double, user: String, exitCode: Long,
+      dataset: String): Row =
+    Row(Row(jobId, 1704067200000L, kEvents, 1.0, 1.0, campaign, "wf1",
+      0.9, coreHr, 0.1, user, "analysis", exitCode, "Analysis",
+      dataset), Row(1704067200000L))
+
+  test("dbsCondor: four rollups, VALID-closure merge, guarded rate") {
+    val condorKev = CondorJobs.flatten(spark.createDataFrame(
+      java.util.Arrays.asList(
+        dbsCondorRow("c1", 10.0, "CampA", 5.0, "alice", 0L,
+          "/PrimA/Proc-v1/RAW"),
+        dbsCondorRow("c2", 20.0, "CampA", 5.0, "alice", 0L,
+          "/PrimA/Proc-v1/RAW"),
+        dbsCondorRow("c3", 0.0, "CampA", 4.0, "alice", 1L,
+          "/PrimA/Proc-v1/RAW"), // KEvents=0: raw rollups only
+        dbsCondorRow("c4", 7.0, "CampB", 2.0, "bob", 0L,
+          "/PrimB/Proc-v2/AOD")), // DELETED dataset: no DBS closure
+      Schemas.condorDbsEnvelope))
+    val ddf = Seq(
+      (1L, "/PrimA/Proc-v1/RAW", 1, 1, 7, 9, 1.7e9),
+      (2L, "/PrimB/Proc-v2/AOD", 1, 2, 7, 9, 1.8e9))
+      .toDF("d_dataset_id", "d_dataset", "d_is_dataset_valid",
+        "d_dataset_access_type_id", "d_acquisition_era_id",
+        "d_processing_era_id", "d_creation_date")
+    val fdf = Seq((1L, 100L, 1e9), (1L, 200L, 2e9), (2L, 50L, 5e8))
+      .toDF("f_dataset_id", "f_event_count", "f_file_size")
+    val daf = Seq((1, "VALID"), (2, "DELETED"))
+      .toDF("dataset_access_type_id", "dataset_access_type")
+    val aef = Seq((7, "Era2024"))
+      .toDF("acquisition_era_id", "acquisition_era_name")
+    val pef = Seq((9, 3.0))
+      .toDF("processing_era_id", "processing_version")
+    val mcf = Seq((100, 1, 200))
+      .toDF("mc_ds_output_mod_config_id", "mc_dataset_id",
+        "mc_output_mod_config_id")
+    val ocf = Seq((200, 300))
+      .toDF("oc_output_mod_config_id", "oc_release_version_id")
+    val rvf = Seq((300, "CMSSW_14_0_0"))
+      .toDF("r_release_version_id", "r_release_version")
+    val got = CondorJobs.dbsCondor(condorKev, ddf, fdf, daf, aef, pef,
+      mcf, ocf, rvf, date = "20240101").cache()
+
+    // dataset scope aggregates the RAW stream: c1+c2 fold on the
+    // shared keys; c3 (exit 1) and c4 stay separate rows
+    val ds = got.filter(col("scope") === "dataset").collect()
+    assert(ds.length == 3)
+    val ok = ds.find(r => r.getAs[Long]("exit_code") == 0L &&
+      r.getAs[String]("key") == "/PrimA/Proc-v1/RAW").get
+    assert(ok.getAs[Double]("sum_evts") == 30.0)
+    assert(ok.getAs[Double]("sum_chr") == 10.0)
+    assert(ok.getAs[Double]("rate") == 3.0)
+    assert(ok.getAs[String]("tier") == "RAW")
+    assert(ok.getAs[Boolean]("exit_ok"))
+    // guarded rate: sum_evts = 0 → -1, never 0/4 (dbs_condor.py:124-129)
+    val failed = ds.find(_.getAs[Long]("exit_code") == 1L).get
+    assert(failed.getAs[Double]("rate") == -1.0)
+    assert(!failed.getAs[Boolean]("exit_ok"))
+
+    // campaign scope: CampA folds c1+c2 (exit 0), c3 separate; CampB
+    val cp = got.filter(col("scope") === "campaign").collect()
+    assert(cp.length == 3 && cp.forall(_.getAs[String]("tier") == null))
+
+    // release/era scopes see only the VALID-closure ∩ KEvents>0 rows:
+    // /PrimA exit-0 jobs; c3 (KEvents=0) and /PrimB (DELETED) are out
+    val rel = got.filter(col("scope") === "release").collect()
+    assert(rel.length == 1)
+    assert(rel(0).getAs[String]("key") == "CMSSW_14_0_0")
+    assert(rel(0).getAs[Double]("sum_evts") == 30.0)
+    val era = got.filter(col("scope") === "era").collect()
+    assert(era.length == 1 && era(0).getAs[String]("key") == "Era2024")
+
+    // the reference's two-pass ExitCode split (py:133-144) produces
+    // the identical dataset-scope row set as the one-pass aggregation
+    val twoPass = CondorJobs.dbsCondor(
+        condorKev.filter(col("ExitCode") === 0L), ddf, fdf, daf, aef,
+        pef, mcf, ocf, rvf, date = "20240101")
+      .unionByName(CondorJobs.dbsCondor(
+        condorKev.filter(col("ExitCode") =!= 0L), ddf, fdf, daf, aef,
+        pef, mcf, ocf, rvf, date = "20240101"))
+      .filter(col("scope") === "dataset")
+    assert(twoPass.collect().map(_.toString).sorted
+      .sameElements(ds.map(_.toString).sorted))
+    got.unpersist()
+    ()
+  }
+
   test("wma agentCounts: wmaid dedup, per-(day,host) stats, midday ts") {
     def cpu = Row(1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
     def fw(wmaid: String, wmats: Long, host: String, nSteps: Int) =
