@@ -345,6 +345,33 @@ object Schemas {
       s("HS06CpuTimeHr", DoubleType), s("Status", StringType),
       s("Site", StringType), s("Type", StringType))))))
 
+  /** Pruned condor envelope for the HPC-at-CMS report — the columns
+    * hpc_running_cores_and_corehr.py's channel router actually reads
+    * (Site + GLIDEIN entry + remote host drive the 13-branch routing;
+    * same per-app minimal-schema pattern as [[condorHs06Envelope]]). */
+  val condorHpcEnvelope: StructType = StructType(Seq(
+    s("data", StructType(Seq(
+      s("GlobalJobId", StringType), s("RecordTime", LongType),
+      s("Status", StringType), s("JobFailed", LongType),
+      s("Site", StringType), s("GLIDEIN_Entry_Name", StringType),
+      s("RemoteHost", StringType), s("RequestCpus", DoubleType)))),
+    s("metadata", StructType(Seq(s("timestamp", LongType))))))
+
+  /** Pruned condor envelope for the DBS×Condor merge — the columns
+    * degraded/dbs_condor.py:106-180 actually touches (per-app minimal
+    * schema, same pattern as [[condorHs06Envelope]]). */
+  val condorDbsEnvelope: StructType = StructType(Seq(
+    s("data", StructType(Seq(
+      s("GlobalJobId", StringType), s("RecordTime", LongType),
+      s("KEvents", DoubleType), s("CMSSWKLumis", DoubleType),
+      s("CMSSWWallHrs", DoubleType), s("Campaign", StringType),
+      s("Workflow", StringType), s("CpuEff", DoubleType),
+      s("CoreHr", DoubleType), s("QueueHrs", DoubleType),
+      s("CRAB_UserHN", StringType), s("Type", StringType),
+      s("ExitCode", LongType), s("TaskType", StringType),
+      s("DESIRED_CMSDataset", StringType)))),
+    s("metadata", StructType(Seq(s("timestamp", LongType))))))
+
   /** CMSSW popularity envelope — schema_cmspop_json, schemas.py:712-770. */
   val cmsswPopEnvelope: StructType = StructType(Seq(
     s("data", StructType(Seq(

@@ -2,6 +2,7 @@ package graft.jobs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.types.StructType
 
 import graft.core.{IO, Schemas, Sessions}
 
@@ -33,8 +34,14 @@ object JobRunner {
         (_, in) => DbsJobs.eventCountByTier(in("datasets"), in("files"))),
       "leftovers" -> (Seq("datasets", "other"),
         (_, in) => DbsJobs.leftovers(in("datasets"), in("other"))),
-      "campaign_sites" -> (Seq("blocks"),
-        (_, in) => DbsJobs.campaignSiteSummary(in("blocks"))),
+      // reports/aggregate_campaigns.py:127-128 — the site axis comes
+      // from the PhEDEx replica dump (dataset_name, node_name,
+      // block_bytes), not the DBS blocks table
+      "campaign_sites" -> (Seq("phedex"),
+        (_, in) => DbsJobs.campaignSiteSummary(in("phedex").select(
+          col("dataset_name").as("dataset"),
+          col("node_name").as("site"),
+          col("block_bytes").as("block_size")))),
       "rucio_datasets_stats" -> (
         Seq("replicas", "dids", "contents", "rses"),
         (_, in) => RucioJobs.datasetsStats(in("replicas"), in("dids"),
@@ -113,9 +120,22 @@ object JobRunner {
           in("files"), in("access_types"), in("phedex"))),
       // window bounds wide-open for the CLI form (the reference's cron
       // wrapper passes --start/--end); library callers pass real ones
-      "hpc_at_cms" -> (Seq("condor"),
+      "hpc_at_cms" -> (Seq("condor_hpc"),
         (_, in) => CondorJobs.hpcAtCms(
-          CondorJobs.flatten(in("condor")), 0L, Long.MaxValue)),
+          CondorJobs.flatten(in("condor_hpc")), 0L, Long.MaxValue)),
+      // degraded/dbs_condor.py — the DBS×Condor merge's four rollups
+      // as one long-format frame; the `date` stamp column is pinned
+      // empty for the CLI form (the reference's click main injects
+      // the run date); library callers pass the real one
+      "dbs_condor" -> (
+        Seq("condor_kev", "datasets", "files", "access_types",
+          "acq_eras", "proc_eras", "mod_configs", "out_configs",
+          "rel_versions"),
+        (_, in) => CondorJobs.dbsCondor(
+          CondorJobs.flatten(in("condor_kev")), in("datasets"),
+          in("files"), in("access_types"), in("acq_eras"),
+          in("proc_eras"), in("mod_configs"), in("out_configs"),
+          in("rel_versions"), date = "")),
       "phedex_agg" -> (Seq("phedex_summary"),
         (_, in) => PhedexJobs.snapshotAgg(in("phedex_summary"))),
       "merge_phedex" -> (Seq("phedex_summary"),
@@ -354,8 +374,10 @@ object JobRunner {
           startCol, endCol)
       }))
 
-  /** Input-name → schema for the schematized readers. */
-  private val schemas = Map(
+  /** Input-name → schema for the schematized readers (public so the
+    * fleet integration spec can build a fixture lake for every
+    * registered input). */
+  val inputSchemas: Map[String, StructType] = Map(
     "datasets" -> Schemas.dbsDatasets, "files" -> Schemas.dbsFiles,
     "blocks" -> Schemas.dbsBlocks, "replicas" -> Schemas.rucioReplicas,
     "dids" -> Schemas.rucioDids, "contents" -> Schemas.rucioContents,
@@ -364,6 +386,8 @@ object JobRunner {
     "jm" -> Schemas.jobMonitoring, "phedex" -> Schemas.phedex,
     "aaa" -> Schemas.aaaEnvelope, "eos" -> Schemas.eosEnvelope,
     "condor_hs06" -> Schemas.condorHs06Envelope,
+    "condor_kev" -> Schemas.condorDbsEnvelope,
+    "condor_hpc" -> Schemas.condorHpcEnvelope,
     "fwjr" -> Schemas.wmarchiveEnvelope,
     "phedex_summary" -> Schemas.phedexSummaryGid,
     "access_types" -> Schemas.dbsAccessTypes,
@@ -397,7 +421,7 @@ object JobRunner {
           val inputs: Inputs = required.map { name =>
             val path = opts.getOrElse(s"in-$name",
               sys.error(s"--in-$name required for $job"))
-            val df = (fmt, schemas.get(name)) match {
+            val df = (fmt, inputSchemas.get(name)) match {
               case ("csv", Some(sc)) => IO.csv(spark, sc, Seq(path))
               case ("json", Some(sc)) => IO.json(spark, sc, Seq(path))
               case ("avro", _) => IO.avro(spark, Seq(path))
