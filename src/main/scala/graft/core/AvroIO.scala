@@ -27,13 +27,14 @@ import org.apache.spark.sql.types._
   *     vectorized decode, schema pushdown. Always prefer it when the
   *     jar is present.
   *   - This fallback exists so the avro surface WORKS (and is testable)
-  *     when the connector is absent. Parallelism is per-FILE
-  *     (`binaryFiles` does not split at avro sync markers), so a 100 TB
-  *     read is only as parallel as its file count — fine for the
-  *     many-small-files MONIT/WMArchive layouts the reference reads,
-  *     degraded for single-huge-file layouts. Decode is streaming
-  *     (`DataFileStream` over the `PortableDataStream`), so memory per
-  *     task is one record, not one file.
+  *     when the connector is absent. Reads are SPLIT at avro container
+  *     sync markers (the format's whole design point): the driver
+  *     carves byte ranges, each task `DataFileReader.sync`s to the
+  *     first block boundary after its range start and reads while not
+  *     `pastSync(end)` — the standard Hadoop input-split contract, so
+  *     a single-huge-file layout parallelizes like the connector's.
+  *     Decode is streaming; memory per task is one record, not one
+  *     split.
   *
   * Type mapping (both directions): null/boolean/int/long/float/double/
   * string/enum→string/bytes/fixed→binary, logical date,
@@ -45,46 +46,76 @@ object AvroIO {
 
   // ---------------------------------------------------------------- read
 
-  /** Read avro container files into a DataFrame. The writer schema of
-    * the FIRST file (driver-side header peek) defines the frame schema;
-    * files with a different-but-compatible writer schema are resolved
-    * per-record by avro's own reader-schema resolution. */
+  /** Read avro container files into a DataFrame, SPLIT at container
+    * sync markers. The writer schema of the FIRST file (driver-side
+    * header peek) defines the frame schema; files with a
+    * different-but-compatible writer schema are resolved per-record by
+    * avro's own reader-schema resolution.
+    *
+    * Split protocol (the one avro's own Hadoop input format uses):
+    * the driver carves each file into ~total/minPartitions byte
+    * ranges; a task `sync(start)`s to the first block boundary AFTER
+    * its range start and reads whole blocks while the last-passed
+    * sync is still ≤ `end` (`pastSync`). A block belongs to exactly
+    * the split whose range contains the sync marker that precedes it,
+    * so contiguous splits partition the record stream — no record is
+    * read twice or dropped. */
   def read(spark: SparkSession, paths: Seq[String],
       minPartitions: Int = 0): DataFrame = {
     require(paths.nonEmpty, "AvroIO.read of zero paths")
-    val readerSchema = headerSchema(spark, paths)
+    val files = listAvroFiles(spark, paths)
+    if (files.isEmpty)
+      throw new java.io.FileNotFoundException(
+        s"AvroIO.read: no avro files under ${paths.mkString(",")}")
+    val readerSchema = headerSchema(spark, files.head._1)
     val sparkSchema = toSparkType(readerSchema).asInstanceOf[StructType]
     val schemaJson = readerSchema.toString
     val minP =
       if (minPartitions > 0) minPartitions
       else spark.sparkContext.defaultParallelism
+    val totalBytes = files.map(_._2).sum
+    val splitBytes = math.max(1L, (totalBytes + minP - 1) / minP)
+    // zero-length placeholders carry no container header — skip them
+    val splits: Seq[(String, Long, Long)] = files.filter(_._2 > 0L)
+      .flatMap { case (p, len) =>
+        (0L until len by splitBytes).map(s =>
+          (p.toString, s, math.min(s + splitBytes, len)))
+      }
+    // ship the hadoop conf as its entry list (same pattern as write:
+    // SerializableConfiguration is private[spark])
+    val confEntries: Array[(String, String)] =
+      spark.sparkContext.hadoopConfiguration.asScala
+        .map(e => e.getKey -> e.getValue).toArray
     val rows = spark.sparkContext
-      .binaryFiles(paths.mkString(","), minP)
-      .flatMap { case (_, pds) =>
+      .parallelize(splits, math.max(1, splits.size))
+      .flatMap { case (pathStr, start, end) =>
         val rs = new ASchema.Parser().parse(schemaJson)
-        val in = pds.open()
-        val stream =
-          new DataFileStream[GenericRecord](in,
-            new GenericDatumReader[GenericRecord](null, rs))
-        // iterator is consumed lazily by the flatMap; close on exhaust
+        val hconf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => hconf.set(k, v) }
+        val path = new Path(pathStr)
+        val in = new org.apache.avro.mapred.FsInput(path, hconf)
+        val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
+          in, new GenericDatumReader[GenericRecord](null, rs))
+        reader.sync(start)
+        // lazily consumed by the flatMap; close on exhaust
         new Iterator[Row] {
           def hasNext: Boolean = {
-            val h = stream.hasNext
-            if (!h) { stream.close(); in.close() }
+            val h = reader.hasNext && !reader.pastSync(end)
+            if (!h) { reader.close() }
             h
           }
           def next(): Row =
-            toRow(stream.next(), rs)
+            toRow(reader.next(), rs)
         }
       }
     spark.createDataFrame(rows, sparkSchema)
   }
 
-  /** Driver-side header peek: first file's writer schema, via the same
-    * Hadoop FileSystem the executors will read through. */
-  private def headerSchema(spark: SparkSession, paths: Seq[String]): ASchema = {
+  /** Expand paths/globs/directories to data files with their sizes. */
+  private def listAvroFiles(spark: SparkSession,
+      paths: Seq[String]): Seq[(Path, Long)] = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    val first = paths.iterator.flatMap { p =>
+    paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(hconf)
       val st = fs.globStatus(path)
@@ -92,13 +123,19 @@ object AvroIO {
         if (st == null) Seq.empty
         else st.toSeq.flatMap(s =>
           if (s.isDirectory)
-            fs.listStatus(s.getPath).toSeq.filter(_.isFile).map(_.getPath)
-          else Seq(s.getPath))
-      expanded.filter(p => p.getName.endsWith(".avro")
-        || !p.getName.startsWith("_"))
-    }.buffered.headOption.getOrElse(
-      throw new java.io.FileNotFoundException(
-        s"AvroIO.read: no avro files under ${paths.mkString(",")}"))
+            fs.listStatus(s.getPath).toSeq.filter(_.isFile)
+          else Seq(s))
+      expanded
+        .filter(s => s.getPath.getName.endsWith(".avro")
+          || !s.getPath.getName.startsWith("_"))
+        .map(s => s.getPath -> s.getLen)
+    }
+  }
+
+  /** Driver-side header peek: first file's writer schema, via the same
+    * Hadoop FileSystem the executors will read through. */
+  private def headerSchema(spark: SparkSession, first: Path): ASchema = {
+    val hconf = spark.sparkContext.hadoopConfiguration
     val fs = first.getFileSystem(hconf)
     val in = fs.open(first)
     try {

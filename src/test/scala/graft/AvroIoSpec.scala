@@ -107,6 +107,34 @@ class AvroIoSpec extends AnyFunSuite {
       == 499500L)
   }
 
+  test("single huge file splits at sync markers into >1 working partition") {
+    // ONE container file, many blocks (avro flushes a block every
+    // ~64 KiB): the splittable read must parallelize WITHIN the file
+    // and still deliver every record exactly once across the
+    // contiguous byte-range splits.
+    val n = 200000L
+    val df = spark.range(n).coalesce(1)
+      .selectExpr("id", "repeat('x', 32) AS pad")
+    val dir = s"${tmpDir()}/one"
+    AvroIO.write(df, dir, compression = "none")
+    val avroFiles = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".avro"))
+    assert(avroFiles.length == 1)
+    val back = AvroIO.read(spark, Seq(dir), minPartitions = 8)
+    assert(back.rdd.getNumPartitions >= 8)
+    // more than one split actually carries records (sync() landed
+    // mid-file, not everything collapsing into split 0)
+    val perPart = back.rdd
+      .mapPartitions(it => Iterator.single(it.size))
+      .collect()
+    assert(perPart.count(_ > 0) > 1,
+      s"expected >1 non-empty split, got ${perPart.mkString(",")}")
+    // exactly-once across splits: count, distinct and checksum all match
+    assert(back.count() == n)
+    assert(back.agg(countDistinct("id")).head.getLong(0) == n)
+    assert(back.agg(sum("id")).head.getLong(0) == n * (n - 1) / 2)
+  }
+
   test("read of a directory written by the fallback preserves row count per file") {
     // multiple paths + glob-style directory expansion in headerSchema
     val df = spark.range(10).toDF("id")
