@@ -74,6 +74,39 @@ object MakeScaleCorpus {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
     println(s"[make-scale-corpus] wrote $ne embeddings to $out")
+    // lineitem: 10 replicas for the co-purchase graph decade
+    // (q202/q208/q211/q227). Order keys offset per replica — the
+    // order population grows 10x, as a real 10x sales dataset's
+    // would. Part keys are PERMUTED per replica by a catalog-coprime
+    // multiplier ((p-1)*m mod P)+1 — new baskets over the SAME
+    // catalog, so the DISTINCT co-purchase edge set and per-part
+    // degrees genuinely grow (the superlinear-edge stress the degree
+    // cap exists for). A verbatim copy would leave the distinct edge
+    // set unchanged and the graph family would time a no-op decade;
+    // offsetting partkeys too would make 10 disjoint graph copies,
+    // which never densifies any neighborhood. rep 0 is multiplier 1 =
+    // the base data, untouched.
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    val maxOk = li.agg(max(col("l_orderkey"))).head.getLong(0)
+    // keys are 0-based in the driver corpus: catalog = [0, nParts)
+    val nParts = li.agg(max(col("l_partkey"))).head.getLong(0) + 1L
+    val mults = Iterator.from(1, 2).map(_.toLong)
+      .filter(m => BigInt(m).gcd(BigInt(nParts)) == 1)
+      .take(10).toSeq
+    val multCol = element_at(array(mults.map(lit): _*), col("rep") + 1)
+    val rest = li.columns.toSeq
+      .filterNot(c => c == "l_orderkey" || c == "l_partkey")
+    val liScaled = li.crossJoin(reps).select(
+      (col("l_orderkey") + col("rep").cast("long") * (maxOk + 1L))
+        .as("l_orderkey") +:
+        pmod(col("l_partkey") * multCol, lit(nParts)).as("l_partkey") +:
+        rest.map(col): _*)
+    liScaled
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    val nl = spark.read.parquet(s"$out/lineitem.parquet").count()
+    println(s"[make-scale-corpus] wrote $nl lineitem rows to $out " +
+      s"(part multipliers ${mults.mkString(",")})")
     spark.stop()
   }
 }
