@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.llmops.LanguageModel
+
+/** Count-based language-model curation family (llmops/LanguageModel):
+  * CCNet-style reference-model scoring and DSIR-style importance
+  * weighting, in the engine's log-free rational form (libm `ln` is
+  * not cross-engine reproducible — q57/q87 decision). The clean
+  * reference slice is `lang = 'en'`; every query degrades gracefully
+  * (and identically in the oracle) when that slice is empty.
+  */
+object LmQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.loadSpread(s, d, n)
+
+  /** DuckDB fragment: 60-bit md5 hash (TextOps.hash60). */
+  private def dkHash60(e: String): String =
+    s"('0x'||substr(md5($e),1,15))::BIGINT"
+
+  /** DuckDB fragment: 0.0-seeded position-ordered double fold — the
+    * engine's deterministic-sum idiom (bm25TopK / q162). */
+  private def dkOrderedSum(x: String, ord: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list($x ORDER BY $ord)), (a, b) -> a + b)"
+
+  /** Shared CTEs: per-doc token arrays, positional bigrams, and the
+    * lang='en' reference model counts (bigram, prefix, vocabulary). */
+  private val dkLmBase =
+    """tk AS (SELECT doc_id, lang, string_split(text,' ') AS t
+      |       FROM documents),
+      |bg AS (SELECT doc_id, lang, CAST(i AS BIGINT) AS pos,
+      |              t[i+1] AS w1, t[i+2] AS w2
+      |       FROM tk, unnest(range(0, len(t)-1)) r(i)),
+      |rbg AS (SELECT w1, w2, count(*) AS c FROM bg
+      |        WHERE lang = 'en' GROUP BY 1, 2),
+      |rpc AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1
+      |        FROM rbg GROUP BY 1),
+      |vv AS (SELECT count(DISTINCT tok) AS v FROM
+      |         (SELECT unnest(t) AS tok FROM tk WHERE lang = 'en'))""".stripMargin
+
+  /** Shared CTE tail: per-bigram smoothed probability + per-doc score. */
+  private val dkLmScore =
+    s"""sc AS (SELECT b.doc_id, b.pos, rbg.c,
+      |          CASE WHEN vv.v = 0 THEN 0.0
+      |               ELSE CAST(COALESCE(rbg.c, 0) + 1 AS DOUBLE)
+      |                  / CAST(COALESCE(rpc.c1, 0) + vv.v AS DOUBLE)
+      |          END AS p
+      |        FROM bg b
+      |        LEFT JOIN rbg ON b.w1 = rbg.w1 AND b.w2 = rbg.w2
+      |        LEFT JOIN rpc ON b.w1 = rpc.w1
+      |        CROSS JOIN vv),
+      |ds AS (SELECT doc_id, count(*) AS n_bigrams,
+      |              count(*) FILTER (WHERE c IS NULL) AS n_oov,
+      |              ${dkOrderedSum("p", "pos")}
+      |                / CAST(count(*) AS DOUBLE) AS score
+      |       FROM sc GROUP BY 1)""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // The reference bigram model itself: Laplace-smoothed
+    // probabilities over the lang='en' slice, top 100 bigrams by
+    // count with a total-order tiebreak. Integer counts + ONE
+    // division per row — bit-exact; the count tables are
+    // vocabulary-sized, so at 100 TB this is a dimension build, not a
+    // corpus shuffle.
+    QueryDef(
+      "q231_bigram_lm",
+      Some(s"""
+        WITH $dkLmBase
+        SELECT w1, w2, c, c1,
+               CAST(c + 1 AS DOUBLE) / CAST(c1 + vv.v AS DOUBLE) AS p
+        FROM rbg JOIN rpc USING (w1) CROSS JOIN vv
+        ORDER BY c DESC, w1, w2 LIMIT 100"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        LanguageModel
+          .bigramModel(docs.filter(col("lang") === "en"), "doc_id",
+            "text")
+          .orderBy(col("c").desc, col("w1"), col("w2"))
+          .limit(100)
+      }),
+
+    // CCNet-style per-document scoring: mean smoothed bigram
+    // probability + OOV-bigram count under the reference model — the
+    // quality screen that ranks documents by in-distribution-ness
+    // before sampling a training mix. One corpus bigram explode, two
+    // count-table joins, one per-doc fold.
+    QueryDef(
+      "q232_lm_score",
+      Some(s"""
+        WITH $dkLmBase,
+        $dkLmScore
+        SELECT * FROM ds"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        LanguageModel.lmScore(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text")
+      }),
+
+    // Score-band histogram per language: fixed decile bands of the
+    // q232 score with exact min/max per band — the scale-safe
+    // screening summary (a quantile-based head/middle/tail split per
+    // language is q191's ntile shape; fixed bands need ONE hash
+    // aggregation and no per-language global sort). min/max of
+    // identical doubles are bit-exact, so the whole report
+    // hash-matches.
+    QueryDef(
+      "q233_lm_score_bands",
+      Some(s"""
+        WITH $dkLmBase,
+        $dkLmScore,
+        lg AS (SELECT doc_id, min(lang) AS lang FROM tk GROUP BY 1)
+        SELECT lang,
+               LEAST(CAST(floor(score * 10) AS BIGINT), 9) AS band,
+               count(*) AS n_docs,
+               min(score) AS min_score, max(score) AS max_score
+        FROM ds JOIN lg USING (doc_id)
+        GROUP BY 1, 2"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        LanguageModel
+          .lmScore(docs, docs.filter(col("lang") === "en"), "doc_id",
+            "text", carryCols = Seq("lang"))
+          .groupBy(col("lang"),
+            least(floor(col("score") * 10).cast("long"), lit(9L))
+              .as("band"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("score")).as("min_score"),
+            max(col("score")).as("max_score"))
+      }),
+
+    // DSIR-style importance weights: per document, the mean smoothed
+    // probability ratio of its hashed unigram features between the
+    // lang='en' target and the raw corpus — rank-descending weight is
+    // the data-selection order. Both feature tables are bounded at
+    // 4096 rows by construction and broadcast at any corpus size.
+    QueryDef(
+      "q234_dsir_weights",
+      Some(s"""
+        WITH tk AS (SELECT doc_id, lang, string_split(text,' ') AS t
+                    FROM documents),
+        tok AS (SELECT doc_id, lang, CAST(i AS BIGINT) AS pos,
+                       ${dkHash60("t[i+1]")} % 4096 AS ft
+                FROM tk, unnest(range(0, len(t))) r(i)),
+        rc AS (SELECT ft, count(*) AS cr FROM tok GROUP BY 1),
+        tc AS (SELECT ft, count(*) AS ct FROM tok
+               WHERE lang = 'en' GROUP BY 1),
+        tot AS (SELECT (SELECT count(*) FROM tok) AS r_total,
+                       (SELECT count(*) FROM tok WHERE lang = 'en')
+                         AS t_total),
+        ratios AS (SELECT rc.ft,
+                     CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE)
+                       * CAST(tot.r_total + 4096 AS DOUBLE)
+                       / (CAST(rc.cr + 1 AS DOUBLE)
+                          * CAST(tot.t_total + 4096 AS DOUBLE)) AS r
+                   FROM rc LEFT JOIN tc ON rc.ft = tc.ft
+                   CROSS JOIN tot)
+        SELECT doc_id, count(*) AS n_toks,
+               ${dkOrderedSum("r", "pos")}
+                 / CAST(count(*) AS DOUBLE) AS weight
+        FROM tok JOIN ratios USING (ft)
+        GROUP BY 1"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        LanguageModel.dsirWeights(docs,
+          docs.filter(col("lang") === "en"), "doc_id", "text")
+      })
+  )
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.llmops.{Multimodal, Similarity, Sketches, TextOps}
+import graft.llmops.{LanguageModel, Multimodal, Similarity, Sketches, TextOps}
 
 /** Unit tests for the training-data-pipeline operators: shingling,
   * MinHash/LSH, SimHash, similarity search, text analysis, multimodal
@@ -887,5 +887,65 @@ class LlmOpsSpec extends AnyFunSuite {
       surv -= r.getLong(2)
       assert(r.getLong(3) == surv)
     }
+  }
+
+  test("LanguageModel.bigramModel: Laplace probabilities from exact counts") {
+    import spark.implicits._
+    val ref = Seq((1L, "a b a b c"), (2L, "a b")).toDF("doc_id", "text")
+    // bigrams: d1 = (a,b),(b,a),(a,b),(b,c); d2 = (a,b)
+    // counts: (a,b)=3, (b,a)=1, (b,c)=1; prefixes: a=3, b=2; V=3
+    val m = LanguageModel.bigramModel(ref, "doc_id", "text")
+      .orderBy("w1", "w2").collect()
+    assert(m.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq == Seq(("a", "b", 3L), ("b", "a", 1L), ("b", "c", 1L)))
+    val ab = m.head
+    assert(ab.getLong(3) == 3L && ab.getDouble(4) == 4.0 / 6.0)
+    val ba = m(1)
+    assert(ba.getLong(3) == 2L && ba.getDouble(4) == 2.0 / 5.0)
+  }
+
+  test("LanguageModel.lmScore: smoothing, OOV fallback, short-doc drop") {
+    import spark.implicits._
+    val ref = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "a b c"),   // (a,b) seen c=2; (b,c) seen c=1
+      (11L, "x y"),     // unseen prefix -> uniform 1/V
+      (12L, "solo")     // no bigrams -> dropped
+    ).toDF("doc_id", "text")
+    // ref counts: (a,b)=2,(b,a)=1,(b,c)=1; prefix a=2, b=2; V=3
+    val got = LanguageModel.lmScore(docs, ref, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got.length == 2)
+    val d10 = got(0)
+    assert(d10.getLong(1) == 2 && d10.getLong(2) == 0)
+    // p(a,b)=(2+1)/(2+3)=0.6; p(b,c)=(1+1)/(2+3)=0.4; mean=0.5
+    assert(d10.getDouble(3) == ((0.0 + 3.0 / 5.0) + 2.0 / 5.0) / 2.0)
+    val d11 = got(1)
+    assert(d11.getLong(1) == 1 && d11.getLong(2) == 1)
+    assert(d11.getDouble(3) == 1.0 / 3.0) // (0+1)/(0+V)
+  }
+
+  test("LanguageModel.lmScore: empty reference scores 0.0, never NaN") {
+    import spark.implicits._
+    val ref = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val got = LanguageModel.lmScore(docs, ref, "doc_id", "text").collect()
+    assert(got.length == 1 && got(0).getDouble(3) == 0.0)
+  }
+
+  test("LanguageModel.dsirWeights: target-like docs weigh above 1") {
+    import spark.implicits._
+    val target = Seq((1L, "good words only good words")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "good words only good words"),
+      (2L, "junk junk junk junk junk")).toDF("doc_id", "text")
+    val got = LanguageModel.dsirWeights(docs, target, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got.length == 2)
+    assert(got(0).getLong(1) == 5 && got(1).getLong(1) == 5)
+    // doc 1's features dominate the target -> ratio > 1; doc 2's
+    // features are absent from the target -> ratio < 1
+    assert(got(0).getDouble(2) > 1.0)
+    assert(got(1).getDouble(2) < 1.0)
   }
 }
