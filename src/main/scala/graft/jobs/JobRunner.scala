@@ -154,6 +154,14 @@ object JobRunner {
       "corpus_release" -> (Seq("docs"),
         (_, in) => graft.llmops.CorpusRelease.summary(
           in("docs"), "doc_id", "text", "source")),
+      // LM-gated release audit: the same pipeline with the CCNet-style
+      // reference-model score gate between the waterfall and the
+      // scrub (CorpusRelease.summaryLm; the 0.035 cutoff is the
+      // q233-band calibration constant for the fixture corpus)
+      "corpus_release_lm" -> (Seq("docs"),
+        (_, in) => graft.llmops.CorpusRelease.summaryLm(
+          in("docs"), "doc_id", "text", "source", "lang", "en",
+          0.035)),
       // dedup pre-flight: LSH recall S-curve + candidate-graph
       // transitivity + SimHash Hamming calibration in one report
       // (graft.llmops.DedupAudit — run per corpus release on a sample)
@@ -204,9 +212,17 @@ object JobRunner {
         val n = o.get("shards").map(_.toInt).getOrElse(32)
         val docs = s.read.parquet(in)
         // one staged pass serves both outputs — released()+summary()
-        // separately would run the three heaviest stages twice
-        val (rel0, audit) = graft.llmops.CorpusRelease
-          .releaseAndAudit(docs, "doc_id", "text", "source")
+        // separately would run the three heaviest stages twice;
+        // --lm-min-score switches in the LM-gated pipeline (the
+        // cutoff comes from a q233-style calibration run)
+        val (rel0, audit) = o.get("lm-min-score") match {
+          case Some(ms) => graft.llmops.CorpusRelease
+            .releaseAndAuditLm(docs, "doc_id", "text", "source",
+              o.getOrElse("lang-col", "lang"),
+              o.getOrElse("ref-lang", "en"), ms.toDouble)
+          case None => graft.llmops.CorpusRelease
+            .releaseAndAudit(docs, "doc_id", "text", "source")
+        }
         val rel = rel0.select(
           org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("text_deduped").as("text"),

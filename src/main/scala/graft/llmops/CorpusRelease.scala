@@ -13,6 +13,10 @@ import graft.core.Checkpoints.BarrierOps
   * per-source release summary. Every stage is an independently
   * oracled operator; this is the q65-style composition at job level,
   * registered as `corpus_release` in [[graft.jobs.JobRunner]].
+  * The [[releaseAndAuditLm]]/[[summaryLm]] variant (q235,
+  * `corpus_release_lm`) inserts the CCNet-shaped reference-model
+  * score gate ([[LanguageModel.lmScore]]) between the waterfall and
+  * the scrub.
   *
   * Scale shape: the md5 window keys on the text fingerprint (uniform;
   * byte-identical mass collapses to one key each), the gate is the
@@ -34,8 +38,8 @@ object CorpusRelease {
     * (tagged, ff, rel): all docs with exact-dup flags; survivors of
     * exact dedup with their first-failing rule; the scrubbed
     * released docs. */
-  private def staged(docs: DataFrame, idCol: String, textCol: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+  private def taggedAndGated(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
     val w = Window.partitionBy(md5(col(textCol)))
     val tagged = docs
       .withColumn("__first", min(col(idCol)).over(w))
@@ -45,9 +49,46 @@ object CorpusRelease {
     val ff = exact
       .join(TextOps.waterfallFirstFail(exact, idCol, textCol), Seq(idCol))
       .barrier()
+    (tagged, ff)
+  }
+
+  private def staged(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (tagged, ff) = taggedAndGated(docs, idCol, textCol)
     val rel = TextOps.removeDupSpans(
       ff.filter(col("ff") === 6).drop("ff"), idCol, textCol)
     (tagged, ff, rel)
+  }
+
+  /** The CCNet-shaped variant: after the waterfall, score every
+    * survivor against the reference model learned from the
+    * SURVIVORS' own `langCol = refLang` slice
+    * ([[LanguageModel.lmScore]] — the reference is built post-dedup
+    * post-gate, so spam and exact dups never pollute the model) and
+    * keep docs with `score >= minScore`. The span scrub then runs
+    * over LM-passing docs only (spans are defined against what
+    * ships). Every waterfall survivor IS scored: rule 1 guarantees
+    * ≥30 tokens, so the ≥2-token bigram precondition always holds
+    * and the lmScore frame has no missing docs. An empty reference
+    * slice scores everything 0.0 — with minScore > 0 the release is
+    * empty, deterministically, rather than unfiltered.
+    * Returns (tagged, ff, lms, rel). */
+  private def stagedLm(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, refLang: String, minScore: Double)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (tagged, ff) = taggedAndGated(docs, idCol, textCol)
+    val surv = ff.filter(col("ff") === 6).drop("ff")
+    // scored survivors feed the gate filter AND the audit join —
+    // barrier so the bigram explode + model build runs once
+    val lms = LanguageModel
+      .lmScore(surv, surv.filter(col(langCol) === refLang), idCol,
+        textCol)
+      .barrier()
+    val pass = surv.join(
+      lms.filter(col("score") >= minScore).select(col(idCol)),
+      Seq(idCol))
+    val rel = TextOps.removeDupSpans(pass, idCol, textCol)
+    (tagged, ff, lms, rel)
   }
 
   private def releasedFrom(rel: DataFrame, docs: DataFrame,
@@ -69,6 +110,36 @@ object CorpusRelease {
         sum(when(!col("__exact_dup") && col("ff") =!= 6, 1L)
           .otherwise(0L)).as("n_gate_dropped"),
         sum(when(col("ff") === 6, 1L).otherwise(0L)).as("n_released"),
+        sum(coalesce(col("n_removed"), lit(0L))).as("tokens_scrubbed"),
+        sum(coalesce(col("n_tokens") - col("n_removed"), lit(0L)))
+          .as("tokens_released"))
+  }
+
+  private def summaryLmFrom(tagged: DataFrame, ff: DataFrame,
+      lms: DataFrame, rel: DataFrame, idCol: String, sourceCol: String,
+      minScore: Double): DataFrame = {
+    val stages = tagged.select(col(idCol), col(sourceCol),
+        col("__exact_dup"))
+      .join(ff.select(col(idCol), col("ff")), Seq(idCol), "left")
+      .join(lms.select(col(idCol),
+        // never NULL for ff=6 docs (see stagedLm invariant) — the
+        // coalesce keeps a hypothetical gap in the dropped bucket
+        // instead of vanishing from both counts
+        coalesce(col("score"), lit(0.0)).as("score")), Seq(idCol),
+        "left")
+      .join(rel.select(col(idCol), col("n_tokens"), col("n_removed")),
+        Seq(idCol), "left")
+    stages.groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_in"),
+        sum(when(col("__exact_dup"), 1L).otherwise(0L))
+          .as("n_exact_dropped"),
+        sum(when(!col("__exact_dup") && col("ff") =!= 6, 1L)
+          .otherwise(0L)).as("n_gate_dropped"),
+        sum(when(col("ff") === 6 && col("score") < minScore, 1L)
+          .otherwise(0L)).as("n_lm_dropped"),
+        sum(when(col("ff") === 6 && col("score") >= minScore, 1L)
+          .otherwise(0L)).as("n_released"),
         sum(coalesce(col("n_removed"), lit(0L))).as("tokens_scrubbed"),
         sum(coalesce(col("n_tokens") - col("n_removed"), lit(0L)))
           .as("tokens_released"))
@@ -102,5 +173,32 @@ object CorpusRelease {
     val (tagged, ff, rel) = staged(docs, idCol, textCol)
     (releasedFrom(rel, docs, idCol, sourceCol),
       summaryFrom(tagged, ff, rel, idCol, sourceCol))
+  }
+
+  /** The LM-gated release (exact dedup → waterfall → CCNet-style
+    * reference-model score gate → span scrub), both outputs off one
+    * staged pass. The audit gains an `n_lm_dropped` stage column;
+    * `n_released` counts docs that passed BOTH gates. `minScore` is a
+    * calibration-run constant (CCNet fits its perplexity cutoffs on a
+    * sample the same way — the mean smoothed probability scale moves
+    * with reference vocabulary size, so the cutoff is data-dependent
+    * by nature; q233's band histogram is the calibration artifact). */
+  def releaseAndAuditLm(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, langCol: String, refLang: String,
+      minScore: Double): (DataFrame, DataFrame) = {
+    val (tagged, ff, lms, rel) =
+      stagedLm(docs, idCol, textCol, langCol, refLang, minScore)
+    (releasedFrom(rel, docs, idCol, sourceCol),
+      summaryLmFrom(tagged, ff, lms, rel, idCol, sourceCol, minScore))
+  }
+
+  /** Per-source audit of the LM-gated release (the `corpus_release_lm`
+    * job frame). */
+  def summaryLm(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, langCol: String, refLang: String,
+      minScore: Double): DataFrame = {
+    val (tagged, ff, lms, rel) =
+      stagedLm(docs, idCol, textCol, langCol, refLang, minScore)
+    summaryLmFrom(tagged, ff, lms, rel, idCol, sourceCol, minScore)
   }
 }

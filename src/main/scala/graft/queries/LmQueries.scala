@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.llmops.LanguageModel
+import graft.llmops.{CorpusRelease, LanguageModel}
 
 /** Count-based language-model curation family (llmops/LanguageModel):
   * CCNet-style reference-model scoring and DSIR-style importance
@@ -169,6 +169,126 @@ object LmQueries {
         val docs = t(s, d, "documents")
         LanguageModel.dsirWeights(docs,
           docs.filter(col("lang") === "en"), "doc_id", "text")
-      })
+      }),
+
+    // The LM-gated corpus release (CorpusRelease.summaryLm, CCNet's
+    // actual pipeline shape): exact dedup → waterfall gate → score
+    // every survivor against the reference model learned from the
+    // survivors' own lang='en' slice → keep score ≥ 0.035 (a
+    // calibration-run constant; q233 is the calibration artifact) →
+    // span scrub over what ships → per-source audit. The oracle
+    // replays ALL five stages relationally, so the composed job is
+    // hash-verified end-to-end, not just its pieces (q189's bar,
+    // extended by the LM stage).
+    QueryDef(
+      "q235_corpus_release_lm",
+      Some(s"""
+        WITH firsts AS (SELECT doc_id, text, source, lang,
+                          min(doc_id) OVER (PARTITION BY md5(text))
+                            AS first_id
+                        FROM documents),
+        exact AS (SELECT doc_id, text, source, lang FROM firsts
+                  WHERE doc_id = first_id),
+        et AS (SELECT doc_id, text, lang, string_split(text,' ') toks
+               FROM exact),
+        b AS (SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) nt,
+                     CAST(length(replace(text,' ','')) AS BIGINT) nc,
+                     CAST(len(list_distinct(toks)) AS BIGINT) nd,
+                     CAST(len(list_filter(toks, x -> list_contains(
+                       ['the','a','of','and','to','in','is','it'], x)))
+                       AS BIGINT) he
+              FROM et),
+        shl AS (SELECT doc_id,
+                  CASE WHEN len(toks) >= 3
+                       THEN list_distinct(list_transform(
+                              range(1, len(toks)-1),
+                              i -> ('0x'||substr(md5(array_to_string(
+                                     toks[i:i+2],' ')),1,15))::BIGINT))
+                       ELSE []::BIGINT[] END AS arr
+                FROM et),
+        m AS (SELECT doc_id, count(*) nsh,
+                     count(*) FILTER (WHERE cdf > 1) ndup
+              FROM (SELECT doc_id, sh,
+                           count(*) OVER (PARTITION BY sh) cdf
+                    FROM (SELECT doc_id, unnest(arr) sh FROM shl))
+              GROUP BY 1),
+        ff AS (SELECT doc_id, CASE
+                 WHEN nt < 30 THEN 1
+                 WHEN nc*10 < nt*42 OR nc*10 > nt*49 THEN 2
+                 WHEN he*32 < nt THEN 3
+                 WHEN (nt-nd)*20 > nt*13 THEN 4
+                 WHEN coalesce(ndup,0)*5 > coalesce(nsh,0)*4 THEN 5
+                 ELSE 6 END AS f
+               FROM b LEFT JOIN m USING (doc_id)),
+        surv AS (SELECT et.doc_id, et.lang, et.toks,
+                        CAST(len(et.toks) AS BIGINT) nt
+                 FROM et JOIN ff USING (doc_id) WHERE f = 6),
+        sbg AS (SELECT doc_id, lang, CAST(i AS BIGINT) AS pos,
+                       toks[i+1] AS w1, toks[i+2] AS w2
+                FROM surv, unnest(range(0, len(toks)-1)) r(i)),
+        rbg AS (SELECT w1, w2, count(*) AS c FROM sbg
+                WHERE lang = 'en' GROUP BY 1, 2),
+        rpc AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1
+                FROM rbg GROUP BY 1),
+        vv AS (SELECT count(DISTINCT tok) AS v FROM
+                 (SELECT unnest(toks) AS tok FROM surv
+                  WHERE lang = 'en')),
+        sc AS (SELECT s.doc_id, s.pos,
+                 CASE WHEN vv.v = 0 THEN 0.0
+                      ELSE CAST(COALESCE(rbg.c, 0) + 1 AS DOUBLE)
+                         / CAST(COALESCE(rpc.c1, 0) + vv.v AS DOUBLE)
+                 END AS p
+               FROM sbg s
+               LEFT JOIN rbg ON s.w1 = rbg.w1 AND s.w2 = rbg.w2
+               LEFT JOIN rpc ON s.w1 = rpc.w1
+               CROSS JOIN vv),
+        ds AS (SELECT doc_id,
+                      ${dkOrderedSum("p", "pos")}
+                        / CAST(count(*) AS DOUBLE) AS score
+               FROM sc GROUP BY 1),
+        pass AS (SELECT surv.doc_id, surv.toks, surv.nt
+                 FROM surv JOIN ds USING (doc_id)
+                 WHERE ds.score >= 0.035),
+        sp AS (SELECT doc_id, toks, nt, unnest(range(1, nt - 1)) AS p
+               FROM pass WHERE nt >= 3),
+        pg AS (SELECT doc_id, p,
+                      ('0x'||substr(md5(array_to_string(
+                        toks[p:p+2],' ')),1,15))::BIGINT AS gh
+               FROM sp),
+        sharedg AS (SELECT gh FROM (
+                      SELECT gh, count(DISTINCT doc_id) c
+                      FROM pg GROUP BY 1) WHERE c > 1),
+        cov0 AS (SELECT DISTINCT doc_id, unnest([p, p+1, p+2]) AS ci
+                 FROM pg JOIN sharedg USING (gh)),
+        covl AS (SELECT doc_id, count(*) AS nrem FROM cov0 GROUP BY 1),
+        rel AS (SELECT pa.doc_id, pa.nt,
+                       CAST(coalesce(c.nrem, 0) AS BIGINT) AS nrem
+                FROM pass pa LEFT JOIN covl c USING (doc_id)),
+        stage AS (SELECT f0.source,
+                         (f0.doc_id <> f0.first_id) AS exdup,
+                         ff.f, COALESCE(ds.score, 0) AS score,
+                         rel.nt, rel.nrem
+                  FROM firsts f0
+                  LEFT JOIN ff ON f0.doc_id = ff.doc_id
+                  LEFT JOIN ds ON f0.doc_id = ds.doc_id
+                  LEFT JOIN rel ON f0.doc_id = rel.doc_id)
+        SELECT source,
+               count(*) AS n_in,
+               count(*) FILTER (WHERE exdup) AS n_exact_dropped,
+               count(*) FILTER (WHERE NOT exdup AND f <> 6)
+                 AS n_gate_dropped,
+               count(*) FILTER (WHERE f = 6 AND score < 0.035)
+                 AS n_lm_dropped,
+               count(*) FILTER (WHERE f = 6 AND score >= 0.035)
+                 AS n_released,
+               CAST(sum(coalesce(nrem, 0)) AS BIGINT)
+                 AS tokens_scrubbed,
+               CAST(sum(coalesce(nt - nrem, 0)) AS BIGINT)
+                 AS tokens_released
+        FROM stage GROUP BY 1"""),
+      (s, d) =>
+        CorpusRelease.summaryLm(t(s, d, "documents"), "doc_id",
+          "text", "source", "lang", "en", 0.035))
   )
 }

@@ -82,10 +82,11 @@ class FleetSpec extends AnyFunSuite {
         ("/store/p1/f1.root", "dn1", 20L))
         .toDF("file_lfn", "user_dn", "read_bytes"),
       "other" -> Seq(Tuple1("/PrimX/Proc-vX/RAW")).toDF("dataset"),
-      "docs" -> Seq((1L, "alpha beta gamma delta epsilon zeta", "s1"),
-        (2L, "alpha beta gamma delta epsilon zeta", "s1"),
-        (3L, "one two three four five six seven", "s2"))
-        .toDF("doc_id", "text", "source"),
+      "docs" -> Seq(
+        (1L, "alpha beta gamma delta epsilon zeta", "s1", "en"),
+        (2L, "alpha beta gamma delta epsilon zeta", "s1", "en"),
+        (3L, "one two three four five six seven", "s2", "xx"))
+        .toDF("doc_id", "text", "source", "lang"),
       "fts" -> Seq(
         ("j1", "gsiftp://host/path/f1", "FINISHED", 1000L, 5000L),
         ("j2", "gsiftp://host/path/f2", "FAILED", 1000L, 2000L))

@@ -792,6 +792,49 @@ class JobsSpec extends AnyFunSuite {
       .head().getString(0).split(" ").length == 27)
   }
 
+  test("corpus_release_lm: reference-model gate drops the " +
+    "out-of-distribution survivor") {
+    import spark.implicits._
+    def tokens(tag: String, n4: Int, n5: Int) =
+      Seq("the") ++ (1 to n4).map(i => f"$tag$i%03d") ++
+        (1 to n5).map(i => f"$tag${i}%04d")
+    // A is the only en survivor, so the reference model is A itself:
+    // its 29 bigrams each score (1+1)/(1+30) = 2/31 ≈ 0.065. C's
+    // bigrams are unseen: (0+1)/(0+30) = 1/30 ≈ 0.033 (1/31 for the
+    // one seen "the" prefix). minScore = 0.05 splits them exactly.
+    val passA = tokens("a", 15, 14).mkString(" ") // 30 toks, en
+    val passC = tokens("c", 15, 14).mkString(" ") // 30 toks, xx
+    val docs = Seq(
+      (1L, passA, "s1", "en"),
+      (2L, "x y", "s1", "en"),  // fails min_len — never scored
+      (3L, passC, "s2", "xx")
+    ).toDF("doc_id", "text", "source", "lang")
+    val got = graft.llmops.CorpusRelease
+      .summaryLm(docs, "doc_id", "text", "source", "lang", "en", 0.05)
+      .orderBy("source").collect()
+    val s1 = got(0); val s2 = got(1)
+    assert(s1.getAs[Long]("n_in") == 2 &&
+      s1.getAs[Long]("n_gate_dropped") == 1 &&
+      s1.getAs[Long]("n_lm_dropped") == 0 &&
+      s1.getAs[Long]("n_released") == 1 &&
+      s1.getAs[Long]("tokens_released") == 30)
+    assert(s2.getAs[Long]("n_in") == 1 &&
+      s2.getAs[Long]("n_lm_dropped") == 1 &&
+      s2.getAs[Long]("n_released") == 0 &&
+      s2.getAs[Long]("tokens_released") == 0)
+    // the released frame ships only the LM-passing doc
+    val rel = graft.llmops.CorpusRelease
+      .releaseAndAuditLm(docs, "doc_id", "text", "source", "lang",
+        "en", 0.05)._1
+    assert(rel.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // an empty reference slice scores everything 0.0 → empty release
+    val noRef = graft.llmops.CorpusRelease
+      .summaryLm(docs, "doc_id", "text", "source", "lang", "qq", 0.05)
+      .agg(org.apache.spark.sql.functions.sum("n_released"))
+      .head().getLong(0)
+    assert(noRef == 0L)
+  }
+
   test("leftoversReport: VALID-with-files subtract vs any-DBS orphan " +
     "subtract, campaign + sorted site set") {
     val ddf = Seq(

@@ -116,11 +116,16 @@ def main():
     # barriers — 9 exchanges is the sum of its stages' audited shapes
     # (it was 43 before the barriers; the barrier fix is the real
     # guard, the exemption covers the honest composed count).
+    # q235 is q189 plus the LM score gate stage (bigram explode, two
+    # model-count aggs, model joins, per-doc fold ≈ 5 more exchanges,
+    # each individually audited under q232) — 14 total, same
+    # barrier-guarded composition.
     exempt = {"q54_dedup_clusters", "q65_curation_pipeline",
               "q114_fk_audit", "q140_dedup_survivors",
               "q146_effective_tokens", "q149_cluster_sizes",
               "q162_sparse_cosine_pairs", "q163_rrf_hybrid",
-              "q164_pair_pagerank", "q189_corpus_release"}
+              "q164_pair_pagerank", "q189_corpus_release",
+              "q235_corpus_release_lm"}
     failures = []
     rows = []
     for path in sorted(glob.glob(os.path.join(args.plans_dir, "*.txt"))):
