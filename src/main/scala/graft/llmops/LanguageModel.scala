@@ -98,7 +98,6 @@ object LanguageModel {
     * scores every document 0.0 rather than dividing by zero. */
   def lmScore(docs: DataFrame, ref: DataFrame, idCol: String,
       textCol: String, carryCols: Seq[String] = Nil): DataFrame = {
-    val bg = bigrams(docs, idCol, textCol, carryCols)
     // model tables are dimension builds — barriered once so the
     // reference explode+agg subtrees don't re-plan per consumer
     val rc = bigramCounts(ref, idCol, textCol).barrier()
@@ -108,6 +107,37 @@ object LanguageModel {
       .select(explode(tokens(col(textCol))).as("tok"))
       .agg(countDistinct(col("tok")).as("V"))
       .barrier()
+    scoreJoin(docs, rc, pc, v, idCol, textCol, carryCols)
+  }
+
+  /** [[lmScore]] against a FROZEN model — the streaming / repeated-
+    * scoring variant: `model` is a [[bigramModel]] output read as a
+    * plain dimension frame, `vocabSize` its reference vocabulary
+    * size. No reference scan per call; semantics identical to
+    * [[lmScore]] (unseen-prefix fallback, V=0 pins scores 0.0). */
+  def lmScoreFrozen(docs: DataFrame, model: DataFrame, vocabSize: Long,
+      idCol: String, textCol: String, carryCols: Seq[String] = Nil)
+      : DataFrame = {
+    val rc = model.select(col("w1"), col("w2"), col("c"))
+    // c1 repeats on every (w1, w2) model row — one distinct recovers
+    // the prefix table without re-aggregating anything
+    val pc = model.select(col("w1"), col("c1")).distinct()
+    val v = docs.sparkSession.range(1)
+      .select(lit(vocabSize).as("V"))
+    scoreJoin(docs, rc, pc, v, idCol, textCol, carryCols)
+  }
+
+  /** Reference vocabulary size for [[lmScoreFrozen]] — one scalar off
+    * a dimension-sized distinct (a driver action by design: the model
+    * freeze is a once-per-release step, not per-batch work). */
+  def refVocabSize(ref: DataFrame, textCol: String): Long =
+    ref.select(explode(tokens(col(textCol))).as("tok"))
+      .agg(countDistinct(col("tok"))).head().getLong(0)
+
+  private def scoreJoin(docs: DataFrame, rc: DataFrame, pc: DataFrame,
+      v: DataFrame, idCol: String, textCol: String,
+      carryCols: Seq[String]): DataFrame = {
+    val bg = bigrams(docs, idCol, textCol, carryCols)
     val scored = bg
       .join(rc, Seq("w1", "w2"), "left")
       .join(pc, Seq("w1"), "left")

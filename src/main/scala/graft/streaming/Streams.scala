@@ -538,6 +538,69 @@ object Streams {
       }
       .start()
 
+  /** Curated-ingest gate — the streaming form of the incremental
+    * corpus-admission pipeline: per micro-batch, (1) within-batch
+    * exact dedup (keep the min-id copy per text fingerprint),
+    * (2) dedup admission against the store built SO FAR
+    * (`TextOps.incrementalAdmissions` — batch×base work only, never
+    * base×base), (3) LM quality gate against a FROZEN reference
+    * model (`LanguageModel.lmScoreFrozen`, keep `score >= minScore`;
+    * docs with <2 tokens have no defined score and never ship), then
+    * APPEND the surviving docs to the parquet store — the corpus is
+    * the big side, so the store is append-only (a read-modify-rewrite
+    * cycle would rewrite the whole corpus per batch; the sketch
+    * stores rewrite because their stores are bounded).
+    *
+    * Replay safety without a dedup log: a re-delivered batch finds
+    * its own earlier copies in the store, and the exact-fingerprint
+    * admission gate drops every doc — at-least-once delivery
+    * converges to exactly-once CONTENT (ids of dropped re-deliveries
+    * are not recorded; the store is contentwise idempotent, the
+    * group-MinHash store's argument applied to whole documents). */
+  def toCuratedCorpusStore(stream: DataFrame, idCol: String,
+      textCol: String, model: DataFrame, vocabSize: Long,
+      minScore: Double, storeDir: String, checkpoint: String,
+      minJac: Double = 0.5, maxDf: Int = 1000): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        if (!batch0.isEmpty) {
+          import graft.core.Checkpoints.BarrierOps
+          val s = batch0.sparkSession
+          // within-batch exact dedup with a deterministic keeper
+          // (incrementalAdmissions' contract scopes within-batch dups
+          // out; dropDuplicates would pick an arbitrary copy)
+          val keep = batch0
+            .groupBy(md5(col(textCol)).as("__fp"))
+            .agg(min(col(idCol)).as(idCol))
+            .select(col(idCol))
+          // three consumers (admissions, scoring, append) — barrier
+          // so the micro-batch source isn't re-planned per consumer
+          val batch = batch0.join(keep, Seq(idCol), "left_semi")
+            .barrier()
+          val storePath = new org.apache.hadoop.fs.Path(storeDir)
+          val fs = storePath
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          val base =
+            if (fs.exists(storePath)) s.read.parquet(storeDir)
+            else batch.limit(0)
+          val admitted = graft.llmops.TextOps
+            .incrementalAdmissions(base, batch, idCol, textCol,
+              minJac, maxDf)
+            .filter(col("is_admitted")).select(col(idCol))
+          val passing = graft.llmops.LanguageModel
+            .lmScoreFrozen(
+              batch.join(admitted, Seq(idCol), "left_semi"),
+              model, vocabSize, idCol, textCol)
+            .filter(col("score") >= minScore).select(col(idCol))
+          val out = batch.join(passing, Seq(idCol), "left_semi")
+          if (!out.isEmpty) out.write.mode("append").parquet(storeDir)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming document egress: each micro-batch pushes its rows as
     * JSON documents through a DocSink transport (STOMP frames,
     * OpenSearch bulk bodies, …) from the EXECUTORS — the streaming

@@ -403,6 +403,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == oneShot)
   }
 
+  test("toCuratedCorpusStore: dedup admission + frozen LM gate, " +
+    "replayed batch adds nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-curated").toString
+    val (store, ckpt) = (s"$dir/store", s"$dir/ckpt")
+    def text(tag: String) = (1 to 10).map(i => s"$tag$i").mkString(" ")
+    val textA = text("a"); val textD = text("d"); val textC = text("c")
+    // near-dup of A: final token changed → 7 of 8 trigram shingles
+    // shared, Jaccard 7/9 ≈ 0.78 ≥ 0.5
+    val textA2 = (1 to 9).map(i => s"a$i").mkString(" ") + " zz"
+    // frozen reference model from A+D: seen bigrams score
+    // (1+1)/(1+20) ≈ 0.095, unseen 1/20 = 0.05 — gate at 0.07
+    val ref = Seq((100L, textA), (101L, textD)).toDF("doc_id", "text")
+    val model = graft.llmops.LanguageModel
+      .bigramModel(ref, "doc_id", "text")
+    val v = graft.llmops.LanguageModel.refVocabSize(ref, "text")
+    assert(v == 20L)
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.toCuratedCorpusStore(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      model, v, minScore = 0.07, store, ckpt)
+    def ids() = spark.read.parquet(store)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // b1: A admitted; its within-batch twin (9) dropped by the
+    // deterministic min-id keeper; C is out-of-distribution (0.05)
+    input.addData((1L, textA), (9L, textA), (2L, textC))
+    q.processAllAvailable()
+    assert(ids() == Seq(1L))
+    // b2: exact dup of stored A dropped, near-dup A' dropped by the
+    // admission gate, D in-distribution and novel → admitted
+    input.addData((3L, textA), (5L, textA2), (4L, textD))
+    q.processAllAvailable()
+    assert(ids() == Seq(1L, 4L))
+    // b3: replay b2's content (at-least-once delivery) — every doc
+    // finds its earlier copy in the store; nothing appended
+    input.addData((3L, textA), (5L, textA2), (4L, textD))
+    q.processAllAvailable()
+    q.stop()
+    assert(ids() == Seq(1L, 4L))
+  }
+
   test("file source streams incrementally and lands in a day store") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream").toString
