@@ -127,6 +127,42 @@ object Sketches {
     array((1 to h).map(i =>
       TextOps.hash60(concat(key.cast("string"), lit("#" + i))) % m): _*)
 
+  /** Bloom bit-set sketch, materialized: the DISTINCT set positions
+    * (≤ m rows) of every key — the relational bitset
+    * [[bloomJoinAudit]] probes, exposed as a build/merge/probe
+    * triple so the filter can be maintained incrementally (the
+    * streaming decontamination build side: benchmark/eval shingles
+    * arrive over time, training-side probes run against the store).
+    * Merge is distinct-union — the relational OR — which is
+    * associative, commutative and IDEMPOTENT, so per-shard/per-day
+    * filters combine losslessly and replayed batches are harmless
+    * (the group-MinHash store's delivery argument). */
+  def bloomBuild(items: DataFrame, keyCol: String, m: Int = 4096,
+      h: Int = 3): DataFrame =
+    items.select(explode(bloomPositions(col(keyCol), m, h)).as("pos"))
+      .distinct()
+
+  /** OR of two bit sets: distinct union of position rows. */
+  def bloomMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).distinct()
+
+  /** Membership probe of distinct probe keys against a built bit
+    * set: (probeKey, may_contain) — may_contain true iff all h bits
+    * are set (one broadcast of the ≤ m-row filter + one count
+    * aggregation, the [[bloomJoinAudit]] probe shape without the
+    * truth join). */
+  def bloomMayContain(probe: DataFrame, probeKey: String,
+      bits: DataFrame, m: Int = 4096, h: Int = 3): DataFrame =
+    probe.select(col(probeKey).as("k")).distinct()
+      .select(col("k"), explode(bloomPositions(col("k"), m, h))
+        .as("pos"))
+      .join(broadcast(bits.withColumn("__hit", lit(1))), Seq("pos"),
+        "left")
+      .groupBy(col("k"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).as("n_set"))
+      .select(col("k").as(probeKey),
+        (col("n_set") === h).as("may_contain"))
+
   /** Bloom-filter join pruning, RELATIONALLY: the build side's bit
     * SET (≤ m rows — broadcast, the filter itself) semi-joins the
     * probe side's per-key positions; a key "passes" iff all h of its
@@ -141,9 +177,7 @@ object Sketches {
   def bloomJoinAudit(build: DataFrame, probe: DataFrame,
       buildKey: String, probeKey: String, m: Int = 4096, h: Int = 3)
       : DataFrame = {
-    val bits = build
-      .select(explode(bloomPositions(col(buildKey), m, h)).as("pos"))
-      .distinct()
+    val bits = bloomBuild(build, buildKey, m, h)
     // per-key bit membership: LEFT join each probe position against
     // the broadcast bit set (≤ m rows — it IS the filter, the ONLY
     // broadcast bounded by the sketch parameter) and count hits in

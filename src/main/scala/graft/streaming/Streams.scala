@@ -512,6 +512,30 @@ object Streams {
       }
       .start()
 
+  /** Incrementally maintained Bloom bit-set store: per micro-batch,
+    * the batch keys' set positions (`Sketches.bloomBuild`, ≤ m rows)
+    * OR into the parquet store by distinct-union — associative,
+    * commutative, IDEMPOTENT, so the store equals the filter of
+    * everything ever streamed and replayed batches are harmless with
+    * no dedup (at-least-once safe, like [[toGroupMinhashStore]]).
+    * The streaming decontamination build side: eval/benchmark
+    * shingles stream in, training-side probes run
+    * `Sketches.bloomMayContain` against the store at any moment.
+    * Same rename-aside swap as [[toCmsStore]]. */
+  def toBloomStore(stream: DataFrame, keyCol: String, m: Int, h: Int,
+      storeDir: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          upsertSketchStore(batch.sparkSession, storeDir,
+            graft.llmops.Sketches.bloomBuild(batch, keyCol, m, h))(
+            graft.llmops.Sketches.bloomMerge)
+        }
+      }
+      .start()
+
   /** Incrementally maintained group-MinHash store: per micro-batch,
     * the per-group signature (`TextOps.groupMinhash`) merges into the
     * parquet store by ELEMENTWISE MIN — which is exactly the signature

@@ -403,6 +403,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == oneShot)
   }
 
+  test("toBloomStore: streamed ≡ one-shot filter; replay harmless; " +
+    "probes flow") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-bloom").toString
+    val (store, ckpt) = (s"$dir/store", s"$dir/ckpt")
+    val (m, h) = (512, 3)
+    val input = MemoryStream[String]
+    val q = Streams.toBloomStore(input.toDF().toDF("k"), "k", m, h,
+      store, ckpt)
+    val b1 = (1 to 40).map(i => s"eval$i")
+    val b2 = (41 to 80).map(i => s"eval$i")
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    // replay batch 1 verbatim — idempotent OR must not change a bit
+    input.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(store)
+    val oneShot = graft.llmops.Sketches.bloomBuild(
+      (b1 ++ b2).toDF("k"), "k", m, h)
+    assert(streamed.select("pos").as[Long].collect().sorted.toSeq ==
+      oneShot.select("pos").as[Long].collect().sorted.toSeq)
+    // every built key probes true; disjoint probes agree with the
+    // one-shot filter bit-for-bit (same false positives)
+    val builtProbe = graft.llmops.Sketches.bloomMayContain(
+      (b1 ++ b2).toDF("k"), "k", streamed, m, h)
+    assert(builtProbe.filter(!col("may_contain")).count() == 0)
+    val fresh = (1 to 60).map(i => s"train$i").toDF("k")
+    def hits(bits: org.apache.spark.sql.DataFrame) =
+      graft.llmops.Sketches.bloomMayContain(fresh, "k", bits, m, h)
+        .filter(col("may_contain")).select("k").as[String]
+        .collect().sorted.toSeq
+    assert(hits(streamed) == hits(oneShot))
+  }
+
   test("toCuratedCorpusStore: dedup admission + frozen LM gate, " +
     "replayed batch adds nothing") {
     import spark.implicits._
