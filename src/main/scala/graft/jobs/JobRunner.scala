@@ -162,6 +162,13 @@ object JobRunner {
         (_, in) => graft.llmops.CorpusRelease.summaryLm(
           in("docs"), "doc_id", "text", "source", "lang", "en",
           0.035)),
+      // LM-cutoff calibration: the per-language score-band histogram
+      // (q233's frame) an operator reads before choosing the
+      // corpus_release_lm / --lm-min-score cutoff
+      "lm_calibration" -> (Seq("docs"),
+        (_, in) => graft.llmops.LanguageModel.scoreBands(in("docs"),
+          in("docs").filter(col("lang") === "en"), "doc_id", "text",
+          "lang")),
       // dedup pre-flight: LSH recall S-curve + candidate-graph
       // transitivity + SimHash Hamming calibration in one report
       // (graft.llmops.DedupAudit — run per corpus release on a sample)

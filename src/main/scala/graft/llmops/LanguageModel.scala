@@ -157,6 +157,23 @@ object LanguageModel {
           count(lit(1)).cast("double")).as("score"))
   }
 
+  /** Fixed-decile score-band histogram per language — the q233 /
+    * `lm_calibration` calibration artifact an operator reads to pick
+    * a [[CorpusRelease.releaseAndAuditLm]] cutoff: (langCol, band,
+    * n_docs, min_score, max_score) with band = min(⌊score·10⌋, 9).
+    * One further hash aggregation over [[lmScore]] — never a
+    * per-language global sort (the quantile variant is q191's ntile
+    * shape, deliberately not repeated here). */
+  def scoreBands(docs: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, langCol: String): DataFrame =
+    lmScore(docs, ref, idCol, textCol, carryCols = Seq(langCol))
+      .groupBy(col(langCol),
+        least(floor(col("score") * 10).cast("long"), lit(9L))
+          .as("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+
   /** Per-document DSIR-style importance weight toward a target slice:
     * (idCol, n_toks, weight). Features are `hash60(token) % buckets`;
     * weight = mean over token positions of the smoothed probability

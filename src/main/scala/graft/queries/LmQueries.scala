@@ -123,15 +123,8 @@ object LmQueries {
         GROUP BY 1, 2"""),
       (s, d) => {
         val docs = t(s, d, "documents")
-        LanguageModel
-          .lmScore(docs, docs.filter(col("lang") === "en"), "doc_id",
-            "text", carryCols = Seq("lang"))
-          .groupBy(col("lang"),
-            least(floor(col("score") * 10).cast("long"), lit(9L))
-              .as("band"))
-          .agg(count(lit(1)).as("n_docs"),
-            min(col("score")).as("min_score"),
-            max(col("score")).as("max_score"))
+        LanguageModel.scoreBands(docs,
+          docs.filter(col("lang") === "en"), "doc_id", "text", "lang")
       }),
 
     // DSIR-style importance weights: per document, the mean smoothed

@@ -1062,6 +1062,52 @@ class PropertySpec extends AnyFunSuite {
       }
   }
 
+  test("Bloom merge law: OR of side filters = filter of the union; " +
+    "idempotent") {
+    val (m, h) = (256, 3)
+    val key = Gen.choose(1, 200).map(i => s"k$i")
+    samples(Gen.zip(Gen.listOfN(12, key), Gen.listOfN(12, key)), 4)
+      .foreach { case (xs, ys) =>
+        val a = xs.toDF("k"); val b = ys.toDF("k")
+        def bits(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(_.getLong(0)).toSet
+        val sa = graft.llmops.Sketches.bloomBuild(a, "k", m, h)
+        val sb = graft.llmops.Sketches.bloomBuild(b, "k", m, h)
+        val merged = graft.llmops.Sketches.bloomMerge(sa, sb)
+        val direct = graft.llmops.Sketches
+          .bloomBuild(a.unionByName(b), "k", m, h)
+        assert(bits(merged) == bits(direct))
+        // idempotence: OR-ing a side into itself changes nothing
+        assert(bits(graft.llmops.Sketches.bloomMerge(sa, sa)) ==
+          bits(sa))
+      }
+  }
+
+  test("lmScoreFrozen ≡ lmScore: the frozen-model path is " +
+    "bit-identical to the rebuild path") {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val doc = Gen.choose(2, 8).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    samples(Gen.zip(Gen.listOfN(6, doc), Gen.listOfN(3, doc)), 4)
+      .foreach { case (corpus, refDocs) =>
+        val docs = corpus.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val ref = refDocs.zipWithIndex
+          .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+        val model = graft.llmops.LanguageModel
+          .bigramModel(ref, "doc_id", "text")
+        val v = graft.llmops.LanguageModel.refVocabSize(ref, "text")
+        def rows(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getDouble(3))).toSet
+        val live = graft.llmops.LanguageModel
+          .lmScore(docs, ref, "doc_id", "text")
+        val frozen = graft.llmops.LanguageModel
+          .lmScoreFrozen(docs, model, v, "doc_id", "text")
+        assert(rows(live) == rows(frozen))
+      }
+  }
+
   test("kmvDistinctEstimate: exact below k, (k-1)*2^60/h_k at k") {
     val k = 3
     samples(Gen.listOfN(8, Gen.choose(0L, (1L << 60) - 1)), 4)
