@@ -876,6 +876,44 @@ object ScaleQueries {
         Sketches.prioritySampleSummary(ev, "event_type", "event_id",
           "wgt", 64)
           .orderBy(col("event_type"))
+      }),
+
+    // Per-key Bloom membership (Sketches.bloomMayContain — the probe
+    // half of the q192 audit, and what a training-side
+    // decontamination pass actually consults against the streaming
+    // filter store): the lang='en' vocabulary as a deterministic md5
+    // Bloom (m = 4096, h = 3) probed by every non-en token. Bit
+    // layout is hash60-derived, so every answer INCLUDING the false
+    // positives hash-matches.
+    QueryDef(
+      "q236_bloom_membership",
+      Some("""
+        WITH tk AS (SELECT lang, unnest(string_split(text,' ')) AS tok
+                    FROM documents),
+        hs AS (SELECT unnest([1, 2, 3]) AS i),
+        en AS (SELECT DISTINCT tok FROM tk WHERE lang = 'en'),
+        bits AS (SELECT DISTINCT
+                   ('0x'||substr(md5(tok||'#'||i),1,15))
+                     ::BIGINT % 4096 AS pos
+                 FROM en, hs),
+        probe AS (SELECT DISTINCT tok FROM tk WHERE lang <> 'en'),
+        pp AS (SELECT tok,
+                 ('0x'||substr(md5(tok||'#'||i),1,15))
+                   ::BIGINT % 4096 AS pos
+               FROM probe, hs),
+        hit AS (SELECT pos, 1 AS h FROM bits)
+        SELECT pp.tok, sum(coalesce(hit.h, 0)) = 3 AS may_contain
+        FROM pp LEFT JOIN hit USING (pos)
+        GROUP BY 1"""),
+      (s, d) => {
+        val tk = t(s, d, "documents")
+        def toks(f: org.apache.spark.sql.Column) = tk.filter(f)
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        Sketches.bloomMayContain(
+          toks(col("lang") =!= "en"), "tok",
+          Sketches.bloomBuild(toks(col("lang") === "en"), "tok",
+            4096, 3),
+          4096, 3)
       })
   )
 
