@@ -27,17 +27,16 @@ import graft.core.Checkpoints.BarrierOps
   */
 object CorpusRelease {
 
-  /** The three staged frames every consumer derives from, each
-    * boundary lazily checkpointed: the gate scans its input twice
-    * (per-row rules + shingle df) and the scrub three times
-    * (positions, coverage, rebuild) — without the barrier Catalyst
-    * re-inlines the ENTIRE upstream pipeline into every consumer and
-    * the composed plan multiplies (measured 43 exchanges; with
-    * barriers each stage keeps its own audited shape). Same
-    * trade-off note as Retrieval.bm25TopK. Returns
-    * (tagged, ff, rel): all docs with exact-dup flags; survivors of
-    * exact dedup with their first-failing rule; the scrubbed
-    * released docs. */
+  /** The dedup + waterfall frames both pipeline variants start from,
+    * each boundary lazily checkpointed: the gate scans its input
+    * twice (per-row rules + shingle df) and downstream consumers
+    * (scrub, LM gate, audit) scan these frames several times more —
+    * without the barrier Catalyst re-inlines the ENTIRE upstream
+    * pipeline into every consumer and the composed plan multiplies
+    * (measured 43 exchanges; with barriers each stage keeps its own
+    * audited shape). Same trade-off note as Retrieval.bm25TopK.
+    * Returns (tagged, ff): all docs with exact-dup flags; survivors
+    * of exact dedup with their first-failing rule. */
   private def taggedAndGated(docs: DataFrame, idCol: String,
       textCol: String): (DataFrame, DataFrame) = {
     val w = Window.partitionBy(md5(col(textCol)))
