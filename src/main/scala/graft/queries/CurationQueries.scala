@@ -202,6 +202,72 @@ object CurationQueries {
         graft.llmops.Mixture.sqrtMixtureWeights(
           t(s, d, "documents"), "lang")),
 
+    // Two-dimensional mixture raking (Deming–Stephan IPF, 3 rounds):
+    // per-(source, lang) weights fitted to UNIFORM marginals in BOTH
+    // dimensions at once — q82 can hit a language target OR a source
+    // target; a training mix usually needs both. All iteration
+    // arithmetic runs on the bounded cell table; every double sum is
+    // an ordered fold over the other dimension's key, so 3 unrolled
+    // rounds hash-match exactly.
+    QueryDef(
+      "q237_mixture_raking",
+      Some("""
+        WITH cells AS (SELECT source, lang, count(*) AS n
+                       FROM documents GROUP BY 1, 2),
+        tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n_total,
+                       CAST(count(DISTINCT source) AS DOUBLE) AS nr,
+                       CAST(count(DISTINCT lang) AS DOUBLE) AS nc
+                FROM cells),
+        w0 AS (SELECT source, lang, n, 1.0 AS w FROM cells),
+        r1 AS (SELECT source, list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE),
+                   list(w * CAST(n AS DOUBLE) ORDER BY lang)),
+                 (a, b) -> a + b) AS mass FROM w0 GROUP BY 1),
+        a1 AS (SELECT w0.source, w0.lang, w0.n,
+                      w0.w * (tot.n_total / tot.nr) / r1.mass AS w
+               FROM w0 JOIN r1 USING (source) CROSS JOIN tot),
+        c1 AS (SELECT lang, list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE),
+                   list(w * CAST(n AS DOUBLE) ORDER BY source)),
+                 (a, b) -> a + b) AS mass FROM a1 GROUP BY 1),
+        b1 AS (SELECT a1.source, a1.lang, a1.n,
+                      a1.w * (tot.n_total / tot.nc) / c1.mass AS w
+               FROM a1 JOIN c1 USING (lang) CROSS JOIN tot),
+        r2 AS (SELECT source, list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE),
+                   list(w * CAST(n AS DOUBLE) ORDER BY lang)),
+                 (a, b) -> a + b) AS mass FROM b1 GROUP BY 1),
+        a2 AS (SELECT b1.source, b1.lang, b1.n,
+                      b1.w * (tot.n_total / tot.nr) / r2.mass AS w
+               FROM b1 JOIN r2 USING (source) CROSS JOIN tot),
+        c2 AS (SELECT lang, list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE),
+                   list(w * CAST(n AS DOUBLE) ORDER BY source)),
+                 (a, b) -> a + b) AS mass FROM a2 GROUP BY 1),
+        b2 AS (SELECT a2.source, a2.lang, a2.n,
+                      a2.w * (tot.n_total / tot.nc) / c2.mass AS w
+               FROM a2 JOIN c2 USING (lang) CROSS JOIN tot),
+        r3 AS (SELECT source, list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE),
+                   list(w * CAST(n AS DOUBLE) ORDER BY lang)),
+                 (a, b) -> a + b) AS mass FROM b2 GROUP BY 1),
+        a3 AS (SELECT b2.source, b2.lang, b2.n,
+                      b2.w * (tot.n_total / tot.nr) / r3.mass AS w
+               FROM b2 JOIN r3 USING (source) CROSS JOIN tot),
+        c3 AS (SELECT lang, list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE),
+                   list(w * CAST(n AS DOUBLE) ORDER BY source)),
+                 (a, b) -> a + b) AS mass FROM a3 GROUP BY 1),
+        b3 AS (SELECT a3.source, a3.lang, a3.n,
+                      a3.w * (tot.n_total / tot.nc) / c3.mass AS w
+               FROM a3 JOIN c3 USING (lang) CROSS JOIN tot)
+        SELECT b3.source, b3.lang, b3.n, b3.w AS weight,
+               b3.w * CAST(b3.n AS DOUBLE) / tot.n_total AS fitted_share
+        FROM b3 CROSS JOIN tot"""),
+      (s, d) =>
+        graft.llmops.Mixture.ipfWeights(
+          t(s, d, "documents"), "source", "lang")),
+
     // Exact per-language discrete quantiles (median/p90/p99 of
     // n_chars): value at rank ceil(q·n) — an actual data value, all
     // rank arithmetic in exact Long math, no interpolation, no libm.

@@ -948,4 +948,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(0).getDouble(2) > 1.0)
     assert(got(1).getDouble(2) < 1.0)
   }
+
+  test("Mixture.ipfWeights: fitted marginals converge to uniform in " +
+    "both dimensions") {
+    import spark.implicits._
+    // skewed 2x3 contingency: raw source shares 6/9 vs 3/9, raw lang
+    // shares 3/9, 4/9, 2/9 — raking must pull BOTH to uniform
+    val rows =
+      Seq.fill(2)(("s1", "en")) ++ Seq.fill(3)(("s1", "de")) ++
+        Seq.fill(1)(("s1", "fr")) ++ Seq.fill(1)(("s2", "en")) ++
+        Seq.fill(1)(("s2", "de")) ++ Seq.fill(1)(("s2", "fr"))
+    val got = graft.llmops.Mixture
+      .ipfWeights(rows.toDF("source", "lang"), "source", "lang",
+        iters = 5)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(4)))
+      .toMap
+    assert(got.size == 6 && got.values.forall(_ > 0.0))
+    def marg(f: ((String, String)) => String, key: String) =
+      got.collect { case (k, v) if f(k) == key => v }.sum
+    Seq("s1", "s2").foreach { s =>
+      assert(math.abs(marg(_._1, s) - 0.5) < 0.01, s"source $s")
+    }
+    Seq("en", "de", "fr").foreach { l =>
+      assert(math.abs(marg(_._2, l) - 1.0 / 3) < 0.01, s"lang $l")
+    }
+    // total mass is conserved: shares sum to 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
 }
