@@ -364,6 +364,28 @@ object JobRunner {
       // near-dup dedup report: cluster-size distribution of the
       // df-capped n-gram Jaccard candidate graph (the shrink-estimate
       // a curation run reads before committing to a keep-list)
+      // freeze-once / score-often: apply a SAVED reference model
+      // (LanguageModel.bigramModel output parquet + its vocabulary
+      // size from a refVocabSize calibration run) to a corpus — the
+      // production form of q232, with no reference scan per run;
+      // --min-score optionally gates to admitted docs only
+      "lm_score_apply" -> ((s, o) => {
+        val in = o.getOrElse("in-docs",
+          sys.error("--in-docs required for lm_score_apply"))
+        val modelPath = o.getOrElse("in-model",
+          sys.error("--in-model required for lm_score_apply"))
+        val vocab = o.getOrElse("vocab-size",
+          sys.error("--vocab-size required for lm_score_apply")).toLong
+        val idCol = o.getOrElse("id-col", "doc_id")
+        val textCol = o.getOrElse("text-col", "text")
+        val scored = graft.llmops.LanguageModel.lmScoreFrozen(
+          s.read.parquet(in), s.read.parquet(modelPath), vocab,
+          idCol, textCol)
+        o.get("min-score") match {
+          case Some(ms) => scored.filter(col("score") >= ms.toDouble)
+          case None     => scored
+        }
+      }),
       "dedup_report" -> ((s, o) => {
         val in = o.getOrElse("in-docs",
           sys.error("--in-docs required for dedup_report"))

@@ -320,6 +320,33 @@ class RunnerSpec extends AnyFunSuite {
     assert(bloom(1L)) // bloom must never miss a true contamination
   }
 
+  test("JobRunner: lm_score_apply scores a corpus against a saved " +
+    "frozen model") {
+    val dir = Files.createTempDirectory("graft-runner-lm").toString
+    val s0 = graft.core.Sessions.local(4, "graft-runner-test")
+    import s0.implicits._
+    val ref = Seq((100L, "good clean reference words here"))
+      .toDF("doc_id", "text")
+    // freeze once: model parquet + its vocabulary size
+    graft.llmops.LanguageModel.bigramModel(ref, "doc_id", "text")
+      .write.parquet(s"$dir/model")
+    val v = graft.llmops.LanguageModel.refVocabSize(ref, "text")
+    Seq((1L, "good clean reference words here"),
+      (2L, "zz yy xx ww vv uu"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    val opts = Map("in-docs" -> s"$dir/docs",
+      "in-model" -> s"$dir/model", "vocab-size" -> v.toString)
+    val scored = JobRunner.lakeJobs("lm_score_apply")(s0, opts)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // in-distribution doc outscores the out-of-distribution one
+    assert(scored(1L) > scored(2L) && scored(2L) > 0.0)
+    // --min-score gates to the admitted slice
+    val gated = JobRunner.lakeJobs("lm_score_apply")(s0,
+      opts + ("min-score" -> ((scored(1L) + scored(2L)) / 2).toString))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(gated == Seq(1L))
+  }
+
   test("JobRunner: dedup_report lake job emits the cluster-size " +
     "distribution") {
     val dir = Files.createTempDirectory("graft-runner-dr").toString
