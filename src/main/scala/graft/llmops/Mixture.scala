@@ -109,6 +109,64 @@ object Mixture {
           col("n_total").cast("double")).as("fitted_share"))
   }
 
+  /** [[ipfWeights]] with EXPLICIT target marginal shares — the full
+    * raking API ("40% en, 30% code, …" × "no source above 25%"),
+    * uniform being the special case the oracled q237 pins. Shares are
+    * caller-supplied constants (the mix designer's spec sheet, not
+    * data); a key observed in the data but absent from its share list
+    * gets target share 0 and rakes to weight 0 — "outside the target
+    * mix" — and once a group's whole mass is zeroed the guard keeps
+    * its weights at 0 instead of dividing by the zero mass. Shares
+    * need not sum to 1; each dimension's fit targets share·N mass.
+    * Same barrier-per-round discipline and ordered-fold determinism
+    * as [[ipfWeights]]. */
+  def ipfWeightsToTargets(df: DataFrame, rowCol: String,
+      colCol: String, rowShares: Seq[(String, Double)],
+      colShares: Seq[(String, Double)], iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"ipfWeightsToTargets: iters=$iters")
+    require(rowShares.nonEmpty && colShares.nonEmpty,
+      "ipfWeightsToTargets: both share lists required (use ipfWeights" +
+        " for uniform targets)")
+    import graft.core.Checkpoints.BarrierOps
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df.groupBy(col(rowCol), col(colCol))
+      .agg(count(lit(1)).as("n")).barrier()
+    val tot = cells.agg(sum(col("n")).as("n_total")).barrier()
+    def shareTable(shares: Seq[(String, Double)], key: String) =
+      shares.toDF(key, "__share")
+    val rs = shareTable(rowShares, rowCol)
+    val cs = shareTable(colShares, colCol)
+    def orderedMass(over: String): Column =
+      aggregate(
+        transform(sort_array(collect_list(struct(col(over),
+          (col("w") * col("n").cast("double")).as("m")))),
+          s => s.getField("m")),
+        lit(0.0), (acc, v) => acc + v)
+    def scale(cur: DataFrame, by: String, other: String,
+        shares: DataFrame): DataFrame = {
+      val sums = cur.groupBy(col(by)).agg(orderedMass(other).as("mass"))
+      cur.join(sums, Seq(by))
+        .join(broadcast(shares), Seq(by), "left")
+        .crossJoin(broadcast(tot))
+        .select(col(rowCol), col(colCol), col("n"),
+          when(col("mass") === 0.0, lit(0.0)).otherwise(
+            col("w") * (col("n_total").cast("double") *
+              coalesce(col("__share"), lit(0.0))) / col("mass"))
+            .as("w"))
+    }
+    val w0 = cells.withColumn("w", lit(1.0))
+    val fitted = (1 to iters).foldLeft(w0) { (cur, _) =>
+      scale(scale(cur, rowCol, colCol, rs), colCol, rowCol, cs)
+        .barrier()
+    }
+    fitted.crossJoin(broadcast(tot))
+      .select(col(rowCol), col(colCol), col("n"),
+        col("w").as("weight"),
+        (col("w") * col("n").cast("double") /
+          col("n_total").cast("double")).as("fitted_share"))
+  }
+
   /** Materialize the mixture: deterministic hash-Bernoulli sampling of
     * `df` at per-group rates `min(1, weight · factor)` derived from
     * [[sqrtMixtureWeights]]. A doc is kept iff

@@ -976,4 +976,28 @@ class LlmOpsSpec extends AnyFunSuite {
     // total mass is conserved: shares sum to 1
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
+
+  test("Mixture.ipfWeightsToTargets: explicit marginals hit; " +
+    "untargeted keys rake to zero") {
+    import spark.implicits._
+    val rows =
+      Seq.fill(2)(("s1", "en")) ++ Seq.fill(3)(("s1", "de")) ++
+        Seq.fill(1)(("s1", "fr")) ++ Seq.fill(1)(("s2", "en")) ++
+        Seq.fill(1)(("s2", "de")) ++ Seq.fill(1)(("s2", "fr"))
+    val got = graft.llmops.Mixture
+      .ipfWeightsToTargets(rows.toDF("source", "lang"), "source",
+        "lang", Seq("s1" -> 0.7, "s2" -> 0.3),
+        // fr deliberately absent — outside the target mix
+        Seq("en" -> 0.6, "de" -> 0.4), iters = 8)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(4)))
+      .toMap
+    def marg(f: ((String, String)) => String, key: String) =
+      got.collect { case (k, v) if f(k) == key => v }.sum
+    assert(math.abs(marg(_._1, "s1") - 0.7) < 0.01)
+    assert(math.abs(marg(_._1, "s2") - 0.3) < 0.01)
+    assert(math.abs(marg(_._2, "en") - 0.6) < 0.01)
+    assert(math.abs(marg(_._2, "de") - 0.4) < 0.01)
+    assert(marg(_._2, "fr") == 0.0)
+  }
 }
