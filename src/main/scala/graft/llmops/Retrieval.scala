@@ -117,6 +117,82 @@ object Retrieval {
     }
   }
 
+  /** RM3 pseudo-relevance feedback: expand each query with the terms
+    * its own top-`fbDocs` BM25 results are about. The relevance model
+    * weights each feedback-doc term by the doc's retrieval score
+    * times the term's in-doc frequency — `P_rm(t|q) ∝ Σ_d score_d ·
+    * tf(t,d)/dl_d` — normalized by `Σ_d score_d` (exact because
+    * `Σ_t tf/dl = 1` per doc), then interpolated with the uniform
+    * original-query model at `origWeight`. Original terms absent from
+    * every feedback doc survive via the interpolation (the base term
+    * set is the union). Log-free throughout (the scores are the
+    * rational-BM25 doubles; products, one division, ordered folds),
+    * so the expansion hash-matches across engines.
+    *
+    * Shape at 100 TB: the first pass is [[bm25TopK]] (audited there);
+    * everything after runs on the FEEDBACK SLICE — #queries × fbDocs
+    * docs semi-join the corpus scan, so the second tokenize touches a
+    * bounded set; folds order by doc id, ranks by (weight desc, term)
+    * — total order, re-runs hash-match.
+    *
+    * Output: (query_id, term, weight, rk ≤ fbTerms). Queries whose
+    * probe matches nothing yield no rows (no feedback to learn from). */
+  def rm3Expansion(docs: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, queryIdCol: String, termCol: String,
+      k1: Double = 1.2, b: Double = 0.75, fbDocs: Int = 5,
+      fbTerms: Int = 10, origWeight: Double = 0.5): DataFrame = {
+    require(origWeight >= 0.0 && origWeight <= 1.0,
+      s"rm3Expansion: origWeight=$origWeight")
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(termCol).as("term"))
+    // top feeds the feedback-doc id set, the contribution join, AND
+    // the per-query denominator — one bm25 pass, barriered
+    val top = bm25TopK(docs, queries, idCol, textCol, queryIdCol,
+        termCol, k1, b, fbDocs)
+      .select(col("query_id"), col(idCol), col("score"))
+      .barrier()
+    val fbIds = top.select(col(idCol)).distinct()
+    val toks = docs.join(fbIds, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        size(TextOps.tokens(col(textCol))).cast("long").as("dl"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+    val ftf = toks.groupBy(col(idCol), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    def fold(ord: Column, x: Column, f: String): Column =
+      aggregate(
+        transform(sort_array(collect_list(struct(ord, x.as(f)))),
+          s => s.getField(f)),
+        lit(0.0), (acc, v) => acc + v)
+    val num = top.join(ftf, Seq(idCol))
+      .select(col("query_id"), col("term"), col(idCol),
+        (col("score") * (col("tf").cast("double") /
+          col("dl").cast("double"))).as("c"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(fold(col(idCol), col("c"), "c").as("num"))
+    val den = top.groupBy(col("query_id"))
+      .agg(fold(col(idCol), col("score"), "s").as("den"))
+    val qn = q.groupBy(col("query_id")).agg(count(lit(1)).as("nq"))
+    val baseTerms = num.select(col("query_id"), col("term"))
+      .unionByName(q).distinct()
+    val w = baseTerms
+      .join(num, Seq("query_id", "term"), "left")
+      .join(den, Seq("query_id"))
+      .join(broadcast(qn), Seq("query_id"))
+      .join(q.withColumn("__orig", lit(1)),
+        Seq("query_id", "term"), "left")
+      .select(col("query_id"), col("term"),
+        (lit(origWeight) *
+          when(col("__orig").isNotNull,
+            lit(1.0) / col("nq").cast("double")).otherwise(lit(0.0)) +
+          lit(1.0 - origWeight) *
+            (coalesce(col("num"), lit(0.0)) / col("den")))
+          .as("weight"))
+    w.withColumn("rk",
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("weight").desc, col("term"))).cast("int"))
+      .filter(col("rk") <= fbTerms)
+  }
+
   /** Truncated rank-biased overlap at depth 10 with persistence
     * p = 1/2, normalized so identical lists score 1.0 — the
     * label-free way to compare two RANKERS (BM25 vs dense, full-dim

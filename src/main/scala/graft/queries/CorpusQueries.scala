@@ -131,6 +131,103 @@ object CorpusQueries {
           "doc_id", "text", "query_id", "term", k1 = K1, b = B, k = 5)
       }),
 
+    // RM3 pseudo-relevance feedback over q87's retrieval: each query
+    // expands with the terms its own BM25 top-5 docs are about —
+    // P_rm(t|q) ∝ Σ_d score_d·tf/dl, normalized by Σ_d score_d,
+    // interpolated 50/50 with the uniform original-query model (so
+    // original terms absent from every feedback doc still survive).
+    // Log-free throughout; folds order by doc id, ranks total-order
+    // on (weight desc, term) — the expansion hash-matches.
+    QueryDef(
+      "q238_rm3_expansion",
+      Some(s"""
+        WITH q(query_id, term) AS (VALUES
+          ${Bm25Queries.map { case (q, w) => s"($q, '$w')" }
+            .mkString(", ")}),
+        t AS (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+        tok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                       unnest(toks) AS term
+                FROM t),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(CAST(sum(len(toks)) AS BIGINT) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE) AS avgdl
+               FROM t),
+        m AS (SELECT tok.* FROM tok
+              JOIN (SELECT DISTINCT term FROM q) USING (term)),
+        tf AS (SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf
+               FROM m GROUP BY 1, 2, 3),
+        dfx AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT)
+                  AS df
+                FROM m GROUP BY 1),
+        sc AS (SELECT q.query_id, tf.doc_id, tf.term,
+                 (CAST(st.n_docs AS DOUBLE) - CAST(dfx.df AS DOUBLE)
+                    + 0.5)
+                 / (CAST(dfx.df AS DOUBLE) + 0.5)
+                 * (CAST(tf.tf AS DOUBLE) * ${K1 + 1.0})
+                 / (CAST(tf.tf AS DOUBLE) + ${K1} * (${1.0 - B}
+                      + ${B} * CAST(tf.dl AS DOUBLE) / st.avgdl)) AS s
+               FROM tf JOIN dfx USING (term) JOIN q USING (term)
+               CROSS JOIN st),
+        g AS (SELECT query_id, doc_id,
+                list_reduce(
+                  list_prepend(CAST(0.0 AS DOUBLE),
+                    list(s ORDER BY term)),
+                  (a, b) -> a + b) AS score
+              FROM sc GROUP BY 1, 2),
+        top AS (SELECT query_id, doc_id, score FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, doc_id) AS rk FROM g)
+                WHERE rk <= 5),
+        ftf AS (SELECT tok.doc_id, tok.term, tok.dl,
+                       CAST(count(*) AS BIGINT) AS tf
+                FROM tok JOIN (SELECT DISTINCT doc_id FROM top)
+                  USING (doc_id)
+                GROUP BY 1, 2, 3),
+        con AS (SELECT top.query_id, ftf.term, top.doc_id,
+                       top.score * (CAST(ftf.tf AS DOUBLE)
+                         / CAST(ftf.dl AS DOUBLE)) AS c
+                FROM top JOIN ftf USING (doc_id)),
+        num AS (SELECT query_id, term,
+                  list_reduce(
+                    list_prepend(CAST(0.0 AS DOUBLE),
+                      list(c ORDER BY doc_id)),
+                    (a, b) -> a + b) AS num
+                FROM con GROUP BY 1, 2),
+        den AS (SELECT query_id,
+                  list_reduce(
+                    list_prepend(CAST(0.0 AS DOUBLE),
+                      list(score ORDER BY doc_id)),
+                    (a, b) -> a + b) AS den
+                FROM top GROUP BY 1),
+        qn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS nq
+               FROM q GROUP BY 1),
+        base AS (SELECT query_id, term FROM num
+                 UNION SELECT query_id, term FROM q),
+        w AS (SELECT base.query_id, base.term,
+                0.5 * (CASE WHEN qq.term IS NOT NULL
+                       THEN 1.0 / CAST(qn.nq AS DOUBLE)
+                       ELSE 0.0 END)
+                + 0.5 * (COALESCE(num.num, 0.0) / den.den) AS weight
+              FROM base
+              LEFT JOIN num USING (query_id, term)
+              JOIN den USING (query_id)
+              JOIN qn USING (query_id)
+              LEFT JOIN q qq ON base.query_id = qq.query_id
+                AND base.term = qq.term)
+        SELECT query_id, term, weight, rk FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY weight DESC, term) AS INT) AS rk FROM w)
+        WHERE rk <= 10"""),
+      (s, d) => {
+        import s.implicits._
+        Retrieval.rm3Expansion(
+          t(s, d, "documents"),
+          Bm25Queries.toDF("query_id", "term"),
+          "doc_id", "text", "query_id", "term", k1 = K1, b = B,
+          fbDocs = 5, fbTerms = 10, origWeight = 0.5)
+      }),
+
     // Unicode NFC canonicalization via the native `nfc_normalize`
     // expression: decomposed text (combining tilde injected after
     // every 'a') composes back to precomposed form — codepoint counts

@@ -977,6 +977,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
 
+  test("Retrieval.rm3Expansion: feedback terms surface, original " +
+    "terms survive, matchless queries vanish") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "needle haystack haystack gold"),
+      (2L, "needle gold gold silver"),
+      (3L, "unrelated words entirely here")).toDF("doc_id", "text")
+    val queries = Seq((0, "needle"), (1, "absent"))
+      .toDF("query_id", "term")
+    val got = graft.llmops.Retrieval
+      .rm3Expansion(docs, queries, "doc_id", "text", "query_id",
+        "term", fbDocs = 2, fbTerms = 10)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2),
+        r.getInt(3)))
+    // query 1 matched nothing -> no feedback -> no rows
+    assert(got.forall(_._1 == 0))
+    val byTerm = got.map(r => r._2 -> r._3).toMap
+    // the original term gets the interpolated floor 0.5·(1/1) plus
+    // its relevance-model mass -> it tops the expansion
+    assert(got.find(_._4 == 1).map(_._2).contains("needle"))
+    assert(byTerm("needle") > 0.5)
+    // 'gold' rides both feedback docs; 'silver' only the lighter one
+    assert(byTerm("gold") > byTerm("silver"))
+    // nothing from outside the feedback slice leaks in
+    assert(!byTerm.contains("unrelated"))
+  }
+
   test("Mixture.ipfWeightsToTargets: explicit marginals hit; " +
     "untargeted keys rake to zero") {
     import spark.implicits._

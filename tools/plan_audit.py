@@ -120,12 +120,19 @@ def main():
     # model-count aggs, model joins, per-doc fold ≈ 5 more exchanges,
     # each individually audited under q232) — 14 total, same
     # barrier-guarded composition.
+    # q238 composes the q87 BM25 pass (barriered top-k) with the RM3
+    # expansion stage: every exchange after the barrier shuffles
+    # frames bounded by #queries × fbDocs (feedback tf, numerator/
+    # denominator folds, base-term union, interpolation joins) — the
+    # count tracks the two-stage composition, not corpus-sized
+    # shuffle waste (the one corpus-sized post-barrier op is a
+    # semi-join FILTER on the scan).
     exempt = {"q54_dedup_clusters", "q65_curation_pipeline",
               "q114_fk_audit", "q140_dedup_survivors",
               "q146_effective_tokens", "q149_cluster_sizes",
               "q162_sparse_cosine_pairs", "q163_rrf_hybrid",
               "q164_pair_pagerank", "q189_corpus_release",
-              "q235_corpus_release_lm"}
+              "q235_corpus_release_lm", "q238_rm3_expansion"}
     failures = []
     rows = []
     for path in sorted(glob.glob(os.path.join(args.plans_dir, "*.txt"))):
