@@ -129,6 +129,31 @@ object DedupClusters {
           .as("is_kept"))
   }
 
+  /** Leakage-safe train/val/test split: assign WHOLE near-duplicate
+    * clusters to a split, so no pair of near-dups ever straddles
+    * train and test — the contamination mode a plain per-doc hash
+    * split ([[Mixture.trainSplit]]) cannot prevent (a doc and its
+    * 0.9-Jaccard twin hash independently and land on opposite sides,
+    * leaking training text into eval ~2·p·(1−p) of the time). The
+    * split key is the CLUSTER label (component minimum), hashed with
+    * `Mixture.trainSplit`'s exact bucket arithmetic — singleton docs
+    * key on themselves, so a dup-free corpus degrades to the per-doc
+    * split bit-for-bit. Returns (doc_id, cluster, is_kept, split):
+    * the keep-list columns ride along because a release usually wants
+    * both decisions ("train on kept docs; all twins of an eval doc
+    * are quarantined with it regardless"). */
+  def clusterSafeSplit(all: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, trainPct: Int = 80, valPct: Int = 10,
+      salt: String = ":split", maxIters: Int = 10): DataFrame = {
+    val bucket = TextOps.hash60(
+      concat(col("cluster").cast("string"), lit(salt))) % 100
+    keepList(all, idCol, pairs, aCol, bCol, maxIters)
+      .withColumn("split",
+        when(bucket < trainPct, lit("train"))
+          .when(bucket < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+  }
+
   /** Quality-aware keep-list: per duplicate cluster, survive the
     * member with the HIGHEST `priorityCol` (ties broken by lowest id)
     * instead of the lowest id — what a curation pipeline actually

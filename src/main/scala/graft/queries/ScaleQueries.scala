@@ -76,6 +76,42 @@ object ScaleQueries {
           t(s, d, "documents"), "doc_id",
           jaccardPairs(s, d), "da", "db", maxIters = 100)),
 
+    // Leakage-safe split: q54's exact components, then the WHOLE
+    // cluster assigned to train/val/test by hashing the CLUSTER label
+    // with q102's bucket arithmetic — no near-dup pair can straddle
+    // the split (the eval-contamination mode a per-doc hash split
+    // structurally cannot prevent); singletons key on themselves, so
+    // a dup-free corpus degrades to the per-doc split bit-for-bit.
+    QueryDef(
+      "q239_cluster_safe_split",
+      Some(s"""
+        WITH RECURSIVE $dkPairs,
+        edges AS (SELECT da s, db d FROM p UNION SELECT db, da FROM p),
+        reach AS (
+          SELECT s AS node, s AS r FROM edges
+          UNION
+          SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.node),
+        comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY 1),
+        kl AS (SELECT d.doc_id,
+                      coalesce(comp.cluster, d.doc_id) AS cluster,
+                      (comp.cluster IS NULL OR comp.cluster = d.doc_id)
+                        AS is_kept
+               FROM documents d LEFT JOIN comp ON comp.node = d.doc_id)
+        SELECT doc_id, cluster, is_kept,
+               CASE WHEN ('0x'||substr(md5(
+                        CAST(cluster AS VARCHAR)||':split'),1,15))
+                      ::BIGINT % 100 < 80 THEN 'train'
+                    WHEN ('0x'||substr(md5(
+                        CAST(cluster AS VARCHAR)||':split'),1,15))
+                      ::BIGINT % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM kl"""),
+      (s, d) =>
+        DedupClusters.clusterSafeSplit(
+          t(s, d, "documents"), "doc_id",
+          jaccardPairs(s, d), "da", "db", trainPct = 80, valPct = 10,
+          maxIters = 100)),
+
     // Approximate distinct (HLL) — what replaces exact countDistinct at
     // 100 TB (SURVEY §2.5). Engine-specific sketch → rows-only check
     // (no cross-engine oracle by construction).

@@ -977,6 +977,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
 
+  test("DedupClusters.clusterSafeSplit: twins never straddle the " +
+    "split; dup-free corpus equals the per-doc split") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "t")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("da", "db")
+    val got = graft.llmops.DedupClusters
+      .clusterSafeSplit(docs, "doc_id", pairs, "da", "db")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // whole clusters share one side — including the transitive chain
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(10L) == got(11L))
+    assert(got.values.toSet.subsetOf(Set("train", "val", "test")))
+    // no pairs -> every doc keys on itself -> bit-identical to the
+    // per-doc hash split
+    val empty = Seq.empty[(Long, Long)].toDF("da", "db")
+    val solo = graft.llmops.DedupClusters
+      .clusterSafeSplit(docs, "doc_id", empty, "da", "db")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val perDoc = graft.llmops.Mixture.trainSplit(docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(solo == perDoc)
+  }
+
   test("Retrieval.rm3Expansion: feedback terms surface, original " +
     "terms survive, matchless queries vanish") {
     import spark.implicits._

@@ -127,12 +127,15 @@ def main():
     # count tracks the two-stage composition, not corpus-sized
     # shuffle waste (the one corpus-sized post-barrier op is a
     # semi-join FILTER on the scan).
+    # q239 is q54's iterative component rounds plus one hash-split
+    # projection — exempt for exactly q54's reason.
     exempt = {"q54_dedup_clusters", "q65_curation_pipeline",
               "q114_fk_audit", "q140_dedup_survivors",
               "q146_effective_tokens", "q149_cluster_sizes",
               "q162_sparse_cosine_pairs", "q163_rrf_hybrid",
               "q164_pair_pagerank", "q189_corpus_release",
-              "q235_corpus_release_lm", "q238_rm3_expansion"}
+              "q235_corpus_release_lm", "q238_rm3_expansion",
+              "q239_cluster_safe_split"}
     failures = []
     rows = []
     for path in sorted(glob.glob(os.path.join(args.plans_dir, "*.txt"))):
