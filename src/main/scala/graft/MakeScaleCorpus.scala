@@ -78,7 +78,8 @@ object MakeScaleCorpus {
     // (q202/q208/q211/q227). Order keys offset per replica — the
     // order population grows 10x, as a real 10x sales dataset's
     // would. Part keys are PERMUTED per replica by a catalog-coprime
-    // multiplier ((p-1)*m mod P)+1 — new baskets over the SAME
+    // multiplier — p*m mod P over the 0-based catalog [0, P), a
+    // bijection because gcd(m, P) = 1 — new baskets over the SAME
     // catalog, so the DISTINCT co-purchase edge set and per-part
     // degrees genuinely grow (the superlinear-edge stress the degree
     // cap exists for). A verbatim copy would leave the distinct edge

@@ -67,7 +67,15 @@ object AvroIO {
     if (files.isEmpty)
       throw new java.io.FileNotFoundException(
         s"AvroIO.read: no avro files under ${paths.mkString(",")}")
-    val readerSchema = headerSchema(spark, files.head._1)
+    // header peek must skip zero-length placeholders (interrupted
+    // writers) — the split carving below already tolerates them, and
+    // listing order is filesystem-dependent, so files.head alone
+    // would fail nondeterministically on such a directory
+    val headerFile = files.find(_._2 > 0).map(_._1).getOrElse(
+      throw new java.io.IOException(
+        s"AvroIO.read: only zero-length avro files under " +
+          paths.mkString(",")))
+    val readerSchema = headerSchema(spark, headerFile)
     val sparkSchema = toSparkType(readerSchema).asInstanceOf[StructType]
     val schemaJson = readerSchema.toString
     val minP =

@@ -287,7 +287,13 @@ object CondorJobs {
       .agg(sum(col("f_event_count")).as("evts"),
         sum(col("f_file_size")).as("size"),
         max(col("d_creation_date")).as("dbs_date"))
-    // py:98-104 — release-version closure
+    // py:98-104 — release-version closure. Deliberately NO distinct,
+    // matching the reference's plain JOIN chain: a dataset with two
+    // output-mod-configs on the same release yields two closure rows
+    // there too, so the downstream rollups double-count identically.
+    // Reference-parity over dedup is the contract for this job (a
+    // cleaned variant would be a different report than the one the
+    // reference's consumers reconcile against).
     val aggDbs = newdf
       .join(mcf, col("d_dataset_id") === col("mc_dataset_id"))
       .join(ocf,

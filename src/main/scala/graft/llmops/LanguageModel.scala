@@ -218,13 +218,8 @@ object LanguageModel {
           count(lit(1)).cast("double")).as("weight"))
   }
 
-  /** Position-ordered double sum — the engine's deterministic-fold
-    * idiom (bm25TopK:97-101): association order is fixed by the sort,
-    * never by partition arrival. */
+  /** Position-ordered double sum — [[Aggregates.orderedSum]], kept
+    * as a local alias so call sites read as the scoring math. */
   private def orderedSum(ord: Column, x: Column,
-      fieldName: String): Column =
-    aggregate(
-      transform(sort_array(collect_list(struct(ord, x))),
-        s => s.getField(fieldName)),
-      lit(0.0), (acc, v) => acc + v)
+      fieldName: String): Column = Aggregates.orderedSum(ord, x)
 }

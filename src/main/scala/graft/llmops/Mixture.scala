@@ -78,11 +78,8 @@ object Mixture {
       countDistinct(col(colCol)).as("nc"))
       .barrier()
     def orderedMass(over: String): Column =
-      aggregate(
-        transform(sort_array(collect_list(struct(col(over),
-          (col("w") * col("n").cast("double")).as("m")))),
-          s => s.getField("m")),
-        lit(0.0), (acc, v) => acc + v)
+      graft.ops.Aggregates.orderedSum(col(over),
+        col("w") * col("n").cast("double"))
     def scale(cur: DataFrame, by: String, other: String,
         targetDen: Column): DataFrame = {
       val sums = cur.groupBy(col(by)).agg(orderedMass(other).as("mass"))
@@ -138,11 +135,8 @@ object Mixture {
     val rs = shareTable(rowShares, rowCol)
     val cs = shareTable(colShares, colCol)
     def orderedMass(over: String): Column =
-      aggregate(
-        transform(sort_array(collect_list(struct(col(over),
-          (col("w") * col("n").cast("double")).as("m")))),
-          s => s.getField("m")),
-        lit(0.0), (acc, v) => acc + v)
+      graft.ops.Aggregates.orderedSum(col(over),
+        col("w") * col("n").cast("double"))
     def scale(cur: DataFrame, by: String, other: String,
         shares: DataFrame): DataFrame = {
       val sums = cur.groupBy(col(by)).agg(orderedMass(other).as("mass"))

@@ -143,11 +143,17 @@ object Retrieval {
       fbTerms: Int = 10, origWeight: Double = 0.5): DataFrame = {
     require(origWeight >= 0.0 && origWeight <= 1.0,
       s"rm3Expansion: origWeight=$origWeight")
-    val q = queries.select(col(queryIdCol).as("query_id"),
+    // dedupe the query-term list up front: duplicate (query, term)
+    // rows would double-count the term in the BM25 fold, inflate the
+    // original-model denominator nq, AND fan out the interpolation
+    // join into duplicate output rows eating fbTerms slots
+    val qDistinct = queries
+      .select(col(queryIdCol), col(termCol)).distinct()
+    val q = qDistinct.select(col(queryIdCol).as("query_id"),
       col(termCol).as("term"))
     // top feeds the feedback-doc id set, the contribution join, AND
     // the per-query denominator — one bm25 pass, barriered
-    val top = bm25TopK(docs, queries, idCol, textCol, queryIdCol,
+    val top = bm25TopK(docs, qDistinct, idCol, textCol, queryIdCol,
         termCol, k1, b, fbDocs)
       .select(col("query_id"), col(idCol), col("score"))
       .barrier()
@@ -159,10 +165,7 @@ object Retrieval {
     val ftf = toks.groupBy(col(idCol), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
     def fold(ord: Column, x: Column, f: String): Column =
-      aggregate(
-        transform(sort_array(collect_list(struct(ord, x.as(f)))),
-          s => s.getField(f)),
-        lit(0.0), (acc, v) => acc + v)
+      graft.ops.Aggregates.orderedSum(ord, x)
     val num = top.join(ftf, Seq(idCol))
       .select(col("query_id"), col("term"), col(idCol),
         (col("score") * (col("tf").cast("double") /

@@ -25,6 +25,24 @@ object Aggregates {
     * `sum(when(cond, 1).otherwise(0))` (rucio_datasets_stats.py:317-319). */
   def countIf(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
 
+  /** Ordered left fold of a double column — the engine's
+    * deterministic-sum idiom for values that CANNOT go through the
+    * decimal route (products of scores, probabilities): 0.0-seeded
+    * Σ x over the group's rows sorted by `ord` (which must be unique
+    * per group), so association order is fixed by the sort, never by
+    * partition arrival, and any engine folding in the same order
+    * reproduces the double bit-for-bit. DuckDB mirror:
+    * `list_reduce(list_prepend(0.0, list(x ORDER BY ord)), (a,b)->a+b)`.
+    * One shared definition — LanguageModel / Mixture raking /
+    * Retrieval RM3 all fold through here, so the idiom cannot drift
+    * per call site. */
+  def orderedSum(ord: Column, x: Column): Column =
+    aggregate(
+      transform(sort_array(collect_list(struct(ord.as("o"),
+        x.as("v")))),
+        s => s.getField("v")),
+      lit(0.0), (acc, v) => acc + v)
+
   /** Deterministic mean of a double column: exact decimal sum, ONE
     * IEEE division, NO rounding — `round(x, n)` on a rational that
     * lands exactly on a half-tie (e.g. 0.2878125 at n=6) is broken

@@ -609,10 +609,14 @@ object Streams {
           val base =
             if (fs.exists(storePath)) s.read.parquet(storeDir)
             else batch.limit(0)
+          // admissions hardcodes its output id column to doc_id —
+          // re-alias so any idCol works (caught by review; the spec
+          // drives a non-default idCol through this path)
           val admitted = graft.llmops.TextOps
             .incrementalAdmissions(base, batch, idCol, textCol,
               minJac, maxDf)
-            .filter(col("is_admitted")).select(col(idCol))
+            .filter(col("is_admitted"))
+            .select(col("doc_id").as(idCol))
           val passing = graft.llmops.LanguageModel
             .lmScoreFrozen(
               batch.join(admitted, Seq(idCol), "left_semi"),

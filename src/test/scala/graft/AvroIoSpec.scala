@@ -107,6 +107,20 @@ class AvroIoSpec extends AnyFunSuite {
       == 499500L)
   }
 
+  test("zero-length placeholder files are skipped by the header peek") {
+    // interrupted writers leave 0-byte .avro placeholders; listing
+    // order is filesystem-dependent, so the header peek must find a
+    // non-empty file rather than trusting files.head
+    val df = spark.range(50).toDF("id")
+    val dir = s"${tmpDir()}/withEmpty"
+    AvroIO.write(df, dir)
+    // a name that sorts FIRST, to force the old files.head failure
+    new java.io.File(dir, "aaa-placeholder.avro").createNewFile()
+    val back = AvroIO.read(spark, Seq(dir))
+    assert(back.count() == 50)
+    assert(back.agg(sum("id")).head.getLong(0) == 1225L)
+  }
+
   test("single huge file splits at sync markers into >1 working partition") {
     // ONE container file, many blocks (avro flushes a block every
     // ~64 KiB): the splittable read must parallelize WITHIN the file

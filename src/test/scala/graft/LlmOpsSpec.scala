@@ -1027,6 +1027,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(byTerm("gold") > byTerm("silver"))
     // nothing from outside the feedback slice leaks in
     assert(!byTerm.contains("unrelated"))
+    // duplicate (query, term) input rows are deduped up front —
+    // identical output, no double-counted nq, no duplicate rk rows
+    val dupQueries = Seq((0, "needle"), (0, "needle"), (1, "absent"))
+      .toDF("query_id", "term")
+    val dup = graft.llmops.Retrieval
+      .rm3Expansion(docs, dupQueries, "doc_id", "text", "query_id",
+        "term", fbDocs = 2, fbTerms = 10)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2),
+        r.getInt(3)))
+    assert(dup.sortBy(r => (r._1, r._4)).toSeq ==
+      got.sortBy(r => (r._1, r._4)).toSeq)
   }
 
   test("Mixture.ipfWeightsToTargets: explicit marginals hit; " +

@@ -456,12 +456,14 @@ class StreamingSpec extends AnyFunSuite {
       .bigramModel(ref, "doc_id", "text")
     val v = graft.llmops.LanguageModel.refVocabSize(ref, "text")
     assert(v == 20L)
+    // non-default column names on purpose: the admissions frame
+    // hardcodes doc_id internally and the store must re-alias
     val input = MemoryStream[(Long, String)]
     val q = Streams.toCuratedCorpusStore(
-      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      input.toDF().toDF("id", "body"), "id", "body",
       model, v, minScore = 0.07, store, ckpt)
     def ids() = spark.read.parquet(store)
-      .select("doc_id").as[Long].collect().sorted.toSeq
+      .select("id").as[Long].collect().sorted.toSeq
     // b1: A admitted; its within-batch twin (9) dropped by the
     // deterministic min-id keeper; C is out-of-distribution (0.05)
     input.addData((1L, textA), (9L, textA), (2L, textC))
