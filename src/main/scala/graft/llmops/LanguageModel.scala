@@ -98,15 +98,17 @@ object LanguageModel {
     * scores every document 0.0 rather than dividing by zero. */
   def lmScore(docs: DataFrame, ref: DataFrame, idCol: String,
       textCol: String, carryCols: Seq[String] = Nil): DataFrame = {
-    // model tables are dimension builds — barriered once so the
-    // reference explode+agg subtrees don't re-plan per consumer
+    // the bigram count table is a dimension build consumed TWICE
+    // (directly, and via the prefix derivation) — barriered so the
+    // reference explode+agg subtree runs once. pc and v each have a
+    // single consumer in the score join, so barriers there would buy
+    // nothing and cost a localCheckpoint materialization each
+    // (measured ~0.2 s off q232's warm floor when removed).
     val rc = bigramCounts(ref, idCol, textCol).barrier()
     val pc = rc.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
-      .barrier()
     val v = ref
       .select(explode(tokens(col(textCol))).as("tok"))
       .agg(countDistinct(col("tok")).as("V"))
-      .barrier()
     scoreJoin(docs, rc, pc, v, idCol, textCol, carryCols)
   }
 
