@@ -200,9 +200,11 @@ object LanguageModel {
     val totals = rawCounts.agg(sum(col("cr")).as("R"))
       .crossJoin(tgtCounts.agg(
         coalesce(sum(col("ct")), lit(0L)).as("T")))
-    // feature table: ≤ buckets rows whatever the corpus size —
-    // barriered so the two count subtrees never re-plan into the
-    // per-doc join
+    // feature table: ≤ buckets rows whatever the corpus size, and a
+    // SINGLE consumer (the broadcast into the per-doc join) — no
+    // barrier: its subtree reads the barriered raw explode, so
+    // nothing corpus-sized re-plans, and a checkpoint here would
+    // just add a materialization (the q232 single-consumer lesson)
     val ratios = rawCounts
       .join(tgtCounts, Seq("ft"), "left")
       .crossJoin(broadcast(totals))
@@ -211,7 +213,6 @@ object LanguageModel {
           (col("R") + buckets.toLong).cast("double") /
           ((col("cr") + 1L).cast("double") *
             (col("T") + buckets.toLong).cast("double"))).as("r"))
-      .barrier()
     raw
       .join(broadcast(ratios), Seq("ft"))
       .groupBy(col(idCol))
