@@ -562,6 +562,47 @@ object Streams {
       }
       .start()
 
+  /** Incrementally maintained LM-score-band store: per micro-batch,
+    * score docs against a FROZEN reference model
+    * (`LanguageModel.lmScoreFrozen`) and merge the per-(langCol,
+    * band) histogram into the parquet store — counts ADD, min/max
+    * are idempotent lattice merges, so the store equals the q233
+    * band histogram of everything ever streamed (the calibration
+    * artifact for choosing `toCuratedCorpusStore`'s minScore, kept
+    * current as the corpus streams in). Replay of a batch re-adds
+    * its counts — at-least-once delivery needs upstream dedup here
+    * (unlike the min-merge stores); the min/max columns are immune.
+    * Same rename-aside swap as [[toCmsStore]]. */
+  def toScoreBandStore(stream: DataFrame, idCol: String,
+      textCol: String, langCol: String, model: DataFrame,
+      vocabSize: Long, storeDir: String, checkpoint: String)
+      : StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val bands = graft.llmops.LanguageModel
+            .lmScoreFrozen(batch, model, vocabSize, idCol, textCol,
+              carryCols = Seq(langCol))
+            .groupBy(col(langCol),
+              least(floor(col("score") * 10).cast("long"), lit(9L))
+                .as("band"))
+            .agg(count(lit(1)).as("n_docs"),
+              min(col("score")).as("min_score"),
+              max(col("score")).as("max_score"))
+          upsertSketchStore(batch.sparkSession, storeDir, bands) {
+            (cur, b) =>
+              cur.unionByName(b)
+                .groupBy(col(langCol), col("band"))
+                .agg(sum(col("n_docs")).as("n_docs"),
+                  min(col("min_score")).as("min_score"),
+                  max(col("max_score")).as("max_score"))
+          }
+        }
+      }
+      .start()
+
   /** Curated-ingest gate — the streaming form of the incremental
     * corpus-admission pipeline: per micro-batch, (1) within-batch
     * exact dedup (keep the min-id copy per text fingerprint),

@@ -438,6 +438,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(hits(streamed) == hits(oneShot))
   }
 
+  test("toScoreBandStore: streamed histogram ≡ one-shot scoring " +
+    "(additive counts, lattice min/max)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-bands").toString
+    val (store, ckpt) = (s"$dir/store", s"$dir/ckpt")
+    def text(tag: String) = (1 to 10).map(i => s"$tag$i").mkString(" ")
+    val ref = Seq((100L, text("a")), (101L, text("d")))
+      .toDF("doc_id", "text")
+    val model = graft.llmops.LanguageModel
+      .bigramModel(ref, "doc_id", "text")
+    val v = graft.llmops.LanguageModel.refVocabSize(ref, "text")
+    val input = MemoryStream[(Long, String, String)]
+    val q = Streams.toScoreBandStore(
+      input.toDF().toDF("doc_id", "text", "lang"), "doc_id", "text",
+      "lang", model, v, store, ckpt)
+    val b1 = Seq((1L, text("a"), "en"), (2L, text("c"), "xx"))
+    val b2 = Seq((3L, text("d"), "en"), (4L, text("e"), "xx"))
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(r => (r._1, r._2))
+      .toSeq
+    val streamed = canon(spark.read.parquet(store))
+    val oneShot = canon(graft.llmops.LanguageModel
+      .lmScoreFrozen((b1 ++ b2).toDF("doc_id", "text", "lang"),
+        model, v, "doc_id", "text", carryCols = Seq("lang"))
+      .groupBy(col("lang"),
+        least(floor(col("score") * 10).cast("long"), lit(9L))
+          .as("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score")))
+    assert(streamed == oneShot)
+  }
+
   test("toCuratedCorpusStore: dedup admission + frozen LM gate, " +
     "replayed batch adds nothing") {
     import spark.implicits._
