@@ -99,6 +99,79 @@ object Similarity {
           .as("cos_sim")), k)
   }
 
+  /** Maximal Marginal Relevance: diversified top-`k` — greedily pick
+    * the candidate maximizing `λ·rel − (1−λ)·max_{s∈S} cos(c, s)`
+    * over the already-selected set S, from a relevance-ranked pool of
+    * `poolSize` per query ([[bruteForceTopK]]'s total order). The
+    * selection a RAG context builder or a diverse-coreset sampler
+    * wants: near-duplicate candidates can't fill the whole window.
+    * Step 1 has an empty S — its score is λ·rel by the same formula
+    * (the diversity term is vacuously 0), so one expression covers
+    * every step and the oracle can unroll it verbatim.
+    *
+    * Deterministic end-to-end: pool ranks and pairwise cosines ride
+    * the sequential-fold dot kernel, max over S is order-free, each
+    * argmax tiebreaks on cand_id, and the interpolation literals are
+    * computed identically in both engines (`1.0 − λ` in DOUBLE, never
+    * a pre-rounded constant). Greedy selection is inherently
+    * sequential in k — each of the k rounds is an aggregation + one
+    * window over frames bounded by #queries × poolSize, barriered per
+    * round (the IPF discipline), so iteration cost is independent of
+    * corpus size; the corpus-sized work all lives in the audited
+    * pool scoring pass.
+    *
+    * Output: (query_id, cand_id, step 1..k, mmr_score). Queries whose
+    * pool holds fewer than k candidates emit fewer steps. */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int = 5, poolSize: Int = 20,
+      lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && poolSize >= k,
+      s"mmrTopK: k=$k poolSize=$poolSize")
+    require(lambda >= 0.0 && lambda <= 1.0, s"mmrTopK: lambda=$lambda")
+    import graft.core.Checkpoints.BarrierOps
+    // the pool feeds every selection round — one scoring pass
+    val pool = bruteForceTopK(queries, corpus, idCol, vecCol, poolSize)
+      .select(col("query_id"), col("cand_id"), col("cos_sim").as("rel"))
+      .barrier()
+    val vecs = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).as("v"), norm2(col(vecCol)).as("n2"))
+    val pa = pool.select(col("query_id"), col("cand_id"))
+      .join(vecs, Seq("cand_id"))
+    val pb = pa.select(col("query_id"), col("cand_id").as("b"),
+      col("v").as("vb"), col("n2").as("n2b"))
+    // pairwise cosines within each query's pool (both orientations;
+    // ≤ #queries × poolSize² rows) — consumed once per round
+    val sims = pa.join(pb, Seq("query_id"))
+      .filter(col("cand_id") =!= col("b"))
+      .select(col("query_id"), col("cand_id"), col("b"),
+        cosineWithNorms(col("v"), col("vb"), col("n2"), col("n2b"))
+          .as("sim"))
+      .barrier()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id"))
+    def pick(scored: DataFrame, step: Int): DataFrame =
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("cand_id"),
+          lit(step).as("step"), col("score").as("mmr_score"))
+    val first = pick(pool.select(col("query_id"), col("cand_id"),
+      (lit(lambda) * col("rel")).as("score")), 1)
+    (2 to k).foldLeft(first.barrier()) { (sel, step) =>
+      val selIds = sel.select(col("query_id"), col("cand_id"))
+      val scored = pool
+        .join(selIds, Seq("query_id", "cand_id"), "left_anti")
+        .join(selIds.select(col("query_id"), col("cand_id").as("b")),
+          Seq("query_id"))
+        .join(sims, Seq("query_id", "cand_id", "b"))
+        .groupBy(col("query_id"), col("cand_id"), col("rel"))
+        .agg(max(col("sim")).as("mx"))
+        .select(col("query_id"), col("cand_id"),
+          (lit(lambda) * col("rel") -
+            (lit(1.0) - lit(lambda)) * col("mx")).as("score"))
+      sel.unionByName(pick(scored, step)).barrier()
+    }
+  }
+
   /** Two-stage truncated-dimension search (the Matryoshka / PCA-prefix
     * pattern): stage 1 scores every corpus row on only the FIRST
     * `dPrefix` dims and keeps `m` coarse candidates per query; stage 2

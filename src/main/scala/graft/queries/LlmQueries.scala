@@ -322,6 +322,123 @@ object LlmQueries {
           "vec_id", "embedding", 5)
       }),
 
+    // MMR diversified top-5 (λ = 0.7, pool 20): greedy
+    // λ·rel − (1−λ)·max-sim-to-selected over q45's relevance pool —
+    // near-dup candidates can't fill the whole window. The oracle
+    // unrolls all 5 greedy rounds; the interpolation constant is
+    // (1.0 − 0.7) computed in DOUBLE in both engines, never a
+    // pre-rounded 0.3 literal (they differ in the last ulp).
+    QueryDef(
+      "q240_mmr_topk",
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding v,
+                          ${dkDot("embedding", "embedding")} AS nn
+                   FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 ${dkCos(dkDot("q.v", "c.v"), "q.nn", "c.nn")} AS rel
+          FROM e q JOIN e c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 8),
+        pool AS (SELECT query_id, cand_id, rel FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY rel DESC, cand_id) AS rk FROM scored)
+          WHERE rk <= 20),
+        pa AS (SELECT p.query_id, p.cand_id AS a, e.v AS va,
+                      e.nn AS na
+               FROM pool p JOIN e ON e.vec_id = p.cand_id),
+        sims AS (SELECT x.query_id, x.a, y.a AS b,
+                   ${dkCos(dkDot("x.va", "y.va"), "x.na", "y.na")}
+                     AS sim
+                 FROM pa x JOIN pa y
+                   ON x.query_id = y.query_id AND x.a <> y.a),
+        sel1 AS (SELECT query_id, cand_id, 1 AS step,
+                        CAST(0.7 AS DOUBLE) * rel AS mmr_score
+                 FROM (SELECT *, row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY rel DESC, cand_id) AS r1 FROM pool)
+                 WHERE r1 = 1),
+        mx2 AS (SELECT p.query_id, p.cand_id, p.rel, max(s.sim) AS mx
+                FROM pool p
+                JOIN sel1 sl ON sl.query_id = p.query_id
+                JOIN sims s ON s.query_id = p.query_id
+                  AND s.a = p.cand_id AND s.b = sl.cand_id
+                WHERE NOT EXISTS (SELECT 1 FROM sel1 x
+                  WHERE x.query_id = p.query_id
+                    AND x.cand_id = p.cand_id)
+                GROUP BY 1, 2, 3),
+        sc2 AS (SELECT query_id, cand_id,
+                       CAST(0.7 AS DOUBLE) * rel
+                         - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+                           * mx AS sc FROM mx2),
+        pk2 AS (SELECT query_id, cand_id, 2 AS step, sc AS mmr_score
+                FROM (SELECT *, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY sc DESC, cand_id) AS r2 FROM sc2)
+                WHERE r2 = 1),
+        sel2 AS (SELECT * FROM sel1 UNION ALL SELECT * FROM pk2),
+        mx3 AS (SELECT p.query_id, p.cand_id, p.rel, max(s.sim) AS mx
+                FROM pool p
+                JOIN sel2 sl ON sl.query_id = p.query_id
+                JOIN sims s ON s.query_id = p.query_id
+                  AND s.a = p.cand_id AND s.b = sl.cand_id
+                WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+                  WHERE x.query_id = p.query_id
+                    AND x.cand_id = p.cand_id)
+                GROUP BY 1, 2, 3),
+        sc3 AS (SELECT query_id, cand_id,
+                       CAST(0.7 AS DOUBLE) * rel
+                         - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+                           * mx AS sc FROM mx3),
+        pk3 AS (SELECT query_id, cand_id, 3 AS step, sc AS mmr_score
+                FROM (SELECT *, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY sc DESC, cand_id) AS r3 FROM sc3)
+                WHERE r3 = 1),
+        sel3 AS (SELECT * FROM sel2 UNION ALL SELECT * FROM pk3),
+        mx4 AS (SELECT p.query_id, p.cand_id, p.rel, max(s.sim) AS mx
+                FROM pool p
+                JOIN sel3 sl ON sl.query_id = p.query_id
+                JOIN sims s ON s.query_id = p.query_id
+                  AND s.a = p.cand_id AND s.b = sl.cand_id
+                WHERE NOT EXISTS (SELECT 1 FROM sel3 x
+                  WHERE x.query_id = p.query_id
+                    AND x.cand_id = p.cand_id)
+                GROUP BY 1, 2, 3),
+        sc4 AS (SELECT query_id, cand_id,
+                       CAST(0.7 AS DOUBLE) * rel
+                         - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+                           * mx AS sc FROM mx4),
+        pk4 AS (SELECT query_id, cand_id, 4 AS step, sc AS mmr_score
+                FROM (SELECT *, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY sc DESC, cand_id) AS r4 FROM sc4)
+                WHERE r4 = 1),
+        sel4 AS (SELECT * FROM sel3 UNION ALL SELECT * FROM pk4),
+        mx5 AS (SELECT p.query_id, p.cand_id, p.rel, max(s.sim) AS mx
+                FROM pool p
+                JOIN sel4 sl ON sl.query_id = p.query_id
+                JOIN sims s ON s.query_id = p.query_id
+                  AND s.a = p.cand_id AND s.b = sl.cand_id
+                WHERE NOT EXISTS (SELECT 1 FROM sel4 x
+                  WHERE x.query_id = p.query_id
+                    AND x.cand_id = p.cand_id)
+                GROUP BY 1, 2, 3),
+        sc5 AS (SELECT query_id, cand_id,
+                       CAST(0.7 AS DOUBLE) * rel
+                         - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+                           * mx AS sc FROM mx5),
+        pk5 AS (SELECT query_id, cand_id, 5 AS step, sc AS mmr_score
+                FROM (SELECT *, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY sc DESC, cand_id) AS r5 FROM sc5)
+                WHERE r5 = 1)
+        SELECT * FROM sel4 UNION ALL SELECT * FROM pk5"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.mmrTopK(e.filter(col("vec_id") < 8), e,
+          "vec_id", "embedding", k = 5, poolSize = 20, lambda = 0.7)
+      }),
+
     // Two-stage truncated-dim search: coarse top-20 on the first 8 of
     // 64 dims, exact rerank to top-5. Deterministic in both stages
     // (sequential-fold doubles, cand_id tie-break) → full hash oracle,

@@ -977,6 +977,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
 
+  test("Similarity.mmrTopK: near-dup of the top pick is deferred " +
+    "behind the diverse candidate") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(0.9f, 0.1f)),   // most relevant
+      (2L, Array(0.9f, 0.1f)),   // its exact twin — plain top-k rank 2
+      (3L, Array(0.5f, -0.5f))   // diverse, lower relevance
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.llmops.Similarity
+      .mmrTopK(queries, corpus, "vec_id", "embedding", k = 3,
+        poolSize = 3, lambda = 0.5)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(2), r.getLong(1)))
+    // plain relevance order is (1, 2, 3); MMR at λ=0.5 defers the
+    // twin (sim 1.0 to the selected leader) behind the diverse vector
+    assert(got.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(got(0)._2 == 1L)
+    assert(got(1)._2 == 3L)
+    assert(got(2)._2 == 2L)
+  }
+
   test("DedupClusters.clusterSafeSplit: twins never straddle the " +
     "split; dup-free corpus equals the per-doc split") {
     import spark.implicits._
