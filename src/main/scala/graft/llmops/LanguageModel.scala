@@ -168,8 +168,17 @@ object LanguageModel {
     * shape, deliberately not repeated here). */
   def scoreBands(docs: DataFrame, ref: DataFrame, idCol: String,
       textCol: String, langCol: String): DataFrame =
-    lmScore(docs, ref, idCol, textCol, carryCols = Seq(langCol))
-      .groupBy(col(langCol),
+    bandHistogram(
+      lmScore(docs, ref, idCol, textCol, carryCols = Seq(langCol)),
+      langCol)
+
+  /** The band-histogram aggregation itself, over any frame carrying
+    * (langCol, score) — ONE definition shared by [[scoreBands]] and
+    * the streaming store (`Streams.toScoreBandStore`), so the "store
+    * equals the q233 histogram" claim is structural, not a parallel
+    * copy that can drift. */
+  def bandHistogram(scored: DataFrame, langCol: String): DataFrame =
+    scored.groupBy(col(langCol),
         least(floor(col("score") * 10).cast("long"), lit(9L))
           .as("band"))
       .agg(count(lit(1)).as("n_docs"),

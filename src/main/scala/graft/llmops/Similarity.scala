@@ -133,10 +133,16 @@ object Similarity {
     val pool = bruteForceTopK(queries, corpus, idCol, vecCol, poolSize)
       .select(col("query_id"), col("cand_id"), col("cos_sim").as("rel"))
       .barrier()
+    // restrict to pool members BEFORE computing norms: norm2 is a
+    // full-vector fold, and projecting it on the corpus side of the
+    // join would add a second corpus-wide pass on top of the audited
+    // pool scan — here it runs on ≤ #queries × poolSize rows
     val vecs = corpus.select(col(idCol).as("cand_id"),
-      col(vecCol).as("v"), norm2(col(vecCol)).as("n2"))
+      col(vecCol).as("v"))
     val pa = pool.select(col("query_id"), col("cand_id"))
       .join(vecs, Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("v"),
+        norm2(col("v")).as("n2"))
     val pb = pa.select(col("query_id"), col("cand_id").as("b"),
       col("v").as("vb"), col("n2").as("n2b"))
     // pairwise cosines within each query's pool (both orientations;
@@ -154,8 +160,19 @@ object Similarity {
         .filter(col("rk") === 1)
         .select(col("query_id"), col("cand_id"),
           lit(step).as("step"), col("score").as("mmr_score"))
-    val first = pick(pool.select(col("query_id"), col("cand_id"),
-      (lit(lambda) * col("rel")).as("score")), 1)
+    // round 1 ranks by REL (the oracle's order), not by fl(λ·rel):
+    // multiplication by λ is not strictly monotone in IEEE double —
+    // adjacent-double rels can collapse to one λ·rel value and the
+    // id tiebreak would then pick the LOWER-rel candidate, diverging
+    // from any engine that ranks pre-multiplication (and λ = 0 would
+    // degenerate to id order entirely); λ·rel is emitted as the
+    // score but the selection order is relevance
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("cand_id"))
+    val first = pool.withColumn("rk", row_number().over(w1))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("cand_id"), lit(1).as("step"),
+        (lit(lambda) * col("rel")).as("mmr_score"))
     (2 to k).foldLeft(first.barrier()) { (sel, step) =>
       val selIds = sel.select(col("query_id"), col("cand_id"))
       val scored = pool

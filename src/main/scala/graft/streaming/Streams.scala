@@ -582,15 +582,10 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val bands = graft.llmops.LanguageModel
-            .lmScoreFrozen(batch, model, vocabSize, idCol, textCol,
-              carryCols = Seq(langCol))
-            .groupBy(col(langCol),
-              least(floor(col("score") * 10).cast("long"), lit(9L))
-                .as("band"))
-            .agg(count(lit(1)).as("n_docs"),
-              min(col("score")).as("min_score"),
-              max(col("score")).as("max_score"))
+          val bands = graft.llmops.LanguageModel.bandHistogram(
+            graft.llmops.LanguageModel.lmScoreFrozen(batch, model,
+              vocabSize, idCol, textCol, carryCols = Seq(langCol)),
+            langCol)
           upsertSketchStore(batch.sparkSession, storeDir, bands) {
             (cur, b) =>
               cur.unionByName(b)
