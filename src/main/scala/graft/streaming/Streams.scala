@@ -444,9 +444,19 @@ object Streams {
     * existing one propagates, because silently restarting a sketch
     * from empty is the one error a merge-law store must never make),
     * merge the batch sketch in, write aside, swap by rename. A
-    * complete store exists on disk at every instant. */
+    * complete store exists on disk at every instant.
+    *
+    * Boundedness guard: the `coalesce(1)` write is only correct for
+    * stores that stay BOUNDED under merge (a sketch's defining
+    * property) — nothing structural stops a caller from pointing an
+    * unbounded frame here, and that failure mode is a silent
+    * single-threaded write, not an error. So the merged row count is
+    * checked against `maxRows` AFTER the aside write (a parquet
+    * footer-only count — no recompute) and an oversized merge fails
+    * fast with the store untouched: the aside dir is deleted and the
+    * swap never happens, so the last good store keeps serving. */
   private def upsertSketchStore(spark: SparkSession, storeDir: String,
-      batchSketch: DataFrame)(
+      batchSketch: DataFrame, maxRows: Long)(
       merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     val storePath = new org.apache.hadoop.fs.Path(storeDir)
     val prevPath = new org.apache.hadoop.fs.Path(storeDir + "__prev")
@@ -459,12 +469,28 @@ object Streams {
       .getOrElse(batchSketch)
     val tmp = new org.apache.hadoop.fs.Path(storeDir + "__tmp")
     merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val mergedRows = spark.read.parquet(tmp.toString).count()
+    if (mergedRows > maxRows) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"sketch store $storeDir would grow to $mergedRows rows " +
+          s"(cap $maxRows): the merged frame is not bounded — this " +
+          "store family coalesces to one file and must stay " +
+          "sketch-sized; raise maxStoreRows only if the store is " +
+          "genuinely bounded by construction")
+    }
     fs.delete(prevPath, true)
     if (fs.exists(storePath)) fs.rename(storePath, prevPath)
     fs.rename(tmp, storePath)
     fs.delete(prevPath, true)
     ()
   }
+
+  /** Default [[upsertSketchStore]] row cap: generous for any genuine
+    * sketch (a 4×65536 CMS is 262k rows; group-MinHash is one row per
+    * group) while still catching the unbounded-frame mistake well
+    * before a coalesce(1) write becomes the bottleneck. */
+  val DefaultMaxStoreRows: Long = 4L * 1024 * 1024
 
   /** Incrementally maintained count-min sketch store: each micro-batch
     * builds its own (bounded, ≤ d·w rows) sketch and merges it
@@ -474,14 +500,16 @@ object Streams {
     * bounded-domain map-side aggregation; the read-modify-write
     * touches only the tiny sketch. */
   def toCmsStore(stream: DataFrame, termCol: String, d: Int, w: Int,
-      storeDir: String, checkpoint: String): StreamingQuery =
+      storeDir: String, checkpoint: String,
+      maxStoreRows: Long = DefaultMaxStoreRows): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           upsertSketchStore(batch.sparkSession, storeDir,
-            graft.llmops.Sketches.countMinBuild(batch, termCol, d, w))(
+            graft.llmops.Sketches.countMinBuild(batch, termCol, d, w),
+            maxStoreRows)(
             graft.llmops.Sketches.countMinMerge)
         }
       }
@@ -497,7 +525,8 @@ object Streams {
     * a recoverable copy). */
   def toQuantileSampleStore(stream: DataFrame, groupCol: String,
       keyCol: String, valueCol: String, k: Int,
-      storeDir: String, checkpoint: String): StreamingQuery =
+      storeDir: String, checkpoint: String,
+      maxStoreRows: Long = DefaultMaxStoreRows): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -505,7 +534,8 @@ object Streams {
         if (!batch.isEmpty) {
           upsertSketchStore(batch.sparkSession, storeDir,
             graft.llmops.Sketches
-              .quantileSampleBuild(batch, groupCol, keyCol, valueCol, k))(
+              .quantileSampleBuild(batch, groupCol, keyCol, valueCol, k),
+            maxStoreRows)(
             (cur, b) => graft.llmops.Sketches
               .quantileSampleMerge(cur, b, groupCol, k))
         }
@@ -523,14 +553,16 @@ object Streams {
     * `Sketches.bloomMayContain` against the store at any moment.
     * Same rename-aside swap as [[toCmsStore]]. */
   def toBloomStore(stream: DataFrame, keyCol: String, m: Int, h: Int,
-      storeDir: String, checkpoint: String): StreamingQuery =
+      storeDir: String, checkpoint: String,
+      maxStoreRows: Long = DefaultMaxStoreRows): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           upsertSketchStore(batch.sparkSession, storeDir,
-            graft.llmops.Sketches.bloomBuild(batch, keyCol, m, h))(
+            graft.llmops.Sketches.bloomBuild(batch, keyCol, m, h),
+            maxStoreRows)(
             graft.llmops.Sketches.bloomMerge)
         }
       }
@@ -547,7 +579,8 @@ object Streams {
     * rename-aside swap as [[toCmsStore]]. */
   def toGroupMinhashStore(stream: DataFrame, idCol: String,
       textCol: String, groupCol: String, storeDir: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String,
+      maxStoreRows: Long = DefaultMaxStoreRows): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -555,7 +588,8 @@ object Streams {
         if (!batch.isEmpty) {
           upsertSketchStore(batch.sparkSession, storeDir,
             graft.llmops.TextOps
-              .groupMinhash(batch, idCol, textCol, groupCol))(
+              .groupMinhash(batch, idCol, textCol, groupCol),
+            maxStoreRows)(
             (cur, b) => graft.llmops.TextOps
               .groupMinhashMerge(cur, b, groupCol))
         }
@@ -569,34 +603,102 @@ object Streams {
     * are idempotent lattice merges, so the store equals the q233
     * band histogram of everything ever streamed (the calibration
     * artifact for choosing `toCuratedCorpusStore`'s minScore, kept
-    * current as the corpus streams in). Replay of a batch re-adds
-    * its counts — at-least-once delivery needs upstream dedup here
-    * (unlike the min-merge stores); the min/max columns are immune.
-    * Same rename-aside swap as [[toCmsStore]]. */
+    * current as the corpus streams in).
+    *
+    * EXACTLY-ONCE under replay (since r9; counts are additive, so
+    * unlike the min-merge stores a re-applied batch used to
+    * double-add): the store records the batch ids already merged,
+    * and — the part that makes it exactly-once rather than
+    * almost — the ledger lives INSIDE the swapped store directory
+    * (`<storeDir>/bands` + `<storeDir>/batches`), so one directory
+    * rename commits the histogram and its ledger together; there is
+    * no window where the merge landed but the ledger didn't. A
+    * replayed foreachBatch (same batchId, the engine's replay
+    * contract) finds its id in the ledger and is a no-op. See
+    * [[mergeScoreBandBatch]] for the cycle. */
   def toScoreBandStore(stream: DataFrame, idCol: String,
       textCol: String, langCol: String, model: DataFrame,
-      vocabSize: Long, storeDir: String, checkpoint: String)
-      : StreamingQuery =
+      vocabSize: Long, storeDir: String, checkpoint: String,
+      maxStoreRows: Long = DefaultMaxStoreRows): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val bands = graft.llmops.LanguageModel.bandHistogram(
             graft.llmops.LanguageModel.lmScoreFrozen(batch, model,
               vocabSize, idCol, textCol, carryCols = Seq(langCol)),
             langCol)
-          upsertSketchStore(batch.sparkSession, storeDir, bands) {
-            (cur, b) =>
-              cur.unionByName(b)
-                .groupBy(col(langCol), col("band"))
-                .agg(sum(col("n_docs")).as("n_docs"),
-                  min(col("min_score")).as("min_score"),
-                  max(col("max_score")).as("max_score"))
-          }
+          mergeScoreBandBatch(batch.sparkSession, storeDir, bands,
+            batchId, langCol, maxStoreRows)
         }
       }
       .start()
+
+  /** One exactly-once merge cycle of [[toScoreBandStore]], factored
+    * out so specs can drive replays directly: skip if `batchId` is
+    * already in the store's ledger; otherwise merge the batch bands
+    * into `<storeDir>/bands`, append `batchId` to
+    * `<storeDir>/batches`, write BOTH under an aside dir and swap the
+    * WHOLE store directory by rename — histogram and ledger commit
+    * atomically (a crash between the two swap renames leaves the
+    * complete previous store under `__prev`, exactly the
+    * [[toScdStore]] recovery story). The [[upsertSketchStore]]
+    * boundedness guard applies: bands are ≤ langs × 10 rows by
+    * construction, but nothing stops a caller streaming a
+    * high-cardinality langCol — an oversized merge fails fast with
+    * the store untouched. */
+  private[graft] def mergeScoreBandBatch(spark: SparkSession,
+      storeDir: String, bands: DataFrame, batchId: Long,
+      langCol: String,
+      maxRows: Long = DefaultMaxStoreRows): Unit = {
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val prevPath = new org.apache.hadoop.fs.Path(storeDir + "__prev")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = storePath.getFileSystem(hconf)
+    def readStore(p: org.apache.hadoop.fs.Path)
+        : Option[(DataFrame, DataFrame)] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(p, "bands")))
+        Some((spark.read.parquet(s"$p/bands"),
+          spark.read.parquet(s"$p/batches")))
+      else None
+    val existing = readStore(storePath).orElse(readStore(prevPath))
+    val alreadyMerged = existing.exists { case (_, ledger) =>
+      ledger.filter(col("batch_id") === batchId).limit(1).count() > 0
+    }
+    if (!alreadyMerged) {
+      import spark.implicits._
+      val merged = existing match {
+        case Some((cur, _)) =>
+          cur.unionByName(bands)
+            .groupBy(col(langCol), col("band"))
+            .agg(sum(col("n_docs")).as("n_docs"),
+              min(col("min_score")).as("min_score"),
+              max(col("max_score")).as("max_score"))
+        case None => bands
+      }
+      val ledger = existing.map(_._2).getOrElse(
+          Seq.empty[Long].toDF("batch_id"))
+        .unionByName(Seq(batchId).toDF("batch_id"))
+      val tmp = new org.apache.hadoop.fs.Path(storeDir + "__tmp")
+      merged.coalesce(1).write.mode("overwrite").parquet(s"$tmp/bands")
+      ledger.coalesce(1).write.mode("overwrite").parquet(s"$tmp/batches")
+      val mergedRows = spark.read.parquet(s"$tmp/bands").count()
+      if (mergedRows > maxRows) {
+        fs.delete(tmp, true)
+        throw new IllegalStateException(
+          s"score-band store $storeDir would grow to $mergedRows rows " +
+            s"(cap $maxRows): langCol cardinality is not " +
+            "histogram-sized — this store coalesces to one file and " +
+            "must stay bounded")
+      }
+      fs.delete(prevPath, true)
+      if (fs.exists(storePath)) fs.rename(storePath, prevPath)
+      fs.rename(tmp, storePath)
+      fs.delete(prevPath, true)
+      ()
+    }
+  }
 
   /** Curated-ingest gate — the streaming form of the incremental
     * corpus-admission pipeline: per micro-batch, (1) within-batch

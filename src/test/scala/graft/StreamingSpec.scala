@@ -463,7 +463,7 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getDouble(3), r.getDouble(4))).sortBy(r => (r._1, r._2))
       .toSeq
-    val streamed = canon(spark.read.parquet(store))
+    val streamed = canon(spark.read.parquet(s"$store/bands"))
     val oneShot = canon(graft.llmops.LanguageModel
       .lmScoreFrozen((b1 ++ b2).toDF("doc_id", "text", "lang"),
         model, v, "doc_id", "text", carryCols = Seq("lang"))
@@ -474,6 +474,84 @@ class StreamingSpec extends AnyFunSuite {
         min(col("score")).as("min_score"),
         max(col("score")).as("max_score")))
     assert(streamed == oneShot)
+    // the ledger recorded both merged batch ids, atomically with bands
+    assert(spark.read.parquet(s"$store/batches")
+      .as[Long].collect().sorted.toSeq == Seq(0L, 1L))
+  }
+
+  test("toScoreBandStore is exactly-once: a replayed batch id is a " +
+    "no-op (additive counts protected by the in-store ledger)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bands-replay").toString
+    val store = s"$dir/store"
+    def text(tag: String) = (1 to 10).map(i => s"$tag$i").mkString(" ")
+    val ref = Seq((100L, text("a"))).toDF("doc_id", "text")
+    val model = graft.llmops.LanguageModel
+      .bigramModel(ref, "doc_id", "text")
+    val v = graft.llmops.LanguageModel.refVocabSize(ref, "text")
+    def bandsOf(rows: Seq[(Long, String, String)]) =
+      graft.llmops.LanguageModel.bandHistogram(
+        graft.llmops.LanguageModel.lmScoreFrozen(
+          rows.toDF("doc_id", "text", "lang"), model, v,
+          "doc_id", "text", carryCols = Seq("lang")), "lang")
+    val b0 = Seq((1L, text("a"), "en"), (2L, text("c"), "xx"))
+    val b1 = Seq((3L, text("a"), "en"))
+    Streams.mergeScoreBandBatch(spark, store, bandsOf(b0), 0L, "lang")
+    Streams.mergeScoreBandBatch(spark, store, bandsOf(b1), 1L, "lang")
+    def canon() = spark.read.parquet(s"$store/bands").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(r => (r._1, r._2)).toSeq
+    val afterClean = canon()
+    assert(afterClean.map(_._3).sum == 3L) // three docs counted once
+    // replay BOTH batches (engine restart re-delivers the last epoch;
+    // here we replay everything to pin idempotence, not just the tail)
+    Streams.mergeScoreBandBatch(spark, store, bandsOf(b0), 0L, "lang")
+    Streams.mergeScoreBandBatch(spark, store, bandsOf(b1), 1L, "lang")
+    assert(canon() == afterClean)
+    // a genuinely NEW batch id still merges
+    Streams.mergeScoreBandBatch(spark, store, bandsOf(b1), 2L, "lang")
+    assert(canon().map(_._3).sum == 4L)
+  }
+
+  test("upsertSketchStore boundedness guard: an oversized merge fails " +
+    "fast and leaves the store untouched") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-cap").toString
+    val (store, ckpt) = (s"$dir/store", s"$dir/ckpt")
+    val input = MemoryStream[(Long, String, String)]
+    // group-MinHash store rows = distinct groups; cap 4, stream 10
+    val q = Streams.toGroupMinhashStore(
+      input.toDF().toDF("doc_id", "text", "grp"),
+      "doc_id", "text", "grp", store, ckpt, maxStoreRows = 4L)
+    input.addData((1L to 30L).map(i =>
+      (i, s"tok${i % 7} tok${i % 5} tail$i", s"g${i % 10}")): _*)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) Option(t.getMessage).getOrElse("")
+      else Option(t.getMessage).getOrElse("") + " | " + rootMsg(t.getCause)
+    assert(rootMsg(ex).contains("not bounded"))
+    // fail-fast means the swap never ran: no store dir materialized
+    // (the aside __tmp was deleted), so the last good state — here,
+    // "no store yet" — is what callers keep seeing
+    assert(!new java.io.File(store).exists())
+  }
+
+  test("Bench.nextSlot treats empty/unparseable BENCH files as free") {
+    val full = """{"queries":{"q01":0.1},"total":0.1}"""
+    // clean history: next is one past the max complete round
+    assert(Bench.nextSlot(Seq(7 -> full, 8 -> full)) == 9)
+    // an empty pre-touched r9 file does NOT push the write to r10
+    assert(Bench.nextSlot(Seq(7 -> full, 8 -> full, 9 -> "")) == 9)
+    // a truncated (unparseable) artifact is also free
+    assert(Bench.nextSlot(
+      Seq(8 -> full, 9 -> """{"queries":{"q01":0.""")) == 9)
+    // whitespace-only counts as empty; no files at all starts at 1
+    assert(Bench.nextSlot(Seq(3 -> "  \n")) == 1)
+    assert(Bench.nextSlot(Seq.empty) == 1)
   }
 
   test("toCuratedCorpusStore: dedup admission + frozen LM gate, " +
