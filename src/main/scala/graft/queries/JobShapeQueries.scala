@@ -347,5 +347,137 @@ object JobShapeQueries {
               .otherwise("r1.marconi.cineca.it").as("RemoteHost"),
             (k % 64 + 1).cast("double").as("RequestCpus"))
         graft.jobs.CondorJobs.hpcAtCms(env, 0L, Long.MaxValue)
+      }),
+
+    // The FLAGSHIP reference pipeline end-to-end under oracle:
+    // rucio_datasets_stats.py's create_main_df (40-transformation DAG,
+    // :143-676) as RucioJobs.datasetsStats over rucio-shaped frames
+    // derived from the testdata tables — the whole chain is exercised:
+    // live-RSE prep with hex-normalized ids, the REPLICAS ⟗ DIDS
+    // full-outer file map with size-priority coalesce and null-ignoring
+    // greatest on access times, the file→block→container hierarchy
+    // join, the broadcast RSE enrichment, and the final per-(rse,
+    // dataset) aggregate with conditional accessed counts and UNKNOWN
+    // fills. Every gate is populated: dropped replicas (STATE/SCOPE),
+    // hidden/deleted DIDs, DID-only and replica-only files, files
+    // missing from the hierarchy, and deleted RSEs. The oracle replays
+    // the DAG in CTEs; greatest() is expanded to its null-ignoring
+    // CASE form (Spark's greatest skips nulls, DuckDB's propagates).
+    QueryDef(
+      "q241_rucio_dataset_stats",
+      Some("""
+        WITH rep AS (
+          SELECT '/store/f' || l_orderkey || '_' || l_linenumber AS fname,
+                 lower(hex('R' || (l_suppkey % 25))) AS rse_id,
+                 CAST(floor(l_extendedprice) AS BIGINT) AS rep_bytes,
+                 CASE WHEN l_linenumber % 3 = 0 THEN NULL
+                      ELSE CAST(date_diff('day', DATE '1992-01-01',
+                             CAST(l_shipdate AS DATE)) AS BIGINT)
+                           * 86400000 END AS rep_accessed_at
+          FROM lineitem
+          WHERE l_linenumber % 5 <> 0    -- STATE = 'A'
+            AND l_partkey % 11 <> 0),    -- SCOPE = 'cms'
+        fdid AS (
+          SELECT '/store/f' || l_orderkey || '_' || l_linenumber AS dname,
+                 CAST(floor(l_quantity * 1000) AS BIGINT) AS did_bytes,
+                 CASE WHEN l_linenumber % 2 = 0 THEN NULL
+                      ELSE (CAST(date_diff('day', DATE '1992-01-01',
+                              CAST(l_shipdate AS DATE)) AS BIGINT)
+                            + l_suppkey % 37) * 86400000
+                      END AS did_accessed_at
+          FROM lineitem
+          WHERE l_linenumber % 7 <> 1    -- DID row exists
+            AND l_suppkey % 13 <> 0      -- HIDDEN = 0
+            AND l_orderkey % 97 <> 0),   -- DELETED_AT IS NULL
+        files AS (
+          SELECT coalesce(fname, dname) AS file_name,
+                 rse_id,
+                 coalesce(rep_bytes, did_bytes) AS fsize,
+                 CASE WHEN rep_accessed_at IS NULL THEN did_accessed_at
+                      WHEN did_accessed_at IS NULL THEN rep_accessed_at
+                      ELSE greatest(rep_accessed_at, did_accessed_at)
+                 END AS accessed_at
+          FROM rep FULL OUTER JOIN fdid ON fname = dname),
+        f2d AS (
+          SELECT bf.file_name, db.dataset
+          FROM (SELECT '/blk_' || l_orderkey AS block,
+                       '/store/f' || l_orderkey || '_' || l_linenumber
+                         AS file_name
+                FROM lineitem WHERE l_partkey % 13 <> 0) bf
+          JOIN (SELECT '/ds_' || (o_custkey % 100) AS dataset,
+                       '/blk_' || o_orderkey AS block
+                FROM orders) db USING (block)),
+        rses AS (
+          SELECT lower(hex('R' || n_nationkey)) AS rse_id,
+                 'T' || (n_nationkey % 3) || '_' || n_name ||
+                   CASE WHEN n_nationkey % 7 = 0 THEN '_Temp'
+                        WHEN n_nationkey % 7 = 1 THEN '_Test'
+                        ELSE '_Disk' END AS rse
+          FROM nation WHERE n_nationkey % 11 <> 3)  -- DELETED_AT IS NULL
+        SELECT coalesce(r.rse, 'UNKNOWN') AS rse,
+               coalesce(d.dataset, 'UNKNOWN') AS dataset,
+               count(*) AS n_files,
+               count(*) FILTER (WHERE f.accessed_at IS NOT NULL)
+                 AS n_accessed,
+               CAST(sum(f.fsize) AS BIGINT) AS total_bytes,
+               max(f.accessed_at) AS last_accessed_at
+        FROM files f
+        LEFT JOIN f2d d USING (file_name)
+        LEFT JOIN rses r USING (rse_id)
+        GROUP BY 1, 2"""),
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val ord = t(s, d, "orders")
+        val nat = t(s, d, "nation")
+        val fname = concat(lit("/store/f"), col("l_orderkey"),
+          lit("_"), col("l_linenumber"))
+        val shipDays =
+          datediff(col("l_shipdate"), lit("1992-01-01")).cast("long")
+        val replicas = li.select(
+          fname.as("NAME"),
+          when(col("l_linenumber") % 5 === 0, "U").otherwise("A")
+            .as("STATE"),
+          when(col("l_partkey") % 11 === 0, "user").otherwise("cms")
+            .as("SCOPE"),
+          concat(lit("R"), col("l_suppkey") % 25).as("RSE_ID"),
+          floor(col("l_extendedprice")).cast("long").as("BYTES"),
+          when(col("l_linenumber") % 3 === 0, lit(null).cast("long"))
+            .otherwise(shipDays * 86400000L).as("ACCESSED_AT"))
+        val dids = li
+          .filter(col("l_linenumber") % 7 =!= 1)
+          .select(
+            fname.as("NAME"),
+            lit("F").as("DID_TYPE"),
+            when(col("l_suppkey") % 13 === 0, 1).otherwise(0)
+              .as("HIDDEN"),
+            when(col("l_orderkey") % 97 === 0, lit(123L))
+              .otherwise(lit(null).cast("long")).as("DELETED_AT"),
+            floor(col("l_quantity") * 1000).cast("long").as("BYTES"),
+            when(col("l_linenumber") % 2 === 0, lit(null).cast("long"))
+              .otherwise((shipDays + col("l_suppkey") % 37)
+                * 86400000L).as("ACCESSED_AT"))
+        val blockFile = li
+          .filter(col("l_partkey") % 13 =!= 0)
+          .select(
+            lit("D").as("DID_TYPE"), lit("F").as("CHILD_TYPE"),
+            concat(lit("/blk_"), col("l_orderkey")).as("NAME"),
+            fname.as("CHILD_NAME"))
+        val dsBlock = ord.select(
+          lit("C").as("DID_TYPE"), lit("D").as("CHILD_TYPE"),
+          concat(lit("/ds_"), col("o_custkey") % 100).as("NAME"),
+          concat(lit("/blk_"), col("o_orderkey")).as("CHILD_NAME"))
+        val rses = nat.select(
+          concat(lit("R"), col("n_nationkey")).as("ID"),
+          concat(lit("T"), col("n_nationkey") % 3, lit("_"),
+            col("n_name"),
+            when(col("n_nationkey") % 7 === 0, "_Temp")
+              .when(col("n_nationkey") % 7 === 1, "_Test")
+              .otherwise("_Disk")).as("RSE"),
+          when(col("n_nationkey") % 2 === 0, "DISK").otherwise("TAPE")
+            .as("RSE_TYPE"),
+          when(col("n_nationkey") % 11 === 3, lit(1L))
+            .otherwise(lit(null).cast("long")).as("DELETED_AT"))
+        RucioJobs.datasetsStats(replicas, dids,
+          blockFile.unionByName(dsBlock), rses)
       }))
 }

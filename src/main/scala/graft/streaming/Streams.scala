@@ -718,7 +718,22 @@ object Streams {
     * admission gate drops every doc — at-least-once delivery
     * converges to exactly-once CONTENT (ids of dropped re-deliveries
     * are not recorded; the store is contentwise idempotent, the
-    * group-MinHash store's argument applied to whole documents). */
+    * group-MinHash store's argument applied to whole documents).
+    * PropertySpec pins both claims over random redelivery schedules;
+    * what is NOT order-invariant — by design, in any online admission
+    * policy — is which member of a near-dup cluster survives: the
+    * first-delivered representative wins, so permuting batches can
+    * swap which near-duplicate text ships (exact-dup-only corpora ARE
+    * permutation-invariant, also pinned).
+    *
+    * Scale caveat: this form re-reads and RE-SHINGLES the whole
+    * corpus store every micro-batch — per-batch cost is
+    * corpus-proportional even though candidate pairs are
+    * batch-proportional. Fine at release cadence; for high-frequency
+    * ingestion use [[toCuratedCorpusStoreIndexed]], which maintains
+    * the admission state (fingerprints, capped shingle postings, df
+    * counts) as persistent index stores and never touches corpus
+    * text per batch. */
   def toCuratedCorpusStore(stream: DataFrame, idCol: String,
       textCol: String, model: DataFrame, vocabSize: Long,
       minScore: Double, storeDir: String, checkpoint: String,
@@ -727,45 +742,288 @@ object Streams {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch0: DataFrame, _: Long) =>
-        if (!batch0.isEmpty) {
-          import graft.core.Checkpoints.BarrierOps
-          val s = batch0.sparkSession
-          // within-batch exact dedup with a deterministic keeper
-          // (incrementalAdmissions' contract scopes within-batch dups
-          // out; dropDuplicates would pick an arbitrary copy)
-          val keep = batch0
-            .groupBy(md5(col(textCol)).as("__fp"))
-            .agg(min(col(idCol)).as(idCol))
-            .select(col(idCol))
-          // three consumers (admissions, scoring, append) — barrier
-          // so the micro-batch source isn't re-planned per consumer
-          val batch = batch0.join(keep, Seq(idCol), "left_semi")
-            .barrier()
-          val storePath = new org.apache.hadoop.fs.Path(storeDir)
-          val fs = storePath
-            .getFileSystem(s.sparkContext.hadoopConfiguration)
-          val base =
-            if (fs.exists(storePath)) s.read.parquet(storeDir)
-            else batch.limit(0)
-          // admissions hardcodes its output id column to doc_id —
-          // re-alias so any idCol works (caught by review; the spec
-          // drives a non-default idCol through this path)
-          val admitted = graft.llmops.TextOps
-            .incrementalAdmissions(base, batch, idCol, textCol,
-              minJac, maxDf)
-            .filter(col("is_admitted"))
-            .select(col("doc_id").as(idCol))
-          val passing = graft.llmops.LanguageModel
-            .lmScoreFrozen(
-              batch.join(admitted, Seq(idCol), "left_semi"),
-              model, vocabSize, idCol, textCol)
-            .filter(col("score") >= minScore).select(col(idCol))
-          val out = batch.join(passing, Seq(idCol), "left_semi")
-          if (!out.isEmpty) out.write.mode("append").parquet(storeDir)
-          ()
-        }
+        if (!batch0.isEmpty)
+          curatedCommit(batch0, idCol, textCol, model, vocabSize,
+            minScore, storeDir, minJac, maxDf)
       }
       .start()
+
+  /** One admission cycle of [[toCuratedCorpusStore]], factored out so
+    * specs can drive batch sequences (and redelivery schedules)
+    * directly without the streaming engine. */
+  private[graft] def curatedCommit(batch0: DataFrame, idCol: String,
+      textCol: String, model: DataFrame, vocabSize: Long,
+      minScore: Double, storeDir: String,
+      minJac: Double, maxDf: Int): Unit = {
+    import graft.core.Checkpoints.BarrierOps
+    val s = batch0.sparkSession
+    // within-batch exact dedup with a deterministic keeper
+    // (incrementalAdmissions' contract scopes within-batch dups
+    // out; dropDuplicates would pick an arbitrary copy)
+    val keep = batch0
+      .groupBy(md5(col(textCol)).as("__fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    // three consumers (admissions, scoring, append) — barrier
+    // so the micro-batch source isn't re-planned per consumer
+    val batch = batch0.join(keep, Seq(idCol), "left_semi")
+      .barrier()
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = storePath
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val base =
+      if (fs.exists(storePath)) s.read.parquet(storeDir)
+      else batch.limit(0)
+    // admissions hardcodes its output id column to doc_id —
+    // re-alias so any idCol works (caught by review; the spec
+    // drives a non-default idCol through this path)
+    val admitted = graft.llmops.TextOps
+      .incrementalAdmissions(base, batch, idCol, textCol,
+        minJac, maxDf)
+      .filter(col("is_admitted"))
+      .select(col("doc_id").as(idCol))
+    val passing = graft.llmops.LanguageModel
+      .lmScoreFrozen(
+        batch.join(admitted, Seq(idCol), "left_semi"),
+        model, vocabSize, idCol, textCol)
+      .filter(col("score") >= minScore).select(col(idCol))
+    val out = batch.join(passing, Seq(idCol), "left_semi")
+    if (!out.isEmpty) out.write.mode("append").parquet(storeDir)
+    ()
+  }
+
+  /** [[toCuratedCorpusStore]] with a PERSISTENT admission index — the
+    * 100 TB streaming form. The plain store re-reads and RE-SHINGLES
+    * the entire corpus store every micro-batch
+    * (`TextOps.incrementalAdmissions` builds `shingleIndex(base)` per
+    * call): candidate pairs are batch-proportional, but per-batch scan
+    * cost is corpus-proportional — quadratic total I/O across N
+    * batches. Here the admission state is maintained incrementally in
+    * three index stores next to the corpus, so a batch never touches
+    * corpus TEXT at all:
+    *
+    *  - `<storeDir>/fps`      — md5 fingerprint per admitted doc (the
+    *    exact-dup gate's entire read surface)
+    *  - `<storeDir>/postings` — (doc, nsh, sh) shingle postings of
+    *    admitted docs, appended only while the shingle's cumulative
+    *    document frequency is ≤ maxDf — so the index holds AT MOST
+    *    maxDf postings per distinct shingle, the same df cap the
+    *    batch recomputation applies, made physical
+    *  - `<storeDir>/dfs`      — per-batch (sh, df) deltas; cumulative
+    *    df = sum over deltas (one compact long-pair row per shingle
+    *    per batch; [[compactAdmissionIndex]] squashes history)
+    *
+    * Per batch the work is: shingle the BATCH text once, one
+    * aggregate for batch dfs, one join of batch shingles against the
+    * summed df store (under-cap filter on both sides — combined df,
+    * exactly `incrementalAdmissions`' window filter), one
+    * batch-shingle ⋈ postings probe (store side bounded at maxDf rows
+    * per shingle), the frozen-LM gate, and four partition writes.
+    * StreamingSpec pins store-backed admissions ≡
+    * `incrementalAdmissions` over the same batch sequence.
+    *
+    * Replay safety is STRONGER than the plain store's content
+    * argument, and needs no swap or ledger: every store is
+    * partitioned by `batch=<id>`, every read EXCLUDES the current
+    * batch id, and every write overwrites only the current batch's
+    * own partitions. A replayed epoch therefore sees byte-identical
+    * inputs (earlier partitions are append-only history), re-derives
+    * the identical admission decision, and overwrites its own
+    * partitions with identical content — idempotent even when the
+    * first attempt crashed between the four writes, the
+    * multi-store-consistency window a single-directory store never
+    * had. At-least-once redelivery of old CONTENT under a fresh
+    * batch id is handled by the gates themselves, as before.
+    *
+    * Read the corpus back with [[curatedDocs]] (drops the partition
+    * column). At 1000-executor scale the postings store is the one
+    * to bucket by `sh` so the per-batch probe prunes; the fps and
+    * dfs stores are narrow key columns a broadcast-or-shuffle hash
+    * join handles at any corpus size. */
+  def toCuratedCorpusStoreIndexed(stream: DataFrame, idCol: String,
+      textCol: String, model: DataFrame, vocabSize: Long,
+      minScore: Double, storeDir: String, checkpoint: String,
+      minJac: Double = 0.5, maxDf: Int = 1000): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        if (!batch0.isEmpty)
+          curatedCommitIndexed(batch0, batchId, idCol, textCol, model,
+            vocabSize, minScore, storeDir, minJac, maxDf)
+      }
+      .start()
+
+  /** One admission cycle of [[toCuratedCorpusStoreIndexed]], factored
+    * out so specs can drive batch sequences, replays, and redelivery
+    * schedules directly. */
+  private[graft] def curatedCommitIndexed(batch0: DataFrame,
+      batchId: Long, idCol: String, textCol: String, model: DataFrame,
+      vocabSize: Long, minScore: Double, storeDir: String,
+      minJac: Double, maxDf: Int): Unit = {
+    import graft.core.Checkpoints.BarrierOps
+    val s = batch0.sparkSession
+    val (docsDir, fpsDir, postingsDir, dfsDir) =
+      (s"$storeDir/docs", s"$storeDir/fps", s"$storeDir/postings",
+        s"$storeDir/dfs")
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // every store read EXCLUDES the current batch id (partition
+    // pruning — a replayed epoch must not see its own first attempt).
+    // The template also supplies the read schema explicitly: a batch
+    // where everything was rejected writes EMPTY partitions (replay
+    // must be able to erase a crashed attempt's rows), and schema
+    // inference over only-empty files would fail; pinning the batch
+    // partition column to long also sidesteps int/long inference.
+    def readPart(dir: String, template: DataFrame): DataFrame =
+      if (fs.exists(new org.apache.hadoop.fs.Path(dir)))
+        s.read
+          .schema(template.schema.add(org.apache.spark.sql.types
+            .StructField("batch",
+              org.apache.spark.sql.types.LongType)))
+          .parquet(dir)
+          .filter(col("batch") =!= batchId)
+          .drop("batch")
+      else template.limit(0)
+    // within-batch exact dedup, deterministic min-id keeper — same
+    // contract as [[curatedCommit]]
+    val keep = batch0
+      .groupBy(md5(col(textCol)).as("__fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val batch = batch0.join(keep, Seq(idCol), "left_semi").barrier()
+    // the ONLY shingling in the cycle: the batch text (the plain
+    // store re-shingles the whole corpus here)
+    val batchPostings = batch
+      .select(col(idCol).as("doc"),
+        graft.llmops.TextOps.shingleHashes(col(textCol)).as("arr"))
+      .select(col("doc"), size(col("arr")).as("nsh"),
+        explode(col("arr")).as("sh"))
+      .barrier()
+    // combined df per batch shingle = stored deltas + this batch —
+    // identical to incrementalAdmissions' count over base ∪ incoming
+    val dfBatch = batchPostings.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df_b"))
+    val dfTemplate = s.range(0)
+      .select(col("id").as("sh"), col("id").as("df"))
+    val dfStore = readPart(dfsDir, dfTemplate)
+      .groupBy(col("sh")).agg(sum(col("df")).as("df_s"))
+      .barrier() // consumed by the under-cap filter AND the append cap
+    val underCap = dfBatch.join(dfStore, Seq("sh"), "left")
+      .filter(col("df_b") + coalesce(col("df_s"), lit(0L)) <= maxDf)
+      .select(col("sh"))
+      .barrier() // filters both probe sides
+    val bp = batchPostings.join(underCap, Seq("sh"), "left_semi")
+    val sp = readPart(postingsDir, batchPostings)
+      .join(underCap, Seq("sh"), "left_semi")
+    val jac = col("common").cast("double") /
+      (col("ni") + col("nb") - col("common"))
+    val near = bp
+      .select(col("doc").as("di"), col("nsh").as("ni"), col("sh"))
+      .join(sp.select(col("doc").as("db"), col("nsh").as("nb"),
+        col("sh")), Seq("sh"))
+      .groupBy(col("di"), col("db"), col("ni"), col("nb"))
+      .agg(count(lit(1)).as("common"))
+      .filter(jac >= minJac)
+      .select(col("di").as(idCol)).distinct()
+    val fpTemplate = batch.select(md5(col(textCol)).as("fp"))
+    val exact = batch
+      .select(col(idCol), md5(col(textCol)).as("fp"))
+      .join(readPart(fpsDir, fpTemplate), Seq("fp"), "left_semi")
+      .select(col(idCol))
+    val dropped = exact.unionByName(near).distinct()
+    val admitted = batch.join(dropped, Seq(idCol), "left_anti")
+    val passing = graft.llmops.LanguageModel
+      .lmScoreFrozen(admitted, model, vocabSize, idCol, textCol)
+      .filter(col("score") >= minScore).select(col(idCol))
+    val out = batch.join(passing, Seq(idCol), "left_semi")
+      .barrier() // consumed by the docs and fps writes
+    // index rows of the ADMITTED docs only (they are the future base),
+    // reusing the barriered batch postings — no re-shingling
+    val outPostings = batchPostings
+      .join(out.select(col(idCol).as("doc")), Seq("doc"), "left_semi")
+      .barrier() // consumed by dfOut and the postings append
+    val dfOut = outPostings.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+    // postings append only while the shingle stays under the cap
+    // AFTER this batch — once over, df can only grow, so the dropped
+    // postings can never be needed by a future probe
+    val keepSh = dfOut.join(dfStore, Seq("sh"), "left")
+      .filter(col("df") + coalesce(col("df_s"), lit(0L)) <= maxDf)
+      .select(col("sh"))
+    def writePart(df: DataFrame, dir: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+    // empty frames still write their partition: a replayed epoch that
+    // (re-)derives an empty admission must erase a crashed first
+    // attempt's partial rows, not skip past them
+    writePart(out, docsDir)
+    writePart(out.select(md5(col(textCol)).as("fp")), fpsDir)
+    writePart(outPostings.join(keepSh, Seq("sh"), "left_semi")
+      .select(col("doc"), col("nsh"), col("sh")), postingsDir)
+    writePart(dfOut, dfsDir)
+    ()
+  }
+
+  /** The curated corpus of a [[toCuratedCorpusStoreIndexed]] store,
+    * without the internal batch partition column. */
+  def curatedDocs(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(s"$storeDir/docs").drop("batch")
+
+  /** Offline maintenance for the admission index: squash the
+    * per-batch df deltas and postings partitions with
+    * `batch <= uptoBatch` into a single `batch=-1` history partition
+    * (−1 is never a real epoch id, so the exclude-own-batch read is
+    * unaffected), dropping postings whose cumulative df crossed the
+    * cap (they are physically present but logically dead — df never
+    * shrinks). Run it with the stream STOPPED and `uptoBatch` strictly
+    * below the checkpoint's last committed epoch: a replayable epoch
+    * folded into history could no longer exclude its own first
+    * attempt. Admission decisions after compaction are identical
+    * (StreamingSpec pins it); reads get fewer partitions to list and
+    * sum. */
+  def compactAdmissionIndex(spark: SparkSession, storeDir: String,
+      uptoBatch: Long, maxDf: Int = 1000): Unit = {
+    require(uptoBatch >= 0, s"compactAdmissionIndex: uptoBatch=$uptoBatch")
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(dir: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(dir))
+    def compact(dir: String)(
+        squash: DataFrame => DataFrame): Unit =
+      if (exists(dir)) {
+        // batch=-1 (a previous compaction) always folds in: -1 <=
+        // uptoBatch, and its partition is deleted before the rename
+        // re-creates it, so repeated compaction is safe
+        val old = spark.read.parquet(dir)
+          .filter(col("batch") <= uptoBatch)
+        val oldParts = old.select(col("batch").cast("long"))
+          .distinct().collect().map(_.getLong(0))
+        if (oldParts.nonEmpty) {
+          val squashed = squash(old.drop("batch"))
+          val tmp = s"${dir}__compact_tmp"
+          squashed.write.mode("overwrite").parquet(tmp)
+          oldParts.foreach { b =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batch=$b"),
+              true)
+          }
+          fs.rename(new org.apache.hadoop.fs.Path(tmp),
+            new org.apache.hadoop.fs.Path(s"$dir/batch=-1"))
+        }
+      }
+    compact(s"$storeDir/dfs")(
+      _.groupBy(col("sh")).agg(sum(col("df")).as("df")))
+    // postings whose TOTAL df (across the whole dfs history, compacted
+    // or not) crossed the cap are dead — the probe's under-cap filter
+    // can never select them again
+    if (exists(s"$storeDir/dfs") && exists(s"$storeDir/postings")) {
+      val liveSh = spark.read.parquet(s"$storeDir/dfs").drop("batch")
+        .groupBy(col("sh")).agg(sum(col("df")).as("df"))
+        .filter(col("df") <= maxDf).select(col("sh"))
+      compact(s"$storeDir/postings")(
+        _.join(liveSh, Seq("sh"), "left_semi"))
+    }
+    compact(s"$storeDir/fps")(identity)
+  }
 
   /** Streaming document egress: each micro-batch pushes its rows as
     * JSON documents through a DocSink transport (STOMP frames,

@@ -1151,4 +1151,132 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- curated-store content idempotence (Streams.curatedCommit*) --
+
+  /** Small mixed-corpus batches for the store-invariance properties:
+    * exact dups within and across batches, near-dups, plus docs the
+    * frozen-LM gate rejects (cutoff = median score). */
+  private def curatedBatches(seed: Int, nBatches: Int, perBatch: Int)
+      : (Seq[Seq[(Long, String)]], org.apache.spark.sql.DataFrame,
+        Long, Double) = {
+    val rnd = new scala.util.Random(seed)
+    def doc(): String =
+      (1 to 8 + rnd.nextInt(4)).map(_ => s"w${rnd.nextInt(20)}")
+        .mkString(" ")
+    var id = 0L
+    val produced = scala.collection.mutable.ArrayBuffer.empty[String]
+    val batches = (0 until nBatches).map { _ =>
+      (0 until perBatch).map { _ =>
+        id += 1
+        val r = rnd.nextInt(10)
+        val text =
+          if (r < 3 && produced.nonEmpty)
+            produced(rnd.nextInt(produced.size))
+          else if (r < 5 && produced.nonEmpty) {
+            val base = produced(rnd.nextInt(produced.size)).split(" ")
+            (base.dropRight(1) :+ s"w${rnd.nextInt(20)}").mkString(" ")
+          } else { val t = doc(); produced += t; t }
+        (id, text)
+      }
+    }
+    val ref = (1 to 30).map(i => (5000L + i, doc())).toDF("id", "body")
+    val model = graft.llmops.LanguageModel.bigramModel(ref, "id", "body")
+    val v = graft.llmops.LanguageModel.refVocabSize(ref, "body")
+    val cutoff = graft.llmops.LanguageModel
+      .lmScoreFrozen(batches.flatten.toDF("id", "body"), model, v,
+        "id", "body")
+      .stat.approxQuantile("score", Array(0.5), 0.0).head
+    (batches, model, v, cutoff)
+  }
+
+  private def storeContent(df: org.apache.spark.sql.DataFrame)
+      : Set[(Long, String)] =
+    df.select("id", "body").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("curated stores are content-idempotent under redelivery: " +
+    "random duplicate-batch schedules reproduce the clean store, " +
+    "plain and indexed") {
+    import graft.streaming.Streams
+    val (batches, model, v, cutoff) = curatedBatches(7, 4, 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-prop-redeliver").toString
+    def runPlain(tag: String, schedule: Seq[Int]): Set[(Long, String)] = {
+      val store = s"$dir/plain-$tag"
+      schedule.foreach { bi =>
+        Streams.curatedCommit(batches(bi).toDF("id", "body"),
+          "id", "body", model, v, cutoff, store, 0.5, 9)
+      }
+      storeContent(spark.read.parquet(store))
+    }
+    def runIndexed(tag: String, schedule: Seq[Int]): Set[(Long, String)] = {
+      val store = s"$dir/indexed-$tag"
+      schedule.zipWithIndex.foreach { case (bi, pos) =>
+        Streams.curatedCommitIndexed(batches(bi).toDF("id", "body"),
+          pos.toLong, "id", "body", model, v, cutoff, store, 0.5, 9)
+      }
+      storeContent(Streams.curatedDocs(spark, store))
+    }
+    val clean = 0 until 4
+    val cleanPlain = runPlain("clean", clean)
+    val cleanIndexed = runIndexed("clean", clean)
+    assert(cleanIndexed == cleanPlain)
+    assert(cleanPlain.nonEmpty)
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { trial =>
+      // duplicate deliveries injected at random positions AFTER the
+      // original (at-least-once: a batch may re-arrive any time later)
+      val schedule = clean.foldLeft(Vector.empty[Int]) { (acc, bi) =>
+        val withB = acc :+ bi
+        if (rnd.nextBoolean() && withB.size > 1) {
+          val dup = withB(rnd.nextInt(withB.size))
+          withB :+ dup
+        } else withB
+      } :+ rnd.nextInt(4) // and one final stale redelivery
+      assert(runPlain(s"t$trial", schedule) == cleanPlain,
+        s"plain store diverged under schedule $schedule")
+      assert(runIndexed(s"t$trial", schedule) == cleanIndexed,
+        s"indexed store diverged under schedule $schedule")
+    }
+  }
+
+  test("curated store TEXT content is permutation-invariant when " +
+    "cross-batch duplicates are exact (near-dup representatives are " +
+    "first-arrival-wins by design)") {
+    import graft.streaming.Streams
+    // disjoint-vocabulary families: zero shingle overlap across
+    // families, so the only cross-batch duplicates are exact copies
+    val families = (0 until 10).map { f =>
+      (0 until 10).map(i => s"f${f}_t$i").mkString(" ")
+    }
+    val rnd = new scala.util.Random(13)
+    var id = 0L
+    val batches = (0 until 4).map { _ =>
+      (0 until 6).map { _ =>
+        id += 1
+        (id, families(rnd.nextInt(families.size)))
+      }
+    }
+    val ref = Seq((9000L, families.head)).toDF("id", "body")
+    val model = graft.llmops.LanguageModel.bigramModel(ref, "id", "body")
+    val vz = graft.llmops.LanguageModel.refVocabSize(ref, "body")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-prop-permute").toString
+    def run(tag: String, order: Seq[Int]): Set[String] = {
+      val store = s"$dir/s-$tag"
+      order.zipWithIndex.foreach { case (bi, pos) =>
+        Streams.curatedCommitIndexed(batches(bi).toDF("id", "body"),
+          pos.toLong, "id", "body", model, vz, 0.0, store, 0.5, 1000)
+      }
+      storeContent(Streams.curatedDocs(spark, store)).map(_._2)
+    }
+    val cleanTexts = run("clean", 0 until 4)
+    assert(cleanTexts == batches.flatten.map(_._2).toSet)
+    (1 to 3).foreach { trial =>
+      val perm = rnd.shuffle((0 until 4).toList)
+      assert(run(s"t$trial", perm) == cleanTexts,
+        s"text content diverged under permutation $perm")
+    }
+  }
 }

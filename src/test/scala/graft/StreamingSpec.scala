@@ -598,6 +598,173 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids() == Seq(1L, 4L))
   }
 
+  // ---- indexed curated store (the 100 TB streaming admission form) --
+
+  /** Deterministic mixed corpus for the admission specs: exact dups
+    * (within and across batches), near-dups, out-of-distribution docs,
+    * and enough shared shingles to cross a small df cap. Returns
+    * (batches, model, vocabSize, cutoff) with cutoff = the median LM
+    * score over all docs, so the gate provably rejects some and
+    * admits some. */
+  private def admissionFixture(nBatches: Int, perBatch: Int)
+      : (Seq[Seq[(Long, String)]], org.apache.spark.sql.DataFrame,
+        Long, Double) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def doc(): String =
+      (1 to 8 + rnd.nextInt(5)).map(_ => s"w${rnd.nextInt(25)}")
+        .mkString(" ")
+    def ood(): String =
+      (1 to 9).map(_ => s"z${rnd.nextInt(40)}").mkString(" ")
+    var id = 0L
+    val produced = scala.collection.mutable.ArrayBuffer.empty[String]
+    val batches = (0 until nBatches).map { _ =>
+      (0 until perBatch).map { _ =>
+        id += 1
+        val r = rnd.nextInt(10)
+        val text =
+          if (r < 2 && produced.nonEmpty)
+            produced(rnd.nextInt(produced.size)) // exact dup
+          else if (r < 4 && produced.nonEmpty) { // near dup: swap tail
+            val base = produced(rnd.nextInt(produced.size)).split(" ")
+            (base.dropRight(1) :+ s"w${rnd.nextInt(25)}").mkString(" ")
+          } else if (r < 6) ood() // LM-gate fodder
+          else { val t = doc(); produced += t; t }
+        (id, text)
+      }
+    }
+    val ref = (1 to 40).map(i => (1000L + i, doc())).toDF("id", "body")
+    val model = graft.llmops.LanguageModel.bigramModel(ref, "id", "body")
+    val v = graft.llmops.LanguageModel.refVocabSize(ref, "body")
+    val cutoff = graft.llmops.LanguageModel
+      .lmScoreFrozen(batches.flatten.toDF("id", "body"), model, v,
+        "id", "body")
+      .stat.approxQuantile("score", Array(0.5), 0.0).head
+    (batches, model, v, cutoff)
+  }
+
+  private def docSet(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("toCuratedCorpusStoreIndexed ≡ toCuratedCorpusStore over the " +
+    "same batch sequence (store-backed admission = recomputed " +
+    "admission), including df-cap interactions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-curated-eq").toString
+    val (batches, model, v, cutoff) = admissionFixture(nBatches = 5, perBatch = 12)
+    // tiny df cap so popular shingles cross it mid-sequence — the
+    // append-cap / probe-filter interplay is the part worth pinning
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val df = b.toDF("id", "body")
+      Streams.curatedCommit(df, "id", "body", model, v,
+        minScore = cutoff, s"$dir/plain", minJac = 0.5, maxDf = 9)
+      Streams.curatedCommitIndexed(df, i.toLong, "id", "body", model, v,
+        minScore = cutoff, s"$dir/indexed", minJac = 0.5, maxDf = 9)
+    }
+    val plain = docSet(spark.read.parquet(s"$dir/plain")
+      .select("id", "body"))
+    val indexed = docSet(Streams.curatedDocs(spark, s"$dir/indexed")
+      .select("id", "body"))
+    assert(plain.nonEmpty && plain.size < batches.flatten.size)
+    assert(indexed == plain)
+  }
+
+  test("toCuratedCorpusStoreIndexed streaming wrapper: gates + replay, " +
+    "non-default column names") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-curated-idx").toString
+    val (store, ckpt) = (s"$dir/store", s"$dir/ckpt")
+    def text(tag: String) = (1 to 10).map(i => s"$tag$i").mkString(" ")
+    val textA = text("a"); val textD = text("d"); val textC = text("c")
+    val textA2 = (1 to 9).map(i => s"a$i").mkString(" ") + " zz"
+    val ref = Seq((100L, textA), (101L, textD)).toDF("doc_id", "text")
+    val model = graft.llmops.LanguageModel
+      .bigramModel(ref, "doc_id", "text")
+    val v = graft.llmops.LanguageModel.refVocabSize(ref, "text")
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.toCuratedCorpusStoreIndexed(
+      input.toDF().toDF("id", "body"), "id", "body",
+      model, v, minScore = 0.07, store, ckpt)
+    def ids() = Streams.curatedDocs(spark, store)
+      .select("id").as[Long].collect().sorted.toSeq
+    input.addData((1L, textA), (9L, textA), (2L, textC))
+    q.processAllAvailable()
+    assert(ids() == Seq(1L))
+    input.addData((3L, textA), (5L, textA2), (4L, textD))
+    q.processAllAvailable()
+    assert(ids() == Seq(1L, 4L))
+    // redelivery of old content under fresh batch ids: gates drop all
+    input.addData((3L, textA), (5L, textA2), (4L, textD))
+    q.processAllAvailable()
+    q.stop()
+    assert(ids() == Seq(1L, 4L))
+  }
+
+  test("curatedCommitIndexed replay: same batch id re-derives the " +
+    "identical decision, even over a crashed first attempt") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-curated-replay").toString
+    val store = s"$dir/store"
+    val (batches, model, v, cutoff) = admissionFixture(nBatches = 3, perBatch = 10)
+    def commit(i: Int): Unit =
+      Streams.curatedCommitIndexed(batches(i).toDF("id", "body"),
+        i.toLong, "id", "body", model, v, cutoff, store, 0.5, 9)
+    commit(0); commit(1)
+    val afterClean = docSet(Streams.curatedDocs(spark, store)
+      .select("id", "body"))
+    // simulate a CRASHED batch-2 attempt: docs + fps partitions landed,
+    // postings + dfs didn't (the multi-store window) — and the docs
+    // rows are garbage on top
+    Seq((999L, "crash leftover row x y z")).toDF("id", "body")
+      .write.mode("overwrite").parquet(s"$store/docs/batch=2")
+    Seq("deadbeef").toDF("fp")
+      .write.mode("overwrite").parquet(s"$store/fps/batch=2")
+    commit(2) // the replay
+    val afterReplay = docSet(Streams.curatedDocs(spark, store)
+      .select("id", "body"))
+    assert(!afterReplay.exists(_._1 == 999L)) // leftover erased
+    // replaying batch 2 again is a no-op
+    commit(2)
+    assert(docSet(Streams.curatedDocs(spark, store)
+      .select("id", "body")) == afterReplay)
+    // and the full sequence matches a clean indexed run elsewhere
+    val clean = s"$dir/clean"
+    (0 to 2).foreach { i =>
+      Streams.curatedCommitIndexed(batches(i).toDF("id", "body"),
+        i.toLong, "id", "body", model, v, cutoff, clean, 0.5, 9)
+    }
+    assert(docSet(Streams.curatedDocs(spark, clean)
+      .select("id", "body")) == afterReplay)
+    assert(afterReplay.intersect(afterClean) == afterClean)
+  }
+
+  test("compactAdmissionIndex squashes history without changing " +
+    "subsequent admission decisions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-curated-compact").toString
+    val (batches, model, v, cutoff) = admissionFixture(nBatches = 6, perBatch = 10)
+    def run(store: String, compactAfter: Option[Int]): Set[(Long, String)] = {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        Streams.curatedCommitIndexed(b.toDF("id", "body"), i.toLong,
+          "id", "body", model, v, cutoff, store, 0.5, 9)
+        if (compactAfter.contains(i))
+          Streams.compactAdmissionIndex(spark, store,
+            uptoBatch = i.toLong, maxDf = 9)
+      }
+      docSet(Streams.curatedDocs(spark, store).select("id", "body"))
+    }
+    val plainRun = run(s"$dir/noc", None)
+    val compacted = run(s"$dir/comp", Some(2))
+    assert(compacted == plainRun)
+    // the compacted index really did squash: dfs has the batch=-1
+    // history partition and none of batches 0-2
+    val parts = spark.read.parquet(s"$dir/comp/dfs")
+      .select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(parts == Seq(-1L, 3L, 4L, 5L))
+  }
+
   test("file source streams incrementally and lands in a day store") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream").toString
