@@ -426,9 +426,13 @@ object JobShapeQueries {
         LEFT JOIN rses r USING (rse_id)
         GROUP BY 1, 2"""),
       (s, d) => {
-        val li = t(s, d, "lineitem")
-        val ord = t(s, d, "orders")
-        val nat = t(s, d, "nation")
+        // plain load, not loadSpread: every input feeds straight into
+        // a join shuffle or a broadcast, and the projections are
+        // cheap — the spread repartition would add one exchange per
+        // table (5 here) purely for single-split local files
+        val li = Tables.load(s, d, "lineitem")
+        val ord = Tables.load(s, d, "orders")
+        val nat = Tables.load(s, d, "nation")
         val fname = concat(lit("/store/f"), col("l_orderkey"),
           lit("_"), col("l_linenumber"))
         val shipDays =

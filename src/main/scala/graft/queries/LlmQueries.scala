@@ -608,6 +608,35 @@ object LlmQueries {
         Similarity.nearDupPairs(t(s, d, "embeddings"),
           "vec_id", "embedding", "label", 0.35)),
 
+    // q48's SCALE route (r9): the same exact within-cell pair join
+    // over LSH-REFINED composite cells (label × 8-bit sign-random-
+    // projection bucket). q48's sf1 decade measured exp 1.38 — the
+    // honest (n/cells)² shape of an all-pairs join when the caller
+    // hands it coarse cells whose population grows with the corpus;
+    // refining with the q47 bucket bounds cell population (cells
+    // multiply instead), at the usual LSH recall trade. Same operator,
+    // different cellCol — the contract q48's scaladoc states, now
+    // registered and measured (SCALE.md: exp ~0 at the same decade).
+    QueryDef(
+      "q242_dedup_embedding_lsh",
+      Some(s"""
+        WITH e AS (SELECT vec_id, label, embedding v,
+                          ${dkDot("embedding", "embedding")} AS nn,
+                          ${dkLshBucket("embedding")} AS bucket
+                   FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ${dkCos(dkDot("a.v", "b.v"), "a.nn", "b.nn")} AS cos_sim
+        FROM e a JOIN e b
+          ON a.label = b.label AND a.bucket = b.bucket
+         AND a.vec_id < b.vec_id
+        WHERE ${dkCos(dkDot("a.v", "b.v"), "a.nn", "b.nn")} >= 0.35"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .withColumn("cell", concat_ws("_", col("label"),
+            Similarity.lshBucket(col("embedding"), nBits = 8, dim = 64)))
+        Similarity.nearDupPairs(e, "vec_id", "embedding", "cell", 0.35)
+      }),
+
     // Heuristic stopword-argmax language ID.
     QueryDef(
       "q49_text_langid",
