@@ -20,7 +20,8 @@ object SparkEntry {
       LlmQueries2.defs ++ ScaleQueries.defs ++ CurationQueries.defs ++
       EventQueries.defs ++ CorpusQueries.defs ++ CorpusLakeQueries.defs ++
       JobShapeQueries.defs ++ RetrievalQueries.defs ++
-      DiversityQueries.defs ++ ReconQueries.defs ++ LmQueries.defs
+      DiversityQueries.defs ++ ReconQueries.defs ++ LmQueries.defs ++
+      EvalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The 5-way join + aggregate exercises scan, broadcast join, shuffle

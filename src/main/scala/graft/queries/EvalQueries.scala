@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.llmops.TextOps
+import graft.ops.Aggregates
+
+/** Corpus-evaluation audits (round 9): the statistics an operator
+  * reads before trusting a corpus or a cheap classifier at 100 TB —
+  * Good-Turing unseen-vocabulary mass (is more crawl worth it?) and
+  * classifier calibration (can this score gate a sampling policy?).
+  * Both are exact-integer aggregates with single IEEE divisions (and
+  * the ordered-fold idiom where doubles must sum), so the DuckDB
+  * oracle hash-matches.
+  */
+object EvalQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.loadSpread(s, d, n)
+
+  /** DuckDB fragment: 0.0-seeded ordered double fold (the
+    * engine-wide deterministic-sum idiom, LmQueries precedent). */
+  private def dkOrderedSum(x: String, ord: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list($x ORDER BY $ord)), (a, b) -> a + b)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Good-Turing vocabulary audit per source: counts-of-counts
+    // N1..N5 over the term-frequency table, unseen probability mass
+    // p0 = N1/N (the classic Good-Turing estimate: the chance the
+    // NEXT token drawn from this source is a type never seen), and
+    // the first two smoothed-count ratios r* = (r+1)·N_{r+1}/N_r.
+    // The curation read: a source with high p0 still yields new
+    // vocabulary — more crawl helps; p0 ≈ 0 means the source is
+    // exhausted and further ingestion only re-weights. One tokenize
+    // + two hash aggregations; every emitted double is one exact
+    // integer ratio, so scale changes nothing about the math.
+    QueryDef(
+      "q243_good_turing",
+      Some("""
+        WITH tok AS (SELECT source, unnest(string_split(text, ' ')) term
+                     FROM documents),
+        tf AS (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2),
+        cc AS (SELECT source,
+                      CAST(sum(c) AS BIGINT) AS n_tokens,
+                      count(*) AS vocab,
+                      count(*) FILTER (WHERE c = 1) AS n1,
+                      count(*) FILTER (WHERE c = 2) AS n2,
+                      count(*) FILTER (WHERE c = 3) AS n3,
+                      count(*) FILTER (WHERE c = 4) AS n4,
+                      count(*) FILTER (WHERE c = 5) AS n5
+               FROM tf GROUP BY 1)
+        SELECT source, n_tokens, vocab, n1, n2, n3, n4, n5,
+               CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS p_unseen,
+               CASE WHEN n1 > 0 THEN 2.0 * CAST(n2 AS DOUBLE)
+                                     / CAST(n1 AS DOUBLE) END AS r_star_1,
+               CASE WHEN n2 > 0 THEN 3.0 * CAST(n3 AS DOUBLE)
+                                     / CAST(n2 AS DOUBLE) END AS r_star_2
+        FROM cc"""),
+      (s, d) => {
+        val tf = t(s, d, "documents")
+          .select(col("source"),
+            explode(TextOps.tokens(col("text"))).as("term"))
+          .groupBy(col("source"), col("term"))
+          .agg(count(lit(1)).as("c"))
+        def nr(r: Int) =
+          Aggregates.countIf(col("c") === r).as(s"n$r")
+        tf.groupBy(col("source"))
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("vocab"),
+            nr(1), nr(2), nr(3), nr(4), nr(5))
+          .select(col("source"), col("n_tokens"), col("vocab"),
+            col("n1"), col("n2"), col("n3"), col("n4"), col("n5"),
+            (col("n1").cast("double") / col("n_tokens").cast("double"))
+              .as("p_unseen"),
+            when(col("n1") > 0,
+              lit(2.0) * col("n2").cast("double")
+                / col("n1").cast("double")).as("r_star_1"),
+            when(col("n2") > 0,
+              lit(3.0) * col("n3").cast("double")
+                / col("n2").cast("double")).as("r_star_2"))
+      }),
+
+    // Classifier-calibration audit: the q50 quality score read as a
+    // P(doc is English) predictor against the lang label — the
+    // reliability diagram + ECE + Brier an operator checks before
+    // letting a cheap score gate a sampling policy. Ten fixed score
+    // bins; per bin the mean score ("confidence", ordered doc-id
+    // fold), the empirical positive rate ("accuracy", exact integer
+    // ratio), and |conf − acc|; globally ECE = Σ (n_b/N)·gap_b (a
+    // 10-term bin-ordered fold) and the Brier score ((s−y)² summed by
+    // the doc-id fold). Two hash aggregations over the corpus + a
+    // 10-row tail; the one-row totals broadcast. The emitted table is
+    // the 10-bin diagram with the global metrics carried on each row
+    // (a reporting frame, q193's top-k-report shape).
+    QueryDef(
+      "q244_quality_calibration",
+      Some(s"""
+        WITH sc0 AS (
+          SELECT doc_id,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                 string_split(text, ' ') AS toks, text
+          FROM documents),
+        sc1 AS (
+          SELECT doc_id, y,
+                 CAST(len(toks) AS BIGINT) AS nt,
+                 CAST(length(replace(text, ' ', '')) AS BIGINT) AS nc,
+                 CAST(len(list_filter(toks, x -> list_contains(
+                   ['the','a','of','and','to','in','is','it'], x)))
+                   AS BIGINT) AS he
+          FROM sc0),
+        sc AS (
+          SELECT doc_id, y,
+                 CAST(800*he + 6*nt*least(nt, 100) + 75*least(nc, 8*nt)
+                   AS DOUBLE) / (2000.0 * CAST(nt AS DOUBLE)) AS s
+          FROM sc1),
+        b AS (
+          SELECT doc_id, y, s,
+                 least(CAST(floor(s * 10) AS BIGINT), 9) AS bin
+          FROM sc),
+        bins AS (
+          SELECT bin, count(*) AS n_docs,
+                 count(*) FILTER (WHERE y = 1) AS n_pos,
+                 ${dkOrderedSum("s", "doc_id")}
+                   / CAST(count(*) AS DOUBLE) AS confidence
+          FROM b GROUP BY 1),
+        bins2 AS (
+          SELECT *, CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                      AS accuracy,
+                 abs(confidence - CAST(n_pos AS DOUBLE)
+                   / CAST(n_docs AS DOUBLE)) AS gap
+          FROM bins),
+        tot AS (
+          SELECT count(*) AS n_total,
+                 ${dkOrderedSum("(s - CAST(y AS DOUBLE)) * " +
+                   "(s - CAST(y AS DOUBLE))", "doc_id")}
+                   / CAST(count(*) AS DOUBLE) AS brier
+          FROM b),
+        ece AS (
+          SELECT ${dkOrderedSum(
+                  "(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE))" +
+                  " * gap", "bin")} AS ece
+          FROM bins2 CROSS JOIN tot)
+        SELECT bin, n_docs, n_pos, confidence, accuracy, gap,
+               ece, brier
+        FROM bins2 CROSS JOIN tot CROSS JOIN ece"""),
+      (s, d) => {
+        import graft.core.Checkpoints.BarrierOps
+        val scored = t(s, d, "documents")
+          .select(col("doc_id"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+            TextOps.qualityColumns(col("text"))(3))
+          .select(col("doc_id"), col("y"),
+            col("quality_score").as("s"),
+            least(floor(col("quality_score") * 10).cast("long"),
+              lit(9L)).as("bin"))
+          .barrier() // feeds the bin table AND the global totals
+        val bins = scored.groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            Aggregates.countIf(col("y") === 1L).as("n_pos"),
+            (Aggregates.orderedSum(col("doc_id"), col("s"))
+              / count(lit(1)).cast("double")).as("confidence"))
+          .withColumn("accuracy",
+            col("n_pos").cast("double") / col("n_docs").cast("double"))
+          .withColumn("gap", abs(col("confidence") - col("accuracy")))
+          .barrier() // feeds the ECE fold AND the output rows
+        val tot = scored.agg(
+          count(lit(1)).as("n_total"),
+          (Aggregates.orderedSum(col("doc_id"),
+            (col("s") - col("y").cast("double"))
+              * (col("s") - col("y").cast("double")))
+            / count(lit(1)).cast("double")).as("brier"))
+        val ece = bins.crossJoin(broadcast(tot))
+          .agg(Aggregates.orderedSum(col("bin"),
+            col("n_docs").cast("double") / col("n_total").cast("double")
+              * col("gap")).as("ece"))
+        bins.crossJoin(broadcast(tot)).crossJoin(broadcast(ece))
+          .select(col("bin"), col("n_docs"), col("n_pos"),
+            col("confidence"), col("accuracy"), col("gap"),
+            col("ece"), col("brier"))
+      }))
+}

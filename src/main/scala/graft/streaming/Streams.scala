@@ -494,23 +494,30 @@ object Streams {
 
   /** Incrementally maintained count-min sketch store: each micro-batch
     * builds its own (bounded, ≤ d·w rows) sketch and merges it
-    * ADDITIVELY into the parquet store via [[upsertSketchStore]] —
-    * CMS linearity means the store equals the sketch of everything
-    * ever streamed, exactly. The firehose never shuffles beyond its
-    * bounded-domain map-side aggregation; the read-modify-write
-    * touches only the tiny sketch. */
+    * ADDITIVELY into the parquet store — CMS linearity means the
+    * store equals the sketch of everything ever streamed, exactly.
+    * The firehose never shuffles beyond its bounded-domain map-side
+    * aggregation; the read-modify-write touches only the tiny sketch.
+    *
+    * EXACTLY-ONCE under replay (r9): additive counters double-add on
+    * a re-applied batch — the same hazard [[toScoreBandStore]] had —
+    * so this store uses the ledgered cycle ([[mergeCmsBatch]]): the
+    * sketch lives at `<storeDir>/sketch` with the merged-batch-id
+    * ledger beside it, committed together by one directory rename.
+    * The idempotent-merge stores (Bloom, group-MinHash,
+    * quantile-sample) stay ledger-free — their merge laws absorb
+    * replays structurally. */
   def toCmsStore(stream: DataFrame, termCol: String, d: Int, w: Int,
       storeDir: String, checkpoint: String,
       maxStoreRows: Long = DefaultMaxStoreRows): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          upsertSketchStore(batch.sparkSession, storeDir,
+          mergeCmsBatch(batch.sparkSession, storeDir,
             graft.llmops.Sketches.countMinBuild(batch, termCol, d, w),
-            maxStoreRows)(
-            graft.llmops.Sketches.countMinMerge)
+            batchId, maxStoreRows)
         }
       }
       .start()
@@ -635,31 +642,31 @@ object Streams {
       }
       .start()
 
-  /** One exactly-once merge cycle of [[toScoreBandStore]], factored
-    * out so specs can drive replays directly: skip if `batchId` is
-    * already in the store's ledger; otherwise merge the batch bands
-    * into `<storeDir>/bands`, append `batchId` to
-    * `<storeDir>/batches`, write BOTH under an aside dir and swap the
-    * WHOLE store directory by rename — histogram and ledger commit
-    * atomically (a crash between the two swap renames leaves the
-    * complete previous store under `__prev`, exactly the
-    * [[toScdStore]] recovery story). The [[upsertSketchStore]]
-    * boundedness guard applies: bands are ≤ langs × 10 rows by
-    * construction, but nothing stops a caller streaming a
-    * high-cardinality langCol — an oversized merge fails fast with
-    * the store untouched. */
-  private[graft] def mergeScoreBandBatch(spark: SparkSession,
-      storeDir: String, bands: DataFrame, batchId: Long,
-      langCol: String,
-      maxRows: Long = DefaultMaxStoreRows): Unit = {
+  /** Exactly-once read-merge-swap cycle for stores whose merge law is
+    * NOT idempotent (additive counters: the score-band histogram, the
+    * CMS). The min-merge stores (Bloom OR, group-MinHash min,
+    * quantile-sample distinct-bottom-k) replay harmlessly and need
+    * none of this; an additive store replayed double-adds, so merged
+    * batch ids are recorded — and the ledger lives INSIDE the swapped
+    * store directory (`<storeDir>/<dataName>` + `<storeDir>/batches`),
+    * so ONE directory rename commits data and ledger together: there
+    * is no window where the merge landed but the ledger didn't. Skip
+    * if `batchId` is already ledgered; a crash between the two swap
+    * renames leaves the complete previous store under `__prev`
+    * (the [[toScdStore]] recovery story). The [[upsertSketchStore]]
+    * boundedness guard applies to the data side. */
+  private def upsertLedgeredStore(spark: SparkSession, storeDir: String,
+      batchData: DataFrame, batchId: Long, dataName: String,
+      maxRows: Long, oversizeHint: String)(
+      merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     val storePath = new org.apache.hadoop.fs.Path(storeDir)
     val prevPath = new org.apache.hadoop.fs.Path(storeDir + "__prev")
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = storePath.getFileSystem(hconf)
     def readStore(p: org.apache.hadoop.fs.Path)
         : Option[(DataFrame, DataFrame)] =
-      if (fs.exists(new org.apache.hadoop.fs.Path(p, "bands")))
-        Some((spark.read.parquet(s"$p/bands"),
+      if (fs.exists(new org.apache.hadoop.fs.Path(p, dataName)))
+        Some((spark.read.parquet(s"$p/$dataName"),
           spark.read.parquet(s"$p/batches")))
       else None
     val existing = readStore(storePath).orElse(readStore(prevPath))
@@ -669,28 +676,23 @@ object Streams {
     if (!alreadyMerged) {
       import spark.implicits._
       val merged = existing match {
-        case Some((cur, _)) =>
-          cur.unionByName(bands)
-            .groupBy(col(langCol), col("band"))
-            .agg(sum(col("n_docs")).as("n_docs"),
-              min(col("min_score")).as("min_score"),
-              max(col("max_score")).as("max_score"))
-        case None => bands
+        case Some((cur, _)) => merge(cur, batchData)
+        case None => batchData
       }
       val ledger = existing.map(_._2).getOrElse(
           Seq.empty[Long].toDF("batch_id"))
         .unionByName(Seq(batchId).toDF("batch_id"))
       val tmp = new org.apache.hadoop.fs.Path(storeDir + "__tmp")
-      merged.coalesce(1).write.mode("overwrite").parquet(s"$tmp/bands")
+      merged.coalesce(1).write.mode("overwrite")
+        .parquet(s"$tmp/$dataName")
       ledger.coalesce(1).write.mode("overwrite").parquet(s"$tmp/batches")
-      val mergedRows = spark.read.parquet(s"$tmp/bands").count()
+      val mergedRows = spark.read.parquet(s"$tmp/$dataName").count()
       if (mergedRows > maxRows) {
         fs.delete(tmp, true)
         throw new IllegalStateException(
-          s"score-band store $storeDir would grow to $mergedRows rows " +
-            s"(cap $maxRows): langCol cardinality is not " +
-            "histogram-sized — this store coalesces to one file and " +
-            "must stay bounded")
+          s"store $storeDir would grow to $mergedRows rows " +
+            s"(cap $maxRows): $oversizeHint — this store coalesces " +
+            "to one file and must stay bounded")
       }
       fs.delete(prevPath, true)
       if (fs.exists(storePath)) fs.rename(storePath, prevPath)
@@ -699,6 +701,31 @@ object Streams {
       ()
     }
   }
+
+  /** One exactly-once merge cycle of [[toScoreBandStore]]
+    * (data subdir: `bands`), factored for spec-driven replays. */
+  private[graft] def mergeScoreBandBatch(spark: SparkSession,
+      storeDir: String, bands: DataFrame, batchId: Long,
+      langCol: String,
+      maxRows: Long = DefaultMaxStoreRows): Unit =
+    upsertLedgeredStore(spark, storeDir, bands, batchId, "bands",
+      maxRows, "langCol cardinality is not histogram-sized") {
+      (cur, b) =>
+        cur.unionByName(b)
+          .groupBy(col(langCol), col("band"))
+          .agg(sum(col("n_docs")).as("n_docs"),
+            min(col("min_score")).as("min_score"),
+            max(col("max_score")).as("max_score"))
+    }
+
+  /** One exactly-once merge cycle of [[toCmsStore]] (data subdir:
+    * `sketch`), factored for spec-driven replays. */
+  private[graft] def mergeCmsBatch(spark: SparkSession,
+      storeDir: String, sketch: DataFrame, batchId: Long,
+      maxRows: Long = DefaultMaxStoreRows): Unit =
+    upsertLedgeredStore(spark, storeDir, sketch, batchId, "sketch",
+      maxRows, "d*w exceeds the cap")(
+      graft.llmops.Sketches.countMinMerge)
 
   /** Curated-ingest gate — the streaming form of the incremental
     * corpus-admission pipeline: per micro-batch, (1) within-batch

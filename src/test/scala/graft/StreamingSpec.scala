@@ -331,16 +331,27 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     def m(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val streamed = m(spark.read.parquet(store))
+    val streamed = m(spark.read.parquet(s"$store/sketch"))
     val oneShot = m(graft.llmops.Sketches.countMinBuild(
       (b1 ++ b2).toDF("term"), "term", d = 4, w = 64))
     assert(streamed == oneShot)
     // probe through the streamed store: exact at this density
     val est = graft.llmops.Sketches.countMinEstimate(
       Seq(("a", 3L), ("c", 3L), ("d", 1L)).toDF("term", "exact_n"),
-      "term", spark.read.parquet(store), 4, 64)
+      "term", spark.read.parquet(s"$store/sketch"), 4, 64)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(est == Map("a" -> 3L, "c" -> 3L, "d" -> 1L))
+    // exactly-once: replaying BOTH batch ids through the merge cycle
+    // changes nothing (additive counters protected by the ledger);
+    // a genuinely new id still adds
+    def sketchOf(terms: Seq[String]) = graft.llmops.Sketches
+      .countMinBuild(terms.toDF("term"), "term", d = 4, w = 64)
+    Streams.mergeCmsBatch(spark, store, sketchOf(b1), 0L)
+    Streams.mergeCmsBatch(spark, store, sketchOf(b2), 1L)
+    assert(m(spark.read.parquet(s"$store/sketch")) == oneShot)
+    Streams.mergeCmsBatch(spark, store, sketchOf(Seq("a")), 2L)
+    val afterNew = m(spark.read.parquet(s"$store/sketch"))
+    assert(afterNew.values.sum == oneShot.values.sum + 4) // d=4 rows +1
   }
 
   test("toQuantileSampleStore: streamed sample equals one-shot batch " +
