@@ -546,6 +546,49 @@ object TextOps {
         hash60(concat_ws(" ", col("c"))).as("chunk_fp"))
   }
 
+  /** Content-defined chunking (CDC): chunk boundaries land where the
+    * w-gram fingerprint (`shingleHashesAll`) hits 0 mod `modulus`, so
+    * boundary POSITIONS are a function of local content, not of
+    * absolute offsets — an edit near the start of a document changes
+    * only the chunk(s) it touches, while every downstream chunk keeps
+    * its identity (expected chunk length ≈ modulus tokens + the gram
+    * width). [[chunkWindows]]' fixed-stride form loses ALL chunk
+    * identities under a one-token prepend; CDC keeps all but the
+    * first — the property that makes chunk-hash dedup work across
+    * corpus VERSIONS (incremental re-release: only changed chunks
+    * re-embed / re-process; the storage-dedup trick applied to
+    * training data, q246 measures it). Pure per-row HOFs over the
+    * positional gram hashes — narrow map, no shuffle; at 100 TB the
+    * chunk table is the unit of incremental work, keyed by
+    * (doc, chunk_hash).
+    *
+    * Returns (idCol, chunk_idx, n_tokens, chunk_hash) where
+    * chunk_hash = hash60 of the space-joined chunk tokens; chunks
+    * partition the token array exactly (LlmOpsSpec pins rebuild). */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 4, modulus: Int = 16): DataFrame = {
+    require(w >= 1 && modulus >= 1, s"cdcChunks: w=$w modulus=$modulus")
+    val toks = tokens(col(textCol))
+    val hs = shingleHashesAll(col(textCol), w)
+    // 0-based gram j covers tokens j+1..j+w (1-based); a hit cuts
+    // AFTER token j+w. The final boundary is always the doc end.
+    val cuts = filter(
+      transform(hs, (h, j) =>
+        when(pmod(h, lit(modulus.toLong)) === 0L, j + lit(w))),
+      x => x.isNotNull)
+    val ends = array_distinct(sort_array(concat(cuts, array(size(toks)))))
+    val starts = concat(array(lit(0)), slice(ends, lit(1), size(ends) - 1))
+    val spans = zip_with(starts, ends,
+      (a, b) => struct(a.as("s"), b.as("e")))
+    df.select(col(idCol), toks.as("__toks"),
+        posexplode(spans).as(Seq("chunk_idx", "sp")))
+      .select(col(idCol), col("chunk_idx"),
+        (col("sp.e") - col("sp.s")).as("n_tokens"),
+        hash60(array_join(
+          slice(col("__toks"), col("sp.s") + 1,
+            col("sp.e") - col("sp.s")), " ")).as("chunk_hash"))
+  }
+
   /** PII scrub: replace email-shaped tokens and digit runs, count the
     * redactions — the privacy pass of a curation pipeline. Both
     * patterns are deliberately dialect-neutral (no lookarounds), so

@@ -181,5 +181,156 @@ object EvalQueries {
           .select(col("bin"), col("n_docs"), col("n_pos"),
             col("confidence"), col("accuracy"), col("gap"),
             col("ece"), col("brier"))
+      }),
+
+    // Content-defined chunking + chunk-level dedup: every doc split
+    // at hash-determined boundaries (TextOps.cdcChunks, w=4 grams,
+    // mod 16 ⇒ ~19-token expected chunks), each chunk fingerprinted,
+    // and each chunk annotated with how many DISTINCT docs carry an
+    // identical chunk — passage-grade duplication at sub-document
+    // granularity, the unit an incremental re-release deduplicates
+    // on. The oracle rebuilds the same spans relationally (cut
+    // positions → lag window → list slice).
+    QueryDef(
+      "q245_cdc_chunks",
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') toks
+                   FROM documents),
+        base AS (SELECT doc_id, toks, CAST(len(toks) AS INT) n FROM t),
+        grams AS (SELECT doc_id, unnest(range(1, n - 2)) AS j, toks
+                  FROM base WHERE n >= 4),
+        cuts AS (SELECT doc_id, j + 3 AS e FROM grams
+                 WHERE ('0x'||substr(md5(
+                         array_to_string(toks[j:j+3], ' ')),1,15))::BIGINT
+                       % 16 = 0),
+        ends AS (SELECT doc_id, e FROM cuts
+                 UNION SELECT doc_id, n FROM base),
+        spans AS (SELECT doc_id, e,
+                         coalesce(lag(e) OVER (PARTITION BY doc_id
+                           ORDER BY e), 0) AS s,
+                         CAST(row_number() OVER (PARTITION BY doc_id
+                           ORDER BY e) AS INT) - 1 AS chunk_idx
+                  FROM ends),
+        ch AS (SELECT sp.doc_id, chunk_idx, e - s AS n_tokens,
+                      ('0x'||substr(md5(array_to_string(
+                        b.toks[s+1:e], ' ')),1,15))::BIGINT AS chunk_hash
+               FROM spans sp JOIN base b ON sp.doc_id = b.doc_id),
+        sh AS (SELECT chunk_hash,
+                      count(DISTINCT doc_id) AS n_docs_sharing
+               FROM ch GROUP BY 1)
+        SELECT doc_id, chunk_idx, n_tokens, chunk_hash, n_docs_sharing
+        FROM ch JOIN sh USING (chunk_hash)"""),
+      (s, d) => {
+        import graft.core.Checkpoints.BarrierOps
+        val ch = TextOps.cdcChunks(t(s, d, "documents"),
+          "doc_id", "text").barrier() // chunk rows + sharing counts
+        val sharing = ch.groupBy(col("chunk_hash"))
+          .agg(countDistinct(col("doc_id")).as("n_docs_sharing"))
+        ch.join(sharing, Seq("chunk_hash"))
+          .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+            col("chunk_hash"), col("n_docs_sharing"))
+      }),
+
+    // CDC edit-locality, measured: prepend one token to every even
+    // doc_id (the worst case for offset-based chunking) and count,
+    // per doc, how many distinct chunk fingerprints survive into the
+    // edited version — content-defined boundaries resynchronize after
+    // the edit (all but the leading chunk survive), while the
+    // fixed-stride windows of q67 shift wholesale (near-zero
+    // survivors on edited docs, 100% on untouched ones). All-integer
+    // output; the audit that justifies chunk-keyed incremental
+    // processing.
+    QueryDef(
+      "q246_cdc_stability",
+      Some("""
+        WITH v1 AS (SELECT doc_id, text FROM documents),
+        v2 AS (SELECT doc_id,
+                      CASE WHEN doc_id % 2 = 0 THEN 'EDIT ' || text
+                           ELSE text END AS text
+               FROM documents),
+        t1 AS (SELECT doc_id, string_split(text, ' ') toks FROM v1),
+        t2 AS (SELECT doc_id, string_split(text, ' ') toks FROM v2),
+        b1 AS (SELECT doc_id, toks, CAST(len(toks) AS INT) n FROM t1),
+        b2 AS (SELECT doc_id, toks, CAST(len(toks) AS INT) n FROM t2),
+        g1 AS (SELECT doc_id, unnest(range(1, n - 2)) AS j, toks
+               FROM b1 WHERE n >= 4),
+        g2 AS (SELECT doc_id, unnest(range(1, n - 2)) AS j, toks
+               FROM b2 WHERE n >= 4),
+        c1 AS (SELECT doc_id, j + 3 AS e FROM g1
+               WHERE ('0x'||substr(md5(
+                       array_to_string(toks[j:j+3], ' ')),1,15))::BIGINT
+                     % 16 = 0),
+        c2 AS (SELECT doc_id, j + 3 AS e FROM g2
+               WHERE ('0x'||substr(md5(
+                       array_to_string(toks[j:j+3], ' ')),1,15))::BIGINT
+                     % 16 = 0),
+        e1 AS (SELECT doc_id, e FROM c1 UNION SELECT doc_id, n FROM b1),
+        e2 AS (SELECT doc_id, e FROM c2 UNION SELECT doc_id, n FROM b2),
+        s1 AS (SELECT doc_id, e, coalesce(lag(e) OVER (
+                 PARTITION BY doc_id ORDER BY e), 0) AS s FROM e1),
+        s2 AS (SELECT doc_id, e, coalesce(lag(e) OVER (
+                 PARTITION BY doc_id ORDER BY e), 0) AS s FROM e2),
+        h1 AS (SELECT DISTINCT sp.doc_id,
+                      ('0x'||substr(md5(array_to_string(
+                        b.toks[s+1:e], ' ')),1,15))::BIGINT AS h
+               FROM s1 sp JOIN b1 b ON sp.doc_id = b.doc_id),
+        h2 AS (SELECT DISTINCT sp.doc_id,
+                      ('0x'||substr(md5(array_to_string(
+                        b.toks[s+1:e], ' ')),1,15))::BIGINT AS h
+               FROM s2 sp JOIN b2 b ON sp.doc_id = b.doc_id),
+        f1 AS (SELECT DISTINCT b.doc_id,
+                      ('0x'||substr(md5(array_to_string(
+                        b.toks[i*16+1 : least(n, (i+1)*16)], ' ')),
+                        1,15))::BIGINT AS h
+               FROM b1 b, unnest(range(0, (n - 1) // 16 + 1)) r(i)),
+        f2 AS (SELECT DISTINCT b.doc_id,
+                      ('0x'||substr(md5(array_to_string(
+                        b.toks[i*16+1 : least(n, (i+1)*16)], ' ')),
+                        1,15))::BIGINT AS h
+               FROM b2 b, unnest(range(0, (n - 1) // 16 + 1)) r(i)),
+        cdc AS (SELECT h1.doc_id, count(*) AS cdc_total,
+                       count(h2.h) AS cdc_shared
+                FROM h1 LEFT JOIN h2
+                  ON h1.doc_id = h2.doc_id AND h1.h = h2.h
+                GROUP BY 1),
+        fix AS (SELECT f1.doc_id, count(*) AS fixed_total,
+                       count(f2.h) AS fixed_shared
+                FROM f1 LEFT JOIN f2
+                  ON f1.doc_id = f2.doc_id AND f1.h = f2.h
+                GROUP BY 1)
+        SELECT doc_id, cdc_total, cdc_shared, fixed_total, fixed_shared
+        FROM cdc JOIN fix USING (doc_id)"""),
+      (s, d) => {
+        // one tagged union + presence-flag aggregation per chunking
+        // family — two exchanges each (vs a 4-way distinct + two
+        // joins, which planned to 10), and the per-(doc, hash) group
+        // is the natural unit a chunk-keyed incremental pipeline
+        // shuffles on anyway
+        val v1 = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val v2 = v1.withColumn("text",
+          when(col("doc_id") % 2 === 0, concat(lit("EDIT "), col("text")))
+            .otherwise(col("text")))
+        def cdcH(df: DataFrame, side: Int) =
+          TextOps.cdcChunks(df, "doc_id", "text")
+            .select(col("doc_id"), col("chunk_hash").as("h"),
+              lit(side).as("side"))
+        def fixH(df: DataFrame, side: Int) = TextOps
+          .chunkWindows(df, "doc_id", "text", chunk = 16, overlap = 0)
+          .select(col("doc_id"), col("chunk_fp").as("h"),
+            lit(side).as("side"))
+        def survival(u: DataFrame, total: String, sh: String) =
+          u.groupBy(col("doc_id"), col("h"))
+            .agg(max(col("side") === 1).as("in1"),
+              max(col("side") === 2).as("in2"))
+            .filter(col("in1"))
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as(total),
+              Aggregates.countIf(col("in2")).as(sh))
+        survival(cdcH(v1, 1).unionByName(cdcH(v2, 2)),
+            "cdc_total", "cdc_shared")
+          .join(survival(fixH(v1, 1).unionByName(fixH(v2, 2)),
+            "fixed_total", "fixed_shared"), Seq("doc_id"))
+          .select(col("doc_id"), col("cdc_total"), col("cdc_shared"),
+            col("fixed_total"), col("fixed_shared"))
       }))
 }

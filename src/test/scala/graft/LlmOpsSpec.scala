@@ -1087,4 +1087,44 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(math.abs(marg(_._2, "de") - 0.4) < 0.01)
     assert(marg(_._2, "fr") == 0.0)
   }
+
+  test("cdcChunks: chunks partition the token array exactly and " +
+    "resynchronize after a prepend edit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(5)
+    val docs = (1L to 30L).map { i =>
+      (i, (1 to 20 + rnd.nextInt(60))
+        .map(_ => s"w${rnd.nextInt(40)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val ch = graft.llmops.TextOps.cdcChunks(docs, "doc_id", "text")
+    // partition property: per doc the chunk sizes sum to the token
+    // count and chunk_idx is a gapless 0..k-1 sequence
+    val sums = ch.groupBy("doc_id")
+      .agg(sum("n_tokens").as("nt"), count(lit(1)).as("k"),
+        max("chunk_idx").as("mx"), min("chunk_idx").as("mn"))
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n")), Seq("doc_id"))
+      .collect()
+    sums.foreach { r =>
+      assert(r.getAs[Long]("nt") == r.getAs[Long]("n"))
+      assert(r.getAs[Int]("mn") == 0)
+      assert(r.getAs[Int]("mx") == r.getAs[Long]("k") - 1)
+    }
+    // no zero-length chunks
+    assert(ch.filter(col("n_tokens") <= 0).count() == 0)
+    // edit locality: prepending one token keeps every chunk hash
+    // except (at most) the leading chunk's
+    val edited = docs.withColumn("text", concat(lit("zz "), col("text")))
+    val h1 = ch.select(col("doc_id"), col("chunk_hash")).distinct()
+    val h2 = graft.llmops.TextOps.cdcChunks(edited, "doc_id", "text")
+      .select(col("doc_id"), col("chunk_hash")).distinct()
+    val lost = h1.join(h2, Seq("doc_id", "chunk_hash"), "left_anti")
+      .groupBy("doc_id").count().collect()
+    // per doc at most ONE original chunk identity is lost (the one
+    // the edit touched; boundaries after the first cut are content-
+    // determined so everything downstream survives verbatim)
+    lost.foreach(r => assert(r.getLong(1) <= 1L,
+      s"doc ${r.get(0)} lost ${r.getLong(1)} chunks"))
+  }
 }
