@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.llmops.TextOps
+import graft.llmops.{LanguageModel, TextOps}
 import graft.ops.Aggregates
 
 /** Corpus-evaluation audits (round 9): the statistics an operator
@@ -25,6 +25,10 @@ object EvalQueries {
   private def dkOrderedSum(x: String, ord: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list($x ORDER BY $ord)), (a, b) -> a + b)"
+
+  /** DuckDB fragment: 60-bit md5 hash (TextOps.hash60). */
+  private def dkHash60(e: String): String =
+    s"('0x'||substr(md5($e),1,15))::BIGINT"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -332,5 +336,130 @@ object EvalQueries {
             "fixed_total", "fixed_shared"), Seq("doc_id"))
           .select(col("doc_id"), col("cdc_total"), col("cdc_shared"),
             col("fixed_total"), col("fixed_shared"))
+      }),
+
+    // k-anonymity / l-diversity release audit: customers grouped by
+    // their quasi-identifier tuple (nation, market segment, account-
+    // balance thousand-band) — per equivalence class its size (k of
+    // that class: 1 means uniquely re-identifiable) and the diversity
+    // of a sensitive attribute (custkey mod 5 plays it), plus the
+    // corpus-level k_min and the fraction of ROWS sitting in classes
+    // below k=5 carried on every row. The pre-release privacy check
+    // a metadata table gets before shipping alongside a corpus; two
+    // hash aggregations + a one-row broadcast, integers and one
+    // exact ratio.
+    QueryDef(
+      "q247_k_anonymity",
+      Some("""
+        WITH cls AS (
+          SELECT c_nationkey AS nation, c_mktsegment AS segment,
+                 CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+                 count(*) AS class_size,
+                 count(DISTINCT c_custkey % 5) AS l_distinct
+          FROM customer GROUP BY 1, 2, 3),
+        tot AS (
+          SELECT min(class_size) AS k_min,
+                 CAST(sum(class_size) AS BIGINT) AS n_rows,
+                 CAST(coalesce(sum(class_size)
+                   FILTER (WHERE class_size < 5), 0) AS BIGINT)
+                   AS rows_at_risk
+          FROM cls)
+        SELECT nation, segment, bal_band, class_size, l_distinct,
+               class_size < 5 AS at_risk, k_min,
+               CAST(rows_at_risk AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                 AS risk_frac
+        FROM cls CROSS JOIN tot"""),
+      (s, d) => {
+        import graft.core.Checkpoints.BarrierOps
+        val cls = t(s, d, "customer")
+          .groupBy(col("c_nationkey").as("nation"),
+            col("c_mktsegment").as("segment"),
+            floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+          .agg(count(lit(1)).as("class_size"),
+            countDistinct(col("c_custkey") % 5).as("l_distinct"))
+          .barrier() // class rows + the global risk summary
+        val tot = cls.agg(min(col("class_size")).as("k_min"),
+          sum(col("class_size")).as("n_rows"),
+          coalesce(sum(when(col("class_size") < 5, col("class_size"))),
+            lit(0L)).as("rows_at_risk"))
+        cls.crossJoin(broadcast(tot))
+          .select(col("nation"), col("segment"), col("bal_band"),
+            col("class_size"), col("l_distinct"),
+            (col("class_size") < 5).as("at_risk"), col("k_min"),
+            (col("rows_at_risk").cast("double")
+              / col("n_rows").cast("double")).as("risk_frac"))
+      }),
+
+    // Effective sample size of the DSIR importance weights (q234's
+    // output read as a sampling design): ESS = (Σw)²/Σw² — the
+    // number of equally-weighted docs the weighted corpus is worth —
+    // unclipped and at clip caps 1/2/4, the curve an operator reads
+    // to pick a weight clip before resampling (a handful of huge
+    // ratios can collapse ESS to a few docs; clipping trades bias
+    // for variance). Sums are doc-id-ordered folds; each ESS is two
+    // multiplies and two divisions on identical operands in both
+    // engines. Corpus-sized work = the one DSIR scoring pass; the
+    // clip fan-out is 4× a (doc_id, weight) pair table.
+    QueryDef(
+      "q248_dsir_ess",
+      Some(s"""
+        WITH tk AS (SELECT doc_id, lang, string_split(text,' ') AS t
+                    FROM documents),
+        tok AS (SELECT doc_id, lang, CAST(i AS BIGINT) AS pos,
+                       ${dkHash60("t[i+1]")} % 4096 AS ft
+                FROM tk, unnest(range(0, len(t))) r(i)),
+        rc AS (SELECT ft, count(*) AS cr FROM tok GROUP BY 1),
+        tc AS (SELECT ft, count(*) AS ct FROM tok
+               WHERE lang = 'en' GROUP BY 1),
+        tot AS (SELECT (SELECT count(*) FROM tok) AS r_total,
+                       (SELECT count(*) FROM tok WHERE lang = 'en')
+                         AS t_total),
+        ratios AS (SELECT rc.ft,
+                     CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE)
+                       * CAST(tot.r_total + 4096 AS DOUBLE)
+                       / (CAST(rc.cr + 1 AS DOUBLE)
+                          * CAST(tot.t_total + 4096 AS DOUBLE)) AS r
+                   FROM rc LEFT JOIN tc ON rc.ft = tc.ft
+                   CROSS JOIN tot),
+        w AS (SELECT doc_id,
+                     ${dkOrderedSum("r", "pos")}
+                       / CAST(count(*) AS DOUBLE) AS w
+              FROM tok JOIN ratios USING (ft) GROUP BY 1),
+        lv AS (SELECT unnest([CAST(-1.0 AS DOUBLE),
+                 CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE),
+                 CAST(4.0 AS DOUBLE)]) AS clip),
+        wc AS (SELECT clip, doc_id,
+                      CASE WHEN clip < 0 THEN w
+                           ELSE least(w, clip) END AS wc
+               FROM w CROSS JOIN lv),
+        agg AS (SELECT clip, count(*) AS n_docs,
+                       ${dkOrderedSum("wc", "doc_id")} AS s1,
+                       ${dkOrderedSum("wc * wc", "doc_id")} AS s2
+                FROM wc GROUP BY 1)
+        SELECT clip, n_docs, s1 AS sum_w,
+               s1 * s1 / s2 AS ess,
+               (s1 * s1 / s2) / CAST(n_docs AS DOUBLE) AS ess_frac
+        FROM agg"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val w = LanguageModel.dsirWeights(docs,
+            docs.filter(col("lang") === "en"), "doc_id", "text")
+          .select(col("doc_id"), col("weight").as("w"))
+        val wc = w
+          .select(col("doc_id"), col("w"),
+            explode(array(lit(-1.0), lit(1.0), lit(2.0), lit(4.0)))
+              .as("clip"))
+          .select(col("clip"), col("doc_id"),
+            when(col("clip") < 0, col("w"))
+              .otherwise(least(col("w"), col("clip"))).as("wc"))
+        wc.groupBy(col("clip"))
+          .agg(count(lit(1)).as("n_docs"),
+            Aggregates.orderedSum(col("doc_id"), col("wc")).as("s1"),
+            Aggregates.orderedSum(col("doc_id"),
+              col("wc") * col("wc")).as("s2"))
+          .select(col("clip"), col("n_docs"), col("s1").as("sum_w"),
+            (col("s1") * col("s1") / col("s2")).as("ess"),
+            (col("s1") * col("s1") / col("s2")
+              / col("n_docs").cast("double")).as("ess_frac"))
       }))
 }

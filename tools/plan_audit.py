@@ -143,7 +143,11 @@ def main():
     # single-consumer barrier that was hiding the dimension-side
     # plumbing (all exposed exchanges move ≤4096-feature frames; the
     # corpus explode stays barriered; removal measured 1.10 → 0.88 s).
-    caps = {"q234_dsir_weights": 9}
+    # q248 COMPOSES q234's full DSIR scoring pipeline (its pinned 9)
+    # and adds exactly one audit aggregation (the clip-level ESS
+    # groupBy) — 10 total, all post-pipeline frames are (doc, weight)
+    # pairs ×4 clip levels.
+    caps = {"q234_dsir_weights": 9, "q248_dsir_ess": 10}
     failures = []
     rows = []
     for path in sorted(glob.glob(os.path.join(args.plans_dir, "*.txt"))):
