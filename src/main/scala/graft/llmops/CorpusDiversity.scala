@@ -146,4 +146,70 @@ object CorpusDiversity {
         (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
           col("n_tokens").cast("double")).as("coverage"))
   }
+
+  /** Greedy maximum-coverage document selection (the facility-location
+    * / set-cover primitive of coreset picking): k rounds, each picking
+    * the document whose shingle set adds the MOST not-yet-covered
+    * shingles, ties broken (gain DESC, doc ASC) so two engines agree
+    * row-for-row. The classic (1 − 1/e) greedy — the count-based
+    * diversity counterpart of the embedding-space MMR (q240): MMR
+    * diversifies against pairwise similarity, this maximizes covered
+    * VOCABULARY mass, the objective behind submodular data-selection
+    * pipelines.
+    *
+    * Round discipline is [[graft.llmops.Similarity.mmrTopK]]'s: the
+    * doc×shingle postings table is computed ONCE and barriered; each
+    * round is one anti-join against the covered set + one gain
+    * aggregation + a TakeOrdered(1) winner, with the covered set and
+    * winner barriered so round r+1's plan starts from materialized
+    * frames instead of re-expanding r rounds of joins. Per-round cost
+    * is one pass over the (shrinking) uncovered postings; k is small
+    * by contract. A round where every remaining doc adds zero new
+    * shingles selects nothing and stops — identical in the oracle
+    * (the empty-gain LIMIT 1).
+    *
+    * Returns (round, doc_id, gain, covered_total), round = 1..k. */
+  def maxCoverageSelect(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4): DataFrame = {
+    require(k >= 1, s"maxCoverageSelect: k=$k")
+    val postings = df
+      .select(col(idCol).as("doc"),
+        explode(TextOps.shingleHashes(col(textCol))).as("sh"))
+      .barrier()
+    var covered: Option[DataFrame] = None
+    var chosenIds: Option[DataFrame] = None
+    var out: Option[DataFrame] = None
+    (1 to k).foreach { r =>
+      val uncovered = covered
+        .map(c => postings.join(c, Seq("sh"), "left_anti"))
+        .getOrElse(postings)
+      val candidates = chosenIds
+        .map(ids => uncovered.join(ids, Seq("doc"), "left_anti"))
+        .getOrElse(uncovered)
+      val win = candidates.groupBy(col("doc"))
+        .agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc"))
+        .limit(1)
+        .select(lit(r).as("round"), col("doc"), col("gain"))
+        .barrier()
+      val winShingles = postings
+        .join(win.select(col("doc")), Seq("doc"), "left_semi")
+        .select(col("sh"))
+      covered = Some(covered
+        .map(_.unionByName(winShingles).distinct())
+        .getOrElse(winShingles.distinct())
+        .barrier())
+      chosenIds = Some(chosenIds
+        .map(_.unionByName(win.select(col("doc"))))
+        .getOrElse(win.select(col("doc"))))
+      // covered_total = running covered-set size, read off the
+      // barriered covered frame (a one-row count broadcast — no
+      // global window over the k-row output)
+      val total = covered.get.agg(count(lit(1)).as("covered_total"))
+      val winOut = win.crossJoin(broadcast(total))
+      out = Some(out.map(_.unionByName(winOut)).getOrElse(winOut))
+    }
+    out.get.select(col("round"), col("doc").as(idCol), col("gain"),
+      col("covered_total"))
+  }
 }

@@ -366,5 +366,70 @@ object DiversityQueries {
             (col("wsum").cast("double") /
               (col("n_tokens").cast("double") *
                 col("n_total").cast("double"))).as("typicality"))
-      }))
+      }),
+
+    // Greedy maximum-coverage selection (CorpusDiversity
+    // .maxCoverageSelect): 4 rounds of the (1 - 1/e) submodular
+    // greedy over trigram-shingle sets - the count-based coreset
+    // picker beside q240's embedding-space MMR. The oracle unrolls
+    // all 4 rounds (gain table -> LIMIT 1 winner -> covered-set
+    // union), with the same (gain DESC, doc ASC) tie order, so the
+    // whole greedy trajectory is hash-verified, not just the final
+    // pick set.
+    QueryDef(
+      "q249_max_coverage",
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text,' ') toks
+                   FROM documents),
+        p0 AS (SELECT doc_id, unnest(range(1, len(toks)-1)) AS j, toks
+               FROM t WHERE len(toks) >= 3),
+        p AS (SELECT DISTINCT doc_id AS doc,
+                ('0x'||substr(md5(
+                  array_to_string(toks[j:j+2],' ')),1,15))::BIGINT AS sh
+              FROM p0),
+        g1 AS (SELECT doc, count(*) AS gain FROM p GROUP BY 1),
+        w1 AS (SELECT 1 AS round, doc, gain FROM g1
+               ORDER BY gain DESC, doc LIMIT 1),
+        c1 AS (SELECT DISTINCT sh FROM p JOIN w1 USING (doc)),
+        g2 AS (SELECT doc, count(*) AS gain FROM p
+               WHERE sh NOT IN (SELECT sh FROM c1)
+                 AND doc NOT IN (SELECT doc FROM w1)
+               GROUP BY 1),
+        w2 AS (SELECT 2 AS round, doc, gain FROM g2
+               ORDER BY gain DESC, doc LIMIT 1),
+        c2 AS (SELECT sh FROM c1
+               UNION SELECT sh FROM p JOIN w2 USING (doc)),
+        g3 AS (SELECT doc, count(*) AS gain FROM p
+               WHERE sh NOT IN (SELECT sh FROM c2)
+                 AND doc NOT IN (SELECT doc FROM w1
+                                 UNION SELECT doc FROM w2)
+               GROUP BY 1),
+        w3 AS (SELECT 3 AS round, doc, gain FROM g3
+               ORDER BY gain DESC, doc LIMIT 1),
+        c3 AS (SELECT sh FROM c2
+               UNION SELECT sh FROM p JOIN w3 USING (doc)),
+        g4 AS (SELECT doc, count(*) AS gain FROM p
+               WHERE sh NOT IN (SELECT sh FROM c3)
+                 AND doc NOT IN (SELECT doc FROM w1
+                                 UNION SELECT doc FROM w2
+                                 UNION SELECT doc FROM w3)
+               GROUP BY 1),
+        w4 AS (SELECT 4 AS round, doc, gain FROM g4
+               ORDER BY gain DESC, doc LIMIT 1),
+        c4 AS (SELECT sh FROM c3
+               UNION SELECT sh FROM p JOIN w4 USING (doc))
+        SELECT round, doc AS doc_id, gain,
+               (SELECT count(*) FROM c1) AS covered_total FROM w1
+        UNION ALL
+        SELECT round, doc, gain,
+               (SELECT count(*) FROM c2) FROM w2
+        UNION ALL
+        SELECT round, doc, gain,
+               (SELECT count(*) FROM c3) FROM w3
+        UNION ALL
+        SELECT round, doc, gain,
+               (SELECT count(*) FROM c4) FROM w4"""),
+      (s, d) =>
+        CorpusDiversity.maxCoverageSelect(
+          t(s, d, "documents"), "doc_id", "text", k = 4)))
 }

@@ -1279,4 +1279,45 @@ class PropertySpec extends AnyFunSuite {
         s"text content diverged under permutation $perm")
     }
   }
+
+  test("maxCoverageSelect = driver-side greedy on random corpora " +
+    "(trajectory, ties and early-exhaustion included)") {
+    val rnd = new scala.util.Random(23)
+    (1 to 3).foreach { trial =>
+      val docs = (1L to (5 + rnd.nextInt(12)).toLong).map { i =>
+        (i, (1 to 3 + rnd.nextInt(10))
+          .map(_ => s"t${rnd.nextInt(12)}").mkString(" "))
+      }
+      val got = graft.llmops.CorpusDiversity
+        .maxCoverageSelect(docs.toDF("doc_id", "text"),
+          "doc_id", "text", k = 4)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      // reference: greedy over exact shingle sets
+      def shingleSet(t: String): Set[String] = {
+        val w = t.split(" ")
+        (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+      }
+      val sets = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+      var covered = Set.empty[String]
+      var chosen = Set.empty[Long]
+      val want = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Long, Long, Long)]
+      (1 to 4).foreach { r =>
+        // a doc is pickable only while it still ADDS something — a
+        // fully-covered doc has no uncovered postings, so the
+        // operator's gain table has no row for it (gain >= 1 always)
+        val gains = sets.view
+          .filterKeys(!chosen(_)).mapValues(s => (s -- covered).size)
+          .toSeq.filter { case (_, g) => g > 0 }
+        if (gains.nonEmpty) {
+          val (doc, g) = gains.minBy { case (id, g) => (-g, id) }
+          covered ++= sets(doc); chosen += doc
+          want += ((r, doc, g.toLong, covered.size.toLong))
+        }
+      }
+      assert(got == want.toSeq, s"trial $trial: $got vs $want")
+    }
+  }
 }
