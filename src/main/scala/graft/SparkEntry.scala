@@ -21,7 +21,7 @@ object SparkEntry {
       EventQueries.defs ++ CorpusQueries.defs ++ CorpusLakeQueries.defs ++
       JobShapeQueries.defs ++ RetrievalQueries.defs ++
       DiversityQueries.defs ++ ReconQueries.defs ++ LmQueries.defs ++
-      EvalQueries.defs
+      EvalQueries.defs ++ PackingQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The 5-way join + aggregate exercises scan, broadcast join, shuffle

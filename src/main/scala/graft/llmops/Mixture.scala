@@ -278,4 +278,77 @@ object Mixture {
       .select(col("rn").as("position"), col(idCol), col(groupCol),
         col("src_rank"), col(scoreCol))
   }
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023), the
+    * data-engine form: per-domain losses come from ONE corpus-sized
+    * pass of [[LanguageModel.lmScore]] against the reference slice
+    * (loss = 1 − deterministic mean score), and the multiplicative-
+    * weights trajectory over those frozen losses is then replayed for
+    * `rounds` rounds on the bounded domain table. Two deliberate
+    * departures from the paper, both for cross-engine determinism:
+    * the update is the POLYNOMIAL MWU form `w · (1 + η·excess)`
+    * (libm `exp` is not bit-reproducible across engines — the same
+    * decision that keeps the whole LM family log-free), and the
+    * excess loss is against the unweighted domain-mean rather than a
+    * per-round proxy model (the engine curates data; it does not
+    * train the proxy). Each round renormalizes over the
+    * domain-ordered fold and mixes `eps` of uniform, exactly as the
+    * paper's smoothing step does.
+    *
+    * 100 TB shape: the scoring pass is the only corpus-sized work;
+    * everything after is O(#domains × rounds) on a barriered bounded
+    * frame with one-row broadcast normalizers — iteration cost is
+    * corpus-independent by construction (the q237 IPF discipline).
+    *
+    * Returns one row per (round 1..rounds, domain): scored-doc count,
+    * loss, excess, and the post-round mixture weight. Documents the
+    * scorer drops (no bigrams) are absent from the counts, matching
+    * the oracle. */
+  def doremiWeights(docs: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, domainCol: String, rounds: Int = 4,
+      eta: Double = 0.5, eps: Double = 0.1): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"doremiWeights: rounds=$rounds out of range")
+    import graft.core.Checkpoints.BarrierOps
+    val scored = LanguageModel.lmScore(docs, ref, idCol, textCol,
+      carryCols = Seq(domainCol))
+    val loss = scored.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        graft.ops.Aggregates.orderedSum(col(idCol), col("score"))
+          .as("ssum"))
+      .select(col(domainCol), col("n_docs"),
+        (lit(1.0) - col("ssum") / col("n_docs").cast("double"))
+          .as("loss"))
+      .barrier()
+    val tot = loss.agg(
+      graft.ops.Aggregates.orderedSum(col(domainCol), col("loss"))
+        .as("lsum"),
+      count(lit(1)).as("k")).barrier()
+    val base = loss.crossJoin(broadcast(tot))
+      .select(col(domainCol), col("n_docs"), col("loss"), col("k"),
+        (col("loss") - col("lsum") / col("k").cast("double"))
+          .as("excess"))
+      .barrier()
+    val w0 = base.withColumn("w",
+      lit(1.0) / col("k").cast("double"))
+    val perRound = (1 to rounds).scanLeft(w0) { (cur, _) =>
+      val up = cur.withColumn("wu",
+        col("w") * (lit(1.0) + lit(eta) * col("excess")))
+      val z = up.agg(
+        graft.ops.Aggregates.orderedSum(col(domainCol), col("wu"))
+          .as("z"))
+      // barrier per round — the ipfWeights discipline: each round's
+      // frame feeds both the normalizer aggregation and the join
+      up.crossJoin(broadcast(z))
+        .select(col(domainCol), col("n_docs"), col("loss"), col("k"),
+          col("excess"),
+          ((lit(1.0) - lit(eps)) * col("wu") / col("z") +
+            lit(eps) / col("k").cast("double")).as("w"))
+        .barrier()
+    }
+    perRound.zipWithIndex.drop(1).map { case (r, i) =>
+      r.select(lit(i).as("round"), col(domainCol), col("n_docs"),
+        col("loss"), col("excess"), col("w").as("weight"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -282,6 +282,66 @@ object LmQueries {
         FROM stage GROUP BY 1"""),
       (s, d) =>
         CorpusRelease.summaryLm(t(s, d, "documents"), "doc_id",
-          "text", "source", "lang", "en", 0.035))
+          "text", "source", "lang", "en", 0.035)),
+
+    // DoReMi-style domain reweighting (Mixture.doremiWeights): frozen
+    // per-source losses from ONE q232 scoring pass, then 4 rounds of
+    // polynomial multiplicative weights (w·(1+η·excess), η=0.5) with
+    // ε=0.1 uniform smoothing — exp-free for cross-engine parity, the
+    // same reason the scoring itself is log-free. The oracle unrolls
+    // all 4 rounds, each with the domain-ordered normalizing fold, so
+    // the whole weight trajectory is hash-verified. Every constant is
+    // CAST to DOUBLE (DuckDB folds bare decimal literals exactly;
+    // Spark folds them in binary64 — the q240 hazard).
+    QueryDef(
+      "q252_doremi_weights",
+      Some {
+        val w0 = "CAST(1.0 AS DOUBLE) / CAST(k AS DOUBLE)"
+        def round(i: Int, prev: String) = s"""
+          u$i AS (SELECT domain, n_docs, loss, excess, k,
+                    w * (CAST(1.0 AS DOUBLE)
+                         + CAST(0.5 AS DOUBLE) * excess) AS wu
+                  FROM $prev),
+          z$i AS (SELECT ${dkOrderedSum("wu", "domain")} AS z
+                  FROM u$i),
+          w$i AS (SELECT domain, n_docs, loss, excess, k,
+                    (CAST(1.0 AS DOUBLE) - CAST(0.1 AS DOUBLE))
+                      * wu / z
+                      + CAST(0.1 AS DOUBLE) / CAST(k AS DOUBLE) AS w
+                  FROM u$i CROSS JOIN z$i)"""
+        s"""
+        WITH $dkLmBase,
+        $dkLmScore,
+        dm AS (SELECT doc_id, min(source) AS domain
+               FROM documents GROUP BY 1),
+        ld AS (SELECT dm.domain, count(*) AS n_docs,
+                 CAST(1.0 AS DOUBLE)
+                   - ${dkOrderedSum("score", "ds.doc_id")}
+                     / CAST(count(*) AS DOUBLE) AS loss
+               FROM ds JOIN dm ON ds.doc_id = dm.doc_id
+               GROUP BY 1),
+        tt AS (SELECT ${dkOrderedSum("loss", "domain")} AS lsum,
+                 count(*) AS k FROM ld),
+        b0 AS (SELECT domain, n_docs, loss,
+                 loss - lsum / CAST(k AS DOUBLE) AS excess, k,
+                 $w0 AS w
+               FROM ld CROSS JOIN tt),
+        ${round(1, "b0")},
+        ${round(2, "w1")},
+        ${round(3, "w2")},
+        ${round(4, "w3")}
+        SELECT 1 AS round, domain, n_docs, loss, excess,
+               w AS weight FROM w1
+        UNION ALL SELECT 2, domain, n_docs, loss, excess, w FROM w2
+        UNION ALL SELECT 3, domain, n_docs, loss, excess, w FROM w3
+        UNION ALL SELECT 4, domain, n_docs, loss, excess, w FROM w4"""
+      },
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.llmops.Mixture.doremiWeights(docs,
+          docs.filter(col("lang") === "en"), "doc_id", "text",
+          "source", rounds = 4, eta = 0.5, eps = 0.1)
+          .withColumnRenamed("source", "domain")
+      })
   )
 }
