@@ -514,4 +514,79 @@ object Similarity {
       .agg(count(lit(1)).as("n_occ"),
         graft.ops.Aggregates.countIf(col("rk") === 1).as("n_top1"))
       .filter(col("n_occ") >= 2)
+
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
+    * CCMatrix/LASER recipe): mine aligned cross-corpus pairs between
+    * two embedding sides by RATIO margin rather than raw cosine, which
+    * corrects for hubness — a vector whose neighborhood is uniformly
+    * hot scores no margin. Pipeline, all inside shared LSH cells:
+    *
+    *  1. candidates = cross-side pairs sharing an [[lshBucket]] cell
+    *     (the same partition-prunable key the ANN index writes at
+    *     scale — mining is always run shard-approximate, never exact);
+    *  2. per side, each vector's k-NN cosine sum over ITS candidates
+    *     (rank order (cos desc, id) — the sum folds in rank order, so
+    *     the double is bit-reproducible);
+    *  3. margin(x,y) = cos(x,y) / ((sumK(x)+sumK(y)) / 2k), the
+    *     paper's "ratio" criterion; a non-positive denominator (all-
+    *     negative neighborhoods) pins margin to 0 — deterministic and
+    *     ANSI-safe instead of a division blow-up;
+    *  4. keep pairs that are each other's best margin (mutual argmax,
+    *     tie-broken by partner id) with margin ≥ `minMargin`.
+    *
+    * Plan shape at 100 TB: one narrow map per side for norms+bucket,
+    * one equi-join on the cell key (never cartesian), two windows and
+    * two aggregations all partitioned by vector id and bounded by
+    * cell occupancy. Returns (id_a, id_b, cos_sim, margin). */
+  def bitextMarginMine(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String, nBits: Int, dim: Int, k: Int,
+      minMargin: Double): DataFrame = {
+    require(k >= 1, s"bitextMarginMine: k=$k must be >= 1")
+    val side = (d: DataFrame, id: String, v: String, n: String) =>
+      d.select(col(idCol).as(id), col(vecCol).as(v),
+        norm2(col(vecCol)).as(n),
+        lshBucket(col(vecCol), nBits, dim).as("bucket"))
+    val cand = side(a, "id_a", "va", "na")
+      .join(side(b, "id_b", "vb", "nb"), Seq("bucket"))
+      .select(col("id_a"), col("id_b"),
+        cosineWithNorms(col("va"), col("vb"), col("na"), col("nb"))
+          .as("cos_sim"))
+    // Exchange-frugal staging: each side's k-NN rank window, its sum
+    // aggregation, and the join back all share ONE hash partitioning
+    // on that side's id, with the ranked candidate table BARRIERED —
+    // it feeds both the sum aggregation and the join back, and the
+    // barrier is exactly the candidate-materialization point a real
+    // mining pipeline persists anyway. The mutual-argmax windows run
+    // id_b first — right after the id_b stage — so only the final
+    // id_a window pays a fresh exchange.
+    import graft.core.Checkpoints.BarrierOps
+    def withKnnSum(df: DataFrame, id: String, other: String,
+        out: String) = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("cos_sim").desc, col(other))
+      val rn = df.withColumn("rn", row_number().over(w)).barrier()
+      rn.join(
+        rn.filter(col("rn") <= k)
+          .groupBy(col(id))
+          .agg(graft.ops.Aggregates
+            .orderedSum(col("rn"), col("cos_sim")).as(out)),
+        Seq(id))
+        .drop("rn")
+    }
+    val denom = (col("s_a") + col("s_b")) / lit(2.0 * k)
+    val mg = withKnnSum(withKnnSum(cand, "id_a", "id_b", "s_a"),
+        "id_b", "id_a", "s_b")
+      .withColumn("margin",
+        when(col("s_a") + col("s_b") <= 0.0, lit(0.0))
+          .otherwise(col("cos_sim") / denom))
+    val wb = Window.partitionBy(col("id_b"))
+      .orderBy(col("margin").desc, col("id_a"))
+    val wa = Window.partitionBy(col("id_a"))
+      .orderBy(col("margin").desc, col("id_b"))
+    mg.withColumn("rmb", row_number().over(wb))
+      .withColumn("rma", row_number().over(wa))
+      .filter(col("rma") === 1 && col("rmb") === 1 &&
+        col("margin") >= minMargin)
+      .select(col("id_a"), col("id_b"), col("cos_sim"), col("margin"))
+  }
 }

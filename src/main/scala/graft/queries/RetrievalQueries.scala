@@ -716,6 +716,66 @@ object RetrievalQueries {
             (col("tail_sum").cast("double") /
               expr("shiftleft(CAST(1 AS BIGINT), CAST(m AS INT))")
                 .cast("double")).as("p_sign"))
+      }),
+
+    // Margin-based bitext mining (Similarity.bitextMarginMine — the
+    // Artetxe & Schwenk ratio criterion behind CCMatrix/LASER):
+    // cross-side candidate pairs from shared 4-bit LSH cells, per-
+    // vector k-NN cosine sums folded in rank order, ratio margin
+    // cos / ((sumA+sumB)/2k) with a deterministic 0 pin on non-
+    // positive denominators, then mutual-argmax + margin >= 1.2. The
+    // two embedding "languages" are the label<5 / label>=5 halves.
+    // Oracle replays cells, rank-ordered k-NN folds (list slice of an
+    // ordered list agg), margin, and both argmax windows exactly.
+    QueryDef(
+      "q253_bitext_margin",
+      Some {
+        val bkt = (0 until 4).map { j =>
+          val plane = s"list_transform(range(0,64), " +
+            s"i -> CAST((${17 * (j + 1)}*(i+3)+7)%19 - 9 AS DOUBLE))"
+          s"(CASE WHEN ${dkDot("v", plane)} > 0 THEN ${1L << j} " +
+            "ELSE 0 END)"
+        }.mkString("(", " + ", ")")
+        s"""
+        WITH e AS (SELECT vec_id, label, embedding v,
+                          ${dkDot("embedding", "embedding")} AS nn
+                   FROM embeddings),
+        eb AS (SELECT vec_id, label, v, nn, $bkt AS bucket FROM e),
+        cand AS (SELECT a.vec_id id_a, b.vec_id id_b,
+                        ${dkCos(dkDot("a.v", "b.v"), "a.nn", "b.nn")}
+                          AS cos_sim
+                 FROM eb a JOIN eb b ON a.bucket = b.bucket
+                 WHERE a.label < 5 AND b.label >= 5),
+        ka AS (SELECT id_a, list_reduce(list_prepend(0.0,
+                 (list(cos_sim ORDER BY cos_sim DESC, id_b))[1:4]),
+                 (x,y)->x+y) AS s_a
+               FROM cand GROUP BY 1),
+        kb AS (SELECT id_b, list_reduce(list_prepend(0.0,
+                 (list(cos_sim ORDER BY cos_sim DESC, id_a))[1:4]),
+                 (x,y)->x+y) AS s_b
+               FROM cand GROUP BY 1),
+        mg AS (SELECT id_a, id_b, cos_sim,
+                 CASE WHEN (s_a + s_b) <= 0 THEN 0.0
+                      ELSE cos_sim / ((s_a + s_b)
+                                      / CAST(8 AS DOUBLE)) END
+                   AS margin
+               FROM cand JOIN ka USING(id_a) JOIN kb USING(id_b)),
+        r AS (SELECT *,
+                row_number() OVER (PARTITION BY id_a
+                  ORDER BY margin DESC, id_b) rma,
+                row_number() OVER (PARTITION BY id_b
+                  ORDER BY margin DESC, id_a) rmb
+              FROM mg)
+        SELECT id_a, id_b, cos_sim, margin FROM r
+        WHERE rma = 1 AND rmb = 1
+          AND margin >= CAST(1.2 AS DOUBLE)"""
+      },
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.bitextMarginMine(
+          e.filter(col("label") < 5), e.filter(col("label") >= 5),
+          "vec_id", "embedding", nBits = 4, dim = 64, k = 4,
+          minMargin = 1.2)
       })
   )
 }

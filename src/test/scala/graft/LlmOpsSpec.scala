@@ -1127,4 +1127,40 @@ class LlmOpsSpec extends AnyFunSuite {
     lost.foreach(r => assert(r.getLong(1) <= 1L,
       s"doc ${r.get(0)} lost ${r.getLong(1)} chunks"))
   }
+
+  test("bitextMarginMine: margins, mutual argmax, cell confinement") {
+    import spark.implicits._
+    // dim=2, nBits=1: hyperplane(0,2) = [-8, 9], so bucket =
+    // [dot(v, (-8,9)) > 0] — vectors are placed per bucket by hand
+    val a = Seq((1L, Seq(1f, 1f)), (2L, Seq(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((10L, Seq(0.9f, 1f)), (11L, Seq(2f, 0f)),
+      (12L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val got = Similarity.bitextMarginMine(a, b, "vec_id", "embedding",
+      nBits = 1, dim = 2, k = 2, minMargin = 1.3)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("margin")).toMap
+    // bucket 1: a1 x {b10, b12}; bucket 0: a2 x {b11}. b12's best is
+    // a1 but a1's best is b10 => b12 unmatched (mutual argmax).
+    assert(got.keySet == Set((1L, 10L), (2L, 11L)))
+    val c110 = (0.9 + 1.0) / (math.sqrt(2.0) * math.sqrt(0.9 * 0.9 + 1.0))
+    val c112 = 1.0 / math.sqrt(2.0)
+    val m110 = c110 / ((c110 + c112 + c110) / 4.0)
+    assert(math.abs(got((1L, 10L)) - m110) < 1e-9)
+    assert(math.abs(got((2L, 11L)) - 2.0) < 1e-9)
+  }
+
+  test("bitextMarginMine: non-positive denominator pins margin to 0") {
+    import spark.implicits._
+    val a = Seq((1L, Seq(1f, 1f))).toDF("vec_id", "embedding")
+    val b = Seq((10L, Seq(-1f, 0f))).toDF("vec_id", "embedding")
+    // both in bucket 1; the only cosine is negative, so both k-NN
+    // sums are negative => margin must be the deterministic 0 pin
+    val r = Similarity.bitextMarginMine(a, b, "vec_id", "embedding",
+      nBits = 1, dim = 2, k = 2, minMargin = -10.0).collect()
+    assert(r.length == 1 && r.head.getAs[Double]("margin") == 0.0)
+    assert(Similarity.bitextMarginMine(a, b, "vec_id", "embedding",
+      nBits = 1, dim = 2, k = 2, minMargin = 0.5).count() == 0)
+  }
 }
