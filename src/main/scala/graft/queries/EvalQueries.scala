@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.llmops.{LanguageModel, TextOps}
+import graft.llmops.{Classifier, Drift, LanguageModel, TextOps}
 import graft.ops.Aggregates
 
 /** Corpus-evaluation audits (round 9): the statistics an operator
@@ -461,5 +461,220 @@ object EvalQueries {
             (col("s1") * col("s1") / col("s2")).as("ess"),
             (col("s1") * col("s1") / col("s2")
               / col("n_docs").cast("double")).as("ess_frac"))
-      }))
+      }),
+
+    // Two-sample Kolmogorov–Smirnov drift per source (Drift
+    // .ksByGroup): D = max over token-count values of the gap
+    // between the source's ECDF and the rest-of-corpus ECDF, plus
+    // the value achieving it — the length-distribution drift check
+    // run before accepting a new crawl slice. Exact over the
+    // discrete support: one (source, value) count aggregation, then
+    // cumulative windows on the bounded group × value grid.
+    QueryDef(
+      "q254_ks_drift",
+      Some("""
+        WITH dv AS (SELECT source AS g,
+                           CAST(len(string_split(text, ' ')) AS BIGINT)
+                             AS v
+                    FROM documents),
+        c AS (SELECT g, v, count(*) AS cnt FROM dv GROUP BY 1, 2),
+        ng AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g
+               FROM c GROUP BY 1),
+        cv AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS c_all
+               FROM c GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM c),
+        j AS (SELECT ng.g, ng.n_g, cv.v, cv.c_all,
+                     coalesce(c.cnt, 0) AS c_own
+              FROM ng CROSS JOIN cv
+              LEFT JOIN c ON ng.g = c.g AND cv.v = c.v),
+        cum AS (SELECT g, n_g, v,
+                       CAST(sum(c_own) OVER w AS BIGINT) AS cum_own,
+                       CAST(sum(c_all - c_own) OVER w AS BIGINT)
+                         AS cum_rest
+                FROM j WINDOW w AS (PARTITION BY g ORDER BY v)),
+        dd AS (SELECT g, n_g, n_all - n_g AS n_rest,
+                      v,
+                      abs(CAST(cum_own AS DOUBLE)
+                            / CAST(n_g AS DOUBLE)
+                        - CAST(cum_rest AS DOUBLE)
+                            / CAST(n_all - n_g AS DOUBLE)) AS d
+               FROM cum CROSS JOIN tot
+               WHERE n_all - n_g > 0),
+        mx AS (SELECT *, max(d) OVER (PARTITION BY g) AS dmax FROM dd)
+        SELECT g AS source, n_g AS n_grp, n_rest, d AS ks_d,
+               min(v) AS ks_at
+        FROM mx WHERE d = dmax GROUP BY 1, 2, 3, 4"""),
+      (s, d) =>
+        Drift.ksByGroup(
+          t(s, d, "documents").select(col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("v")),
+          "source", "v")),
+
+    // Fixed-bin length drift per source vs the pooled corpus (Drift
+    // .binDrift): chi-square divergence + squared Hellinger distance
+    // over Laplace-smoothed shares of 20 token-count bands — the
+    // log-free PSI stand-ins (libm ln is not cross-engine
+    // reproducible; sqrt is correctly rounded). All 20 bins fold per
+    // source in bin order, so the report hash-matches.
+    QueryDef(
+      "q255_bin_drift",
+      Some(s"""
+        WITH dv AS (SELECT source AS g,
+                           least(CAST(len(string_split(text, ' '))
+                               AS BIGINT) // 16, 19) AS b
+                    FROM documents),
+        c AS (SELECT g, b, count(*) AS cnt FROM dv GROUP BY 1, 2),
+        ng AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g
+               FROM c GROUP BY 1),
+        cb AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS c_b
+               FROM c GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM c),
+        bins AS (SELECT CAST(unnest(range(0, 20)) AS BIGINT) AS b),
+        grid AS (SELECT ng.g, ng.n_g, bins.b,
+                        coalesce(c.cnt, 0) AS c_own,
+                        coalesce(cb.c_b, 0) AS c_all
+                 FROM ng CROSS JOIN bins
+                 LEFT JOIN c ON ng.g = c.g AND bins.b = c.b
+                 LEFT JOIN cb ON bins.b = cb.b),
+        tm AS (SELECT g, n_g, b,
+                      (CAST(c_own AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                        / (CAST(n_g AS DOUBLE)
+                           + CAST(10.0 AS DOUBLE)) AS p,
+                      (CAST(c_all AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                        / (CAST(n_all AS DOUBLE)
+                           + CAST(10.0 AS DOUBLE)) AS q
+               FROM grid CROSS JOIN tot)
+        SELECT g AS source, n_g AS n_docs,
+               ${dkOrderedSum("(p - q) * (p - q) / q", "b")}
+                 AS chi2_drift,
+               ${dkOrderedSum(
+                   "(sqrt(p) - sqrt(q)) * (sqrt(p) - sqrt(q))", "b")}
+                 * CAST(0.5 AS DOUBLE) AS hellinger_sq
+        FROM tm GROUP BY 1, 2"""),
+      (s, d) =>
+        Drift.binDrift(
+          t(s, d, "documents").select(col("source"),
+            least(shiftright(size(TextOps.tokens(col("text")))
+              .cast("long"), 4), lit(19L)).as("b")),
+          "source", "b", 20)),
+
+    // Median-shift audit with false-discovery control (Drift
+    // .medianShiftBhFdr): per (source, lang) cell, an EXACT sign
+    // test of token count against the global lower median on a
+    // deterministic 40-doc probe (hash-ranked doc ids), then
+    // Benjamini–Hochberg across the ~32-cell family at α = 0.1 —
+    // the multiple-testing discipline that keeps a per-cell audit
+    // from flagging ~3 cells by chance. p-values are exact dyadic
+    // rationals (q228's integral binomial fold); BH is a rank window
+    // + tail running-min over the bounded family.
+    QueryDef(
+      "q256_median_shift_fdr",
+      Some(s"""
+        WITH dv AS (SELECT doc_id, source, lang,
+                           CAST(len(string_split(text, ' ')) AS BIGINT)
+                             AS v
+                    FROM documents),
+        vh AS (SELECT v, count(*) AS cnt FROM dv GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM vh),
+        md AS (SELECT min(v) AS med FROM
+                (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM vh)
+                CROSS JOIN tot WHERE cum * 2 >= n_all + 1),
+        sp AS (SELECT * FROM
+                (SELECT doc_id, source, lang, v,
+                        row_number() OVER (PARTITION BY source, lang
+                          ORDER BY ${dkHash60(
+                            "CAST(doc_id AS VARCHAR)")}, doc_id)
+                          AS rn
+                 FROM dv) WHERE rn <= 40),
+        cells AS (SELECT source, lang, count(*) AS n_probe,
+                         count(*) FILTER (WHERE v <> med) AS m,
+                         count(*) FILTER (WHERE v > med) AS wins
+                  FROM sp CROSS JOIN md GROUP BY 1, 2),
+        tl AS (SELECT source, lang, n_probe, m, wins,
+                      CAST(sum(CASE WHEN k = 0 THEN 1 ELSE
+                        list_reduce(
+                          list_prepend(CAST(1 AS BIGINT),
+                            range(1, k + 1)),
+                          (acc, i) -> acc * (m - k + i) // i)
+                        END) AS BIGINT) AS tail_sum
+               FROM (SELECT *, unnest(range(greatest(wins, m - wins),
+                       m + 1)) AS k
+                     FROM cells)
+               GROUP BY 1, 2, 3, 4, 5),
+        pv AS (SELECT source, lang, n_probe, m, wins,
+                      least(CAST(1.0 AS DOUBLE),
+                        CAST(2.0 AS DOUBLE)
+                          * CAST(tail_sum AS DOUBLE)
+                          / CAST(CAST(1 AS BIGINT) << m AS DOUBLE))
+                        AS p_sign
+               FROM tl),
+        mt AS (SELECT count(*) AS m_tests FROM pv),
+        rk AS (SELECT *, row_number()
+                 OVER (ORDER BY p_sign, source, lang) AS rnk
+               FROM pv CROSS JOIN mt),
+        bh AS (SELECT source, lang, n_probe, m, wins, p_sign,
+                      least(CAST(1.0 AS DOUBLE),
+                        min(p_sign * CAST(m_tests AS DOUBLE)
+                            / CAST(rnk AS DOUBLE))
+                          OVER (ORDER BY rnk DESC)) AS p_bh
+               FROM rk)
+        SELECT source, lang, n_probe, m, wins, p_sign, p_bh,
+               CASE WHEN p_bh <= CAST(0.1 AS DOUBLE) THEN 1 ELSE 0 END
+                 AS reject
+        FROM bh"""),
+      (s, d) =>
+        Drift.medianShiftBhFdr(
+          t(s, d, "documents").select(col("source"), col("lang"),
+            col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("v")),
+          Seq("source", "lang"), "doc_id", "v", probe = 40,
+          alpha = 0.1)),
+
+    // Hashed linear-classifier gate per source (Classifier
+    // .hashedBigramMargin — the fastText inference shape): unigram +
+    // bigram features hashed into 4096 weight buckets, integral
+    // weight sums, one terminal division per document; per source
+    // the pass rate at margin ≥ 0.1 and the mean margin (ordered
+    // doc-id fold). The weights are the deterministic pseudo-model
+    // (Knuth-scrambled buckets) so the whole scorer oracle-checks;
+    // a trained model is a 4096-row broadcast swap.
+    QueryDef(
+      "q257_hashed_classifier",
+      Some(s"""
+        WITH tk AS (SELECT doc_id, source, string_split(text, ' ')
+                      AS t
+                    FROM documents),
+        feats AS (
+          SELECT doc_id, source, unnest(t) AS f FROM tk
+          UNION ALL
+          SELECT doc_id, source, t[i+1] || ' ' || t[i+2] AS f
+          FROM tk, unnest(range(0, len(t) - 1)) r(i)),
+        w AS (SELECT doc_id, source,
+                     ((${dkHash60("f")} % 4096) * 2654435761)
+                       % 1001 - 500 AS wi
+              FROM feats),
+        dm AS (SELECT doc_id, source,
+                      CAST(sum(wi) AS BIGINT) AS sw,
+                      count(*) AS nf
+               FROM w GROUP BY 1, 2),
+        sc AS (SELECT doc_id, source,
+                      CAST(sw AS DOUBLE)
+                        / (CAST(500.0 AS DOUBLE)
+                           * CAST(nf AS DOUBLE)) AS margin
+               FROM dm)
+        SELECT source, count(*) AS n_docs,
+               count(*) FILTER (WHERE margin >= CAST(0.1 AS DOUBLE))
+                 AS n_pass,
+               ${dkOrderedSum("margin", "doc_id")}
+                 / CAST(count(*) AS DOUBLE) AS mean_margin
+        FROM sc GROUP BY 1"""),
+      (s, d) =>
+        Classifier.hashedBigramMargin(t(s, d, "documents"),
+            "doc_id", "text", Seq("source"), 4096)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(Aggregates.countIf(col("margin") >= 0.1),
+              lit(0L)).as("n_pass"),
+            (Aggregates.orderedSum(col("doc_id"), col("margin"))
+              / count(lit(1)).cast("double")).as("mean_margin"))))
 }

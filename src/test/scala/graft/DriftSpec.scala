@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llmops.{Classifier, Drift}
+
+/** Semantic invariants of the distribution-shift audits (Drift) and
+  * the hashed linear classifier (Classifier). Cross-engine value
+  * parity is enforced by the DuckDB oracle gate (q254–q257); these
+  * specs pin the statistics on hand-computable frames. */
+class DriftSpec extends AnyFunSuite {
+
+  lazy val spark = graft.core.Sessions.local(4, "graft-drift-test")
+  import spark.implicits._
+
+  test("ksByGroup: hand-computed D and achieving value") {
+    // group a: values 1,1,2,3 ; group b: values 2,3,3,4
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 2L), ("b", 3L), ("b", 3L), ("b", 4L)).toDF("g", "v")
+    val got = Drift.ksByGroup(df, "g", "v").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toMap
+    // F_a = (.5, .75, 1, 1) at v=1,2,3,4 ; F_b = (0, .25, .75, 1)
+    // D = .5 at v=1 for both directions
+    assert(got("a") == ((4L, 4L, 0.5, 1L)))
+    assert(got("b") == ((4L, 4L, 0.5, 1L)))
+  }
+
+  test("ksByGroup: identical groups have zero D; single group drops") {
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L))
+      .toDF("g", "v")
+    val gotSame = Drift.ksByGroup(same, "g", "v").collect()
+    assert(gotSame.length == 2)
+    assert(gotSame.forall(_.getDouble(3) == 0.0))
+    val single = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    assert(Drift.ksByGroup(single, "g", "v").count() == 0)
+  }
+
+  test("binDrift: a group that IS the corpus has exactly zero drift") {
+    val df = Seq(("a", 0L), ("a", 1L), ("a", 3L)).toDF("g", "b")
+    val r = Drift.binDrift(df, "g", "b", 4).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 3L)
+    assert(r.head.getDouble(2) == 0.0) // p_b == q_b bit-for-bit
+    assert(r.head.getDouble(3) == 0.0)
+  }
+
+  test("binDrift: disjoint groups — positive, symmetric-ish drift") {
+    val df = (Seq.fill(8)(("a", 0L)) ++ Seq.fill(8)(("b", 3L)))
+      .toDF("g", "b")
+    val got = Drift.binDrift(df, "g", "b", 4).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got("a")._1 > 0.0 && got("b")._1 > 0.0)
+    // both groups sit at the same distance from the pooled corpus
+    assert(got("a") == got("b"))
+    // squared Hellinger is bounded by 1
+    assert(got.values.forall(v => v._2 > 0.0 && v._2 <= 1.0))
+  }
+
+  test("medianShiftBhFdr: shifted cell rejected, null cell not") {
+    // global lower median is 100 (60 of 100 docs sit at v=100);
+    // cell (s1, x) sits entirely below it, cell (s2, x) exactly AT it
+    val rows =
+      (1 to 40).map(i => ("s1", "x", i.toLong, i.toLong)) ++
+        (1 to 60).map(i => ("s2", "x", 100L + i, 100L))
+    val df = rows.toDF("src", "lng", "doc_id", "v")
+    val got = Drift
+      .medianShiftBhFdr(df, Seq("src", "lng"), "doc_id", "v",
+        probe = 30, alpha = 0.1)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+          r.getInt(7))).toMap
+    // s1: every probed doc below the median → p = 2/2^30, rejected
+    val (m1, w1, p1, bh1, rej1) = got("s1")
+    assert(m1 == 30L && w1 == 0L)
+    assert(math.abs(p1 - 2.0 / math.pow(2.0, 30)) < 1e-15)
+    assert(rej1 == 1 && bh1 <= 0.1)
+    // s2: every probed doc AT the median → m = 0, p = 1, not rejected
+    val (m2, w2, p2, bh2, rej2) = got("s2")
+    assert(m2 == 0L && w2 == 0L)
+    assert(p2 == 1.0 && rej2 == 0 && bh2 == 1.0)
+  }
+
+  test("medianShiftBhFdr: p_bh is monotone in p_sign rank, capped") {
+    val rows =
+      (1 to 20).map(i => ("a", "x", i.toLong, i.toLong)) ++
+        (1 to 20).map(i => ("b", "x", 50L + i, 10L + i)) ++
+        (1 to 20).map(i => ("c", "x", 90L + i, 21L + i))
+    val got = Drift
+      .medianShiftBhFdr(rows.toDF("src", "lng", "doc_id", "v"),
+        Seq("src", "lng"), "doc_id", "v", probe = 20, alpha = 0.1)
+      .collect()
+      .map(r => (r.getDouble(5), r.getDouble(6)))
+      .sortBy(_._1)
+    assert(got.forall { case (_, bh) => bh >= 0.0 && bh <= 1.0 })
+    // adjusted p-values are non-decreasing along the p_sign order
+    assert(got.sliding(2).forall(w =>
+      w.length < 2 || w(0)._2 <= w(1)._2))
+    // BH never adjusts below the raw p
+    assert(got.forall { case (p, bh) => bh >= p - 1e-12 })
+  }
+
+  test("hashedBigramMargin: feature count and margin bounds") {
+    val df = Seq((1L, "en", "a b c"), (2L, "en", "solo"),
+      (3L, "xx", "")).toDF("doc_id", "lang", "text")
+    val got = Classifier
+      .hashedBigramMargin(df, "doc_id", "text", Seq("lang"), 4096)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // "a b c" → 3 unigrams + 2 bigrams; "solo" → 1; "" → 1 ('' token)
+    assert(got(1L)._1 == 5L)
+    assert(got(2L)._1 == 1L)
+    assert(got(3L)._1 == 1L)
+    assert(got.values.forall(v => v._2 >= -1.0 && v._2 <= 1.0))
+  }
+
+  test("hashedBigramMargin: margin is the mean bucket weight / 500") {
+    val df = Seq((1L, "w w w")).toDF("doc_id", "text")
+    // all five features hash identically per feature string; compute
+    // the expected margin from bucketWeight on the two feature hashes
+    val w = Seq("w", "w w").toDF("f")
+      .select(Classifier.bucketWeight(
+        pmod(graft.llmops.TextOps.hash60(col("f")), lit(4096L))))
+      .collect().map(_.getLong(0))
+    val expected = (3 * w(0) + 2 * w(1)).toDouble / (500.0 * 5.0)
+    val got = Classifier
+      .hashedBigramMargin(df, "doc_id", "text", Nil, 4096)
+      .collect().head.getDouble(2)
+    assert(got == expected)
+  }
+}
