@@ -198,4 +198,57 @@ object Drift {
       .select(cells ++ Seq(col("n_probe"), col("m"), col("wins"),
         col("p_sign"), col("p_bh"), col("reject")): _*)
   }
+
+  /** Split-conformal calibration of a per-row score, with the
+    * coverage audit that justifies deploying it as a gate: a
+    * deterministic hash split carves out a ~1/calibBuckets
+    * calibration slice; the conformal threshold τ is the
+    * ⌈(n_cal + 1) · keepNum/keepDen⌉-th smallest DISCRETIZED score
+    * (floor(score · scaleTo) — bounded support keeps the order
+    * statistic an aggregate + bounded cumsum instead of a global
+    * sort, the same trick as [[medianShiftBhFdr]]'s median); the
+    * remaining rows audit empirical coverage per group.
+    * Exchangeability ⇒ P(score ≤ τ) ≥ keepNum/keepDen on average,
+    * so a group whose coverage sits far below the target is NOT
+    * exchangeable with the calibration slice — drifted.
+    *
+    * Corpus-sized work: one narrow projection (score, hash bit) and
+    * two aggregations. Integer k via ceiling division; τ selection
+    * and the coverage ratio are the only per-group outputs.
+    * Returns (groupCol, tau, n_cal, n_eval, n_covered, coverage);
+    * an empty calibration slice yields NULL τ and zero coverage,
+    * identically in the oracle. */
+  def conformalCoverage(df: DataFrame, idCol: String,
+      groupCol: String, scoreCol: String, scaleTo: Int,
+      calibBuckets: Int, keepNum: Int, keepDen: Int): DataFrame = {
+    require(scaleTo >= 1 && calibBuckets >= 2 && keepNum >= 1 &&
+      keepDen > keepNum,
+      s"conformalCoverage: scaleTo=$scaleTo calibBuckets=" +
+        s"$calibBuckets keep=$keepNum/$keepDen")
+    val base = df.select(col(groupCol).as("g"),
+        floor(col(scoreCol) * lit(scaleTo.toDouble)).cast("long")
+          .as("q"),
+        (pmod(TextOps.hash60(col(idCol).cast("string")),
+          lit(calibBuckets.toLong)) === 0).as("is_cal"))
+      .barrier()
+    val vh = base.filter(col("is_cal")).groupBy(col("q"))
+      .agg(count(lit(1)).as("cnt"))
+    val nc = vh.agg(sum(col("cnt")).as("n_cal"))
+    val wcum = Window.orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tau = vh.withColumn("cum", sum(col("cnt")).over(wcum))
+      .crossJoin(broadcast(nc))
+      .filter(col("cum") >=
+        expr(s"((n_cal + 1) * $keepNum + ${keepDen - 1}) " +
+          s"div $keepDen"))
+      .agg(min(col("q")).as("tau"), min(col("n_cal")).as("n_cal"))
+    base.filter(!col("is_cal"))
+      .crossJoin(broadcast(tau))
+      .groupBy(col("g").as(groupCol), col("tau"), col("n_cal"))
+      .agg(count(lit(1)).as("n_eval"),
+        coalesce(Aggregates.countIf(col("q") <= col("tau")),
+          lit(0L)).as("n_covered"))
+      .withColumn("coverage", col("n_covered").cast("double")
+        / col("n_eval").cast("double"))
+  }
 }

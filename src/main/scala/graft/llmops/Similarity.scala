@@ -589,4 +589,46 @@ object Similarity {
         col("margin") >= minMargin)
       .select(col("id_a"), col("id_b"), col("cos_sim"), col("margin"))
   }
+
+  /** Simplified silhouette over an IVF/k-means centroid assignment
+    * (the centroid-distance form of Rousseeuw's silhouette —
+    * per-point pair distances would be quadratic): per vector,
+    * a = distance to its nearest centroid (its cell), b = distance
+    * to the second-nearest, s = (b − a)/max(a, b) ∈ [0, 1] under
+    * nearest-assignment (0-pinned when the vector sits ON two
+    * coincident centroids). Per cell: count, id-ordered mean, min,
+    * max — the index-quality audit read before trusting IVF recall:
+    * cells with mean_sil near 0 sit on cell boundaries and leak
+    * neighbors at probe time.
+    *
+    * `centroids` must have ≥ 2 rows (b is undefined otherwise); it
+    * broadcasts, so the candidate table is #vectors × k with no
+    * shuffle until the per-vector aggregation. sqrt is correctly
+    * rounded and the mean folds in id order — cross-engine exact. */
+  def simplifiedSilhouette(df: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, cellCol: String,
+      centVecCol: String): DataFrame = {
+    val scored = df
+      .crossJoin(broadcast(centroids.select(col(cellCol).as("cell"),
+        col(centVecCol).as("cvec"))))
+      .select(col(idCol).as("vid"), col("cell"),
+        sqDist(col(vecCol), col("cvec")).as("d2"))
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("d2"), col("cell"))
+    val p = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .groupBy(col("vid"))
+      .agg(min(when(col("rk") === 1, col("cell"))).as("cell"),
+        sqrt(min(when(col("rk") === 1, col("d2")))).as("a"),
+        sqrt(min(when(col("rk") === 2, col("d2")))).as("b"))
+    p.withColumn("sv",
+        when(greatest(col("a"), col("b")) <= 0.0, lit(0.0))
+          .otherwise((col("b") - col("a"))
+            / greatest(col("a"), col("b"))))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (graft.ops.Aggregates.orderedSum(col("vid"), col("sv"))
+          / count(lit(1)).cast("double")).as("mean_sil"),
+        min(col("sv")).as("min_sil"), max(col("sv")).as("max_sil"))
+  }
 }

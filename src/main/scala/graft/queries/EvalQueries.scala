@@ -30,6 +30,31 @@ object EvalQueries {
   private def dkHash60(e: String): String =
     s"('0x'||substr(md5($e),1,15))::BIGINT"
 
+  /** Shared CTE chain for the hashed linear classifier (Classifier
+    * .hashedBigramMargin): per-doc margin over unigram + bigram
+    * features in 4096 Knuth-scrambled weight buckets (q257/q258). */
+  private lazy val dkMarginCtes: String =
+    s"""tk AS (SELECT doc_id, source, string_split(text, ' ') AS t
+      |        FROM documents),
+      |feats AS (
+      |  SELECT doc_id, source, unnest(t) AS f FROM tk
+      |  UNION ALL
+      |  SELECT doc_id, source, t[i+1] || ' ' || t[i+2] AS f
+      |  FROM tk, unnest(range(0, len(t) - 1)) r(i)),
+      |w AS (SELECT doc_id, source,
+      |             ((${dkHash60("f")} % 4096) * 2654435761)
+      |               % 1001 - 500 AS wi
+      |      FROM feats),
+      |dm AS (SELECT doc_id, source,
+      |              CAST(sum(wi) AS BIGINT) AS sw,
+      |              count(*) AS nf
+      |       FROM w GROUP BY 1, 2),
+      |sc AS (SELECT doc_id, source,
+      |              CAST(sw AS DOUBLE)
+      |                / (CAST(500.0 AS DOUBLE)
+      |                   * CAST(nf AS DOUBLE)) AS margin
+      |       FROM dm)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Good-Turing vocabulary audit per source: counts-of-counts
@@ -641,27 +666,7 @@ object EvalQueries {
     QueryDef(
       "q257_hashed_classifier",
       Some(s"""
-        WITH tk AS (SELECT doc_id, source, string_split(text, ' ')
-                      AS t
-                    FROM documents),
-        feats AS (
-          SELECT doc_id, source, unnest(t) AS f FROM tk
-          UNION ALL
-          SELECT doc_id, source, t[i+1] || ' ' || t[i+2] AS f
-          FROM tk, unnest(range(0, len(t) - 1)) r(i)),
-        w AS (SELECT doc_id, source,
-                     ((${dkHash60("f")} % 4096) * 2654435761)
-                       % 1001 - 500 AS wi
-              FROM feats),
-        dm AS (SELECT doc_id, source,
-                      CAST(sum(wi) AS BIGINT) AS sw,
-                      count(*) AS nf
-               FROM w GROUP BY 1, 2),
-        sc AS (SELECT doc_id, source,
-                      CAST(sw AS DOUBLE)
-                        / (CAST(500.0 AS DOUBLE)
-                           * CAST(nf AS DOUBLE)) AS margin
-               FROM dm)
+        WITH $dkMarginCtes
         SELECT source, count(*) AS n_docs,
                count(*) FILTER (WHERE margin >= CAST(0.1 AS DOUBLE))
                  AS n_pass,
@@ -676,5 +681,88 @@ object EvalQueries {
             coalesce(Aggregates.countIf(col("margin") >= 0.1),
               lit(0L)).as("n_pass"),
             (Aggregates.orderedSum(col("doc_id"), col("margin"))
-              / count(lit(1)).cast("double")).as("mean_margin"))))
+              / count(lit(1)).cast("double")).as("mean_margin"))),
+
+    // Split-conformal calibration + coverage audit (Drift
+    // .conformalCoverage) over the q257 classifier margin: a 5%
+    // hash-split calibration slice sets the 90% conformal threshold
+    // τ (exact order statistic over the permille-discretized score —
+    // a bounded cumsum, not a global sort); the other 95% audits
+    // per-source empirical coverage. A source far below 0.9 is not
+    // exchangeable with the calibration slice — drifted — with a
+    // finite-sample guarantee instead of a heuristic cutoff.
+    QueryDef(
+      "q258_conformal_coverage",
+      Some(s"""
+        WITH $dkMarginCtes,
+        b AS (SELECT source AS g,
+                     CAST(floor(margin * CAST(1000.0 AS DOUBLE))
+                       AS BIGINT) AS q,
+                     (${dkHash60("CAST(doc_id AS VARCHAR)")} % 20) = 0
+                       AS is_cal
+              FROM sc),
+        vh AS (SELECT q, count(*) AS cnt FROM b WHERE is_cal
+               GROUP BY 1),
+        nc AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_cal FROM vh),
+        ta AS (SELECT min(q) AS tau, min(n_cal) AS n_cal FROM
+                (SELECT q, sum(cnt) OVER (ORDER BY q) AS cum FROM vh)
+                CROSS JOIN nc
+                WHERE cum >= ((n_cal + 1) * 9 + 9) // 10)
+        SELECT g AS source, tau, n_cal, count(*) AS n_eval,
+               count(*) FILTER (WHERE q <= tau) AS n_covered,
+               CAST(count(*) FILTER (WHERE q <= tau) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS coverage
+        FROM b CROSS JOIN ta WHERE NOT is_cal
+        GROUP BY 1, 2, 3"""),
+      (s, d) =>
+        Drift.conformalCoverage(
+          Classifier.hashedBigramMargin(t(s, d, "documents"),
+            "doc_id", "text", Seq("source"), 4096),
+          "doc_id", "source", "margin", scaleTo = 1000,
+          calibBuckets = 20, keepNum = 9, keepDen = 10)),
+
+    // Simplified silhouette per IVF cell (Similarity
+    // .simplifiedSilhouette over the q62 centroid convention — first
+    // 8 vectors): s = (b − a)/max(a, b) from the nearest and
+    // second-nearest centroid distances, per cell count/mean/min/max
+    // — the index-quality audit before trusting IVF probe recall.
+    // Centroids broadcast; one candidate map, two aggregations.
+    QueryDef(
+      "q259_silhouette",
+      Some(s"""
+        WITH c AS (SELECT vec_id AS cell, embedding AS cvec
+                   FROM embeddings WHERE vec_id < 8),
+        s AS (SELECT e.vec_id, c.cell,
+                list_reduce(list_transform(
+                  list_zip(e.embedding, c.cvec),
+                  p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                     * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                  (x, y) -> x + y) AS d2
+              FROM embeddings e CROSS JOIN c),
+        r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY d2, cell) AS rk FROM s),
+        p AS (SELECT vec_id,
+                     min(cell) FILTER (WHERE rk = 1) AS cell,
+                     sqrt(min(d2) FILTER (WHERE rk = 1)) AS a,
+                     sqrt(min(d2) FILTER (WHERE rk = 2)) AS b
+              FROM r WHERE rk <= 2 GROUP BY 1),
+        sil AS (SELECT vec_id, cell,
+                       CASE WHEN greatest(a, b) <= CAST(0.0 AS DOUBLE)
+                            THEN CAST(0.0 AS DOUBLE)
+                            ELSE (b - a) / greatest(a, b) END AS sv
+                FROM p)
+        SELECT cell, count(*) AS n_vecs,
+               ${dkOrderedSum("sv", "vec_id")}
+                 / CAST(count(*) AS DOUBLE) AS mean_sil,
+               min(sv) AS min_sil, max(sv) AS max_sil
+        FROM sil GROUP BY 1"""),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        graft.llmops.Similarity.simplifiedSilhouette(e, "vec_id",
+          "embedding",
+          e.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("cell"),
+              col("embedding").as("cvec")),
+          "cell", "cvec")
+      }))
 }

@@ -103,6 +103,78 @@ class DriftSpec extends AnyFunSuite {
     assert(got.forall { case (p, bh) => bh >= p - 1e-12 })
   }
 
+  test("conformalCoverage: tau is the exact order statistic; " +
+      "coverage matches a manual count") {
+    val df = (1 to 200).map(i => (i.toLong, "g", i.toDouble / 200.0))
+      .toDF("id", "grp", "score")
+    // replicate the operator's hash split to learn the calibration
+    // members, then compute the expected tau/coverage by hand
+    val calIds = df.select(col("id"),
+        pmod(graft.llmops.TextOps.hash60(col("id").cast("string")),
+          lit(4L)).as("h"))
+      .collect().filter(_.getLong(1) == 0L).map(_.getLong(0)).toSet
+    assert(calIds.nonEmpty && calIds.size < 200)
+    def disc(i: Long): Long =
+      math.floor((i / 200.0) * 1000.0).toLong // the operator's path
+    val calQ = calIds.toSeq.map(disc).sorted
+    val k = ((calQ.size + 1) * 9 + 9) / 10
+    val expTau = if (k <= calQ.size) calQ(k - 1) else -1L
+    assert(k <= calQ.size, "fixture: calibration too small")
+    val evalQ = (1 to 200).filterNot(i => calIds(i.toLong))
+      .map(i => disc(i.toLong))
+    val expCov = evalQ.count(_ <= expTau).toDouble / evalQ.size
+    val r = Drift.conformalCoverage(df, "id", "grp", "score",
+      scaleTo = 1000, calibBuckets = 4, keepNum = 9, keepDen = 10)
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == expTau)
+    assert(r.head.getLong(2) == calIds.size.toLong)
+    assert(r.head.getLong(3) == evalQ.size.toLong)
+    assert(r.head.getDouble(5) == expCov)
+  }
+
+  test("conformalCoverage: empty calibration gives NULL tau, " +
+      "zero coverage") {
+    // calibBuckets > any hash60 residue multiplicity is impossible
+    // to force directly; instead feed ids whose hash residue mod 2
+    // is 1 (probe until found) so the calibration slice is empty
+    val ids = (1 to 400).map(_.toLong)
+    val res = ids.map(i => i -> i).toDF("id", "v")
+      .select(col("id"),
+        pmod(graft.llmops.TextOps.hash60(col("id").cast("string")),
+          lit(2L)).as("h"))
+      .collect().filter(_.getLong(1) == 1L).map(_.getLong(0)).take(10)
+    val df = res.toSeq.map(i => (i, "g", 0.5))
+      .toDF("id", "grp", "score")
+    val r = Drift.conformalCoverage(df, "id", "grp", "score",
+      scaleTo = 1000, calibBuckets = 2, keepNum = 9, keepDen = 10)
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.isNullAt(1)) // tau
+    assert(r.head.getLong(4) == 0L) // n_covered
+    assert(r.head.getDouble(5) == 0.0)
+  }
+
+  test("simplifiedSilhouette: hand-computed a/b margins per cell") {
+    import graft.llmops.Similarity
+    val cents = Seq((0L, Seq(0f, 0f)), (1L, Seq(10f, 0f)))
+      .toDF("cell", "cvec")
+    val vecs = Seq((10L, Seq(1f, 0f)), // a=1, b=9 → s=8/9, cell 0
+      (11L, Seq(5f, 0f)), // equidistant → cell 0 (tie), s=0
+      (12L, Seq(10f, 0f)) // ON centroid 1 → a=0, b=10 → s=1
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.simplifiedSilhouette(vecs, "vec_id",
+        "embedding", cents, "cell", "cvec")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val s10 = 8.0 / 9.0
+    assert(got(0L)._1 == 2L)
+    assert(math.abs(got(0L)._2 - (s10 + 0.0) / 2.0) < 1e-12)
+    assert(got(0L)._3 == 0.0 && math.abs(got(0L)._4 - s10) < 1e-12)
+    assert(got(1L) == ((1L, 1.0, 1.0, 1.0)))
+  }
+
   test("hashedBigramMargin: feature count and margin bounds") {
     val df = Seq((1L, "en", "a b c"), (2L, "en", "solo"),
       (3L, "xx", "")).toDF("doc_id", "lang", "text")
