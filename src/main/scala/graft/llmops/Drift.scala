@@ -221,27 +221,16 @@ object Drift {
   def conformalCoverage(df: DataFrame, idCol: String,
       groupCol: String, scoreCol: String, scaleTo: Int,
       calibBuckets: Int, keepNum: Int, keepDen: Int): DataFrame = {
-    require(scaleTo >= 1 && calibBuckets >= 2 && keepNum >= 1 &&
-      keepDen > keepNum,
+    require(scaleTo >= 1 && calibBuckets >= 2,
       s"conformalCoverage: scaleTo=$scaleTo calibBuckets=" +
-        s"$calibBuckets keep=$keepNum/$keepDen")
+        s"$calibBuckets")
     val base = df.select(col(groupCol).as("g"),
-        floor(col(scoreCol) * lit(scaleTo.toDouble)).cast("long")
-          .as("q"),
-        (pmod(TextOps.hash60(col(idCol).cast("string")),
-          lit(calibBuckets.toLong)) === 0).as("is_cal"))
+        discretized(col(scoreCol), scaleTo).as("q"),
+        isCalibration(col(idCol), calibBuckets).as("is_cal"))
       .barrier()
     val vh = base.filter(col("is_cal")).groupBy(col("q"))
       .agg(count(lit(1)).as("cnt"))
-    val nc = vh.agg(sum(col("cnt")).as("n_cal"))
-    val wcum = Window.orderBy(col("q"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tau = vh.withColumn("cum", sum(col("cnt")).over(wcum))
-      .crossJoin(broadcast(nc))
-      .filter(col("cum") >=
-        expr(s"((n_cal + 1) * $keepNum + ${keepDen - 1}) " +
-          s"div $keepDen"))
-      .agg(min(col("q")).as("tau"), min(col("n_cal")).as("n_cal"))
+    val tau = thresholdFromHistogram(vh, keepNum, keepDen)
     base.filter(!col("is_cal"))
       .crossJoin(broadcast(tau))
       .groupBy(col("g").as(groupCol), col("tau"), col("n_cal"))
@@ -250,5 +239,50 @@ object Drift {
           lit(0L)).as("n_covered"))
       .withColumn("coverage", col("n_covered").cast("double")
         / col("n_eval").cast("double"))
+  }
+
+  /** floor(score · scaleTo) — the bounded-support discretization all
+    * conformal pieces share. */
+  private def discretized(score: org.apache.spark.sql.Column,
+      scaleTo: Int): org.apache.spark.sql.Column =
+    floor(score * lit(scaleTo.toDouble)).cast("long")
+
+  /** The deterministic calibration-split predicate: hash bucket 0 of
+    * calibBuckets. */
+  private def isCalibration(id: org.apache.spark.sql.Column,
+      calibBuckets: Int): org.apache.spark.sql.Column =
+    pmod(TextOps.hash60(id.cast("string")),
+      lit(calibBuckets.toLong)) === 0
+
+  /** Discretized calibration histogram (q, cnt) of `df` — the entire
+    * state a streaming recalibrator has to maintain: bounded by the
+    * score support (≤ 2·scaleTo+1 rows), additive under batch union,
+    * and sufficient for [[thresholdFromHistogram]]. */
+  def calibHistogram(df: DataFrame, idCol: String, scoreCol: String,
+      scaleTo: Int, calibBuckets: Int): DataFrame = {
+    require(scaleTo >= 1 && calibBuckets >= 2,
+      s"calibHistogram: scaleTo=$scaleTo calibBuckets=$calibBuckets")
+    df.filter(isCalibration(col(idCol), calibBuckets))
+      .groupBy(discretized(col(scoreCol), scaleTo).as("q"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Conformal threshold from a (q, cnt) calibration histogram: the
+    * ⌈(n_cal + 1) · keepNum/keepDen⌉-th smallest discretized score,
+    * via a cumsum over the bounded histogram. One-row frame
+    * (tau, n_cal); NULL τ on an empty histogram. */
+  def thresholdFromHistogram(vh: DataFrame, keepNum: Int,
+      keepDen: Int): DataFrame = {
+    require(keepNum >= 1 && keepDen > keepNum,
+      s"thresholdFromHistogram: keep=$keepNum/$keepDen")
+    val nc = vh.agg(sum(col("cnt")).as("n_cal"))
+    val wcum = Window.orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vh.withColumn("cum", sum(col("cnt")).over(wcum))
+      .crossJoin(broadcast(nc))
+      .filter(col("cum") >=
+        expr(s"((n_cal + 1) * $keepNum + ${keepDen - 1}) " +
+          s"div $keepDen"))
+      .agg(min(col("q")).as("tau"), min(col("n_cal")).as("n_cal"))
   }
 }

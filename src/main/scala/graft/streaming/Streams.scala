@@ -718,6 +718,54 @@ object Streams {
             max(col("max_score")).as("max_score"))
     }
 
+  /** Streaming conformal recalibration (the live form of
+    * Drift.conformalCoverage's calibration side): per micro-batch,
+    * extract the deterministic hash-split calibration slice, reduce
+    * it to the discretized-score histogram (bounded by the score
+    * support, ≤ 2·scaleTo + 1 rows), and merge additively into the
+    * store under the in-store batch ledger — exactly-once, like the
+    * score-band store, because counts are NOT idempotent under
+    * replay. The live threshold derives on read via
+    * [[conformalThreshold]]; recalibration cost per batch is one
+    * narrow projection + one bounded aggregation, independent of
+    * how much history the store holds. */
+  def toConformalStore(stream: DataFrame, idCol: String,
+      scoreCol: String, scaleTo: Int, calibBuckets: Int,
+      storeDir: String, checkpoint: String,
+      maxStoreRows: Long = DefaultMaxStoreRows): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val vh = graft.llmops.Drift.calibHistogram(batch, idCol,
+            scoreCol, scaleTo, calibBuckets)
+          mergeConformalBatch(batch.sparkSession, storeDir, vh,
+            batchId, maxStoreRows)
+        }
+      }
+      .start()
+
+  /** One exactly-once merge cycle of [[toConformalStore]] (data
+    * subdir: `calib`), factored for spec-driven replays. */
+  private[graft] def mergeConformalBatch(spark: SparkSession,
+      storeDir: String, vh: DataFrame, batchId: Long,
+      maxRows: Long = DefaultMaxStoreRows): Unit =
+    upsertLedgeredStore(spark, storeDir, vh, batchId, "calib",
+      maxRows, "discretized score support exceeds the cap") {
+      (cur, b) =>
+        cur.unionByName(b).groupBy(col("q"))
+          .agg(sum(col("cnt")).as("cnt"))
+    }
+
+  /** The live conformal threshold of a [[toConformalStore]] store:
+    * one row (tau, n_cal) — what a serving-side gate polls between
+    * recalibration merges. */
+  def conformalThreshold(spark: SparkSession, storeDir: String,
+      keepNum: Int, keepDen: Int): DataFrame =
+    graft.llmops.Drift.thresholdFromHistogram(
+      spark.read.parquet(s"$storeDir/calib"), keepNum, keepDen)
+
   /** One exactly-once merge cycle of [[toCmsStore]] (data subdir:
     * `sketch`), factored for spec-driven replays. */
   private[graft] def mergeCmsBatch(spark: SparkSession,

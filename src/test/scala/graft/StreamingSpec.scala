@@ -524,6 +524,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon().map(_._3).sum == 4L)
   }
 
+  test("toConformalStore: streamed threshold ≡ one-shot calibration " +
+    "over the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-conf").toString
+    val (store, ckpt) = (s"$dir/store", s"$dir/ckpt")
+    val input = MemoryStream[(Long, Double)]
+    val q = Streams.toConformalStore(
+      input.toDF().toDF("id", "score"), "id", "score",
+      scaleTo = 1000, calibBuckets = 2, storeDir = store,
+      checkpoint = ckpt)
+    val b1 = (1 to 120).map(i => (i.toLong, i / 120.0))
+    val b2 = (121 to 240).map(i => (i.toLong, (241 - i) / 120.0))
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    def tauOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).head
+    val streamed = tauOf(Streams.conformalThreshold(spark, store, 9, 10))
+    val oneShot = tauOf(graft.llmops.Drift.thresholdFromHistogram(
+      graft.llmops.Drift.calibHistogram(
+        (b1 ++ b2).toDF("id", "score"), "id", "score", 1000, 2),
+      9, 10))
+    assert(streamed == oneShot)
+    assert(streamed._2 > 0L) // a calibration slice actually formed
+    assert(spark.read.parquet(s"$store/batches")
+      .as[Long].collect().sorted.toSeq == Seq(0L, 1L))
+  }
+
+  test("toConformalStore is exactly-once: replayed batch ids are " +
+    "no-ops for the additive histogram") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-conf-replay").toString
+    val store = s"$dir/store"
+    def vhOf(rows: Seq[(Long, Double)]) =
+      graft.llmops.Drift.calibHistogram(rows.toDF("id", "score"),
+        "id", "score", 1000, 2)
+    val b0 = (1 to 60).map(i => (i.toLong, i / 60.0))
+    val b1 = (61 to 90).map(i => (i.toLong, i / 90.0))
+    Streams.mergeConformalBatch(spark, store, vhOf(b0), 0L)
+    Streams.mergeConformalBatch(spark, store, vhOf(b1), 1L)
+    def canon() = spark.read.parquet(s"$store/calib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val clean = canon()
+    Streams.mergeConformalBatch(spark, store, vhOf(b0), 0L)
+    Streams.mergeConformalBatch(spark, store, vhOf(b1), 1L)
+    assert(canon() == clean)
+    // a genuinely new batch still merges and raises total counts
+    Streams.mergeConformalBatch(spark, store, vhOf(b1), 2L)
+    assert(canon().map(_._2).sum == clean.map(_._2).sum
+      + vhOf(b1).agg(sum(col("cnt"))).collect().head.getLong(0))
+  }
+
   test("upsertSketchStore boundedness guard: an oversized merge fails " +
     "fast and leaves the store untouched") {
     import spark.implicits._
