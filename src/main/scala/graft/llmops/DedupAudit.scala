@@ -1,6 +1,6 @@
 package graft.llmops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Checkpoints.BarrierOps
@@ -95,5 +95,39 @@ object DedupAudit {
         col("n"), col("ham_lo").cast("double").as("value"))
 
     recall.unionByName(transitivity).unionByName(hamming)
+  }
+
+  /** Theoretical LSH banding planner — the S-curve design step that
+    * precedes every [[report]] run: for each factorization
+    * bands · rpb = sigLen and each similarity s on the 1/sGridDen
+    * grid, the candidate-collision probability
+    * p(s) = 1 − (1 − s^rpb)^bands, plus per (bands, rpb) the
+    * smallest grid s with p ≥ ½ — the banding's effective threshold
+    * (NULL when the curve never crosses ½ on the grid, e.g. one
+    * 64-row band). Pure dimension table: corpus-free, so choosing
+    * the banding for a 100 TB pass costs nothing. Powers fold by
+    * ordered repeated multiplication — libm pow is not cross-engine
+    * reproducible, left-fold products are.
+    * Returns (bands, rpb, s, p_collide, s50). */
+  def lshPlanCurve(spark: SparkSession, sigLen: Int, sGridDen: Int)
+      : DataFrame = {
+    require(sigLen >= 1 && sGridDen >= 2,
+      s"lshPlanCurve: sigLen=$sigLen sGridDen=$sGridDen")
+    val factors = (1 to sigLen).filter(sigLen % _ == 0)
+      .map(b => (b, sigLen / b))
+    val fac = spark.createDataFrame(factors).toDF("bands", "rpb")
+    val sg = spark.range(1, sGridDen).select(
+      (col("id").cast("double") / lit(sGridDen.toDouble)).as("s"))
+    val curve = fac.crossJoin(sg)
+      .withColumn("sr", aggregate(sequence(lit(1), col("rpb")),
+        lit(1.0), (acc, _) => acc * col("s")))
+      .withColumn("p_collide",
+        lit(1.0) - aggregate(sequence(lit(1), col("bands")),
+          lit(1.0), (acc, _) => acc * (lit(1.0) - col("sr"))))
+      .drop("sr")
+    curve.join(
+      curve.groupBy(col("bands"), col("rpb"))
+        .agg(min(when(col("p_collide") >= 0.5, col("s"))).as("s50")),
+      Seq("bands", "rpb"))
   }
 }

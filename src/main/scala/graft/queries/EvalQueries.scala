@@ -764,5 +764,43 @@ object EvalQueries {
             .select(col("vec_id").as("cell"),
               col("embedding").as("cvec")),
           "cell", "cvec")
-      }))
+      }),
+
+    // Theoretical LSH banding planner (DedupAudit.lshPlanCurve — the
+    // MMDS S-curve design step the empirical q180/q224 curves then
+    // validate): p(s) = 1 − (1 − s^r)^b for every b·r = 64 and s on
+    // the 1/20 grid, plus each banding's effective threshold (first
+    // grid s with p ≥ ½). Corpus-free dimension table; powers are
+    // ordered multiplication folds, never libm pow.
+    QueryDef(
+      "q260_lsh_plan",
+      Some("""
+        WITH f AS (SELECT unnest(range(1, 65)) AS bf),
+        fac AS (SELECT CAST(bf AS INT) AS bands,
+                       CAST(64 // bf AS INT) AS rpb
+                FROM f WHERE 64 % bf = 0),
+        sg AS (SELECT CAST(i AS DOUBLE) / CAST(20.0 AS DOUBLE) AS s
+               FROM (SELECT unnest(range(1, 20)) AS i)),
+        c1 AS (SELECT bands, rpb, s,
+                      list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+                        list_transform(range(1, rpb + 1), y -> s)),
+                        (a, b) -> a * b) AS sr
+               FROM fac CROSS JOIN sg),
+        curve AS (SELECT bands, rpb, s,
+                         CAST(1.0 AS DOUBLE) - list_reduce(
+                           list_prepend(CAST(1.0 AS DOUBLE),
+                             list_transform(range(1, bands + 1),
+                               x -> CAST(1.0 AS DOUBLE) - sr)),
+                           (a, b) -> a * b) AS p_collide
+                  FROM c1),
+        s50 AS (SELECT bands, rpb,
+                       min(s) FILTER (WHERE p_collide >=
+                         CAST(0.5 AS DOUBLE)) AS s50
+                FROM curve GROUP BY 1, 2)
+        SELECT curve.bands, curve.rpb, curve.s, curve.p_collide,
+               s50.s50
+        FROM curve JOIN s50 USING (bands, rpb)"""),
+      (s, _) =>
+        graft.llmops.DedupAudit.lshPlanCurve(s, sigLen = 64,
+          sGridDen = 20)))
 }

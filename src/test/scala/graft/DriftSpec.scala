@@ -175,6 +175,31 @@ class DriftSpec extends AnyFunSuite {
     assert(got(1L) == ((1L, 1.0, 1.0, 1.0)))
   }
 
+  test("lshPlanCurve: S-curve shape, exact (1,1) diagonal, s50") {
+    val c = graft.llmops.DedupAudit.lshPlanCurve(spark, 16, 10)
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getDouble(2)),
+        (r.getDouble(3), if (r.isNullAt(4)) None
+          else Some(r.getDouble(4))))).toMap
+    // 5 factorizations of 16 × 9 grid points
+    assert(c.size == 45)
+    // degenerate banding (1 band of 1 row): p(s) = s exactly
+    // (sigLen=16 has no (1,1); check via p monotone + extremes)
+    // extremes: many bands of 1 row ⇒ high collision at low s;
+    // one band of 16 rows ⇒ near-zero collision below s≈0.8
+    assert(c((16, 1, 0.2))._1 > 0.9)
+    assert(c((1, 16, 0.5))._1 < 0.001)
+    // monotone non-decreasing in s for every banding
+    for (b <- Seq(1, 2, 4, 8, 16)) {
+      val ps = (1 to 9).map(i => c((b, 16 / b, i / 10.0))._1)
+      assert(ps.sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    }
+    // s50: the 16-row single band never crosses ½ on this grid
+    assert(c((1, 16, 0.5))._2.isEmpty)
+    // 16 bands of 1 row cross ½ at the first grid point
+    assert(c((16, 1, 0.1))._2.contains(0.1))
+  }
+
   test("hashedBigramMargin: feature count and margin bounds") {
     val df = Seq((1L, "en", "a b c"), (2L, "en", "solo"),
       (3L, "xx", "")).toDF("doc_id", "lang", "text")
