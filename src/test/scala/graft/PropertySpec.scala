@@ -1320,4 +1320,70 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want.toSeq, s"trial $trial: $got vs $want")
     }
   }
+
+  test("Drift.ksByGroup: two-group symmetry, [0,1] bound, shift " +
+    "invariance") {
+    import graft.llmops.Drift
+    val vals = samples(Gen.choose(0L, 30L), 60)
+    def mk(off: Long) = vals.zipWithIndex.map { case (v, i) =>
+      (if (i % 2 == 0) "a" else "b", v + off)
+    }.toDF("g", "v")
+    val got = Drift.ksByGroup(mk(0), "g", "v").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toMap
+    assert(got.size == 2)
+    val (na, ra, da, ka) = got("a")
+    val (nb, rb, db, kb) = got("b")
+    // with two groups, "rest of a" IS b: counts cross over and the
+    // two-sided sup gap is the same statistic from either side
+    assert(na == rb && nb == ra)
+    assert(da == db && ka == kb)
+    assert(da >= 0.0 && da <= 1.0)
+    // D is invariant under a common shift (the value grid translates)
+    val shifted = Drift.ksByGroup(mk(100), "g", "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(shifted == got.map { case (k, v) => k -> v._3 })
+  }
+
+  test("Drift.binDrift: identical groups get identical drift; bounds") {
+    import graft.llmops.Drift
+    val bins = samples(Gen.choose(0L, 9L), 50)
+    val df = (bins.map(("a", _)) ++ bins.map(("b", _))).toDF("g", "b")
+    val got = Drift.binDrift(df, "g", "b", 10).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got("a") == got("b")) // same distribution ⇒ same drift
+    assert(got("a")._1 >= 0.0)
+    assert(got("a")._2 >= 0.0 && got("a")._2 <= 1.0)
+  }
+
+  test("Drift.conformalCoverage: τ monotone in the keep rate; " +
+    "coverage bounded") {
+    import graft.llmops.Drift
+    val scores = samples(Gen.choose(0, 1000), 200).map(_ / 1000.0)
+    val df = scores.zipWithIndex.map { case (s, i) =>
+      (i.toLong, "g", s)
+    }.toDF("id", "grp", "score")
+    def one(num: Int) = Drift.conformalCoverage(df, "id", "grp",
+      "score", 1000, 4, num, 10).collect().head
+    val (t8, t9) = (one(8), one(9))
+    if (!t8.isNullAt(1) && !t9.isNullAt(1))
+      assert(t9.getLong(1) >= t8.getLong(1))
+    assert(t9.getDouble(5) >= 0.0 && t9.getDouble(5) <= 1.0)
+  }
+
+  test("Drift.medianShiftBhFdr: invariant under input row order") {
+    import graft.llmops.Drift
+    val vals = samples(Gen.choose(0L, 50L), 80)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (s"s${i % 3}", s"l${i % 2}", i.toLong, v)
+    }
+    def run(rs: Seq[(String, String, Long, Long)]) =
+      Drift.medianShiftBhFdr(rs.toDF("src", "lng", "doc_id", "v"),
+          Seq("src", "lng"), "doc_id", "v", 20, 0.1)
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val fwd = run(rows)
+    assert(run(rows.reverse) == fwd)
+    assert(run(rows.sortBy(_._4)) == fwd)
+  }
 }
