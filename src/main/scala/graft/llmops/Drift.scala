@@ -241,6 +241,100 @@ object Drift {
         / col("n_eval").cast("double"))
   }
 
+  /** Mann–Whitney rank AUC per group vs the rest of the corpus: the
+    * exact tie-corrected probability that a random row of the group
+    * exceeds a random row of the complement (+ ½ per tie) — the
+    * standard nonparametric EFFECT SIZE for "is this slice's
+    * distribution stochastically larger", with Cliff's δ = 2·AUC − 1
+    * alongside. No ranks are ever materialized: over the value
+    * histogram, 2U = Σ_v c_own(v) · (2·rest_below(v) + rest_at(v))
+    * stays integral (DECIMAL-summed so 100 TB corpus products cannot
+    * overflow a long), and AUC is the single terminal division.
+    * Same scale shape as [[ksByGroup]]: one corpus-sized (group,
+    * value) aggregation, then bounded-grid windows.
+    * Returns (groupCol, n_grp, n_rest, auc, cliffs_delta). */
+  def rankAucByGroup(df: DataFrame, groupCol: String, vCol: String)
+      : DataFrame = {
+    val c = df.select(col(groupCol).as("g"), col(vCol).as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+      .barrier()
+    val ng = c.groupBy(col("g")).agg(sum(col("cnt")).as("n_g"))
+    val cv = c.groupBy(col("v")).agg(sum(col("cnt")).as("c_all"))
+    val tot = ng.agg(sum(col("n_g")).as("n_all"))
+    val wg = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ng.crossJoin(broadcast(cv))
+      .join(c, Seq("g", "v"), "left")
+      .withColumn("c_own", coalesce(col("cnt"), lit(0L)))
+      .withColumn("c_rest", col("c_all") - col("c_own"))
+      .withColumn("cum_rest", sum(col("c_rest")).over(wg))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_rest", col("n_all") - col("n_g"))
+      .filter(col("n_rest") > 0)
+      .withColumn("t", col("c_own").cast("decimal(38,0)") *
+        (lit(2L) * (col("cum_rest") - col("c_rest")) + col("c_rest"))
+          .cast("decimal(38,0)"))
+      .groupBy(col("g").as(groupCol), col("n_g").as("n_grp"),
+        col("n_rest"))
+      .agg(sum(col("t")).as("u2"))
+      .withColumn("auc", col("u2").cast("double") /
+        (lit(2.0) * (col("n_grp").cast("double")
+          * col("n_rest").cast("double"))))
+      .withColumn("cliffs_delta", lit(2.0) * col("auc") - lit(1.0))
+      .drop("u2")
+  }
+
+  /** Energy distance (Székely) per group vs the rest:
+    * 2·E|X−Y| − E|X−X'| − E|Y−Y'|, zero iff the two distributions
+    * coincide and sensitive to every moment (KS catches location,
+    * energy also catches spread/shape). Exact over the discrete
+    * support: the three expectations are integral sums over the
+    * bounded value-pair grid (#groups × |V|² rows — support-bounded,
+    * never corpus²), DECIMAL-summed, with three terminal divisions.
+    * Returns (groupCol, n_grp, n_rest, energy). */
+  def energyDistanceByGroup(df: DataFrame, groupCol: String,
+      vCol: String): DataFrame = {
+    val c = df.select(col(groupCol).as("g"), col(vCol).as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+      .barrier()
+    val ng = c.groupBy(col("g")).agg(sum(col("cnt")).as("n_g"))
+    val cv = c.groupBy(col("v")).agg(sum(col("cnt")).as("c_all"))
+    val tot = ng.agg(sum(col("n_g")).as("n_all"))
+    val h = ng.crossJoin(broadcast(cv))
+      .join(c, Seq("g", "v"), "left")
+      .withColumn("c_own", coalesce(col("cnt"), lit(0L)))
+      .withColumn("c_rest", col("c_all") - col("c_own"))
+      .select(col("g"), col("n_g"), col("v"), col("c_own"),
+        col("c_rest"))
+      .barrier() // both sides of the value-pair self-join
+    val pairs = h
+      .select(col("g"), col("n_g"), col("v").as("u"),
+        col("c_own").as("au"), col("c_rest").as("bu"))
+      .join(broadcast(h.select(col("g"), col("v"),
+        col("c_own").as("av"), col("c_rest").as("bv"))), Seq("g"))
+      .withColumn("dist", abs(col("u") - col("v")))
+    pairs.groupBy(col("g"), col("n_g"))
+      .agg(
+        sum(col("au").cast("decimal(38,0)") * col("av") * col("dist"))
+          .as("sa"),
+        sum(col("bu").cast("decimal(38,0)") * col("bv") * col("dist"))
+          .as("sb"),
+        sum(col("au").cast("decimal(38,0)") * col("bv") * col("dist"))
+          .as("sc"))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_rest", col("n_all") - col("n_g"))
+      .filter(col("n_rest") > 0)
+      .select(col("g").as(groupCol), col("n_g").as("n_grp"),
+        col("n_rest"),
+        (lit(2.0) * col("sc").cast("double")
+            / (col("n_g").cast("double") * col("n_rest").cast("double"))
+          - col("sa").cast("double")
+            / (col("n_g").cast("double") * col("n_g").cast("double"))
+          - col("sb").cast("double")
+            / (col("n_rest").cast("double")
+              * col("n_rest").cast("double"))).as("energy"))
+  }
+
   /** floor(score · scaleTo) — the bounded-support discretization all
     * conformal pieces share. */
   private def discretized(score: org.apache.spark.sql.Column,

@@ -802,5 +802,104 @@ object EvalQueries {
         FROM curve JOIN s50 USING (bands, rpb)"""),
       (s, _) =>
         graft.llmops.DedupAudit.lshPlanCurve(s, sigLen = 64,
-          sGridDen = 20)))
+          sGridDen = 20)),
+
+    // Mann–Whitney rank AUC per source (Drift.rankAucByGroup): the
+    // exact tie-corrected P(random doc of the source is longer than
+    // a random doc of the rest) + Cliff's δ — the nonparametric
+    // effect size that tells an operator HOW shifted a slice is
+    // where q254's KS only says whether. 2U stays integral over the
+    // value histogram (rest-below/rest-at decomposition), summed in
+    // DECIMAL/HUGEINT so corpus-scale products cannot overflow.
+    QueryDef(
+      "q261_rank_auc",
+      Some("""
+        WITH dv AS (SELECT source AS g,
+                           CAST(len(string_split(text, ' ')) AS BIGINT)
+                             AS v
+                    FROM documents),
+        c AS (SELECT g, v, count(*) AS cnt FROM dv GROUP BY 1, 2),
+        ng AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g
+               FROM c GROUP BY 1),
+        cv AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS c_all
+               FROM c GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM c),
+        j AS (SELECT ng.g, ng.n_g, cv.v, cv.c_all,
+                     coalesce(c.cnt, 0) AS c_own
+              FROM ng CROSS JOIN cv
+              LEFT JOIN c ON ng.g = c.g AND cv.v = c.v),
+        cum AS (SELECT g, n_g, v, c_own, c_all - c_own AS c_rest,
+                       sum(c_all - c_own)
+                         OVER (PARTITION BY g ORDER BY v) AS cum_rest
+                FROM j),
+        u AS (SELECT g, n_g, n_all - n_g AS n_rest,
+                     CAST(sum(CAST(c_own AS HUGEINT)
+                       * (2 * (cum_rest - c_rest) + c_rest))
+                       AS DOUBLE) AS u2
+              FROM cum CROSS JOIN tot WHERE n_all - n_g > 0
+              GROUP BY 1, 2, 3),
+        a AS (SELECT g, n_g, n_rest,
+                     u2 / (CAST(2.0 AS DOUBLE)
+                       * (CAST(n_g AS DOUBLE)
+                          * CAST(n_rest AS DOUBLE))) AS auc
+              FROM u)
+        SELECT g AS source, n_g AS n_grp, n_rest, auc,
+               CAST(2.0 AS DOUBLE) * auc - CAST(1.0 AS DOUBLE)
+                 AS cliffs_delta
+        FROM a"""),
+      (s, d) =>
+        Drift.rankAucByGroup(
+          t(s, d, "documents").select(col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("v")),
+          "source", "v")),
+
+    // Energy distance per source (Drift.energyDistanceByGroup —
+    // Székely's 2E|X−Y| − E|X−X'| − E|Y−Y'|): zero iff the source's
+    // length distribution matches the rest, sensitive to spread and
+    // shape where KS/AUC mostly see location. All three expectations
+    // are exact integral sums over the bounded value-PAIR grid
+    // (support², never corpus²), HUGEINT/DECIMAL-summed, three
+    // terminal divisions.
+    QueryDef(
+      "q262_energy_distance",
+      Some("""
+        WITH dv AS (SELECT source AS g,
+                           CAST(len(string_split(text, ' ')) AS BIGINT)
+                             AS v
+                    FROM documents),
+        c AS (SELECT g, v, count(*) AS cnt FROM dv GROUP BY 1, 2),
+        ng AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g
+               FROM c GROUP BY 1),
+        cv AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS c_all
+               FROM c GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM c),
+        h AS (SELECT ng.g, ng.n_g, cv.v,
+                     coalesce(c.cnt, 0) AS c_own,
+                     cv.c_all - coalesce(c.cnt, 0) AS c_rest
+              FROM ng CROSS JOIN cv
+              LEFT JOIN c ON ng.g = c.g AND cv.v = c.v),
+        pr AS (SELECT a.g, a.n_g, abs(a.v - b.v) AS dist,
+                      a.c_own AS au, a.c_rest AS bu,
+                      b.c_own AS av, b.c_rest AS bv
+               FROM h a JOIN h b ON a.g = b.g),
+        sm AS (SELECT g, n_g,
+                      sum(CAST(au AS HUGEINT) * av * dist) AS sa,
+                      sum(CAST(bu AS HUGEINT) * bv * dist) AS sb,
+                      sum(CAST(au AS HUGEINT) * bv * dist) AS sc
+               FROM pr GROUP BY 1, 2)
+        SELECT g AS source, n_g AS n_grp, n_all - n_g AS n_rest,
+               CAST(2.0 AS DOUBLE) * CAST(sc AS DOUBLE)
+                   / (CAST(n_g AS DOUBLE)
+                      * CAST(n_all - n_g AS DOUBLE))
+                 - CAST(sa AS DOUBLE)
+                   / (CAST(n_g AS DOUBLE) * CAST(n_g AS DOUBLE))
+                 - CAST(sb AS DOUBLE)
+                   / (CAST(n_all - n_g AS DOUBLE)
+                      * CAST(n_all - n_g AS DOUBLE)) AS energy
+        FROM sm CROSS JOIN tot WHERE n_all - n_g > 0"""),
+      (s, d) =>
+        Drift.energyDistanceByGroup(
+          t(s, d, "documents").select(col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("v")),
+          "source", "v")))
 }

@@ -175,6 +175,41 @@ class DriftSpec extends AnyFunSuite {
     assert(got(1L) == ((1L, 1.0, 1.0, 1.0)))
   }
 
+  test("rankAucByGroup: separation gives 1/0, identical groups 0.5 " +
+      "exactly under ties") {
+    val sep = ((1 to 10).map(i => ("lo", i.toLong)) ++
+      (1 to 10).map(i => ("hi", 100L + i))).toDF("g", "v")
+    val gotSep = Drift.rankAucByGroup(sep, "g", "v").collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(gotSep("hi") == ((1.0, 1.0)))
+    assert(gotSep("lo") == ((0.0, -1.0)))
+    // identical tied distributions: the ½-per-tie correction lands
+    // AUC on exactly 0.5 (2U = 100 of 200 in this fixture)
+    val same = ((1 to 10).map(i => ("a", (i % 3).toLong)) ++
+      (1 to 10).map(i => ("b", (i % 3).toLong))).toDF("g", "v")
+    val gotSame = Drift.rankAucByGroup(same, "g", "v").collect()
+      .map(_.getDouble(3))
+    assert(gotSame.length == 2 && gotSame.forall(_ == 0.5))
+  }
+
+  test("energyDistanceByGroup: ~0 for identical, large and " +
+      "symmetric for separated groups") {
+    val same = ((1 to 12).map(i => ("a", (i % 4).toLong)) ++
+      (1 to 12).map(i => ("b", (i % 4).toLong))).toDF("g", "v")
+    val gotSame = Drift.energyDistanceByGroup(same, "g", "v")
+      .collect().map(_.getDouble(3))
+    assert(gotSame.length == 2)
+    assert(gotSame.forall(e => math.abs(e) < 1e-12))
+    val sep = ((1 to 8).map(i => ("lo", (i % 2).toLong)) ++
+      (1 to 12).map(i => ("hi", 50L + i % 3))).toDF("g", "v")
+    val got = Drift.energyDistanceByGroup(sep, "g", "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // two groups: "rest of lo" IS hi, so both rows state the same
+    // two-sample distance — and a ~50-token shift dominates it
+    assert(got("lo") > 50.0 && got("lo") == got("hi"))
+  }
+
   test("lshPlanCurve: S-curve shape, exact (1,1) diagonal, s50") {
     val c = graft.llmops.DedupAudit.lshPlanCurve(spark, 16, 10)
       .collect()
