@@ -127,11 +127,15 @@ object Drift {
     *
     * Each cell tests a deterministic fixed-size probe (the `probe`
     * smallest doc-id hashes — the way a 100 TB audit actually runs,
-    * and what keeps the binomial tail exact: C(m,k) and 2^m stay in
-    * BIGINT for m ≤ 62). p = min(1, 2·P(X ≥ max(wins, losses))/1)
-    * with the binomial tail summed by the integral sequential-
-    * product fold (q228); BH then ranks the family by p and takes
-    * the tail-running-min of p·M/rank.
+    * and what keeps the binomial tail exact: the FINAL values C(m,k)
+    * and 2^m stay in BIGINT for m ≤ 62, but the sequential-product
+    * fold's intermediates `acc · (m−k+i)` reach C(62,31)·62 ≈ 2.6e19
+    * > 2^63−1, so the fold runs in DECIMAL(38,0) — each step's
+    * integral quotient is a binomial coefficient that fits a long,
+    * only the pre-division product needs the headroom). p = min(1,
+    * 2·P(X ≥ max(wins, losses))/1) with the binomial tail summed by
+    * the integral sequential-product fold (q228); BH then ranks the
+    * family by p and takes the tail-running-min of p·M/rank.
     *
     * Corpus-sized work: the value histogram for the median and the
     * per-cell hash ranking. Everything after is #cells-sized.
@@ -141,7 +145,9 @@ object Drift {
       : DataFrame = {
     require(probe >= 1 && probe <= 62,
       s"medianShiftBhFdr: probe=$probe must be in [1, 62] " +
-        "(exact dyadic p-values need 2^m and C(m,k) in BIGINT)")
+        "(exact dyadic p-values need 2^m and the tail sum in BIGINT; " +
+        "the C(m,k) fold itself runs in DECIMAL because its " +
+        "intermediates exceed BIGINT already at m = 62)")
     val cells = cellCols.map(col)
     // two corpus scans (median histogram, probe ranking) — one
     // materialization; the broadcast build of `med` forces it
@@ -167,16 +173,23 @@ object Drift {
           lit(0L)).as("m"),
         coalesce(Aggregates.countIf(col("__v") > col("med")),
           lit(0L)).as("wins"))
-    // exact two-sided binomial tail, q228's integral product fold
+    // exact two-sided binomial tail, q228's integral product fold.
+    // The fold accumulates in DECIMAL(38,0): each step's quotient
+    // acc·(m−k+i) div i is the binomial coefficient C(m−k+i, i) —
+    // long-sized for m ≤ 62 — but the product BEFORE the division
+    // peaks at C(m,k)·m ≈ 2.6e19 for m = 62, past 2^63−1 (non-ANSI
+    // arithmetic would wrap silently and corrupt the BH ranking).
     val keyCols = cells ++ Seq(col("n_probe"), col("m"), col("wins"))
     val scored = stats
       .select(keyCols :+ explode(
         sequence(greatest(col("wins"), col("m") - col("wins")),
           col("m"))).as("k"): _*)
       .withColumn("cmk",
-        when(col("k") === 0, lit(1L)).otherwise(expr(
-          "aggregate(sequence(1L, k), CAST(1 AS BIGINT), " +
-            "(acc, i) -> acc * (m - k + i) div i)")))
+        when(col("k") === 0, lit(1L).cast("decimal(38,0)"))
+          .otherwise(expr(
+            "aggregate(sequence(1L, k), CAST(1 AS DECIMAL(38,0)), " +
+              "(acc, i) -> CAST((acc * (m - k + i)) div i " +
+              "AS DECIMAL(38,0)))")))
       .groupBy(keyCols: _*)
       .agg(sum(col("cmk")).cast("long").as("tail_sum"))
       .withColumn("p_sign", least(lit(1.0),
@@ -217,7 +230,9 @@ object Drift {
     * and the coverage ratio are the only per-group outputs.
     * Returns (groupCol, tau, n_cal, n_eval, n_covered, coverage);
     * an empty calibration slice yields NULL τ and zero coverage,
-    * identically in the oracle. */
+    * and a non-empty slice too small for the rank yields the
+    * τ = Long.MaxValue sentinel (+∞: full coverage — see
+    * [[thresholdFromHistogram]]), identically in the oracle. */
   def conformalCoverage(df: DataFrame, idCol: String,
       groupCol: String, scoreCol: String, scaleTo: Int,
       calibBuckets: Int, keepNum: Int, keepDen: Int): DataFrame = {
@@ -364,7 +379,14 @@ object Drift {
   /** Conformal threshold from a (q, cnt) calibration histogram: the
     * ⌈(n_cal + 1) · keepNum/keepDen⌉-th smallest discretized score,
     * via a cumsum over the bounded histogram. One-row frame
-    * (tau, n_cal); NULL τ on an empty histogram. */
+    * (tau, n_cal); NULL τ on an empty histogram. When the slice is
+    * non-empty but too small for the rank — ⌈(n_cal+1)·keep⌉ > n_cal,
+    * i.e. n_cal < keepNum/(keepDen−keepNum) — split conformal defines
+    * τ = +∞ (every score conforms), so τ is the Long.MaxValue
+    * sentinel and coverage degrades CONSERVATIVELY to 1, not to the
+    * fail-closed 0 a NULL τ would produce (q ≤ NULL is never true —
+    * every small calibration slice would read as maximally
+    * drifted). */
   def thresholdFromHistogram(vh: DataFrame, keepNum: Int,
       keepDen: Int): DataFrame = {
     require(keepNum >= 1 && keepDen > keepNum,
@@ -374,9 +396,14 @@ object Drift {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     vh.withColumn("cum", sum(col("cnt")).over(wcum))
       .crossJoin(broadcast(nc))
-      .filter(col("cum") >=
-        expr(s"((n_cal + 1) * $keepNum + ${keepDen - 1}) " +
-          s"div $keepDen"))
-      .agg(min(col("q")).as("tau"), min(col("n_cal")).as("n_cal"))
+      .agg(
+        min(when(col("cum") >=
+          expr(s"((n_cal + 1) * $keepNum + ${keepDen - 1}) " +
+            s"div $keepDen"), col("q"))).as("tau_sel"),
+        min(col("n_cal")).as("n_cal"))
+      .select(
+        coalesce(col("tau_sel"),
+          when(col("n_cal") > 0, lit(Long.MaxValue))).as("tau"),
+        col("n_cal"))
   }
 }

@@ -618,8 +618,9 @@ object EvalQueries {
         tl AS (SELECT source, lang, n_probe, m, wins,
                       CAST(sum(CASE WHEN k = 0 THEN 1 ELSE
                         list_reduce(
-                          list_prepend(CAST(1 AS BIGINT),
-                            range(1, k + 1)),
+                          list_prepend(CAST(1 AS HUGEINT),
+                            list_transform(range(1, k + 1),
+                              i -> CAST(i AS HUGEINT))),
                           (acc, i) -> acc * (m - k + i) // i)
                         END) AS BIGINT) AS tail_sum
                FROM (SELECT *, unnest(range(greatest(wins, m - wins),
@@ -704,10 +705,14 @@ object EvalQueries {
         vh AS (SELECT q, count(*) AS cnt FROM b WHERE is_cal
                GROUP BY 1),
         nc AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_cal FROM vh),
-        ta AS (SELECT min(q) AS tau, min(n_cal) AS n_cal FROM
+        ta AS (SELECT coalesce(
+                        min(CASE WHEN cum >= ((n_cal + 1) * 9 + 9) // 10
+                                 THEN q END),
+                        CASE WHEN min(n_cal) > 0
+                             THEN 9223372036854775807 END) AS tau,
+                      min(n_cal) AS n_cal FROM
                 (SELECT q, sum(cnt) OVER (ORDER BY q) AS cum FROM vh)
-                CROSS JOIN nc
-                WHERE cum >= ((n_cal + 1) * 9 + 9) // 10)
+                CROSS JOIN nc)
         SELECT g AS source, tau, n_cal, count(*) AS n_eval,
                count(*) FILTER (WHERE q <= tau) AS n_covered,
                CAST(count(*) FILTER (WHERE q <= tau) AS DOUBLE)

@@ -103,6 +103,34 @@ class DriftSpec extends AnyFunSuite {
     assert(got.forall { case (p, bh) => bh >= p - 1e-12 })
   }
 
+  test("medianShiftBhFdr: probe=62 boundary is exact — the C(m,k) " +
+      "fold runs in DECIMAL where BIGINT intermediates would wrap") {
+    // cell a: 32 probed docs above / 30 below the global median →
+    // m = 62, the documented boundary where the fold intermediate
+    // C(62,31)·62 ≈ 2.6e19 exceeds 2^63−1; cell b pins med = 5
+    val rows =
+      (1 to 32).map(i => ("a", "x", i.toLong, 10L)) ++
+        (1 to 30).map(i => ("a", "x", 100L + i, 0L)) ++
+        (1 to 100).map(i => ("b", "x", 1000L + i, 5L))
+    val got = Drift
+      .medianShiftBhFdr(rows.toDF("src", "lng", "doc_id", "v"),
+        Seq("src", "lng"), "doc_id", "v", probe = 62, alpha = 0.1)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val (m, wins, p) = got("a")
+    assert(m == 62L && wins == 32L)
+    // exact reference via BigInt: tail = Σ_{k=32}^{62} C(62,k)
+    def c(n: Int, k: Int): BigInt =
+      (1 to k).foldLeft(BigInt(1))((a, i) => a * (n - k + i) / i)
+    val tail = (32 to 62).map(k => c(62, k)).sum
+    val exp = math.min(1.0,
+      2.0 * tail.toDouble / math.pow(2.0, 62))
+    assert(math.abs(p - exp) < 1e-12)
+    // a wrapped fold lands far away; the true value is ≈ 0.899
+    assert(p > 0.89 && p < 0.91)
+  }
+
   test("conformalCoverage: tau is the exact order statistic; " +
       "coverage matches a manual count") {
     val df = (1 to 200).map(i => (i.toLong, "g", i.toDouble / 200.0))
@@ -153,6 +181,41 @@ class DriftSpec extends AnyFunSuite {
     assert(r.head.isNullAt(1)) // tau
     assert(r.head.getLong(4) == 0L) // n_covered
     assert(r.head.getDouble(5) == 0.0)
+  }
+
+  test("thresholdFromHistogram: non-empty slice below the rank gives " +
+      "the +inf sentinel (split conformal's tau), not NULL") {
+    // n_cal = 3 at keep 9/10: ceil((3+1)·9/10) = 4 > 3 → τ = +∞
+    val vh = Seq((5L, 2L), (7L, 1L)).toDF("q", "cnt")
+    val r = Drift.thresholdFromHistogram(vh, 9, 10).collect().head
+    assert(r.getLong(0) == Long.MaxValue && r.getLong(1) == 3L)
+    // with enough mass the selected order statistic is unchanged
+    val vh2 = (1 to 20).map(i => (i.toLong, 1L)).toDF("q", "cnt")
+    val r2 = Drift.thresholdFromHistogram(vh2, 9, 10).collect().head
+    assert(r2.getLong(0) == 19L && r2.getLong(1) == 20L)
+  }
+
+  test("conformalCoverage: calibration slice smaller than the rank " +
+      "reports FULL coverage (conservative), not zero") {
+    // pick 3 calibration ids (hash residue 0 mod 2) and 10 eval ids
+    // so n_cal = 3 < 9 — the rank selects no histogram row
+    val res = (1 to 500).map(_.toLong).toDF("id")
+      .select(col("id"),
+        pmod(graft.llmops.TextOps.hash60(col("id").cast("string")),
+          lit(2L)).as("h"))
+      .collect()
+    val cal = res.filter(_.getLong(1) == 0L).map(_.getLong(0)).take(3)
+    val ev = res.filter(_.getLong(1) == 1L).map(_.getLong(0)).take(10)
+    val df = (cal ++ ev).toSeq.map(i => (i, "g", 0.5))
+      .toDF("id", "grp", "score")
+    val r = Drift.conformalCoverage(df, "id", "grp", "score",
+      scaleTo = 1000, calibBuckets = 2, keepNum = 9, keepDen = 10)
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == Long.MaxValue) // tau sentinel
+    assert(r.head.getLong(2) == 3L) // n_cal
+    assert(r.head.getLong(4) == 10L) // n_covered == n_eval
+    assert(r.head.getDouble(5) == 1.0)
   }
 
   test("simplifiedSilhouette: hand-computed a/b margins per cell") {
