@@ -58,6 +58,26 @@ object Sha1Mod1e16 {
     Sha1Mod1e16(children.head)
 }
 
+/** Registration shim for Spark's OWN `BloomFilterMightContain`
+  * expression: it is fully implemented in spark-catalyst (used by the
+  * runtime-filter planner) but not exposed in the SQL function
+  * registry, so the decontamination probe (`TextOps
+  * .bloomDecontaminate`) could otherwise only reach it through a
+  * Scala UDF — a codegen barrier on the corpus-side scan. Injected as
+  * `graft_might_contain(bloomBytes, value)`; the bloom side must be
+  * foldable (a binary literal of the serialized filter), exactly the
+  * expression's own contract. */
+object BloomMightContain {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain].getName,
+    "graft_might_contain")
+
+  def builder(children: Seq[Expression]): Expression =
+    org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      children(0), children(1))
+}
+
 /** Session-extension entry point: `--conf spark.sql.extensions=
   * graft.functions.GraftExtensions` registers the engine's native
   * expressions (`dn_uuid`, `hash60`) for SQL and `call_function` use
@@ -80,6 +100,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       RepeatGram.info, RepeatGram.builder))
     ext.injectFunction((FunctionIdentifier("shingle_hash60_all"),
       ShingleHashAll60.info, ShingleHashAll60.builder))
+    ext.injectFunction((FunctionIdentifier("graft_might_contain"),
+      BloomMightContain.info, BloomMightContain.builder))
     ext.injectOptimizerRule(_ => LevenshteinThreshold)
   }
 }

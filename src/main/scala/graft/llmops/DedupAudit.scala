@@ -32,8 +32,12 @@ object DedupAudit {
   /** Long-format report: (section, dim, n, value). `bgBuckets` sizes
     * the background-pair sampler (expected n²/bgBuckets pairs — grow
     * it ∝ corpus size; 16 matches the q229 oracle at test scale). */
-  def report(docs: DataFrame, idCol: String, textCol: String,
+  def report(docs0: DataFrame, idCol: String, textCol: String,
       bgBuckets: Long = 16L): DataFrame = {
+    // exact-dedup-first, structurally (TextOps.exactDedupFirst): the
+    // audit measures the LSH route's behavior on the corpus that
+    // route actually sees — byte-identical mass collapsed to keepers
+    val docs = TextOps.exactDedupFirst(docs0, idCol, textCol).barrier()
     val truth = TextOps.ngramJaccardPairs(docs, idCol, textCol,
       minJac = 0.2, maxDf = 1000).barrier()
     val cand = TextOps.lshCandidatePairs(

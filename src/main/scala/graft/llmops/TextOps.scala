@@ -371,7 +371,9 @@ object TextOps {
     * Degenerate-bucket bound: a bucket of k docs would emit k²/2 pair
     * rows — quadratic on exact-duplicate mass (billions of identical
     * docs all land in one bucket). Contract: (1) run exact dedup (q40)
-    * BEFORE LSH so byte-identical docs are already collapsed; (2) as a
+    * BEFORE LSH so byte-identical docs are already collapsed —
+    * [[exactDedupFirst]] is the structural form, and every registered
+    * LSH route (q43/q71/q180, `dedup_audit`) enters through it; (2) as a
     * backstop, all-pairs generation is capped at `maxBucket` docs per
     * bucket (output ≤ maxBucket²/2 rows/bucket) and every doc beyond
     * the cap emits ONE "star" pair to the bucket minimum instead —
@@ -382,6 +384,28 @@ object TextOps {
   /** Default all-pairs cap per LSH bucket — referenced by the q43/q71
     * oracle SQL so both engines apply the identical cap + star rule. */
   val DefaultMaxBucket = 256
+
+  /** Exact-dedup-first: collapse byte-identical text mass to one
+    * deterministic keeper (min id per md5 fingerprint) — the
+    * STRUCTURAL form of [[lshCandidatePairs]]' precondition (1).
+    * Byte-identical docs share every signature, so a flood of them
+    * concentrates in single LSH buckets; the maxBucket cap keeps that
+    * linear but degrades the candidate set to star pairs. Running the
+    * near-dup route over keepers makes the hazard impossible instead
+    * of merely bounded: q43/q71/q180 and the `dedup_audit` job all
+    * enter LSH through this wrapper (each dropped duplicate is
+    * reachable from its keeper via the q40 fingerprint groups, so no
+    * information is lost). One hash aggregation over (fingerprint) +
+    * a semi join — exactly the q40 shape, linear at any corpus
+    * size. */
+  def exactDedupFirst(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val keep = df
+      .groupBy(md5(col(textCol)).as("__fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
 
   def lshCandidatePairs(sigs: DataFrame, idCol: String,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
@@ -1015,10 +1039,16 @@ object TextOps {
     * against the exact operator (q55 rows-only precedent for the
     * gate).
     *
-    * The probe is a Scala UDF by necessity, not habit: Spark's
-    * BloomFilterMightContain expression is internal to runtime-filter
-    * planning and not callable; the UDF is a bit-test over a
-    * broadcast array — no codegen boundary matters at that cost. */
+    * The probe stays entirely in Catalyst: Spark's own
+    * `BloomFilterMightContain` expression (implemented for the
+    * runtime-filter planner, absent from the SQL registry) is exposed
+    * via the session extensions as `graft_might_contain`, and the
+    * per-row hit count is `size(filter(arr, might_contain))` — a
+    * higher-order fold over the serialized filter shipped as one
+    * binary literal in the plan. Identical bit layout to the
+    * driver-built sketch (`stat.bloomFilter` and the expression share
+    * `util.sketch.BloomFilter`), so the switch from the old Scala-UDF
+    * probe is behavior-preserving (the parity spec pins it). */
   def bloomDecontaminate(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, fpp: Double = 0.01): DataFrame = {
     val evalSh = eval
@@ -1038,12 +1068,13 @@ object TextOps {
         .withColumn("contaminated", lit(false))
     }
     val bloom = evalSh.stat.bloomFilter("esh", n, fpp)
-    val bc = train.sparkSession.sparkContext.broadcast(bloom)
-    val probe = udf((shs: Seq[Long]) =>
-      if (shs == null) 0L else shs.count(bc.value.mightContainLong(_)).toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val hits = size(filter(col("arr"),
+      x => call_function("graft_might_contain", lit(bos.toByteArray), x)))
     base.select(col(idCol),
         size(col("arr")).cast("long").as("n_shingles"),
-        probe(col("arr")).as("n_hit"))
+        coalesce(hits.cast("long"), lit(0L)).as("n_hit"))
       .withColumn("contaminated", col("n_hit") > 0)
   }
 

@@ -89,22 +89,44 @@ object Events {
     * one shuffle of each side keyed by bin. Skewed bins (event
     * hot-spots) are ordinary AQE skew-join territory, not a cartesian.
     * Intervals and events survive with all their columns; bounds are
-    * compared as the integer tick values the caller supplies. */
+    * compared as the integer tick values the caller supplies.
+    *
+    * Pathological-interval guard: an interval spanning the whole time
+    * axis (an open-ended maintenance window, a sentinel end date)
+    * would replicate over EVERY bin — span/binWidth rows for one
+    * input row, easily corpus-sized. Intervals covering more than
+    * `maxBinsPerInterval` bins therefore take a different route:
+    * they are joined by a broadcast range join (BroadcastNestedLoop)
+    * instead of bin replication. Whales are rare by the same
+    * assumption that makes the bin trick work (binWidth ≈ median
+    * span), so the broadcast side stays tiny; each interval takes
+    * exactly one of the two routes, so the union is disjoint and
+    * needs no dedup. */
   def rangeJoin(events: DataFrame, tsCol: String, intervals: DataFrame,
-      startCol: String, endCol: String, binWidth: Long): DataFrame = {
+      startCol: String, endCol: String, binWidth: Long,
+      maxBinsPerInterval: Long = 4096L): DataFrame = {
     require(binWidth > 0, "rangeJoin: binWidth must be positive")
+    require(maxBinsPerInterval >= 1,
+      s"rangeJoin: maxBinsPerInterval=$maxBinsPerInterval")
     // `div` = exact Long integer division ("/" on longs is DOUBLE);
     // ticks are assumed non-negative (epoch micros/nanos), where
     // truncating div == floor div
-    val binned = intervals.withColumn("__bin", explode(sequence(
+    val nBins = expr(s"`$endCol` div ${binWidth}L") -
+      expr(s"`$startCol` div ${binWidth}L") + lit(1L)
+    val short = intervals.filter(nBins <= maxBinsPerInterval)
+    val whales = intervals.filter(nBins > maxBinsPerInterval)
+    val binned = short.withColumn("__bin", explode(sequence(
       expr(s"`$startCol` div ${binWidth}L"),
       expr(s"`$endCol` div ${binWidth}L"))))
     val keyed = events.withColumn("__bin",
       expr(s"`$tsCol` div ${binWidth}L"))
-    keyed.join(binned,
+    val binRoute = keyed.join(binned,
         keyed("__bin") === binned("__bin") &&
           keyed(tsCol) >= binned(startCol) && keyed(tsCol) <= binned(endCol))
       .drop("__bin")
+    val whaleRoute = events.join(broadcast(whales),
+      events(tsCol) >= whales(startCol) && events(tsCol) <= whales(endCol))
+    binRoute.unionByName(whaleRoute)
   }
 
   /** Interval-overlap join: pairs of intervals from `a` and `b` that

@@ -44,27 +44,34 @@ object LlmQueries {
       s"ELSE $dot / (sqrt($na)*sqrt($nb)) END)"
 
   /** DuckDB CTEs: distinct 3-word shingles per doc (parity with
-    * TextOps.shingles: Spark sequence(1,n-2) == DuckDB range(1,n-1)). */
-  private val dkShingles =
-    """t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
-      |sarr AS (SELECT doc_id,
-      |        CASE WHEN len(toks) >= 3
-      |             THEN list_transform(range(1, len(toks)-1),
-      |                    i -> array_to_string(toks[i:i+2], ' '))
-      |             ELSE []::VARCHAR[] END AS shs
-      |      FROM t),
-      |s AS (SELECT doc_id, unnest(list_distinct(shs)) AS sh FROM sarr)""".stripMargin
+    * TextOps.shingles: Spark sequence(1,n-2) == DuckDB range(1,n-1)).
+    * Parameterized over the source relation so the LSH chain can run
+    * over the exact-deduped corpus (dkLshCand) while q41/q42/q126
+    * keep the raw one. */
+  private def dkShinglesFrom(src: String): String =
+    s"""t AS (SELECT doc_id, string_split(text,' ') toks FROM $src),
+       |sarr AS (SELECT doc_id,
+       |        CASE WHEN len(toks) >= 3
+       |             THEN list_transform(range(1, len(toks)-1),
+       |                    i -> array_to_string(toks[i:i+2], ' '))
+       |             ELSE []::VARCHAR[] END AS shs
+       |      FROM t),
+       |s AS (SELECT doc_id, unnest(list_distinct(shs)) AS sh FROM sarr)""".stripMargin
 
-  private val dkMinhashSigs = {
+  private val dkShingles = dkShinglesFrom("documents")
+
+  private def dkMinhashSigsFrom(src: String): String = {
     val perms = TextOps.MinHashPerms
     val p = TextOps.MinHashP
     val slots = perms.zipWithIndex.map { case ((a, b), i) =>
       s"min(($a*xm+$b)%$p) AS sig_$i"
     }.mkString(", ")
-    s"""$dkShingles,
+    s"""${dkShinglesFrom(src)},
        |x AS (SELECT doc_id, ${dkHash60("sh")} % $p AS xm FROM s),
        |sigs AS (SELECT doc_id, $slots FROM x GROUP BY doc_id)""".stripMargin
   }
+
+  private val dkMinhashSigs = dkMinhashSigsFrom("documents")
 
   /** DuckDB CTEs: LSH candidate pairs with the SAME per-bucket cap as
     * `TextOps.lshCandidatePairs` (all (i<j) pairs among the first
@@ -75,7 +82,13 @@ object LlmQueries {
     * there; the mirror matters the day one does. */
   private val dkLshCand = {
     val mb = TextOps.DefaultMaxBucket
-    s"""$dkMinhashSigs,
+    // exact-dedup-first (TextOps.exactDedupFirst): the LSH chain runs
+    // over the min-id keeper per byte-identical fingerprint, mirrored
+    // here so both engines collapse duplicate mass before banding
+    s"""dd AS (SELECT min(doc_id) AS doc_id FROM documents
+       |         GROUP BY md5(text)),
+       |ddocs AS (SELECT d.* FROM documents d JOIN dd USING (doc_id)),
+       |${dkMinhashSigsFrom("ddocs")},
        |banded AS (
        |  SELECT doc_id AS doc, j AS band,
        |         CASE j WHEN 0 THEN sig_0 WHEN 1 THEN sig_1
@@ -181,6 +194,9 @@ object LlmQueries {
         TextOps.minhashSignatures(t(s, d, "documents"), "doc_id", "text")),
 
     // MinHash LSH banding: candidate pairs sharing any signature band.
+    // Routes through exactDedupFirst — byte-identical mass collapses
+    // to its q40 keeper BEFORE banding (structural precondition, not
+    // prose; the oracle's dd/ddocs CTEs mirror it).
     QueryDef(
       "q43_dedup_minhash_lsh",
       Some(s"""
@@ -188,7 +204,9 @@ object LlmQueries {
         SELECT doc_a, doc_b FROM cand"""),
       (s, d) =>
         TextOps.lshCandidatePairs(
-          TextOps.minhashSignatures(t(s, d, "documents"), "doc_id", "text"),
+          TextOps.minhashSignatures(
+            TextOps.exactDedupFirst(t(s, d, "documents"), "doc_id",
+              "text"), "doc_id", "text"),
           "doc_id")),
 
     // 16-bit SimHash per document.
@@ -228,7 +246,8 @@ object LlmQueries {
         JOIN sigs sb ON sb.doc_id = c.doc_b"""),
       (s, d) => {
         val sigs = TextOps.minhashSignatures(
-          t(s, d, "documents"), "doc_id", "text")
+          TextOps.exactDedupFirst(t(s, d, "documents"), "doc_id",
+            "text"), "doc_id", "text")
         TextOps.minhashJaccardEstimate(
           TextOps.lshCandidatePairs(sigs, "doc_id"), sigs, "doc_id")
       }),
@@ -806,12 +825,17 @@ object LlmQueries {
                CAST(sum(caught) AS DOUBLE)/count(*) AS recall
         FROM lab GROUP BY 1"""),
       (s, d) => {
-        val docs = t(s, d, "documents")
+        // the whole audit runs on the exact-deduped corpus (the LSH
+        // route's structural precondition): truth AND candidates over
+        // the same keeper set, as in the oracle's dd/ddocs chain
+        val docs = TextOps.exactDedupFirst(t(s, d, "documents"),
+          "doc_id", "text").barrier()
         val truth = TextOps.ngramJaccardPairs(docs, "doc_id", "text",
             minJac = 0.2, maxDf = 1000)
           .barrier()
         val cand = TextOps.lshCandidatePairs(
-            TextOps.minhashSignatures(docs, "doc_id", "text"), "doc_id")
+            TextOps.minhashSignatures(docs, "doc_id", "text"),
+            "doc_id")
           .withColumn("hit", lit(1))
           .barrier()
         truth.join(cand, Seq("doc_a", "doc_b"), "left")
@@ -1131,8 +1155,9 @@ object LlmQueries {
         FROM ne CROSS JOIN w CROSS JOIN tri"""),
       (s, d) => {
         val cand = TextOps.lshCandidatePairs(
-          TextOps.minhashSignatures(t(s, d, "documents"), "doc_id",
-            "text"), "doc_id")
+          TextOps.minhashSignatures(
+            TextOps.exactDedupFirst(t(s, d, "documents"), "doc_id",
+              "text"), "doc_id", "text"), "doc_id")
         val e = cand.select(col("doc_a").as("src"),
           col("doc_b").as("dst")).distinct().barrier()
         val ne = e.agg(count(lit(1)).as("n_edges"))

@@ -614,7 +614,8 @@ object Streams {
     *
     * EXACTLY-ONCE under replay (since r9; counts are additive, so
     * unlike the min-merge stores a re-applied batch used to
-    * double-add): the store records the batch ids already merged,
+    * double-add): the store records the merged-epoch high-water mark
+    * (ids are monotone per checkpoint, so one row subsumes the set),
     * and — the part that makes it exactly-once rather than
     * almost — the ledger lives INSIDE the swapped store directory
     * (`<storeDir>/bands` + `<storeDir>/batches`), so one directory
@@ -654,7 +655,18 @@ object Streams {
     * if `batchId` is already ledgered; a crash between the two swap
     * renames leaves the complete previous store under `__prev`
     * (the [[toScdStore]] recovery story). The [[upsertSketchStore]]
-    * boundedness guard applies to the data side. */
+    * boundedness guard applies to the data side.
+    *
+    * The ledger is BOUNDED: Structured Streaming batch ids are
+    * strictly monotone for a given checkpoint (a failed epoch is
+    * re-delivered under the SAME id, never reordered), so membership
+    * of the merged-id set is equivalent to `batchId ≤ max(merged)` —
+    * the ledger keeps only that high-water mark, one row forever,
+    * instead of one row per micro-batch rewritten (coalesce(1))
+    * every cycle, whose total I/O and replay-check scan grew
+    * quadratically in stream lifetime. A legacy multi-row ledger
+    * compacts to the single-row form on its next merge (max over
+    * rows). */
   private def upsertLedgeredStore(spark: SparkSession, storeDir: String,
       batchData: DataFrame, batchId: Long, dataName: String,
       maxRows: Long, oversizeHint: String)(
@@ -670,18 +682,21 @@ object Streams {
           spark.read.parquet(s"$p/batches")))
       else None
     val existing = readStore(storePath).orElse(readStore(prevPath))
-    val alreadyMerged = existing.exists { case (_, ledger) =>
-      ledger.filter(col("batch_id") === batchId).limit(1).count() > 0
+    // high-water mark of merged epochs (None for a fresh store); the
+    // ledger read is a one-row (or legacy bounded) file, never data
+    val highWater: Option[Long] = existing.flatMap { case (_, ledger) =>
+      Option(ledger.agg(max(col("batch_id"))).first().get(0))
+        .map(_.asInstanceOf[Long])
     }
+    val alreadyMerged = highWater.exists(batchId <= _)
     if (!alreadyMerged) {
       import spark.implicits._
       val merged = existing match {
         case Some((cur, _)) => merge(cur, batchData)
         case None => batchData
       }
-      val ledger = existing.map(_._2).getOrElse(
-          Seq.empty[Long].toDF("batch_id"))
-        .unionByName(Seq(batchId).toDF("batch_id"))
+      val ledger = Seq(math.max(batchId, highWater.getOrElse(Long.MinValue)))
+        .toDF("batch_id")
       val tmp = new org.apache.hadoop.fs.Path(storeDir + "__tmp")
       merged.coalesce(1).write.mode("overwrite")
         .parquet(s"$tmp/$dataName")
@@ -943,6 +958,18 @@ object Streams {
         s"$storeDir/dfs")
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // the store's one-row meta table pins the df cap (and the index
+    // schemas, for schema-safe offline reads): admission decisions
+    // depend on maxDf, so a stream restarted — or a compaction run —
+    // with a different cap must fail fast, not silently diverge
+    val metaDir = s"$storeDir/meta"
+    if (fs.exists(new org.apache.hadoop.fs.Path(metaDir))) {
+      val storedDf = s.read.parquet(metaDir).first().getAs[Int]("max_df")
+      require(storedDf == maxDf,
+        s"curatedCommitIndexed: store $storeDir was created with " +
+          s"maxDf=$storedDf but this commit uses maxDf=$maxDf — the " +
+          "df cap is part of the store's admission contract")
+    }
     // every store read EXCLUDES the current batch id (partition
     // pruning — a replayed epoch must not see its own first attempt).
     // The template also supplies the read schema explicitly: a batch
@@ -1028,6 +1055,15 @@ object Streams {
       .select(col("sh"))
     def writePart(df: DataFrame, dir: String): Unit =
       df.write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+    // first commit stamps the meta table (cap + index schemas); a
+    // crash-replay re-stamps identical content, so no swap is needed
+    if (!fs.exists(new org.apache.hadoop.fs.Path(metaDir))) {
+      import s.implicits._
+      Seq((maxDf, fpTemplate.schema.json, batchPostings.schema.json,
+        dfTemplate.schema.json))
+        .toDF("max_df", "fps_schema", "postings_schema", "dfs_schema")
+        .coalesce(1).write.mode("overwrite").parquet(metaDir)
+    }
     // empty frames still write their partition: a replayed epoch that
     // (re-)derives an empty admission must erase a crashed first
     // attempt's partial rows, not skip past them
@@ -1055,23 +1091,52 @@ object Streams {
     * folded into history could no longer exclude its own first
     * attempt. Admission decisions after compaction are identical
     * (StreamingSpec pins it); reads get fewer partitions to list and
-    * sum. */
+    * sum.
+    *
+    * The df cap and the index schemas come from the store's own meta
+    * table (stamped by the first commit) — compaction canNOT be run
+    * with a cap different from the stream's (a smaller one would
+    * permanently drop postings still under the stream's cap,
+    * silently changing later admissions), and the reads are
+    * explicit-schema like [[curatedCommitIndexed]]'s (a history
+    * range whose partitions are all empty — every batch rejected —
+    * has no schema to infer, and inference types the batch partition
+    * column int where the pinned reads use long). */
   def compactAdmissionIndex(spark: SparkSession, storeDir: String,
-      uptoBatch: Long, maxDf: Int = 1000): Unit = {
+      uptoBatch: Long): Unit = {
     require(uptoBatch >= 0, s"compactAdmissionIndex: uptoBatch=$uptoBatch")
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def exists(dir: String): Boolean =
       fs.exists(new org.apache.hadoop.fs.Path(dir))
-    def compact(dir: String)(
+    val metaDir = s"$storeDir/meta"
+    require(exists(metaDir),
+      s"compactAdmissionIndex: $metaDir missing — not a " +
+        "toCuratedCorpusStoreIndexed store (the meta table pins the " +
+        "stream's maxDf; compacting under a different cap would " +
+        "silently change subsequent admission decisions)")
+    val meta = spark.read.parquet(metaDir).first()
+    val maxDf = meta.getAs[Int]("max_df")
+    def schemaOf(field: String): org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.DataType
+        .fromJson(meta.getAs[String](field))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    def readPinned(dir: String,
+        schema: org.apache.spark.sql.types.StructType): DataFrame =
+      spark.read
+        .schema(schema.add(org.apache.spark.sql.types.StructField(
+          "batch", org.apache.spark.sql.types.LongType)))
+        .parquet(dir)
+    def compact(dir: String,
+        schema: org.apache.spark.sql.types.StructType)(
         squash: DataFrame => DataFrame): Unit =
       if (exists(dir)) {
         // batch=-1 (a previous compaction) always folds in: -1 <=
         // uptoBatch, and its partition is deleted before the rename
         // re-creates it, so repeated compaction is safe
-        val old = spark.read.parquet(dir)
+        val old = readPinned(dir, schema)
           .filter(col("batch") <= uptoBatch)
-        val oldParts = old.select(col("batch").cast("long"))
+        val oldParts = old.select(col("batch"))
           .distinct().collect().map(_.getLong(0))
         if (oldParts.nonEmpty) {
           val squashed = squash(old.drop("batch"))
@@ -1085,19 +1150,20 @@ object Streams {
             new org.apache.hadoop.fs.Path(s"$dir/batch=-1"))
         }
       }
-    compact(s"$storeDir/dfs")(
+    compact(s"$storeDir/dfs", schemaOf("dfs_schema"))(
       _.groupBy(col("sh")).agg(sum(col("df")).as("df")))
     // postings whose TOTAL df (across the whole dfs history, compacted
     // or not) crossed the cap are dead — the probe's under-cap filter
     // can never select them again
     if (exists(s"$storeDir/dfs") && exists(s"$storeDir/postings")) {
-      val liveSh = spark.read.parquet(s"$storeDir/dfs").drop("batch")
+      val liveSh = readPinned(s"$storeDir/dfs", schemaOf("dfs_schema"))
+        .drop("batch")
         .groupBy(col("sh")).agg(sum(col("df")).as("df"))
         .filter(col("df") <= maxDf).select(col("sh"))
-      compact(s"$storeDir/postings")(
+      compact(s"$storeDir/postings", schemaOf("postings_schema"))(
         _.join(liveSh, Seq("sh"), "left_semi"))
     }
-    compact(s"$storeDir/fps")(identity)
+    compact(s"$storeDir/fps", schemaOf("fps_schema"))(identity)
   }
 
   /** Streaming document egress: each micro-batch pushes its rows as

@@ -48,6 +48,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("exactDedupFirst: a byte-identical flood collapses to its " +
+    "min-id keeper BEFORE banding — candidates stay near-dup-only") {
+    val flood = (1L to 300L).map(i => (i, "w1 w2 w3 w4 w5 w6 w7 w8"))
+    val near = Seq(
+      (1001L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"),
+      (1002L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 zz"))
+    val docs = (flood ++ near).toDF("doc_id", "text")
+    val kept = TextOps.exactDedupFirst(docs, "doc_id", "text")
+    // one keeper (min id) for the flood + the two distinct docs
+    assert(kept.count() == 3L)
+    assert(kept.filter(col("doc_id") <= 300L)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val pairs = TextOps.lshCandidatePairs(
+      TextOps.minhashSignatures(kept, "doc_id", "text"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the genuine near-dup pair survives; no flood-member pair exists
+    assert(pairs.contains((1001L, 1002L)))
+    assert(!pairs.exists(p => p._1 <= 300L || p._2 <= 300L))
+    // contrast: the unguarded route pays quadratic (capped) pair mass
+    val unguarded = TextOps.lshCandidatePairs(
+      TextOps.minhashSignatures(docs, "doc_id", "text"), "doc_id")
+      .count()
+    assert(unguarded >= 256L * 255L / 2L)
+  }
+
   test("lsh degenerate bucket: maxBucket caps pairs, keeps connectivity") {
     // adversarial fixture: 1k byte-identical docs → one bucket per band
     val df = (1L to 1000L).map(i => (i, "w1 w2 w3 w4 w5"))

@@ -122,6 +122,32 @@ class OpsSpec extends AnyFunSuite {
     assert(n == brute.size)
   }
 
+  test("rangeJoin whale guard: an interval spanning the whole axis " +
+    "takes the broadcast route, never bin replication") {
+    val events = (0 until 300)
+      .map(i => (i.toLong, (i * 37L) % 100000L)).toDF("eid", "ts")
+    // one whale spanning the entire axis (would replicate over 10k
+    // 10-tick bins without the guard) + two ordinary intervals
+    val ivs = Seq((0L, 0L, 99999L), (1L, 100L, 140L), (2L, 500L, 505L))
+      .toDF("win", "lo", "hi")
+    val got = graft.ops.Events
+      .rangeJoin(events, "ts", ivs, "lo", "hi", binWidth = 10L,
+        maxBinsPerInterval = 64L)
+      .select("eid", "win").as[(Long, Long)].collect().toSet
+    val brute = events.join(ivs,
+        col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .select("eid", "win").as[(Long, Long)].collect().toSet
+    assert(got == brute)
+    // the replicated (bin-exploded) relation never materializes a row
+    // for the whale: the bin route's interval side is capped
+    val replicas = ivs
+      .filter((col("hi") - col("lo")) / 10L + 1L <= 64L)
+      .withColumn("b", explode(expr(
+        "sequence(lo div 10, hi div 10)")))
+      .count()
+    assert(replicas == 6L) // 5 bins for win 1 + 1 bin for win 2
+  }
+
   test("incremental merge == from-scratch partial, and is a schema " +
     "fixed point") {
     val rnd = new scala.util.Random(11)

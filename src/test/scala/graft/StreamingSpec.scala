@@ -485,9 +485,11 @@ class StreamingSpec extends AnyFunSuite {
         min(col("score")).as("min_score"),
         max(col("score")).as("max_score")))
     assert(streamed == oneShot)
-    // the ledger recorded both merged batch ids, atomically with bands
+    // the ledger holds the merged high-water mark (bounded: batch ids
+    // are monotone per checkpoint, so one row subsumes the id set),
+    // committed atomically with bands
     assert(spark.read.parquet(s"$store/batches")
-      .as[Long].collect().sorted.toSeq == Seq(0L, 1L))
+      .as[Long].collect().toSeq == Seq(1L))
   }
 
   test("toScoreBandStore is exactly-once: a replayed batch id is a " +
@@ -549,8 +551,9 @@ class StreamingSpec extends AnyFunSuite {
       9, 10))
     assert(streamed == oneShot)
     assert(streamed._2 > 0L) // a calibration slice actually formed
+    // bounded ledger: just the merged high-water mark
     assert(spark.read.parquet(s"$store/batches")
-      .as[Long].collect().sorted.toSeq == Seq(0L, 1L))
+      .as[Long].collect().toSeq == Seq(1L))
   }
 
   test("toConformalStore is exactly-once: replayed batch ids are " +
@@ -813,8 +816,10 @@ class StreamingSpec extends AnyFunSuite {
         Streams.curatedCommitIndexed(b.toDF("id", "body"), i.toLong,
           "id", "body", model, v, cutoff, store, 0.5, 9)
         if (compactAfter.contains(i))
+          // no cap argument: compaction reads the stream's maxDf from
+          // the store meta — it cannot run with a mismatched cap
           Streams.compactAdmissionIndex(spark, store,
-            uptoBatch = i.toLong, maxDf = 9)
+            uptoBatch = i.toLong)
       }
       docSet(Streams.curatedDocs(spark, store).select("id", "body"))
     }
@@ -827,6 +832,37 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("batch").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(parts == Seq(-1L, 3L, 4L, 5L))
+  }
+
+  test("compactAdmissionIndex: all-rejected history (only empty " +
+    "partitions) compacts via the pinned schema; mismatched caps " +
+    "fail fast") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-curated-meta").toString
+    val store = s"$dir/store"
+    val (batches, model, v, _) = admissionFixture(nBatches = 2, perBatch = 6)
+    def commit(i: Int, cutoff: Double, cap: Int = 9): Unit =
+      Streams.curatedCommitIndexed(batches(i).toDF("id", "body"),
+        i.toLong, "id", "body", model, v, cutoff, store, 0.5, cap)
+    // cutoff above every score → EVERY batch rejects everything and
+    // writes empty partitions; schema inference over that history
+    // fails, the meta-pinned read must not
+    commit(0, cutoff = 1e9); commit(1, cutoff = 1e9)
+    assert(Streams.curatedDocs(spark, store).count() == 0L)
+    Streams.compactAdmissionIndex(spark, store, uptoBatch = 1L)
+    // identical decisions after compaction: a fresh batch admits
+    commit(0, cutoff = -1e9)
+    assert(Streams.curatedDocs(spark, store).count() > 0L)
+    // a commit with a different df cap is refused by the meta check
+    val ex = intercept[IllegalArgumentException] {
+      commit(1, cutoff = -1e9, cap = 5)
+    }
+    assert(ex.getMessage.contains("maxDf"))
+    // and a store without meta (not an indexed store) refuses compaction
+    val ex2 = intercept[IllegalArgumentException] {
+      Streams.compactAdmissionIndex(spark, s"$dir/nostore", 0L)
+    }
+    assert(ex2.getMessage.contains("meta"))
   }
 
   test("file source streams incrementally and lands in a day store") {
