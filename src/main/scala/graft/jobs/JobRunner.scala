@@ -404,6 +404,27 @@ object JobRunner {
           .select(col("csize"), col("n_clusters"),
             (col("csize") * col("n_clusters")).as("n_docs"))
       }),
+      // end-to-end ANN index: IVF k-means training + PQ encode +
+      // index-artifact persist + ADC search of a deterministic query
+      // sample + recall audit vs exact L2 — q62/q63/q64/q66/q161
+      // composed into one invocation (graft.llmops.AnnIndex)
+      "ann_index" -> ((s, o) => {
+        val in = o.getOrElse("in-vectors",
+          sys.error("--in-vectors required for ann_index"))
+        val dest = o.getOrElse("dest",
+          sys.error("--dest required for ann_index"))
+        graft.llmops.AnnIndex.buildSearchReport(
+          s.read.parquet(in),
+          o.getOrElse("id-col", "vec_id"),
+          o.getOrElse("vec-col", "embedding"),
+          kCells = o.get("cells").map(_.toInt).getOrElse(8),
+          iters = o.get("iters").map(_.toInt).getOrElse(3),
+          m = o.get("pq-m").map(_.toInt).getOrElse(4),
+          dim = o.get("dim").map(_.toInt).getOrElse(64),
+          kNn = o.get("k").map(_.toInt).getOrElse(5),
+          nQueries = o.get("queries").map(_.toInt).getOrElse(8),
+          dest = dest)
+      }),
       // union length of [start, end) intervals per key — overlaps
       // counted once (sweep line, Events.intervalCoverage)
       "interval_coverage" -> ((s, o) => {

@@ -151,27 +151,382 @@ object Multimodal {
     }
   }
 
+  /** A media row reduced to what the frame sampler needs: the payload,
+    * its frame count, and where the frame data starts (44 for WAV's
+    * canonical header, 0 otherwise). */
+  final case class FrameBase(
+      doc_id: Long, payload: Array[Byte], n_frames: Int, data_off: Int)
+
   /** Deterministic evenly-spaced frame sampling: s = min(k, n_frames)
     * frames per media row, frame j at index ⌊j·n_frames/s⌋ — the
-    * standard keyframe grid. The frame PAYLOAD is a stub fingerprint
-    * (hash60 of "doc:idx") standing in for the codec's decoded frame
-    * bytes — this container ships no image/audio codecs — while the
-    * schema, explode shape, and integer grid are exactly what a real
-    * sampler emits. Scan → narrow map → explode bounded by k; no
-    * shuffle, so at 100 TB the sampler runs at input bandwidth. */
+    * standard keyframe grid. Each sampled frame carries `frame_fp`,
+    * the 60-bit hash of the frame's ACTUAL BYTES: the payload's data
+    * section (after the container header the parser understands —
+    * offset 44 for WAV, 0 otherwise) is split into n_frames
+    * equal-floor chunks and the sampled chunk is hashed via its hex
+    * encoding (hex ∘ substring stays pure-Catalyst AND replays in the
+    * oracle, which has no blob md5). For canonical WAV the chunks ARE
+    * the blockAlign frames; for images (1 frame) the whole payload;
+    * for unknown containers the fallback grid over the raw bytes.
+    * Scan → narrow map → explode bounded by k; no shuffle, so at
+    * 100 TB the sampler runs at input bandwidth. Media whose parsed
+    * frame count is zero produce no sample rows. */
   def sampleFrames(spark: SparkSession, docs: DataFrame,
-      k: Int): DataFrame =
-    decodeFeatures(packAsMedia(docs)).toDF()
-      .select(col("doc_id"), col("n_frames"),
-        least(lit(k), col("n_frames")).as("s"))
-      .select(col("doc_id"), col("n_frames"), col("s"),
-        explode(sequence(lit(0), col("s") - 1)).as("sample_j"))
-      .select(col("doc_id"), col("n_frames"),
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val bases = packAsMedia(docs).mapPartitions { it =>
+      it.map { r =>
+        val (nf, off) = parseHeader(r.payload) match {
+          case Some(("audio", _, _, frames)) => (frames, 44)
+          case Some((_, _, _, frames)) => (frames, 0)
+          case None => ((r.payload.length % 24) + 1, 0)
+        }
+        FrameBase(r.doc_id, r.payload, nf, off)
+      }
+    }.toDF()
+    bases
+      .select(col("doc_id"), col("payload"), col("n_frames"),
+        col("data_off"), least(lit(k), col("n_frames")).as("s"))
+      .select(col("doc_id"), col("payload"), col("n_frames"),
+        col("data_off"), col("s"),
+        explode(when(col("s") > 0,
+          sequence(lit(0), col("s") - 1))).as("sample_j"))
+      .select(col("doc_id"), col("payload"), col("n_frames"),
+        col("data_off"),
         col("sample_j").cast("int").as("sample_j"),
         expr("CAST((sample_j * n_frames) DIV s AS INT)").as("frame_idx"))
-      .withColumn("frame_stub", TextOps.hash60(concat(
-        col("doc_id").cast("string"), lit(":"),
-        col("frame_idx").cast("string"))))
+      .withColumn("__len",
+        (length(col("payload")) - col("data_off")).cast("long"))
+      .withColumn("__off", col("data_off") +
+        expr("(frame_idx * __len) DIV n_frames"))
+      .withColumn("__end", col("data_off") +
+        expr("((frame_idx + 1) * __len) DIV n_frames"))
+      .withColumn("frame_fp", TextOps.hash60(
+        hex(expr("substring(payload, CAST(__off + 1 AS INT), " +
+          "CAST(__end - __off AS INT))"))))
+      .select(col("doc_id"), col("n_frames"), col("sample_j"),
+        col("frame_idx"), col("frame_fp"))
+  }
+
+  // ===== Pixel-level image operators (q263) =====================
+  //
+  // Real decoded pixels, not header fields: payloads are decoded with
+  // javax.imageio (PNG/BMP/GIF/JPEG — the JDK's standard plugins, no
+  // external codec), average-pooled to a 9×8 grayscale grid, and
+  // hashed to the 64-bit dHash. Near-dup pairs come from 4×16-bit
+  // Hamming banding — the q70/q77 pigeonhole machinery, reused via
+  // the LSH bucket engine. The synthetic corpus makes the WHOLE chain
+  // oracle-checkable: pixel values are a pure integer function of
+  // (doc_id, x, y), both lossless containers round-trip them exactly,
+  // so DuckDB recomputes the identical dHash from the formula while
+  // Spark derives it from genuinely decoded bytes.
+
+  /** One decoded image hash row; `dhash` is None when the payload does
+    * not decode. */
+  final case class ImageHash(doc_id: Long, source: String, width: Int,
+      height: Int, dhash: Option[Long])
+
+  /** Deterministic synthetic pixel: grayscale value of (x, y) for a
+    * document. Families share `doc_id % 32` (base pattern); the
+    * variant index moves a +60 bump to one pooling cell (a localized
+    * edit → Hamming ≤ 4); brightness (doc_id % 5)·8 adds a constant
+    * the dHash is invariant to. All terms non-negative integer mod —
+    * bit-identical in SQL — and the total stays ≤ 241 < 256, so no
+    * clamping ever fires. */
+  def synthPixel(docId: Long, x: Int, y: Int): Int = {
+    val g = (docId % 32L).toInt
+    val v = ((docId / 32L) % 72L).toInt
+    val br = ((docId % 5L) * 8L).toInt
+    val base = ((g + 3) * x + (2 * g + 5) * y +
+      ((x * y * (g + 1)) % 31)) % 150
+    val bump = if (x / 4 == v % 9 && y / 4 == (v / 9) % 8) 60 else 0
+    base + br + bump
+  }
+
+  /** 24-bit BMP encoding of a grayscale grid (pix(y)(x) ∈ 0..255):
+    * 54-byte BITMAPINFOHEADER layout, rows bottom-up, BGR, 4-byte row
+    * padding — the same fixed offsets [[parseHeader]] reads. */
+  def encodeBmp(pix: Array[Array[Int]], w: Int, h: Int): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val dataSize = rowSize * h
+    val out = new Array[Byte](54 + dataSize)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, 54 + dataSize); le32(10, 54)
+    le32(14, 40); le32(18, w); le32(22, h)
+    out(26) = 1; out(28) = 24
+    le32(34, dataSize)
+    var y = 0
+    while (y < h) {
+      val rowOff = 54 + (h - 1 - y) * rowSize // bottom-up
+      var x = 0
+      while (x < w) {
+        val p = (pix(y)(x) & 0xff).toByte
+        out(rowOff + x * 3) = p
+        out(rowOff + x * 3 + 1) = p
+        out(rowOff + x * 3 + 2) = p
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** PNG encoding of a grayscale grid via the JDK encoder (lossless —
+    * decode returns the exact pixels). */
+  def encodePng(pix: Array[Array[Int]], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = pix(y)(x) & 0xff
+        img.setRGB(x, y, (p << 16) | (p << 8) | p)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The deterministic synthetic image corpus over a documents table:
+    * one w×h grayscale image per doc from [[synthPixel]], encoded as
+    * BMP for even ids and PNG for odd ids — so the decode path is
+    * exercised across two real containers whose DECODED pixels (and
+    * therefore dHashes) are identical for the same formula. Narrow
+    * map, no shuffle. */
+  def syntheticImages(docs: DataFrame, w: Int = 36, h: Int = 32)
+      : Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("source"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src) =>
+          val pix = Array.tabulate(h, w)((y, x) => synthPixel(id, x, y))
+          val bytes =
+            if (id % 2 == 0) encodeBmp(pix, w, h) else encodePng(pix, w, h)
+          MediaRecord(id, bytes, src, (w.toLong * h))
+        }
+      }
+  }
+
+  /** 64-bit difference hash of a decoded image: integer luma
+    * (299r + 587g + 114b) / 1000 per pixel, average-pooled onto a 9×8
+    * grid (pixel (x, y) → cell (x·9 div w, y·8 div h)), bit r·8+c set
+    * iff cell (r, c+1)'s mean exceeds cell (r, c)'s — compared by
+    * exact integer cross-multiplication (sum·count), so unequal cell
+    * sizes at arbitrary dimensions stay exact and SQL-replayable. */
+  def dHash64(im: java.awt.image.BufferedImage): Long = {
+    val w = im.getWidth
+    val h = im.getHeight
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val r = ((y.toLong * 8) / h).toInt
+      var x = 0
+      while (x < w) {
+        val c = ((x.toLong * 9) / w).toInt
+        val rgb = im.getRGB(x, y)
+        val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+          + 114 * (rgb & 0xff)) / 1000
+        sums(r)(c) += luma
+        cnts(r)(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (sums(r)(c + 1) * cnts(r)(c) > sums(r)(c) * cnts(r)(c + 1))
+          hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** Decode every payload (javax.imageio — opened once per partition
+    * the same way [[decodeFeatures]] amortizes) and emit its dHash;
+    * undecodable payloads surface with a null hash instead of
+    * vanishing. Narrow map — at 100 TB this runs at scan bandwidth,
+    * and only the 8-byte hashes ever shuffle. */
+  def imageDHash(media: Dataset[MediaRecord]): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        img match {
+          case Some(im) => ImageHash(r.doc_id, r.source, im.getWidth,
+            im.getHeight, Some(dHash64(im)))
+          case None => ImageHash(r.doc_id, r.source, 0, 0, None)
+        }
+      }
+    }
+  }
+
+  /** The 4×16-bit bands of a 64-bit hash as an LSH-style signature
+    * frame — [[TextOps.lshCandidatePairs]]' input shape, so Hamming
+    * banding reuses the capped bucket engine (and its oracle
+    * fragment) unchanged. Pigeonhole: Hamming ≤ 3 GUARANTEES a shared
+    * band; ≤ maxHamming above that is best-effort recall, exactly as
+    * in q70/q77. */
+  def dhashBands(hashes: DataFrame, idCol: String, hashCol: String)
+      : DataFrame =
+    hashes.filter(col(hashCol).isNotNull).select(
+      col(idCol) +: (0 until 4).map(b =>
+        shiftright(col(hashCol), b * 16).bitwiseAND(lit(0xffffL))
+          .as(s"sig_$b")): _*)
+
+  /** Image near-dup pairs: banded candidates verified by exact
+    * bit_count Hamming distance ≤ maxHamming. Candidate generation is
+    * bucket-capped (star-pair fallback) like every LSH route; the
+    * verify join touches only the 8-byte hashes. Returns
+    * (doc_a, doc_b, hamming). */
+  def hammingNearDupPairs(hashes: DataFrame, idCol: String,
+      hashCol: String, maxHamming: Int): DataFrame = {
+    val cand = TextOps.lshCandidatePairs(
+      dhashBands(hashes, idCol, hashCol), idCol)
+    val a = hashes.select(col(idCol).as("doc_a"), col(hashCol).as("__ha"))
+    val b = hashes.select(col(idCol).as("doc_b"), col(hashCol).as("__hb"))
+    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  // ===== PCM audio window features (q264) =======================
+  //
+  // The audio analog of the q263 pixel path: synthetic 8-bit mono WAV
+  // payloads (canonical 44-byte header + raw PCM — no codec needed,
+  // PCM IS the samples) are REALLY parsed — header fields first, then
+  // the data section bytes — and folded into per-window integer
+  // energy and zero-crossing counts, the standard VAD/segmentation
+  // features. The oracle replays the sample formula; parity holds
+  // because raw PCM round-trips bytes exactly.
+
+  /** One analysis window of a decoded audio payload. */
+  final case class AudioWindow(doc_id: Long, source: String,
+      window_idx: Int, n_samples: Int, energy: Long,
+      zero_crossings: Int)
+
+  /** Deterministic synthetic 8-bit PCM sample t of a document —
+    * non-negative integer mod arithmetic, bit-identical in SQL. */
+  def synthSample(docId: Long, t: Int): Int = {
+    val a = ((docId % 13L) + 1L).toInt
+    val b = (docId % 97L).toInt
+    val c = (docId % 256L).toInt
+    (a * t * t + b * t + c) % 256
+  }
+
+  /** Canonical 44-byte WAV container around 8-bit mono PCM samples —
+    * the exact layout [[parseHeader]] reads (channels at 22,
+    * blockAlign at 32). */
+  def encodeWav(samples: Array[Int]): Array[Byte] = {
+    val n = samples.length
+    val out = new Array[Byte](44 + n)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    "RIFF".getBytes.copyToArray(out, 0)
+    le32(4, 36 + n)
+    "WAVEfmt ".getBytes.copyToArray(out, 8)
+    le32(16, 16)
+    out(20) = 1 // PCM
+    out(22) = 1 // mono
+    le32(24, 8000) // sample rate
+    le32(28, 8000) // byte rate
+    out(32) = 1 // blockAlign
+    out(34) = 8 // bits per sample
+    "data".getBytes.copyToArray(out, 36)
+    le32(40, n)
+    var t = 0
+    while (t < n) {
+      out(44 + t) = (samples(t) & 0xff).toByte
+      t += 1
+    }
+    out
+  }
+
+  /** Synthetic WAV corpus over a documents table: one nSamples-long
+    * 8-bit mono PCM payload per doc from [[synthSample]]. Narrow map,
+    * no shuffle. */
+  def syntheticWavs(docs: DataFrame, nSamples: Int = 256)
+      : Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("source"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src) =>
+          MediaRecord(id,
+            encodeWav(Array.tabulate(nSamples)(t => synthSample(id, t))),
+            src, nSamples.toLong)
+        }
+      }
+  }
+
+  /** Per-window PCM features from REAL payload bytes: parse the WAV
+    * header, read the 8-bit data section, and per `window` samples
+    * emit exact integer energy (Σ(s−128)²) and the within-window
+    * zero-crossing count ((s_t−128)·(s_{t−1}−128) < 0). Non-audio or
+    * zero-frame payloads yield no rows. Narrow flatMap bounded by
+    * n/window rows per payload — scan-bandwidth at 100 TB, only the
+    * feature rows shuffle (if the consumer aggregates at all). */
+  def audioWindowFeatures(media: Dataset[MediaRecord], window: Int)
+      : Dataset[AudioWindow] = {
+    require(window >= 1, s"audioWindowFeatures: window=$window")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        parseHeader(r.payload) match {
+          case Some(("audio", _, _, frames)) if frames > 0 =>
+            val data = r.payload.drop(44)
+            val n = data.length
+            (0 until (n + window - 1) / window).map { wi =>
+              val lo = wi * window
+              val hi = math.min(lo + window, n)
+              var energy = 0L
+              var zc = 0
+              var t = lo
+              while (t < hi) {
+                val s = (data(t) & 0xff) - 128
+                energy += s.toLong * s
+                if (t > lo) {
+                  val p = (data(t - 1) & 0xff) - 128
+                  if (p * s < 0) zc += 1
+                }
+                t += 1
+              }
+              AudioWindow(r.doc_id, r.source, wi, hi - lo, energy, zc)
+            }
+          case _ => Nil
+        }
+      }
+    }
+  }
 
   /** Full pipeline: pack → decode → per-source feature aggregate.
     * `source` is carried through the decode, so this is scan → narrow

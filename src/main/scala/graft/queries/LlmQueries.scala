@@ -245,9 +245,12 @@ object LlmQueries {
         JOIN sigs sa ON sa.doc_id = c.doc_a
         JOIN sigs sb ON sb.doc_id = c.doc_b"""),
       (s, d) => {
+        // barrier: the dedup + signature pipeline feeds the banding
+        // AND both sides of the estimate join — checkpoint once so
+        // the chain isn't re-inlined per consumer
         val sigs = TextOps.minhashSignatures(
           TextOps.exactDedupFirst(t(s, d, "documents"), "doc_id",
-            "text"), "doc_id", "text")
+            "text"), "doc_id", "text").barrier()
         TextOps.minhashJaccardEstimate(
           TextOps.lshCandidatePairs(sigs, "doc_id"), sigs, "doc_id")
       }),
@@ -759,30 +762,149 @@ object LlmQueries {
 
     // Deterministic keyframe sampling over the multimodal rows: the
     // evenly-spaced ⌊j·n/s⌋ grid a video pipeline feeds to a vision
-    // encoder. The stub fingerprint stands in for decoded frame bytes
-    // (no codecs in this container); the grid itself is exact integer
-    // math, hash-oracled end to end.
+    // encoder. frame_fp is the 60-bit hash of the sampled frame's
+    // ACTUAL BYTES (the payload's data section split into n_frames
+    // equal-floor chunks, hashed via hex — real frame-byte hashing,
+    // replayable in the oracle through hex-string slicing since
+    // DuckDB has no blob md5). Grid + fingerprint hash-oracled end
+    // to end.
     QueryDef(
       "q160_frame_sample",
       Some("""
-        WITH g AS (SELECT doc_id,
+        WITH g AS (SELECT doc_id, text,
                           CAST(octet_length(encode(text)) AS BIGINT)
                             AS n_bytes
                    FROM documents),
-        f AS (SELECT doc_id, CAST(n_bytes%24 + 1 AS INT) AS n_frames
+        f AS (SELECT doc_id, text, n_bytes,
+                     CAST(n_bytes%24 + 1 AS INT) AS n_frames
               FROM g),
-        s AS (SELECT doc_id, n_frames,
+        s AS (SELECT doc_id, text, n_bytes, n_frames,
                      least(4, n_frames) AS ns FROM f),
-        j AS (SELECT doc_id, n_frames, CAST(i AS INT) AS sample_j,
+        j AS (SELECT doc_id, text, n_bytes, n_frames,
+                     CAST(i AS INT) AS sample_j,
                      CAST((CAST(i AS INT) * n_frames) // ns AS INT)
                        AS frame_idx
               FROM s, unnest(range(ns)) r(i))
         SELECT doc_id, n_frames, sample_j, frame_idx,
-               ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':'||
-                 CAST(frame_idx AS VARCHAR)), 1, 15))::BIGINT
-                 AS frame_stub
+               ('0x'||substr(md5(substr(hex(encode(text)),
+                  CAST(((frame_idx * n_bytes) // n_frames) * 2 + 1
+                    AS INT),
+                  CAST((((frame_idx + 1) * n_bytes) // n_frames
+                       - (frame_idx * n_bytes) // n_frames) * 2
+                    AS INT))), 1, 15))::BIGINT AS frame_fp
         FROM j"""),
       (s, d) => Multimodal.sampleFrames(s, t(s, d, "documents"), 4)),
+
+    // Pixel-level image near-dup (the multimodal dedup operator):
+    // synthetic BMP/PNG images derived from doc ids are DECODED with
+    // javax.imageio, average-pooled to 9×8 integer luma cells, hashed
+    // to a 64-bit dHash, and near-dup-paired by 4×16-bit Hamming
+    // banding (the q70/q77 pigeonhole machinery via the capped LSH
+    // bucket engine) with exact bit_count verification at ≤ 4 bits.
+    // The oracle recomputes the SAME dHash from the pixel formula —
+    // valid because both containers are lossless, so decode(encode(p))
+    // ≡ p; the decode path itself is additionally pinned by
+    // MultimodalSpec (re-encode and brightness invariance, known
+    // dup/non-dup pairs, partition invariance).
+    QueryDef(
+      "q263_image_dhash_neardup",
+      Some(s"""
+        WITH px AS (SELECT doc_id, doc_id % 32 AS g,
+                           (doc_id // 32) % 72 AS v,
+                           (doc_id % 5) * 8 AS br,
+                           CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+                    FROM documents, range(0, 36) rx(x),
+                         range(0, 32) ry(y)),
+        pv AS (SELECT doc_id, (y * 8) // 32 AS r, (x * 9) // 36 AS c,
+                      ((g + 3) * x + (2 * g + 5) * y
+                        + ((x * y * (g + 1)) % 31)) % 150
+                      + br
+                      + (CASE WHEN x // 4 = v % 9
+                              AND y // 4 = (v // 9) % 8
+                              THEN 60 ELSE 0 END) AS p
+               FROM px),
+        cells AS (SELECT doc_id, r, c, CAST(sum(p) AS BIGINT) AS s,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM pv GROUP BY 1, 2, 3),
+        bits AS (SELECT a.doc_id, a.r, a.c,
+                        CASE WHEN b.s * a.n > a.s * b.n
+                             THEN 1 ELSE 0 END AS bit
+                 FROM cells a JOIN cells b
+                   ON a.doc_id = b.doc_id AND a.r = b.r
+                  AND b.c = a.c + 1
+                 WHERE a.c <= 7),
+        dh0 AS (SELECT doc_id,
+                       sum(CAST(bit AS HUGEINT)
+                         * (CAST(1 AS HUGEINT)
+                            << CAST(r * 8 + c AS INT))) AS hsum
+                FROM bits GROUP BY 1),
+        dh AS (SELECT doc_id,
+                      CAST(CASE WHEN hsum >= CAST(1 AS HUGEINT) << 63
+                                THEN hsum
+                                  - ((CAST(1 AS HUGEINT) << 63) * 2)
+                                ELSE hsum END AS BIGINT) AS dhash
+               FROM dh0),
+        banded AS (SELECT doc_id AS doc, j AS band,
+                          (dhash >> CAST(16 * j AS INT)) & 65535
+                            AS bucket
+                   FROM dh CROSS JOIN range(0, 4) rj(j)),
+        rk AS (SELECT doc, band, bucket,
+                      row_number() OVER (PARTITION BY band, bucket
+                                         ORDER BY doc) AS rn,
+                      min(doc) OVER (PARTITION BY band, bucket) AS mn
+               FROM banded),
+        cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+                   SELECT a.doc AS doc_a, b.doc AS doc_b
+                   FROM rk a JOIN rk b
+                     ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.rn < b.rn
+                    AND b.rn <= ${TextOps.DefaultMaxBucket}
+                   UNION ALL
+                   SELECT mn AS doc_a, doc AS doc_b FROM rk
+                   WHERE rn > ${TextOps.DefaultMaxBucket}))
+        SELECT c.doc_a, c.doc_b,
+               CAST(bit_count(xor(ha.dhash, hb.dhash)) AS INT)
+                 AS hamming
+        FROM cand c
+        JOIN dh ha ON ha.doc_id = c.doc_a
+        JOIN dh hb ON hb.doc_id = c.doc_b
+        WHERE bit_count(xor(ha.dhash, hb.dhash)) <= 4"""),
+      (s, d) => {
+        val hashes = Multimodal.imageDHash(
+          Multimodal.syntheticImages(t(s, d, "documents"))).toDF()
+          .barrier()
+        Multimodal.hammingNearDupPairs(hashes, "doc_id", "dhash",
+          maxHamming = 4)
+      }),
+
+    // PCM audio window features (the audio analog of q263): synthetic
+    // 8-bit mono WAV payloads are REALLY parsed — header fields, then
+    // the raw data-section bytes — and folded into per-window integer
+    // energy and zero-crossing counts (the standard VAD/segmentation
+    // features). The oracle replays the sample formula; raw PCM
+    // round-trips bytes exactly, so the decoded-path values match.
+    QueryDef(
+      "q264_audio_window_features",
+      Some("""
+        WITH s AS (SELECT doc_id, source, CAST(t AS BIGINT) AS t,
+                          ((((doc_id % 13) + 1) * t * t
+                            + (doc_id % 97) * t
+                            + (doc_id % 256)) % 256) - 128 AS sv
+                   FROM documents, range(0, 256) r(t)),
+        w AS (SELECT doc_id, source, t, sv, t // 32 AS window_idx,
+                     lag(sv) OVER (PARTITION BY doc_id ORDER BY t)
+                       AS pv
+              FROM s)
+        SELECT doc_id, source, CAST(window_idx AS INT) AS window_idx,
+               CAST(count(*) AS INT) AS n_samples,
+               CAST(sum(sv * sv) AS BIGINT) AS energy,
+               CAST(count(*) FILTER (WHERE t % 32 <> 0 AND pv * sv < 0)
+                 AS INT) AS zero_crossings
+        FROM w GROUP BY 1, 2, 3"""),
+      (s, d) =>
+        Multimodal.audioWindowFeatures(
+          Multimodal.syntheticWavs(t(s, d, "documents")), window = 32)
+          .toDF()),
 
     // LSH banding audit: recall of the MinHash-LSH candidate set (q43)
     // against the exact n-gram-Jaccard ground truth (q41's contract),

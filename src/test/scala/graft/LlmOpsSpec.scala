@@ -205,7 +205,7 @@ class LlmOpsSpec extends AnyFunSuite {
   }
 
   test("sampleFrames: min(k, n_frames) frames on the even grid, " +
-    "indices in range, deterministic stub") {
+    "frame_fp hashes the frame's actual bytes") {
     val docs = Seq((1L, "x" * 10, "s", 10L), (2L, "y" * 49, "s", 49L))
       .toDF("doc_id", "text", "source", "n_chars")
     val got = Multimodal.sampleFrames(spark, docs, 4)
@@ -218,8 +218,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(d2.map(_.getInt(3)).toSeq == Seq(0, 1))
     got.foreach { r =>
       assert(r.getInt(3) >= 0 && r.getInt(3) < r.getInt(1))
-      assert(r.getLong(4) >= 0L) // stub fingerprint present
+      assert(r.getLong(4) >= 0L) // fingerprint present
     }
+    // frame_fp is the 60-bit md5 of the frame bytes' UPPERCASE hex:
+    // doc 2 frame 0 covers bytes [0, 49·1 div 2) = 24 × 'y'
+    val hexChunk = "79" * 24
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = java.lang.Long.parseLong(
+      md.digest(hexChunk.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.take(15), 16)
+    assert(d2.head.getLong(4) == expected)
+  }
+
+  test("sampleFrames: a parsed container with ZERO frames yields no " +
+    "sample rows (no descending-sequence garbage)") {
+    // printable-ASCII text whose bytes parse as a canonical WAV header
+    // (RIFF....WAVE, blockAlign = 0x2020 at offset 32) with a data
+    // section shorter than one frame → n_frames = 0
+    val wavish = "RIFF1234WAVEfmt " + ("~" * 28)
+    assert(wavish.length == 44)
+    assert(graft.llmops.Multimodal.parseHeader(
+      wavish.getBytes("UTF-8")).contains(("audio", 0x7e7e, 1, 0)))
+    val docs = Seq((7L, wavish, "s", 44L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    assert(Multimodal.sampleFrames(spark, docs, 4).count() == 0L)
   }
 
   test("longestCommonRun: exact shared-span length in tokens") {

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llmops.Multimodal
+
+/** Pixel-level image operator invariants (q263 machinery): the parts
+  * an SQL oracle cannot see — that the hash really comes from DECODED
+  * bytes. Cross-engine value parity of the full chain is enforced by
+  * the q263 DuckDB gate; these specs pin the decode path itself:
+  * container round-trips, dHash invariances, known dup/non-dup pairs,
+  * partition invariance, and undecodable-payload behavior. */
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark = graft.core.Sessions.local(4, "graft-multimodal-test")
+  import spark.implicits._
+
+  private val W = 36
+  private val H = 32
+
+  private def decode(b: Array[Byte]) =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+
+  private def pixOf(id: Long) =
+    Array.tabulate(H, W)((y, x) => Multimodal.synthPixel(id, x, y))
+
+  test("re-encode invariance: the same pixels through BMP and PNG " +
+    "decode to the SAME dHash (lossless containers)") {
+    val pix = pixOf(42L)
+    val viaBmp = Multimodal.dHash64(decode(
+      Multimodal.encodeBmp(pix, W, H)))
+    val viaPng = Multimodal.dHash64(decode(
+      Multimodal.encodePng(pix, W, H)))
+    assert(viaBmp == viaPng)
+    // and decoded pixels are exactly the encoded grid (both formats)
+    for (bytes <- Seq(Multimodal.encodeBmp(pix, W, H),
+        Multimodal.encodePng(pix, W, H))) {
+      val im = decode(bytes)
+      assert(im.getWidth == W && im.getHeight == H)
+      assert((im.getRGB(5, 7) & 0xff) == pix(7)(5))
+    }
+  }
+
+  test("brightness invariance: adding a constant to every pixel " +
+    "leaves the difference hash unchanged") {
+    val pix = pixOf(3L) // values ≤ 241
+    val brighter = pix.map(_.map(p => math.min(p + 14, 255)))
+    val h0 = Multimodal.dHash64(decode(Multimodal.encodeBmp(pix, W, H)))
+    val h1 = Multimodal.dHash64(decode(
+      Multimodal.encodeBmp(brighter, W, H)))
+    assert(h0 == h1)
+  }
+
+  test("localized edit moves few bits; a different base pattern " +
+    "moves many") {
+    val pix = pixOf(5L)
+    // bump one 4×4 pooling cell — at most the two comparisons
+    // adjacent to that cell in its row can flip
+    val edited = pix.map(_.clone())
+    for (y <- 12 until 16; x <- 20 until 24)
+      edited(y)(x) = math.min(edited(y)(x) + 60, 255)
+    val h0 = Multimodal.dHash64(decode(Multimodal.encodeBmp(pix, W, H)))
+    val h1 = Multimodal.dHash64(decode(
+      Multimodal.encodeBmp(edited, W, H)))
+    assert(java.lang.Long.bitCount(h0 ^ h1) <= 2)
+    // different family (different g): far apart in Hamming space
+    val hOther = Multimodal.dHash64(decode(
+      Multimodal.encodeBmp(pixOf(6L), W, H)))
+    assert(java.lang.Long.bitCount(h0 ^ hOther) > 4)
+  }
+
+  test("imageDHash decodes every synthetic payload; result is " +
+    "partition-invariant") {
+    val docs = (0L until 80L).map(i => (i, s"s${i % 3}"))
+      .toDF("doc_id", "source")
+    def hashes(parts: Int) = Multimodal.imageDHash(
+        Multimodal.syntheticImages(docs.repartition(parts)))
+      .collect()
+      .map(h => h.doc_id -> h.dhash)
+      .toMap
+    val h1 = hashes(1)
+    assert(h1.size == 80 && h1.values.forall(_.isDefined))
+    assert(hashes(7) == h1)
+    // dims survive the decode
+    val dims = Multimodal.imageDHash(
+        Multimodal.syntheticImages(docs.limit(1)))
+      .collect().head
+    assert(dims.width == 36 && dims.height == 32)
+  }
+
+  test("undecodable payloads surface with a NULL hash and are " +
+    "excluded from pairing, not dropped silently") {
+    val media = Seq(
+      Multimodal.MediaRecord(1L, Multimodal.encodeBmp(pixOf(1L), W, H),
+        "s", 0L),
+      Multimodal.MediaRecord(2L, Array[Byte](1, 2, 3, 4), "s", 0L))
+      .toDS()
+    val got = Multimodal.imageDHash(media).collect()
+      .map(h => h.doc_id -> h.dhash).toMap
+    assert(got(1L).isDefined && got(2L).isEmpty)
+    val pairs = Multimodal.hammingNearDupPairs(
+      Multimodal.imageDHash(media).toDF(), "doc_id", "dhash", 64)
+    assert(pairs.count() == 0L) // the null row never pairs
+  }
+
+  test("hammingNearDupPairs: banded candidates verified by exact " +
+    "bit_count, threshold respected") {
+    val hashes = Seq(
+      (1L, java.lang.Long.valueOf(0L)),
+      (2L, java.lang.Long.valueOf(1L)), // hamming 1 vs doc 1
+      (3L, java.lang.Long.valueOf(0xffff000000000000L)), // band 3 off
+      (4L, null.asInstanceOf[java.lang.Long]))
+      .toDF("doc_id", "dhash")
+    val got = Multimodal.hammingNearDupPairs(hashes, "doc_id", "dhash",
+        maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // (1,2) share bands and sit at hamming 1; (1,3)/(2,3) share bands
+    // 0-2 but verify at 16/17 bits → dropped; 4 is null → absent
+    assert(got.toSeq == Seq((1L, 2L, 1)))
+  }
+
+  test("audioWindowFeatures: hand-computed energy and zero-crossings " +
+    "from real WAV bytes; non-audio payloads yield no rows") {
+    // window 0: constant 200 → energy 32·72², zc 0
+    // window 1: alternating 100/156 → energy 32·28², zc 31
+    val samples = Array.fill(32)(200) ++
+      Array.tabulate(32)(t => if (t % 2 == 0) 100 else 156)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, Multimodal.encodeWav(samples), "s", 64L),
+      Multimodal.MediaRecord(2L, Array[Byte](9, 9, 9), "s", 3L))
+      .toDS()
+    val got = Multimodal.audioWindowFeatures(media, window = 32)
+      .collect().sortBy(_.window_idx)
+    assert(got.length == 2 && got.forall(_.doc_id == 1L))
+    assert(got(0).n_samples == 32 &&
+      got(0).energy == 32L * 72 * 72 && got(0).zero_crossings == 0)
+    assert(got(1).n_samples == 32 &&
+      got(1).energy == 32L * 28 * 28 && got(1).zero_crossings == 31)
+    // the WAV header the encoder writes is the one the parser reads
+    assert(Multimodal.parseHeader(Multimodal.encodeWav(samples))
+      .contains(("audio", 1, 1, 64)))
+  }
+
+  test("known dup/non-dup pairs through the full q263 chain") {
+    // ids 10 and 170 share the base pattern (g = 10) with different
+    // variant/brightness; id 11 is a different family
+    val docs = Seq((10L, "a"), (170L, "a"), (11L, "a"))
+      .toDF("doc_id", "source")
+    val pairs = Multimodal.hammingNearDupPairs(
+        Multimodal.imageDHash(Multimodal.syntheticImages(docs)).toDF(),
+        "doc_id", "dhash", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 170L)))
+    assert(!pairs.exists(p => p._1 == 11L || p._2 == 11L))
+  }
+}

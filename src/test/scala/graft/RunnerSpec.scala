@@ -362,6 +362,34 @@ class RunnerSpec extends AnyFunSuite {
     assert(rep == Map(1L -> ((1L, 1L)), 2L -> ((1L, 2L))))
   }
 
+  test("JobRunner: ann_index lake job builds, searches, and reports " +
+    "perfect recall on a two-cluster corpus") {
+    val dir = Files.createTempDirectory("graft-runner-ann").toString
+    val s0 = graft.core.Sessions.local(4, "graft-runner-test")
+    import s0.implicits._
+    // two interleaved exact clusters: seeds (ids 0, 1) and the PQ
+    // codebook (same ids) each see one member of each cluster, so
+    // training converges to the true centers and ADC is exact
+    (0 until 20).map { i =>
+      (i.toLong, Seq.fill(64)(if (i % 2 == 0) 1.0f else 5.0f))
+    }.toDF("vec_id", "embedding").write.parquet(s"$dir/vectors")
+    val report = JobRunner.lakeJobs("ann_index")(s0, Map(
+      "in-vectors" -> s"$dir/vectors", "dest" -> s"$dir/index",
+      "cells" -> "2", "iters" -> "2", "k" -> "3", "queries" -> "4"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(report.length == 4)
+    assert(report.forall { case (_, n, rec) => n == 3L && rec == 1.0 })
+    // index artifacts persisted for the downstream search service
+    for (a <- Seq("centroids", "assignments", "codebook", "codes",
+        "topk"))
+      assert(s0.read.parquet(s"$dir/index/$a").count() > 0)
+    // training converged to the two exact cluster centers
+    val cents = s0.read.parquet(s"$dir/index/centroids").collect()
+      .map(r => r.getSeq[Double](1).head).sorted
+    assert(cents.length == 2)
+    assert(cents(0) == 1.0 && cents(1) == 5.0)
+  }
+
   test("JobRunner: interval_coverage lake job counts overlaps once") {
     val dir = Files.createTempDirectory("graft-runner-iv").toString
     val s0 = graft.core.Sessions.local(4, "graft-runner-test")

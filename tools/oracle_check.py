@@ -49,6 +49,11 @@ def digest(df: pd.DataFrame) -> str:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional: ORACLE_CHECK_JSON=<path> writes the per-query results
+    # in the driver gate's CORRECTNESS_r{N}.json format (used for the
+    # committed sf0.1 sweep artifact)
+    json_out = os.environ.get("ORACLE_CHECK_JSON")
+    results = {}
     # optional third arg: comma-separated name prefixes to check
     only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     con = duckdb.connect()
@@ -70,9 +75,16 @@ def main():
                   if any(k.startswith(p) for p in only)}
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        def rec(rows_match, schema_match, hash_match, sr, orr, err):
+            results[name] = {"rows_match": rows_match,
+                             "schema_match": schema_match,
+                             "hash_match": hash_match,
+                             "spark_rows": sr, "oracle_rows": orr,
+                             "err": err}
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output")
+            rec(False, False, False, 0, 0, "no_spark_output")
             n_fail += 1
             continue
         got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
@@ -80,15 +92,19 @@ def main():
             want = con.sql(oracle[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            rec(False, False, False, len(got), 0, f"oracle_error: {e}")
             n_fail += 1
             continue
         cg, cw = canon(got), canon(want)
         if list(cg.columns) != list(cw.columns):
             print(f"FAIL {name}: columns {list(cg.columns)} vs {list(cw.columns)}")
+            rec(len(cg) == len(cw), False, False, len(cg), len(cw),
+                "schema_mismatch")
             n_fail += 1
             continue
         if len(cg) != len(cw):
             print(f"FAIL {name}: rows {len(cg)} vs {len(cw)}")
+            rec(False, True, False, len(cg), len(cw), "row_mismatch")
             n_fail += 1
             continue
         if digest(cg) != digest(cw):
@@ -101,11 +117,16 @@ def main():
             # raw dtypes help diagnose
             print("  spark dtypes :", dict(got.dtypes.astype(str)))
             print("  oracle dtypes:", dict(want.dtypes.astype(str)))
+            rec(True, True, False, len(cg), len(cw), "hash_mismatch")
             n_fail += 1
             continue
         print(f"PASS {name} ({len(cg)} rows)")
+        rec(True, True, True, len(cg), len(cw), None)
         n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        json.dump(results, open(json_out, "w"), indent=1)
+        print(f"wrote {json_out}")
     sys.exit(1 if n_fail else 0)
 
 
