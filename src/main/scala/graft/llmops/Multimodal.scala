@@ -301,17 +301,22 @@ object Multimodal {
     * one w×h grayscale image per doc from [[synthPixel]], encoded as
     * BMP for even ids and PNG for odd ids — so the decode path is
     * exercised across two real containers whose DECODED pixels (and
-    * therefore dHashes) are identical for the same formula. Narrow
-    * map, no shuffle. */
-  def syntheticImages(docs: DataFrame, w: Int = 36, h: Int = 32)
-      : Dataset[MediaRecord] = {
+    * therefore dHashes) are identical for the same formula.
+    * `patternPeriod` folds the id before the pixel formula (pid =
+    * doc_id mod period) so many documents share EXACT pixels while
+    * the container still follows the REAL id's parity — the fixture
+    * shape for re-encode-invariant exact dedup (q265: same pixels,
+    * different bytes). Narrow map, no shuffle. */
+  def syntheticImages(docs: DataFrame, w: Int = 36, h: Int = 32,
+      patternPeriod: Long = Long.MaxValue): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("source"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, src) =>
-          val pix = Array.tabulate(h, w)((y, x) => synthPixel(id, x, y))
+          val pid = id % patternPeriod
+          val pix = Array.tabulate(h, w)((y, x) => synthPixel(pid, x, y))
           val bytes =
             if (id % 2 == 0) encodeBmp(pix, w, h) else encodePng(pix, w, h)
           MediaRecord(id, bytes, src, (w.toLong * h))
@@ -377,6 +382,60 @@ object Multimodal {
           case Some(im) => ImageHash(r.doc_id, r.source, im.getWidth,
             im.getHeight, Some(dHash64(im)))
           case None => ImageHash(r.doc_id, r.source, 0, 0, None)
+        }
+      }
+    }
+  }
+
+  /** One decoded pixel-identity row: `pix_fp` is the 60-bit hash of
+    * the UPPERCASE row-major luma-byte hex of the decoded image —
+    * None when the payload does not decode. */
+  final case class PixelFingerprint(doc_id: Long, source: String,
+      width: Int, height: Int, pix_fp: Option[Long])
+
+  /** Re-encode-invariant EXACT image identity: decode, serialize the
+    * integer luma grid row-major as uppercase hex, hash60 it. Two
+    * payloads with byte-different containers (a PNG and a BMP, two
+    * compression levels) but identical decoded pixels get the SAME
+    * fingerprint — the exact-dup rail for images, where a byte-level
+    * md5 (q40's text rail) sees only distinct files. Narrow map;
+    * only (id, 8-byte fp) ever shuffles. Canonical form = luma hex
+    * rather than raw RGB so the fingerprint is color-model-agnostic
+    * and SQL-replayable. */
+  def imagePixelFingerprint(media: Dataset[MediaRecord])
+      : Dataset[PixelFingerprint] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        img match {
+          case Some(im) =>
+            val w = im.getWidth
+            val h = im.getHeight
+            val sb = new java.lang.StringBuilder(w * h * 2)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = im.getRGB(x, y)
+                val luma = (299 * ((rgb >> 16) & 0xff)
+                  + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+                sb.append(f"$luma%02X")
+                x += 1
+              }
+              y += 1
+            }
+            md.reset()
+            val hex = md.digest(sb.toString.getBytes("UTF-8"))
+              .map(b => f"${b & 0xff}%02x").mkString.take(15)
+            PixelFingerprint(r.doc_id, r.source, w, h,
+              Some(java.lang.Long.parseLong(hex, 16)))
+          case None => PixelFingerprint(r.doc_id, r.source, 0, 0, None)
         }
       }
     }
@@ -470,9 +529,14 @@ object Multimodal {
   }
 
   /** Synthetic WAV corpus over a documents table: one nSamples-long
-    * 8-bit mono PCM payload per doc from [[synthSample]]. Narrow map,
-    * no shuffle. */
-  def syntheticWavs(docs: DataFrame, nSamples: Int = 256)
+    * 8-bit mono PCM payload per doc from [[synthSample]]. Like
+    * [[syntheticImages]], `patternPeriod` folds the id before the
+    * sample formula so documents share a base signal, and `jitterMod`
+    * adds a per-document DC offset (clamped at 255) — the
+    * near-duplicate fixture: same clip, slightly different gain,
+    * byte-DIFFERENT payloads. Narrow map, no shuffle. */
+  def syntheticWavs(docs: DataFrame, nSamples: Int = 256,
+      patternPeriod: Long = Long.MaxValue, jitterMod: Long = 1L)
       : Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -480,8 +544,11 @@ object Multimodal {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, src) =>
+          val pid = id % patternPeriod
+          val jit = (id % jitterMod).toInt
           MediaRecord(id,
-            encodeWav(Array.tabulate(nSamples)(t => synthSample(id, t))),
+            encodeWav(Array.tabulate(nSamples)(t =>
+              math.min(synthSample(pid, t) + jit, 255))),
             src, nSamples.toLong)
         }
       }

@@ -906,6 +906,103 @@ object LlmQueries {
           Multimodal.syntheticWavs(t(s, d, "documents")), window = 32)
           .toDF()),
 
+    // Audio near-dup via quantized energy envelopes: per clip, the
+    // window-energy sequence (q264's features) quantized by 2^16 and
+    // hashed — clips that are the same signal at slightly different
+    // gain (the synthetic corpus folds ids mod 64 — coprime to the
+    // jitter modulus 3, so every pattern class spans all offsets —
+    // and adds a clamped
+    // per-doc DC offset, so payload BYTES differ) collapse into one
+    // envelope group. The audio analog of q265's exact-pixel rail:
+    // dedup on decoded CONTENT where byte hashing sees distinct
+    // files. One narrow decode + one ordered fold per clip.
+    QueryDef(
+      "q266_audio_envelope_group",
+      Some("""
+        WITH s AS (SELECT doc_id, CAST(t AS BIGINT) AS t,
+                          least((((((doc_id % 64) % 13) + 1) * t * t
+                            + ((doc_id % 64) % 97) * t
+                            + ((doc_id % 64) % 256)) % 256)
+                            + (doc_id % 3), 255) - 128 AS sv
+                   FROM documents, range(0, 256) r(t)),
+        w AS (SELECT doc_id, t // 32 AS window_idx,
+                     CAST(sum(sv * sv) AS BIGINT) AS energy
+              FROM s GROUP BY 1, 2),
+        env AS (SELECT doc_id,
+                       string_agg(CAST(energy // 65536 AS VARCHAR), ':'
+                         ORDER BY window_idx) AS env_s
+                FROM w GROUP BY 1),
+        fp AS (SELECT doc_id,
+                      ('0x'||substr(md5(env_s), 1, 15))::BIGINT
+                        AS env_fp
+               FROM env)
+        SELECT env_fp, count(*) AS n_clips, min(doc_id) AS keeper,
+               CAST(count(DISTINCT doc_id % 3) AS BIGINT)
+                 AS n_gain_variants
+        FROM fp GROUP BY 1"""),
+      (s, d) => {
+        val feats = Multimodal.audioWindowFeatures(
+          Multimodal.syntheticWavs(t(s, d, "documents"),
+            patternPeriod = 64L, jitterMod = 3L), window = 32).toDF()
+        feats
+          .select(col("doc_id"), col("window_idx"),
+            expr("energy div 65536").as("eq"))
+          .groupBy(col("doc_id"))
+          .agg(TextOps.hash60(expr(
+            "array_join(transform(sort_array(collect_list(" +
+              "struct(window_idx, eq))), s -> CAST(s.eq AS STRING)), " +
+              "':')")).as("env_fp"))
+          .groupBy(col("env_fp"))
+          .agg(count(lit(1)).as("n_clips"),
+            min(col("doc_id")).as("keeper"),
+            countDistinct(pmod(col("doc_id"), lit(3L)))
+              .as("n_gain_variants"))
+      }),
+
+    // Re-encode-invariant EXACT image dedup: fingerprint = hash of
+    // the DECODED luma grid (row-major uppercase hex), so a PNG and a
+    // BMP of the same pixels collapse into one group where byte-level
+    // md5 (q40's rail) sees two distinct files. The synthetic corpus
+    // folds doc ids mod 96 before the pixel formula while container
+    // choice follows the real id's parity — every group genuinely
+    // mixes containers (n_containers = 2), which is the whole point.
+    QueryDef(
+      "q265_image_exact_dedup",
+      Some("""
+        WITH px AS (SELECT doc_id, doc_id % 96 AS pid,
+                           CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+                    FROM documents, range(0, 36) rx(x),
+                         range(0, 32) ry(y)),
+        pv AS (SELECT doc_id, y, x,
+                      ((pid % 32 + 3) * x + (2 * (pid % 32) + 5) * y
+                        + ((x * y * (pid % 32 + 1)) % 31)) % 150
+                      + (pid % 5) * 8
+                      + (CASE WHEN x // 4 = ((pid // 32) % 72) % 9
+                              AND y // 4 = (((pid // 32) % 72) // 9) % 8
+                              THEN 60 ELSE 0 END) AS p
+               FROM px),
+        hx AS (SELECT doc_id,
+                      string_agg(printf('%02X', p), '' ORDER BY y, x)
+                        AS hs
+               FROM pv GROUP BY 1),
+        fp AS (SELECT doc_id,
+                      ('0x'||substr(md5(hs), 1, 15))::BIGINT AS pix_fp
+               FROM hx)
+        SELECT pix_fp, count(*) AS n_images, min(doc_id) AS keeper,
+               CAST(count(DISTINCT doc_id % 2) AS BIGINT)
+                 AS n_containers
+        FROM fp GROUP BY 1"""),
+      (s, d) =>
+        Multimodal.imagePixelFingerprint(
+            Multimodal.syntheticImages(t(s, d, "documents"),
+              patternPeriod = 96L)).toDF()
+          .filter(col("pix_fp").isNotNull)
+          .groupBy(col("pix_fp"))
+          .agg(count(lit(1)).as("n_images"),
+            min(col("doc_id")).as("keeper"),
+            countDistinct(pmod(col("doc_id"), lit(2L)))
+              .as("n_containers"))),
+
     // LSH banding audit: recall of the MinHash-LSH candidate set (q43)
     // against the exact n-gram-Jaccard ground truth (q41's contract),
     // banded by true Jaccard — the S-curve a dedup engineer reads to

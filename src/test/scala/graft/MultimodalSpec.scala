@@ -142,6 +142,44 @@ class MultimodalSpec extends AnyFunSuite {
       .contains(("audio", 1, 1, 64)))
   }
 
+  test("imagePixelFingerprint: same pixels through different " +
+    "containers share the fingerprint; different pixels don't; " +
+    "undecodable is None") {
+    val pix = pixOf(11L)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, Multimodal.encodeBmp(pix, W, H), "s", 0L),
+      Multimodal.MediaRecord(2L, Multimodal.encodePng(pix, W, H), "s", 0L),
+      Multimodal.MediaRecord(3L,
+        Multimodal.encodeBmp(pixOf(12L), W, H), "s", 0L),
+      Multimodal.MediaRecord(4L, Array[Byte](0, 1, 2), "s", 0L))
+      .toDS()
+    val got = Multimodal.imagePixelFingerprint(media).collect()
+      .map(f => f.doc_id -> f.pix_fp).toMap
+    assert(got(1L).isDefined && got(1L) == got(2L)) // re-encode dup
+    assert(got(3L).isDefined && got(3L) != got(1L))
+    assert(got(4L).isEmpty)
+  }
+
+  test("audio envelope quantization absorbs a small clamped DC " +
+    "offset (near-dup rail), separates a different signal") {
+    // loud alternating signal (energy ≈ 320k per window, eq = 4) vs
+    // a quiet constant one (eq = 0); +2 DC shifts energy by ~128,
+    // far inside one 65536 quantization step
+    def alt(jit: Int) = Multimodal.encodeWav(
+      Array.tabulate(64)(t => (if (t % 2 == 0) 28 else 228) + jit))
+    val quiet = Multimodal.encodeWav(Array.fill(64)(148))
+    val media = Seq(
+      Multimodal.MediaRecord(1L, alt(0), "s", 64L),
+      Multimodal.MediaRecord(2L, alt(2), "s", 64L), // +2 DC gain
+      Multimodal.MediaRecord(3L, quiet, "s", 64L)) // other signal
+      .toDS()
+    def env(id: Long) = Multimodal
+      .audioWindowFeatures(media.filter(_.doc_id == id), window = 32)
+      .collect().sortBy(_.window_idx).map(_.energy / 65536L).toSeq
+    assert(env(1L) == env(2L)) // quantized envelopes collapse
+    assert(env(1L) != env(3L))
+  }
+
   test("known dup/non-dup pairs through the full q263 chain") {
     // ids 10 and 170 share the base pattern (g = 10) with different
     // variant/brightness; id 11 is a different family
