@@ -441,6 +441,53 @@ object Multimodal {
     }
   }
 
+  /** Both image signatures from ONE decode: the exact pixel-identity
+    * fingerprint ([[imagePixelFingerprint]]) and the near-dup dHash
+    * ([[dHash64]]) — what an ingest gate needs per payload without
+    * paying the codec twice. None/None when the payload does not
+    * decode. */
+  final case class ImageSig(doc_id: Long, source: String, width: Int,
+      height: Int, pix_fp: Option[Long], dhash: Option[Long])
+
+  def imageSignatures(media: Dataset[MediaRecord]): Dataset[ImageSig] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        img match {
+          case Some(im) =>
+            val w = im.getWidth
+            val h = im.getHeight
+            val sb = new java.lang.StringBuilder(w * h * 2)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = im.getRGB(x, y)
+                val luma = (299 * ((rgb >> 16) & 0xff)
+                  + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+                sb.append(f"$luma%02X")
+                x += 1
+              }
+              y += 1
+            }
+            md.reset()
+            val hex = md.digest(sb.toString.getBytes("UTF-8"))
+              .map(b => f"${b & 0xff}%02x").mkString.take(15)
+            ImageSig(r.doc_id, r.source, w, h,
+              Some(java.lang.Long.parseLong(hex, 16)),
+              Some(dHash64(im)))
+          case None => ImageSig(r.doc_id, r.source, 0, 0, None, None)
+        }
+      }
+    }
+  }
+
   /** The 4×16-bit bands of a 64-bit hash as an LSH-style signature
     * frame — [[TextOps.lshCandidatePairs]]' input shape, so Hamming
     * banding reuses the capped bucket engine (and its oracle

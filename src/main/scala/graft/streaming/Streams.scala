@@ -1166,6 +1166,139 @@ object Streams {
     compact(s"$storeDir/fps", schemaOf("fps_schema"))(identity)
   }
 
+  /** Streaming IMAGE corpus ingest with incremental near-dup
+    * admission — the multimodal form of
+    * [[toCuratedCorpusStoreIndexed]]: payloads are decoded ONCE per
+    * micro-batch (`Multimodal.imageSignatures` — pixel-identity
+    * fingerprint + 64-bit dHash from one codec pass) and gated
+    * against three index stores beside the corpus, so a batch never
+    * re-decodes corpus payloads:
+    *
+    *  - `<storeDir>/docs`  — admitted media rows
+    *  - `<storeDir>/fps`   — pixel fingerprints (exact rail: a
+    *    re-encode of an admitted image is byte-different but
+    *    pixel-identical and is dropped here)
+    *  - `<storeDir>/bands` — (doc, dhash, band, bucket) 16-bit dHash
+    *    bands (near rail: a batch image sharing a band with a stored
+    *    one AND within `maxHamming` bits is dropped)
+    *
+    * Within a batch, pixel-identical payloads collapse to the min-id
+    * keeper first (the exact-dedup-first discipline). Undecodable
+    * payloads are REJECTED (a corpus store admits only what it can
+    * read). Replay safety is the indexed store's partition argument:
+    * every store is partitioned by `batch=<id>`, reads exclude the
+    * current id, writes overwrite only the current id's partitions —
+    * a replayed epoch re-derives the identical admission and
+    * overwrites itself, even over a crashed multi-store first
+    * attempt. A one-row meta table pins `maxHamming` (admission
+    * contract) and the index schemas (schema-safe compaction). At
+    * 1000-executor scale the bands store is the one to bucket by
+    * `bucket`; the fps store is a narrow key column. */
+  def toImageCorpusStore(stream: DataFrame, idCol: String,
+      payloadCol: String, sourceCol: String, storeDir: String,
+      checkpoint: String, maxHamming: Int = 4): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        if (!batch0.isEmpty)
+          imageCommit(batch0, batchId, idCol, payloadCol, sourceCol,
+            storeDir, maxHamming)
+      }
+      .start()
+
+  /** One admission cycle of [[toImageCorpusStore]], factored out for
+    * spec-driven batch sequences and replays. */
+  private[graft] def imageCommit(batch0: DataFrame, batchId: Long,
+      idCol: String, payloadCol: String, sourceCol: String,
+      storeDir: String, maxHamming: Int): Unit = {
+    import graft.core.Checkpoints.BarrierOps
+    val s = batch0.sparkSession
+    import s.implicits._
+    val (docsDir, fpsDir, bandsDir) =
+      (s"$storeDir/docs", s"$storeDir/fps", s"$storeDir/bands")
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val metaDir = s"$storeDir/meta"
+    if (fs.exists(new org.apache.hadoop.fs.Path(metaDir))) {
+      val stored = s.read.parquet(metaDir).first()
+        .getAs[Int]("max_hamming")
+      require(stored == maxHamming,
+        s"imageCommit: store $storeDir was created with " +
+          s"maxHamming=$stored but this commit uses $maxHamming — " +
+          "the threshold is part of the store's admission contract")
+    }
+    def readPart(dir: String, template: DataFrame): DataFrame =
+      if (fs.exists(new org.apache.hadoop.fs.Path(dir)))
+        s.read
+          .schema(template.schema.add(org.apache.spark.sql.types
+            .StructField("batch",
+              org.apache.spark.sql.types.LongType)))
+          .parquet(dir)
+          .filter(col("batch") =!= batchId)
+          .drop("batch")
+      else template.limit(0)
+    // ONE decode for both signatures; undecodable payloads rejected
+    val media = batch0.select(
+        col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload"),
+        col(sourceCol).as("source"),
+        lit(0L).as("n_chars"))
+      .as[graft.llmops.Multimodal.MediaRecord]
+    val sigs = graft.llmops.Multimodal.imageSignatures(media).toDF()
+      .filter(col("pix_fp").isNotNull)
+      .select(col("doc_id"), col("pix_fp"), col("dhash"))
+      .barrier()
+    // within-batch exact dedup, deterministic min-id keeper
+    val keep = sigs.groupBy(col("pix_fp"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val b1 = sigs.join(keep, Seq("doc_id"), "left_semi").barrier()
+    // exact rail: pixel fingerprint already admitted
+    val fpTemplate = b1.select(col("pix_fp"))
+    val exactDropped = b1
+      .join(readPart(fpsDir, fpTemplate), Seq("pix_fp"), "left_semi")
+      .select(col("doc_id"))
+    // near rail: shared 16-bit band + Hamming ≤ maxHamming
+    def bandsOf(df: DataFrame): DataFrame = df.select(
+      col("doc_id"), col("dhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "bucket")))
+    val batchBands = bandsOf(b1)
+    val bandTemplate = batchBands
+    val nearDropped = batchBands
+      .select(col("doc_id"), col("dhash").as("__hb"), col("band"),
+        col("bucket"))
+      .join(readPart(bandsDir, bandTemplate)
+          .select(col("dhash").as("__hs"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(bit_count(col("__hb").bitwiseXOR(col("__hs")))
+        <= maxHamming)
+      .select(col("doc_id")).distinct()
+    val dropped = exactDropped.unionByName(nearDropped).distinct()
+    val admitted = b1.join(dropped, Seq("doc_id"), "left_anti")
+      .barrier() // feeds docs, fps AND bands writes
+    def writePart(df: DataFrame, dir: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(metaDir))) {
+      Seq((maxHamming, fpTemplate.schema.json, bandTemplate.schema.json))
+        .toDF("max_hamming", "fps_schema", "bands_schema")
+        .coalesce(1).write.mode("overwrite").parquet(metaDir)
+    }
+    val docsOut = batch0
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload"), col(sourceCol).as("source"))
+      .join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    writePart(docsOut, docsDir)
+    writePart(admitted.select(col("pix_fp")), fpsDir)
+    writePart(bandsOf(admitted), bandsDir)
+    ()
+  }
+
+  /** The admitted image corpus without the internal batch column. */
+  def imageDocs(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(s"$storeDir/docs").drop("batch")
+
   /** Streaming document egress: each micro-batch pushes its rows as
     * JSON documents through a DocSink transport (STOMP frames,
     * OpenSearch bulk bodies, …) from the EXECUTORS — the streaming

@@ -865,6 +865,78 @@ class StreamingSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("meta"))
   }
 
+  test("toImageCorpusStore: exact (re-encode) + near (dHash) gates " +
+    "across batches from ONE decode; replay is a no-op; undecodable " +
+    "rejected; mismatched threshold refused") {
+    import spark.implicits._
+    import graft.llmops.Multimodal
+    val dir = Files.createTempDirectory("graft-imgstore").toString
+    val store = s"$dir/store"
+    def img(id: Long, pid: Long): (Long, Array[Byte], String) = {
+      val pix = Array.tabulate(32, 36)((y, x) =>
+        Multimodal.synthPixel(pid, x, y))
+      (id, if (id % 2 == 0) Multimodal.encodeBmp(pix, 36, 32)
+      else Multimodal.encodePng(pix, 36, 32), "s")
+    }
+    def commit(batchId: Long, rows: Seq[(Long, Array[Byte], String)],
+        maxHamming: Int = 4): Unit =
+      Streams.imageCommit(rows.toDF("id", "payload", "src"), batchId,
+        "id", "payload", "src", store, maxHamming)
+    def ids() = Streams.imageDocs(spark, store)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // batch 0: ids 2 (BMP) and 3 (PNG) are the SAME pixels through
+    // different containers → min-id keeper 2; id 4 a new family;
+    // id 99 undecodable → rejected
+    commit(0L, Seq(img(2L, 5L), img(3L, 5L), img(4L, 6L),
+      (99L, Array[Byte](1, 2, 3), "s")))
+    assert(ids() == Seq(2L, 4L))
+    // batch 1: id 11 re-encodes family 5 (exact rail, pixel fp);
+    // id 13 is family 5's VARIANT (pid 37: same base pattern, moved
+    // bump cell → ≤3 dHash bits → near rail); id 15 a new family
+    commit(1L, Seq(img(11L, 5L), img(13L, 37L), img(15L, 7L)))
+    assert(ids() == Seq(2L, 4L, 15L))
+    // replaying batch 1 (engine redelivery contract) changes nothing
+    commit(1L, Seq(img(11L, 5L), img(13L, 37L), img(15L, 7L)))
+    assert(ids() == Seq(2L, 4L, 15L))
+    // crashed batch-2 first attempt left garbage docs; the replay
+    // overwrites its own partitions and erases it
+    Seq((777L, Array[Byte](9), "s")).toDF("doc_id", "payload", "source")
+      .write.mode("overwrite").parquet(s"$store/docs/batch=2")
+    commit(2L, Seq(img(20L, 8L)))
+    assert(ids() == Seq(2L, 4L, 15L, 20L))
+    // the admission threshold is part of the store contract
+    val ex = intercept[IllegalArgumentException] {
+      commit(3L, Seq(img(30L, 9L)), maxHamming = 3)
+    }
+    assert(ex.getMessage.contains("maxHamming"))
+  }
+
+  test("toImageCorpusStore streaming wrapper: micro-batches gate " +
+    "through the store") {
+    import spark.implicits._
+    import graft.llmops.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-imgstream").toString
+    val (store, ckpt) = (s"$dir/store", s"$dir/ckpt")
+    def png(id: Long, pid: Long): (Long, Array[Byte], String) = {
+      val pix = Array.tabulate(32, 36)((y, x) =>
+        Multimodal.synthPixel(pid, x, y))
+      (id, Multimodal.encodePng(pix, 36, 32), "s")
+    }
+    val input = MemoryStream[(Long, Array[Byte], String)]
+    val q = Streams.toImageCorpusStore(
+      input.toDF().toDF("id", "payload", "src"), "id", "payload",
+      "src", store, ckpt)
+    input.addData(png(1L, 10L), png(3L, 11L))
+    q.processAllAvailable()
+    input.addData(png(5L, 10L), png(7L, 12L)) // 5 re-encodes family 10
+    q.processAllAvailable()
+    q.stop()
+    assert(Streams.imageDocs(spark, store)
+      .select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 7L))
+  }
+
   test("file source streams incrementally and lands in a day store") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream").toString
