@@ -70,6 +70,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(h0 ^ hOther) > 4)
   }
 
+  test("dHash survives LOSSY JPEG re-encoding within the near-dup " +
+    "threshold — the perceptual-hash robustness claim") {
+    for (id <- Seq(1L, 17L, 42L, 99L)) {
+      val pix = pixOf(id)
+      val lossless = Multimodal.dHash64(decode(
+        Multimodal.encodeBmp(pix, W, H)))
+      // JPEG round-trip: pixels change, the difference hash shouldn't
+      val img = new java.awt.image.BufferedImage(W, H,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until H; x <- 0 until W) {
+        val p = pix(y)(x)
+        img.setRGB(x, y, (p << 16) | (p << 8) | p)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      val viaJpeg = Multimodal.dHash64(decode(bos.toByteArray))
+      val ham = java.lang.Long.bitCount(lossless ^ viaJpeg)
+      assert(ham <= 4,
+        s"id=$id: JPEG re-encode moved the dHash by $ham bits")
+    }
+  }
+
+  test("property: dHash brightness + re-encode invariance over " +
+    "random pixel grids") {
+    val rnd = new scala.util.Random(20260815L)
+    for (_ <- 0 until 25) {
+      val pix = Array.fill(H, W)(rnd.nextInt(230))
+      val viaBmp = Multimodal.dHash64(decode(
+        Multimodal.encodeBmp(pix, W, H)))
+      val viaPng = Multimodal.dHash64(decode(
+        Multimodal.encodePng(pix, W, H)))
+      assert(viaBmp == viaPng) // container-independent
+      val shift = 1 + rnd.nextInt(25)
+      val brighter = pix.map(_.map(_ + shift)) // ≤ 254, no clamp
+      assert(Multimodal.dHash64(decode(
+        Multimodal.encodeBmp(brighter, W, H))) == viaBmp)
+      // pixel-identity fingerprint: equal across containers too
+      val media = Seq(
+        Multimodal.MediaRecord(1L, Multimodal.encodeBmp(pix, W, H),
+          "s", 0L),
+        Multimodal.MediaRecord(2L, Multimodal.encodePng(pix, W, H),
+          "s", 0L)).toDS()
+      val fps = Multimodal.imagePixelFingerprint(media).collect()
+        .map(_.pix_fp).toSeq
+      assert(fps.forall(_.isDefined) && fps.distinct.size == 1)
+    }
+  }
+
   test("imageDHash decodes every synthetic payload; result is " +
     "partition-invariant") {
     val docs = (0L until 80L).map(i => (i, s"s${i % 3}"))
