@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.llmops.{Multimodal, Similarity, TextOps}
+import graft.llmops.{DedupClusters, Multimodal, Similarity, TextOps}
 import graft.core.Checkpoints.BarrierOps
 
 /** Training-data-pipeline operator family (SURVEY.md §7.1 `llmops`):
@@ -118,6 +118,86 @@ object LlmQueries {
         s"i -> CAST((${17 * (j + 1)}*(i+3)+7)%19 - 9 AS DOUBLE))"
       s"(CASE WHEN ${dkDot(v, plane)} > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** DuckDB CTE chain replaying the q263 image pipeline through the
+    * candidate pairs: synthetic pixel grids → 9×8 pooled luma cells →
+    * 64-bit dHash → 4×16-bit Hamming banding (capped buckets, star
+    * fallback) → exact bit_count verify at ≤ 4. Ends in `ip(doc_a,
+    * doc_b, hamming)`, shared by q263 (the pair list itself) and q267
+    * (components + keep-list over it). Valid as an oracle because both
+    * containers are lossless so decode(encode(p)) ≡ p; the decode path
+    * itself is pinned by MultimodalSpec. */
+  private val dkImgDhashPairs: String = s"""
+    px AS (SELECT doc_id, doc_id % 32 AS g,
+                  (doc_id // 32) % 72 AS v,
+                  (doc_id % 5) * 8 AS br,
+                  CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+           FROM documents, range(0, 36) rx(x),
+                range(0, 32) ry(y)),
+    pv AS (SELECT doc_id, (y * 8) // 32 AS r, (x * 9) // 36 AS c,
+                  ((g + 3) * x + (2 * g + 5) * y
+                    + ((x * y * (g + 1)) % 31)) % 150
+                  + br
+                  + (CASE WHEN x // 4 = v % 9
+                          AND y // 4 = (v // 9) % 8
+                          THEN 60 ELSE 0 END) AS p
+           FROM px),
+    cells AS (SELECT doc_id, r, c, CAST(sum(p) AS BIGINT) AS s,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM pv GROUP BY 1, 2, 3),
+    bits AS (SELECT a.doc_id, a.r, a.c,
+                    CASE WHEN b.s * a.n > a.s * b.n
+                         THEN 1 ELSE 0 END AS bit
+             FROM cells a JOIN cells b
+               ON a.doc_id = b.doc_id AND a.r = b.r
+              AND b.c = a.c + 1
+             WHERE a.c <= 7),
+    dh0 AS (SELECT doc_id,
+                   sum(CAST(bit AS HUGEINT)
+                     * (CAST(1 AS HUGEINT)
+                        << CAST(r * 8 + c AS INT))) AS hsum
+            FROM bits GROUP BY 1),
+    dh AS (SELECT doc_id,
+                  CAST(CASE WHEN hsum >= CAST(1 AS HUGEINT) << 63
+                            THEN hsum
+                              - ((CAST(1 AS HUGEINT) << 63) * 2)
+                            ELSE hsum END AS BIGINT) AS dhash
+           FROM dh0),
+    banded AS (SELECT doc_id AS doc, j AS band,
+                      (dhash >> CAST(16 * j AS INT)) & 65535
+                        AS bucket
+               FROM dh CROSS JOIN range(0, 4) rj(j)),
+    rk AS (SELECT doc, band, bucket,
+                  row_number() OVER (PARTITION BY band, bucket
+                                     ORDER BY doc) AS rn,
+                  min(doc) OVER (PARTITION BY band, bucket) AS mn
+           FROM banded),
+    cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+               SELECT a.doc AS doc_a, b.doc AS doc_b
+               FROM rk a JOIN rk b
+                 ON a.band = b.band AND a.bucket = b.bucket
+                AND a.rn < b.rn
+                AND b.rn <= ${TextOps.DefaultMaxBucket}
+               UNION ALL
+               SELECT mn AS doc_a, doc AS doc_b FROM rk
+               WHERE rn > ${TextOps.DefaultMaxBucket})),
+    ip AS (SELECT c.doc_a, c.doc_b,
+                  CAST(bit_count(xor(ha.dhash, hb.dhash)) AS INT)
+                    AS hamming
+           FROM cand c
+           JOIN dh ha ON ha.doc_id = c.doc_a
+           JOIN dh hb ON hb.doc_id = c.doc_b
+           WHERE bit_count(xor(ha.dhash, hb.dhash)) <= 4)"""
+
+  /** Spark side of the q263 chain: decode → dHash → Hamming-banded
+    * verified pairs. Shared by q263 and q267. */
+  private def imgDhashPairs(s: SparkSession, d: String): DataFrame = {
+    val hashes = Multimodal.imageDHash(
+      Multimodal.syntheticImages(t(s, d, "documents"))).toDF()
+      .barrier()
+    Multimodal.hammingNearDupPairs(hashes, "doc_id", "dhash",
+      maxHamming = 4)
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -809,73 +889,9 @@ object LlmQueries {
     QueryDef(
       "q263_image_dhash_neardup",
       Some(s"""
-        WITH px AS (SELECT doc_id, doc_id % 32 AS g,
-                           (doc_id // 32) % 72 AS v,
-                           (doc_id % 5) * 8 AS br,
-                           CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
-                    FROM documents, range(0, 36) rx(x),
-                         range(0, 32) ry(y)),
-        pv AS (SELECT doc_id, (y * 8) // 32 AS r, (x * 9) // 36 AS c,
-                      ((g + 3) * x + (2 * g + 5) * y
-                        + ((x * y * (g + 1)) % 31)) % 150
-                      + br
-                      + (CASE WHEN x // 4 = v % 9
-                              AND y // 4 = (v // 9) % 8
-                              THEN 60 ELSE 0 END) AS p
-               FROM px),
-        cells AS (SELECT doc_id, r, c, CAST(sum(p) AS BIGINT) AS s,
-                         CAST(count(*) AS BIGINT) AS n
-                  FROM pv GROUP BY 1, 2, 3),
-        bits AS (SELECT a.doc_id, a.r, a.c,
-                        CASE WHEN b.s * a.n > a.s * b.n
-                             THEN 1 ELSE 0 END AS bit
-                 FROM cells a JOIN cells b
-                   ON a.doc_id = b.doc_id AND a.r = b.r
-                  AND b.c = a.c + 1
-                 WHERE a.c <= 7),
-        dh0 AS (SELECT doc_id,
-                       sum(CAST(bit AS HUGEINT)
-                         * (CAST(1 AS HUGEINT)
-                            << CAST(r * 8 + c AS INT))) AS hsum
-                FROM bits GROUP BY 1),
-        dh AS (SELECT doc_id,
-                      CAST(CASE WHEN hsum >= CAST(1 AS HUGEINT) << 63
-                                THEN hsum
-                                  - ((CAST(1 AS HUGEINT) << 63) * 2)
-                                ELSE hsum END AS BIGINT) AS dhash
-               FROM dh0),
-        banded AS (SELECT doc_id AS doc, j AS band,
-                          (dhash >> CAST(16 * j AS INT)) & 65535
-                            AS bucket
-                   FROM dh CROSS JOIN range(0, 4) rj(j)),
-        rk AS (SELECT doc, band, bucket,
-                      row_number() OVER (PARTITION BY band, bucket
-                                         ORDER BY doc) AS rn,
-                      min(doc) OVER (PARTITION BY band, bucket) AS mn
-               FROM banded),
-        cand AS (SELECT DISTINCT doc_a, doc_b FROM (
-                   SELECT a.doc AS doc_a, b.doc AS doc_b
-                   FROM rk a JOIN rk b
-                     ON a.band = b.band AND a.bucket = b.bucket
-                    AND a.rn < b.rn
-                    AND b.rn <= ${TextOps.DefaultMaxBucket}
-                   UNION ALL
-                   SELECT mn AS doc_a, doc AS doc_b FROM rk
-                   WHERE rn > ${TextOps.DefaultMaxBucket}))
-        SELECT c.doc_a, c.doc_b,
-               CAST(bit_count(xor(ha.dhash, hb.dhash)) AS INT)
-                 AS hamming
-        FROM cand c
-        JOIN dh ha ON ha.doc_id = c.doc_a
-        JOIN dh hb ON hb.doc_id = c.doc_b
-        WHERE bit_count(xor(ha.dhash, hb.dhash)) <= 4"""),
-      (s, d) => {
-        val hashes = Multimodal.imageDHash(
-          Multimodal.syntheticImages(t(s, d, "documents"))).toDF()
-          .barrier()
-        Multimodal.hammingNearDupPairs(hashes, "doc_id", "dhash",
-          maxHamming = 4)
-      }),
+        WITH $dkImgDhashPairs
+        SELECT doc_a, doc_b, hamming FROM ip"""),
+      (s, d) => imgDhashPairs(s, d)),
 
     // PCM audio window features (the audio analog of q263): synthetic
     // 8-bit mono WAV payloads are REALLY parsed — header fields, then
@@ -1002,6 +1018,37 @@ object LlmQueries {
             min(col("doc_id")).as("keeper"),
             countDistinct(pmod(col("doc_id"), lit(2L)))
               .as("n_containers"))),
+
+    // Image survivorship: q263's verified near-dup pairs → connected
+    // components (min-label propagation; oracle = recursive-CTE
+    // transitive closure, q54's pattern) → canonical keep-list over
+    // the WHOLE corpus. This is the operator a multimodal release
+    // actually runs: decode → perceptual hash → banded pairs →
+    // clusters → one survivor per cluster, end-to-end hash-oracled.
+    QueryDef(
+      "q267_image_keep_list",
+      Some(s"""
+        WITH RECURSIVE $dkImgDhashPairs,
+        edges AS (SELECT doc_a s, doc_b d FROM ip
+                  UNION SELECT doc_b, doc_a FROM ip),
+        reach AS (
+          SELECT s AS node, s AS r FROM edges
+          UNION
+          SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.node),
+        comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY 1)
+        SELECT d.doc_id,
+               coalesce(comp.cluster, d.doc_id) AS cluster,
+               (comp.cluster IS NULL OR comp.cluster = d.doc_id)
+                 AS is_kept
+        FROM documents d LEFT JOIN comp ON comp.node = d.doc_id"""),
+      // maxIters generous for the same reason as q54: the oracle is
+      // EXACT components, so the split-cluster fallback must never
+      // fire on the oracled path; the convergence probe exits after
+      // the true diameter anyway.
+      (s, d) =>
+        DedupClusters.keepList(
+          t(s, d, "documents"), "doc_id",
+          imgDhashPairs(s, d), "doc_a", "doc_b", maxIters = 100)),
 
     // LSH banding audit: recall of the MinHash-LSH candidate set (q43)
     // against the exact n-gram-Jaccard ground truth (q41's contract),

@@ -129,13 +129,17 @@ def main():
     # semi-join FILTER on the scan).
     # q239 is q54's iterative component rounds plus one hash-split
     # projection — exempt for exactly q54's reason.
+    # q267 is the q263 image pair pipeline feeding q54's iterative
+    # component rounds (keep-list over dHash near-dup pairs) —
+    # exchange count tracks convergence depth, exempt for exactly
+    # q54's reason.
     exempt = {"q54_dedup_clusters", "q65_curation_pipeline",
               "q114_fk_audit", "q140_dedup_survivors",
               "q146_effective_tokens", "q149_cluster_sizes",
               "q162_sparse_cosine_pairs", "q163_rrf_hybrid",
               "q164_pair_pagerank", "q189_corpus_release",
               "q235_corpus_release_lm", "q238_rm3_expansion",
-              "q239_cluster_safe_split"}
+              "q239_cluster_safe_split", "q267_image_keep_list"}
     # Per-query cap OVERRIDES — exemption with the tripwire kept:
     # when the honest exchange count is KNOWN and stable, pin it so a
     # future regression (a lost barrier re-exposing a corpus subtree)
