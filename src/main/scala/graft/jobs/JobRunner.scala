@@ -425,6 +425,24 @@ object JobRunner {
           nQueries = o.get("queries").map(_.toInt).getOrElse(8),
           dest = dest)
       }),
+      // end-to-end multimodal release: decode-once signatures, exact
+      // content dedup, Hamming near-dup keep-lists and a per-modality
+      // survivorship report — q265/q263/q267 (images) and q266/q268
+      // (audio) composed into one invocation (llmops.MediaRelease)
+      "media_release" -> ((s, o) => {
+        val in = o.getOrElse("in-media",
+          sys.error("--in-media required for media_release"))
+        val dest = o.getOrElse("dest",
+          sys.error("--dest required for media_release"))
+        import s.implicits._
+        graft.llmops.MediaRelease.release(
+          s.read.parquet(in)
+            .as[graft.llmops.Multimodal.MediaRecord],
+          dest,
+          maxHamming =
+            o.get("max-hamming").map(_.toInt).getOrElse(4),
+          window = o.get("window").map(_.toInt).getOrElse(4))
+      }),
       // union length of [start, end) intervals per key — overlaps
       // counted once (sweep line, Events.intervalCoverage)
       "interval_coverage" -> ((s, o) => {

@@ -1,0 +1,111 @@
+package graft.llmops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.core.Checkpoints.BarrierOps
+import Multimodal.MediaRecord
+
+/** End-to-end multimodal corpus release — the composition of the
+  * oracled decoded-content dedup primitives into ONE lake job
+  * (`JobRunner` registry: `media_release`): a single CLI invocation
+  * dedups a mixed image+audio media table on decoded CONTENT (not
+  * bytes), persists the per-stage artifacts, and reports per-modality
+  * survivorship. The multimodal analog of `corpus_release` (q189).
+  *
+  * Stages per modality (each stage's semantics is an oracled query):
+  *  - images: decode ONCE ([[Multimodal.imageSignatures]] — both the
+  *    exact pixel fingerprint and the perceptual dHash from a single
+  *    codec pass) → exact pixel-identity dedup, min-id survivor per
+  *    fingerprint (q265) → dHash Hamming-banded near-dup pairs over
+  *    the exact SURVIVORS only (q263) → connected-component keep-list
+  *    (q267);
+  *  - audio: acoustic fingerprint ([[Multimodal.audioEnvelopeHash]])
+  *    → exact envelope dedup (q266's rail) → Hamming near-dup pairs
+  *    over survivors (q268) → keep-list.
+  *
+  * Running the Hamming route strictly AFTER exact dedup is the
+  * structural exact-dedup-first guard ([[TextOps.exactDedupFirst]]'s
+  * contract): byte- or content-identical floods collapse to one
+  * representative before banding, so no bucket is dominated by a
+  * single fingerprint.
+  *
+  * Scale shape: both fingerprint kernels are narrow maps over one
+  * barriered media scan (the payload bytes are read once and never
+  * shuffled — only 8-byte hashes and ids move); exact dedup is one
+  * hash aggregation per modality; the pair stage is the capped-bucket
+  * banding engine; components barrier per round. Undecodable payloads
+  * are counted, never silently dropped.
+  */
+object MediaRelease {
+
+  /** Run the release over a media table; persist artifacts under
+    * `dest` (`image_signatures`, `image_pairs`, `keep_images`,
+    * `audio_hashes`, `audio_pairs`, `keep_audio`, `report`) and
+    * return the per-modality report:
+    * (media_kind, n_payloads, n_exact_survivors, n_kept). */
+  def release(media: Dataset[MediaRecord], dest: String,
+      maxHamming: Int = 4, window: Int = 4): DataFrame = {
+    val m = media.barrier() // one scan feeds both modality kernels
+
+    // ---- images: one decode → (pix_fp, dhash) ----
+    val sigs = Multimodal.imageSignatures(m).toDF().barrier()
+    sigs.write.mode("overwrite").parquet(s"$dest/image_signatures")
+    val images = sigs.filter(col("pix_fp").isNotNull)
+    // exact pixel-identity dedup: min-id survivor carries its dhash
+    // through the struct-min (dhash is defined whenever pix_fp is)
+    val imgSurvivors = images
+      .groupBy(col("pix_fp"))
+      .agg(min(struct(col("doc_id"), col("dhash"))).as("k"),
+        count(lit(1)).as("n_copies"))
+      .select(col("k.doc_id").as("doc_id"), col("k.dhash").as("dhash"),
+        col("pix_fp"), col("n_copies"))
+      .barrier() // feeds the pair stage AND the keep-list base
+    val imgPairs = Multimodal.hammingNearDupPairs(
+      imgSurvivors, "doc_id", "dhash", maxHamming).barrier()
+    imgPairs.write.mode("overwrite").parquet(s"$dest/image_pairs")
+    val keepImages = DedupClusters.keepList(
+      imgSurvivors, "doc_id", imgPairs, "doc_a", "doc_b",
+      maxIters = 100)
+    keepImages.write.mode("overwrite").parquet(s"$dest/keep_images")
+
+    // ---- audio: acoustic fingerprint ----
+    val hashes = Multimodal.audioEnvelopeHash(m, window).toDF()
+      .barrier()
+    hashes.write.mode("overwrite").parquet(s"$dest/audio_hashes")
+    val audio = hashes.filter(col("env_hash").isNotNull)
+    val audSurvivors = audio
+      .groupBy(col("env_hash"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_copies"))
+      .barrier()
+    val audPairs = Multimodal.hammingNearDupPairs(
+      audSurvivors, "doc_id", "env_hash", maxHamming).barrier()
+    audPairs.write.mode("overwrite").parquet(s"$dest/audio_pairs")
+    val keepAudio = DedupClusters.keepList(
+      audSurvivors, "doc_id", audPairs, "doc_a", "doc_b",
+      maxIters = 100)
+    keepAudio.write.mode("overwrite").parquet(s"$dest/keep_audio")
+
+    // ---- per-modality report (every frame here is one row) ----
+    def kindReport(kind: String, decoded: DataFrame,
+        keep: DataFrame): DataFrame =
+      decoded.agg(count(lit(1)).as("n_payloads"))
+        .crossJoin(keep.agg(
+          count(lit(1)).as("n_exact_survivors"),
+          coalesce(sum(when(col("is_kept"), 1L).otherwise(0L)),
+            lit(0L)).as("n_kept")))
+        .select(lit(kind).as("media_kind"), col("n_payloads"),
+          col("n_exact_survivors"), col("n_kept"))
+    val undecodable = sigs.filter(col("pix_fp").isNull)
+      .join(audio.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_payloads"))
+      .select(lit("undecodable").as("media_kind"), col("n_payloads"),
+        lit(0L).as("n_exact_survivors"), lit(0L).as("n_kept"))
+    val report = kindReport("image", images, keepImages)
+      .unionByName(kindReport("audio", audio, keepAudio))
+      .unionByName(undecodable)
+    report.write.mode("overwrite").parquet(s"$dest/report")
+    report
+  }
+}

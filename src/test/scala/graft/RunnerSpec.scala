@@ -390,6 +390,59 @@ class RunnerSpec extends AnyFunSuite {
     assert(cents(0) == 1.0 && cents(1) == 5.0)
   }
 
+  test("JobRunner: media_release lake job dedups decoded content " +
+    "across both modalities and reports survivorship") {
+    val dir = Files.createTempDirectory("graft-runner-media").toString
+    val s0 = graft.core.Sessions.local(4, "graft-runner-test")
+    import s0.implicits._
+    import graft.llmops.Multimodal
+    val W = 36; val H = 32
+    def pix(id: Long, br: Int) = Array.tabulate(H, W)((y, x) =>
+      math.min(Multimodal.synthPixel(id, x, y) + br, 255))
+    def wav(pid: Long, jit: Int) = Multimodal.encodeWav(
+      Array.tabulate(256)(t =>
+        math.min(Multimodal.synthSample(pid, t) + jit, 255)))
+    Seq(
+      // image content dup across containers (1=BMP, 2=PNG): exact
+      // stage collapses; 3 = brightness twin: dHash near-dup of 1;
+      // 4 = different image family
+      Multimodal.MediaRecord(1L, Multimodal.encodeBmp(pix(10L, 0), W, H),
+        "s", 0L),
+      Multimodal.MediaRecord(2L, Multimodal.encodePng(pix(10L, 0), W, H),
+        "s", 0L),
+      Multimodal.MediaRecord(3L, Multimodal.encodeBmp(pix(10L, 9), W, H),
+        "s", 0L),
+      Multimodal.MediaRecord(4L, Multimodal.encodeBmp(pix(11L, 0), W, H),
+        "s", 0L),
+      // audio: 5/6 gain twins (pid 7: Hamming 2 — the NEAR stage
+      // collapses them, not the exact one), 7 a different clip
+      Multimodal.MediaRecord(5L, wav(7L, 0), "s", 256L),
+      Multimodal.MediaRecord(6L, wav(7L, 2), "s", 256L),
+      Multimodal.MediaRecord(7L, wav(19L, 0), "s", 256L),
+      // 8: undecodable garbage — counted, not dropped
+      Multimodal.MediaRecord(8L, Array[Byte](9, 9, 9), "s", 3L))
+      .toDS().write.parquet(s"$dir/media")
+    val report = JobRunner.lakeJobs("media_release")(s0, Map(
+      "in-media" -> s"$dir/media", "dest" -> s"$dir/rel"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(report("image") == ((4L, 3L, 2L))) // 4 decoded, {1,3,4}
+    assert(report("audio") == ((3L, 3L, 2L))) // survive exact; near
+    assert(report("undecodable") == ((1L, 0L, 0L)))
+    val keptImg = s0.read.parquet(s"$dir/rel/keep_images")
+      .filter("is_kept").collect().map(_.getLong(0)).toSet
+    assert(keptImg == Set(1L, 4L)) // 2 exact-dupped, 3 near-dupped
+    val keptAud = s0.read.parquet(s"$dir/rel/keep_audio")
+      .filter("is_kept").collect().map(_.getLong(0)).toSet
+    assert(keptAud == Set(5L, 7L))
+    // the near stage, not the exact one, collapsed the audio twins
+    assert(s0.read.parquet(s"$dir/rel/audio_pairs").count() == 1L)
+    for (a <- Seq("image_signatures", "image_pairs", "audio_hashes",
+        "report"))
+      assert(s0.read.parquet(s"$dir/rel/$a").count() > 0)
+  }
+
   test("JobRunner: interval_coverage lake job counts overlaps once") {
     val dir = Files.createTempDirectory("graft-runner-iv").toString
     val s0 = graft.core.Sessions.local(4, "graft-runner-test")
