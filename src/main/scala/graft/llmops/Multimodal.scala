@@ -208,6 +208,166 @@ object Multimodal {
         col("frame_idx"), col("frame_fp"))
   }
 
+  /** Synthetic fixed-frame "video" corpus: per doc, 8 frames of 16
+    * ASCII bytes each, frame j's content = `fr:%013d` of the pool id
+    * `(doc_id % families)·16 + (doc_id % starts) + j`. Clips in the
+    * same family at different starts share 8−|Δstart| of 8 frames —
+    * the controlled near-dup fixture (clip vs its trimmed/shifted
+    * re-cut); different families share nothing. `starts` must stay
+    * coprime to `families` so every family spans all offsets (the
+    * defaults: gcd(96, 5) = 1; with starts = 3 every id in a family
+    * would share ONE start — id%3 is a function of id%96 — and the
+    * corpus would hold only exact dups). `starts·1 + 7 < 16` keeps
+    * pools disjoint across families. Narrow
+    * map, no shuffle. */
+  def syntheticVideos(docs: DataFrame, families: Long = 96L,
+      starts: Long = 5L): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("source"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src) =>
+          val fam = id % families
+          val st = id % starts
+          val payload = (0 until 8).flatMap { j =>
+            "fr:%013d".format(fam * 16L + st + j).getBytes("UTF-8")
+          }.toArray
+          MediaRecord(id, payload, src, 8L)
+        }
+      }
+  }
+
+  /** Every fixed-size frame of a payload with its content hash —
+    * pure Catalyst (substring/hex over the binary column, no decode
+    * pass): (doc_id, frame_idx, frame_fp). Payloads shorter than one
+    * frame emit no rows. The hex∘substring route replays in the
+    * oracle exactly like [[sampleFrames]]' grid. */
+  def frameFingerprints(media: Dataset[MediaRecord], frameBytes: Int)
+      : DataFrame = {
+    require(frameBytes >= 1, s"frameFingerprints: frameBytes=$frameBytes")
+    media.toDF()
+      .select(col("doc_id"), col("payload"),
+        (length(col("payload")) / frameBytes).cast("int").as("__nf"))
+      .select(col("doc_id"), col("payload"),
+        explode(when(col("__nf") > 0,
+          sequence(lit(0), col("__nf") - 1))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+        TextOps.hash60(hex(expr(
+          s"substring(payload, frame_idx * $frameBytes + 1, " +
+            s"$frameBytes)"))).as("frame_fp"))
+  }
+
+  /** Clip-level near-dup by shared frame CONTENT: inverted index on
+    * the frame fingerprint (df-capped, the q41 discipline — a frame
+    * in more than `maxDf` clips is intro/outro boilerplate and joins
+    * nothing), count shared distinct frames per candidate pair,
+    * keep containment = shared/min(|A|,|B|) ≥ `minContainment`. The
+    * containment direction (vs Jaccard) is what catches a TRIMMED
+    * re-cut: a 6-frame cut of an 8-frame clip scores 1.0, not 0.75.
+    * Pair volume is bounded by the df cap exactly as in the text
+    * route. */
+  def sharedFrameNearDupPairs(frames: DataFrame,
+      minContainment: Double, maxDf: Int = 1000): DataFrame = {
+    require(minContainment > 0 && minContainment <= 1.0,
+      s"sharedFrameNearDupPairs: minContainment=$minContainment")
+    import graft.core.Checkpoints.BarrierOps
+    // the distinct frame set feeds FOUR consumers (sizes, df cap,
+    // both self-join sides): barrier it so the frame-hash kernel runs
+    // once instead of being re-inlined per consumer (q162 precedent)
+    val d = frames.select(col("doc_id"), col("frame_fp")).distinct()
+      .barrier()
+    val n = d.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val kept = d.groupBy(col("frame_fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("frame_fp"))
+    val dk = d.join(kept, Seq("frame_fp"), "left_semi")
+    val shared = dk.select(col("frame_fp"), col("doc_id").as("doc_a"))
+      .join(dk.select(col("frame_fp"), col("doc_id").as("doc_b")),
+        Seq("frame_fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(n.select(col("doc_id").as("doc_a"), col("nf").as("__na")),
+        Seq("doc_a"))
+      .join(n.select(col("doc_id").as("doc_b"), col("nf").as("__nb")),
+        Seq("doc_b"))
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("__na"), col("__nb")))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("containment"))
+  }
+
+  /** The SCALE route for video near-dup (q269 is the exact
+    * verification-grade path, the q41/q43 relationship): frames are
+    * the clip's shingles, so the text LSH machinery applies
+    * unchanged —
+    *
+    *  1. exact-dedup-first on the clip's frame-SET fingerprint
+    *     (hash of the sorted distinct frame fps — content-identical
+    *     re-containered clips collapse to the min-id keeper before
+    *     any banding, the [[TextOps.exactDedupFirst]] discipline);
+    *  2. MinHash signatures over the frame-fp set (the
+    *     [[TextOps.MinHashPerms]] permutations, fp already 60-bit);
+    *  3. capped (band, bucket) candidates
+    *     ([[TextOps.lshCandidatePairs]] — 256-cap + star fallback
+    *     bounds pair volume linearly in corpus size however many
+    *     re-cuts a family has);
+    *  4. exact containment verify restricted to CANDIDATES (the join
+    *     is |cand|×frames-per-clip, never all-pairs).
+    *
+    * Returns (doc_a, doc_b, shared, containment ≥ minContainment). */
+  def videoLshNearDupPairs(frames: DataFrame, minContainment: Double,
+      maxBucket: Int = TextOps.DefaultMaxBucket): DataFrame = {
+    import graft.core.Checkpoints.BarrierOps
+    val p = TextOps.MinHashP
+    val d0 = frames.select(col("doc_id"), col("frame_fp")).distinct()
+      .barrier()
+    // 1. exact rail: identical frame sets collapse before banding
+    val keep = d0.groupBy(col("doc_id"))
+      .agg(TextOps.hash60(expr(
+        "array_join(transform(sort_array(collect_list(frame_fp)), " +
+          "x -> CAST(x AS STRING)), ':')")).as("set_fp"))
+      .groupBy(col("set_fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val d = d0.join(keep, Seq("doc_id"), "left_semi").barrier()
+    // 2. set-MinHash signatures (xm = fp mod p, then the 4 perms)
+    val sigs = d
+      .select(col("doc_id"), (col("frame_fp") % p).as("xm"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min((col("xm") * TextOps.MinHashPerms(0)._1
+          + TextOps.MinHashPerms(0)._2) % p).as("sig_0"),
+        min((col("xm") * TextOps.MinHashPerms(1)._1
+          + TextOps.MinHashPerms(1)._2) % p).as("sig_1"),
+        min((col("xm") * TextOps.MinHashPerms(2)._1
+          + TextOps.MinHashPerms(2)._2) % p).as("sig_2"),
+        min((col("xm") * TextOps.MinHashPerms(3)._1
+          + TextOps.MinHashPerms(3)._2) % p).as("sig_3"))
+    // 3. capped banding; 4. containment verify on candidates only
+    val cand = TextOps.lshCandidatePairs(sigs, "doc_id", maxBucket)
+    val n = d.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("frame_fp")),
+        Seq("doc_a"))
+      .join(d.select(col("doc_id").as("doc_b"), col("frame_fp")),
+        Seq("doc_b", "frame_fp"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(n.select(col("doc_id").as("doc_a"), col("nf").as("__na")),
+        Seq("doc_a"))
+      .join(n.select(col("doc_id").as("doc_b"), col("nf").as("__nb")),
+        Seq("doc_b"))
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("__na"), col("__nb")))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("containment"))
+  }
+
   // ===== Pixel-level image operators (q263) =====================
   //
   // Real decoded pixels, not header fields: payloads are decoded with

@@ -119,6 +119,21 @@ object LlmQueries {
       s"(CASE WHEN ${dkDot(v, plane)} > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** DuckDB CTEs replaying [[Multimodal.syntheticVideos]] +
+    * [[Multimodal.frameFingerprints]]: the synthetic frame-pool
+    * formula → per-frame content fingerprints (hash60 of the frame
+    * bytes' hex — exact because the frame bytes are ASCII of the
+    * formula, so both engines hash identical strings). Ends in
+    * `d(doc_id, frame_fp)` distinct. Shared by q269 and q270. */
+  private val dkVideoFrames: String = s"""
+    f AS (SELECT doc_id, CAST(j AS BIGINT) AS j,
+                 (doc_id % 96) * 16 + (doc_id % 5) + j AS fid
+          FROM documents, range(0, 8) r(j)),
+    d AS (SELECT DISTINCT doc_id,
+                 ${dkHash60("hex(encode(printf('fr:%013d', fid)))")}
+                   AS frame_fp
+          FROM f)"""
+
   /** DuckDB CTE chain replaying [[Multimodal.hammingNearDupPairs]]:
     * 4×16-bit banding of a 64-bit hash relation `hashRel(doc_id,
     * hashCol)` → capped buckets with star-pair fallback (the q70/q77
@@ -1102,6 +1117,111 @@ object LlmQueries {
         Multimodal.hammingNearDupPairs(hashes, "doc_id", "env_hash",
           maxHamming = 4)
       }),
+
+    // The SCALE route for video near-dup, beside q269's exact path
+    // (the q41→q43 relationship, and q48→q242's): exact-dedup-first
+    // on the clip's frame-SET fingerprint, MinHash over the frame-fp
+    // set (frames ARE the clip's shingles — the text permutations
+    // apply unchanged), capped (band,bucket) candidates, exact
+    // containment verify restricted to CANDIDATES. Pair volume is
+    // bucket-cap-bounded however many re-cuts a family has, where
+    // q269's inverted index grows with the family square.
+    QueryDef(
+      "q270_video_lsh_neardup",
+      Some {
+        val mb = TextOps.DefaultMaxBucket
+        val p = TextOps.MinHashP
+        val slots = TextOps.MinHashPerms.zipWithIndex.map {
+          case ((a, b), i) => s"min(($a*xm+$b)%$p) AS sig_$i"
+        }.mkString(", ")
+        s"""
+        WITH $dkVideoFrames,
+        sfp AS (SELECT doc_id,
+                       ${dkHash60(
+          "string_agg(CAST(frame_fp AS VARCHAR), ':' " +
+            "ORDER BY frame_fp)")} AS set_fp
+                FROM d GROUP BY 1),
+        keepk AS (SELECT min(doc_id) AS doc_id FROM sfp
+                  GROUP BY set_fp),
+        dd AS (SELECT d.* FROM d JOIN keepk USING (doc_id)),
+        x AS (SELECT doc_id, frame_fp % $p AS xm FROM dd),
+        sigs AS (SELECT doc_id, $slots FROM x GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id AS doc, j AS band,
+                 CASE j WHEN 0 THEN sig_0 WHEN 1 THEN sig_1
+                        WHEN 2 THEN sig_2 ELSE sig_3 END AS bucket
+          FROM sigs CROSS JOIN range(0,4) r(j)),
+        rk AS (
+          SELECT doc, band, bucket,
+                 row_number() OVER (PARTITION BY band, bucket
+                                    ORDER BY doc) AS rn,
+                 min(doc) OVER (PARTITION BY band, bucket) AS mn
+          FROM banded),
+        cand AS (
+          SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.doc AS doc_a, b.doc AS doc_b
+            FROM rk a JOIN rk b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.rn < b.rn AND b.rn <= $mb
+            UNION ALL
+            SELECT mn AS doc_a, doc AS doc_b FROM rk WHERE rn > $mb)),
+        n AS (SELECT doc_id, count(*) AS nf FROM dd GROUP BY 1),
+        c AS (SELECT cand.doc_a, cand.doc_b, count(*) AS shared
+              FROM cand
+              JOIN dd a ON a.doc_id = cand.doc_a
+              JOIN dd b ON b.doc_id = cand.doc_b
+               AND b.frame_fp = a.frame_fp
+              GROUP BY 1, 2)
+        SELECT doc_a, doc_b, shared,
+               CAST(shared AS DOUBLE)/least(na.nf, nb.nf)
+                 AS containment
+        FROM c
+        JOIN n na ON na.doc_id = c.doc_a
+        JOIN n nb ON nb.doc_id = c.doc_b
+        WHERE CAST(shared AS DOUBLE)/least(na.nf, nb.nf) >= 0.75"""
+      },
+      (s, d) =>
+        Multimodal.videoLshNearDupPairs(
+          Multimodal.frameFingerprints(
+            Multimodal.syntheticVideos(t(s, d, "documents")),
+            frameBytes = 16),
+          minContainment = 0.75)),
+
+    // Video near-dup via shared frame CONTENT (the third modality of
+    // the q263/q268 family): fixed-size frames hashed through the
+    // pure-Catalyst hex∘substring route (q160's grid), inverted-index
+    // join on the frame fingerprint with the q41 df cap, containment
+    // = shared/min(|A|,|B|) ≥ 0.75 — the direction that catches a
+    // TRIMMED re-cut at 1.0 where Jaccard would dilute it. Synthetic
+    // clips in one family at different starts share 8−|Δ| of 8
+    // frames; the oracle recomputes the identical fingerprints from
+    // the frame formula (frame bytes are ASCII, hex round-trips).
+    QueryDef(
+      "q269_video_frame_neardup",
+      Some(s"""
+        WITH $dkVideoFrames,
+        n AS (SELECT doc_id, count(*) AS nf FROM d GROUP BY 1),
+        kept AS (SELECT frame_fp FROM d GROUP BY 1
+                 HAVING count(*) <= 1000),
+        c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS shared
+              FROM d a JOIN d b ON a.frame_fp = b.frame_fp
+                AND a.doc_id < b.doc_id
+              JOIN kept k ON a.frame_fp = k.frame_fp
+              GROUP BY 1, 2)
+        SELECT doc_a, doc_b, shared,
+               CAST(shared AS DOUBLE)/least(na.nf, nb.nf)
+                 AS containment
+        FROM c
+        JOIN n na ON na.doc_id = c.doc_a
+        JOIN n nb ON nb.doc_id = c.doc_b
+        WHERE CAST(shared AS DOUBLE)/least(na.nf, nb.nf) >= 0.75"""),
+      (s, d) =>
+        Multimodal.sharedFrameNearDupPairs(
+          Multimodal.frameFingerprints(
+            Multimodal.syntheticVideos(t(s, d, "documents")),
+            frameBytes = 16),
+          minContainment = 0.75)),
 
     // LSH banding audit: recall of the MinHash-LSH candidate set (q43)
     // against the exact n-gram-Jaccard ground truth (q41's contract),

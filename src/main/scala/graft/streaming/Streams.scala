@@ -1208,10 +1208,53 @@ object Streams {
       .start()
 
   /** One admission cycle of [[toImageCorpusStore]], factored out for
-    * spec-driven batch sequences and replays. */
+    * spec-driven batch sequences and replays: ONE decode yields both
+    * signatures — exact rail = pixel fingerprint, near rail = dHash. */
   private[graft] def imageCommit(batch0: DataFrame, batchId: Long,
       idCol: String, payloadCol: String, sourceCol: String,
-      storeDir: String, maxHamming: Int): Unit = {
+      storeDir: String, maxHamming: Int): Unit =
+    mediaCommit(batch0, batchId, idCol, payloadCol, sourceCol,
+      storeDir, maxHamming, "imageCommit")(media =>
+      graft.llmops.Multimodal.imageSignatures(media).toDF()
+        .filter(col("pix_fp").isNotNull)
+        .select(col("doc_id"), col("pix_fp").as("fp"),
+          col("dhash").as("nhash")))
+
+  /** One admission cycle of [[toAudioCorpusStore]]: the acoustic
+    * fingerprint ([[graft.llmops.Multimodal.audioEnvelopeHash]]) is
+    * BOTH rails — exact = identical envelope (q266's rail: a
+    * byte-different gain re-master of an admitted clip usually lands
+    * here at Hamming 0), near = banded Hamming ≤ maxHamming (q268). */
+  private[graft] def audioCommit(batch0: DataFrame, batchId: Long,
+      idCol: String, payloadCol: String, sourceCol: String,
+      storeDir: String, maxHamming: Int, window: Int): Unit =
+    mediaCommit(batch0, batchId, idCol, payloadCol, sourceCol,
+      storeDir, maxHamming, "audioCommit")(media =>
+      graft.llmops.Multimodal.audioEnvelopeHash(media, window).toDF()
+        .filter(col("env_hash").isNotNull)
+        .select(col("doc_id"), col("env_hash").as("fp"),
+          col("env_hash").as("nhash")))
+
+  /** The shared admission kernel behind [[toImageCorpusStore]] and
+    * [[toAudioCorpusStore]], generic over a per-batch signature map
+    * `sign`: media rows → (doc_id, fp, nhash) where `fp` is the
+    * exact-identity fingerprint, `nhash` the 64-bit near-dup hash,
+    * and payloads `sign` cannot decode are absent (rejected — a
+    * corpus store admits only what it can read). Within a batch,
+    * fp-identical payloads collapse to the min-id keeper first (the
+    * exact-dedup-first discipline), then the batch probes the fps
+    * store (exact rail) and the 4×16-bit band store (near rail:
+    * shared band AND bit_count ≤ maxHamming). Every store is
+    * partitioned by `batch=<id>`; reads exclude the current id,
+    * writes overwrite only the current id's partitions — a replayed
+    * epoch re-derives the identical admission and overwrites itself,
+    * even over a crashed multi-store first attempt. A one-row meta
+    * table pins `maxHamming` and the index schemas. */
+  private def mediaCommit(batch0: DataFrame, batchId: Long,
+      idCol: String, payloadCol: String, sourceCol: String,
+      storeDir: String, maxHamming: Int, caller: String)(
+      sign: org.apache.spark.sql.Dataset[
+        graft.llmops.Multimodal.MediaRecord] => DataFrame): Unit = {
     import graft.core.Checkpoints.BarrierOps
     val s = batch0.sparkSession
     import s.implicits._
@@ -1224,7 +1267,7 @@ object Streams {
       val stored = s.read.parquet(metaDir).first()
         .getAs[Int]("max_hamming")
       require(stored == maxHamming,
-        s"imageCommit: store $storeDir was created with " +
+        s"$caller: store $storeDir was created with " +
           s"maxHamming=$stored but this commit uses $maxHamming — " +
           "the threshold is part of the store's admission contract")
     }
@@ -1238,39 +1281,36 @@ object Streams {
           .filter(col("batch") =!= batchId)
           .drop("batch")
       else template.limit(0)
-    // ONE decode for both signatures; undecodable payloads rejected
+    // ONE signature pass; undecodable payloads rejected by `sign`
     val media = batch0.select(
         col(idCol).cast("long").as("doc_id"),
         col(payloadCol).as("payload"),
         col(sourceCol).as("source"),
         lit(0L).as("n_chars"))
       .as[graft.llmops.Multimodal.MediaRecord]
-    val sigs = graft.llmops.Multimodal.imageSignatures(media).toDF()
-      .filter(col("pix_fp").isNotNull)
-      .select(col("doc_id"), col("pix_fp"), col("dhash"))
-      .barrier()
+    val sigs = sign(media).barrier()
     // within-batch exact dedup, deterministic min-id keeper
-    val keep = sigs.groupBy(col("pix_fp"))
+    val keep = sigs.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
     val b1 = sigs.join(keep, Seq("doc_id"), "left_semi").barrier()
-    // exact rail: pixel fingerprint already admitted
-    val fpTemplate = b1.select(col("pix_fp"))
+    // exact rail: content fingerprint already admitted
+    val fpTemplate = b1.select(col("fp"))
     val exactDropped = b1
-      .join(readPart(fpsDir, fpTemplate), Seq("pix_fp"), "left_semi")
+      .join(readPart(fpsDir, fpTemplate), Seq("fp"), "left_semi")
       .select(col("doc_id"))
     // near rail: shared 16-bit band + Hamming ≤ maxHamming
     def bandsOf(df: DataFrame): DataFrame = df.select(
-      col("doc_id"), col("dhash"),
+      col("doc_id"), col("nhash"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        shiftright(col("nhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("band", "bucket")))
     val batchBands = bandsOf(b1)
     val bandTemplate = batchBands
     val nearDropped = batchBands
-      .select(col("doc_id"), col("dhash").as("__hb"), col("band"),
+      .select(col("doc_id"), col("nhash").as("__hb"), col("band"),
         col("bucket"))
       .join(readPart(bandsDir, bandTemplate)
-          .select(col("dhash").as("__hs"), col("band"), col("bucket")),
+          .select(col("nhash").as("__hs"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .filter(bit_count(col("__hb").bitwiseXOR(col("__hs")))
         <= maxHamming)
@@ -1290,13 +1330,37 @@ object Streams {
         col(payloadCol).as("payload"), col(sourceCol).as("source"))
       .join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
     writePart(docsOut, docsDir)
-    writePart(admitted.select(col("pix_fp")), fpsDir)
+    writePart(admitted.select(col("fp")), fpsDir)
     writePart(bandsOf(admitted), bandsDir)
     ()
   }
 
+  /** Streaming AUDIO corpus ingest with incremental near-dup
+    * admission — the acoustic form of [[toImageCorpusStore]], same
+    * store layout and replay contract, with
+    * [[graft.llmops.Multimodal.audioEnvelopeHash]] as the one decode
+    * pass: exact rail = identical 64-window envelope, near rail =
+    * Hamming-banded fingerprint distance ≤ `maxHamming`. */
+  def toAudioCorpusStore(stream: DataFrame, idCol: String,
+      payloadCol: String, sourceCol: String, storeDir: String,
+      checkpoint: String, maxHamming: Int = 4, window: Int = 4)
+      : StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        if (!batch0.isEmpty)
+          audioCommit(batch0, batchId, idCol, payloadCol, sourceCol,
+            storeDir, maxHamming, window)
+      }
+      .start()
+
   /** The admitted image corpus without the internal batch column. */
   def imageDocs(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(s"$storeDir/docs").drop("batch")
+
+  /** The admitted audio corpus without the internal batch column. */
+  def audioDocs(spark: SparkSession, storeDir: String): DataFrame =
     spark.read.parquet(s"$storeDir/docs").drop("batch")
 
   /** Streaming document egress: each micro-batch pushes its rows as

@@ -254,6 +254,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("sharedFrameNearDupPairs: shifted re-cut at 8-|delta| shared " +
+    "frames, TRIMMED re-cut at containment 1.0, cross-family none, " +
+    "sub-frame payloads emit no rows") {
+    def frame(fid: Long) = "fr:%013d".format(fid).getBytes("UTF-8")
+    def clip(id: Long, fids: Seq[Long]) =
+      Multimodal.MediaRecord(id, fids.flatMap(frame).toArray, "s",
+        fids.size.toLong)
+    val media = Seq(
+      clip(1L, 0L to 7L), // the original
+      clip(2L, 2L to 9L), // shifted re-cut: shares {2..7} = 6/8
+      clip(3L, 0L to 5L), // trimmed re-cut: 6 frames, ALL in clip 1
+      clip(4L, 100L to 107L), // different family
+      Multimodal.MediaRecord(5L, Array[Byte](1, 2), "s", 0L))
+      .toDS()
+    val frames = Multimodal.frameFingerprints(media, frameBytes = 16)
+    assert(frames.filter(col("doc_id") === 5L).count() == 0L)
+    val got = Multimodal
+      .sharedFrameNearDupPairs(frames, minContainment = 0.75)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got((1L, 2L)) == ((6L, 0.75))) // 6/min(8,8)
+    assert(got((1L, 3L)) == ((6L, 1.0))) // 6/min(8,6): trim caught
+    assert(!got.contains((2L, 3L))) // 4/min(8,6) = 0.667 < 0.75
+    assert(!got.keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("videoLshNearDupPairs: exact set-dups collapse to one keeper " +
+    "before banding; the shifted re-cut still surfaces via LSH " +
+    "candidates with exact containment") {
+    def frame(fid: Long) = "fr:%013d".format(fid).getBytes("UTF-8")
+    def clip(id: Long, fids: Seq[Long]) =
+      Multimodal.MediaRecord(id, fids.flatMap(frame).toArray, "s",
+        fids.size.toLong)
+    val media = Seq(
+      clip(1L, 0L to 7L),
+      clip(2L, 0L to 7L), // identical SET: collapses to keeper 1
+      clip(3L, 1L to 8L), // shifted re-cut: 7/8 shared with 1
+      clip(4L, 100L to 107L)) // different family
+      .toDS()
+    val got = Multimodal.videoLshNearDupPairs(
+        Multimodal.frameFingerprints(media, frameBytes = 16),
+        minContainment = 0.75)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // clip 2 was exact-dedup-first'd away: no pair mentions it
+    assert(!got.keys.exists(p => p._1 == 2L || p._2 == 2L))
+    assert(got((1L, 3L)) == ((7L, 7.0 / 8.0)))
+    assert(!got.keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("known dup/non-dup pairs through the full q263 chain") {
     // ids 10 and 170 share the base pattern (g = 10) with different
     // variant/brightness; id 11 is a different family

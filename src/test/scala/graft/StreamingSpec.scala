@@ -911,6 +911,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("maxHamming"))
   }
 
+  test("toAudioCorpusStore: exact (identical envelope) + near " +
+    "(gain-jittered fingerprint) gates across batches; replay no-op; " +
+    "undecodable rejected; mismatched threshold refused") {
+    import spark.implicits._
+    import graft.llmops.Multimodal
+    val dir = Files.createTempDirectory("graft-audstore").toString
+    val store = s"$dir/store"
+    def clip(id: Long, pid: Long, jit: Int)
+        : (Long, Array[Byte], String) =
+      (id, Multimodal.encodeWav(Array.tabulate(256)(t =>
+        math.min(Multimodal.synthSample(pid, t) + jit, 255))), "s")
+    def commit(batchId: Long, rows: Seq[(Long, Array[Byte], String)],
+        maxHamming: Int = 4): Unit =
+      Streams.audioCommit(rows.toDF("id", "payload", "src"), batchId,
+        "id", "payload", "src", store, maxHamming, window = 4)
+    def ids() = Streams.audioDocs(spark, store)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // batch 0: 2 and 3 are byte-identical clips → min-id keeper 2;
+    // 4 a different clip; 99 undecodable → rejected
+    commit(0L, Seq(clip(2L, 5L, 0), clip(3L, 5L, 0), clip(4L, 6L, 0),
+      (99L, Array[Byte](1, 2, 3), "s")))
+    assert(ids() == Seq(2L, 4L))
+    // batch 1: 11 re-delivers clip 5 exactly (exact rail); 13 is its
+    // +2 gain master (byte-different, fingerprint Hamming 1 → near
+    // rail); 15 a new clip
+    commit(1L, Seq(clip(11L, 5L, 0), clip(13L, 5L, 2),
+      clip(15L, 7L, 0)))
+    assert(ids() == Seq(2L, 4L, 15L))
+    // replaying batch 1 (engine redelivery contract) changes nothing
+    commit(1L, Seq(clip(11L, 5L, 0), clip(13L, 5L, 2),
+      clip(15L, 7L, 0)))
+    assert(ids() == Seq(2L, 4L, 15L))
+    // the admission threshold is part of the store contract
+    val ex = intercept[IllegalArgumentException] {
+      commit(2L, Seq(clip(30L, 9L, 0)), maxHamming = 3)
+    }
+    assert(ex.getMessage.contains("maxHamming"))
+  }
+
+  test("toAudioCorpusStore streaming wrapper: micro-batches gate " +
+    "through the store") {
+    import spark.implicits._
+    import graft.llmops.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-audstream").toString
+    val (store, ckpt) = (s"$dir/store", s"$dir/ckpt")
+    def wav(id: Long, pid: Long, jit: Int)
+        : (Long, Array[Byte], String) =
+      (id, Multimodal.encodeWav(Array.tabulate(256)(t =>
+        math.min(Multimodal.synthSample(pid, t) + jit, 255))), "s")
+    val input = MemoryStream[(Long, Array[Byte], String)]
+    val q = Streams.toAudioCorpusStore(
+      input.toDF().toDF("id", "payload", "src"), "id", "payload",
+      "src", store, ckpt)
+    input.addData(wav(1L, 10L, 0), wav(3L, 11L, 0))
+    q.processAllAvailable()
+    input.addData(wav(5L, 11L, 2), wav(7L, 12L, 0)) // 5 re-masters 11
+                                      // (+2 gain: near rail, Hamming 1)
+    q.processAllAvailable()
+    q.stop()
+    assert(Streams.audioDocs(spark, store)
+      .select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 7L))
+  }
+
   test("toImageCorpusStore streaming wrapper: micro-batches gate " +
     "through the store") {
     import spark.implicits._
