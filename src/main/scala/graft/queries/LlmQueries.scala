@@ -168,15 +168,12 @@ object LlmQueries {
            JOIN $hashRel hb ON hb.doc_id = c.doc_b
            WHERE bit_count(xor(ha.$hashCol, hb.$hashCol)) <= $maxHam)"""
 
-  /** DuckDB CTE chain replaying the q263 image pipeline through the
-    * candidate pairs: synthetic pixel grids → 9×8 pooled luma cells →
-    * 64-bit dHash → 4×16-bit Hamming banding (capped buckets, star
-    * fallback) → exact bit_count verify at ≤ 4. Ends in `ip(doc_a,
-    * doc_b, hamming)`, shared by q263 (the pair list itself) and q267
-    * (components + keep-list over it). Valid as an oracle because both
-    * containers are lossless so decode(encode(p)) ≡ p; the decode path
-    * itself is pinned by MultimodalSpec. */
-  private val dkImgDhashPairs: String = s"""
+  /** DuckDB CTE chain replaying the q263 image dHash kernel:
+    * synthetic pixel grids → 9×8 pooled luma cells → 64-bit dHash.
+    * Ends in `dh(doc_id, dhash)`. Valid as an oracle because both
+    * containers are lossless so decode(encode(p)) ≡ p; the decode
+    * path itself is pinned by MultimodalSpec. */
+  private val dkImgDhash: String = s"""
     px AS (SELECT doc_id, doc_id % 32 AS g,
                   (doc_id // 32) % 72 AS v,
                   (doc_id % 5) * 8 AS br,
@@ -211,7 +208,12 @@ object LlmQueries {
                             THEN hsum
                               - ((CAST(1 AS HUGEINT) << 63) * 2)
                             ELSE hsum END AS BIGINT) AS dhash
-           FROM dh0),
+           FROM dh0)"""
+
+  /** [[dkImgDhash]] + the banded pair chain over ALL docs — q263's
+    * full oracle, ending in `ip(doc_a, doc_b, hamming)`. */
+  private val dkImgDhashPairs: String =
+    s"""$dkImgDhash,
     ${dkHammingChain("dh", "dhash", 4)}"""
 
   /** Spark side of the q263 chain: decode → dHash → Hamming-banded
@@ -1044,36 +1046,70 @@ object LlmQueries {
             countDistinct(pmod(col("doc_id"), lit(2L)))
               .as("n_containers"))),
 
-    // Image survivorship: q263's verified near-dup pairs → connected
-    // components (min-label propagation; oracle = recursive-CTE
-    // transitive closure, q54's pattern) → canonical keep-list over
-    // the WHOLE corpus. This is the operator a multimodal release
-    // actually runs: decode → perceptual hash → banded pairs →
-    // clusters → one survivor per cluster, end-to-end hash-oracled.
+    // Image survivorship: decode → dHash → EXACT-DEDUP-FIRST
+    // (dHash-identical images collapse to the min-id representative
+    // before any banding — brightness re-exposures and re-encodes
+    // are Hamming 0, so at corpus scale the identical mass dominates
+    // the pair graph; collapsing it first is the same structural
+    // discipline as TextOps.exactDedupFirst and shrinks q267's sf0.1
+    // pair graph 388k → ~97k) → banded verified pairs over the
+    // REPRESENTATIVES → connected components (min-label propagation;
+    // oracle = recursive-CTE transitive closure, q54's pattern) →
+    // expand every doc through its representative into the canonical
+    // keep-list over the WHOLE corpus. End-to-end hash-oracled, the
+    // compression mirrored in the oracle.
     QueryDef(
       "q267_image_keep_list",
       Some(s"""
-        WITH RECURSIVE $dkImgDhashPairs,
+        WITH RECURSIVE $dkImgDhash,
+        reps AS (SELECT dhash, min(doc_id) AS doc_id FROM dh
+                 GROUP BY 1),
+        ${dkHammingChain("reps", "dhash", 4)},
         edges AS (SELECT doc_a s, doc_b d FROM ip
                   UNION SELECT doc_b, doc_a FROM ip),
         reach AS (
           SELECT s AS node, s AS r FROM edges
           UNION
           SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.node),
-        comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY 1)
+        comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY 1),
+        m AS (SELECT dh.doc_id,
+                     coalesce(comp.cluster, r.doc_id) AS cluster
+              FROM dh
+              JOIN reps r ON r.dhash = dh.dhash
+              LEFT JOIN comp ON comp.node = r.doc_id)
         SELECT d.doc_id,
-               coalesce(comp.cluster, d.doc_id) AS cluster,
-               (comp.cluster IS NULL OR comp.cluster = d.doc_id)
-                 AS is_kept
-        FROM documents d LEFT JOIN comp ON comp.node = d.doc_id"""),
+               coalesce(m.cluster, d.doc_id) AS cluster,
+               (m.cluster IS NULL OR m.cluster = d.doc_id) AS is_kept
+        FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id"""),
       // maxIters generous for the same reason as q54: the oracle is
       // EXACT components, so the split-cluster fallback must never
       // fire on the oracled path; the convergence probe exits after
       // the true diameter anyway.
-      (s, d) =>
-        DedupClusters.keepList(
-          t(s, d, "documents"), "doc_id",
-          imgDhashPairs(s, d), "doc_a", "doc_b", maxIters = 100)),
+      (s, d) => {
+        val hashes = Multimodal.imageDHash(
+          Multimodal.syntheticImages(t(s, d, "documents"))).toDF()
+          .barrier()
+        val valid = hashes.filter(col("dhash").isNotNull)
+        val reps = valid.groupBy(col("dhash"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .barrier() // feeds pairs, keep-list base AND the expansion
+        val pairs = Multimodal.hammingNearDupPairs(
+          reps, "doc_id", "dhash", maxHamming = 4)
+        val repClusters = DedupClusters.keepList(
+            reps, "doc_id", pairs, "doc_a", "doc_b", maxIters = 100)
+          .select(col("doc_id").as("__rep"), col("cluster"))
+        val expanded = valid.select(col("doc_id"), col("dhash"))
+          .join(reps.select(col("dhash"), col("doc_id").as("__rep")),
+            Seq("dhash"))
+          .join(repClusters, Seq("__rep"))
+          .select(col("doc_id"), col("cluster"))
+        t(s, d, "documents").select(col("doc_id"))
+          .join(expanded, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"),
+            (col("cluster").isNull
+              || col("cluster") === col("doc_id")).as("is_kept"))
+      }),
 
     // Audio near-dup via an acoustic fingerprint (the audio analog of
     // q263): decoded PCM → 64 window energies → 63 delta-SIGN bits
