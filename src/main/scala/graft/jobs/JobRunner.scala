@@ -441,7 +441,9 @@ object JobRunner {
           dest,
           maxHamming =
             o.get("max-hamming").map(_.toInt).getOrElse(4),
-          window = o.get("window").map(_.toInt).getOrElse(4))
+          window = o.get("window").map(_.toInt).getOrElse(4),
+          keepBestResolution =
+            o.get("keep-best-resolution").exists(_.toBoolean))
       }),
       // union length of [start, end) intervals per key — overlaps
       // counted once (sweep line, Events.intervalCoverage)

@@ -45,7 +45,8 @@ object MediaRelease {
     * return the per-modality report:
     * (media_kind, n_payloads, n_exact_survivors, n_kept). */
   def release(media: Dataset[MediaRecord], dest: String,
-      maxHamming: Int = 4, window: Int = 4): DataFrame = {
+      maxHamming: Int = 4, window: Int = 4,
+      keepBestResolution: Boolean = false): DataFrame = {
     val m = media.barrier() // one scan feeds both modality kernels
 
     // ---- images: one decode → (pix_fp, dhash) ----
@@ -56,17 +57,31 @@ object MediaRelease {
     // through the struct-min (dhash is defined whenever pix_fp is)
     val imgSurvivors = images
       .groupBy(col("pix_fp"))
-      .agg(min(struct(col("doc_id"), col("dhash"))).as("k"),
+      .agg(min(struct(col("doc_id"), col("dhash"), col("width"),
+        col("height"))).as("k"),
         count(lit(1)).as("n_copies"))
       .select(col("k.doc_id").as("doc_id"), col("k.dhash").as("dhash"),
+        (col("k.width").cast("long") * col("k.height"))
+          .as("resolution"),
         col("pix_fp"), col("n_copies"))
       .barrier() // feeds the pair stage AND the keep-list base
     val imgPairs = Multimodal.hammingNearDupPairs(
       imgSurvivors, "doc_id", "dhash", maxHamming).barrier()
     imgPairs.write.mode("overwrite").parquet(s"$dest/image_pairs")
-    val keepImages = DedupClusters.keepList(
-      imgSurvivors, "doc_id", imgPairs, "doc_a", "doc_b",
-      maxIters = 100)
+    // near-cluster survivor rule: min-id by default; with
+    // keepBestResolution, the LARGEST decoded pixel area survives
+    // (ties to lowest id) — what a release actually wants when the
+    // corpus holds the same image at several resolutions. Exact
+    // groups are pixel-identical (same dimensions), so the rule only
+    // matters across near-dup members.
+    val keepImages =
+      if (keepBestResolution)
+        DedupClusters.keepListBy(
+          imgSurvivors, "doc_id", "resolution", imgPairs,
+          "doc_a", "doc_b", maxIters = 100)
+      else DedupClusters.keepList(
+        imgSurvivors, "doc_id", imgPairs, "doc_a", "doc_b",
+        maxIters = 100)
     keepImages.write.mode("overwrite").parquet(s"$dest/keep_images")
 
     // ---- audio: acoustic fingerprint ----

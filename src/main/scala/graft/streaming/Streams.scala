@@ -1355,6 +1355,66 @@ object Streams {
       }
       .start()
 
+  /** Offline compaction for a media admission store
+    * ([[toImageCorpusStore]] / [[toAudioCorpusStore]]): squash the
+    * `fps` and `bands` index partitions with `batch <= uptoBatch`
+    * into one `batch=-1` partition each, so a long-lived store's
+    * probe reads stop scaling with micro-batch count. Admission
+    * decisions are unchanged: both rails read the union of
+    * partitions and the squash is an identity rewrite (no rows added
+    * or dropped; `batch=-1` from a previous compaction folds in —
+    * −1 ≤ uptoBatch — and its partition is deleted before the rename
+    * recreates it, so repeated compaction is safe). Reads are
+    * explicit-schema from the meta table ([[compactAdmissionIndex]]'s
+    * lesson: a range whose partitions are all empty has no schema to
+    * infer). The `docs` partitions are the corpus itself and are left
+    * alone — compact them with `IO.compact` under its
+    * exclusive-access contract if needed. Like the curated-store
+    * compactor, run this only for batches the stream has moved past:
+    * replaying a compacted batch id would re-add its rows. */
+  def compactMediaStore(spark: SparkSession, storeDir: String,
+      uptoBatch: Long): Unit = {
+    require(uptoBatch >= 0, s"compactMediaStore: uptoBatch=$uptoBatch")
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(dir: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(dir))
+    val metaDir = s"$storeDir/meta"
+    require(exists(metaDir),
+      s"compactMediaStore: $metaDir missing — not a media admission " +
+        "store (the meta table pins the index schemas; inference " +
+        "over possibly-empty partitions is unsafe)")
+    val meta = spark.read.parquet(metaDir).first()
+    def schemaOf(field: String): org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.DataType
+        .fromJson(meta.getAs[String](field))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    def compact(dir: String,
+        schema: org.apache.spark.sql.types.StructType): Unit =
+      if (exists(dir)) {
+        val old = spark.read
+          .schema(schema.add(org.apache.spark.sql.types.StructField(
+            "batch", org.apache.spark.sql.types.LongType)))
+          .parquet(dir)
+          .filter(col("batch") <= uptoBatch)
+        val oldParts = old.select(col("batch"))
+          .distinct().collect().map(_.getLong(0))
+        if (oldParts.nonEmpty) {
+          val squashed = old.drop("batch")
+          val tmp = s"${dir}__compact_tmp"
+          squashed.write.mode("overwrite").parquet(tmp)
+          oldParts.foreach { b =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batch=$b"),
+              true)
+          }
+          fs.rename(new org.apache.hadoop.fs.Path(tmp),
+            new org.apache.hadoop.fs.Path(s"$dir/batch=-1"))
+        }
+      }
+    compact(s"$storeDir/fps", schemaOf("fps_schema"))
+    compact(s"$storeDir/bands", schemaOf("bands_schema"))
+  }
+
   /** The admitted image corpus without the internal batch column. */
   def imageDocs(spark: SparkSession, storeDir: String): DataFrame =
     spark.read.parquet(s"$storeDir/docs").drop("batch")

@@ -443,6 +443,37 @@ class RunnerSpec extends AnyFunSuite {
       assert(s0.read.parquet(s"$dir/rel/$a").count() > 0)
   }
 
+  test("JobRunner: media_release --keep-best-resolution survives the " +
+    "largest copy of a near-dup cluster instead of the lowest id") {
+    val dir = Files.createTempDirectory("graft-runner-mres").toString
+    val s0 = graft.core.Sessions.local(4, "graft-runner-test")
+    import s0.implicits._
+    import graft.llmops.Multimodal
+    val W = 36; val H = 32
+    val base = Array.tabulate(H, W)((y, x) =>
+      Multimodal.synthPixel(10L, x, y))
+    // exact 2x block upscale: every pooled dHash cell averages the
+    // same duplicated values, so the hash is IDENTICAL while the
+    // pixel fingerprint (and resolution) differ
+    val up2 = Array.tabulate(H * 2, W * 2)((y, x) => base(y / 2)(x / 2))
+    val media = Seq(
+      Multimodal.MediaRecord(1L, Multimodal.encodeBmp(base, W, H),
+        "s", 0L),
+      Multimodal.MediaRecord(2L,
+        Multimodal.encodeBmp(up2, W * 2, H * 2), "s", 0L))
+      .toDS()
+    media.write.parquet(s"$dir/media")
+    def kept(flag: String, sub: String): Set[Long] = {
+      JobRunner.lakeJobs("media_release")(s0, Map(
+        "in-media" -> s"$dir/media", "dest" -> s"$dir/$sub",
+        "keep-best-resolution" -> flag)).collect()
+      s0.read.parquet(s"$dir/$sub/keep_images")
+        .filter("is_kept").collect().map(_.getLong(0)).toSet
+    }
+    assert(kept("false", "rel1") == Set(1L)) // min-id rule
+    assert(kept("true", "rel2") == Set(2L)) // the 72x64 copy survives
+  }
+
   test("JobRunner: interval_coverage lake job counts overlaps once") {
     val dir = Files.createTempDirectory("graft-runner-iv").toString
     val s0 = graft.core.Sessions.local(4, "graft-runner-test")

@@ -950,6 +950,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("maxHamming"))
   }
 
+  test("compactMediaStore: index partitions squash to batch=-1, " +
+    "subsequent admission decisions identical to an uncompacted " +
+    "twin; non-store dir refused") {
+    import spark.implicits._
+    import graft.llmops.Multimodal
+    val dir = Files.createTempDirectory("graft-medcompact").toString
+    def wav(id: Long, pid: Long, jit: Int)
+        : (Long, Array[Byte], String) =
+      (id, Multimodal.encodeWav(Array.tabulate(256)(t =>
+        math.min(Multimodal.synthSample(pid, t) + jit, 255))), "s")
+    def commit(store: String, batchId: Long,
+        rows: Seq[(Long, Array[Byte], String)]): Unit =
+      Streams.audioCommit(rows.toDF("id", "payload", "src"), batchId,
+        "id", "payload", "src", store, 4, window = 4)
+    def ids(store: String) = Streams.audioDocs(spark, store)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    for (store <- Seq(s"$dir/a", s"$dir/b")) {
+      commit(store, 0L, Seq(wav(1L, 5L, 0), wav(2L, 6L, 0)))
+      commit(store, 1L, Seq(wav(3L, 7L, 0)))
+    }
+    Streams.compactMediaStore(spark, s"$dir/a", uptoBatch = 1L)
+    // index partitions collapsed to batch=-1 only
+    for (idx <- Seq("fps", "bands")) {
+      val parts = new java.io.File(s"$dir/a/$idx").listFiles()
+        .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+      assert(parts.toSeq == Seq("batch=-1"), s"$idx: ${parts.toSeq}")
+    }
+    // batch 2 probes: 11 exact-dups clip 5, 13 near-dups it (+2
+    // gain), 15 is new — identical decisions on both stores
+    val b2 = Seq(wav(11L, 5L, 0), wav(13L, 5L, 2), wav(15L, 9L, 0))
+    commit(s"$dir/a", 2L, b2)
+    commit(s"$dir/b", 2L, b2)
+    assert(ids(s"$dir/a") == ids(s"$dir/b"))
+    assert(ids(s"$dir/a") == Seq(1L, 2L, 3L, 15L))
+    // repeated compaction folds batch=-1 back in safely
+    Streams.compactMediaStore(spark, s"$dir/a", uptoBatch = 2L)
+    commit(s"$dir/a", 3L, Seq(wav(21L, 9L, 1))) // near-dup of 15
+    assert(ids(s"$dir/a") == Seq(1L, 2L, 3L, 15L))
+    // a directory without the meta table is refused
+    val ex = intercept[IllegalArgumentException] {
+      Streams.compactMediaStore(spark, s"$dir/nostore", 0L)
+    }
+    assert(ex.getMessage.contains("meta"))
+  }
+
   test("toAudioCorpusStore streaming wrapper: micro-batches gate " +
     "through the store") {
     import spark.implicits._
