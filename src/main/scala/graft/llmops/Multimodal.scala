@@ -323,16 +323,40 @@ object Multimodal {
   def videoLshNearDupPairs(frames: DataFrame, minContainment: Double,
       maxBucket: Int = TextOps.DefaultMaxBucket): DataFrame = {
     import graft.core.Checkpoints.BarrierOps
-    val p = TextOps.MinHashP
-    val d0 = frames.select(col("doc_id"), col("frame_fp")).distinct()
-      .barrier()
-    // 1. exact rail: identical frame sets collapse before banding
-    val keep = d0.groupBy(col("doc_id"))
+    videoLshNearDupPairsFrom(
+      frames.select(col("doc_id"), col("frame_fp")).distinct()
+        .barrier(),
+      minContainment, maxBucket)
+  }
+
+  /** doc → min-id representative of its identical distinct-frame SET
+    * (the exact rail of the video route, q266's envelope-group shape):
+    * input is the distinct (doc_id, frame_fp) relation; output
+    * (doc_id, rep). A clip is its own rep iff it survives exact
+    * dedup. */
+  def frameSetReps(d0: DataFrame): DataFrame = {
+    val setfp = d0.groupBy(col("doc_id"))
       .agg(TextOps.hash60(expr(
         "array_join(transform(sort_array(collect_list(frame_fp)), " +
           "x -> CAST(x AS STRING)), ':')")).as("set_fp"))
-      .groupBy(col("set_fp")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
+    setfp
+      .join(setfp.groupBy(col("set_fp"))
+          .agg(min(col("doc_id")).as("rep")),
+        Seq("set_fp"))
+      .select(col("doc_id"), col("rep"))
+  }
+
+  /** [[videoLshNearDupPairs]] over a precomputed (barriered) distinct
+    * (doc_id, frame_fp) relation — lets a composed pipeline (e.g. the
+    * q271 keep-list) share one frame scan between the pair stage and
+    * the expansion map. */
+  def videoLshNearDupPairsFrom(d0: DataFrame, minContainment: Double,
+      maxBucket: Int = TextOps.DefaultMaxBucket): DataFrame = {
+    import graft.core.Checkpoints.BarrierOps
+    val p = TextOps.MinHashP
+    // 1. exact rail: identical frame sets collapse before banding
+    val keep = frameSetReps(d0)
+      .filter(col("doc_id") === col("rep")).select(col("doc_id"))
     val d = d0.join(keep, Seq("doc_id"), "left_semi").barrier()
     // 2. set-MinHash signatures (xm = fp mod p, then the 4 perms)
     val sigs = d

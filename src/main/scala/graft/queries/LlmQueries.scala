@@ -134,6 +134,64 @@ object LlmQueries {
                    AS frame_fp
           FROM f)"""
 
+  /** DuckDB CTE chain replaying [[Multimodal.videoLshNearDupPairs]]
+    * over the `d(doc_id, frame_fp)` relation from [[dkVideoFrames]]:
+    * frame-SET fingerprint dedup (`sfp`/`kmap` — exposed for q271's
+    * expansion), set-MinHash signatures, the capped (band, bucket)
+    * candidate engine, and the exact containment verify at ≥ 0.75.
+    * Ends in `vp(doc_a, doc_b, shared, containment)`. Shared by q270
+    * (the pair list) and q271 (components + keep-list over it). */
+  private val dkVideoLshPairs: String = {
+    val mb = TextOps.DefaultMaxBucket
+    val p = TextOps.MinHashP
+    val slots = TextOps.MinHashPerms.zipWithIndex.map {
+      case ((a, b), i) => s"min(($a*xm+$b)%$p) AS sig_$i"
+    }.mkString(", ")
+    s"""sfp AS (SELECT doc_id,
+                   ${dkHash60(
+      "string_agg(CAST(frame_fp AS VARCHAR), ':' " +
+        "ORDER BY frame_fp)")} AS set_fp
+            FROM d GROUP BY 1),
+    kmap AS (SELECT set_fp, min(doc_id) AS rep FROM sfp GROUP BY 1),
+    dd AS (SELECT d.* FROM d JOIN kmap ON kmap.rep = d.doc_id),
+    x AS (SELECT doc_id, frame_fp % $p AS xm FROM dd),
+    sigs AS (SELECT doc_id, $slots FROM x GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id AS doc, j AS band,
+             CASE j WHEN 0 THEN sig_0 WHEN 1 THEN sig_1
+                    WHEN 2 THEN sig_2 ELSE sig_3 END AS bucket
+      FROM sigs CROSS JOIN range(0,4) r(j)),
+    rk AS (
+      SELECT doc, band, bucket,
+             row_number() OVER (PARTITION BY band, bucket
+                                ORDER BY doc) AS rn,
+             min(doc) OVER (PARTITION BY band, bucket) AS mn
+      FROM banded),
+    cand AS (
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc AS doc_a, b.doc AS doc_b
+        FROM rk a JOIN rk b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.rn < b.rn AND b.rn <= $mb
+        UNION ALL
+        SELECT mn AS doc_a, doc AS doc_b FROM rk WHERE rn > $mb)),
+    n AS (SELECT doc_id, count(*) AS nf FROM dd GROUP BY 1),
+    c AS (SELECT cand.doc_a, cand.doc_b, count(*) AS shared
+          FROM cand
+          JOIN dd a ON a.doc_id = cand.doc_a
+          JOIN dd b ON b.doc_id = cand.doc_b
+           AND b.frame_fp = a.frame_fp
+          GROUP BY 1, 2),
+    vp AS (SELECT c.doc_a, c.doc_b, c.shared,
+                  CAST(c.shared AS DOUBLE)/least(na.nf, nb.nf)
+                    AS containment
+           FROM c
+           JOIN n na ON na.doc_id = c.doc_a
+           JOIN n nb ON nb.doc_id = c.doc_b
+           WHERE CAST(c.shared AS DOUBLE)/least(na.nf, nb.nf)
+             >= 0.75)"""
+  }
+
   /** DuckDB CTE chain replaying [[Multimodal.hammingNearDupPairs]]:
     * 4×16-bit banding of a 64-bit hash relation `hashRel(doc_id,
     * hashCol)` → capped buckets with star-pair fallback (the q70/q77
@@ -1164,64 +1222,71 @@ object LlmQueries {
     // q269's inverted index grows with the family square.
     QueryDef(
       "q270_video_lsh_neardup",
-      Some {
-        val mb = TextOps.DefaultMaxBucket
-        val p = TextOps.MinHashP
-        val slots = TextOps.MinHashPerms.zipWithIndex.map {
-          case ((a, b), i) => s"min(($a*xm+$b)%$p) AS sig_$i"
-        }.mkString(", ")
-        s"""
+      Some(s"""
         WITH $dkVideoFrames,
-        sfp AS (SELECT doc_id,
-                       ${dkHash60(
-          "string_agg(CAST(frame_fp AS VARCHAR), ':' " +
-            "ORDER BY frame_fp)")} AS set_fp
-                FROM d GROUP BY 1),
-        keepk AS (SELECT min(doc_id) AS doc_id FROM sfp
-                  GROUP BY set_fp),
-        dd AS (SELECT d.* FROM d JOIN keepk USING (doc_id)),
-        x AS (SELECT doc_id, frame_fp % $p AS xm FROM dd),
-        sigs AS (SELECT doc_id, $slots FROM x GROUP BY doc_id),
-        banded AS (
-          SELECT doc_id AS doc, j AS band,
-                 CASE j WHEN 0 THEN sig_0 WHEN 1 THEN sig_1
-                        WHEN 2 THEN sig_2 ELSE sig_3 END AS bucket
-          FROM sigs CROSS JOIN range(0,4) r(j)),
-        rk AS (
-          SELECT doc, band, bucket,
-                 row_number() OVER (PARTITION BY band, bucket
-                                    ORDER BY doc) AS rn,
-                 min(doc) OVER (PARTITION BY band, bucket) AS mn
-          FROM banded),
-        cand AS (
-          SELECT DISTINCT doc_a, doc_b FROM (
-            SELECT a.doc AS doc_a, b.doc AS doc_b
-            FROM rk a JOIN rk b
-              ON a.band = b.band AND a.bucket = b.bucket
-             AND a.rn < b.rn AND b.rn <= $mb
-            UNION ALL
-            SELECT mn AS doc_a, doc AS doc_b FROM rk WHERE rn > $mb)),
-        n AS (SELECT doc_id, count(*) AS nf FROM dd GROUP BY 1),
-        c AS (SELECT cand.doc_a, cand.doc_b, count(*) AS shared
-              FROM cand
-              JOIN dd a ON a.doc_id = cand.doc_a
-              JOIN dd b ON b.doc_id = cand.doc_b
-               AND b.frame_fp = a.frame_fp
-              GROUP BY 1, 2)
-        SELECT doc_a, doc_b, shared,
-               CAST(shared AS DOUBLE)/least(na.nf, nb.nf)
-                 AS containment
-        FROM c
-        JOIN n na ON na.doc_id = c.doc_a
-        JOIN n nb ON nb.doc_id = c.doc_b
-        WHERE CAST(shared AS DOUBLE)/least(na.nf, nb.nf) >= 0.75"""
-      },
+        $dkVideoLshPairs
+        SELECT doc_a, doc_b, shared, containment FROM vp"""),
       (s, d) =>
         Multimodal.videoLshNearDupPairs(
           Multimodal.frameFingerprints(
             Multimodal.syntheticVideos(t(s, d, "documents")),
             frameBytes = 16),
           minContainment = 0.75)),
+
+    // Video survivorship keep-list (q267's role for the third
+    // modality): q270's verified pairs over the exact-set keepers →
+    // connected components → every clip expands through its
+    // frame-set representative into the corpus-wide keep-list.
+    // Completes per-modality parity: pairs + keep-list for images
+    // (q263/q267), audio (q268), video (q270/q271).
+    QueryDef(
+      "q271_video_keep_list",
+      Some(s"""
+        WITH RECURSIVE $dkVideoFrames,
+        $dkVideoLshPairs,
+        edges AS (SELECT doc_a s, doc_b dst FROM vp
+                  UNION SELECT doc_b, doc_a FROM vp),
+        reach AS (
+          SELECT s AS node, s AS r FROM edges
+          UNION
+          SELECT e.s, reach.r FROM edges e
+          JOIN reach ON e.dst = reach.node),
+        comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY 1),
+        m AS (SELECT sfp.doc_id,
+                     coalesce(comp.cluster, kmap.rep) AS cluster
+              FROM sfp
+              JOIN kmap USING (set_fp)
+              LEFT JOIN comp ON comp.node = kmap.rep)
+        SELECT docs.doc_id,
+               coalesce(m.cluster, docs.doc_id) AS cluster,
+               (m.cluster IS NULL OR m.cluster = docs.doc_id)
+                 AS is_kept
+        FROM documents docs LEFT JOIN m ON m.doc_id = docs.doc_id"""),
+      (s, d) => {
+        val d0 = Multimodal.frameFingerprints(
+            Multimodal.syntheticVideos(t(s, d, "documents")),
+            frameBytes = 16)
+          .select(col("doc_id"), col("frame_fp")).distinct()
+          .barrier()
+        val repMap = Multimodal.frameSetReps(d0).barrier()
+        // the pair chain feeds the edge union TWICE (both directions)
+        // inside components: one materialization instead of two
+        val pairs = Multimodal.videoLshNearDupPairsFrom(d0,
+          minContainment = 0.75).barrier()
+        val repClusters = DedupClusters.keepList(
+            repMap.filter(col("doc_id") === col("rep"))
+              .select(col("doc_id")),
+            "doc_id", pairs, "doc_a", "doc_b", maxIters = 100)
+          .select(col("doc_id").as("rep"), col("cluster"))
+        val expanded = repMap.join(repClusters, Seq("rep"))
+          .select(col("doc_id"), col("cluster"))
+        t(s, d, "documents").select(col("doc_id"))
+          .join(expanded, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"),
+            (col("cluster").isNull
+              || col("cluster") === col("doc_id")).as("is_kept"))
+      }),
 
     // Video near-dup via shared frame CONTENT (the third modality of
     // the q263/q268 family): fixed-size frames hashed through the
