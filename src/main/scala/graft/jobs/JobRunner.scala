@@ -445,6 +445,30 @@ object JobRunner {
           keepBestResolution =
             o.get("keep-best-resolution").exists(_.toBoolean))
       }),
+      // offline compaction of a curated-corpus admission index
+      // (Streams.compactAdmissionIndex): squash batch partitions
+      // <= upto-batch into batch=-1; summary = remaining partition
+      // count per index table
+      "compact_admission_index" -> ((s, o) => {
+        val in = o.getOrElse("in-store",
+          sys.error("--in-store required for compact_admission_index"))
+        val upto = o.getOrElse("upto-batch",
+          sys.error("--upto-batch required for compact_admission_index"))
+          .toLong
+        graft.streaming.Streams.compactAdmissionIndex(s, in, upto)
+        storePartitionSummary(s, in, Seq("dfs", "postings", "fps"))
+      }),
+      // offline compaction of a media admission store's index tables
+      // (Streams.compactMediaStore) — same contract, fps/bands rails
+      "compact_media_store" -> ((s, o) => {
+        val in = o.getOrElse("in-store",
+          sys.error("--in-store required for compact_media_store"))
+        val upto = o.getOrElse("upto-batch",
+          sys.error("--upto-batch required for compact_media_store"))
+          .toLong
+        graft.streaming.Streams.compactMediaStore(s, in, upto)
+        storePartitionSummary(s, in, Seq("fps", "bands"))
+      }),
       // union length of [start, end) intervals per key — overlaps
       // counted once (sweep line, Events.intervalCoverage)
       "interval_coverage" -> ((s, o) => {
@@ -482,6 +506,24 @@ object JobRunner {
     "mod_configs" -> Schemas.dbsModConfigs,
     "out_configs" -> Schemas.dbsOutConfigs,
     "rel_versions" -> Schemas.dbsRelVersions)
+
+  /** Remaining `batch=<id>` partition count per index table of a
+    * batch-partitioned store — the compactor jobs' summary frame
+    * (after a compaction up to the stream head this is 1 per table:
+    * the squashed batch=-1). */
+  private def storePartitionSummary(s: SparkSession, storeDir: String,
+      tables: Seq[String]): DataFrame = {
+    import s.implicits._
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    tables.map { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$storeDir/$t")
+      val n = if (fs.exists(p))
+        fs.listStatus(p).count(_.getPath.getName.startsWith("batch="))
+      else 0
+      (t, n.toLong)
+    }.toDF("index_table", "n_partitions")
+  }
 
   def parseArgs(args: Array[String]): Map[String, String] =
     args.sliding(2, 2).collect {

@@ -474,6 +474,32 @@ class RunnerSpec extends AnyFunSuite {
     assert(kept("true", "rel2") == Set(2L)) // the 72x64 copy survives
   }
 
+  test("JobRunner: compact_media_store lake job squashes the index " +
+    "partitions and reports the layout; admission-index compactor " +
+    "refuses a non-store dir through the CLI") {
+    val dir = Files.createTempDirectory("graft-runner-cms").toString
+    val s0 = graft.core.Sessions.local(4, "graft-runner-test")
+    import s0.implicits._
+    import graft.llmops.Multimodal
+    val store = s"$dir/store"
+    def wav(id: Long, pid: Long) = Multimodal.encodeWav(
+      Array.tabulate(256)(t => Multimodal.synthSample(pid, t)))
+    for (b <- 0L to 1L)
+      graft.streaming.Streams.audioCommit(
+        Seq((b * 10 + 1, wav(b * 10 + 1, 5 + b), "s"))
+          .toDF("id", "payload", "src"),
+        b, "id", "payload", "src", store, 4, window = 4)
+    val sum = JobRunner.lakeJobs("compact_media_store")(s0, Map(
+      "in-store" -> store, "upto-batch" -> "1"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sum == Map("fps" -> 1L, "bands" -> 1L)) // just batch=-1
+    val ex = intercept[IllegalArgumentException] {
+      JobRunner.lakeJobs("compact_admission_index")(s0, Map(
+        "in-store" -> s"$dir/nostore", "upto-batch" -> "0"))
+    }
+    assert(ex.getMessage.contains("meta"))
+  }
+
   test("JobRunner: interval_coverage lake job counts overlaps once") {
     val dir = Files.createTempDirectory("graft-runner-iv").toString
     val s0 = graft.core.Sessions.local(4, "graft-runner-test")
