@@ -281,6 +281,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!got.keys.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("property: sharedFrameNearDupPairs equals brute-force " +
+    "containment over random frame sets") {
+    def frame(fid: Long) = "fr:%013d".format(fid).getBytes("UTF-8")
+    val rnd = new scala.util.Random(20260815L)
+    for (_ <- 0 until 8) {
+      val nDocs = 10 + rnd.nextInt(8)
+      val sets: Map[Long, Set[Long]] = (1L to nDocs).map { id =>
+        id -> Seq.fill(2 + rnd.nextInt(7))(rnd.nextInt(20).toLong)
+          .toSet
+      }.toMap
+      val media = sets.toSeq.map { case (id, fids) =>
+        Multimodal.MediaRecord(id,
+          fids.toSeq.sorted.flatMap(frame).toArray, "s",
+          fids.size.toLong)
+      }.toDS()
+      val got = Multimodal.sharedFrameNearDupPairs(
+          Multimodal.frameFingerprints(media, frameBytes = 16),
+          minContainment = 0.6)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      val want = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        shared = (sets(a) & sets(b)).size
+        cont = shared.toDouble / math.min(sets(a).size, sets(b).size)
+        if cont >= 0.6
+      } yield (a, b) -> ((shared.toLong, cont))).toMap
+      assert(got == want)
+    }
+  }
+
   test("videoLshNearDupPairs: exact set-dups collapse to one keeper " +
     "before banding; the shifted re-cut still surfaces via LSH " +
     "candidates with exact containment") {
