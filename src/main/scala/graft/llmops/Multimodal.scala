@@ -625,6 +625,118 @@ object Multimodal {
     }
   }
 
+  /** Integer image-quality statistics from one decoded pass — the
+    * image analog of the text quality gates (q50): luma sum and
+    * square-sum (variance), total absolute neighbor difference in x
+    * and y (edge energy — a blur/blank proxy: sharp images have high
+    * per-pixel gradient, blurred or flat ones low), and the count of
+    * the single most frequent luma value (near-constant "blank"
+    * detector). All Long, so any downstream aggregation is exact and
+    * the derived ratios are one IEEE division with identical operands
+    * in both engines. None-row (not emitted) when the payload does
+    * not decode. */
+  final case class ImageQuality(doc_id: Long, source: String,
+      n_px: Long, luma_sum: Long, luma_sq_sum: Long,
+      edge_energy: Long, n_dominant: Long)
+
+  def imageQualityStats(media: Dataset[MediaRecord])
+      : Dataset[ImageQuality] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        img.map { im =>
+          val w = im.getWidth
+          val h = im.getHeight
+          val luma = Array.ofDim[Int](h, w)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = im.getRGB(x, y)
+              luma(y)(x) = (299 * ((rgb >> 16) & 0xff)
+                + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          var s = 0L; var s2 = 0L; var edge = 0L
+          val hist = new Array[Long](256)
+          y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = luma(y)(x)
+              s += p; s2 += p.toLong * p; hist(p) += 1
+              if (x + 1 < w) edge += math.abs(luma(y)(x + 1) - p)
+              if (y + 1 < h) edge += math.abs(luma(y + 1)(x) - p)
+              x += 1
+            }
+            y += 1
+          }
+          ImageQuality(r.doc_id, r.source, w.toLong * h, s, s2, edge,
+            hist.max)
+        }
+      }
+    }
+  }
+
+  /** Integer audio-quality statistics from one decoded pass — the
+    * audio analog of q50's gates: clipped-sample count (|s−128| ≥
+    * `clipLevel`), silent analysis windows (integer energy below
+    * `silenceEnergy`), and the min/max sample (dynamic range). All
+    * exact integers; non-audio payloads emit no row. */
+  final case class AudioQuality(doc_id: Long, source: String,
+      n_samples: Long, n_clipped: Long, n_windows: Long,
+      n_silent_windows: Long, sample_min: Int, sample_max: Int)
+
+  def audioQualityStats(media: Dataset[MediaRecord], window: Int = 32,
+      clipLevel: Int = 120, silenceEnergy: Long = 1000L)
+      : Dataset[AudioQuality] = {
+    require(window >= 1 && clipLevel >= 0,
+      s"audioQualityStats: window=$window clipLevel=$clipLevel")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        parseHeader(r.payload) match {
+          case Some(("audio", _, _, frames)) if frames > 0 =>
+            val data = r.payload.drop(44)
+            val n = data.length
+            var clipped = 0L
+            var mn = Int.MaxValue
+            var mx = Int.MinValue
+            var silent = 0L
+            val nw = (n + window - 1) / window
+            var wi = 0
+            while (wi < nw) {
+              val lo = wi * window
+              val hi = math.min(lo + window, n)
+              var e = 0L
+              var t = lo
+              while (t < hi) {
+                val s = (data(t) & 0xff) - 128
+                e += s.toLong * s
+                if (math.abs(s) >= clipLevel) clipped += 1
+                if (s < mn) mn = s
+                if (s > mx) mx = s
+                t += 1
+              }
+              if (e < silenceEnergy) silent += 1
+              wi += 1
+            }
+            Some(AudioQuality(r.doc_id, r.source, n.toLong, clipped,
+              nw.toLong, silent, mn, mx))
+          case _ => None
+        }
+      }
+    }
+  }
+
   /** Both image signatures from ONE decode: the exact pixel-identity
     * fingerprint ([[imagePixelFingerprint]]) and the near-dup dHash
     * ([[dHash64]]) — what an ingest gate needs per payload without

@@ -1288,6 +1288,115 @@ object LlmQueries {
               || col("cluster") === col("doc_id")).as("is_kept"))
       }),
 
+    // Image quality gates over DECODED pixels (the image analog of
+    // q50's text gates): integer luma sum/square-sum (variance),
+    // total absolute neighbor difference (edge energy — the standard
+    // blur/blank proxy; a flat or blurred image scores low), and the
+    // dominant-luma count (near-constant "blank" detector). Integer
+    // stats from one decode pass; the derived ratios are single IEEE
+    // divisions with identical operands in both engines.
+    QueryDef(
+      "q272_image_quality",
+      Some("""
+        WITH px AS (SELECT doc_id, doc_id % 32 AS g,
+                           (doc_id // 32) % 72 AS v,
+                           (doc_id % 5) * 8 AS br,
+                           CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+                    FROM documents, range(0, 36) rx(x),
+                         range(0, 32) ry(y)),
+        pv AS (SELECT doc_id, x, y,
+                      ((g + 3) * x + (2 * g + 5) * y
+                        + ((x * y * (g + 1)) % 31)) % 150 + br
+                      + (CASE WHEN x // 4 = v % 9
+                              AND y // 4 = (v // 9) % 8
+                              THEN 60 ELSE 0 END) AS p
+               FROM px),
+        base AS (SELECT doc_id, count(*) AS n_px,
+                        CAST(sum(p) AS BIGINT) AS luma_sum,
+                        CAST(sum(p * p) AS BIGINT) AS luma_sq_sum
+                 FROM pv GROUP BY 1),
+        ex AS (SELECT a.doc_id, sum(abs(b.p - a.p)) AS e
+               FROM pv a JOIN pv b
+                 ON a.doc_id = b.doc_id AND b.y = a.y
+                AND b.x = a.x + 1
+               GROUP BY 1),
+        ey AS (SELECT a.doc_id, sum(abs(b.p - a.p)) AS e
+               FROM pv a JOIN pv b
+                 ON a.doc_id = b.doc_id AND b.x = a.x
+                AND b.y = a.y + 1
+               GROUP BY 1),
+        dom AS (SELECT doc_id, max(c) AS n_dominant
+                FROM (SELECT doc_id, p, count(*) AS c
+                      FROM pv GROUP BY 1, 2) GROUP BY 1)
+        SELECT base.doc_id, n_px, luma_sum, luma_sq_sum,
+               CAST(ex.e + ey.e AS BIGINT) AS edge_energy,
+               CAST(dom.n_dominant AS BIGINT) AS n_dominant,
+               CAST(luma_sq_sum AS DOUBLE)/n_px
+                 - (CAST(luma_sum AS DOUBLE)/n_px)
+                   * (CAST(luma_sum AS DOUBLE)/n_px) AS luma_var,
+               CAST(ex.e + ey.e AS DOUBLE)/n_px AS sharpness,
+               CAST(dom.n_dominant AS DOUBLE)/n_px AS dominant_frac
+        FROM base
+        JOIN ex USING (doc_id)
+        JOIN ey USING (doc_id)
+        JOIN dom USING (doc_id)"""),
+      (s, d) =>
+        Multimodal.imageQualityStats(
+            Multimodal.syntheticImages(t(s, d, "documents"))).toDF()
+          .drop("source")
+          .withColumn("luma_var",
+            col("luma_sq_sum").cast("double") / col("n_px")
+              - (col("luma_sum").cast("double") / col("n_px"))
+                * (col("luma_sum").cast("double") / col("n_px")))
+          .withColumn("sharpness",
+            col("edge_energy").cast("double") / col("n_px"))
+          .withColumn("dominant_frac",
+            col("n_dominant").cast("double") / col("n_px"))),
+
+    // Audio quality gates over decoded PCM (the audio analog of
+    // q50/q272): clipped-sample count, silent analysis windows,
+    // dynamic range — the stats a speech pipeline reads before
+    // admitting a clip. Exact integers + mirrored single divisions.
+    QueryDef(
+      "q273_audio_quality",
+      Some("""
+        WITH s AS (SELECT doc_id, CAST(t AS BIGINT) AS t,
+                          ((((doc_id % 13) + 1) * t * t
+                            + (doc_id % 97) * t
+                            + (doc_id % 256)) % 256) - 128 AS sv
+                   FROM documents, range(0, 256) r(t)),
+        w AS (SELECT doc_id, t // 32 AS wi,
+                     CAST(sum(sv * sv) AS BIGINT) AS e
+              FROM s GROUP BY 1, 2),
+        wa AS (SELECT doc_id, count(*) AS n_windows,
+                      count(*) FILTER (WHERE e < 1000)
+                        AS n_silent_windows
+               FROM w GROUP BY 1),
+        sa AS (SELECT doc_id, count(*) AS n_samples,
+                      count(*) FILTER (WHERE abs(sv) >= 120)
+                        AS n_clipped,
+                      CAST(min(sv) AS INT) AS sample_min,
+                      CAST(max(sv) AS INT) AS sample_max
+               FROM s GROUP BY 1)
+        SELECT sa.doc_id, n_samples,
+               CAST(n_clipped AS BIGINT) AS n_clipped,
+               CAST(n_windows AS BIGINT) AS n_windows,
+               CAST(n_silent_windows AS BIGINT) AS n_silent_windows,
+               sample_min, sample_max,
+               CAST(n_clipped AS DOUBLE)/n_samples AS clip_frac,
+               CAST(n_silent_windows AS DOUBLE)/n_windows
+                 AS silence_frac
+        FROM sa JOIN wa USING (doc_id)"""),
+      (s, d) =>
+        Multimodal.audioQualityStats(
+            Multimodal.syntheticWavs(t(s, d, "documents"))).toDF()
+          .drop("source")
+          .withColumn("clip_frac",
+            col("n_clipped").cast("double") / col("n_samples"))
+          .withColumn("silence_frac",
+            col("n_silent_windows").cast("double")
+              / col("n_windows"))),
+
     // Video near-dup via shared frame CONTENT (the third modality of
     // the q263/q268 family): fixed-size frames hashed through the
     // pure-Catalyst hex∘substring route (q160's grid), inverted-index

@@ -281,6 +281,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!got.keys.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("imageQualityStats: flat image scores blank (variance 0, " +
+    "dominant 1.0, zero edge), checkerboard scores sharp; " +
+    "undecodable emits no row") {
+    val flat = Array.fill(H, W)(77)
+    val checker = Array.tabulate(H, W)((y, x) =>
+      if ((x + y) % 2 == 0) 0 else 200)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, Multimodal.encodeBmp(flat, W, H),
+        "s", 0L),
+      Multimodal.MediaRecord(2L, Multimodal.encodePng(checker, W, H),
+        "s", 0L),
+      Multimodal.MediaRecord(3L, Array[Byte](1, 2), "s", 2L)).toDS()
+    val got = Multimodal.imageQualityStats(media).collect()
+      .map(q => q.doc_id -> q).toMap
+    assert(!got.contains(3L))
+    val f = got(1L)
+    assert(f.n_px == W.toLong * H && f.luma_sum == 77L * W * H)
+    assert(f.luma_sq_sum == 77L * 77 * W * H)
+    assert(f.edge_energy == 0L && f.n_dominant == W.toLong * H)
+    val c = got(2L)
+    // every interior neighbor pair differs by 200: (W-1)*H + (H-1)*W
+    assert(c.edge_energy == 200L * ((W - 1) * H + (H - 1) * W))
+    assert(c.n_dominant == W.toLong * H / 2)
+  }
+
+  test("audioQualityStats: silence counts silent windows, a loud " +
+    "alternating clip counts clipped samples and full range; " +
+    "non-audio emits no row") {
+    val silence = Multimodal.encodeWav(Array.fill(64)(128)) // sv = 0
+    val loud = Multimodal.encodeWav(
+      Array.tabulate(64)(t => if (t % 2 == 0) 0 else 255)) // -128/127
+    val media = Seq(
+      Multimodal.MediaRecord(1L, silence, "s", 64L),
+      Multimodal.MediaRecord(2L, loud, "s", 64L),
+      Multimodal.MediaRecord(3L, Array[Byte](9), "s", 1L)).toDS()
+    val got = Multimodal.audioQualityStats(media, window = 32)
+      .collect().map(q => q.doc_id -> q).toMap
+    assert(!got.contains(3L))
+    val s = got(1L)
+    assert(s.n_windows == 2L && s.n_silent_windows == 2L)
+    assert(s.n_clipped == 0L && s.sample_min == 0 && s.sample_max == 0)
+    val l = got(2L)
+    assert(l.n_clipped == 64L) // |−128| and |127| both ≥ 120
+    assert(l.n_silent_windows == 0L)
+    assert(l.sample_min == -128 && l.sample_max == 127)
+  }
+
   test("property: sharedFrameNearDupPairs equals brute-force " +
     "containment over random frame sets") {
     def frame(fid: Long) = "fr:%013d".format(fid).getBytes("UTF-8")
