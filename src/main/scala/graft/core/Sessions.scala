@@ -55,29 +55,33 @@ object Sessions {
     trySet("spark.sql.session.timeZone", "UTC")
     if (!spark.catalog.functionExists("dn_uuid"))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "dn_uuid", graft.functions.Sha1Mod1e16.builder, "builtin")
+        "dn_uuid", graft.functions.Sha1Mod1e16.builder, "built-in")
     if (!spark.catalog.functionExists("hash60"))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "hash60", graft.functions.Md5Prefix60.builder, "builtin")
+        "hash60", graft.functions.Md5Prefix60.builder, "built-in")
     if (!spark.catalog.functionExists("simhash_fold"))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "simhash_fold", graft.functions.SimhashFold.builder, "builtin")
+        "simhash_fold", graft.functions.SimhashFold.builder, "built-in")
     if (!spark.catalog.functionExists("nfc_normalize"))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "nfc_normalize", graft.functions.NfcNormalize.builder, "builtin")
+        "nfc_normalize", graft.functions.NfcNormalize.builder, "built-in")
     if (!spark.catalog.functionExists("shingle_hash60"))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "shingle_hash60", graft.functions.ShingleHash60.builder, "builtin")
+        "shingle_hash60", graft.functions.ShingleHash60.builder, "built-in")
     if (!spark.catalog.functionExists("minhash_slots"))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "minhash_slots", graft.functions.MinhashSlots.builder, "builtin")
+        "minhash_slots", graft.functions.MinhashSlots.builder, "built-in")
     if (!spark.catalog.functionExists("repeat_gram"))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "repeat_gram", graft.functions.RepeatGram.builder, "builtin")
+        "repeat_gram", graft.functions.RepeatGram.builder, "built-in")
     if (!spark.catalog.functionExists("shingle_hash60_all"))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "shingle_hash60_all",
-        graft.functions.ShingleHashAll60.builder, "builtin")
+        graft.functions.ShingleHashAll60.builder, "built-in")
+    if (!spark.catalog.functionExists("graft_might_contain"))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_might_contain",
+        graft.functions.BloomMightContain.builder, "built-in")
     if (!spark.experimental.extraOptimizations
         .contains(graft.functions.LevenshteinThreshold))
       spark.experimental.extraOptimizations =

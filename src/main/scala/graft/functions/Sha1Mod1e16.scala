@@ -73,9 +73,13 @@ object BloomMightContain {
       .BloomFilterMightContain].getName,
     "graft_might_contain")
 
-  def builder(children: Seq[Expression]): Expression =
+  def builder(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      s"graft_might_contain expects 2 arguments (bloomBytes, value), " +
+        s"got ${children.length}")
     org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
       children(0), children(1))
+  }
 }
 
 /** Session-extension entry point: `--conf spark.sql.extensions=

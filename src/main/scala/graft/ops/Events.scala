@@ -101,13 +101,24 @@ object Events {
     * assumption that makes the bin trick work (binWidth ≈ median
     * span), so the broadcast side stays tiny; each interval takes
     * exactly one of the two routes, so the union is disjoint and
-    * needs no dedup. */
+    * needs no dedup.
+    *
+    * The whale route is guarded, not assumed: the whale side is
+    * COUNTED up front (one job over the small intervals side) and the
+    * call fails loudly when it exceeds `maxWhales` — the symptom of a
+    * `binWidth` chosen far below the median span, where "rare whales"
+    * inverts into "most intervals broadcast" and the
+    * BroadcastNestedLoop side would OOM the driver with no warning.
+    * The paid count is recycled: when it is zero (the common case)
+    * the nested-loop branch is dropped from the plan entirely. */
   def rangeJoin(events: DataFrame, tsCol: String, intervals: DataFrame,
       startCol: String, endCol: String, binWidth: Long,
-      maxBinsPerInterval: Long = 4096L): DataFrame = {
+      maxBinsPerInterval: Long = 4096L,
+      maxWhales: Long = 100000L): DataFrame = {
     require(binWidth > 0, "rangeJoin: binWidth must be positive")
     require(maxBinsPerInterval >= 1,
       s"rangeJoin: maxBinsPerInterval=$maxBinsPerInterval")
+    require(maxWhales >= 0, s"rangeJoin: maxWhales=$maxWhales")
     // `div` = exact Long integer division ("/" on longs is DOUBLE);
     // ticks are assumed non-negative (epoch micros/nanos), where
     // truncating div == floor div
@@ -124,9 +135,21 @@ object Events {
         keyed("__bin") === binned("__bin") &&
           keyed(tsCol) >= binned(startCol) && keyed(tsCol) <= binned(endCol))
       .drop("__bin")
-    val whaleRoute = events.join(broadcast(whales),
-      events(tsCol) >= whales(startCol) && events(tsCol) <= whales(endCol))
-    binRoute.unionByName(whaleRoute)
+    val whaleCount = whales.count()
+    require(whaleCount <= maxWhales,
+      s"rangeJoin: $whaleCount intervals span more than " +
+        s"$maxBinsPerInterval bins (limit $maxWhales) — binWidth=" +
+        s"$binWidth is far below the median interval span, so the " +
+        "broadcast range-join fallback would not be broadcast-safe; " +
+        "raise binWidth toward the median span (a handful of bins per " +
+        "interval) or raise maxBinsPerInterval/maxWhales deliberately")
+    if (whaleCount == 0L) binRoute
+    else {
+      val whaleRoute = events.join(broadcast(whales),
+        events(tsCol) >= whales(startCol) &&
+          events(tsCol) <= whales(endCol))
+      binRoute.unionByName(whaleRoute)
+    }
   }
 
   /** Interval-overlap join: pairs of intervals from `a` and `b` that

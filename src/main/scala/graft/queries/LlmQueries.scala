@@ -932,7 +932,11 @@ object LlmQueries {
     // equal-floor chunks, hashed via hex — real frame-byte hashing,
     // replayable in the oracle through hex-string slicing since
     // DuckDB has no blob md5). Grid + fingerprint hash-oracled end
-    // to end.
+    // to end. Pinned to the FALLBACK grid (parseContainers = false):
+    // the oracle replays only the len%24+1 formula, so the parity
+    // contract must not hinge on no fixture text starting with a
+    // printable container magic; the parsed branch is spec-pinned
+    // separately.
     QueryDef(
       "q160_frame_sample",
       Some("""
@@ -958,7 +962,8 @@ object LlmQueries {
                        - (frame_idx * n_bytes) // n_frames) * 2
                     AS INT))), 1, 15))::BIGINT AS frame_fp
         FROM j"""),
-      (s, d) => Multimodal.sampleFrames(s, t(s, d, "documents"), 4)),
+      (s, d) => Multimodal.sampleFrames(s, t(s, d, "documents"), 4,
+        parseContainers = false)),
 
     // Pixel-level image near-dup (the multimodal dedup operator):
     // synthetic BMP/PNG images derived from doc ids are DECODED with

@@ -958,6 +958,8 @@ object Streams {
         s"$storeDir/dfs")
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    requireNoPendingCompaction(fs, "curatedCommitIndexed",
+      Seq(fpsDir, postingsDir, dfsDir))
     // the store's one-row meta table pins the df cap (and the index
     // schemas, for schema-safe offline reads): admission decisions
     // depend on maxDf, so a stream restarted — or a compaction run —
@@ -1080,6 +1082,111 @@ object Streams {
   def curatedDocs(spark: SparkSession, storeDir: String): DataFrame =
     spark.read.parquet(s"$storeDir/docs").drop("batch")
 
+  /** True iff `dir` has a compaction swap that crashed mid-flight
+    * (its pending marker survives). Commit paths check this and fail
+    * LOUDLY: reading a store whose swap half-completed would silently
+    * re-admit previously-dropped duplicates — the divergence mode the
+    * marker exists to prevent. Re-running the store's compactor
+    * completes the swap and clears the marker. */
+  private def compactionPending(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(s"${dir}__compact_pending"))
+
+  private def requireNoPendingCompaction(
+      fs: org.apache.hadoop.fs.FileSystem, caller: String,
+      dirs: Seq[String]): Unit =
+    dirs.foreach { dir =>
+      require(!compactionPending(fs, dir),
+        s"$caller: $dir has a crashed compaction swap pending " +
+          s"(marker ${dir}__compact_pending) — re-run the store's " +
+          "compactor to complete the swap before committing; reading " +
+          "the half-swapped index would silently re-admit duplicates")
+    }
+
+  /** Crash-safe squash-swap for one batch-partitioned index dir:
+    * replaces the `batch=<id>` partitions in `oldParts` with a single
+    * `batch=-1` partition holding `squashed`. The only atomic
+    * primitive a FileSystem guarantees is rename, so the swap is a
+    * marker protocol — every crash point either leaves the store
+    * intact or leaves a pending marker from which
+    * [[recoverCompactSwap]] completes the identical swap:
+    *
+    *  1. write `squashed` → `<dir>__compact_tmp` (store untouched);
+    *  2. atomically publish `<dir>__compact_pending` listing
+    *     `oldParts` (file rename — a partial marker never exists);
+    *  3. delete the superseded partitions;
+    *  4. rename tmp → `batch=-1`;
+    *  5. delete the marker.
+    *
+    * A crash before 2 leaves the store intact (stale tmp is garbage-
+    * collected by the next recovery); after 2, the marker + tmp hold
+    * everything recovery needs, and the commit paths refuse to read
+    * the store until recovery runs ([[compactionPending]]). */
+  private def swapCompacted(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, squashed: DataFrame, oldParts: Seq[Long]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"${dir}__compact_tmp")
+    val marker =
+      new org.apache.hadoop.fs.Path(s"${dir}__compact_pending")
+    val markerTmp =
+      new org.apache.hadoop.fs.Path(s"${dir}__compact_pending_tmp")
+    squashed.write.mode("overwrite").parquet(tmp.toString)
+    val out = fs.create(markerTmp, true)
+    out.write(oldParts.mkString(",").getBytes("UTF-8"))
+    out.close()
+    fs.rename(markerTmp, marker)
+    oldParts.foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batch=$b"), true)
+    }
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$dir/batch=-1"))
+    fs.delete(marker, false)
+  }
+
+  /** Complete (or discard) a [[swapCompacted]] interrupted by a
+    * crash. Marker present + tmp present: the squash was fully
+    * written, so finish the swap — delete any superseded partitions
+    * still standing (including the OLD `batch=-1`; the marker lists
+    * it), rename tmp into place. Marker present + tmp gone: the
+    * rename already happened, so `batch=-1` is the NEW squash — just
+    * sweep the remaining superseded partitions. No marker: any stale
+    * tmp/markerTmp predates the destructive phase and is deleted.
+    * Idempotent; both compactors run it on entry. */
+  private[graft] def recoverCompactSwap(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"${dir}__compact_tmp")
+    val marker =
+      new org.apache.hadoop.fs.Path(s"${dir}__compact_pending")
+    val markerTmp =
+      new org.apache.hadoop.fs.Path(s"${dir}__compact_pending_tmp")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val content = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](4096)
+        Iterator.continually(in.read(chunk)).takeWhile(_ > 0)
+          .foreach(n => buf.write(chunk, 0, n))
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+      val oldParts = content.split(",").filter(_.nonEmpty).map(_.toLong)
+      if (fs.exists(tmp)) {
+        oldParts.foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batch=$b"),
+            true)
+        }
+        fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$dir/batch=-1"))
+      } else {
+        // rename already committed — batch=-1 is the new squash
+        oldParts.filter(_ != -1L).foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batch=$b"),
+            true)
+        }
+      }
+      fs.delete(marker, false)
+    } else {
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (fs.exists(markerTmp)) fs.delete(markerTmp, false)
+    }
+  }
+
   /** Offline maintenance for the admission index: squash the
     * per-batch df deltas and postings partitions with
     * `batch <= uptoBatch` into a single `batch=-1` history partition
@@ -1131,24 +1238,22 @@ object Streams {
         schema: org.apache.spark.sql.types.StructType)(
         squash: DataFrame => DataFrame): Unit =
       if (exists(dir)) {
+        // heal any crashed previous swap first, so oldParts is
+        // computed from a consistent store
+        recoverCompactSwap(fs, dir)
         // batch=-1 (a previous compaction) always folds in: -1 <=
-        // uptoBatch, and its partition is deleted before the rename
-        // re-creates it, so repeated compaction is safe
+        // uptoBatch; the swap itself is the crash-safe marker
+        // protocol of [[swapCompacted]], so repeated compaction is
+        // safe and no crash point silently loses index rows
         val old = readPinned(dir, schema)
           .filter(col("batch") <= uptoBatch)
+        // bounded collect: one Long per store partition (<= #batches
+        // ever committed), a partition-id listing — not a data path
         val oldParts = old.select(col("batch"))
           .distinct().collect().map(_.getLong(0))
-        if (oldParts.nonEmpty) {
-          val squashed = squash(old.drop("batch"))
-          val tmp = s"${dir}__compact_tmp"
-          squashed.write.mode("overwrite").parquet(tmp)
-          oldParts.foreach { b =>
-            fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batch=$b"),
-              true)
-          }
-          fs.rename(new org.apache.hadoop.fs.Path(tmp),
-            new org.apache.hadoop.fs.Path(s"$dir/batch=-1"))
-        }
+        if (oldParts.nonEmpty)
+          swapCompacted(fs, dir, squash(old.drop("batch")),
+            oldParts.toSeq)
       }
     compact(s"$storeDir/dfs", schemaOf("dfs_schema"))(
       _.groupBy(col("sh")).agg(sum(col("df")).as("df")))
@@ -1180,7 +1285,8 @@ object Streams {
     *    pixel-identical and is dropped here)
     *  - `<storeDir>/bands` — (doc, dhash, band, bucket) 16-bit dHash
     *    bands (near rail: a batch image sharing a band with a stored
-    *    one AND within `maxHamming` bits is dropped)
+    *    one — or a smaller-id image in the SAME batch — AND within
+    *    `maxHamming` bits is dropped)
     *
     * Within a batch, pixel-identical payloads collapse to the min-id
     * keeper first (the exact-dedup-first discipline). Undecodable
@@ -1242,9 +1348,11 @@ object Streams {
     * and payloads `sign` cannot decode are absent (rejected — a
     * corpus store admits only what it can read). Within a batch,
     * fp-identical payloads collapse to the min-id keeper first (the
-    * exact-dedup-first discipline), then the batch probes the fps
-    * store (exact rail) and the 4×16-bit band store (near rail:
-    * shared band AND bit_count ≤ maxHamming). Every store is
+    * exact-dedup-first discipline) and near-dup survivors collapse
+    * component-min via a band self-join, then the batch probes the
+    * fps store (exact rail) and the 4×16-bit band store (near rail:
+    * shared band AND bit_count ≤ maxHamming) — so near-dup admission
+    * holds both across AND within micro-batches. Every store is
     * partitioned by `batch=<id>`; reads exclude the current id,
     * writes overwrite only the current id's partitions — a replayed
     * epoch re-derives the identical admission and overwrites itself,
@@ -1262,6 +1370,7 @@ object Streams {
       (s"$storeDir/docs", s"$storeDir/fps", s"$storeDir/bands")
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    requireNoPendingCompaction(fs, caller, Seq(fpsDir, bandsDir))
     val metaDir = s"$storeDir/meta"
     if (fs.exists(new org.apache.hadoop.fs.Path(metaDir))) {
       val stored = s.read.parquet(metaDir).first()
@@ -1304,7 +1413,8 @@ object Streams {
       posexplode(array((0 until 4).map(b =>
         shiftright(col("nhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("band", "bucket")))
-    val batchBands = bandsOf(b1)
+    val batchBands = bandsOf(b1).barrier() // store probe + both
+    // sides of the within-batch self-join
     val bandTemplate = batchBands
     val nearDropped = batchBands
       .select(col("doc_id"), col("nhash").as("__hb"), col("band"),
@@ -1315,7 +1425,25 @@ object Streams {
       .filter(bit_count(col("__hb").bitwiseXOR(col("__hs")))
         <= maxHamming)
       .select(col("doc_id")).distinct()
-    val dropped = exactDropped.unionByName(nearDropped).distinct()
+    // within-batch near rail: two near-dup (non-fp-identical) media
+    // arriving in the SAME micro-batch must not both be admitted
+    // permanently. Survivorship is component-min (drop any doc with
+    // a smaller-id near-neighbor in the batch) — deterministic,
+    // order-free, and the same rule the offline keep-lists use; in a
+    // chain A~B~C only A survives even where one-at-a-time arrival
+    // would also keep C. Per-micro-batch self-join, so pair volume
+    // is bounded by the batch, not the corpus.
+    val intraNearDropped = batchBands
+      .select(col("doc_id"), col("nhash").as("__hb"), col("band"),
+        col("bucket"))
+      .join(batchBands.select(col("doc_id").as("__ob"),
+          col("nhash").as("__hs"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("__ob") < col("doc_id") &&
+        bit_count(col("__hb").bitwiseXOR(col("__hs"))) <= maxHamming)
+      .select(col("doc_id")).distinct()
+    val dropped = exactDropped.unionByName(nearDropped)
+      .unionByName(intraNearDropped).distinct()
     val admitted = b1.join(dropped, Seq("doc_id"), "left_anti")
       .barrier() // feeds docs, fps AND bands writes
     def writePart(df: DataFrame, dir: String): Unit =
@@ -1392,24 +1520,21 @@ object Streams {
     def compact(dir: String,
         schema: org.apache.spark.sql.types.StructType): Unit =
       if (exists(dir)) {
+        // heal any crashed previous swap, then run the crash-safe
+        // marker-protocol swap ([[swapCompacted]]) — no crash point
+        // silently loses admission-index rows
+        recoverCompactSwap(fs, dir)
         val old = spark.read
           .schema(schema.add(org.apache.spark.sql.types.StructField(
             "batch", org.apache.spark.sql.types.LongType)))
           .parquet(dir)
           .filter(col("batch") <= uptoBatch)
+        // bounded collect: one Long per store partition (<= #batches
+        // ever committed), a partition-id listing — not a data path
         val oldParts = old.select(col("batch"))
           .distinct().collect().map(_.getLong(0))
-        if (oldParts.nonEmpty) {
-          val squashed = old.drop("batch")
-          val tmp = s"${dir}__compact_tmp"
-          squashed.write.mode("overwrite").parquet(tmp)
-          oldParts.foreach { b =>
-            fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batch=$b"),
-              true)
-          }
-          fs.rename(new org.apache.hadoop.fs.Path(tmp),
-            new org.apache.hadoop.fs.Path(s"$dir/batch=-1"))
-        }
+        if (oldParts.nonEmpty)
+          swapCompacted(fs, dir, old.drop("batch"), oldParts.toSeq)
       }
     compact(s"$storeDir/fps", schemaOf("fps_schema"))
     compact(s"$storeDir/bands", schemaOf("bands_schema"))

@@ -82,6 +82,32 @@ class CurationSpec extends AnyFunSuite {
     assert(got(0).getLong(1) == 3L && got(1).getLong(1) == 0L)
   }
 
+  test("bloomDecontaminate resolves graft_might_contain on an " +
+    "externally-configured session via ensureQueryConfs (the " +
+    "verification-driver path, where spark.sql.extensions is unset)") {
+    val reg = spark.sessionState.functionRegistry
+    val ident =
+      org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "graft_might_contain")
+    // simulate a session built without GraftExtensions
+    reg.dropFunction(ident)
+    val train = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val eval = Seq((9L, "alpha beta gamma")).toDF("doc_id", "text")
+    intercept[Exception] {
+      TextOps.bloomDecontaminate(train, eval, "doc_id", "text").collect()
+    }
+    graft.core.Sessions.ensureQueryConfs(spark)
+    val r = TextOps.bloomDecontaminate(train, eval, "doc_id", "text")
+      .head()
+    assert(r.getLong(2) >= 1L && r.getBoolean(3))
+    // arity is guarded with a clean error, not a runtime cast blowup
+    val ex = intercept[Exception] {
+      graft.functions.BloomMightContain.builder(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal(1)))
+    }
+    assert(ex.getMessage.contains("2 arguments"))
+  }
+
   // ---- dupNgramFraction ----
 
   test("dup-ngram fraction: 1.0 for clones, 0.0 for unique and short") {

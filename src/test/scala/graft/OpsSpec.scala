@@ -148,6 +148,25 @@ class OpsSpec extends AnyFunSuite {
     assert(replicas == 6L) // 5 bins for win 1 + 1 bin for win 2
   }
 
+  test("rangeJoin whale-count guard: a binWidth far below the median " +
+    "span (most intervals whales) fails loudly instead of silently " +
+    "broadcasting the corpus") {
+    val events = Seq((1L, 5L)).toDF("eid", "ts")
+    // every interval spans > 2 bins of width 1 → all whales
+    val ivs = (0 until 50).map(i => (i.toLong, 0L, 100L))
+      .toDF("win", "lo", "hi")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Events.rangeJoin(events, "ts", ivs, "lo", "hi",
+        binWidth = 1L, maxBinsPerInterval = 2L, maxWhales = 10L)
+    }
+    assert(ex.getMessage.contains("broadcast"))
+    // under the limit the whales still join correctly
+    val ok = graft.ops.Events.rangeJoin(events, "ts", ivs.limit(3),
+      "lo", "hi", binWidth = 1L, maxBinsPerInterval = 2L,
+      maxWhales = 10L)
+    assert(ok.count() == 3L)
+  }
+
   test("incremental merge == from-scratch partial, and is a schema " +
     "fixed point") {
     val rnd = new scala.util.Random(11)

@@ -950,6 +950,91 @@ class StreamingSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("maxHamming"))
   }
 
+  test("mediaCommit within-batch near rail: two near-dup " +
+    "(non-pixel-identical) images in the SAME micro-batch collapse " +
+    "to the min-id keeper, not both admitted permanently") {
+    import spark.implicits._
+    import graft.llmops.Multimodal
+    val dir = Files.createTempDirectory("graft-intranear").toString
+    val store = s"$dir/store"
+    def img(id: Long, pid: Long): (Long, Array[Byte], String) = {
+      val pix = Array.tabulate(32, 36)((y, x) =>
+        Multimodal.synthPixel(pid, x, y))
+      (id, Multimodal.encodeBmp(pix, 36, 32), "s")
+    }
+    // pids 5 and 37: same base pattern, moved bump cell → dHash
+    // within ≤ 3 bits (the near-rail fixture of the cross-batch
+    // spec) but NOT pixel-identical — the exact rail can't catch it
+    Streams.imageCommit(
+      Seq(img(13L, 37L), img(11L, 5L), img(15L, 7L))
+        .toDF("id", "payload", "src"),
+      0L, "id", "payload", "src", store, 4)
+    val ids = Streams.imageDocs(spark, store)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(11L, 15L)) // 13 dropped: near 11 within batch
+    // replay of the same batch re-derives the identical admission
+    Streams.imageCommit(
+      Seq(img(13L, 37L), img(11L, 5L), img(15L, 7L))
+        .toDF("id", "payload", "src"),
+      0L, "id", "payload", "src", store, 4)
+    assert(Streams.imageDocs(spark, store)
+      .select("doc_id").as[Long].collect().sorted.toSeq == ids)
+  }
+
+  test("compactMediaStore crash recovery: a swap interrupted after " +
+    "the destructive deletes loses no index rows — commits fail " +
+    "loudly until the compactor heals, then decisions match an " +
+    "uncompacted twin") {
+    import spark.implicits._
+    import graft.llmops.Multimodal
+    val dir = Files.createTempDirectory("graft-medcrash").toString
+    def wav(id: Long, pid: Long, jit: Int)
+        : (Long, Array[Byte], String) =
+      (id, Multimodal.encodeWav(Array.tabulate(256)(t =>
+        math.min(Multimodal.synthSample(pid, t) + jit, 255))), "s")
+    def commit(store: String, batchId: Long,
+        rows: Seq[(Long, Array[Byte], String)]): Unit =
+      Streams.audioCommit(rows.toDF("id", "payload", "src"), batchId,
+        "id", "payload", "src", store, 4, window = 4)
+    for (store <- Seq(s"$dir/a", s"$dir/b")) {
+      commit(store, 0L, Seq(wav(1L, 5L, 0), wav(2L, 6L, 0)))
+      commit(store, 1L, Seq(wav(3L, 7L, 0)))
+    }
+    // simulate a compaction of store `a` that crashed at the WORST
+    // point: squash written to tmp, pending marker published, old
+    // partitions deleted — but the rename never ran (the window the
+    // old delete-then-rename swap silently lost rows in)
+    for (idx <- Seq("fps", "bands")) {
+      val idxDir = s"$dir/a/$idx"
+      spark.read.parquet(idxDir)
+        .filter(col("batch") <= 1L).drop("batch")
+        .write.parquet(s"${idxDir}__compact_tmp")
+      val w = new java.io.FileWriter(s"${idxDir}__compact_pending")
+      w.write("0,1"); w.close()
+      for (b <- Seq(0, 1)) {
+        val p = new java.io.File(s"$idxDir/batch=$b")
+        p.listFiles().foreach(_.delete()); p.delete()
+      }
+    }
+    // a commit against the half-swapped store is refused, not wrong
+    val ex = intercept[IllegalArgumentException] {
+      commit(s"$dir/a", 2L, Seq(wav(15L, 9L, 0)))
+    }
+    assert(ex.getMessage.contains("compaction swap pending"))
+    // re-running the compactor completes the interrupted swap first
+    Streams.compactMediaStore(spark, s"$dir/a", uptoBatch = 1L)
+    // batch 2: 11 exact-dups stored clip 5, 13 near-dups it, 15 new —
+    // identical decisions on the crashed-then-healed store and the
+    // untouched twin proves no admission-index rows were lost
+    val b2 = Seq(wav(11L, 5L, 0), wav(13L, 5L, 2), wav(15L, 9L, 0))
+    commit(s"$dir/a", 2L, b2)
+    commit(s"$dir/b", 2L, b2)
+    def ids(store: String) = Streams.audioDocs(spark, store)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids(s"$dir/a") == ids(s"$dir/b"))
+    assert(ids(s"$dir/a") == Seq(1L, 2L, 3L, 15L))
+  }
+
   test("compactMediaStore: index partitions squash to batch=-1, " +
     "subsequent admission decisions identical to an uncompacted " +
     "twin; non-store dir refused") {
