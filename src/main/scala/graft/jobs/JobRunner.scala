@@ -443,7 +443,10 @@ object JobRunner {
             o.get("max-hamming").map(_.toInt).getOrElse(4),
           window = o.get("window").map(_.toInt).getOrElse(4),
           keepBestResolution =
-            o.get("keep-best-resolution").exists(_.toBoolean))
+            o.get("keep-best-resolution").exists(_.toBoolean),
+          videoFrameBytes = o.get("video-frame-bytes").map(_.toInt),
+          minContainment =
+            o.get("min-containment").map(_.toDouble).getOrElse(0.75))
       }),
       // offline compaction of a curated-corpus admission index
       // (Streams.compactAdmissionIndex): squash batch partitions
@@ -460,6 +463,7 @@ object JobRunner {
       }),
       // offline compaction of a media admission store's index tables
       // (Streams.compactMediaStore) — same contract, fps/bands rails
+      // (+ the frames verify index when the store is a video one)
       "compact_media_store" -> ((s, o) => {
         val in = o.getOrElse("in-store",
           sys.error("--in-store required for compact_media_store"))
@@ -467,7 +471,12 @@ object JobRunner {
           sys.error("--upto-batch required for compact_media_store"))
           .toLong
         graft.streaming.Streams.compactMediaStore(s, in, upto)
-        storePartitionSummary(s, in, Seq("fps", "bands"))
+        val fs = new org.apache.hadoop.fs.Path(in)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val tables = Seq("fps", "bands") ++
+          (if (fs.exists(new org.apache.hadoop.fs.Path(s"$in/frames")))
+            Seq("frames") else Nil)
+        storePartitionSummary(s, in, tables)
       }),
       // union length of [start, end) intervals per key — overlaps
       // counted once (sweep line, Events.intervalCoverage)

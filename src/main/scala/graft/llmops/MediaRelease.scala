@@ -22,7 +22,15 @@ import Multimodal.MediaRecord
   *    (q267);
   *  - audio: acoustic fingerprint ([[Multimodal.audioEnvelopeHash]])
   *    → exact envelope dedup (q266's rail) → Hamming near-dup pairs
-  *    over survivors (q268) → keep-list.
+  *    over survivors (q268) → keep-list;
+  *  - video (opt-in via `videoFrameBytes`): RESIDUAL payloads —
+  *    those neither the image nor the audio codec accepted — under
+  *    fixed-size frame fingerprints ([[Multimodal.frameFingerprints]])
+  *    → exact frame-SET dedup ([[Multimodal.frameSetReps]], q269's
+  *    rail) → q270's capped-LSH containment pairs over the set reps
+  *    → keep-list expanded through the reps to every clip (q271's
+  *    shape). Residual clips shorter than one frame stay in the
+  *    undecodable bucket.
   *
   * Running the Hamming route strictly AFTER exact dedup is the
   * structural exact-dedup-first guard ([[TextOps.exactDedupFirst]]'s
@@ -41,12 +49,15 @@ object MediaRelease {
 
   /** Run the release over a media table; persist artifacts under
     * `dest` (`image_signatures`, `image_pairs`, `keep_images`,
-    * `audio_hashes`, `audio_pairs`, `keep_audio`, `report`) and
-    * return the per-modality report:
+    * `audio_hashes`, `audio_pairs`, `keep_audio`, and with the video
+    * stage enabled `video_pairs`, `keep_videos`; always `report`)
+    * and return the per-modality report:
     * (media_kind, n_payloads, n_exact_survivors, n_kept). */
   def release(media: Dataset[MediaRecord], dest: String,
       maxHamming: Int = 4, window: Int = 4,
-      keepBestResolution: Boolean = false): DataFrame = {
+      keepBestResolution: Boolean = false,
+      videoFrameBytes: Option[Int] = None,
+      minContainment: Double = 0.75): DataFrame = {
     val m = media.barrier() // one scan feeds both modality kernels
 
     // ---- images: one decode → (pix_fp, dhash) ----
@@ -102,6 +113,43 @@ object MediaRelease {
       maxIters = 100)
     keepAudio.write.mode("overwrite").parquet(s"$dest/keep_audio")
 
+    // ---- video: residual payloads under frame fingerprints ----
+    // (opt-in: only a caller who KNOWS the residual modality's frame
+    // geometry can pick frameBytes; with it unset, behavior and the
+    // report are exactly the two-modality release)
+    val videoStage = videoFrameBytes.map { fb =>
+      val spark = media.sparkSession
+      import spark.implicits._
+      val decodedIds = images.select(col("doc_id"))
+        .unionByName(audio.select(col("doc_id")))
+      val residual = m.toDF()
+        .join(decodedIds, Seq("doc_id"), "left_anti")
+        .as[MediaRecord]
+      val d0 = Multimodal.frameFingerprints(residual, fb)
+        .select(col("doc_id"), col("frame_fp")).distinct()
+        .barrier() // reps + pair stage share one frame scan
+      val repMap = Multimodal.frameSetReps(d0).barrier()
+      val pairs = Multimodal
+        .videoLshNearDupPairsFrom(d0, minContainment).barrier()
+      pairs.write.mode("overwrite").parquet(s"$dest/video_pairs")
+      val repClusters = DedupClusters.keepList(
+          repMap.filter(col("doc_id") === col("rep"))
+            .select(col("doc_id")),
+          "doc_id", pairs, "doc_a", "doc_b", maxIters = 100)
+        .select(col("doc_id").as("rep"), col("cluster"),
+          col("is_kept"))
+        .barrier() // expansion + report
+      // q271's expansion: every clip inherits its set-rep's cluster;
+      // only the kept rep itself is kept
+      val keepVideos = repMap.join(repClusters, Seq("rep"))
+        .select(col("doc_id"), col("cluster"),
+          (col("doc_id") === col("rep") && col("is_kept"))
+            .as("is_kept"))
+        .barrier()
+      keepVideos.write.mode("overwrite").parquet(s"$dest/keep_videos")
+      (keepVideos, repClusters)
+    }
+
     // ---- per-modality report (every frame here is one row) ----
     def kindReport(kind: String, decoded: DataFrame,
         keep: DataFrame): DataFrame =
@@ -112,13 +160,30 @@ object MediaRelease {
             lit(0L)).as("n_kept")))
         .select(lit(kind).as("media_kind"), col("n_payloads"),
           col("n_exact_survivors"), col("n_kept"))
-    val undecodable = sigs.filter(col("pix_fp").isNull)
+    val undecodableBase = sigs.filter(col("pix_fp").isNull)
       .join(audio.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    // with the video stage on, clips it framed leave the bucket
+    val undecodable = videoStage
+      .map { case (keepVideos, _) => undecodableBase
+        .join(keepVideos.select(col("doc_id")), Seq("doc_id"),
+          "left_anti") }
+      .getOrElse(undecodableBase)
       .agg(count(lit(1)).as("n_payloads"))
       .select(lit("undecodable").as("media_kind"), col("n_payloads"),
         lit(0L).as("n_exact_survivors"), lit(0L).as("n_kept"))
-    val report = kindReport("image", images, keepImages)
-      .unionByName(kindReport("audio", audio, keepAudio))
+    val videoReport = videoStage.map { case (keepVideos, repClusters) =>
+      keepVideos.agg(count(lit(1)).as("n_payloads"))
+        .crossJoin(repClusters.agg(
+          count(lit(1)).as("n_exact_survivors"),
+          coalesce(sum(when(col("is_kept"), 1L).otherwise(0L)),
+            lit(0L)).as("n_kept")))
+        .select(lit("video").as("media_kind"), col("n_payloads"),
+          col("n_exact_survivors"), col("n_kept"))
+    }
+    val report = videoReport.foldLeft(
+        kindReport("image", images, keepImages)
+          .unionByName(kindReport("audio", audio, keepAudio)))(
+        _.unionByName(_))
       .unionByName(undecodable)
     report.write.mode("overwrite").parquet(s"$dest/report")
     report

@@ -340,16 +340,25 @@ object Multimodal {
       minContainment, maxBucket)
   }
 
+  /** Clip → 60-bit fingerprint of its distinct-frame SET (sorted
+    * frame fps joined and hashed): content-identical clips — same
+    * frames in any order, with any frame repeated — share one
+    * `set_fp`. The exact rail of the video routes (q269–q271 and the
+    * streaming video corpus store). Input is the distinct
+    * (doc_id, frame_fp) relation; output (doc_id, set_fp). */
+  def frameSetFingerprints(d0: DataFrame): DataFrame =
+    d0.groupBy(col("doc_id"))
+      .agg(TextOps.hash60(expr(
+        "array_join(transform(sort_array(collect_list(frame_fp)), " +
+          "x -> CAST(x AS STRING)), ':')")).as("set_fp"))
+
   /** doc → min-id representative of its identical distinct-frame SET
     * (the exact rail of the video route, q266's envelope-group shape):
     * input is the distinct (doc_id, frame_fp) relation; output
     * (doc_id, rep). A clip is its own rep iff it survives exact
     * dedup. */
   def frameSetReps(d0: DataFrame): DataFrame = {
-    val setfp = d0.groupBy(col("doc_id"))
-      .agg(TextOps.hash60(expr(
-        "array_join(transform(sort_array(collect_list(frame_fp)), " +
-          "x -> CAST(x AS STRING)), ':')")).as("set_fp"))
+    val setfp = frameSetFingerprints(d0)
     setfp
       .join(setfp.groupBy(col("set_fp"))
           .agg(min(col("doc_id")).as("rep")),
@@ -361,17 +370,16 @@ object Multimodal {
     * (doc_id, frame_fp) relation — lets a composed pipeline (e.g. the
     * q271 keep-list) share one frame scan between the pair stage and
     * the expansion map. */
-  def videoLshNearDupPairsFrom(d0: DataFrame, minContainment: Double,
-      maxBucket: Int = TextOps.DefaultMaxBucket): DataFrame = {
-    import graft.core.Checkpoints.BarrierOps
+  /** Set-MinHash signatures over a distinct (doc_id, frame_fp)
+    * relation — frames ARE the clip's shingles, so the text
+    * permutations ([[TextOps.MinHashPerms]]) apply unchanged: xm =
+    * fp mod p, then the 4 permutations' minima. Output
+    * (doc_id, sig_0..sig_3). Shared by the offline q270 route and
+    * the streaming video corpus store, so both make identical
+    * banding decisions. */
+  def frameSetMinHashSigs(d: DataFrame): DataFrame = {
     val p = TextOps.MinHashP
-    // 1. exact rail: identical frame sets collapse before banding
-    val keep = frameSetReps(d0)
-      .filter(col("doc_id") === col("rep")).select(col("doc_id"))
-    val d = d0.join(keep, Seq("doc_id"), "left_semi").barrier()
-    // 2. set-MinHash signatures (xm = fp mod p, then the 4 perms)
-    val sigs = d
-      .select(col("doc_id"), (col("frame_fp") % p).as("xm"))
+    d.select(col("doc_id"), (col("frame_fp") % p).as("xm"))
       .groupBy(col("doc_id"))
       .agg(
         min((col("xm") * TextOps.MinHashPerms(0)._1
@@ -382,6 +390,17 @@ object Multimodal {
           + TextOps.MinHashPerms(2)._2) % p).as("sig_2"),
         min((col("xm") * TextOps.MinHashPerms(3)._1
           + TextOps.MinHashPerms(3)._2) % p).as("sig_3"))
+  }
+
+  def videoLshNearDupPairsFrom(d0: DataFrame, minContainment: Double,
+      maxBucket: Int = TextOps.DefaultMaxBucket): DataFrame = {
+    import graft.core.Checkpoints.BarrierOps
+    // 1. exact rail: identical frame sets collapse before banding
+    val keep = frameSetReps(d0)
+      .filter(col("doc_id") === col("rep")).select(col("doc_id"))
+    val d = d0.join(keep, Seq("doc_id"), "left_semi").barrier()
+    // 2. set-MinHash signatures (xm = fp mod p, then the 4 perms)
+    val sigs = frameSetMinHashSigs(d)
     // 3. capped banding; 4. containment verify on candidates only
     val cand = TextOps.lshCandidatePairs(sigs, "doc_id", maxBucket)
     val n = d.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))

@@ -1483,9 +1483,212 @@ object Streams {
       }
       .start()
 
+  /** Streaming VIDEO corpus ingest with incremental near-dup
+    * admission — the third modality beside [[toImageCorpusStore]]
+    * and [[toAudioCorpusStore]], same store discipline (batch
+    * partitions, exclude-own-batch reads, overwrite-own-batch
+    * writes, one-row meta pinning the admission contract) with the
+    * rails the video queries use offline:
+    *
+    *  - exact rail = frame-SET fingerprint
+    *    ([[graft.llmops.Multimodal.frameSetFingerprints]]): a
+    *    re-containered / re-ordered / frame-repeated clip with the
+    *    same distinct frame content collapses (q269's exact path);
+    *  - near rail = q270's capped-LSH containment: set-MinHash bands
+    *    over the frame fps propose candidates (shared (band, bucket)
+    *    with a stored clip, OR with a smaller-id clip in the SAME
+    *    batch), and candidates are verified by EXACT containment —
+    *    shared distinct frames / min(|A|, |B|) ≥ `minContainment` —
+    *    against the store's `frames` index, so a trimmed re-cut of
+    *    an admitted clip is dropped, not just a re-encode.
+    *
+    * Store layout: `docs` (admitted rows), `fps` (set fingerprints),
+    * `bands` ((doc, band, bucket) MinHash bands), `frames`
+    * ((doc, frame_fp) distinct frames of admitted clips — the
+    * verify side). Stored (band, bucket) buckets holding more than
+    * `maxBucket` clips are excluded from candidacy (the df-cap
+    * discipline: a bucket dominated by boilerplate intro frames
+    * proposes nothing; the threshold is part of the admission
+    * contract and pinned in meta with `minContainment` and
+    * `frameBytes`). Clips shorter than one frame are REJECTED (a
+    * corpus store admits only what it can read). At 1000-executor
+    * scale the `frames` index is the big side and every probe
+    * against it is an equi-join on `frame_fp` restricted to
+    * candidates — never all-pairs. */
+  def toVideoCorpusStore(stream: DataFrame, idCol: String,
+      payloadCol: String, sourceCol: String, storeDir: String,
+      checkpoint: String, minContainment: Double = 0.75,
+      frameBytes: Int = 16,
+      maxBucket: Int = graft.llmops.TextOps.DefaultMaxBucket)
+      : StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        if (!batch0.isEmpty)
+          videoCommit(batch0, batchId, idCol, payloadCol, sourceCol,
+            storeDir, minContainment, frameBytes, maxBucket)
+      }
+      .start()
+
+  /** One admission cycle of [[toVideoCorpusStore]], factored out for
+    * spec-driven batch sequences and replays. */
+  private[graft] def videoCommit(batch0: DataFrame, batchId: Long,
+      idCol: String, payloadCol: String, sourceCol: String,
+      storeDir: String, minContainment: Double, frameBytes: Int,
+      maxBucket: Int): Unit = {
+    import graft.core.Checkpoints.BarrierOps
+    import graft.llmops.Multimodal
+    require(minContainment > 0 && minContainment <= 1.0,
+      s"videoCommit: minContainment=$minContainment")
+    require(frameBytes >= 1, s"videoCommit: frameBytes=$frameBytes")
+    require(maxBucket >= 1, s"videoCommit: maxBucket=$maxBucket")
+    val s = batch0.sparkSession
+    import s.implicits._
+    val (docsDir, fpsDir, bandsDir, framesDir) =
+      (s"$storeDir/docs", s"$storeDir/fps", s"$storeDir/bands",
+        s"$storeDir/frames")
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    requireNoPendingCompaction(fs, "videoCommit",
+      Seq(fpsDir, bandsDir, framesDir))
+    val metaDir = s"$storeDir/meta"
+    if (fs.exists(new org.apache.hadoop.fs.Path(metaDir))) {
+      val m = s.read.parquet(metaDir).first()
+      require(m.schema.fieldNames.contains("min_containment"),
+        s"videoCommit: $storeDir is not a video corpus store (meta " +
+          "pins no min_containment — committing a different modality " +
+          "into the store would silently corrupt its admission index)")
+      val (sc, sf, sb) = (m.getAs[Double]("min_containment"),
+        m.getAs[Int]("frame_bytes"), m.getAs[Int]("max_bucket"))
+      require(sc == minContainment && sf == frameBytes &&
+        sb == maxBucket,
+        s"videoCommit: store $storeDir was created with " +
+          s"(minContainment=$sc, frameBytes=$sf, maxBucket=$sb) but " +
+          s"this commit uses ($minContainment, $frameBytes, " +
+          s"$maxBucket) — all three are part of the store's " +
+          "admission contract")
+    }
+    def readPart(dir: String, template: DataFrame): DataFrame =
+      if (fs.exists(new org.apache.hadoop.fs.Path(dir)))
+        s.read
+          .schema(template.schema.add(org.apache.spark.sql.types
+            .StructField("batch",
+              org.apache.spark.sql.types.LongType)))
+          .parquet(dir)
+          .filter(col("batch") =!= batchId)
+          .drop("batch")
+      else template.limit(0)
+    // ONE frame pass; clips shorter than one frame emit no rows and
+    // are thereby rejected
+    val media = batch0.select(
+        col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload"),
+        col(sourceCol).as("source"),
+        lit(0L).as("n_chars"))
+      .as[Multimodal.MediaRecord]
+    val d0 = Multimodal.frameFingerprints(media, frameBytes)
+      .select(col("doc_id"), col("frame_fp")).distinct().barrier()
+    // within-batch exact rail: identical frame SETS collapse to the
+    // min-id keeper (exact-dedup-first)
+    val setfp = Multimodal.frameSetFingerprints(d0)
+      .withColumnRenamed("set_fp", "fp").barrier()
+    val keep = setfp.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val b1set = setfp.join(keep, Seq("doc_id"), "left_semi")
+      .barrier() // exact probe + admitted fps write
+    val b1frames = d0.join(b1set.select(col("doc_id")),
+      Seq("doc_id"), "left_semi").barrier() // sigs, verify, write
+    // exact rail: set fingerprint already admitted
+    val fpTemplate = b1set.select(col("fp"))
+    val exactDropped = b1set
+      .join(readPart(fpsDir, fpTemplate), Seq("fp"), "left_semi")
+      .select(col("doc_id"))
+    // near rail, candidate stage: set-MinHash bands (q270's engine)
+    val batchBands = Multimodal.frameSetMinHashSigs(b1frames)
+      .select(col("doc_id"), posexplode(array(
+        col("sig_0"), col("sig_1"), col("sig_2"), col("sig_3")))
+        .as(Seq("band", "bucket")))
+      .barrier() // store probe + both sides of the intra self-join
+    val bandTemplate = batchBands
+    val storedBands = readPart(bandsDir, bandTemplate)
+      .barrier() // bucket-cap count + candidate probe
+    // boilerplate guard: a stored bucket over maxBucket proposes no
+    // candidates (the curated store's df-cap discipline — once hot,
+    // a bucket only grows, so the exclusion is stable across batches)
+    val hotBuckets = storedBands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket)
+      .select(col("band"), col("bucket"))
+    val crossCand = batchBands
+      .join(hotBuckets, Seq("band", "bucket"), "left_anti")
+      .join(storedBands.select(col("doc_id").as("ob"), col("band"),
+        col("bucket")), Seq("band", "bucket"))
+      .select(col("doc_id"), col("ob")).distinct()
+    // within-batch candidates: component-min survivorship (drop the
+    // larger id of a verified pair), mirroring mediaCommit's intra
+    // rail
+    val intraCand = batchBands
+      .join(batchBands.select(col("doc_id").as("ob"), col("band"),
+        col("bucket")), Seq("band", "bucket"))
+      .filter(col("ob") < col("doc_id"))
+      .select(col("doc_id"), col("ob")).distinct()
+    val cand = crossCand.unionByName(intraCand).distinct()
+    // near rail, verify stage: EXACT containment on candidates only
+    val framesTemplate = b1frames
+    val storedFrames = readPart(framesDir, framesTemplate)
+    val otherFrames = storedFrames.unionByName(b1frames).barrier()
+    val nfB = b1frames.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__nb"))
+    val nfO = otherFrames.groupBy(col("doc_id").as("ob"))
+      .agg(count(lit(1)).as("__no"))
+    val nearDropped = cand
+      .join(b1frames, Seq("doc_id"))
+      .join(otherFrames.select(col("doc_id").as("ob"),
+        col("frame_fp")), Seq("ob", "frame_fp"))
+      .groupBy(col("doc_id"), col("ob"))
+      .agg(count(lit(1)).as("shared"))
+      .join(nfB, Seq("doc_id"))
+      .join(nfO, Seq("ob"))
+      .filter(col("shared").cast("double")
+        / least(col("__nb"), col("__no")) >= minContainment)
+      .select(col("doc_id")).distinct()
+    val dropped = exactDropped.unionByName(nearDropped).distinct()
+    val admitted = b1set.join(dropped, Seq("doc_id"), "left_anti")
+      .barrier() // feeds docs, fps, bands AND frames writes
+    def writePart(df: DataFrame, dir: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(metaDir))) {
+      Seq((minContainment, frameBytes, maxBucket,
+        fpTemplate.schema.json, bandTemplate.schema.json,
+        framesTemplate.schema.json))
+        .toDF("min_containment", "frame_bytes", "max_bucket",
+          "fps_schema", "bands_schema", "frames_schema")
+        .coalesce(1).write.mode("overwrite").parquet(metaDir)
+    }
+    val admittedIds = admitted.select(col("doc_id"))
+    val docsOut = batch0
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload"), col(sourceCol).as("source"))
+      .join(admittedIds, Seq("doc_id"), "left_semi")
+    writePart(docsOut, docsDir)
+    writePart(admitted.select(col("fp")), fpsDir)
+    writePart(batchBands.join(admittedIds, Seq("doc_id"), "left_semi"),
+      bandsDir)
+    writePart(b1frames.join(admittedIds, Seq("doc_id"), "left_semi"),
+      framesDir)
+    ()
+  }
+
+  /** The admitted video corpus without the internal batch column. */
+  def videoDocs(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(s"$storeDir/docs").drop("batch")
+
   /** Offline compaction for a media admission store
-    * ([[toImageCorpusStore]] / [[toAudioCorpusStore]]): squash the
-    * `fps` and `bands` index partitions with `batch <= uptoBatch`
+    * ([[toImageCorpusStore]] / [[toAudioCorpusStore]] /
+    * [[toVideoCorpusStore]]): squash the
+    * `fps` and `bands` (and, for a video store, `frames`)
+    * index partitions with `batch <= uptoBatch`
     * into one `batch=-1` partition each, so a long-lived store's
     * probe reads stop scaling with micro-batch count. Admission
     * decisions are unchanged: both rails read the union of
@@ -1538,6 +1741,11 @@ object Streams {
       }
     compact(s"$storeDir/fps", schemaOf("fps_schema"))
     compact(s"$storeDir/bands", schemaOf("bands_schema"))
+    // a video store ([[toVideoCorpusStore]]) carries a third index —
+    // the (doc, frame_fp) containment-verify side; its meta pins the
+    // extra schema, which is how the compactor knows it's there
+    if (meta.schema.fieldNames.contains("frames_schema"))
+      compact(s"$storeDir/frames", schemaOf("frames_schema"))
   }
 
   /** The admitted image corpus without the internal batch column. */

@@ -443,6 +443,61 @@ class RunnerSpec extends AnyFunSuite {
       assert(s0.read.parquet(s"$dir/rel/$a").count() > 0)
   }
 
+  test("JobRunner: media_release --video-frame-bytes runs the video " +
+    "stage over the residual modality — a trimmed re-cut collapses " +
+    "to one keeper and leaves the undecodable bucket") {
+    val dir = Files.createTempDirectory("graft-runner-vid").toString
+    val s0 = graft.core.Sessions.local(4, "graft-runner-test")
+    import s0.implicits._
+    import graft.llmops.Multimodal
+    val W = 36; val H = 32
+    def pix(id: Long) = Array.tabulate(H, W)((y, x) =>
+      Multimodal.synthPixel(id, x, y))
+    def wav(pid: Long) = Multimodal.encodeWav(
+      Array.tabulate(256)(t => Multimodal.synthSample(pid, t)))
+    def vid(frames: Seq[Int]): Array[Byte] =
+      frames.flatMap(i =>
+        "fr:%013d".format(i).getBytes("UTF-8")).toArray
+    Seq(
+      // one image + one audio row prove the residual carve-out
+      Multimodal.MediaRecord(1L, Multimodal.encodeBmp(pix(10L), W, H),
+        "s", 0L),
+      Multimodal.MediaRecord(5L, wav(7L), "s", 256L),
+      // video pool: 10 re-orders 9's frame set (exact rail), 11 is
+      // the 7-frame trim (near rail), 12 a different pool
+      Multimodal.MediaRecord(9L, vid(0 to 7), "s", 0L),
+      Multimodal.MediaRecord(10L, vid(Seq(7, 6, 5, 4, 3, 2, 1, 0)),
+        "s", 0L),
+      Multimodal.MediaRecord(11L, vid(0 to 6), "s", 0L),
+      Multimodal.MediaRecord(12L, vid(300 to 307), "s", 0L),
+      // 8: shorter than one frame — stays undecodable
+      Multimodal.MediaRecord(8L, Array[Byte](9, 9, 9), "s", 3L))
+      .toDS().write.parquet(s"$dir/media")
+    val report = JobRunner.lakeJobs("media_release")(s0, Map(
+      "in-media" -> s"$dir/media", "dest" -> s"$dir/rel",
+      "video-frame-bytes" -> "16"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(report("video") == ((4L, 3L, 2L))) // {9,11,12} survive
+    assert(report("undecodable") == ((1L, 0L, 0L))) // only id 8
+    val keepVid = s0.read.parquet(s"$dir/rel/keep_videos")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(keepVid(9L) == ((9L, true)))
+    assert(keepVid(10L) == ((9L, false))) // exact re-cut of 9
+    assert(keepVid(11L) == ((9L, false))) // trim, via the near pair
+    assert(keepVid(12L) == ((12L, true)))
+    assert(s0.read.parquet(s"$dir/rel/video_pairs").count() == 1L)
+    // without the flag the same media reports no video row and the
+    // clips land in the undecodable bucket (unchanged behavior)
+    val plain = JobRunner.lakeJobs("media_release")(s0, Map(
+      "in-media" -> s"$dir/media", "dest" -> s"$dir/rel2"))
+      .collect().map(_.getString(0)).toSet
+    assert(plain == Set("image", "audio", "undecodable"))
+  }
+
   test("JobRunner: media_release --keep-best-resolution survives the " +
     "largest copy of a near-dup cluster instead of the lowest id") {
     val dir = Files.createTempDirectory("graft-runner-mres").toString

@@ -1035,6 +1035,89 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids(s"$dir/a") == Seq(1L, 2L, 3L, 15L))
   }
 
+  test("toVideoCorpusStore: exact (frame-set) + near (LSH-candidate, " +
+    "containment-verified trim) gates across AND within batches; " +
+    "replay no-op; zero-frame rejected; contract guarded; compaction " +
+    "(incl. the frames index) preserves decisions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-vidstore").toString
+    val store = s"$dir/store"
+    def clip(id: Long, frames: Seq[Int]): (Long, Array[Byte], String) =
+      (id, frames.flatMap(i =>
+        "fr:%013d".format(i).getBytes("UTF-8")).toArray, "s")
+    def commit(store: String, batchId: Long,
+        rows: Seq[(Long, Array[Byte], String)],
+        minContainment: Double = 0.75): Unit =
+      Streams.videoCommit(rows.toDF("id", "payload", "src"), batchId,
+        "id", "payload", "src", store, minContainment,
+        frameBytes = 16, maxBucket = 256)
+    def ids(store: String) = Streams.videoDocs(spark, store)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // batch 0: id 3 holds the SAME frames as id 2 re-ordered with a
+    // repeat (identical SET → exact rail, min-id keeper 2); id 4 a
+    // new pool; id 99 shorter than one frame → rejected
+    commit(store, 0L, Seq(
+      clip(2L, 0 to 7), clip(3L, Seq(7, 6, 5, 4, 3, 2, 1, 0, 0)),
+      clip(4L, 100 to 107), (99L, Array[Byte](1, 2, 3), "s")))
+    assert(ids(store) == Seq(2L, 4L))
+    // batch 1: id 11 re-cuts stored clip 2 exactly (exact rail);
+    // id 13 is its 7-frame TRIM (containment 1.0, Jaccard 0.875 —
+    // only the near rail's containment verify catches it); id 15 new
+    commit(store, 1L, Seq(clip(11L, Seq(3, 2, 1, 0, 4, 5, 6, 7)),
+      clip(13L, 0 to 6), clip(15L, 200 to 207)))
+    assert(ids(store) == Seq(2L, 4L, 15L))
+    // replay of batch 1 re-derives the identical admission
+    commit(store, 1L, Seq(clip(11L, Seq(3, 2, 1, 0, 4, 5, 6, 7)),
+      clip(13L, 0 to 6), clip(15L, 200 to 207)))
+    assert(ids(store) == Seq(2L, 4L, 15L))
+    // within-batch near rail: a trim arriving BESIDE its source in
+    // one micro-batch still collapses to the min-id keeper
+    commit(store, 2L, Seq(clip(21L, 300 to 307), clip(23L, 300 to 306)))
+    assert(ids(store) == Seq(2L, 4L, 15L, 21L))
+    // the admission contract (threshold/frame size/cap) is pinned
+    val ex = intercept[IllegalArgumentException] {
+      commit(store, 3L, Seq(clip(31L, 400 to 407)),
+        minContainment = 0.5)
+    }
+    assert(ex.getMessage.contains("admission contract"))
+    // compaction squashes all three index tables; decisions after it
+    // match an uncompacted twin (the frames verify side survives)
+    Streams.compactMediaStore(spark, store, uptoBatch = 2L)
+    for (idx <- Seq("fps", "bands", "frames")) {
+      val parts = new java.io.File(s"$store/$idx").listFiles()
+        .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+      assert(parts.toSeq == Seq("batch=-1"), s"$idx: ${parts.toSeq}")
+    }
+    commit(store, 3L, Seq(clip(31L, 1 to 7), clip(33L, 500 to 507)))
+    assert(ids(store) == Seq(2L, 4L, 15L, 21L, 33L))
+  }
+
+  test("toVideoCorpusStore streaming wrapper: micro-batches gate " +
+    "through the store") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-vidstream").toString
+    val store = s"$dir/store"
+    def payload(frames: Seq[Int]): Array[Byte] =
+      frames.flatMap(i =>
+        "fr:%013d".format(i).getBytes("UTF-8")).toArray
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Byte], String)]
+    mem.addData((1L, payload(0 to 7), "s"),
+      (2L, payload(0 to 6), "s"),      // trim of 1 → dropped
+      (3L, payload(900 to 907), "s"))
+    val q = Streams.toVideoCorpusStore(
+      mem.toDF().toDF("id", "payload", "src"),
+      "id", "payload", "src", store, s"$dir/ckpt")
+    q.processAllAvailable()
+    mem.addData((4L, payload(Seq(7, 6, 5, 4, 3, 2, 1, 0)), "s"), // exact
+      (5L, payload(600 to 607), "s"))
+    q.processAllAvailable()
+    q.stop()
+    assert(Streams.videoDocs(spark, store)
+      .select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 5L))
+  }
+
   test("compactMediaStore: index partitions squash to batch=-1, " +
     "subsequent admission decisions identical to an uncompacted " +
     "twin; non-store dir refused") {
