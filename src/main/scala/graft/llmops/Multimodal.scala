@@ -845,6 +845,37 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Cross-modal PAIRED near-dup — the keep decision a captioned
+    * image corpus actually needs: a pair of (image, caption) docs is
+    * a duplicate only when BOTH rails agree — the captions are
+    * near-dup text (`captionPairs`, e.g.
+    * [[TextOps.ngramJaccardPairs]]' verified (doc_a, doc_b, jac))
+    * AND the images are visually near (dHash Hamming ≤ `maxHamming`
+    * over `hashes` (doc_id, dhash)). A re-encoded image under a
+    * paraphrased caption collapses; the same image under a genuinely
+    * different caption survives (the caption carries information),
+    * and a re-used caption on a different image survives too.
+    *
+    * Scale shape: the caption rail PROPOSES (its inverted index is
+    * df-capped, so pair volume is bounded linearly in corpus size)
+    * and the image rail VERIFIES — two hash lookups and one XOR per
+    * candidate pair, no image banding pass at all. The text rail is
+    * orders of magnitude more selective than visual banding on a
+    * captioned corpus (captions are near-unique; decorative images
+    * repeat), so proposing from text keeps the intermediate the
+    * small one. Output (doc_a, doc_b, jac, hamming). */
+  def pairedCaptionNearDupPairs(captionPairs: DataFrame,
+      hashes: DataFrame, maxHamming: Int): DataFrame =
+    captionPairs
+      .join(hashes.select(col("doc_id").as("doc_a"),
+        col("dhash").as("__ha")), Seq("doc_a"))
+      .join(hashes.select(col("doc_id").as("doc_b"),
+        col("dhash").as("__hb")), Seq("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("jac"), col("hamming"))
+
   // ===== PCM audio window features (q264) =======================
   //
   // The audio analog of the q263 pixel path: synthetic 8-bit mono WAV

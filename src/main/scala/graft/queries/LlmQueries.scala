@@ -274,6 +274,38 @@ object LlmQueries {
     s"""$dkImgDhash,
     ${dkHammingChain("dh", "dhash", 4)}"""
 
+  /** DuckDB CTE chain replaying
+    * [[Multimodal.pairedCaptionNearDupPairs]] over q41's caption rail
+    * and q263's dHash kernel: df-capped shingle inverted index →
+    * caption pairs at jac ≥ 0.2 → dHash verify at Hamming ≤ 4.
+    * Ends in `pp(doc_a, doc_b, jac, hamming)`. Shared by q274 (the
+    * pair list) and q275 (the keep-list over it). */
+  private val dkPairedCaptionPairs: String = s"""
+    $dkShingles,
+    psh AS (SELECT doc_id, len(shsd) AS nsh, unnest(shsd) AS sh
+            FROM (SELECT doc_id, list_distinct(
+                    list_transform(shs, g -> ${dkHash60("g")})) shsd
+                  FROM sarr)),
+    pkept AS (SELECT sh FROM psh GROUP BY sh
+              HAVING count(*) <= 1000),
+    pc AS (SELECT a.doc_id da, b.doc_id db, a.nsh na, b.nsh nb,
+                  count(*) common
+           FROM psh a JOIN psh b
+             ON a.sh = b.sh AND a.doc_id < b.doc_id
+           JOIN pkept k ON a.sh = k.sh
+           GROUP BY 1, 2, 3, 4),
+    tp AS (SELECT da AS doc_a, db AS doc_b,
+                  CAST(common AS DOUBLE)/(na+nb-common) AS jac
+           FROM pc
+           WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.2),
+    $dkImgDhash,
+    pp AS (SELECT tp.doc_a, tp.doc_b, tp.jac,
+                  CAST(bit_count(xor(ha.dhash, hb.dhash)) AS INT)
+                    AS hamming
+           FROM tp JOIN dh ha ON ha.doc_id = tp.doc_a
+                   JOIN dh hb ON hb.doc_id = tp.doc_b
+           WHERE bit_count(xor(ha.dhash, hb.dhash)) <= 4)"""
+
   /** Spark side of the q263 chain: decode → dHash → Hamming-banded
     * verified pairs. Shared by q263 and q267. */
   private def imgDhashPairs(s: SparkSession, d: String): DataFrame = {
@@ -1914,6 +1946,63 @@ object LlmQueries {
             expr("CAST((hamming div 4) * 4 AS BIGINT)").as("ham_lo"))
           .groupBy(col("label"), col("band"), col("ham_lo"))
           .agg(count(lit(1)).as("n_pairs"))
+      }),
+
+    // Cross-modal PAIRED near-dup (the captioned-corpus keep
+    // decision): a (image, caption) doc pair is a duplicate only
+    // when BOTH rails agree — caption 3-shingle Jaccard ≥ 0.2 (q41's
+    // df-capped inverted index) AND image dHash Hamming ≤ 4 (q263's
+    // kernel). The caption rail PROPOSES (captions are near-unique,
+    // so its pair set is the small one — 256 vs 388k image pairs at
+    // sf0.1) and the image rail VERIFIES: two hash lookups + one XOR
+    // per candidate, no visual banding pass at all.
+    QueryDef(
+      "q274_paired_caption_neardup",
+      Some(s"""
+        WITH $dkPairedCaptionPairs
+        SELECT doc_a, doc_b, jac, hamming FROM pp"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Multimodal.pairedCaptionNearDupPairs(
+          TextOps.ngramJaccardPairs(docs, "doc_id", "text",
+            minJac = 0.2, maxDf = 1000),
+          Multimodal.imageDHash(
+            Multimodal.syntheticImages(docs)).toDF(),
+          maxHamming = 4)
+      }),
+
+    // Paired-dedup survivorship: the q274 pair set → connected
+    // components → corpus-wide keep-list (q267/q271's role for the
+    // paired modality). Same-image/different-caption and
+    // same-caption/different-image docs all stay kept; only pairs
+    // both rails agreed on collapse to the component minimum.
+    QueryDef(
+      "q275_paired_caption_keep_list",
+      Some(s"""
+        WITH RECURSIVE $dkPairedCaptionPairs,
+        edges AS (SELECT doc_a s, doc_b dst FROM pp
+                  UNION SELECT doc_b, doc_a FROM pp),
+        reach AS (
+          SELECT s AS node, s AS r FROM edges
+          UNION
+          SELECT e.s, reach.r FROM edges e
+          JOIN reach ON e.dst = reach.node),
+        comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY 1)
+        SELECT d.doc_id,
+               coalesce(comp.cluster, d.doc_id) AS cluster,
+               (comp.cluster IS NULL OR comp.cluster = d.doc_id)
+                 AS is_kept
+        FROM documents d LEFT JOIN comp ON comp.node = d.doc_id"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Multimodal.pairedCaptionNearDupPairs(
+          TextOps.ngramJaccardPairs(docs, "doc_id", "text",
+            minJac = 0.2, maxDf = 1000),
+          Multimodal.imageDHash(
+            Multimodal.syntheticImages(docs)).toDF(),
+          maxHamming = 4)
+        DedupClusters.keepList(docs.select(col("doc_id")), "doc_id",
+          pairs, "doc_a", "doc_b", maxIters = 100)
       })
   )
 }

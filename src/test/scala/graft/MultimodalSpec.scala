@@ -384,6 +384,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!got.keys.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("pairedCaptionNearDupPairs: a re-encoded image under a " +
+    "paraphrased caption collapses; same image under a different " +
+    "caption — and same caption over a different image — survive") {
+    import graft.llmops.{DedupClusters, TextOps}
+    val pix = pixOf(42L)
+    val other = pixOf(7L) // different base pattern → far dHash
+    val capA = "the quick brown fox jumps over the lazy dog"
+    val capB = "the quick brown fox jumps over a sleepy dog" // ~0.4 jac
+    val capC = "completely unrelated words describing another scene"
+    val docs = Seq(
+      (1L, Multimodal.encodeBmp(pix, W, H), capA),
+      (2L, Multimodal.encodePng(pix, W, H), capB), // both rails fire
+      (3L, Multimodal.encodeBmp(pix, W, H), capC), // image-only
+      (4L, Multimodal.encodeBmp(other, W, H), capA)) // caption-only
+      .toDF("doc_id", "payload", "text")
+    val captionPairs = TextOps.ngramJaccardPairs(
+      docs, "doc_id", "text", minJac = 0.2, maxDf = 1000)
+    val hashes = Multimodal.imageDHash(
+      docs.select(col("doc_id"), col("payload"),
+          lit("s").as("source"), lit(0L).as("n_chars"))
+        .as[Multimodal.MediaRecord]).toDF()
+    val pairs = Multimodal.pairedCaptionNearDupPairs(
+      captionPairs, hashes, maxHamming = 4)
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L))) // only the both-rails pair
+    val kept = DedupClusters.keepList(docs.select(col("doc_id")),
+        "doc_id", pairs, "doc_a", "doc_b")
+      .filter(col("is_kept")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L)) // 2 collapses into 1
+  }
+
   test("known dup/non-dup pairs through the full q263 chain") {
     // ids 10 and 170 share the base pattern (g = 10) with different
     // variant/brightness; id 11 is a different family
