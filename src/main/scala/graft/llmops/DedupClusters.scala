@@ -32,10 +32,16 @@ object DedupClusters {
     // pre-partition the (reused-every-round) edge list on the join key:
     // the cached plan keeps its outputPartitioning, so each round's join
     // only shuffles the labels side — at corpus scale the edge shuffle,
-    // not the label shuffle, would dominate every round
+    // not the label shuffle, would dominate every round. Both edge
+    // directions come from ONE scan of the pair relation (explode of a
+    // two-struct array, not a self-union): the pair set is usually an
+    // unbarriered verify pipeline, and a union would inline that whole
+    // upstream twice into the first probe's job.
     val edges = pairs
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct()
       .repartition(col("dst"))
       .persist()

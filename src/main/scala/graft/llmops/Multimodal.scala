@@ -357,53 +357,62 @@ object Multimodal {
     * input is the distinct (doc_id, frame_fp) relation; output
     * (doc_id, rep). A clip is its own rep iff it survives exact
     * dedup. */
-  def frameSetReps(d0: DataFrame): DataFrame = {
-    val setfp = frameSetFingerprints(d0)
-    setfp
-      .join(setfp.groupBy(col("set_fp"))
-          .agg(min(col("doc_id")).as("rep")),
-        Seq("set_fp"))
-      .select(col("doc_id"), col("rep"))
+  def frameSetReps(d0: DataFrame): DataFrame =
+    frameSetProfile(d0).select(col("doc_id"), col("rep"))
+
+  /** The whole per-clip profile of the video dedup routes from ONE
+    * aggregation over the distinct (doc_id, frame_fp) relation —
+    * set fingerprint (exact rail), the 4 set-MinHash signatures
+    * (near-rail banding), distinct-frame count (containment
+    * denominator) — plus the min-id exact representative via one
+    * window over the set_fp exchange (no groupBy + join-back).
+    * Output (doc_id, set_fp, rep, sig_0..sig_3, nf). The q271
+    * keep-list barriers this once and feeds its exact rail, pair
+    * stage and expansion map from it: at any scale the frame
+    * relation is scanned once per consumer instead of re-aggregated
+    * three ways. */
+  def frameSetProfile(d0: DataFrame): DataFrame = {
+    val p = TextOps.MinHashP
+    val xm = col("frame_fp") % p
+    d0.groupBy(col("doc_id"))
+      .agg(
+        TextOps.hash60(expr(
+          "array_join(transform(sort_array(collect_list(frame_fp)), " +
+            "x -> CAST(x AS STRING)), ':')")).as("set_fp"),
+        min((xm * TextOps.MinHashPerms(0)._1
+          + TextOps.MinHashPerms(0)._2) % p).as("sig_0"),
+        min((xm * TextOps.MinHashPerms(1)._1
+          + TextOps.MinHashPerms(1)._2) % p).as("sig_1"),
+        min((xm * TextOps.MinHashPerms(2)._1
+          + TextOps.MinHashPerms(2)._2) % p).as("sig_2"),
+        min((xm * TextOps.MinHashPerms(3)._1
+          + TextOps.MinHashPerms(3)._2) % p).as("sig_3"),
+        count(lit(1)).as("nf"))
+      .withColumn("rep",
+        min(col("doc_id")).over(org.apache.spark.sql.expressions
+          .Window.partitionBy(col("set_fp"))))
   }
 
   /** [[videoLshNearDupPairs]] over a precomputed (barriered) distinct
     * (doc_id, frame_fp) relation — lets a composed pipeline (e.g. the
     * q271 keep-list) share one frame scan between the pair stage and
     * the expansion map. */
-  /** Set-MinHash signatures over a distinct (doc_id, frame_fp)
-    * relation — frames ARE the clip's shingles, so the text
-    * permutations ([[TextOps.MinHashPerms]]) apply unchanged: xm =
-    * fp mod p, then the 4 permutations' minima. Output
-    * (doc_id, sig_0..sig_3). Shared by the offline q270 route and
-    * the streaming video corpus store, so both make identical
-    * banding decisions. */
-  def frameSetMinHashSigs(d: DataFrame): DataFrame = {
-    val p = TextOps.MinHashP
-    d.select(col("doc_id"), (col("frame_fp") % p).as("xm"))
-      .groupBy(col("doc_id"))
-      .agg(
-        min((col("xm") * TextOps.MinHashPerms(0)._1
-          + TextOps.MinHashPerms(0)._2) % p).as("sig_0"),
-        min((col("xm") * TextOps.MinHashPerms(1)._1
-          + TextOps.MinHashPerms(1)._2) % p).as("sig_1"),
-        min((col("xm") * TextOps.MinHashPerms(2)._1
-          + TextOps.MinHashPerms(2)._2) % p).as("sig_2"),
-        min((col("xm") * TextOps.MinHashPerms(3)._1
-          + TextOps.MinHashPerms(3)._2) % p).as("sig_3"))
-  }
-
   def videoLshNearDupPairsFrom(d0: DataFrame, minContainment: Double,
-      maxBucket: Int = TextOps.DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = TextOps.DefaultMaxBucket,
+      profile: Option[DataFrame] = None): DataFrame = {
     import graft.core.Checkpoints.BarrierOps
-    // 1. exact rail: identical frame sets collapse before banding
-    val keep = frameSetReps(d0)
-      .filter(col("doc_id") === col("rep")).select(col("doc_id"))
-    val d = d0.join(keep, Seq("doc_id"), "left_semi").barrier()
-    // 2. set-MinHash signatures (xm = fp mod p, then the 4 perms)
-    val sigs = frameSetMinHashSigs(d)
+    // 1+2. exact rail AND signatures from the one-pass per-clip
+    // profile ([[frameSetProfile]]); a caller that already
+    // materialized it (the q271 keep-list shares it with its
+    // expansion map) passes it in.
+    val prof = profile.getOrElse(frameSetProfile(d0).barrier())
+    val keepers = prof.filter(col("doc_id") === col("rep"))
+    val sigs = keepers.select(col("doc_id"), col("sig_0"),
+      col("sig_1"), col("sig_2"), col("sig_3"), col("nf"))
+    val d = d0.join(keepers.select(col("doc_id")),
+      Seq("doc_id"), "left_semi").barrier()
     // 3. capped banding; 4. containment verify on candidates only
     val cand = TextOps.lshCandidatePairs(sigs, "doc_id", maxBucket)
-    val n = d.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
     cand
       .join(d.select(col("doc_id").as("doc_a"), col("frame_fp")),
         Seq("doc_a"))
@@ -411,10 +420,10 @@ object Multimodal {
         Seq("doc_b", "frame_fp"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
-      .join(n.select(col("doc_id").as("doc_a"), col("nf").as("__na")),
-        Seq("doc_a"))
-      .join(n.select(col("doc_id").as("doc_b"), col("nf").as("__nb")),
-        Seq("doc_b"))
+      .join(sigs.select(col("doc_id").as("doc_a"),
+        col("nf").as("__na")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"),
+        col("nf").as("__nb")), Seq("doc_b"))
       .withColumn("containment",
         col("shared").cast("double") / least(col("__na"), col("__nb")))
       .filter(col("containment") >= minContainment)

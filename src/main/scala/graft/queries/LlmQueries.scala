@@ -1193,10 +1193,14 @@ object LlmQueries {
         val repClusters = DedupClusters.keepList(
             reps, "doc_id", pairs, "doc_a", "doc_b", maxIters = 100)
           .select(col("doc_id").as("__rep"), col("cluster"))
-        val expanded = valid.select(col("doc_id"), col("dhash"))
-          .join(reps.select(col("dhash"), col("doc_id").as("__rep")),
-            Seq("dhash"))
+        // fuse the expansion: clusters land on the (tiny) rep table
+        // first, so the corpus-sized side is joined ONCE, on dhash,
+        // instead of once per mapping
+        val repsWithCluster = reps
+          .select(col("dhash"), col("doc_id").as("__rep"))
           .join(repClusters, Seq("__rep"))
+        val expanded = valid.select(col("doc_id"), col("dhash"))
+          .join(repsWithCluster, Seq("dhash"))
           .select(col("doc_id"), col("cluster"))
         t(s, d, "documents").select(col("doc_id"))
           .join(expanded, Seq("doc_id"), "left")
@@ -1305,11 +1309,15 @@ object LlmQueries {
             frameBytes = 16)
           .select(col("doc_id"), col("frame_fp")).distinct()
           .barrier()
-        val repMap = Multimodal.frameSetReps(d0).barrier()
-        // the pair chain feeds the edge union TWICE (both directions)
-        // inside components: one materialization instead of two
+        // ONE aggregation yields set-fp, reps, MinHash sigs and frame
+        // counts for every consumer (exact rail, pair stage,
+        // expansion map); the pairs barrier keeps the verify chain
+        // OUT of every component round's plan (per-round analysis
+        // over the inlined chain costs more wall than the jobs)
+        val prof = Multimodal.frameSetProfile(d0).barrier()
+        val repMap = prof.select(col("doc_id"), col("rep"))
         val pairs = Multimodal.videoLshNearDupPairsFrom(d0,
-          minContainment = 0.75).barrier()
+          minContainment = 0.75, profile = Some(prof)).barrier()
         val repClusters = DedupClusters.keepList(
             repMap.filter(col("doc_id") === col("rep"))
               .select(col("doc_id")),

@@ -1589,27 +1589,27 @@ object Streams {
       .as[Multimodal.MediaRecord]
     val d0 = Multimodal.frameFingerprints(media, frameBytes)
       .select(col("doc_id"), col("frame_fp")).distinct().barrier()
+    // ONE aggregation yields the set fingerprint (exact rail), the
+    // within-batch min-id keeper, the MinHash sigs (near-rail bands)
+    // and the frame counts (containment denominators)
+    val prof = Multimodal.frameSetProfile(d0).barrier()
     // within-batch exact rail: identical frame SETS collapse to the
     // min-id keeper (exact-dedup-first)
-    val setfp = Multimodal.frameSetFingerprints(d0)
-      .withColumnRenamed("set_fp", "fp").barrier()
-    val keep = setfp.groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
-    val b1set = setfp.join(keep, Seq("doc_id"), "left_semi")
-      .barrier() // exact probe + admitted fps write
+    val b1set = prof.filter(col("doc_id") === col("rep"))
+      .withColumnRenamed("set_fp", "fp")
+      .barrier() // exact probe, bands, nf AND admitted fps write
     val b1frames = d0.join(b1set.select(col("doc_id")),
-      Seq("doc_id"), "left_semi").barrier() // sigs, verify, write
+      Seq("doc_id"), "left_semi").barrier() // verify side + write
     // exact rail: set fingerprint already admitted
     val fpTemplate = b1set.select(col("fp"))
     val exactDropped = b1set
       .join(readPart(fpsDir, fpTemplate), Seq("fp"), "left_semi")
       .select(col("doc_id"))
     // near rail, candidate stage: set-MinHash bands (q270's engine)
-    val batchBands = Multimodal.frameSetMinHashSigs(b1frames)
+    val batchBands = b1set
       .select(col("doc_id"), posexplode(array(
         col("sig_0"), col("sig_1"), col("sig_2"), col("sig_3")))
         .as(Seq("band", "bucket")))
-      .barrier() // store probe + both sides of the intra self-join
     val bandTemplate = batchBands
     val storedBands = readPart(bandsDir, bandTemplate)
       .barrier() // bucket-cap count + candidate probe
@@ -1638,8 +1638,7 @@ object Streams {
     val framesTemplate = b1frames
     val storedFrames = readPart(framesDir, framesTemplate)
     val otherFrames = storedFrames.unionByName(b1frames).barrier()
-    val nfB = b1frames.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("__nb"))
+    val nfB = b1set.select(col("doc_id"), col("nf").as("__nb"))
     val nfO = otherFrames.groupBy(col("doc_id").as("ob"))
       .agg(count(lit(1)).as("__no"))
     val nearDropped = cand
