@@ -306,6 +306,24 @@ object LlmQueries {
                    JOIN dh hb ON hb.doc_id = tp.doc_b
            WHERE bit_count(xor(ha.dhash, hb.dhash)) <= 4)"""
 
+  /** Spark side of the q274 chain, shared with q275's keep-list:
+    * caption pairs propose, dHash verifies; the decode runs only for
+    * pair PARTICIPANTS. The pairs barrier covers its triple
+    * consumption (participants + both hash joins read it). */
+  private def pairedCaptionPairs(s: SparkSession, d: String)
+      : DataFrame = {
+    val docs = t(s, d, "documents")
+    val pairs = TextOps.ngramJaccardPairs(docs, "doc_id", "text",
+      minJac = 0.2, maxDf = 1000).barrier()
+    val participants = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val hashes = Multimodal.imageDHash(Multimodal.syntheticImages(
+        docs.join(participants, Seq("doc_id"), "left_semi"))).toDF()
+      .barrier() // joined onto both pair sides
+    Multimodal.pairedCaptionNearDupPairs(pairs, hashes, maxHamming = 4)
+  }
+
   /** Spark side of the q263 chain: decode → dHash → Hamming-banded
     * verified pairs. Shared by q263 and q267. */
   private def imgDhashPairs(s: SparkSession, d: String): DataFrame = {
@@ -1963,21 +1981,18 @@ object LlmQueries {
     // kernel). The caption rail PROPOSES (captions are near-unique,
     // so its pair set is the small one — 256 vs 388k image pairs at
     // sf0.1) and the image rail VERIFIES: two hash lookups + one XOR
-    // per candidate, no visual banding pass at all.
+    // per candidate, no visual banding pass at all. The decode is
+    // restricted to pair PARTICIPANTS (semi-join before
+    // syntheticImages): the verify rail only ever reads hashes of
+    // proposed docs, so the codec cost scales with the caption pair
+    // set, not the corpus (sf1: 19.1 s → 3.3 s; identical results —
+    // the inner join reads no other rows).
     QueryDef(
       "q274_paired_caption_neardup",
       Some(s"""
         WITH $dkPairedCaptionPairs
         SELECT doc_a, doc_b, jac, hamming FROM pp"""),
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        Multimodal.pairedCaptionNearDupPairs(
-          TextOps.ngramJaccardPairs(docs, "doc_id", "text",
-            minJac = 0.2, maxDf = 1000),
-          Multimodal.imageDHash(
-            Multimodal.syntheticImages(docs)).toDF(),
-          maxHamming = 4)
-      }),
+      (s, d) => pairedCaptionPairs(s, d)),
 
     // Paired-dedup survivorship: the q274 pair set → connected
     // components → corpus-wide keep-list (q267/q271's role for the
@@ -2002,14 +2017,12 @@ object LlmQueries {
                  AS is_kept
         FROM documents d LEFT JOIN comp ON comp.node = d.doc_id"""),
       (s, d) => {
-        val docs = t(s, d, "documents")
-        val pairs = Multimodal.pairedCaptionNearDupPairs(
-          TextOps.ngramJaccardPairs(docs, "doc_id", "text",
-            minJac = 0.2, maxDf = 1000),
-          Multimodal.imageDHash(
-            Multimodal.syntheticImages(docs)).toDF(),
-          maxHamming = 4)
-        DedupClusters.keepList(docs.select(col("doc_id")), "doc_id",
+        // barriered like q267/q271's pair stages: the caption-index +
+        // decode chain must not inline into every component round's
+        // plan (or the final keep-list join)
+        val pairs = pairedCaptionPairs(s, d).barrier()
+        DedupClusters.keepList(
+          t(s, d, "documents").select(col("doc_id")), "doc_id",
           pairs, "doc_a", "doc_b", maxIters = 100)
       })
   )

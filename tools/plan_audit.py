@@ -136,6 +136,9 @@ def main():
     # q271 is the q270 video pair pipeline feeding the same iterative
     # component rounds (keep-list over frame-set keepers) — exempt
     # for exactly q54's/q267's reason.
+    # q275 is the q274 paired-caption pair set (barriered) feeding
+    # the same iterative component rounds — exempt for exactly
+    # q54's/q267's/q271's reason.
     exempt = {"q54_dedup_clusters", "q65_curation_pipeline",
               "q114_fk_audit", "q140_dedup_survivors",
               "q146_effective_tokens", "q149_cluster_sizes",
@@ -143,7 +146,8 @@ def main():
               "q164_pair_pagerank", "q189_corpus_release",
               "q235_corpus_release_lm", "q238_rm3_expansion",
               "q239_cluster_safe_split", "q267_image_keep_list",
-              "q271_video_keep_list"}
+              "q271_video_keep_list",
+              "q275_paired_caption_keep_list"}
     # Per-query cap OVERRIDES — exemption with the tripwire kept:
     # when the honest exchange count is KNOWN and stable, pin it so a
     # future regression (a lost barrier re-exposing a corpus subtree)
