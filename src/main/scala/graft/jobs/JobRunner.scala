@@ -448,6 +448,27 @@ object JobRunner {
           minContainment =
             o.get("min-containment").map(_.toDouble).getOrElse(0.75))
       }),
+      // end-to-end captioned-image release: paired exact dedup
+      // (identical pixels AND caption bytes), caption-proposed /
+      // dHash-verified near-dup pairs over exact survivors, paired
+      // keep-list — q274/q275 composed into one invocation
+      // (llmops.PairedRelease)
+      "paired_release" -> ((s, o) => {
+        val in = o.getOrElse("in-docs",
+          sys.error("--in-docs required for paired_release"))
+        val dest = o.getOrElse("dest",
+          sys.error("--dest required for paired_release"))
+        graft.llmops.PairedRelease.release(
+          s.read.parquet(in),
+          o.getOrElse("id-col", "doc_id"),
+          o.getOrElse("payload-col", "payload"),
+          o.getOrElse("text-col", "text"),
+          o.getOrElse("source-col", "source"),
+          dest,
+          maxHamming =
+            o.get("max-hamming").map(_.toInt).getOrElse(4),
+          minJac = o.get("min-jac").map(_.toDouble).getOrElse(0.2))
+      }),
       // offline compaction of a curated-corpus admission index
       // (Streams.compactAdmissionIndex): squash batch partitions
       // <= upto-batch into batch=-1; summary = remaining partition

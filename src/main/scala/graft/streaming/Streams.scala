@@ -1683,6 +1683,193 @@ object Streams {
   def videoDocs(spark: SparkSession, storeDir: String): DataFrame =
     spark.read.parquet(s"$storeDir/docs").drop("batch")
 
+  /** Streaming CAPTIONED-image corpus ingest — the paired-modality
+    * admission store (the streaming form of the q274/q275 operators
+    * and the `paired_release` job, completing store-level parity for
+    * the paired modality): a batch row is dropped only when BOTH
+    * modalities agree it duplicates an admitted row.
+    *
+    *  - exact rail: identical decoded PIXELS and identical caption
+    *    BYTES — the (pix_fp, md5(caption)) composite probes the
+    *    `fps` store. A re-encode under the same caption collapses;
+    *    the same image under a different caption is ADMITTED (the
+    *    caption carries information — the image-only store would
+    *    over-drop exactly here);
+    *  - near rail: dHash band candidates (the image store's
+    *    machinery) verified by BOTH Hamming ≤ `maxHamming` AND
+    *    caption 3-shingle Jaccard ≥ `minJac` against the `postings`
+    *    index — across AND within micro-batches (component-min
+    *    within a batch).
+    *
+    * Store layout: `docs`, `fps` (pix_fp, cap_fp), `bands`
+    * (doc, dhash, band, bucket), `postings` (doc, nsh, sh) caption
+    * shingles of admitted rows. Same batch-partitioned replay
+    * contract as every other store here; meta pins (maxHamming,
+    * minJac) and the index schemas; [[compactMediaStore]] squashes
+    * all three indexes. Scale shape: the caption verify is an
+    * equi-join on (candidate doc, shingle) RESTRICTED to band
+    * candidates — never a corpus shingle self-join, so no df cap is
+    * needed on this path (candidates are bounded by the image
+    * bands). Undecodable payloads are rejected. */
+  def toCaptionedImageCorpusStore(stream: DataFrame, idCol: String,
+      payloadCol: String, textCol: String, sourceCol: String,
+      storeDir: String, checkpoint: String, maxHamming: Int = 4,
+      minJac: Double = 0.2): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        if (!batch0.isEmpty)
+          captionedCommit(batch0, batchId, idCol, payloadCol, textCol,
+            sourceCol, storeDir, maxHamming, minJac)
+      }
+      .start()
+
+  /** One admission cycle of [[toCaptionedImageCorpusStore]], factored
+    * out for spec-driven batch sequences and replays. */
+  private[graft] def captionedCommit(batch0: DataFrame, batchId: Long,
+      idCol: String, payloadCol: String, textCol: String,
+      sourceCol: String, storeDir: String, maxHamming: Int,
+      minJac: Double): Unit = {
+    import graft.core.Checkpoints.BarrierOps
+    import graft.llmops.{Multimodal, TextOps}
+    require(minJac > 0 && minJac <= 1.0,
+      s"captionedCommit: minJac=$minJac")
+    val s = batch0.sparkSession
+    import s.implicits._
+    val (docsDir, fpsDir, bandsDir, postingsDir) =
+      (s"$storeDir/docs", s"$storeDir/fps", s"$storeDir/bands",
+        s"$storeDir/postings")
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    requireNoPendingCompaction(fs, "captionedCommit",
+      Seq(fpsDir, bandsDir, postingsDir))
+    val metaDir = s"$storeDir/meta"
+    if (fs.exists(new org.apache.hadoop.fs.Path(metaDir))) {
+      val m = s.read.parquet(metaDir).first()
+      require(m.schema.fieldNames.contains("min_jac"),
+        s"captionedCommit: $storeDir is not a captioned-image store " +
+          "(meta pins no min_jac — committing a different modality " +
+          "into the store would silently corrupt its admission index)")
+      val (sh, sj) = (m.getAs[Int]("max_hamming"),
+        m.getAs[Double]("min_jac"))
+      require(sh == maxHamming && sj == minJac,
+        s"captionedCommit: store $storeDir was created with " +
+          s"(maxHamming=$sh, minJac=$sj) but this commit uses " +
+          s"($maxHamming, $minJac) — both are part of the store's " +
+          "admission contract")
+    }
+    def readPart(dir: String, template: DataFrame): DataFrame =
+      if (fs.exists(new org.apache.hadoop.fs.Path(dir)))
+        s.read
+          .schema(template.schema.add(org.apache.spark.sql.types
+            .StructField("batch",
+              org.apache.spark.sql.types.LongType)))
+          .parquet(dir)
+          .filter(col("batch") =!= batchId)
+          .drop("batch")
+      else template.limit(0)
+    val base = batch0.select(
+        col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload"),
+        col(textCol).as("text"),
+        col(sourceCol).as("source"))
+      .barrier() // decode + shingles + docs write share one scan
+    // ONE decode; undecodable payloads rejected
+    val sigs = Multimodal.imageSignatures(
+        base.select(col("doc_id"), col("payload"), col("source"),
+          lit(0L).as("n_chars")).as[Multimodal.MediaRecord]).toDF()
+      .filter(col("pix_fp").isNotNull)
+      .join(base.select(col("doc_id"), md5(col("text")).as("cap_fp")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("pix_fp"), col("cap_fp"),
+        col("dhash"))
+      .barrier()
+    // within-batch exact rail: min-id keeper per (pixels, caption)
+    val keep = sigs.groupBy(col("pix_fp"), col("cap_fp"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val b1 = sigs.join(keep, Seq("doc_id"), "left_semi").barrier()
+    val b1Sh = base
+      .join(b1.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        TextOps.shingleHashes(col("text")).as("arr"))
+      .select(col("doc_id"), size(col("arr")).as("nsh"),
+        explode(col("arr")).as("sh"))
+      .barrier() // verify side ×2 + postings write
+    // exact rail: paired fingerprint already admitted
+    val fpTemplate = b1.select(col("pix_fp"), col("cap_fp"))
+    val exactDropped = b1
+      .join(readPart(fpsDir, fpTemplate), Seq("pix_fp", "cap_fp"),
+        "left_semi")
+      .select(col("doc_id"))
+    // near rail, image candidates: shared 16-bit dHash band AND
+    // Hamming ≤ maxHamming (the image store's kernel), batch vs
+    // store and batch vs smaller-id batch peer
+    def bandsOf(df: DataFrame): DataFrame = df.select(
+      col("doc_id"), col("dhash").as("nhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "bucket")))
+    val batchBands = bandsOf(b1).barrier()
+    val bandTemplate = batchBands
+    val storedBands = readPart(bandsDir, bandTemplate)
+    def hammingCand(other: DataFrame, intra: Boolean): DataFrame =
+      batchBands
+        .select(col("doc_id"), col("nhash").as("__hb"), col("band"),
+          col("bucket"))
+        .join(other.select(col("doc_id").as("ob"),
+          col("nhash").as("__hs"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+        .filter((if (intra) col("ob") < col("doc_id") else lit(true))
+          && bit_count(col("__hb").bitwiseXOR(col("__hs")))
+            <= maxHamming)
+        .select(col("doc_id"), col("ob")).distinct()
+    val cand = hammingCand(storedBands, intra = false)
+      .unionByName(hammingCand(batchBands, intra = true))
+      .distinct()
+    // near rail, caption verify: exact Jaccard on candidates only —
+    // the shingle join is keyed (candidate doc, shingle), bounded by
+    // |cand| × shingles/doc, never a corpus self-join
+    val postingsTemplate = b1Sh
+    val otherSh = readPart(postingsDir, postingsTemplate)
+      .unionByName(b1Sh)
+    val nearDropped = cand
+      .join(b1Sh.select(col("doc_id"), col("nsh").as("__nb"),
+        col("sh")), Seq("doc_id"))
+      .join(otherSh.select(col("doc_id").as("ob"),
+        col("nsh").as("__no"), col("sh")), Seq("ob", "sh"))
+      .groupBy(col("doc_id"), col("ob"), col("__nb"), col("__no"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common").cast("double")
+        / (col("__nb") + col("__no") - col("common")) >= minJac)
+      .select(col("doc_id")).distinct()
+    val dropped = exactDropped.unionByName(nearDropped).distinct()
+    val admitted = b1.join(dropped, Seq("doc_id"), "left_anti")
+      .barrier() // feeds docs, fps, bands AND postings writes
+    def writePart(df: DataFrame, dir: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(metaDir))) {
+      Seq((maxHamming, minJac, fpTemplate.schema.json,
+        bandTemplate.schema.json, postingsTemplate.schema.json))
+        .toDF("max_hamming", "min_jac", "fps_schema", "bands_schema",
+          "postings_schema")
+        .coalesce(1).write.mode("overwrite").parquet(metaDir)
+    }
+    val admittedIds = admitted.select(col("doc_id"))
+    writePart(base.join(admittedIds, Seq("doc_id"), "left_semi"),
+      docsDir)
+    writePart(admitted.select(col("pix_fp"), col("cap_fp")), fpsDir)
+    writePart(batchBands.join(admittedIds, Seq("doc_id"), "left_semi"),
+      bandsDir)
+    writePart(b1Sh.join(admittedIds, Seq("doc_id"), "left_semi"),
+      postingsDir)
+    ()
+  }
+
+  /** The admitted captioned-image corpus without the batch column. */
+  def captionedDocs(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(s"$storeDir/docs").drop("batch")
+
   /** Offline compaction for a media admission store
     * ([[toImageCorpusStore]] / [[toAudioCorpusStore]] /
     * [[toVideoCorpusStore]]): squash the
@@ -1741,10 +1928,14 @@ object Streams {
     compact(s"$storeDir/fps", schemaOf("fps_schema"))
     compact(s"$storeDir/bands", schemaOf("bands_schema"))
     // a video store ([[toVideoCorpusStore]]) carries a third index —
-    // the (doc, frame_fp) containment-verify side; its meta pins the
-    // extra schema, which is how the compactor knows it's there
+    // the (doc, frame_fp) containment-verify side; a captioned-image
+    // store ([[toCaptionedImageCorpusStore]]) carries the caption
+    // shingle postings. Each store's meta pins its extra schema,
+    // which is how the compactor knows what's there.
     if (meta.schema.fieldNames.contains("frames_schema"))
       compact(s"$storeDir/frames", schemaOf("frames_schema"))
+    if (meta.schema.fieldNames.contains("postings_schema"))
+      compact(s"$storeDir/postings", schemaOf("postings_schema"))
   }
 
   /** The admitted image corpus without the internal batch column. */

@@ -498,6 +498,50 @@ class RunnerSpec extends AnyFunSuite {
     assert(plain == Set("image", "audio", "undecodable"))
   }
 
+  test("JobRunner: paired_release dedups on BOTH rails — re-encoded " +
+    "image + identical caption collapses exactly, paraphrased " +
+    "caption collapses via the near pair, different caption or " +
+    "different image survives") {
+    val dir = Files.createTempDirectory("graft-runner-paired").toString
+    val s0 = graft.core.Sessions.local(4, "graft-runner-test")
+    import s0.implicits._
+    import graft.llmops.Multimodal
+    val W = 36; val H = 32
+    def pix(id: Long) = Array.tabulate(H, W)((y, x) =>
+      Multimodal.synthPixel(id, x, y))
+    val p = pix(42L); val q = pix(7L)
+    val capA = "the quick brown fox jumps over the lazy dog"
+    val capB = "the quick brown fox jumps over a sleepy dog"
+    val capC = "completely unrelated words describing another scene"
+    Seq(
+      (1L, Multimodal.encodeBmp(p, W, H), capA, "s"),
+      // 5: PNG re-encode of 1's pixels under the IDENTICAL caption →
+      // paired-EXACT dup of 1
+      (5L, Multimodal.encodePng(p, W, H), capA, "s"),
+      // 2: re-encode under a paraphrase → NEAR pair with 1
+      (2L, Multimodal.encodePng(p, W, H), capB, "s"),
+      // 3: same image, unrelated caption → survives (information)
+      (3L, Multimodal.encodeBmp(p, W, H), capC, "s"),
+      // 4: different image, re-used caption → survives
+      (4L, Multimodal.encodeBmp(q, W, H), capA, "s"),
+      // 99: undecodable — counted, not dropped
+      (99L, Array[Byte](1, 2, 3), capA, "s"))
+      .toDF("doc_id", "payload", "text", "source")
+      .write.parquet(s"$dir/docs")
+    val report = JobRunner.lakeJobs("paired_release")(s0, Map(
+      "in-docs" -> s"$dir/docs", "dest" -> s"$dir/rel"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(report("captioned_image") == ((5L, 4L, 3L)))
+    assert(report("undecodable") == ((1L, 0L, 0L)))
+    val keep = s0.read.parquet(s"$dir/rel/keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(keep == Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> true)) // 5 exact-collapsed into 1 before the near stage
+    assert(s0.read.parquet(s"$dir/rel/pairs").count() == 1L) // (1,2)
+  }
+
   test("JobRunner: media_release --keep-best-resolution survives the " +
     "largest copy of a near-dup cluster instead of the lowest id") {
     val dir = Files.createTempDirectory("graft-runner-mres").toString

@@ -1118,6 +1118,110 @@ class StreamingSpec extends AnyFunSuite {
       Seq(1L, 3L, 5L))
   }
 
+  test("toCaptionedImageCorpusStore: admission requires BOTH rails — " +
+    "same image + same caption exact-drops, re-encode + paraphrase " +
+    "near-drops (across and within batches), same image + different " +
+    "caption and same caption + different image are ADMITTED; " +
+    "replay no-op; contract guard; compaction preserves decisions") {
+    import spark.implicits._
+    import graft.llmops.Multimodal
+    val dir = Files.createTempDirectory("graft-capstore").toString
+    val store = s"$dir/store"
+    val W = 36; val H = 32
+    def pix(id: Long) = Array.tabulate(H, W)((y, x) =>
+      Multimodal.synthPixel(id, x, y))
+    def img(pid: Long, png: Boolean): Array[Byte] =
+      if (png) Multimodal.encodePng(pix(pid), W, H)
+      else Multimodal.encodeBmp(pix(pid), W, H)
+    val capA = "the quick brown fox jumps over the lazy dog"
+    val capB = "the quick brown fox jumps over a sleepy dog" // ~0.4
+    val capC = "completely unrelated words describing another scene"
+    val capD = "yet another caption with nothing shared at all here"
+    def commit(batchId: Long,
+        rows: Seq[(Long, Array[Byte], String, String)],
+        minJac: Double = 0.2): Unit =
+      Streams.captionedCommit(
+        rows.toDF("id", "payload", "caption", "src"), batchId,
+        "id", "payload", "caption", "src", store, 4, minJac)
+    def ids() = Streams.captionedDocs(spark, store)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // batch 0: 3 re-encodes 2's pixels under the IDENTICAL caption
+    // (paired-exact → keeper 2); 4 = same image, unrelated caption →
+    // ADMITTED (the image-only store would over-drop here); 6 =
+    // different image, same caption → ADMITTED; 99 undecodable
+    commit(0L, Seq((2L, img(42L, false), capA, "s"),
+      (3L, img(42L, true), capA, "s"),
+      (4L, img(42L, false), capC, "s"),
+      (6L, img(7L, false), capA, "s"),
+      (99L, Array[Byte](1, 2, 3), capA, "s")))
+    assert(ids() == Seq(2L, 4L, 6L))
+    // batch 1: 11 = re-encode of 2's pixels + PARAPHRASE of its
+    // caption → near rail (both modalities) → dropped; 13 = same
+    // pixels + unrelated caption → admitted; 15 = new image + capA's
+    // exact text → admitted (exact rail needs BOTH)
+    commit(1L, Seq((11L, img(42L, true), capB, "s"),
+      (13L, img(42L, true), capD, "s"),
+      (15L, img(11L, false), capA, "s")))
+    assert(ids() == Seq(2L, 4L, 6L, 13L, 15L))
+    // replay re-derives the identical admission
+    commit(1L, Seq((11L, img(42L, true), capB, "s"),
+      (13L, img(42L, true), capD, "s"),
+      (15L, img(11L, false), capA, "s")))
+    assert(ids() == Seq(2L, 4L, 6L, 13L, 15L))
+    // within-batch near rail: the paraphrased re-encode arriving
+    // BESIDE its source still collapses to the min-id keeper
+    commit(2L, Seq((21L, img(19L, false), capA, "s"),
+      (23L, img(19L, true), capB, "s")))
+    assert(ids() == Seq(2L, 4L, 6L, 13L, 15L, 21L))
+    // the admission contract is pinned
+    val ex = intercept[IllegalArgumentException] {
+      commit(3L, Seq((31L, img(23L, false), capA, "s")), minJac = 0.5)
+    }
+    assert(ex.getMessage.contains("admission contract"))
+    // compaction squashes all three indexes; decisions preserved
+    Streams.compactMediaStore(spark, store, uptoBatch = 2L)
+    for (idx <- Seq("fps", "bands", "postings")) {
+      val parts = new java.io.File(s"$store/$idx").listFiles()
+        .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+      assert(parts.toSeq == Seq("batch=-1"), s"$idx: ${parts.toSeq}")
+    }
+    commit(3L, Seq((31L, img(42L, true), capB, "s"), // still near 2
+      (33L, img(29L, false), capC, "s")))
+    assert(ids() == Seq(2L, 4L, 6L, 13L, 15L, 21L, 33L))
+  }
+
+  test("toCaptionedImageCorpusStore streaming wrapper: micro-batches " +
+    "gate through the store") {
+    import spark.implicits._
+    import graft.llmops.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-capstream").toString
+    val (store, ckpt) = (s"$dir/store", s"$dir/ckpt")
+    val W = 36; val H = 32
+    def img(pid: Long, png: Boolean): Array[Byte] = {
+      val p = Array.tabulate(H, W)((y, x) =>
+        Multimodal.synthPixel(pid, x, y))
+      if (png) Multimodal.encodePng(p, W, H)
+      else Multimodal.encodeBmp(p, W, H)
+    }
+    val capA = "the quick brown fox jumps over the lazy dog"
+    val capB = "the quick brown fox jumps over a sleepy dog"
+    val input = MemoryStream[(Long, Array[Byte], String, String)]
+    val q = Streams.toCaptionedImageCorpusStore(
+      input.toDF().toDF("id", "payload", "caption", "src"),
+      "id", "payload", "caption", "src", store, ckpt)
+    input.addData((1L, img(42L, false), capA, "s"),
+      (3L, img(7L, false), capA, "s"))
+    q.processAllAvailable()
+    input.addData((5L, img(42L, true), capB, "s"), // near-dup of 1
+      (7L, img(42L, false), capA, "s"))            // exact dup of 1
+    q.processAllAvailable()
+    q.stop()
+    assert(Streams.captionedDocs(spark, store)
+      .select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L))
+  }
+
   test("compactMediaStore: index partitions squash to batch=-1, " +
     "subsequent admission decisions identical to an uncompacted " +
     "twin; non-store dir refused") {
