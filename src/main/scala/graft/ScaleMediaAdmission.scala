@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Sessions
+import graft.llmops.Multimodal
+import graft.streaming.Streams
+
+/** Per-batch admission cost as a MEDIA store grows — the measurement
+  * behind SCALE.md's "per-batch cost is batch-proportional, corpus
+  * payloads are never re-read" claim for the media admission stores
+  * (image/audio/video/captioned share the read discipline; the audio
+  * kernel is driven here as the cheapest fixture). Drives a fixed
+  * batch shape (fresh clips + exact re-deliveries + gain-jittered
+  * near-dups of EARLIER batches, so both rails probe a growing store)
+  * and prints one line per batch; then compacts the index and times
+  * one more batch. Expected shape: per-batch wall flat (the store
+  * only ever contributes 8-byte index rows to the probes), with the
+  * partition-listing overhead reclaimed by compaction.
+  *
+  * Usage: runMain graft.ScaleMediaAdmission [nBatches] [perBatch]
+  *   [outDir]
+  */
+object ScaleMediaAdmission {
+  def main(args: Array[String]): Unit = {
+    val nBatches = if (args.length > 0) args(0).toInt else 16
+    val perBatch = if (args.length > 1) args(1).toInt else 500
+    val dir =
+      if (args.length > 2) args(2)
+      else java.nio.file.Files
+        .createTempDirectory("graft-scale-media").toString
+    val spark = Sessions.local()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val store = s"$dir/store"
+
+    def wav(pid: Long, jit: Int): Array[Byte] =
+      Multimodal.encodeWav(Array.tabulate(256)(t =>
+        math.min(Multimodal.synthSample(pid, t) + jit, 255)))
+    var id = 0L
+    def batch(i: Int): Seq[(Long, Array[Byte], String)] =
+      (0 until perBatch).map { k =>
+        id += 1
+        val r = k % 10
+        // 80% fresh pools, 10% exact re-delivery of an earlier pool,
+        // 10% near-dup (+2 gain) of an earlier pool — earlier pools
+        // exist from batch 1 on, so the rails probe the STORE
+        val pid =
+          if (r < 8 || i == 0) id // fresh (pool == unique id)
+          else (id % (i.toLong * perBatch)) + 1L // earlier pool
+        (id, wav(pid, if (r == 9 && i > 0) 2 else 0), "s")
+      }
+
+    (0 until nBatches).foreach { i =>
+      val rows = batch(i)
+      val t0 = System.nanoTime()
+      Streams.audioCommit(rows.toDF("id", "payload", "src"),
+        i.toLong, "id", "payload", "src", store, 4, window = 4)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scalemedia] batch $i%2d: $secs%.2f s " +
+        f"(store batches: ${i + 1})")
+    }
+    val tC0 = System.nanoTime()
+    Streams.compactMediaStore(spark, store, uptoBatch = nBatches - 1L)
+    println(f"[scalemedia] compact: ${(System.nanoTime() - tC0) / 1e9}%.2f s")
+    val rows = batch(nBatches)
+    val t0 = System.nanoTime()
+    Streams.audioCommit(rows.toDF("id", "payload", "src"),
+      nBatches.toLong, "id", "payload", "src", store, 4, window = 4)
+    println(f"[scalemedia] batch $nBatches%2d (post-compaction): " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val n = Streams.audioDocs(spark, store).count()
+    println(s"[scalemedia] admitted $n of ${id}")
+    spark.stop()
+  }
+}
