@@ -66,6 +66,9 @@ object Md5Prefix60 {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[Md5Prefix60].getName, "hash60")
 
-  def builder(children: Seq[Expression]): Expression =
+  def builder(children: Seq[Expression]): Expression = {
+    require(children.length == 1,
+      s"hash60 expects 1 argument, got ${children.length}")
     Md5Prefix60(children.head)
+  }
 }

@@ -66,6 +66,9 @@ object NfcNormalize {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[NfcNormalize].getName, "nfc_normalize")
 
-  def builder(children: Seq[Expression]): Expression =
+  def builder(children: Seq[Expression]): Expression = {
+    require(children.length == 1,
+      s"nfc_normalize expects 1 argument, got ${children.length}")
     NfcNormalize(children.head)
+  }
 }

@@ -108,6 +108,9 @@ object RepeatGram {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[RepeatGram].getName, "repeat_gram")
 
-  def builder(children: Seq[Expression]): Expression =
+  def builder(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      s"repeat_gram expects 2 arguments, got ${children.length}")
     RepeatGram(children.head, children(1))
+  }
 }

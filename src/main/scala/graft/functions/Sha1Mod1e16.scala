@@ -54,8 +54,11 @@ object Sha1Mod1e16 {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[Sha1Mod1e16].getName, "dn_uuid")
 
-  def builder(children: Seq[Expression]): Expression =
+  def builder(children: Seq[Expression]): Expression = {
+    require(children.length == 1,
+      s"dn_uuid expects 1 argument, got ${children.length}")
     Sha1Mod1e16(children.head)
+  }
 }
 
 /** Registration shim for Spark's OWN `BloomFilterMightContain`

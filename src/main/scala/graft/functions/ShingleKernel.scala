@@ -123,8 +123,11 @@ object ShingleHash60 {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[ShingleHash60].getName, "shingle_hash60")
 
-  def builder(children: Seq[Expression]): Expression =
+  def builder(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      s"shingle_hash60 expects 2 arguments, got ${children.length}")
     ShingleHash60(children.head, children(1))
+  }
 }
 
 /** Positional sibling of [[ShingleHash60]]: NO dedup — element i is
@@ -166,8 +169,11 @@ object ShingleHashAll60 {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[ShingleHashAll60].getName, "shingle_hash60_all")
 
-  def builder(children: Seq[Expression]): Expression =
+  def builder(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      s"shingle_hash60_all expects 2 arguments, got ${children.length}")
     ShingleHashAll60(children.head, children(1))
+  }
 }
 
 /** Native single-pass MinHash fold: given a shingle-hash array,
@@ -244,6 +250,9 @@ object MinhashSlots {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[MinhashSlots].getName, "minhash_slots")
 
-  def builder(children: Seq[Expression]): Expression =
+  def builder(children: Seq[Expression]): Expression = {
+    require(children.length == 1,
+      s"minhash_slots expects 1 argument, got ${children.length}")
     MinhashSlots(children.head)
+  }
 }

@@ -80,6 +80,9 @@ object SimhashFold {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[SimhashFold].getName, "simhash_fold")
 
-  def builder(children: Seq[Expression]): Expression =
+  def builder(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      s"simhash_fold expects 2 arguments, got ${children.length}")
     SimhashFold(children.head, children(1))
+  }
 }

@@ -1035,6 +1035,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids(s"$dir/a") == Seq(1L, 2L, 3L, 15L))
   }
 
+  test("compactMediaStore crash recovery, post-rename branch: marker " +
+    "present but tmp gone (crash between the rename and the final " +
+    "sweep) — recovery deletes the superseded partitions WITHOUT " +
+    "touching the new batch=-1 squash") {
+    import spark.implicits._
+    import graft.llmops.Multimodal
+    val dir = Files.createTempDirectory("graft-medcrash2").toString
+    def wav(id: Long, pid: Long, jit: Int)
+        : (Long, Array[Byte], String) =
+      (id, Multimodal.encodeWav(Array.tabulate(256)(t =>
+        math.min(Multimodal.synthSample(pid, t) + jit, 255))), "s")
+    def commit(store: String, batchId: Long,
+        rows: Seq[(Long, Array[Byte], String)]): Unit =
+      Streams.audioCommit(rows.toDF("id", "payload", "src"), batchId,
+        "id", "payload", "src", store, 4, window = 4)
+    for (store <- Seq(s"$dir/a", s"$dir/b")) {
+      commit(store, 0L, Seq(wav(1L, 5L, 0), wav(2L, 6L, 0)))
+      commit(store, 1L, Seq(wav(3L, 7L, 0)))
+    }
+    // run a REAL compaction of store `a`, then reconstruct the
+    // crash-between-rename-and-sweep state: re-create a superseded
+    // batch=0 partition (as if its delete never ran) and re-publish
+    // the marker (as if its removal never ran)
+    Streams.compactMediaStore(spark, s"$dir/a", uptoBatch = 1L)
+    for (idx <- Seq("fps", "bands")) {
+      val idxDir = s"$dir/a/$idx"
+      spark.read.parquet(s"$idxDir/batch=-1")
+        .write.parquet(s"$idxDir/batch=0") // stale duplicate rows
+      val w = new java.io.FileWriter(s"${idxDir}__compact_pending")
+      w.write("0,1"); w.close()
+    }
+    val ex = intercept[IllegalArgumentException] {
+      commit(s"$dir/a", 2L, Seq(wav(15L, 9L, 0)))
+    }
+    assert(ex.getMessage.contains("compaction swap pending"))
+    Streams.compactMediaStore(spark, s"$dir/a", uptoBatch = 1L)
+    for (idx <- Seq("fps", "bands")) {
+      val parts = new java.io.File(s"$dir/a/$idx").listFiles()
+        .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+      assert(parts.toSeq == Seq("batch=-1"), s"$idx: ${parts.toSeq}")
+    }
+    // decisions identical to the untouched twin
+    val b2 = Seq(wav(11L, 5L, 0), wav(13L, 5L, 2), wav(15L, 9L, 0))
+    commit(s"$dir/a", 2L, b2)
+    commit(s"$dir/b", 2L, b2)
+    def ids(store: String) = Streams.audioDocs(spark, store)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids(s"$dir/a") == ids(s"$dir/b"))
+    assert(ids(s"$dir/a") == Seq(1L, 2L, 3L, 15L))
+  }
+
   test("toVideoCorpusStore: exact (frame-set) + near (LSH-candidate, " +
     "containment-verified trim) gates across AND within batches; " +
     "replay no-op; zero-frame rejected; contract guarded; compaction " +
