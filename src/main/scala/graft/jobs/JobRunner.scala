@@ -175,6 +175,20 @@ object JobRunner {
       "dedup_audit" -> (Seq("docs"),
         (_, in) => graft.llmops.DedupAudit.report(
           in("docs"), "doc_id", "text")),
+      // DP-noised release of the per-(lang, source) metadata counts
+      // (q276's geometric mechanism as the shippable job; the release-
+      // epoch salt and suppression floor are pinned for the CLI form —
+      // library callers pass real ones)
+      "dp_release" -> (Seq("docs"),
+        (_, in) => graft.llmops.Privacy.dpNoisyCounts(
+          in("docs"), Seq("lang", "source"), "dp1")),
+      // eval-suite contamination curve (q277): overlap fraction vs
+      // shingle width, eval slice pinned to the corpus convention
+      "contamination_report" -> (Seq("docs"),
+        (_, in) => graft.llmops.TextOps.contaminationCurve(
+          in("docs").filter(col("source") =!= "src0"),
+          in("docs").filter(col("source") === "src0"),
+          "doc_id", "text")),
       "popularity_4streams" -> (
         Seq("cmssw", "aaa", "eos", "jm", "files", "blocks", "datasets",
           "phedex"),

@@ -399,13 +399,18 @@ object TextOps {
     * a semi join — exactly the q40 shape, linear at any corpus
     * size. */
   def exactDedupFirst(df: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
-    val keep = df
-      .groupBy(md5(col(textCol)).as("__fp"))
+      : DataFrame =
+    df.join(exactKeepers(df, idCol, textCol), Seq(idCol), "left_semi")
+
+  /** The keeper-id relation behind [[exactDedupFirst]] (min id per
+    * byte-identical text fingerprint) — exposed for consumers that
+    * need the keeper SET without the text columns (one agg, no
+    * join). */
+  def exactKeepers(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    df.groupBy(md5(col(textCol)).as("__fp"))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
-    df.join(keep, Seq(idCol), "left_semi")
-  }
 
   def lshCandidatePairs(sigs: DataFrame, idCol: String,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
@@ -1076,6 +1081,169 @@ object TextOps {
         size(col("arr")).cast("long").as("n_shingles"),
         coalesce(hits.cast("long"), lit(0L)).as("n_hit"))
       .withColumn("contaminated", col("n_hit") > 0)
+  }
+
+  /** Multi-n contamination curve: [[decontaminate]]'s summary swept
+    * over several shingle widths in ONE corpus pass. A single-n
+    * overlap check is a point estimate — short n over-flags (common
+    * phrases), long n under-flags (paraphrased leakage slips through);
+    * the curve of contamination fraction vs n is the report an eval
+    * suite's hygiene review actually reads (hits that persist to long
+    * n are verbatim leakage; hits that die at n=5 are phrase noise).
+    *
+    * Scale shape: each side is scanned ONCE — the per-n shingle arrays
+    * fan out row-locally from the one token split (explode of an
+    * n-tagged struct array, no re-scan per n); the eval side's
+    * distinct (n, shingle) set is benchmark-sized and broadcasts; the
+    * training side probes it with a broadcast semi-join, so the corpus
+    * never shuffles. Contaminated docs (the only rows that survive the
+    * probe) pay one distinct; the three per-n summaries are class
+    * tables joined at size |ns|. */
+  def contaminationCurve(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String,
+      ns: Seq[Int] = Seq(3, 5, 8, 13)): DataFrame = {
+    def tagged(df: DataFrame): DataFrame = df
+      .select(col(idCol), explode(array(ns.map(n =>
+        struct(lit(n).as("n"),
+          shingleHashes(col(textCol), n).as("arr"))): _*)).as("s"))
+      .select(col(idCol), col("s.n").as("n"), col("s.arr").as("arr"))
+    val evalSh = tagged(eval)
+      .select(col("n").as("en"), explode(col("arr")).as("esh"))
+      .distinct()
+    val evalCounts = evalSh.groupBy(col("en").as("n"))
+      .agg(count(lit(1)).as("n_eval_shingles"))
+    val trainTagged = tagged(train).filter(size(col("arr")) > 0)
+    val trainDocs = trainTagged.groupBy(col("n"))
+      .agg(count(lit(1)).as("n_train_docs"))
+    val contaminated = trainTagged
+      .select(col(idCol), col("n"), explode(col("arr")).as("sh"))
+      .join(broadcast(evalSh),
+        col("n") === col("en") && col("sh") === col("esh"), "left_semi")
+      .select(col(idCol), col("n")).distinct()
+      .groupBy(col("n")).agg(count(lit(1)).as("n_contaminated"))
+    trainDocs
+      .join(evalCounts, Seq("n"), "left")
+      .join(contaminated, Seq("n"), "left")
+      .select(col("n"),
+        coalesce(col("n_eval_shingles"), lit(0L)).as("n_eval_shingles"),
+        col("n_train_docs"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        when(col("n_train_docs") > 0,
+          coalesce(col("n_contaminated"), lit(0L)).cast("double")
+            / col("n_train_docs").cast("double"))
+          .otherwise(lit(0.0)).as("frac_contaminated"))
+  }
+
+  /** MinHash containment estimates over the LSH candidate pairs —
+    * the asymmetric "A inside B" reading of a near-dup candidate:
+    * containment is recovered from the signature-level Jaccard
+    * estimate plus the two exact set sizes (which every doc carries
+    * anyway): C(A⊆B) = Ĵ·(|A|+|B|) / ((1+Ĵ)·|A|) — the algebraic
+    * inversion of J = ∩/(∪). The exact candidate-restricted
+    * intersection rides along as the audit columns (candidates are
+    * LSH-bounded, so the exact verify never goes quadratic; same
+    * est-vs-exact calibration shape as q224).
+    *
+    * Candidate recall caveat: the banding recalls by JACCARD, so a
+    * short quote buried in a much longer doc (high containment, low
+    * J) is often NOT a candidate here — quote-detection decisions
+    * belong to [[containmentPairs]]' exact inverted index and
+    * [[containedDropList]] (q99/q279); this view calibrates the
+    * sketch estimator on the pairs the near-dup engine surfaces.
+    *
+    * Scale shape: [[exactDedupFirst]] → signatures (narrow projection)
+    * → capped LSH banding → per-pair joins against the signature and
+    * size tables. Every relation after banding is candidate-sized. */
+  def minhashContainment(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    containmentOverDeduped(exactDedupFirst(df, idCol, textCol), idCol,
+      textCol)
+
+  /** [[minhashContainment]]'s core over an ALREADY exact-deduped
+    * corpus. `dd` is deliberately NOT barriered even though both the
+    * signature and the size side read it: each side prunes to
+    * (id, text) at the scan, so re-computing the dedup agg twice
+    * against columnar storage beats checkpointing the full corpus
+    * text once (the barrier would write every byte of text to
+    * checkpoint storage). */
+  private def containmentOverDeduped(dd: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import graft.core.Checkpoints.BarrierOps
+    // sigs feed the banding AND both estimate sides; sz both exact
+    // sides — barrier each so the shingle kernel runs once
+    val sigs = minhashSignatures(dd, idCol, textCol).barrier()
+    val pairs = lshCandidatePairs(sigs, idCol)
+    val est = minhashJaccardEstimate(pairs, sigs, idCol)
+    val sz = dd
+      .select(col(idCol), shingleHashes(col(textCol)).as("arr"))
+      .filter(size(col("arr")) > 0)
+      .barrier()
+    def side(as: String, arr: String, n: String): DataFrame = sz.select(
+      col(idCol).as(as), col("arr").as(arr),
+      size(col("arr")).cast("long").as(n))
+    est
+      .join(side("doc_a", "arr_a", "na"), Seq("doc_a"))
+      .join(side("doc_b", "arr_b", "nb"), Seq("doc_b"))
+      .withColumn("common",
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard_est"),
+        col("na"), col("nb"), col("common"),
+        contEst(col("na")).as("cont_a_in_b_est"),
+        contEst(col("nb")).as("cont_b_in_a_est"),
+        (col("common").cast("double") / col("na").cast("double"))
+          .as("cont_a_in_b"),
+        (col("common").cast("double") / col("nb").cast("double"))
+          .as("cont_b_in_a"))
+  }
+
+  /** Ĉ = Ĵ·(na+nb) / ((1+Ĵ)·denom): containment from the Jaccard
+    * estimate + exact sizes ([[minhashContainment]]). */
+  private def contEst(denom: Column): Column =
+    (col("jaccard_est") * (col("na") + col("nb")).cast("double")) /
+      ((lit(1.0) + col("jaccard_est")) * denom.cast("double"))
+
+  /** Quoted-document drop list — the release decision the containment
+    * family exists for: over the exact-deduped corpus, drop every doc
+    * ≥ `minContainment` contained in another (a doc that is mostly a
+    * quote of a longer doc adds no novel text, but symmetric near-dup
+    * Jaccard never flags it). Candidates come from
+    * [[containmentPairs]]' exact df-capped inverted index, NOT the
+    * MinHash banding: LSH recalls by JACCARD, and the quote pairs
+    * this operator targets are precisely the low-Jaccard ones the
+    * banding misses ([[minhashContainment]] is the estimator-
+    * calibration view over the near-dup candidates, a different
+    * question). Mutual ≥τ containment (near-identical sets) keeps the
+    * lower id; one-directional containment implies the container has
+    * the strictly larger shingle set, so no size column is needed.
+    * Drop decisions are per-pair and independent (a quote chain
+    * A⊂B⊂C drops A and B; C carries the text). Returns one row per
+    * exact-dedup keeper: (doc_id, n_containers, is_kept).
+    *
+    * Scale shape: one inverted-index pass (df-capped, window-spilled)
+    * + a pair-table self-join for mutual detection (pairs barrier'd —
+    * read twice) + one join against keeper ids. */
+  def containedDropList(df: DataFrame, idCol: String, textCol: String,
+      minContainment: Double = 0.9, minShingles: Int = 5,
+      maxDf: Int = 1000): DataFrame = {
+    import graft.core.Checkpoints.BarrierOps
+    val dd = exactDedupFirst(df, idCol, textCol)
+    val p = containmentPairs(dd, idCol, textCol, minContainment,
+      minShingles, maxDf)
+      .select(col("contained").as("x"), col("container").as("y"))
+      .barrier()
+    val rev = p.select(col("x").as("ry"), col("y").as("rx"))
+    val drops = p
+      .join(rev, col("x") === col("rx") && col("y") === col("ry"),
+        "left")
+      .filter(col("rx").isNull || col("x") > col("y"))
+      .groupBy(col("x").as("doc"))
+      .agg(count(lit(1)).as("n_containers"))
+    exactKeepers(df, idCol, textCol)
+      .select(col(idCol).as("doc"))
+      .join(drops, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("n_containers"), lit(0L)).as("n_containers"),
+        col("n_containers").isNull.as("is_kept"))
   }
 
   /** Longest common token run per candidate pair — the substring-level

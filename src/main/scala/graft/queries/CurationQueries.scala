@@ -75,6 +75,52 @@ object CurationQueries {
           "doc_id", "text")
       }),
 
+    // Multi-n contamination curve: q72's overlap summary swept over
+    // shingle widths 3/5/8/13 in one corpus pass — hits persisting to
+    // long n are verbatim leakage, hits dying at n=5 are phrase noise.
+    // Both sides scan once (row-local per-n fan-out from one token
+    // split); the eval (n, shingle) set broadcasts and the corpus
+    // probes it with a broadcast semi-join — no corpus shuffle.
+    QueryDef(
+      "q277_contamination_curve",
+      Some(s"""
+        WITH nn AS (SELECT unnest([3, 5, 8, 13]) AS n),
+        t AS (SELECT doc_id, source, string_split(text,' ') AS toks
+              FROM documents),
+        sarr AS (SELECT doc_id, source, nn.n,
+                   CASE WHEN len(toks) >= nn.n
+                        THEN list_distinct(list_transform(
+                               range(1, len(toks)-nn.n+2),
+                               i -> ('0x'||substr(md5(array_to_string(
+                                      toks[i:i+nn.n-1],' ')),1,15))::BIGINT))
+                        ELSE []::BIGINT[] END AS arr
+                 FROM t CROSS JOIN nn),
+        esh AS (SELECT DISTINCT n, unnest(arr) AS esh FROM sarr
+                WHERE source = 'src0'),
+        ec AS (SELECT n, count(*) AS n_eval_shingles FROM esh GROUP BY 1),
+        td AS (SELECT n, count(*) AS n_train_docs FROM sarr
+               WHERE source <> 'src0' AND len(arr) > 0 GROUP BY 1),
+        tsh AS (SELECT doc_id, n, unnest(arr) AS sh FROM sarr
+                WHERE source <> 'src0'),
+        cont AS (SELECT t.n, count(DISTINCT t.doc_id) AS n_contaminated
+                 FROM tsh t JOIN esh e ON t.n = e.n AND t.sh = e.esh
+                 GROUP BY 1)
+        SELECT td.n, COALESCE(ec.n_eval_shingles, 0) AS n_eval_shingles,
+               td.n_train_docs,
+               COALESCE(cont.n_contaminated, 0) AS n_contaminated,
+               CASE WHEN td.n_train_docs > 0
+                    THEN CAST(COALESCE(cont.n_contaminated, 0) AS DOUBLE)
+                         / CAST(td.n_train_docs AS DOUBLE)
+                    ELSE 0.0 END AS frac_contaminated
+        FROM td LEFT JOIN ec USING (n) LEFT JOIN cont USING (n)"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        TextOps.contaminationCurve(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text")
+      }),
+
     // Cross-document duplicate n-gram fraction: the share of each
     // doc's shingles that occur in >1 document corpus-wide — catches
     // boilerplate mass that pairwise near-dup detection cannot.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.llmops.{Classifier, Drift, LanguageModel, TextOps}
+import graft.llmops.{Classifier, Drift, LanguageModel, Privacy, TextOps}
 import graft.ops.Aggregates
 
 /** Corpus-evaluation audits (round 9): the statistics an operator
@@ -414,6 +414,44 @@ object EvalQueries {
             (col("rows_at_risk").cast("double")
               / col("n_rows").cast("double")).as("risk_frac"))
       }),
+
+    // Differentially-private noisy release of the per-(lang, source)
+    // class counts — q247's k-anonymity audit answers "is the release
+    // table safe as-is?", this is the mechanism that makes it safe:
+    // two-sided geometric noise at α = 1/2 (ε = ln 2, the geometric
+    // mechanism — exact for integer counting queries) + suppression
+    // of classes whose NOISY count lands below 5. Noise is sampled
+    // with integer-only bit arithmetic (trailing-zero runs of keyed
+    // md5 bits — libm-free, so the oracle is bit-exact) and keyed by
+    // class + release salt: the derandomized replayable form every
+    // versioned release needs. n_true/noise are audit columns of this
+    // calibration view; scale shape is one counting aggregation plus
+    // a per-row projection on the class table.
+    QueryDef(
+      "q276_dp_noisy_release",
+      Some("""
+        WITH cls AS (SELECT lang, source, count(*) AS n_true
+                     FROM documents GROUP BY 1, 2),
+        h AS (SELECT lang, source, n_true,
+                ('0x'||substr(md5(lang || '|' || source || '|dp1'),
+                              1, 15))::BIGINT AS hh
+              FROM cls),
+        g AS (SELECT lang, source, n_true,
+                (len(bin((hh & 1073741823) + 1073741824))
+                 - len(rtrim(bin((hh & 1073741823) + 1073741824), '0')))
+                - (len(bin((hh >> 30) + 1073741824))
+                   - len(rtrim(bin((hh >> 30) + 1073741824), '0')))
+                  AS noise
+              FROM h)
+        SELECT lang, source, n_true, noise,
+               n_true + noise AS n_noisy,
+               (n_true + noise) < 5 AS suppressed,
+               CASE WHEN (n_true + noise) >= 5
+                    THEN n_true + noise END AS n_released
+        FROM g"""),
+      (s, d) =>
+        Privacy.dpNoisyCounts(t(s, d, "documents"),
+          Seq("lang", "source"), "dp1")),
 
     // Effective sample size of the DSIR importance weights (q234's
     // output read as a sampling design): ESS = (Σw)²/Σw² — the

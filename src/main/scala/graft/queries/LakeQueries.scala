@@ -108,6 +108,52 @@ object CorpusLakeQueries {
         TextOps.containmentPairs(t(s, d, "documents"), "doc_id", "text",
           minContain = 0.5, minShingles = 5, maxDf = 1000)),
 
+    // Quoted-document drop list — the release decision over q99's
+    // exact containment index (LSH banding recalls by Jaccard and
+    // misses exactly these low-J quote pairs — q278 is the estimator
+    // calibration, THIS is the decision): over the exact-deduped
+    // corpus, drop every doc ≥ 0.9-contained in another; mutual ≥τ
+    // containment (near-identical sets) keeps the lower id, and
+    // one-directional containment implies a strictly larger
+    // container, so no size tiebreak is needed. Quote chains drop
+    // every inner doc; the outermost survivor carries the text.
+    QueryDef(
+      "q279_contained_drop",
+      Some(s"""
+        WITH dd AS (SELECT min(doc_id) AS doc_id FROM documents
+                    GROUP BY md5(text)),
+        ddocs AS (SELECT d.* FROM documents d JOIN dd USING (doc_id)),
+        t AS (SELECT doc_id, string_split(text,' ') toks FROM ddocs),
+        sarr AS (SELECT doc_id,
+                CASE WHEN len(toks) >= 3
+                     THEN list_transform(range(1, len(toks)-1),
+                            i -> array_to_string(toks[i:i+2], ' '))
+                     ELSE []::VARCHAR[] END AS shs
+              FROM t),
+        sh0 AS (SELECT doc_id, len(shsd) AS nsh, unnest(shsd) AS sh
+                FROM (SELECT doc_id, list_distinct(
+                        list_transform(shs, g -> ${dkHash60("g")})) shsd
+                      FROM sarr)),
+        sh AS (SELECT * FROM sh0 WHERE nsh >= 5),
+        kept AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 1000),
+        c AS (SELECT a.doc_id da, b.doc_id db, a.nsh na, count(*) common
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+              JOIN kept k ON a.sh = k.sh
+              GROUP BY 1, 2, 3),
+        p AS (SELECT da AS x, db AS y FROM c
+              WHERE CAST(common AS DOUBLE)/na >= 0.9),
+        dr AS (SELECT p.x AS doc, count(*) AS n_containers
+               FROM p LEFT JOIN p q ON p.x = q.y AND p.y = q.x
+               WHERE q.x IS NULL OR p.x > p.y
+               GROUP BY 1)
+        SELECT dd.doc_id,
+               COALESCE(dr.n_containers, 0) AS n_containers,
+               dr.doc IS NULL AS is_kept
+        FROM dd LEFT JOIN dr ON dr.doc = dd.doc_id"""),
+      (s, d) =>
+        TextOps.containedDropList(t(s, d, "documents"), "doc_id",
+          "text")),
+
     // SemDeDup-style semantic dedup: within each cell (label), a
     // vector survives iff no earlier vector is cosine-closer than the
     // threshold — deterministic first-occurrence keep rule (q84

@@ -324,6 +324,36 @@ object LlmQueries {
     Multimodal.pairedCaptionNearDupPairs(pairs, hashes, maxHamming = 4)
   }
 
+  /** DuckDB CTE chain replaying [[TextOps.minhashContainment]]:
+    * the q43 dedup-first LSH candidate engine (`dkLshCand`), the q71
+    * slot-agreement Jaccard estimate, per-doc distinct-shingle sets,
+    * and the exact candidate-restricted intersection. Ends in
+    * `j(doc_a, doc_b, jaccard_est, na, nb, common)`. Shared by q278
+    * (the calibration view) and q279 (the drop rule over it). */
+  private val dkContainmentPairs: String = s"""
+    $dkLshCand,
+    est AS (SELECT c.doc_a, c.doc_b,
+             CAST((CASE WHEN sa.sig_0 = sb.sig_0 THEN 1 ELSE 0 END +
+                   CASE WHEN sa.sig_1 = sb.sig_1 THEN 1 ELSE 0 END +
+                   CASE WHEN sa.sig_2 = sb.sig_2 THEN 1 ELSE 0 END +
+                   CASE WHEN sa.sig_3 = sb.sig_3 THEN 1 ELSE 0 END)
+               AS DOUBLE) / 4.0 AS jaccard_est
+            FROM cand c
+            JOIN sigs sa ON sa.doc_id = c.doc_a
+            JOIN sigs sb ON sb.doc_id = c.doc_b),
+    sz AS (SELECT doc_id,
+             list_distinct(list_transform(shs,
+               g -> ${dkHash60("g")})) AS arr
+           FROM sarr WHERE len(shs) >= 1),
+    j AS (SELECT e.doc_a, e.doc_b, e.jaccard_est,
+            CAST(len(a.arr) AS BIGINT) AS na,
+            CAST(len(b.arr) AS BIGINT) AS nb,
+            CAST(len(list_intersect(a.arr, b.arr)) AS BIGINT)
+              AS common
+          FROM est e
+          JOIN sz a ON a.doc_id = e.doc_a
+          JOIN sz b ON b.doc_id = e.doc_b)"""
+
   /** Spark side of the q263 chain: decode → dHash → Hamming-banded
     * verified pairs. Shared by q263 and q267. */
   private def imgDhashPairs(s: SparkSession, d: String): DataFrame = {
@@ -469,6 +499,34 @@ object LlmQueries {
         TextOps.minhashJaccardEstimate(
           TextOps.lshCandidatePairs(sigs, "doc_id"), sigs, "doc_id")
       }),
+
+    // MinHash CONTAINMENT estimates over the LSH candidates — the
+    // asymmetric "A quoted inside B" direction Jaccard misses (a short
+    // doc inside a long one has low J but containment ≈ 1): Ĉ(A⊆B) =
+    // Ĵ·(na+nb)/((1+Ĵ)·na), recovered from the slot-agreement Ĵ plus
+    // the exact per-doc set sizes every doc carries anyway. The exact
+    // candidate-restricted intersection rides along as audit columns
+    // (q224's est-vs-exact calibration shape); everything after the
+    // capped banding is candidate-sized.
+    QueryDef(
+      "q278_minhash_containment",
+      Some(s"""
+        WITH $dkContainmentPairs
+        SELECT doc_a, doc_b, jaccard_est, na, nb, common,
+               (jaccard_est * CAST(na + nb AS DOUBLE))
+                 / ((1.0 + jaccard_est) * CAST(na AS DOUBLE))
+                 AS cont_a_in_b_est,
+               (jaccard_est * CAST(na + nb AS DOUBLE))
+                 / ((1.0 + jaccard_est) * CAST(nb AS DOUBLE))
+                 AS cont_b_in_a_est,
+               CAST(common AS DOUBLE) / CAST(na AS DOUBLE)
+                 AS cont_a_in_b,
+               CAST(common AS DOUBLE) / CAST(nb AS DOUBLE)
+                 AS cont_b_in_a
+        FROM j"""),
+      (s, d) =>
+        TextOps.minhashContainment(t(s, d, "documents"), "doc_id",
+          "text")),
 
     // SimHash near-dup pairs: hamming ≤ 1 via 2-block banding
     // (pigeonhole) + exact bit_count filter — the dedup use of q44's

@@ -41,6 +41,44 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getLong(2) == 0L && !r.getBoolean(3))
   }
 
+  test("contaminationCurve: per-n flags, monotone in n, short docs " +
+    "counted only where they shingle") {
+    // 15-token base so every doc rows at n=13; t1 embeds a verbatim
+    // 5-token eval span (hits n=3 AND n=5), t2 shares only a 3-gram
+    // (its 4th token diverges), t3 is clean, t4 is 4 tokens (shingles
+    // at n=3 only)
+    def pad(s: String, p: String) =
+      (s.split(" ") ++ (1 to 15 - s.split(" ").length).map(i => s"$p$i"))
+        .mkString(" ")
+    val train = Seq(
+      (1L, pad("alpha beta gamma delta epsilon", "x")),
+      (2L, pad("alpha beta gamma OTHER", "y")),
+      (3L, pad("clean words only", "z")),
+      (4L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val eval =
+      Seq((9L, pad("alpha beta gamma delta epsilon", "e")))
+        .toDF("doc_id", "text")
+    val r = TextOps
+      .contaminationCurve(train, eval, "doc_id", "text")
+      .collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getDouble(4)))).toMap
+    assert(r.keySet == Set(3, 5, 8, 13))
+    // n=3: t1 (span), t2 (alpha beta gamma), t4 (span prefix) hit
+    assert(r(3)._2 == 4L && r(3)._3 == 3L && r(3)._4 == 0.75)
+    // n=5: only t1 carries the full verbatim 5-gram
+    assert(r(5)._3 == 1L)
+    // n=8+: the eval padding tokens differ from every train doc's
+    assert(r(8)._3 == 0L && r(13)._3 == 0L)
+    // t4 too short to shingle past n=3 → train doc counts shrink
+    assert(r(3)._2 == 4L && r(5)._2 == 3L && r(13)._2 == 3L)
+    // eval shingle masses: 15-token eval doc has 16-n shingles
+    assert(r(3)._1 == 13L && r(13)._1 == 3L)
+    // contamination can only shrink as n grows
+    assert(r(3)._3 >= r(5)._3 && r(5)._3 >= r(8)._3 &&
+      r(8)._3 >= r(13)._3)
+  }
+
   test("bloomDecontaminate: no false negatives vs the exact operator, " +
     "hit counts bounded above, FP rate near fpp") {
     // enough distinct clean shingles that a broken filter would show

@@ -121,6 +121,54 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(capped == Set((1L, 2L), (3L, 4L)))
   }
 
+  test("minhashContainment: containment of a quoted doc = 1 where " +
+    "Jaccard understates it; containedDropList drops the quote") {
+    // A is fully quoted inside B (every A-shingle ∈ B): J = 10/12
+    // but C(A⊆B) = 1. The fixture keeps the overlap high because the
+    // calibration view's candidates come from the near-dup banding;
+    // the low-J quote regime is containedDropList's exact index
+    // (asserted at the end). C and D are identical → dedup-first
+    // collapses D before banding.
+    val quote = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu" // 12 tokens → 10 shingles
+    val df = Seq(
+      (1L, quote),
+      (2L, quote + " nu xi"), // 14 tokens → 12 shingles
+      (3L, "one two three four"),
+      (4L, "one two three four")).toDF("doc_id", "text")
+    val rows = TextOps.minhashContainment(df, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // the (1,2) quote pair must surface (identical min over shared
+    // mass wins at least one of the 4 bands here — deterministic)
+    val q = rows.get((1L, 2L)).orElse(rows.get((2L, 1L)))
+    assert(q.isDefined, s"quote pair missing: ${rows.keySet}")
+    val r = q.get
+    val (na, nb) = (r.getLong(3), r.getLong(4))
+    val common = r.getLong(5)
+    assert(na == 10L && nb == 12L && common == 10L) // A ⊂ B exactly
+    val contAB = r.getDouble(8)
+    val contBA = r.getDouble(9)
+    assert(contAB == 1.0 && contBA == 10.0 / 12.0)
+    // estimate columns are the exact algebraic inversion of Ĵ
+    val jac = r.getDouble(2)
+    assert(r.getDouble(6) == jac * (na + nb) / ((1.0 + jac) * na))
+    assert(r.getDouble(7) == jac * (na + nb) / ((1.0 + jac) * nb))
+    // exact-dedup-first: doc 4 never appears in any pair
+    assert(!rows.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+
+    // the drop rule over the same corpus: the quoted doc 1 is
+    // dropped (contained in the larger doc 2), the container and the
+    // unrelated keeper survive, the exact twin 4 is already collapsed
+    val keep = TextOps.containedDropList(df, "doc_id", "text")
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getBoolean(2))))
+      .toMap
+    assert(keep.keySet == Set(1L, 2L, 3L))
+    assert(keep(1L) == ((1L, false)))
+    assert(keep(2L) == ((0L, true)) && keep(3L) == ((0L, true)))
+  }
+
   test("simhash: equal docs equal, hamming-near for near docs") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
       (3L, "a b c d e f g x")).toDF("doc_id", "text")

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llmops.Privacy
+
+/** Pins the DP geometric-mechanism release (llmops/Privacy): the
+  * integer-only noise sampler against an independent Scala
+  * reimplementation, the distribution's calibration (α = 1/2 two-sided
+  * geometric), determinism under replay, and the suppression
+  * semantics of dpNoisyCounts. */
+class PrivacySpec extends AnyFunSuite {
+
+  lazy val spark = graft.core.Sessions.local(4, "graft-privacy-test")
+  import spark.implicits._
+
+  /** Independent reference: hash60 = first 15 hex chars of md5; noise
+    * = tz(low 30 bits) − tz(next 30), each chunk sentinel-capped at
+    * 30 via the 2^30 bit. */
+  private def refNoise(key: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.take(15), 16)
+    def tz(chunk: Long): Long =
+      java.lang.Long.numberOfTrailingZeros(chunk | (1L << 30)).toLong
+    tz(h & 1073741823L) - tz(h >> 30)
+  }
+
+  test("geometricNoise matches the independent reference sampler") {
+    val keys = Seq("en|src0|dp1", "de|src3|dp1", "x", "", "a|b|c")
+    val got = keys.toDF("k")
+      .select(col("k"), Privacy.geometricNoise(col("k")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    keys.foreach { k => assert(got(k) == refNoise(k), s"key=$k") }
+  }
+
+  test("noise distribution is calibrated: P(0)≈1/3, mean≈0, symmetric") {
+    val n = 4000
+    val noises = (1 to n).map(i => refNoise(s"class-$i|dp1")).toArray
+    val p0 = noises.count(_ == 0L).toDouble / n
+    assert(math.abs(p0 - 1.0 / 3.0) < 0.04, s"P(noise=0)=$p0")
+    val mean = noises.sum.toDouble / n
+    assert(math.abs(mean) < 0.1, s"mean=$mean")
+    val pPos = noises.count(_ > 0L).toDouble / n
+    val pNeg = noises.count(_ < 0L).toDouble / n
+    assert(math.abs(pPos - pNeg) < 0.05, s"+$pPos vs -$pNeg")
+    // P(|k|=1) = 2·(1/3)·(1/2) = 1/3 for the α=1/2 two-sided geometric
+    val p1 = noises.count(x => math.abs(x) == 1L).toDouble / n
+    assert(math.abs(p1 - 1.0 / 3.0) < 0.04, s"P(|noise|=1)=$p1")
+  }
+
+  test("dpNoisyCounts: replay-deterministic, additive, suppression on " +
+    "the noisy value, salt changes the draw") {
+    val df = (1 to 200).map(i => (s"w$i", if (i <= 190) "big" else "tiny"))
+      .toDF("word", "grp")
+    def run(salt: String) =
+      Privacy.dpNoisyCounts(df, Seq("grp"), salt, minRelease = 100L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))).sortBy(_._1)
+    val a = run("dp1")
+    assert(a.toSeq == run("dp1").toSeq) // replay-exact
+    a.foreach { case (_, nTrue, noise, nNoisy, suppressed, released) =>
+      assert(nNoisy == nTrue + noise)
+      assert(suppressed == (nNoisy < 100L))
+      assert(released == (if (suppressed) None else Some(nNoisy)))
+    }
+    val big = a.find(_._1 == "big").get
+    val tiny = a.find(_._1 == "tiny").get
+    assert(!big._5 && big._6.isDefined) // 190±30 never below 100
+    assert(tiny._5 && tiny._6.isEmpty)  // 10±30 never reaches 100
+    // a fresh release salt re-randomizes at least one class's noise
+    val b = run("dp2")
+    assert(a.map(_._3).toSeq != b.map(_._3).toSeq)
+  }
+}

@@ -320,6 +320,44 @@ class RunnerSpec extends AnyFunSuite {
     assert(bloom(1L)) // bloom must never miss a true contamination
   }
 
+  test("JobRunner: dp_release ships noisy suppressed counts; " +
+    "contamination_report sweeps the overlap curve") {
+    val s0 = graft.core.Sessions.local(4, "graft-runner-test")
+    import s0.implicits._
+    val quote = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron" // 15 tokens
+    val docs =
+      (1L to 40L).map(i => (i, s"$quote filler$i", "en", "src1")) ++
+        Seq((90L, "tiny class doc words here", "de", "src2"),
+          (99L, quote, "en", "src0")) // the eval doc
+    val docsDf = docs.toDF("doc_id", "text", "lang", "source")
+    // direct registry invocation (decontaminate-test precedent):
+    // JobRunner.main stops its session on exit, which would kill the
+    // suite's shared one
+    val dp = JobRunner.jobs("dp_release")._2(s0, Map("docs" -> docsDf))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5),
+          if (r.isNullAt(6)) None else Some(r.getLong(6))))).toMap
+    assert(dp.keySet == Set(("en", "src1"), ("de", "src2"),
+      ("en", "src0")))
+    dp.values.foreach { case (nTrue, noise, nNoisy, sup, rel) =>
+      assert(nNoisy == nTrue + noise)
+      assert(sup == (nNoisy < 5) && rel.isDefined == !sup)
+    }
+    // the 40-doc class always releases (noise ∈ [-30, 30]); the
+    // singleton never reaches the floor
+    assert(dp(("en", "src1"))._5.isDefined)
+    assert(dp(("de", "src2"))._5.isEmpty)
+    val cc = JobRunner.jobs("contamination_report")._2(s0,
+        Map("docs" -> docsDf)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // every train doc embeds the full 15-token eval text → hits at
+    // every swept width; the de singleton only shingles at n ≤ 5
+    assert(cc(3) == ((41L, 40L)) && cc(13)._2 == 40L)
+    assert(cc(5)._1 == 41L && cc(8)._1 == 40L)
+  }
+
   test("JobRunner: lm_score_apply scores a corpus against a saved " +
     "frozen model") {
     val dir = Files.createTempDirectory("graft-runner-lm").toString
