@@ -1,0 +1,150 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tokenizer APPLICATION at corpus scale: greedy longest-match
+  * (WordPiece-style max-munch) encoding of every document against a
+  * fixed piece vocabulary. [[TextOps.learnBpeMerges]] learns a merge
+  * table (q196) and q197 scores its compression; this is the missing
+  * third stage — the encode pass a training pipeline runs over 100 TB
+  * to produce token counts and sequence lengths.
+  *
+  * Everything is RELATIONAL, by design:
+  *
+  *  - the encode runs once per DISTINCT word token (a vocabulary-sized
+  *    dimension table, not the corpus), and per-doc stats come from
+  *    joining the encoded dimension back to token occurrences — the
+  *    classic dimension-side trick that makes the cost independent of
+  *    corpus duplication;
+  *  - longest-match at a position is an EQUI-join: fan each (token,
+  *    position) out over the distinct piece LENGTHS and join
+  *    `substr(token, pos, len) = piece` — no prefix-scan loop, no UDF;
+  *    the argmax over lengths is one aggregation;
+  *  - the greedy left-to-right walk is a single `aggregate` fold over
+  *    character positions with the state packed into ONE BIGINT
+  *    (pos·10^6 + pieces·10^3 + unks) — integer arithmetic only, so
+  *    the DuckDB oracle replays it bit-for-bit with `list_reduce`.
+  *
+  * UNK convention: a position where no piece (not even a single
+  * character) matches consumes one character and counts as one UNK
+  * piece — the lossless-alignment convention, so
+  * `n_pieces = matched + unk` always partitions the token's chars.
+  */
+object Tokenize {
+
+  private def chars1(t: Column): Column =
+    transform(sequence(lit(1), length(t)), i => t.substr(i, lit(1)))
+
+  /** Deterministic piece vocabulary from the corpus itself: the
+    * `topWords` most frequent word tokens (count desc, token asc —
+    * total order) capped at `maxPieceLen` chars, UNION the single
+    * characters appearing in the top `charWords` tokens (rarer
+    * characters fall to UNK — exercising the UNK path is the point of
+    * not taking every character). Returns (piece, piece_len).
+    * Vocabulary-sized: safe to broadcast anywhere. */
+  def vocab(df: DataFrame, textCol: String, topWords: Int = 256,
+      charWords: Int = 1000, maxPieceLen: Int = 20): DataFrame = {
+    import graft.core.Checkpoints.BarrierOps
+    // vocabulary-sized after the agg; barrier'd because both top-K
+    // reads consume it. Top-K via orderBy+limit — planned as
+    // TakeOrderedAndProject (distributed partial top-K), never a
+    // global-order window
+    val counts = df
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .barrier()
+    val words = counts
+      .orderBy(col("c").desc, col("tok")).limit(topWords)
+      .filter(length(col("tok")) <= maxPieceLen)
+      .select(col("tok").as("piece"))
+    val chars = counts
+      .orderBy(col("c").desc, col("tok")).limit(charWords)
+      .select(explode(chars1(col("tok"))).as("piece"))
+    words.unionByName(chars).distinct()
+      .select(col("piece"), length(col("piece")).as("piece_len"))
+  }
+
+  /** Greedy longest-match encode of every DISTINCT token against
+    * `vocabDf` (piece, piece_len): returns
+    * (tok, tok_len, n_pieces, n_unk).
+    *
+    * Plan shape: distinct tokens × their positions × distinct piece
+    * lengths → substr equi-join against the (broadcast) vocab →
+    * argmax(len) per position → per-token best-match array → ONE
+    * integer fold. All corpus-independent after the distinct. */
+  def encodeTokens(tokens: DataFrame, vocabDf: DataFrame): DataFrame = {
+    val lens = vocabDf.select(col("piece_len")).distinct()
+    // (tok, pos) × piece lengths, keyed by the substring at pos
+    val probes = tokens
+      .select(col("tok"), length(col("tok")).as("tok_len"))
+      .select(col("tok"), col("tok_len"),
+        explode(sequence(lit(1), col("tok_len"))).as("pos"))
+      .crossJoin(broadcast(lens))
+      .filter(col("pos") + col("piece_len") - 1 <= col("tok_len"))
+      .select(col("tok"), col("tok_len"), col("pos"),
+        col("piece_len"),
+        col("tok").substr(col("pos"), col("piece_len")).as("sub"))
+    val best = probes
+      .join(broadcast(vocabDf.select(col("piece"))),
+        col("sub") === col("piece"), "left_semi")
+      .groupBy(col("tok"), col("pos"))
+      .agg(max(col("piece_len")).as("bl"))
+    // best-match array indexed by position (0 where nothing matched —
+    // including single chars outside the vocab)
+    val arrs = tokens
+      .select(col("tok"), length(col("tok")).as("tok_len"))
+      .join(best.groupBy(col("tok"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("bl"))))
+            .as("bests")),
+        Seq("tok"), "left")
+    // dense bl array: bl[i] = best length at position i, 0 if absent
+    val dense = arrs.select(col("tok"), col("tok_len"),
+      transform(sequence(lit(1), col("tok_len")), i =>
+        coalesce(
+          element_at(
+            map_from_entries(coalesce(col("bests"),
+              array().cast("array<struct<pos:int,bl:int>>"))), i),
+          lit(0))).as("bl"))
+    // the greedy walk: ONE fold over the best-match array with the
+    // state packed into a BIGINT as skip·10^6 + pieces·10^3 + unks —
+    // skip counts characters consumed by the last matched piece, so
+    // the lambda touches only its own element (no outer-column
+    // indexing inside the lambda: DuckDB 1.0 miscompiles captured
+    // list indexing under parallel list_reduce — observed
+    // nondeterminism — and Spark HOFs re-evaluate captured subtrees
+    // per element anyway)
+    val folded = dense.select(col("tok"), col("tok_len"),
+      aggregate(col("bl"), lit(0L), (s, b) =>
+        when(s >= 1000000L, s - 1000000L)
+          .when(b > 0, s + (b.cast("long") - 1L) * 1000000L + 1000L)
+          .otherwise(s + 1001L)).as("st"))
+    folded.select(col("tok"), col("tok_len"),
+      ((col("st") % 1000000L) / 1000L).cast("long").as("n_pieces"),
+      (col("st") % 1000L).cast("long").as("n_unk"))
+  }
+
+  /** Per-document encode statistics: join the encoded distinct-token
+    * dimension back to token occurrences and sum — (doc_id, n_tokens,
+    * n_chars, n_pieces, n_unk). Integer-only output. */
+  def encodeStats(df: DataFrame, idCol: String, textCol: String,
+      vocabDf: DataFrame): DataFrame = {
+    // the 900-char token cap protects the BIGINT state packing
+    // (pieces/unks ≤ 900 < 1000 per token); a "token" longer than
+    // 900 chars is not natural language and is excluded from the
+    // stats rather than silently mis-packed (cap mirrored in the
+    // oracle)
+    val occ = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) > 0 && length(col("tok")) <= 900)
+    val encoded = encodeTokens(occ.select(col("tok")).distinct(),
+      vocabDf)
+    occ.join(encoded, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("tok_len")).as("n_chars"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("n_unk")).as("n_unk"))
+  }
+}

@@ -509,7 +509,80 @@ object LlmQueries2 {
       (s, d) =>
         graft.llmops.TextOps
           .bpeCompressionBySource(t(s, d, "documents"), "text", "source", 4)
-          .orderBy(col("source")))
+          .orderBy(col("source"))),
+
+    // Tokenizer APPLICATION: greedy longest-match (WordPiece max-
+    // munch) encode of every document against the corpus-learned
+    // piece vocabulary (top-256 words + single chars of the top-1000
+    // words; rarer chars fall to UNK). q196 learns merges, q197
+    // scores them on the vocabulary — this is the per-document encode
+    // pass, run RELATIONALLY: distinct tokens encode once (longest
+    // match at a position = substr equi-join over piece lengths +
+    // argmax; the greedy walk = one integer fold with BIGINT-packed
+    // state), then the dimension joins back to occurrences. Integer-
+    // only output. The 900-char token cap protects the state packing
+    // and is mirrored here.
+    QueryDef(
+      "q280_wordpiece_stats",
+      Some("""
+        WITH occ0 AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+                      FROM documents),
+        occ AS (SELECT doc_id, tok FROM occ0
+                WHERE len(tok) > 0 AND len(tok) <= 900),
+        counts AS (SELECT tok, count(*) AS c FROM occ0
+                   WHERE len(tok) > 0 GROUP BY 1),
+        rk AS (SELECT tok, c,
+                      row_number() OVER (ORDER BY c DESC, tok) AS rk
+               FROM counts),
+        words AS (SELECT tok AS piece FROM rk
+                  WHERE rk <= 256 AND len(tok) <= 20),
+        chars AS (SELECT DISTINCT t AS piece FROM
+                    (SELECT unnest(list_transform(range(1, len(tok)+1),
+                              i -> tok[i:i])) AS t
+                     FROM rk WHERE rk <= 1000)),
+        voc AS (SELECT DISTINCT piece, len(piece) AS piece_len FROM
+                  (SELECT piece FROM words UNION SELECT piece FROM chars)),
+        lens AS (SELECT DISTINCT piece_len FROM voc),
+        toks AS (SELECT DISTINCT tok FROM occ),
+        probes AS (SELECT t.tok, len(t.tok) AS tok_len,
+                          CAST(r.p AS BIGINT) AS pos, l.piece_len,
+                          t.tok[r.p:r.p+l.piece_len-1] AS sub
+                   FROM toks t, unnest(range(1, len(t.tok)+1)) r(p),
+                        lens l
+                   WHERE r.p + l.piece_len - 1 <= len(t.tok)),
+        best AS (SELECT pr.tok, pr.pos, max(pr.piece_len) AS bl
+                 FROM probes pr JOIN voc v ON pr.sub = v.piece
+                 GROUP BY 1, 2),
+        posrows AS (SELECT t.tok, len(t.tok) AS tok_len,
+                           CAST(r.p AS BIGINT) AS pos
+                    FROM toks t, unnest(range(1, len(t.tok)+1)) r(p)),
+        blarr AS (SELECT pr.tok, pr.tok_len,
+                         list(coalesce(b.bl, 0) ORDER BY pr.pos) AS bl
+                  FROM posrows pr
+                  LEFT JOIN best b ON b.tok = pr.tok AND b.pos = pr.pos
+                  GROUP BY 1, 2),
+        fold AS (SELECT tok, tok_len,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(bl, x -> CAST(x AS BIGINT))),
+                     (s, b) -> CASE WHEN s >= 1000000
+                                    THEN s - 1000000
+                                    WHEN b > 0
+                                    THEN s + (b-1)*1000000 + 1000
+                                    ELSE s + 1001 END) AS st
+                 FROM blarr),
+        enc AS (SELECT tok, tok_len, (st % 1000000) // 1000 AS n_pieces,
+                       st % 1000 AS n_unk
+                FROM fold)
+        SELECT o.doc_id, count(*) AS n_tokens,
+               CAST(sum(e.tok_len) AS BIGINT) AS n_chars,
+               CAST(sum(e.n_pieces) AS BIGINT) AS n_pieces,
+               CAST(sum(e.n_unk) AS BIGINT) AS n_unk
+        FROM occ o JOIN enc e USING (tok) GROUP BY 1"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.llmops.Tokenize.encodeStats(docs, "doc_id", "text",
+          graft.llmops.Tokenize.vocab(docs, "text"))
+      })
   )
 
   /** DuckDB BPE training oracle for `k` merges: per-iteration CTE

@@ -72,4 +72,44 @@ class BpeSpec extends AnyFunSuite {
     assert(got.length == 1)
     assert(got.head.getString(1) == "a" && got.head.getString(2) == "b")
   }
+
+  test("wordpiece encodeTokens: greedy longest match, UNK consumes " +
+    "one char, chars partition exactly") {
+    import spark.implicits._
+    val vocab = Seq("abc", "ab", "c", "a", "b", "x")
+      .toDF("piece")
+      .select(org.apache.spark.sql.functions.col("piece"),
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("piece")).as("piece_len"))
+    val toks = Seq("abcab", "abq", "q", "xabcx").toDF("tok")
+    val got = graft.llmops.Tokenize.encodeTokens(toks, vocab)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got("abcab") == ((5, 2L, 0L))) // abc + ab (longest first)
+    assert(got("abq") == ((3, 2L, 1L)))   // ab + UNK(q)
+    assert(got("q") == ((1, 1L, 1L)))     // pure UNK
+    assert(got("xabcx") == ((5, 3L, 0L))) // x + abc + x
+  }
+
+  test("wordpiece encodeStats + learned vocab: end-to-end on the " +
+    "hand-derived fixture (rare chars fall to UNK)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world hello xq"),
+      (2L, "hello hello world"),
+      (3L, "zz top")).toDF("doc_id", "text")
+    // top-2 words {hello, world}; chars from top-3 tokens
+    // {h,e,l,o,w,r,d,t,p} — x, q, z are all UNK
+    val v = graft.llmops.Tokenize.vocab(docs, "text", topWords = 2,
+      charWords = 3)
+    val got = graft.llmops.Tokenize
+      .encodeStats(docs, "doc_id", "text", v)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((4L, 17L, 5L, 2L))) // hello,world,hello + xq=2 UNK
+    assert(got(2L) == ((3L, 15L, 3L, 0L)))
+    assert(got(3L) == ((2L, 5L, 5L, 2L)))  // zz=2 UNK, top=t+o+p
+  }
 }
