@@ -453,6 +453,46 @@ object EvalQueries {
         Privacy.dpNoisyCounts(t(s, d, "documents"),
           Seq("lang", "source"), "dp1")),
 
+    // DP noisy histogram — q276's mechanism over q78's per-(lang,
+    // log2-token-bucket) length histogram, the second artifact every
+    // release ships (distribution shape, not just class totals). Same
+    // integer-only geometric noise keyed per (class, salt); sparse
+    // tail buckets land under the suppression floor, which is the
+    // mechanism working as intended.
+    QueryDef(
+      "q281_dp_noisy_histogram",
+      Some("""
+        WITH b AS (SELECT lang,
+                     CAST(len(string_split(text,' ')) AS BIGINT) AS nt
+                   FROM documents),
+        cls AS (SELECT lang,
+                       CAST(length(bin(nt)) - 1 AS INT) AS bucket,
+                       count(*) AS n_true
+                FROM b GROUP BY 1, 2),
+        h AS (SELECT lang, bucket, n_true,
+                ('0x'||substr(md5(lang || '|' || bucket || '|dph1'),
+                              1, 15))::BIGINT AS hh
+              FROM cls),
+        g AS (SELECT lang, bucket, n_true,
+                (len(bin((hh & 1073741823) + 1073741824))
+                 - len(rtrim(bin((hh & 1073741823) + 1073741824), '0')))
+                - (len(bin((hh >> 30) + 1073741824))
+                   - len(rtrim(bin((hh >> 30) + 1073741824), '0')))
+                  AS noise
+              FROM h)
+        SELECT lang, bucket, n_true, noise,
+               n_true + noise AS n_noisy,
+               (n_true + noise) < 5 AS suppressed,
+               CASE WHEN (n_true + noise) >= 5
+                    THEN n_true + noise END AS n_released
+        FROM g"""),
+      (s, d) =>
+        Privacy.dpNoisyCounts(
+          t(s, d, "documents").select(col("lang"),
+            (length(bin(size(TextOps.tokens(col("text")))
+              .cast("long"))) - 1).cast("int").as("bucket")),
+          Seq("lang", "bucket"), "dph1")),
+
     // Effective sample size of the DSIR importance weights (q234's
     // output read as a sampling design): ESS = (Σw)²/Σw² — the
     // number of equally-weighted docs the weighted corpus is worth —

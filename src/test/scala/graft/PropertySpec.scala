@@ -1386,4 +1386,97 @@ class PropertySpec extends AnyFunSuite {
     assert(run(rows.reverse) == fwd)
     assert(run(rows.sortBy(_._4)) == fwd)
   }
+
+  test("containedDropList = brute-force drop rule on random corpora " +
+    "with planted quotes and exact twins") {
+    val word: Gen[String] = Gen.choose(0, 29).map(i => s"w$i")
+    val docGen: Gen[Seq[String]] =
+      Gen.choose(6, 20).flatMap(n => Gen.listOfN(n, word))
+    (1 to 4).foreach { round =>
+      val bases = samples(docGen, 12).zipWithIndex.map {
+        case (ws, i) => (i.toLong, ws)
+      }
+      // plant: quotes (slices of base docs), one exact twin
+      val quotes = bases.take(4).zipWithIndex.map { case ((_, ws), j) =>
+        val len = math.max(5, ws.length - 2 - j)
+        (100L + j, ws.take(len))
+      }
+      val twin = Seq((200L, bases.head._2))
+      val docs = (bases ++ quotes ++ twin)
+        .map { case (id, ws) => (id, ws.mkString(" ")) }
+      // brute force, on shingle STRINGS (hash60 is injective here)
+      def sh(t: String): Set[String] = {
+        val w = t.split(" ")
+        if (w.length < 3) Set.empty
+        else w.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val keepers = docs.groupBy(_._2).values.map(_.map(_._1).min).toSet
+      val kdocs = docs.filter(d => keepers(d._1))
+      val sets = kdocs.map { case (id, t) => id -> sh(t) }.toMap
+      val elig = sets.filter(_._2.size >= 5)
+      val edges = for {
+        (x, sx) <- elig.toSeq; (y, sy) <- elig.toSeq
+        if x != y && (sx & sy).size.toDouble / sx.size >= 0.9
+      } yield (x, y)
+      val eset = edges.toSet
+      val drops = edges
+        .filter { case (x, y) => !eset((y, x)) || x > y }
+        .groupBy(_._1).map { case (x, es) => x -> es.size.toLong }
+      val expected = kdocs.map { case (id, _) =>
+        (id, drops.getOrElse(id, 0L), !drops.contains(id))
+      }.toSet
+      val got = TextOps
+        .containedDropList(docs.toDF("doc_id", "text"), "doc_id",
+          "text")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+      assert(got == expected, s"round $round")
+    }
+  }
+
+  test("contaminationCurve = brute-force per-n overlap on random " +
+    "corpora with planted eval slices") {
+    val word: Gen[String] = Gen.choose(0, 29).map(i => s"w$i")
+    val docGen: Gen[Seq[String]] =
+      Gen.choose(4, 18).flatMap(n => Gen.listOfN(n, word))
+    val ns = Seq(3, 5, 8, 13)
+    (1 to 3).foreach { round =>
+      val evalDocs = samples(docGen, 2).zipWithIndex.map {
+        case (ws, i) => (900L + i, ws, "src0")
+      }
+      val train0 = samples(docGen, 10).zipWithIndex.map {
+        case (ws, i) => (i.toLong, ws, "src1")
+      }
+      // plant eval slices of varying width into some train docs
+      val planted = train0.take(3).zipWithIndex.map {
+        case ((id, ws, s), j) =>
+          val src = evalDocs(j % evalDocs.size)._2
+          val slice = src.take(math.max(3, src.length - 2 * j))
+          (id + 500L, ws.take(3) ++ slice ++ ws.drop(3), s)
+      }
+      val all = train0 ++ planted ++ evalDocs
+      def grams(ws: Seq[String], n: Int): Set[String] =
+        if (ws.length < n) Set.empty
+        else ws.sliding(n).map(_.mkString(" ")).toSet
+      val expected = ns.map { n =>
+        val esh = evalDocs.flatMap(d => grams(d._2, n)).toSet
+        val tr = (train0 ++ planted).map(d => grams(d._2, n))
+          .filter(_.nonEmpty)
+        val nc = tr.count(s => (s & esh).nonEmpty).toLong
+        (n, esh.size.toLong, tr.size.toLong, nc,
+          if (tr.nonEmpty) nc.toDouble / tr.size else 0.0)
+      }.filter(_._3 > 0L).toSet
+      val df = all.map { case (id, ws, s) => (id, ws.mkString(" "), s) }
+        .toDF("doc_id", "text", "source")
+      val got = TextOps
+        .contaminationCurve(df.filter(col("source") =!= "src0"),
+          df.filter(col("source") === "src0"), "doc_id", "text", ns)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(got == expected, s"round $round")
+    }
+  }
 }
