@@ -68,9 +68,19 @@ object Privacy {
     * the calibration view this query is — a production release
     * projects them away. */
   def dpNoisyCounts(df: DataFrame, keyCols: Seq[String], salt: String,
-      minRelease: Long = 5L): DataFrame = {
-    val cls = df.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n_true"))
+      minRelease: Long = 5L): DataFrame =
+    dpNoisyFromCounts(
+      df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n_true")),
+      keyCols, salt, minRelease)
+
+  /** [[dpNoisyCounts]] over an ALREADY-aggregated class table
+    * (`keyCols` + `n_true`) — the form an incrementally-maintained
+    * count store publishes through (`Streams.noisyClassCounts`).
+    * Because the noise is keyed by (class, salt) only, the noisy view
+    * over streamed counts is bit-identical to the batch release over
+    * the same data — the law StreamingSpec pins. */
+  def dpNoisyFromCounts(cls: DataFrame, keyCols: Seq[String],
+      salt: String, minRelease: Long = 5L): DataFrame = {
     val key = concat_ws("|", keyCols.map(col) :+ lit(salt): _*)
     cls
       .withColumn("noise", geometricNoise(key))

@@ -733,6 +733,60 @@ object Streams {
             max(col("max_score")).as("max_score"))
     }
 
+  /** Streaming class-count store: exact per-class counts maintained
+    * additively under the in-store batch ledger (counts are NOT
+    * idempotent under replay — same exactly-once argument as the
+    * score-band store). The class table is release-metadata-sized
+    * (the boundedness guard enforces it), so the merge is one tiny
+    * union+agg per micro-batch. Exists to feed
+    * [[noisyClassCounts]] — the DP release view — but the exact
+    * store is the general building block (any per-class tally). */
+  def toClassCountsStore(stream: DataFrame, keyCols: Seq[String],
+      storeDir: String, checkpoint: String,
+      maxRows: Long = DefaultMaxStoreRows): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          mergeClassCountsBatch(batch.sparkSession, storeDir,
+            batch.groupBy(keyCols.map(col): _*)
+              .agg(count(lit(1)).as("n_true")),
+            batchId, keyCols, maxRows)
+      }
+      .start()
+
+  /** One exactly-once merge cycle of [[toClassCountsStore]] (data
+    * subdir: `counts`), factored for spec-driven replays. */
+  private[graft] def mergeClassCountsBatch(spark: SparkSession,
+      storeDir: String, counts: DataFrame, batchId: Long,
+      keyCols: Seq[String],
+      maxRows: Long = DefaultMaxStoreRows): Unit =
+    upsertLedgeredStore(spark, storeDir, counts, batchId, "counts",
+      maxRows, "keyCols cardinality is not class-table-sized") {
+      (cur, b) =>
+        cur.unionByName(b)
+          .groupBy(keyCols.map(col): _*)
+          .agg(sum(col("n_true")).as("n_true"))
+    }
+
+  /** DP noisy release view over a [[toClassCountsStore]] store —
+    * ε=ln2 geometric noise keyed per (class, `salt`). One salt per
+    * RELEASE epoch: re-reading under the same salt republishes
+    * byte-identical numbers (free), a fresh salt costs a fresh ε
+    * (sequential composition, kε over k releases) — the caller owns
+    * that budget, which is why the salt is an explicit argument and
+    * never derived from the batch id (per-batch noise would average
+    * out under a long stream). Because noise depends only on
+    * (class, salt), this view over streamed counts is bit-identical
+    * to `Privacy.dpNoisyCounts` over the same rows in one batch. */
+  def noisyClassCounts(spark: SparkSession, storeDir: String,
+      keyCols: Seq[String], salt: String,
+      minRelease: Long = 5L): DataFrame =
+    graft.llmops.Privacy.dpNoisyFromCounts(
+      spark.read.parquet(s"$storeDir/counts"), keyCols, salt,
+      minRelease)
+
   /** Streaming conformal recalibration (the live form of
     * Drift.conformalCoverage's calibration side): per micro-batch,
     * extract the deterministic hash-split calibration slice, reduce

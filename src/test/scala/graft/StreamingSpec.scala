@@ -526,6 +526,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon().map(_._3).sum == 4L)
   }
 
+  test("toClassCountsStore: exactly-once additive counts; " +
+    "noisyClassCounts ≡ the one-shot DP release over the same rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-classcounts").toString
+    val store = s"$dir/store"
+    val keys = Seq("lang", "source")
+    def cnts(rows: Seq[(String, String)]) =
+      rows.toDF("lang", "source")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_true"))
+    val b0 = Seq(("en", "s1"), ("en", "s1"), ("de", "s2"))
+    val b1 = Seq(("en", "s1"), ("fr", "s3"))
+    Streams.mergeClassCountsBatch(spark, store, cnts(b0), 0L, keys)
+    Streams.mergeClassCountsBatch(spark, store, cnts(b1), 1L, keys)
+    def canon() = spark.read.parquet(s"$store/counts").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val clean = canon()
+    assert(clean ==
+      Seq(("de", "s2", 1L), ("en", "s1", 3L), ("fr", "s3", 1L)))
+    // replay BOTH epochs — the ledger makes them no-ops
+    Streams.mergeClassCountsBatch(spark, store, cnts(b0), 0L, keys)
+    Streams.mergeClassCountsBatch(spark, store, cnts(b1), 1L, keys)
+    assert(canon() == clean)
+    // the DP view over streamed counts is bit-identical to the
+    // one-shot release over the concatenated raw rows (noise is
+    // keyed by class + salt only)
+    def rel(salt: String) = Streams
+      .noisyClassCounts(spark, store, keys, salt, minRelease = 2L)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val oneShot = graft.llmops.Privacy
+      .dpNoisyCounts((b0 ++ b1).toDF("lang", "source"), keys,
+        "rel-1", minRelease = 2L)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(rel("rel-1") == oneShot)
+    // same salt re-read = byte-identical republish (costs no budget)
+    assert(rel("rel-1") == oneShot)
+    // a fresh salt is a fresh draw; mechanism invariants hold per row
+    Streams.noisyClassCounts(spark, store, keys, "rel-2", 2L)
+      .collect().foreach { r =>
+        val (nTrue, noise, nNoisy) =
+          (r.getLong(2), r.getLong(3), r.getLong(4))
+        assert(nNoisy == nTrue + noise)
+        assert(r.getBoolean(5) == (nNoisy < 2L))
+        assert(r.isNullAt(6) == r.getBoolean(5))
+      }
+  }
+
   test("toConformalStore: streamed threshold ≡ one-shot calibration " +
     "over the same rows") {
     import spark.implicits._
