@@ -493,6 +493,48 @@ object EvalQueries {
               .cast("long"))) - 1).cast("int").as("bucket")),
           Seq("lang", "bucket"), "dph1")),
 
+    // k-anonymization by ladder generalization — the RELEASE op that
+    // fixes what q247's audit flags: each customer's balance band is
+    // coarsened down the 1000/2000/4000/8000 ladder (then dropped
+    // entirely) until its (nation, segment, band) class reaches k=5;
+    // rows whose bandless class is still sub-k are suppressed —
+    // generalize-then-suppress, per-row finest-passing-level. One
+    // 5-way row-local fan-out + ONE spillable window count + a
+    // min-agg; no self-join of the row table.
+    QueryDef(
+      "q282_k_generalize",
+      Some("""
+        WITH lv AS (SELECT * FROM (VALUES (0, 1000), (1, 2000),
+                      (2, 4000), (3, 8000), (4, NULL))
+                    t(level, divisor)),
+        rl AS (SELECT c_custkey, c_nationkey AS nation,
+                      c_mktsegment AS segment, lv.level,
+                      CASE WHEN lv.divisor IS NOT NULL
+                           THEN CAST(floor(c_acctbal /
+                                  CAST(lv.divisor AS DOUBLE)) AS BIGINT)
+                      END AS band
+               FROM customer CROSS JOIN lv),
+        sz AS (SELECT *, count(*) OVER (PARTITION BY level, nation,
+                                        segment, band) AS class_size
+               FROM rl),
+        p AS (SELECT * FROM sz WHERE class_size >= 5),
+        f AS (SELECT c_custkey, min(level) AS level FROM p GROUP BY 1),
+        sel AS (SELECT p.c_custkey, p.level, p.band, p.class_size
+                FROM p JOIN f ON p.c_custkey = f.c_custkey
+                             AND p.level = f.level)
+        SELECT c.c_custkey, c.c_nationkey AS nation,
+               c.c_mktsegment AS segment,
+               COALESCE(sel.level, 5) AS level, sel.band AS band,
+               COALESCE(sel.class_size, 0) AS class_size,
+               sel.class_size IS NULL AS suppressed
+        FROM customer c LEFT JOIN sel ON c.c_custkey = sel.c_custkey"""),
+      (s, d) =>
+        Privacy.kAnonymizeBands(
+          t(s, d, "customer").select(col("c_custkey"),
+            col("c_nationkey").as("nation"),
+            col("c_mktsegment").as("segment"), col("c_acctbal")),
+          "c_custkey", Seq("nation", "segment"), "c_acctbal")),
+
     // Effective sample size of the DSIR importance weights (q234's
     // output read as a sampling design): ESS = (Σw)²/Σw² — the
     // number of equally-weighted docs the weighted corpus is worth —

@@ -75,4 +75,38 @@ class PrivacySpec extends AnyFunSuite {
     val b = run("dp2")
     assert(a.map(_._3).toSeq != b.map(_._3).toSeq)
   }
+
+  test("kAnonymizeBands: finest passing level per row, band dropped " +
+    "at the ladder end, sub-k bandless classes suppressed") {
+    import spark.implicits._
+    val rows =
+      // A: 6 rows in one fine band → released at level 0
+      (1L to 6L).map(i => (i, "n1", "s1", 100.0 * i)) ++
+        // B: split 3/2 across fine bands, united at divisor 2000
+        Seq((11L, "n1", "s2", 500.0), (12L, "n1", "s2", 510.0),
+          (13L, "n1", "s2", 520.0), (14L, "n1", "s2", 1500.0),
+          (15L, "n1", "s2", 1510.0)) ++
+        // C: 2 rows — below k even bandless → suppressed
+        Seq((21L, "n2", "s1", 100.0), (22L, "n2", "s1", 200.0)) ++
+        // D: 5 rows spread so every banded level splits them → the
+        // bandless rung catches the class exactly at k
+        Seq((31L, "n3", "s1", 100.0), (32L, "n3", "s1", 9000.0),
+          (33L, "n3", "s1", 17000.0), (34L, "n3", "s1", 25000.0),
+          (35L, "n3", "s1", 33000.0))
+    val got = Privacy
+      .kAnonymizeBands(rows.toDF("id", "nation", "segment", "bal"),
+        "id", Seq("nation", "segment"), "bal")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5), r.getBoolean(6)))).toMap
+    (1L to 6L).foreach(i =>
+      assert(got(i) == ((0, Some(0L), 6L, false)), s"A row $i"))
+    Seq(11L, 12L, 13L, 14L, 15L).foreach(i =>
+      assert(got(i) == ((1, Some(0L), 5L, false)), s"B row $i"))
+    Seq(21L, 22L).foreach(i =>
+      assert(got(i) == ((5, None, 0L, true)), s"C row $i"))
+    Seq(31L, 32L, 33L, 34L, 35L).foreach(i =>
+      assert(got(i) == ((4, None, 5L, false)), s"D row $i"))
+  }
 }
