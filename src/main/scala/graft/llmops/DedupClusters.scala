@@ -27,8 +27,22 @@ object DedupClusters {
     * barrier for a guaranteed "not converged". Correctness is
     * unaffected: propagation is monotone and idempotent, extra rounds
     * are no-ops. */
+  /** `shortcut`: pointer jumping — each round additionally folds in
+    * `label(label(u))` (one extra self-join of the label table per
+    * round). Labels only ever move to smaller ids of the SAME
+    * component (neighbor-min keeps them component-internal, and a
+    * label's own label is too), so the fixpoint is unchanged; the
+    * round count drops from O(diameter) to ~O(log diameter) — the
+    * escape hatch for deep chain-shaped duplicate graphs (scraped
+    * page series, incremental re-crawls) where near-dup banding's
+    * star fallback cannot bound the diameter. Off by default: dedup
+    * clusters are dense (diameter ≲ 4) and the extra join per round
+    * costs more than it saves there. OpsSpec pins a 64-node path
+    * converging inside the default budget with shortcutting where
+    * plain min-label (needing 63 rounds) is loudly split. */
   def components(pairs: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 10, probeAfter: Int = 2): DataFrame = {
+      maxIters: Int = 10, probeAfter: Int = 2,
+      shortcut: Boolean = false): DataFrame = {
     // pre-partition the (reused-every-round) edge list on the join key:
     // the cached plan keeps its outputPartitioning, so each round's join
     // only shuffles the labels side — at corpus scale the edge shuffle,
@@ -78,12 +92,30 @@ object DedupClusters {
       // snapshots can linger until the ContextCleaner GCs them; the
       // label table is nodes-with-edges sized, a small corpus
       // fraction, and the bound is explicit rather than hidden.)
-      val nextPlan = labels
+      val propagated = labels
         .join(neighborMin, labels("node") === neighborMin("src"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label")))
             .as("label"),
           (col("nmin") < col("label")).as("chg"))
+      val nextPlan =
+        if (!shortcut) propagated
+        else {
+          // pointer jump: label(u) ← min(label(u), label(label(u))).
+          // The parent side re-reads `propagated` — both sides come
+          // off the same about-to-be-materialized plan, and the join
+          // is labels-sized on the label key.
+          val parents = propagated
+            .select(col("node").as("p_node"), col("label").as("p_label"))
+          propagated
+            .join(parents, col("label") === col("p_node"), "left")
+            .select(col("node"),
+              least(col("label"), coalesce(col("p_label"), col("label")))
+                .as("label"),
+              (col("chg") ||
+                coalesce(col("p_label") < col("label"), lit(false)))
+                .as("chg"))
+        }
       // Reliable checkpoint under graft.checkpoint.reliable OR when
       // the session already has a checkpoint dir (fault-tolerant:
       // blocks survive executor loss — the right choice on a

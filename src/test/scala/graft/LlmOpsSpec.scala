@@ -523,6 +523,22 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("components shortcut: a 64-node path converges inside the " +
+    "default round budget where plain min-label is loudly split") {
+    import spark.implicits._
+    // diameter 63 — plain propagation needs 63 rounds; pointer
+    // jumping roughly doubles the reach per round
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val plain = graft.llmops.DedupClusters
+      .components(pairs, "a", "b") // maxIters = 10 → split (warned)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plain.values.exists(_ != 0L), "10 rounds cannot close d=63")
+    val jumped = graft.llmops.DedupClusters
+      .components(pairs, "a", "b", shortcut = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(jumped.size == 64 && jumped.values.forall(_ == 0L))
+  }
+
   test("llmops operators are total on empty inputs") {
     val docs = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
     assert(TextOps.ngramJaccardPairs(docs, "doc_id", "text").count() == 0)

@@ -312,6 +312,12 @@ class PropertySpec extends AnyFunSuite {
         .components(edges.toDF("a", "b"), "a", "b", maxIters = 25)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == canon, s"edges=$edges")
+      // pointer jumping reaches the identical fixpoint
+      val jumped = graft.llmops.DedupClusters
+        .components(edges.toDF("a", "b"), "a", "b", maxIters = 25,
+          shortcut = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(jumped == canon, s"shortcut, edges=$edges")
     }
   }
 
