@@ -1107,9 +1107,16 @@ object TextOps {
         struct(lit(n).as("n"),
           shingleHashes(col(textCol), n).as("arr"))): _*)).as("s"))
       .select(col(idCol), col("s.n").as("n"), col("s.arr").as("arr"))
-    val evalSh = tagged(eval)
-      .select(col("n").as("en"), explode(col("arr")).as("esh"))
-      .distinct()
+    // benchmark-sized; barrier'd — consumed by the count AND the
+    // probe, and the checkpoint keeps the eval scan + distinct out
+    // of both consumers' plans
+    val evalSh = {
+      import graft.core.Checkpoints.BarrierOps
+      tagged(eval)
+        .select(col("n").as("en"), explode(col("arr")).as("esh"))
+        .distinct()
+        .barrier()
+    }
     val evalCounts = evalSh.groupBy(col("en").as("n"))
       .agg(count(lit(1)).as("n_eval_shingles"))
     val trainTagged = tagged(train).filter(size(col("arr")) > 0)
@@ -1121,9 +1128,11 @@ object TextOps {
         col("n") === col("en") && col("sh") === col("esh"), "left_semi")
       .select(col(idCol), col("n")).distinct()
       .groupBy(col("n")).agg(count(lit(1)).as("n_contaminated"))
+    // the three summaries are |ns|-row class tables — broadcast the
+    // join sides so the report assembly adds zero exchanges
     trainDocs
-      .join(evalCounts, Seq("n"), "left")
-      .join(contaminated, Seq("n"), "left")
+      .join(broadcast(evalCounts), Seq("n"), "left")
+      .join(broadcast(contaminated), Seq("n"), "left")
       .select(col("n"),
         coalesce(col("n_eval_shingles"), lit(0L)).as("n_eval_shingles"),
         col("n_train_docs"),
