@@ -209,6 +209,30 @@ object JobRunner {
   val lakeJobs
       : Map[String, (SparkSession, Map[String, String]) => DataFrame] =
     Map(
+      // tokenizer encode pass: learn (or load) the wordpiece vocab,
+      // optionally freeze it, and ship per-doc encode stats — or the
+      // per-group fertility report with --group-col (q280/q283 as a
+      // job; freeze once with --save-vocab, apply often with
+      // --in-vocab, the lm_score_apply pattern)
+      "wordpiece_encode" -> ((s, o) => {
+        val in = o.getOrElse("in-docs",
+          sys.error("--in-docs required for wordpiece_encode"))
+        val docs = s.read.parquet(in)
+        val id = o.getOrElse("id-col", "doc_id")
+        val tc = o.getOrElse("text-col", "text")
+        val voc = o.get("in-vocab").map(p => s.read.parquet(p))
+          .getOrElse(graft.llmops.Tokenize.vocab(docs, tc,
+            o.get("top-words").map(_.toInt).getOrElse(256),
+            o.get("char-words").map(_.toInt).getOrElse(1000)))
+        o.get("save-vocab").foreach(p =>
+          voc.write.mode("overwrite").parquet(p))
+        o.get("group-col") match {
+          case Some(g) => graft.llmops.Tokenize
+            .fertilityByGroup(docs, id, tc, g, voc)
+          case None => graft.llmops.Tokenize
+            .encodeStats(docs, id, tc, voc)
+        }
+      }),
       // rewrite a parquet store into ~target-bytes files (see
       // IO.compact for the exclusive-access contract)
       "compact_store" -> ((s, o) => {

@@ -147,4 +147,34 @@ object Tokenize {
         sum(col("n_pieces")).as("n_pieces"),
         sum(col("n_unk")).as("n_unk"))
   }
+
+  /** Per-group tokenizer fertility: pieces per word and chars per
+    * piece aggregated by `groupCol` (typically language) — the
+    * acceptance metric a vocab is judged on (a vocab learned on a
+    * skewed corpus fragments the minority groups; fertility is where
+    * that shows). Same encode dimension as [[encodeStats]],
+    * re-aggregated; n_pieces ≥ n_tokens ≥ 1 per emitted group, so
+    * the divisions are total. */
+  def fertilityByGroup(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, vocabDf: DataFrame): DataFrame = {
+    val occ = df
+      .select(col(idCol), col(groupCol),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) > 0 && length(col("tok")) <= 900)
+    val encoded = encodeTokens(occ.select(col("tok")).distinct(),
+      vocabDf)
+    occ.join(encoded, Seq("tok"))
+      .groupBy(col(groupCol))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("tok_len")).as("n_chars"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("n_unk")).as("n_unk"))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        col("n_chars"), col("n_pieces"), col("n_unk"),
+        (col("n_pieces").cast("double") /
+          col("n_tokens").cast("double")).as("fertility"),
+        (col("n_chars").cast("double") /
+          col("n_pieces").cast("double")).as("chars_per_piece"))
+  }
 }

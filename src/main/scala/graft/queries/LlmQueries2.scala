@@ -17,6 +17,62 @@ object LlmQueries2 {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Tables.loadSpread(s, d, n)
 
+  /** DuckDB CTE chain replaying [[graft.llmops.Tokenize]]: learned
+    * vocab (top-256 words + chars of the top-1000), per-distinct-token
+    * greedy longest-match via the substr equi-join + capture-free
+    * integer fold, ending in `occ(doc_id, tok)` and
+    * `enc(tok, tok_len, n_pieces, n_unk)`. Shared by q280 (per-doc
+    * stats) and q283 (per-language fertility). */
+  private val dkWordpiece: String = """
+    occ0 AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+             FROM documents),
+    occ AS (SELECT doc_id, tok FROM occ0
+            WHERE len(tok) > 0 AND len(tok) <= 900),
+    counts AS (SELECT tok, count(*) AS c FROM occ0
+               WHERE len(tok) > 0 GROUP BY 1),
+    rk AS (SELECT tok, c,
+                  row_number() OVER (ORDER BY c DESC, tok) AS rk
+           FROM counts),
+    words AS (SELECT tok AS piece FROM rk
+              WHERE rk <= 256 AND len(tok) <= 20),
+    chars AS (SELECT DISTINCT t AS piece FROM
+                (SELECT unnest(list_transform(range(1, len(tok)+1),
+                          i -> tok[i:i])) AS t
+                 FROM rk WHERE rk <= 1000)),
+    voc AS (SELECT DISTINCT piece, len(piece) AS piece_len FROM
+              (SELECT piece FROM words UNION SELECT piece FROM chars)),
+    lens AS (SELECT DISTINCT piece_len FROM voc),
+    toks AS (SELECT DISTINCT tok FROM occ),
+    probes AS (SELECT t.tok, len(t.tok) AS tok_len,
+                      CAST(r.p AS BIGINT) AS pos, l.piece_len,
+                      t.tok[r.p:r.p+l.piece_len-1] AS sub
+               FROM toks t, unnest(range(1, len(t.tok)+1)) r(p),
+                    lens l
+               WHERE r.p + l.piece_len - 1 <= len(t.tok)),
+    best AS (SELECT pr.tok, pr.pos, max(pr.piece_len) AS bl
+             FROM probes pr JOIN voc v ON pr.sub = v.piece
+             GROUP BY 1, 2),
+    posrows AS (SELECT t.tok, len(t.tok) AS tok_len,
+                       CAST(r.p AS BIGINT) AS pos
+                FROM toks t, unnest(range(1, len(t.tok)+1)) r(p)),
+    blarr AS (SELECT pr.tok, pr.tok_len,
+                     list(coalesce(b.bl, 0) ORDER BY pr.pos) AS bl
+              FROM posrows pr
+              LEFT JOIN best b ON b.tok = pr.tok AND b.pos = pr.pos
+              GROUP BY 1, 2),
+    fold AS (SELECT tok, tok_len,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(bl, x -> CAST(x AS BIGINT))),
+                 (s, b) -> CASE WHEN s >= 1000000
+                                THEN s - 1000000
+                                WHEN b > 0
+                                THEN s + (b-1)*1000000 + 1000
+                                ELSE s + 1001 END) AS st
+             FROM blarr),
+    enc AS (SELECT tok, tok_len, (st % 1000000) // 1000 AS n_pieces,
+                   st % 1000 AS n_unk
+            FROM fold)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // TF-IDF-style top-3 terms per document. Score = tf * N / df as an
@@ -524,55 +580,8 @@ object LlmQueries2 {
     // and is mirrored here.
     QueryDef(
       "q280_wordpiece_stats",
-      Some("""
-        WITH occ0 AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
-                      FROM documents),
-        occ AS (SELECT doc_id, tok FROM occ0
-                WHERE len(tok) > 0 AND len(tok) <= 900),
-        counts AS (SELECT tok, count(*) AS c FROM occ0
-                   WHERE len(tok) > 0 GROUP BY 1),
-        rk AS (SELECT tok, c,
-                      row_number() OVER (ORDER BY c DESC, tok) AS rk
-               FROM counts),
-        words AS (SELECT tok AS piece FROM rk
-                  WHERE rk <= 256 AND len(tok) <= 20),
-        chars AS (SELECT DISTINCT t AS piece FROM
-                    (SELECT unnest(list_transform(range(1, len(tok)+1),
-                              i -> tok[i:i])) AS t
-                     FROM rk WHERE rk <= 1000)),
-        voc AS (SELECT DISTINCT piece, len(piece) AS piece_len FROM
-                  (SELECT piece FROM words UNION SELECT piece FROM chars)),
-        lens AS (SELECT DISTINCT piece_len FROM voc),
-        toks AS (SELECT DISTINCT tok FROM occ),
-        probes AS (SELECT t.tok, len(t.tok) AS tok_len,
-                          CAST(r.p AS BIGINT) AS pos, l.piece_len,
-                          t.tok[r.p:r.p+l.piece_len-1] AS sub
-                   FROM toks t, unnest(range(1, len(t.tok)+1)) r(p),
-                        lens l
-                   WHERE r.p + l.piece_len - 1 <= len(t.tok)),
-        best AS (SELECT pr.tok, pr.pos, max(pr.piece_len) AS bl
-                 FROM probes pr JOIN voc v ON pr.sub = v.piece
-                 GROUP BY 1, 2),
-        posrows AS (SELECT t.tok, len(t.tok) AS tok_len,
-                           CAST(r.p AS BIGINT) AS pos
-                    FROM toks t, unnest(range(1, len(t.tok)+1)) r(p)),
-        blarr AS (SELECT pr.tok, pr.tok_len,
-                         list(coalesce(b.bl, 0) ORDER BY pr.pos) AS bl
-                  FROM posrows pr
-                  LEFT JOIN best b ON b.tok = pr.tok AND b.pos = pr.pos
-                  GROUP BY 1, 2),
-        fold AS (SELECT tok, tok_len,
-                   list_reduce(list_prepend(CAST(0 AS BIGINT),
-                       list_transform(bl, x -> CAST(x AS BIGINT))),
-                     (s, b) -> CASE WHEN s >= 1000000
-                                    THEN s - 1000000
-                                    WHEN b > 0
-                                    THEN s + (b-1)*1000000 + 1000
-                                    ELSE s + 1001 END) AS st
-                 FROM blarr),
-        enc AS (SELECT tok, tok_len, (st % 1000000) // 1000 AS n_pieces,
-                       st % 1000 AS n_unk
-                FROM fold)
+      Some(s"""
+        WITH $dkWordpiece
         SELECT o.doc_id, count(*) AS n_tokens,
                CAST(sum(e.tok_len) AS BIGINT) AS n_chars,
                CAST(sum(e.n_pieces) AS BIGINT) AS n_pieces,
@@ -582,6 +591,35 @@ object LlmQueries2 {
         val docs = t(s, d, "documents")
         graft.llmops.Tokenize.encodeStats(docs, "doc_id", "text",
           graft.llmops.Tokenize.vocab(docs, "text"))
+      }),
+
+    // Tokenizer fertility by language — the acceptance metric a
+    // tokenizer choice is judged on: pieces per word and chars per
+    // piece, per language (a vocab learned on a corpus dominated by
+    // one language fragments the others; fertility is where that
+    // shows). Same encode dimension as q280, re-aggregated by the
+    // doc's language; integer sums + two IEEE divisions.
+    QueryDef(
+      "q283_wordpiece_fertility",
+      Some(s"""
+        WITH $dkWordpiece,
+        lg AS (SELECT doc_id, lang FROM documents)
+        SELECT lg.lang, count(DISTINCT o.doc_id) AS n_docs,
+               count(*) AS n_tokens,
+               CAST(sum(e.tok_len) AS BIGINT) AS n_chars,
+               CAST(sum(e.n_pieces) AS BIGINT) AS n_pieces,
+               CAST(sum(e.n_unk) AS BIGINT) AS n_unk,
+               CAST(sum(e.n_pieces) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS fertility,
+               CAST(sum(e.tok_len) AS DOUBLE)
+                 / CAST(sum(e.n_pieces) AS DOUBLE) AS chars_per_piece
+        FROM occ o JOIN enc e USING (tok)
+        JOIN lg ON lg.doc_id = o.doc_id
+        GROUP BY 1"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.llmops.Tokenize.fertilityByGroup(docs, "doc_id", "text",
+          "lang", graft.llmops.Tokenize.vocab(docs, "text"))
       })
   )
 

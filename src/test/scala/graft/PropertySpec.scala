@@ -321,6 +321,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("wordpiece encodeTokens = brute-force greedy max-munch on " +
+    "random vocabs (UNK where no piece matches)") {
+    val piece: Gen[String] = Gen.choose(1, 4)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')))
+      .map(_.mkString)
+    val tokGen: Gen[String] = Gen.choose(1, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')))
+      .map(_.mkString)
+    (1 to 3).foreach { round =>
+      val pieces = samples(piece, 15).distinct
+      val toks = samples(tokGen, 30).distinct
+      def brute(t: String): (Long, Long) = {
+        var i = 0; var p = 0L; var u = 0L
+        while (i < t.length) {
+          val hit = pieces.filter(t.startsWith(_, i))
+            .map(_.length).sorted.lastOption
+          hit match {
+            case Some(l) => p += 1; i += l
+            case None => p += 1; u += 1; i += 1
+          }
+        }
+        (p, u)
+      }
+      val vocabDf = pieces.toDF("piece")
+        .select(col("piece"), length(col("piece")).as("piece_len"))
+      val got = graft.llmops.Tokenize
+        .encodeTokens(toks.toDF("tok"), vocabDf)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      toks.foreach(t =>
+        assert(got(t) == brute(t), s"round $round tok=$t"))
+    }
+  }
+
   test("native simhash_fold == composed per-bit HOF form, 16 and 60 bit") {
     val doc = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n,
       Gen.oneOf("a", "b", "c", "d", "e", "ff", "gg")))

@@ -358,6 +358,38 @@ class RunnerSpec extends AnyFunSuite {
     assert(cc(5)._1 == 41L && cc(8)._1 == 40L)
   }
 
+  test("JobRunner: wordpiece_encode freezes a vocab, applies it to a " +
+    "fresh corpus, and ships the fertility report with --group-col") {
+    val dir = Files.createTempDirectory("graft-runner-wp").toString
+    val s0 = graft.core.Sessions.local(4, "graft-runner-test")
+    import s0.implicits._
+    Seq((1L, "hello world", "en"), (2L, "hello world", "en"))
+      .toDF("doc_id", "text", "lang").write.parquet(s"$dir/a")
+    Seq((9L, "hello zzz", "en"))
+      .toDF("doc_id", "text", "lang").write.parquet(s"$dir/b")
+    // learn + freeze on corpus A (vocab: hello, world + their chars)
+    val statsA = JobRunner.lakeJobs("wordpiece_encode")(s0,
+      Map("in-docs" -> s"$dir/a", "save-vocab" -> s"$dir/voc"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(statsA(1L) == ((2L, 10L, 2L, 0L))) // two whole-word pieces
+    // apply the FROZEN vocab to corpus B: hello = 1 piece; zzz has no
+    // piece and no chars in the vocab -> 3 UNKs
+    val statsB = JobRunner.lakeJobs("wordpiece_encode")(s0,
+      Map("in-docs" -> s"$dir/b", "in-vocab" -> s"$dir/voc"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(statsB(9L) == ((2L, 8L, 4L, 3L)))
+    // fertility report by language over corpus B
+    val fert = JobRunner.lakeJobs("wordpiece_encode")(s0,
+      Map("in-docs" -> s"$dir/b", "in-vocab" -> s"$dir/voc",
+        "group-col" -> "lang")).collect()
+    assert(fert.length == 1 && fert(0).getString(0) == "en")
+    assert(fert(0).getDouble(6) == 2.0 && fert(0).getDouble(7) == 2.0)
+  }
+
   test("JobRunner: lm_score_apply scores a corpus against a saved " +
     "frozen model") {
     val dir = Files.createTempDirectory("graft-runner-lm").toString
