@@ -175,13 +175,6 @@ object JobRunner {
       "dedup_audit" -> (Seq("docs"),
         (_, in) => graft.llmops.DedupAudit.report(
           in("docs"), "doc_id", "text")),
-      // DP-noised release of the per-(lang, source) metadata counts
-      // (q276's geometric mechanism as the shippable job; the release-
-      // epoch salt and suppression floor are pinned for the CLI form —
-      // library callers pass real ones)
-      "dp_release" -> (Seq("docs"),
-        (_, in) => graft.llmops.Privacy.dpNoisyCounts(
-          in("docs"), Seq("lang", "source"), "dp1")),
       // eval-suite contamination curve (q277): overlap fraction vs
       // shingle width, eval slice pinned to the corpus convention
       "contamination_report" -> (Seq("docs"),
@@ -232,6 +225,39 @@ object JobRunner {
           case None => graft.llmops.Tokenize
             .encodeStats(docs, id, tc, voc)
         }
+      }),
+      // DP-noised release of per-class metadata counts (the q276/q285
+      // geometric mechanism as the shippable job). --salt is REQUIRED
+      // and must be secret + high-entropy: the noise is a
+      // deterministic function of (class, salt), so a known salt lets
+      // anyone recompute it and recover the true counts — a pinned
+      // default here would void the guarantee for every caller. The
+      // shipped frame carries ONLY (keys, suppressed, n_released);
+      // n_true/noise are library-side audit columns (calibration
+      // views call Privacy.dpNoisyCounts directly). --contributor-col
+      // switches to the user-level form (contribution clamped to
+      // --max-per-contributor rows; stated ε = m·ln 2).
+      "dp_release" -> ((s, o) => {
+        val in = o.getOrElse("in-docs",
+          sys.error("--in-docs required for dp_release"))
+        val salt = o.getOrElse("salt", sys.error(
+          "--salt required for dp_release (no default: the DP " +
+            "guarantee holds only if the release salt is secret " +
+            "and high-entropy)"))
+        val keys = o.getOrElse("key-cols", "lang,source")
+          .split(",").toSeq
+        val minRel = o.get("min-release").map(_.toLong).getOrElse(5L)
+        val docs = s.read.parquet(in)
+        val full = o.get("contributor-col") match {
+          case Some(c) => graft.llmops.Privacy.dpUserLevelCounts(
+            docs, keys, c, salt,
+            o.get("max-per-contributor").map(_.toInt).getOrElse(1),
+            minRel)
+          case None =>
+            graft.llmops.Privacy.dpNoisyCounts(docs, keys, salt, minRel)
+        }
+        full.select(
+          keys.map(col) ++ Seq(col("suppressed"), col("n_released")): _*)
       }),
       // rewrite a parquet store into ~target-bytes files (see
       // IO.compact for the exclusive-access contract)

@@ -33,9 +33,30 @@ import org.apache.spark.sql.functions._
   *    the adversary, and a fresh salt per release epoch prevents noise
   *    reuse across releases (which would average out).
   *
+  * Caveats the guarantee carries (stated, not hidden):
+  *
+  *  - **The salt must be SECRET and high-entropy.** The noise is a
+  *    deterministic function of (class key, salt); an adversary who
+  *    knows the salt recomputes the noise exactly and recovers the
+  *    true count, reducing ε to zero. The shippable `dp_release` job
+  *    therefore REFUSES to run without an explicit `--salt` and
+  *    projects the audit columns (`n_true`, `noise`) away; only
+  *    library callers building calibration views see them.
+  *  - **Truncation delta.** Each geometric draw is capped at 30 (the
+  *    30-bit budget per side), so the release is (ε, δ)-DP with
+  *    δ ≈ 2·2⁻³¹ ≈ 10⁻⁹ rather than pure ε-DP — the probability mass
+  *    of the clipped tail.
+  *  - **Unit of privacy.** [[dpNoisyCounts]] is ε-DP at ROW level
+  *    (add/remove one row). When one contributor can own many rows —
+  *    every web corpus — use [[dpUserLevelCounts]], which bounds each
+  *    contributor to m rows first and releases with a stated
+  *    user-level ε = m·ln 2 (sequential composition over the ≤ m
+  *    affected unit-sensitivity coordinates).
+  *
   * Scale shape: the noise is a per-ROW projection over the (small)
   * aggregated class table — the corpus-sized work is the one counting
-  * aggregation that precedes it. Nothing here shuffles.
+  * aggregation that precedes it (plus, for the user-level form, one
+  * spillable per-contributor window). Nothing else shuffles.
   */
 object Privacy {
 
@@ -60,13 +81,31 @@ object Privacy {
       geometric30(shiftright(h, 30))
   }
 
-  /** ε=ln2-DP noisy counting release over `keyCols` classes, with
-    * small-count suppression: classes whose NOISY count lands below
-    * `minRelease` publish NULL (suppression decided on the noisy
-    * value, so the decision itself leaks nothing beyond the DP
-    * output). `n_true` and `noise` ride along as AUDIT columns for
-    * the calibration view this query is — a production release
-    * projects them away. */
+  /** NULL-explicit, length-prefixed encoding of a class key: each
+    * column renders as `v<len>:<value>` (or the bare sentinel `n`
+    * when NULL), concatenated. Unambiguous by construction — the
+    * length prefix stops a value containing a separator character
+    * from colliding two distinct classes into one noise draw, and
+    * the sentinel keeps NULL keys noised (a bare `concat_ws` would
+    * silently SKIP NULLs, and the matching `a || '|' || b` oracle
+    * expression would NULL the noise out entirely). Mirrored
+    * verbatim in the q276/q281/q285 DuckDB SQL. */
+  def classKey(keyCols: Seq[String]): Column =
+    concat(keyCols.map { c =>
+      val cs = col(c).cast("string")
+      coalesce(
+        concat(lit("v"), length(cs).cast("string"), lit(":"), cs),
+        lit("n"))
+    }: _*)
+
+  /** ε=ln2-DP (row-level; see [[dpUserLevelCounts]] for user-level)
+    * noisy counting release over `keyCols` classes, with small-count
+    * suppression: classes whose NOISY count lands below `minRelease`
+    * publish NULL (suppression decided on the noisy value, so the
+    * decision itself leaks nothing beyond the DP output). `n_true`
+    * and `noise` ride along as AUDIT columns for the calibration
+    * view this query is — a production release projects them away
+    * (the `dp_release` job form does). */
   def dpNoisyCounts(df: DataFrame, keyCols: Seq[String], salt: String,
       minRelease: Long = 5L): DataFrame =
     dpNoisyFromCounts(
@@ -81,7 +120,7 @@ object Privacy {
     * the same data — the law StreamingSpec pins. */
   def dpNoisyFromCounts(cls: DataFrame, keyCols: Seq[String],
       salt: String, minRelease: Long = 5L): DataFrame = {
-    val key = concat_ws("|", keyCols.map(col) :+ lit(salt): _*)
+    val key = concat(classKey(keyCols), lit("|" + salt))
     cls
       .withColumn("noise", geometricNoise(key))
       .withColumn("n_noisy", col("n_true") + col("noise"))
@@ -90,58 +129,108 @@ object Privacy {
         when(!col("suppressed"), col("n_noisy")))
   }
 
+  /** USER-level DP noisy counting release: bound each contributor's
+    * influence FIRST — keep at most `maxPerContributor` (= m) rows
+    * per `contributorCol` value — then release the per-class counts
+    * through the geometric mechanism. After the clamp, adding or
+    * removing one contributor moves the class-count vector by at most
+    * m in L1 (spread over at most m unit-sensitivity coordinates), so
+    * the release is user-level ε-DP with **ε = m·ln 2** by sequential
+    * composition — finite and stated, where the unclamped release's
+    * user-level ε is unbounded (one contributor with 1000 rows moves
+    * a count by 1000; PrivacySpec pins the contrast). m = 1 gives
+    * ε = ln 2 exactly.
+    *
+    * The clamp is deterministic in every way that matters: rows are
+    * ranked per contributor by the encoded class key, so which CLASS
+    * each kept row lands in — hence every released count — is
+    * replay-stable even though ties within a class are arbitrary
+    * (tied rows are interchangeable for counting). Same window in
+    * the DuckDB oracle.
+    *
+    * Scale shape: one spillable per-contributor window (partitionBy
+    * contributor — millions of small partitions, never global) + the
+    * counting aggregation + the per-row noise projection. */
+  def dpUserLevelCounts(df: DataFrame, keyCols: Seq[String],
+      contributorCol: String, salt: String,
+      maxPerContributor: Int = 1, minRelease: Long = 5L): DataFrame = {
+    require(maxPerContributor >= 1,
+      s"maxPerContributor must be >= 1, got $maxPerContributor")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(contributorCol))
+      .orderBy(classKey(keyCols))
+    val clamped = df
+      .select(col(contributorCol) +: keyCols.map(col): _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerContributor)
+    dpNoisyFromCounts(
+      clamped.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("n_true")),
+      keyCols, salt, minRelease)
+  }
+
   /** k-anonymization by ladder generalization — the op that FIXES a
-    * failing k-anonymity audit (q247 measures; this releases): per
-    * row, the numeric quasi-identifier `valueCol` is coarsened down a
-    * deterministic band ladder (`divisors`, finest first), and the
-    * row is released at the FINEST level whose equivalence class
-    * (`classCols` + band) reaches size ≥ k. The last ladder rung
+    * failing k-anonymity audit (q247 measures; this releases): the
+    * numeric quasi-identifier `valueCol` is coarsened down a
+    * deterministic band ladder (`divisors`, finest first), releasing
+    * ITERATIVELY from the finest level: at each level, equivalence
+    * classes (`classCols` + band) are counted over the rows NOT YET
+    * released at a finer level, and classes reaching size ≥ k release
+    * all their remaining rows at that level. The last ladder rung
     * drops the band entirely (class = `classCols` alone); rows whose
     * class is still below k there are suppressed — the standard
     * generalize-then-suppress scheme (cf. Samarati/Sweeney
-    * k-anonymity; the per-row finest-passing-level rule is the
-    * single-attribute ladder special case).
+    * k-anonymity).
+    *
+    * The iterative count is what makes the published table actually
+    * k-anonymous: counting each level over ALL rows fanned out to it
+    * (the naive one-shot formulation) lets a level-L class "pass"
+    * on the strength of rows that are in fact released at a finer
+    * level, publishing a sub-k — even singleton — remainder at L
+    * (5 rows in band [0,1000) + 1 in [1000,2000) under one class:
+    * the lone row must NOT ship at the divisor-2000 level with
+    * class_size 6). Here every published (level, class, band) group
+    * has ≥ k rows by construction; PrivacySpec pins the mixed-
+    * sublevel fixture.
     *
     * Returns one row per input row: id, classCols, `level` (ladder
     * index; |divisors| = band dropped, |divisors|+1 = suppressed),
     * `band` (generalized value, NULL once the band is dropped),
-    * `class_size` (0 when suppressed), `suppressed`.
+    * `class_size` (rows actually published in the row's group; 0
+    * when suppressed), `suppressed`.
     *
-    * Scale shape: one |divisors|+1-way row-local fan-out, ONE window
-    * count over (level, class) — spillable, no self-join — a min-agg
-    * per row, and one join back on (id, level). Everything is
-    * corpus × ladder-sized; no driver paths. */
+    * Scale shape: |divisors|+1 rounds, each ONE window count over
+    * (class, band) on a SHRINKING remainder — spillable, no
+    * self-join — with a barrier per round (the sized frame feeds
+    * both the release slice and the next round; without it the
+    * diamond recomputes the prefix per level). One final join back
+    * on id. Everything is ≤ corpus-sized; no driver paths. */
   def kAnonymizeBands(df: DataFrame, idCol: String,
       classCols: Seq[String], valueCol: String,
       divisors: Seq[Long] = Seq(1000L, 2000L, 4000L, 8000L),
       k: Long = 5L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = df.sparkSession
-    import spark.implicits._
-    val levels = divisors.zipWithIndex
-      .map { case (d, i) => (i, Option(d)) } :+
-      ((divisors.size, Option.empty[Long]))
-    val lv = levels.toDF("level", "divisor")
+    import graft.core.Checkpoints.BarrierOps
     val cls = classCols.map(col)
-    val rl = df
-      .select((col(idCol) +: cls :+ col(valueCol)): _*)
-      .crossJoin(broadcast(lv))
-      .withColumn("band",
-        when(col("divisor").isNotNull,
-          floor(col(valueCol) / col("divisor").cast("double"))
-            .cast("long")))
-    val sized = rl.withColumn("class_size",
-      count(lit(1)).over(Window.partitionBy(
-        (col("level") +: cls :+ col("band")): _*)))
-    val passing = sized.filter(col("class_size") >= k)
-    val finest = passing
-      .groupBy(col(idCol)).agg(min(col("level")).as("level"))
-    val sel = passing
-      .join(finest, Seq(idCol, "level"))
-      .select(col(idCol), col("level"), col("band"),
-        col("class_size"))
+    val ladder: Seq[Option[Long]] =
+      divisors.map(Option(_)) :+ Option.empty[Long]
+    var remaining = df.select((col(idCol) +: cls :+ col(valueCol)): _*)
+    val released = ladder.zipWithIndex.map { case (div, lvl) =>
+      val banded = remaining.withColumn("band",
+        div.map(d =>
+            floor(col(valueCol) / lit(d).cast("double")).cast("long"))
+          .getOrElse(lit(null).cast("long")))
+      val sized = banded.withColumn("class_size",
+        count(lit(1)).over(Window.partitionBy(cls :+ col("band"): _*)))
+        .barrier() // feeds both the release slice and the next round
+      remaining = sized.filter(col("class_size") < k)
+        .select((col(idCol) +: cls :+ col(valueCol)): _*)
+      sized.filter(col("class_size") >= k)
+        .select(col(idCol), lit(lvl).cast("int").as("level"),
+          col("band"), col("class_size"))
+    }.reduce(_ unionByName _)
     df.select((col(idCol) +: cls): _*)
-      .join(sel, Seq(idCol), "left")
+      .join(released, Seq(idCol), "left")
       .select((col(idCol) +: cls) ++ Seq(
         coalesce(col("level"), lit(divisors.size + 1)).as("level"),
         col("band"),

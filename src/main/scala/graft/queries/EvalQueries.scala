@@ -30,6 +30,52 @@ object EvalQueries {
   private def dkHash60(e: String): String =
     s"('0x'||substr(md5($e),1,15))::BIGINT"
 
+  /** DuckDB fragment: one column of the NULL-explicit, length-prefixed
+    * class-key encoding (Privacy.classKey) — `v<len>:<value>` or the
+    * `n` sentinel for NULL, so NULL keys still draw noise and no
+    * separator-containing value can collide two classes. */
+  private def dkKeyCol(e: String): String =
+    s"coalesce('v' || length(CAST($e AS VARCHAR)) || ':' " +
+      s"|| CAST($e AS VARCHAR), 'n')"
+
+  /** q282's DuckDB oracle: the iterative finest-first ladder release
+    * (Privacy.kAnonymizeBands) as a chained CTE per level — each
+    * level's window count runs only over rows not released at a finer
+    * level, mirroring the Scala loop round for round. */
+  private lazy val kGenOracleSql: String = {
+    val divisors = Seq(1000L, 2000L, 4000L, 8000L)
+    val ladder = divisors.map(Option(_)) :+ Option.empty[Long]
+    val levels = ladder.zipWithIndex.map { case (div, lvl) =>
+      val bandE = div
+        .map(d => s"CAST(floor(c_acctbal / $d.0) AS BIGINT)")
+        .getOrElse("CAST(NULL AS BIGINT)")
+      s"""
+        b$lvl AS (SELECT *, $bandE AS band FROM r$lvl),
+        s$lvl AS (SELECT *, count(*) OVER (PARTITION BY nation,
+                    segment, band) AS class_size
+                  FROM b$lvl),
+        p$lvl AS (SELECT c_custkey, $lvl AS level, band, class_size
+                  FROM s$lvl WHERE class_size >= 5),
+        r${lvl + 1} AS (SELECT c_custkey, nation, segment, c_acctbal
+                        FROM s$lvl WHERE class_size < 5)"""
+    }.mkString(",")
+    val union = ladder.indices
+      .map(l => s"SELECT * FROM p$l").mkString("\n          UNION ALL ")
+    s"""
+      WITH r0 AS (SELECT c_custkey, c_nationkey AS nation,
+                         c_mktsegment AS segment, c_acctbal
+                  FROM customer),$levels,
+      sel AS (
+          $union)
+      SELECT c.c_custkey, c.c_nationkey AS nation,
+             c.c_mktsegment AS segment,
+             COALESCE(sel.level, ${divisors.size + 1}) AS level,
+             sel.band AS band,
+             COALESCE(sel.class_size, 0) AS class_size,
+             sel.class_size IS NULL AS suppressed
+      FROM customer c LEFT JOIN sel ON c.c_custkey = sel.c_custkey"""
+  }
+
   /** Shared CTE chain for the hashed linear classifier (Classifier
     * .hashedBigramMargin): per-doc margin over unigram + bigram
     * features in 4096 Knuth-scrambled weight buckets (q257/q258). */
@@ -429,12 +475,12 @@ object EvalQueries {
     // a per-row projection on the class table.
     QueryDef(
       "q276_dp_noisy_release",
-      Some("""
+      Some(s"""
         WITH cls AS (SELECT lang, source, count(*) AS n_true
                      FROM documents GROUP BY 1, 2),
         h AS (SELECT lang, source, n_true,
-                ('0x'||substr(md5(lang || '|' || source || '|dp1'),
-                              1, 15))::BIGINT AS hh
+                ${dkHash60(s"${dkKeyCol("lang")} || " +
+                  s"${dkKeyCol("source")} || '|dp1'")} AS hh
               FROM cls),
         g AS (SELECT lang, source, n_true,
                 (len(bin((hh & 1073741823) + 1073741824))
@@ -461,7 +507,7 @@ object EvalQueries {
     // mechanism working as intended.
     QueryDef(
       "q281_dp_noisy_histogram",
-      Some("""
+      Some(s"""
         WITH b AS (SELECT lang,
                      CAST(len(string_split(text,' ')) AS BIGINT) AS nt
                    FROM documents),
@@ -470,8 +516,8 @@ object EvalQueries {
                        count(*) AS n_true
                 FROM b GROUP BY 1, 2),
         h AS (SELECT lang, bucket, n_true,
-                ('0x'||substr(md5(lang || '|' || bucket || '|dph1'),
-                              1, 15))::BIGINT AS hh
+                ${dkHash60(s"${dkKeyCol("lang")} || " +
+                  s"${dkKeyCol("bucket")} || '|dph1'")} AS hh
               FROM cls),
         g AS (SELECT lang, bucket, n_true,
                 (len(bin((hh & 1073741823) + 1073741824))
@@ -496,44 +542,63 @@ object EvalQueries {
     // k-anonymization by ladder generalization — the RELEASE op that
     // fixes what q247's audit flags: each customer's balance band is
     // coarsened down the 1000/2000/4000/8000 ladder (then dropped
-    // entirely) until its (nation, segment, band) class reaches k=5;
-    // rows whose bandless class is still sub-k are suppressed —
-    // generalize-then-suppress, per-row finest-passing-level. One
-    // 5-way row-local fan-out + ONE spillable window count + a
-    // min-agg; no self-join of the row table.
+    // entirely), releasing ITERATIVELY from the finest level: each
+    // level's (nation, segment, band) classes are counted over the
+    // rows NOT yet released at a finer level, and classes at k=5
+    // release all their remaining rows — so every PUBLISHED group has
+    // ≥ k rows (counting fanned-out rows that in fact ship at a finer
+    // level would let sub-k remainders leak through). Rows whose
+    // bandless class is still sub-k are suppressed. 5 rounds, each
+    // one spillable window over a shrinking remainder; no self-join.
     QueryDef(
       "q282_k_generalize",
-      Some("""
-        WITH lv AS (SELECT * FROM (VALUES (0, 1000), (1, 2000),
-                      (2, 4000), (3, 8000), (4, NULL))
-                    t(level, divisor)),
-        rl AS (SELECT c_custkey, c_nationkey AS nation,
-                      c_mktsegment AS segment, lv.level,
-                      CASE WHEN lv.divisor IS NOT NULL
-                           THEN CAST(floor(c_acctbal /
-                                  CAST(lv.divisor AS DOUBLE)) AS BIGINT)
-                      END AS band
-               FROM customer CROSS JOIN lv),
-        sz AS (SELECT *, count(*) OVER (PARTITION BY level, nation,
-                                        segment, band) AS class_size
-               FROM rl),
-        p AS (SELECT * FROM sz WHERE class_size >= 5),
-        f AS (SELECT c_custkey, min(level) AS level FROM p GROUP BY 1),
-        sel AS (SELECT p.c_custkey, p.level, p.band, p.class_size
-                FROM p JOIN f ON p.c_custkey = f.c_custkey
-                             AND p.level = f.level)
-        SELECT c.c_custkey, c.c_nationkey AS nation,
-               c.c_mktsegment AS segment,
-               COALESCE(sel.level, 5) AS level, sel.band AS band,
-               COALESCE(sel.class_size, 0) AS class_size,
-               sel.class_size IS NULL AS suppressed
-        FROM customer c LEFT JOIN sel ON c.c_custkey = sel.c_custkey"""),
+      Some(kGenOracleSql),
       (s, d) =>
         Privacy.kAnonymizeBands(
           t(s, d, "customer").select(col("c_custkey"),
             col("c_nationkey").as("nation"),
             col("c_mktsegment").as("segment"), col("c_acctbal")),
           "c_custkey", Seq("nation", "segment"), "c_acctbal")),
+
+    // USER-level DP release (q276 is row-level): every web corpus has
+    // contributors owning many rows, so the row-level ε is vacuous
+    // there — bound each source's contribution to m=8 rows first (a
+    // deterministic per-contributor window, ranked by the encoded
+    // class key so released counts are replay-stable), then release
+    // the per-lang counts through the same integer-only geometric
+    // mechanism. Stated guarantee: ε = m·ln 2 user-level (sequential
+    // composition over the ≤ m affected coordinates) — finite, where
+    // the unclamped form's user-level ε is unbounded. One spillable
+    // window + one counting agg + the per-row noise projection.
+    QueryDef(
+      "q285_dp_user_level",
+      Some(s"""
+        WITH cl AS (
+          SELECT lang,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY ${dkKeyCol("lang")}) AS rn
+          FROM documents),
+        cls AS (SELECT lang, count(*) AS n_true
+                FROM cl WHERE rn <= 8 GROUP BY 1),
+        h AS (SELECT lang, n_true,
+                ${dkHash60(s"${dkKeyCol("lang")} || '|dpu1'")} AS hh
+              FROM cls),
+        g AS (SELECT lang, n_true,
+                (len(bin((hh & 1073741823) + 1073741824))
+                 - len(rtrim(bin((hh & 1073741823) + 1073741824), '0')))
+                - (len(bin((hh >> 30) + 1073741824))
+                   - len(rtrim(bin((hh >> 30) + 1073741824), '0')))
+                  AS noise
+              FROM h)
+        SELECT lang, n_true, noise,
+               n_true + noise AS n_noisy,
+               (n_true + noise) < 5 AS suppressed,
+               CASE WHEN (n_true + noise) >= 5
+                    THEN n_true + noise END AS n_released
+        FROM g"""),
+      (s, d) =>
+        Privacy.dpUserLevelCounts(t(s, d, "documents"), Seq("lang"),
+          "source", "dpu1", maxPerContributor = 8)),
 
     // Effective sample size of the DSIR importance weights (q234's
     // output read as a sampling design): ESS = (Σw)²/Σw² — the

@@ -109,4 +109,91 @@ class PrivacySpec extends AnyFunSuite {
     Seq(31L, 32L, 33L, 34L, 35L).foreach(i =>
       assert(got(i) == ((4, None, 5L, false)), s"D row $i"))
   }
+
+  test("kAnonymizeBands: mixed-sublevel classes never publish a " +
+    "sub-k remainder — every released (level, class, band) group " +
+    "has >= k rows") {
+    import spark.implicits._
+    // E: 5 rows in band [0,1000) + 1 in [1000,2000) under one class.
+    // The naive one-shot count would release the lone row at the
+    // divisor-2000 level with class_size 6 (uniquely re-identifiable
+    // to anyone who knows its value range); the iterative release
+    // must publish the 5 at level 0 and SUPPRESS the remainder.
+    val rows = (1L to 5L).map(i => (i, "n4", "s1", 100.0 + 10 * i)) ++
+      Seq((6L, "n4", "s1", 1500.0)) ++
+      // F: 6 in band0 + 4 in band1 → band0 ships at level 0; the 4
+      // remainder rows can only unite at the bandless rung, where 4
+      // is still < k → suppressed (they never ride band0's size)
+      (11L to 16L).map(i => (i, "n5", "s2", 50.0 + i)) ++
+      (21L to 24L).map(i => (i, "n5", "s2", 1200.0 + i))
+    val out = Privacy
+      .kAnonymizeBands(rows.toDF("id", "nation", "segment", "bal"),
+        "id", Seq("nation", "segment"), "bal")
+    val got = out.collect()
+      .map(r => r.getLong(0) -> ((r.getInt(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5), r.getBoolean(6)))).toMap
+    (1L to 5L).foreach(i =>
+      assert(got(i) == ((0, Some(0L), 5L, false)), s"E kept $i"))
+    assert(got(6L) == ((5, None, 0L, true)), "E remainder leaked")
+    (11L to 16L).foreach(i =>
+      assert(got(i) == ((0, Some(0L), 6L, false)), s"F kept $i"))
+    (21L to 24L).foreach(i =>
+      assert(got(i) == ((5, None, 0L, true)), s"F remainder $i"))
+    // the k-anonymity invariant itself: every PUBLISHED group >= k
+    val published = out.filter(!col("suppressed"))
+      .groupBy(col("level"), col("nation"), col("segment"), col("band"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(_.getAs[Long]("n"))
+    assert(published.nonEmpty && published.forall(_ >= 5L))
+  }
+
+  test("dpUserLevelCounts: one contributor moves a released count by " +
+    "at most m (row-level release is unbounded); replay-exact") {
+    import spark.implicits._
+    val others = (1 to 20).map(i => (s"u$i", "A"))
+    val whale = (1 to 1000).map(_ => ("u0", "A"))
+    val df = (others ++ whale).toDF("user", "cls")
+    val dfNoWhale = others.toDF("user", "cls")
+    def nTrue(d: org.apache.spark.sql.DataFrame, m: Int) =
+      Privacy.dpUserLevelCounts(d, Seq("cls"), "user", "s1", m)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = 4
+    val w = nTrue(df, m)("A")
+    val nw = nTrue(dfNoWhale, m)("A")
+    assert(w == 24L && nw == 20L) // clamp: 20 singles + min(1000, m)
+    assert(math.abs(w - nw) <= m, "contributor influence not bounded")
+    // the row-level release the clamp replaces: moved by 1000
+    val rowLevel = Privacy.dpNoisyCounts(df, Seq("cls"), "s1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rowLevel("A") == 1020L)
+    // replay determinism of the full released frame
+    def full(d: org.apache.spark.sql.DataFrame) =
+      Privacy.dpUserLevelCounts(d, Seq("cls"), "user", "s1", m)
+        .collect().map(_.toString).sorted.toSeq
+    assert(full(df) == full(df))
+  }
+
+  test("classKey: NULL-explicit and length-prefixed — NULL keys still " +
+    "draw noise, separator-bearing values cannot collide classes") {
+    import spark.implicits._
+    val enc = Seq(("a|b", "c"), ("a", "b|c"))
+      .toDF("x", "y")
+      .select(Privacy.classKey(Seq("x", "y")).as("k"))
+      .collect().map(_.getString(0)).toSeq
+    // the old concat_ws('|', …) rendered both as "a|b|c"
+    assert(enc == Seq("v3:a|bv1:c", "v1:av3:b|c"))
+    val nullKey = Seq((Option.empty[String], "x"))
+      .toDF("x", "y")
+      .select(Privacy.classKey(Seq("x", "y")).as("k"))
+      .collect().map(_.getString(0)).toSeq
+    assert(nullKey == Seq("nv1:x"))
+    // and dpNoisyFromCounts over a NULL class key releases a real
+    // (non-NULL) noisy count — concat_ws would have noised nothing
+    val rel = Privacy.dpNoisyFromCounts(
+      Seq((Option.empty[String], 50L)).toDF("lang", "n_true"),
+      Seq("lang"), "s1", minRelease = 1L).collect()
+    assert(rel.length == 1 && !rel(0).isNullAt(2)
+      && rel(0).getLong(3) == 50L + rel(0).getLong(2))
+  }
 }

@@ -333,22 +333,44 @@ class RunnerSpec extends AnyFunSuite {
     val docsDf = docs.toDF("doc_id", "text", "lang", "source")
     // direct registry invocation (decontaminate-test precedent):
     // JobRunner.main stops its session on exit, which would kill the
-    // suite's shared one
-    val dp = JobRunner.jobs("dp_release")._2(s0, Map("docs" -> docsDf))
-      .collect()
+    // suite's shared one. dp_release is a lake job since r12: the
+    // salt is a required option (a pinned default would let anyone
+    // recompute the noise), and the shipped frame drops n_true/noise.
+    val dpDir = java.nio.file.Files
+      .createTempDirectory("graft-dp-release").toString + "/docs"
+    docsDf.write.mode("overwrite").parquet(dpDir)
+    val noSalt = intercept[RuntimeException] {
+      JobRunner.lakeJobs("dp_release")(s0, Map("in-docs" -> dpDir))
+    }
+    assert(noSalt.getMessage.contains("--salt required"))
+    val dpDf = JobRunner.lakeJobs("dp_release")(s0,
+      Map("in-docs" -> dpDir, "salt" -> "dp1"))
+    // audit columns must NOT ship in the job form
+    assert(dpDf.columns.toSeq ==
+      Seq("lang", "source", "suppressed", "n_released"))
+    val dp = dpDf.collect()
       .map(r => (r.getString(0), r.getString(1)) ->
-        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5),
-          if (r.isNullAt(6)) None else Some(r.getLong(6))))).toMap
+        ((r.getBoolean(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
     assert(dp.keySet == Set(("en", "src1"), ("de", "src2"),
       ("en", "src0")))
-    dp.values.foreach { case (nTrue, noise, nNoisy, sup, rel) =>
-      assert(nNoisy == nTrue + noise)
-      assert(sup == (nNoisy < 5) && rel.isDefined == !sup)
+    dp.values.foreach { case (sup, rel) =>
+      assert(rel.isDefined == !sup)
     }
-    // the 40-doc class always releases (noise ∈ [-30, 30]); the
-    // singleton never reaches the floor
-    assert(dp(("en", "src1"))._5.isDefined)
-    assert(dp(("de", "src2"))._5.isEmpty)
+    // the 40-doc class always releases (noise ∈ [-30, 30]) and lands
+    // inside the truncation envelope; the singleton never reaches
+    // the floor
+    assert(dp(("en", "src1"))._2.exists(v => v >= 10L && v <= 70L))
+    assert(dp(("de", "src2"))._2.isEmpty)
+    // user-level form: src1 clamped to m=2 rows → en count 2+1 ± 30
+    // can never be mistaken for the 41-row unclamped class
+    val ul = JobRunner.lakeJobs("dp_release")(s0,
+      Map("in-docs" -> dpDir, "salt" -> "dp1", "key-cols" -> "lang",
+        "contributor-col" -> "source", "max-per-contributor" -> "2",
+        "min-release" -> "-100"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(ul("en").exists(v => v >= 3L - 30L && v <= 3L + 30L))
     val cc = JobRunner.jobs("contamination_report")._2(s0,
         Map("docs" -> docsDf)).collect()
       .map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3)))).toMap
