@@ -226,6 +226,29 @@ object JobRunner {
             .encodeStats(docs, id, tc, voc)
         }
       }),
+      // TRUE-BPE encode pass (q284/q287 as a job): learn (or load) a
+      // merge table, optionally freeze it, and ship per-doc encode
+      // stats — or the per-group fertility report with --group-col.
+      // The wordpiece_encode pattern with the merge-order encoder:
+      // freeze once with --save-merges, apply often with --in-merges
+      "bpe_encode" -> ((s, o) => {
+        val in = o.getOrElse("in-docs",
+          sys.error("--in-docs required for bpe_encode"))
+        val docs = s.read.parquet(in)
+        val id = o.getOrElse("id-col", "doc_id")
+        val tc = o.getOrElse("text-col", "text")
+        val merges = o.get("in-merges").map(p => s.read.parquet(p))
+          .getOrElse(graft.llmops.TextOps.learnBpeMerges(docs, tc,
+            o.get("merges").map(_.toInt).getOrElse(8)))
+        o.get("save-merges").foreach(p =>
+          merges.write.mode("overwrite").parquet(p))
+        o.get("group-col") match {
+          case Some(g) => graft.llmops.Tokenize
+            .bpeFertilityByGroup(docs, id, tc, g, merges)
+          case None => graft.llmops.Tokenize
+            .bpeEncodeStats(docs, id, tc, merges)
+        }
+      }),
       // DP-noised release of per-class metadata counts (the q276/q285
       // geometric mechanism as the shippable job). --salt is REQUIRED
       // and must be secret + high-entropy: the noise is a

@@ -148,6 +148,118 @@ object Tokenize {
         sum(col("n_unk")).as("n_unk"))
   }
 
+  /** Greedy left-to-right application of ONE merge pair (a, b) to a
+    * piece array — the exact fold [[TextOps.learnBpeMerges]] runs per
+    * training round ([a,a,a,a,a] with merge (a,a) → [aa,aa,a]), with
+    * the pair inlined as literals. */
+  private def mergeFold(pieces: Column, a: String, b: String): Column =
+    aggregate(pieces, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** TRUE BPE encode of every DISTINCT token: split to characters,
+    * then apply the learned merge table **in merge-priority order** —
+    * rank 1 first, each merge the same greedy left-to-right fold the
+    * training loop ran — so the apply stage reproduces the training
+    * segmentation exactly (on the training corpus, token piece counts
+    * equal the final training vocab's; BpeSpec pins the composition
+    * law). This is NOT [[encodeTokens]]'s longest-match max-munch:
+    * max-munch consults only the piece SET, BPE consults merge ORDER,
+    * and the two disagree whenever the vocabulary holds a piece the
+    * merge ladder can't build left-to-right (BpeSpec pins a fixture).
+    *
+    * Returns (tok, tok_len, pieces, n_pieces, n_unk) — n_unk is
+    * always 0 (BPE's base alphabet is every character, so encoding is
+    * total), carried for schema parity with the max-munch dimension.
+    *
+    * Scale shape: |merges| narrow folds over the distinct-token
+    * DIMENSION table (vocabulary-sized, corpus-independent), one
+    * lazy barrier per round for lineage hygiene. Rounds are bounded
+    * by the merge count — the right harness for the small-k corpus
+    * statistics this family ships; a production 30k-merge encode
+    * collects the vocab driver-side first (see learnBpeMerges'
+    * scale-limit note). */
+  def bpeEncodeTokens(tokens: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    import graft.core.Checkpoints.BarrierOps
+    var cur = tokens.select(col("tok"),
+      chars1(col("tok")).as("pieces"))
+    merges.foreach { case (a, b) =>
+      cur = cur
+        .select(col("tok"), mergeFold(col("pieces"), a, b).as("pieces"))
+        .barrier()
+    }
+    cur.select(col("tok"), length(col("tok")).as("tok_len"),
+      col("pieces"), size(col("pieces")).cast("long").as("n_pieces"),
+      lit(0L).as("n_unk"))
+  }
+
+  /** [[bpeEncodeTokens]] from a merge-table FRAME (merge_rank, lhs,
+    * rhs) — the form [[TextOps.learnBpeMerges]] returns and the form
+    * a frozen tokenizer artifact is stored in. The table is collected
+    * driver-side: it is k rows BY CONSTRUCTION (one per learned
+    * merge — the artifact a tokenizer ships as merges.txt), never
+    * corpus-shaped, so this is a bounded metadata read, not a data
+    * path. */
+  def bpeEncodeTokens(tokens: DataFrame, merges: DataFrame): DataFrame =
+    bpeEncodeTokens(tokens,
+      merges.select(col("merge_rank"), col("lhs"), col("rhs"))
+        .orderBy(col("merge_rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+
+  /** Per-document TRUE-BPE encode statistics — the apply-stage
+    * counterpart of [[encodeStats]] under the learned merge table
+    * instead of the max-munch vocab: (doc_id, n_tokens, n_chars,
+    * n_pieces). No n_unk column (BPE encoding is total) and no token
+    * length cap (piece counts come from the array size, not a packed
+    * integer). Same dimension-side shape: the corpus contributes one
+    * occurrence scan + the final join-aggregate. */
+  def bpeEncodeStats(df: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame = {
+    val occ = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val encoded =
+      bpeEncodeTokens(occ.select(col("tok")).distinct(), merges)
+    occ.join(encoded, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("tok_len")).as("n_chars"),
+        sum(col("n_pieces")).as("n_pieces"))
+  }
+
+  /** [[fertilityByGroup]] under the TRUE-BPE encoder — the same
+    * acceptance report computed with the merge table actually applied
+    * in priority order, so a BPE vocab's fertility is measured under
+    * the algorithm that produced it (max-munch fertility of a BPE
+    * vocab systematically flatters whole-word pieces the ladder
+    * can't build). Output (groupCol, n_docs, n_tokens, n_chars,
+    * n_pieces, fertility, chars_per_piece). */
+  def bpeFertilityByGroup(df: DataFrame, idCol: String,
+      textCol: String, groupCol: String, merges: DataFrame)
+      : DataFrame = {
+    val occ = df
+      .select(col(idCol), col(groupCol),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val encoded =
+      bpeEncodeTokens(occ.select(col("tok")).distinct(), merges)
+    occ.join(encoded, Seq("tok"))
+      .groupBy(col(groupCol))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("tok_len")).as("n_chars"),
+        sum(col("n_pieces")).as("n_pieces"))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        col("n_chars"), col("n_pieces"),
+        (col("n_pieces").cast("double") /
+          col("n_tokens").cast("double")).as("fertility"),
+        (col("n_chars").cast("double") /
+          col("n_pieces").cast("double")).as("chars_per_piece"))
+  }
+
   /** Per-group tokenizer fertility: pieces per word and chars per
     * piece aggregated by `groupCol` (typically language) — the
     * acceptance metric a vocab is judged on (a vocab learned on a

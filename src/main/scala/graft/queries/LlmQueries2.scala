@@ -620,6 +620,64 @@ object LlmQueries2 {
         val docs = t(s, d, "documents")
         graft.llmops.Tokenize.fertilityByGroup(docs, "doc_id", "text",
           "lang", graft.llmops.Tokenize.vocab(docs, "text"))
+      }),
+
+    // TRUE BPE apply (q196 learns the merge table, this ENCODES with
+    // it): per-doc piece counts under the merges applied in merge-
+    // priority order — rank 1 first, each a greedy left-to-right
+    // fold over the distinct-token dimension — so the apply stage
+    // reproduces the training segmentation exactly, unlike q280's
+    // max-munch (which consults only the piece SET and disagrees
+    // wherever the vocab holds a piece the ladder can't build;
+    // BpeSpec pins both laws). The oracle reuses the q196 CTE chain:
+    // w5 IS the merge table replayed in rank order, so joining
+    // occurrences to it is an independent DuckDB replay of the same
+    // merge-priority encode.
+    QueryDef(
+      "q284_bpe_encode",
+      Some(s"""
+        WITH ${bpeCtes(4)},
+        occ AS (SELECT doc_id, tok FROM (
+                  SELECT doc_id,
+                         unnest(string_split(text, ' ')) AS tok
+                  FROM documents) WHERE tok <> '')
+        SELECT o.doc_id, count(*) AS n_tokens,
+               CAST(sum(len(e.wid)) AS BIGINT) AS n_chars,
+               CAST(sum(len(e.toks)) AS BIGINT) AS n_pieces
+        FROM occ o JOIN w5 e ON o.tok = e.wid GROUP BY 1"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.llmops.Tokenize.bpeEncodeStats(docs, "doc_id", "text",
+          graft.llmops.TextOps.learnBpeMerges(docs, "text", 4))
+      }),
+
+    // Fertility under the TRUE-BPE encoder (q283 measures the
+    // max-munch vocab; this measures the q196 merge table under the
+    // algorithm that produced it — max-munch fertility of a BPE
+    // vocab flatters whole-word pieces the merge ladder can't
+    // build). Same oracle CTE chain, re-aggregated by language.
+    QueryDef(
+      "q287_bpe_fertility",
+      Some(s"""
+        WITH ${bpeCtes(4)},
+        occ AS (SELECT doc_id, lang, tok FROM (
+                  SELECT doc_id, lang,
+                         unnest(string_split(text, ' ')) AS tok
+                  FROM documents) WHERE tok <> '')
+        SELECT o.lang, count(DISTINCT o.doc_id) AS n_docs,
+               count(*) AS n_tokens,
+               CAST(sum(len(e.wid)) AS BIGINT) AS n_chars,
+               CAST(sum(len(e.toks)) AS BIGINT) AS n_pieces,
+               CAST(sum(len(e.toks)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS fertility,
+               CAST(sum(len(e.wid)) AS DOUBLE)
+                 / CAST(sum(len(e.toks)) AS DOUBLE) AS chars_per_piece
+        FROM occ o JOIN w5 e ON o.tok = e.wid GROUP BY 1"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.llmops.Tokenize.bpeFertilityByGroup(docs, "doc_id",
+          "text", "lang",
+          graft.llmops.TextOps.learnBpeMerges(docs, "text", 4))
       })
   )
 

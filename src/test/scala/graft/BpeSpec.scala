@@ -112,4 +112,90 @@ class BpeSpec extends AnyFunSuite {
     assert(got(2L) == ((3L, 15L, 3L, 0L)))
     assert(got(3L) == ((2L, 5L, 5L, 2L)))  // zz=2 UNK, top=t+o+p
   }
+
+  test("bpeEncodeTokens: merges apply in PRIORITY order — reversing " +
+    "the rank order changes the segmentation") {
+    import spark.implicits._
+    val toks = Seq("abc").toDF("tok")
+    def pieces(merges: Seq[(String, String)]) =
+      graft.llmops.Tokenize.bpeEncodeTokens(toks, merges)
+        .collect().map(r => r.getSeq[String](2)).head.toSeq
+    // rank order (a,b) then (b,c): [a,b,c] -> [ab,c]; the later
+    // (b,c) merge finds no bare 'b' left
+    assert(pieces(Seq(("a", "b"), ("b", "c"))) == Seq("ab", "c"))
+    // reversed priority: (b,c) first -> [a,bc]
+    assert(pieces(Seq(("b", "c"), ("a", "b"))) == Seq("a", "bc"))
+  }
+
+  test("bpeEncodeTokens composes with learnBpeMerges: the apply stage " +
+    "reproduces the training segmentation (q197's per-source totals)") {
+    import spark.implicits._
+    val df = Seq(
+      ("low low low low low", "A"), ("lower lower", "A"),
+      ("newest newest newest", "B"), ("widest", "B")).toDF("text", "source")
+    val merges = TextOps.learnBpeMerges(df, "text", 4)
+    // standalone apply over the corpus' distinct tokens ...
+    val stats = graft.llmops.Tokenize
+      .bpeEncodeStats(df.withColumn("doc_id",
+          org.apache.spark.sql.functions.monotonically_increasing_id()),
+        "doc_id", "text", merges)
+    // ... must reproduce the training-fused bpeCompressionBySource
+    // numbers: low->1 piece, lower->3, newest->4, widest->4
+    val perWord = graft.llmops.Tokenize
+      .bpeEncodeTokens(Seq("low", "lower", "newest", "widest").toDF("tok"),
+        merges)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(perWord == Map("low" -> 1L, "lower" -> 3L,
+      "newest" -> 4L, "widest" -> 4L))
+    val totals = stats.agg(
+      org.apache.spark.sql.functions.sum("n_tokens"),
+      org.apache.spark.sql.functions.sum("n_chars"),
+      org.apache.spark.sql.functions.sum("n_pieces"))
+      .collect().head
+    // q197 fixture: A (7 words, 25 chars, 11 pieces) + B (4, 24, 16)
+    assert((totals.getLong(0), totals.getLong(1), totals.getLong(2))
+      == ((11L, 49L, 27L)))
+  }
+
+  test("BPE apply diverges from max-munch: a whole-word vocab piece " +
+    "the merge ladder can't build") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello hello hello world")).toDF("doc_id", "text")
+    // wordpiece vocab holds 'hello' whole -> max-munch encodes it as
+    // ONE piece
+    val v = graft.llmops.Tokenize.vocab(docs, "text", topWords = 2,
+      charWords = 2)
+    val mm = graft.llmops.Tokenize
+      .encodeTokens(Seq("hello").toDF("tok"), v)
+      .collect().map(r => r.getLong(2)).head
+    assert(mm == 1L)
+    // one learned merge (best pair: (e,l), the lexicographic winner
+    // of the count-3 tie) can only reach [h,el,l,o] -> 4 pieces:
+    // merge ORDER, not piece SET, decides
+    val merges = TextOps.learnBpeMerges(docs, "text", 1)
+    val bpe = graft.llmops.Tokenize
+      .bpeEncodeTokens(Seq("hello").toDF("tok"), merges)
+      .collect().map(r => (r.getSeq[String](2).toSeq, r.getLong(3))).head
+    assert(bpe == ((Seq("h", "el", "l", "o"), 4L)))
+    assert(bpe._2 != mm)
+  }
+
+  test("bpeFertilityByGroup: totals and ratios under the true encoder") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low low lower", "en"),
+      (2L, "newest widest", "de")).toDF("doc_id", "text", "lang")
+    val merges = TextOps.learnBpeMerges(
+      Seq("low low low low low", "lower lower",
+        "newest newest newest", "widest").toDF("text"), "text", 4)
+    val got = graft.llmops.Tokenize
+      .bpeFertilityByGroup(docs, "doc_id", "text", "lang", merges)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // en: low(1pc)+low(1)+lower(3) = 3 toks, 11 chars, 5 pieces
+    assert(got("en") == ((1L, 3L, 11L, 5L, 5.0 / 3.0)))
+    // de: newest(4)+widest(4) = 2 toks, 12 chars, 8 pieces
+    assert(got("de") == ((1L, 2L, 12L, 8L, 4.0)))
+  }
 }

@@ -412,6 +412,39 @@ class RunnerSpec extends AnyFunSuite {
     assert(fert(0).getDouble(6) == 2.0 && fert(0).getDouble(7) == 2.0)
   }
 
+  test("JobRunner: bpe_encode freezes a merge table, applies it in " +
+    "rank order to a fresh corpus, and reports fertility") {
+    val dir = Files.createTempDirectory("graft-runner-bpe").toString
+    val s0 = graft.core.Sessions.local(4, "graft-runner-test")
+    import s0.implicits._
+    Seq((1L, "low low low low low", "en"), (2L, "lower lower", "en"),
+      (3L, "newest newest newest", "en"), (4L, "widest", "en"))
+      .toDF("doc_id", "text", "lang").write.parquet(s"$dir/a")
+    Seq((9L, "low lowest", "en"))
+      .toDF("doc_id", "text", "lang").write.parquet(s"$dir/b")
+    // learn + freeze 4 merges on corpus A: (l,o),(lo,w),(e,s),(es,t)
+    val statsA = JobRunner.lakeJobs("bpe_encode")(s0,
+      Map("in-docs" -> s"$dir/a", "merges" -> "4",
+        "save-merges" -> s"$dir/merges"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(statsA(1L) == ((5L, 15L, 5L)))  // low -> 1 piece each
+    assert(statsA(3L) == ((3L, 18L, 12L))) // newest -> 4 pieces
+    // apply the FROZEN table to corpus B: low -> [low] = 1 piece;
+    // lowest -> [low,es,t] -> [low,est] = 2 pieces
+    val statsB = JobRunner.lakeJobs("bpe_encode")(s0,
+      Map("in-docs" -> s"$dir/b", "in-merges" -> s"$dir/merges"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(statsB(9L) == ((2L, 9L, 3L)))
+    // fertility by language over corpus B under the frozen table
+    val fert = JobRunner.lakeJobs("bpe_encode")(s0,
+      Map("in-docs" -> s"$dir/b", "in-merges" -> s"$dir/merges",
+        "group-col" -> "lang")).collect()
+    assert(fert.length == 1 && fert(0).getString(0) == "en")
+    assert(fert(0).getDouble(5) == 1.5) // 3 pieces / 2 tokens
+  }
+
   test("JobRunner: lm_score_apply scores a corpus against a saved " +
     "frozen model") {
     val dir = Files.createTempDirectory("graft-runner-lm").toString
