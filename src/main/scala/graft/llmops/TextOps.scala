@@ -412,6 +412,70 @@ object TextOps {
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
 
+  /** Canonical form of a URL for URL-keyed dedup — the normalization
+    * a web pipeline runs BEFORE content dedup (two crawls of the same
+    * page almost always differ only in URL decoration): strip the
+    * scheme, the fragment, a leading `www.`, and `utm_*` tracking
+    * params; lowercase the HOST (only — paths are case-sensitive);
+    * sort the surviving query params (param order is not semantic);
+    * normalize an empty path to `/`. Pure Catalyst string surgery —
+    * codegen'd, no UDF — mirrored expression-for-expression in the
+    * q286 DuckDB SQL. */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = substring_index(u, "#", 1)
+    val noScheme =
+      regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val slash = instr(noScheme, "/")
+    val hostPart = when(slash > lit(0),
+      noScheme.substr(lit(1), slash - 1)).otherwise(noScheme)
+    val host = regexp_replace(lower(hostPart), "^www\\.", "")
+    val pathQ = when(slash > lit(0),
+      noScheme.substr(slash, length(noScheme))).otherwise(lit(""))
+    val path0 = substring_index(pathQ, "?", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val qpos = instr(pathQ, "?")
+    val query = when(qpos > lit(0),
+      pathQ.substr(qpos + 1, length(pathQ))).otherwise(lit(""))
+    val params = filter(split(query, "&"),
+      p => (p =!= "") && !p.startsWith("utm_"))
+    val sortedQ = array_join(array_sort(params), "&")
+    concat(host, path,
+      when(length(sortedQ) > 0, concat(lit("?"), sortedQ))
+        .otherwise(lit("")))
+  }
+
+  /** URL-keyed keeper relation: min id per [[canonicalUrl]] group —
+    * the URL-first stage a web pipeline composes BEFORE
+    * [[exactDedupFirst]] (URL collapse removes recrawl mass without
+    * touching content; content dedup then catches same-text pages
+    * under different canonical URLs). Same shape as
+    * [[exactKeepers]]: one hash aggregation, left-semi join to
+    * apply. */
+  def urlKeepers(df: DataFrame, idCol: String, urlCol: String)
+      : DataFrame =
+    df.groupBy(canonicalUrl(col(urlCol)).as("__cu"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+
+  /** URL-first dedup: keep one row (min id) per canonical URL. */
+  def urlDedupFirst(df: DataFrame, idCol: String, urlCol: String)
+      : DataFrame =
+    df.join(urlKeepers(df, idCol, urlCol), Seq(idCol), "left_semi")
+
+  /** The q286 release audit: per canonical URL, how many docs and
+    * distinct raw URL decorations collapsed onto it and which id
+    * survives — the frame an operator reads to size the URL stage's
+    * win before content dedup runs. One aggregation, grouped on a
+    * codegen'd scalar; no joins. */
+  def urlCanonicalDedup(df: DataFrame, idCol: String, urlCol: String)
+      : DataFrame =
+    df.select(col(idCol), col(urlCol).as("__url"),
+        canonicalUrl(col(urlCol)).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__url")).as("n_raw_urls"),
+        min(col(idCol)).as("keep_id"))
+
   def lshCandidatePairs(sigs: DataFrame, idCol: String,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val banded = sigs.select(col(idCol).as("doc"), posexplode(

@@ -678,6 +678,91 @@ object LlmQueries2 {
         graft.llmops.Tokenize.bpeFertilityByGroup(docs, "doc_id",
           "text", "lang",
           graft.llmops.TextOps.learnBpeMerges(docs, "text", 4))
+      }),
+
+    // URL-keyed canonical dedup (TextOps.canonicalUrl) — the stage a
+    // web pipeline runs BEFORE content dedup: strip scheme/fragment/
+    // www./utm_* params, lowercase the host, sort query params, and
+    // collapse to one keeper per canonical URL. The fixture tables
+    // carry no url column, so the query derives a deterministic one
+    // from doc_id (the media-payload precedent): groups of 3 docs
+    // share a canonical page, decorated per-doc with scheme case,
+    // www., a fragment, or tracking params — the oracle replays BOTH
+    // the derivation and the full canonicalization chain. Output:
+    // per-canonical collapse audit (one aggregation on a codegen'd
+    // scalar, no joins).
+    QueryDef(
+      "q286_url_canonical_dedup",
+      Some("""
+        WITH u AS (SELECT doc_id,
+                     'site' || CAST((doc_id // 3) % 7 AS VARCHAR)
+                       || '.example.org' AS host,
+                     '/doc/' || CAST(doc_id // 3 AS VARCHAR) AS path,
+                     doc_id % 6 AS v
+                   FROM documents),
+        raw AS (SELECT doc_id,
+                  CASE v WHEN 0 THEN 'http://' || host || path
+                         WHEN 1 THEN 'https://' || host || path
+                         WHEN 2 THEN 'HTTPS://WWW.' || upper(host)
+                                || path
+                         WHEN 3 THEN 'https://' || host || path
+                                || '#sec'
+                                || CAST(doc_id % 100 AS VARCHAR)
+                         WHEN 4 THEN 'https://' || host || path
+                                || '?utm_source=feed&b=2&a=1'
+                         ELSE 'https://' || host || path || '?a=1&b=2'
+                  END AS url
+                FROM u),
+        n1 AS (SELECT doc_id, url,
+                 regexp_replace(string_split(url, '#')[1],
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS ns
+               FROM raw),
+        n2 AS (SELECT doc_id, url, ns, strpos(ns, '/') AS sp FROM n1),
+        n3 AS (SELECT doc_id, url,
+                 regexp_replace(lower(CASE WHEN sp > 0
+                     THEN ns[1:sp-1] ELSE ns END), '^www\.', '')
+                   AS host,
+                 CASE WHEN sp > 0 THEN ns[sp:] ELSE '' END AS pathq
+               FROM n2),
+        n4 AS (SELECT doc_id, url, host,
+                 CASE WHEN string_split(pathq, '?')[1] = '' THEN '/'
+                      ELSE string_split(pathq, '?')[1] END AS path,
+                 CASE WHEN strpos(pathq, '?') > 0
+                      THEN pathq[strpos(pathq, '?')+1:]
+                      ELSE '' END AS q
+               FROM n3),
+        n5 AS (SELECT doc_id, url, host, path,
+                 array_to_string(list_sort(list_filter(
+                   string_split(q, '&'),
+                   p -> p <> '' AND NOT starts_with(p, 'utm_'))),
+                   '&') AS sq
+               FROM n4),
+        c AS (SELECT doc_id, url,
+                host || path || CASE WHEN len(sq) > 0 THEN '?' || sq
+                                     ELSE '' END AS canonical_url
+              FROM n5)
+        SELECT canonical_url, count(*) AS n_docs,
+               count(DISTINCT url) AS n_raw_urls,
+               CAST(min(doc_id) AS BIGINT) AS keep_id
+        FROM c GROUP BY 1"""),
+      (s, d) => {
+        val g = expr("doc_id div 3")
+        val host = concat(lit("site"), (g % 7).cast("string"),
+          lit(".example.org"))
+        val path = concat(lit("/doc/"), g.cast("string"))
+        val v = col("doc_id") % 6
+        val url = when(v === 0, concat(lit("http://"), host, path))
+          .when(v === 1, concat(lit("https://"), host, path))
+          .when(v === 2, concat(lit("HTTPS://WWW."), upper(host), path))
+          .when(v === 3, concat(lit("https://"), host, path,
+            lit("#sec"), (col("doc_id") % 100).cast("string")))
+          .when(v === 4, concat(lit("https://"), host, path,
+            lit("?utm_source=feed&b=2&a=1")))
+          .otherwise(concat(lit("https://"), host, path,
+            lit("?a=1&b=2")))
+        graft.llmops.TextOps.urlCanonicalDedup(
+          t(s, d, "documents").select(col("doc_id"), url.as("url")),
+          "doc_id", "url")
       })
   )
 
