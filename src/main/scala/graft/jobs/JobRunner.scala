@@ -545,16 +545,24 @@ object JobRunner {
           sys.error("--in-docs required for paired_release"))
         val dest = o.getOrElse("dest",
           sys.error("--dest required for paired_release"))
-        graft.llmops.PairedRelease.release(
-          s.read.parquet(in),
-          o.getOrElse("id-col", "doc_id"),
+        val docs = s.read.parquet(in)
+        val (id, pay, tc, src) = (o.getOrElse("id-col", "doc_id"),
           o.getOrElse("payload-col", "payload"),
           o.getOrElse("text-col", "text"),
-          o.getOrElse("source-col", "source"),
-          dest,
-          maxHamming =
-            o.get("max-hamming").map(_.toInt).getOrElse(4),
-          minJac = o.get("min-jac").map(_.toDouble).getOrElse(0.2))
+          o.getOrElse("source-col", "source"))
+        val mh = o.get("max-hamming").map(_.toInt).getOrElse(4)
+        val mj = o.get("min-jac").map(_.toDouble).getOrElse(0.2)
+        // --modality audio switches to the (audio, transcript) rail
+        // pair; the release kernel is shared (PairedRelease
+        // .releaseRails), only the signature kernel differs
+        o.getOrElse("modality", "image") match {
+          case "audio" => graft.llmops.PairedRelease
+            .releaseAudioTranscript(docs, id, pay, tc, src, dest,
+              maxHamming = mh, minJac = mj,
+              window = o.get("window").map(_.toInt).getOrElse(4))
+          case _ => graft.llmops.PairedRelease.release(
+            docs, id, pay, tc, src, dest, maxHamming = mh, minJac = mj)
+        }
       }),
       // offline compaction of a curated-corpus admission index
       // (Streams.compactAdmissionIndex): squash batch partitions

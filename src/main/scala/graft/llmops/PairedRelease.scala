@@ -5,83 +5,94 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Checkpoints.BarrierOps
 
-/** End-to-end CAPTIONED-image corpus release — the paired-modality
-  * composition of the q274/q275 cross-modal primitives into ONE lake
-  * job (`JobRunner` registry: `paired_release`), completing
-  * job-level parity for the paired modality the way `media_release`
-  * does for image/audio/video. Input rows are (id, payload, caption
-  * text, source); a pair of rows is a duplicate only when BOTH
-  * modalities agree:
+/** End-to-end PAIRED-modality corpus release — the composition of the
+  * q274/q275 cross-modal primitives into ONE lake job (`JobRunner`
+  * registry: `paired_release`), completing job-level parity for
+  * paired modalities the way `media_release` does for image/audio/
+  * video. Input rows are (id, payload, text, source); a pair of rows
+  * is a duplicate only when BOTH modalities agree:
   *
-  *  - exact rail: identical decoded PIXELS and identical caption
-  *    BYTES — groupBy (pix_fp, md5(caption)), min-id survivor. A
-  *    re-encoded copy under the same caption collapses here; the
-  *    same image under a different caption does NOT (the caption
-  *    carries information), which is exactly where the image-only
-  *    q265 rail would over-delete;
+  *  - exact rail: identical media FINGERPRINT and identical text
+  *    BYTES — groupBy (media_fp, md5(text)), min-id survivor. A
+  *    re-encoded copy under the same text collapses here; the same
+  *    media under a different text does NOT (the text carries
+  *    information), which is exactly where a media-only rail would
+  *    over-delete;
   *  - near rail over exact survivors ONLY (structural
-  *    exact-dedup-first): caption 3-shingle Jaccard ≥ `minJac`
-  *    PROPOSES (the q41 df-capped index — captions are near-unique,
-  *    so its pair set is the small one) and image dHash Hamming ≤
-  *    `maxHamming` VERIFIES (two hash lookups + one XOR per
-  *    candidate; q274's composition);
+  *    exact-dedup-first): text 3-shingle Jaccard ≥ `minJac` PROPOSES
+  *    (the q41 df-capped index — captions/transcripts are
+  *    near-unique, so its pair set is the small one) and the media
+  *    perceptual hash at Hamming ≤ `maxHamming` VERIFIES (two hash
+  *    lookups + one XOR per candidate; q274's composition);
   *  - keep-list over the verified pairs (components, min-id
   *    survivor), expanded over the exact groups.
   *
-  * Undecodable payloads are counted, never silently dropped. One
-  * decode pass total ([[Multimodal.imageSignatures]]: pix_fp + dHash
-  * from a single codec read); the caption index is the only
-  * pair-producing stage and it is df-capped.
+  * The modalities differ ONLY in the signature kernel they feed the
+  * shared [[releaseRails]] kernel:
+  *
+  *  - captioned IMAGE ([[release]]): one decode pass
+  *    ([[Multimodal.imageSignatures]] — exact pixel fingerprint +
+  *    perceptual dHash from a single codec read);
+  *  - transcribed AUDIO ([[releaseAudioTranscript]]): the acoustic
+  *    envelope hash ([[Multimodal.audioEnvelopeHash]]) serves both
+  *    rails — exact rail on envelope identity (q266's convention,
+  *    the MediaRelease audio stage's exact rail) and near rail on
+  *    envelope Hamming (q268).
+  *
+  * Undecodable payloads are counted, never silently dropped. The
+  * text index is the only pair-producing stage and it is df-capped.
   */
 object PairedRelease {
 
-  /** Run the release; persist artifacts under `dest` (`signatures`,
-    * `pairs`, `keep`, `report`) and return the report:
-    * (media_kind, n_payloads, n_exact_survivors, n_kept) with kinds
-    * `captioned_image` and `undecodable`. */
-  def release(docs: DataFrame, idCol: String, payloadCol: String,
-      textCol: String, sourceCol: String, dest: String,
-      maxHamming: Int = 4, minJac: Double = 0.2): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val base = docs.select(
-        col(idCol).cast("long").as("doc_id"),
-        col(payloadCol).as("payload"),
-        col(textCol).as("text"),
-        col(sourceCol).as("source"))
-      .barrier() // decode pass + caption joins share one scan
-    val media = base.select(col("doc_id"), col("payload"),
-        col("source"), lit(0L).as("n_chars"))
-      .as[Multimodal.MediaRecord]
-    val sigs = Multimodal.imageSignatures(media).toDF()
+  /** The RAIL-PAIR kernel every paired-modality release runs: `base`
+    * is the paired rows (doc_id, text, source, …), `sigs0` the
+    * per-doc media signatures (doc_id, media_fp, near_hash) with a
+    * NULL media_fp marking an undecodable payload. Executes exact
+    * both-rails collapse → text-proposes / media-verifies near pairs
+    * → keep-list; persists `signatures`, `pairs`, `keep`, `report`
+    * under `dest` and returns the report (media_kind, n_payloads,
+    * n_exact_survivors, n_kept) with kinds `mediaKind` and
+    * `undecodable`.
+    *
+    * Scale shape: one barriered signature frame feeds the exact
+    * groups and the hash verify; the text rail proposes from a
+    * df-capped inverted index restricted to exact survivors; the
+    * media rail verifies with two hash lookups + one XOR per
+    * candidate — no media banding pass at all; components barrier
+    * per round inside the keep-list. */
+  def releaseRails(base: DataFrame, sigs0: DataFrame,
+      mediaKind: String, dest: String, maxHamming: Int,
+      minJac: Double): DataFrame = {
+    val sigs = sigs0
       .join(base.select(col("doc_id"),
-        md5(col("text")).as("cap_fp")), Seq("doc_id"))
+        md5(col("text")).as("text_fp")), Seq("doc_id"))
       .barrier() // exact groups + hash verify read it
     sigs.write.mode("overwrite").parquet(s"$dest/signatures")
-    val decoded = sigs.filter(col("pix_fp").isNotNull)
-    // exact rail: identical pixels AND identical caption bytes
+    val decoded = sigs.filter(col("media_fp").isNotNull)
+    // exact rail: identical media fingerprint AND identical text bytes
     val survivors = decoded
-      .groupBy(col("pix_fp"), col("cap_fp"))
-      .agg(min(struct(col("doc_id"), col("dhash"))).as("k"),
+      .groupBy(col("media_fp"), col("text_fp"))
+      .agg(min(struct(col("doc_id"), col("near_hash"))).as("k"),
         count(lit(1)).as("n_copies"))
-      .select(col("k.doc_id").as("doc_id"), col("k.dhash").as("dhash"),
-        col("pix_fp"), col("cap_fp"), col("n_copies"))
-      .barrier() // caption rail, hash verify AND keep-list base
-    // near rail: captions propose, dHash verifies (q274's shape)
+      .select(col("k.doc_id").as("doc_id"),
+        col("k.near_hash").as("near_hash"),
+        col("media_fp"), col("text_fp"), col("n_copies"))
+      .barrier() // text rail, hash verify AND keep-list base
+    // near rail: text proposes, the media hash verifies (q274's shape)
     val capPairs = TextOps.ngramJaccardPairs(
       base.join(survivors.select(col("doc_id")), Seq("doc_id"),
         "left_semi"),
       "doc_id", "text", minJac = minJac, maxDf = 1000)
     val pairs = Multimodal.pairedCaptionNearDupPairs(
       capPairs,
-      survivors.select(col("doc_id"), col("dhash")),
+      survivors.select(col("doc_id"), col("near_hash").as("dhash")),
       maxHamming).barrier()
     pairs.write.mode("overwrite").parquet(s"$dest/pairs")
     val keep = DedupClusters.keepList(
       survivors, "doc_id", pairs, "doc_a", "doc_b", maxIters = 100)
       .barrier()
     keep.write.mode("overwrite").parquet(s"$dest/keep")
-    val undecodable = sigs.filter(col("pix_fp").isNull)
+    val undecodable = sigs.filter(col("media_fp").isNull)
       .agg(count(lit(1)).as("n_payloads"))
       .select(lit("undecodable").as("media_kind"), col("n_payloads"),
         lit(0L).as("n_exact_survivors"), lit(0L).as("n_kept"))
@@ -90,10 +101,66 @@ object PairedRelease {
         count(lit(1)).as("n_exact_survivors"),
         coalesce(sum(when(col("is_kept"), 1L).otherwise(0L)),
           lit(0L)).as("n_kept")))
-      .select(lit("captioned_image").as("media_kind"),
+      .select(lit(mediaKind).as("media_kind"),
         col("n_payloads"), col("n_exact_survivors"), col("n_kept"))
       .unionByName(undecodable)
     report.write.mode("overwrite").parquet(s"$dest/report")
     report
+  }
+
+  /** The (doc_id, payload, text, source) projection both releases
+    * start from — barriered because the decode pass and the text
+    * joins share the one scan. */
+  private def baseFrame(docs: DataFrame, idCol: String,
+      payloadCol: String, textCol: String,
+      sourceCol: String): DataFrame =
+    docs.select(
+        col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload"),
+        col(textCol).as("text"),
+        col(sourceCol).as("source"))
+      .barrier()
+
+  /** Captioned-IMAGE release: image signature kernel (exact pixel
+    * fingerprint + perceptual dHash, one codec pass) into the shared
+    * rail-pair kernel. */
+  def release(docs: DataFrame, idCol: String, payloadCol: String,
+      textCol: String, sourceCol: String, dest: String,
+      maxHamming: Int = 4, minJac: Double = 0.2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = baseFrame(docs, idCol, payloadCol, textCol, sourceCol)
+    val media = base.select(col("doc_id"), col("payload"),
+        col("source"), lit(0L).as("n_chars"))
+      .as[Multimodal.MediaRecord]
+    val sigs = Multimodal.imageSignatures(media).toDF()
+      .select(col("doc_id"), col("pix_fp").as("media_fp"),
+        col("dhash").as("near_hash"))
+    releaseRails(base, sigs, "captioned_image", dest, maxHamming,
+      minJac)
+  }
+
+  /** Transcribed-AUDIO release: the acoustic envelope hash
+    * ([[Multimodal.audioEnvelopeHash]], `window`-sample energy
+    * windows) serves both rails — exact on envelope identity, near
+    * on envelope Hamming — into the same rail-pair kernel. A
+    * re-encoded/gain-shifted clip under the same transcript collapses
+    * (envelope deltas survive gain); the same clip under a genuinely
+    * different transcript survives. */
+  def releaseAudioTranscript(docs: DataFrame, idCol: String,
+      payloadCol: String, textCol: String, sourceCol: String,
+      dest: String, maxHamming: Int = 4, minJac: Double = 0.2,
+      window: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = baseFrame(docs, idCol, payloadCol, textCol, sourceCol)
+    val media = base.select(col("doc_id"), col("payload"),
+        col("source"), lit(0L).as("n_chars"))
+      .as[Multimodal.MediaRecord]
+    val sigs = Multimodal.audioEnvelopeHash(media, window).toDF()
+      .select(col("doc_id"), col("env_hash").as("media_fp"),
+        col("env_hash").as("near_hash"))
+    releaseRails(base, sigs, "transcribed_audio", dest, maxHamming,
+      minJac)
   }
 }

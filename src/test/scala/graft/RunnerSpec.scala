@@ -667,6 +667,54 @@ class RunnerSpec extends AnyFunSuite {
     assert(s0.read.parquet(s"$dir/rel/pairs").count() == 1L) // (1,2)
   }
 
+  test("JobRunner: paired_release --modality audio runs the same " +
+    "rail-pair kernel over (envelope hash, transcript) — identical " +
+    "clip+transcript collapses exactly, gain variant + paraphrase " +
+    "collapses via the near pair, different transcript or different " +
+    "clip survives") {
+    val dir = Files.createTempDirectory("graft-runner-paired-a").toString
+    val s0 = graft.core.Sessions.local(4, "graft-runner-test")
+    import s0.implicits._
+    import graft.llmops.Multimodal
+    def samples(id: Long) =
+      Array.tabulate(256)(t => Multimodal.synthSample(id, t))
+    val p = samples(42L); val q = samples(7L)
+    // gain variant: envelope delta SIGNS survive a uniform scale, so
+    // the env hash lands within the Hamming gate of p's but the PCM
+    // bytes (and any byte-exact rail) differ
+    val pg = p.map(s => 128 + ((s - 128) * 9) / 10)
+    val capA = "the quick brown fox jumps over the lazy dog"
+    val capB = "the quick brown fox jumps over a sleepy dog"
+    val capC = "completely unrelated words describing another scene"
+    Seq(
+      (1L, Multimodal.encodeWav(p), capA, "s"),
+      // 5: byte-identical clip + identical transcript → exact dup
+      (5L, Multimodal.encodeWav(p), capA, "s"),
+      // 2: gain variant + paraphrase → NEAR pair with 1
+      (2L, Multimodal.encodeWav(pg), capB, "s"),
+      // 3: same clip, unrelated transcript → survives (information)
+      (3L, Multimodal.encodeWav(p), capC, "s"),
+      // 4: different clip, re-used transcript → survives (the text
+      // rail proposes (1,4) at jac=1, the envelope rail refuses)
+      (4L, Multimodal.encodeWav(q), capA, "s"),
+      // 99: undecodable — counted, not dropped
+      (99L, Array[Byte](9, 9, 9), capA, "s"))
+      .toDF("doc_id", "payload", "text", "source")
+      .write.parquet(s"$dir/docs")
+    val report = JobRunner.lakeJobs("paired_release")(s0, Map(
+      "in-docs" -> s"$dir/docs", "dest" -> s"$dir/rel",
+      "modality" -> "audio"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(report("transcribed_audio") == ((5L, 4L, 3L)))
+    assert(report("undecodable") == ((1L, 0L, 0L)))
+    val keep = s0.read.parquet(s"$dir/rel/keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(keep == Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> true))
+  }
+
   test("JobRunner: media_release --keep-best-resolution survives the " +
     "largest copy of a near-dup cluster instead of the lowest id") {
     val dir = Files.createTempDirectory("graft-runner-mres").toString
