@@ -271,16 +271,29 @@ object JobRunner {
           .split(",").toSeq
         val minRel = o.get("min-release").map(_.toLong).getOrElse(5L)
         val docs = s.read.parquet(in)
-        val full = o.get("contributor-col") match {
-          case Some(c) => graft.llmops.Privacy.dpUserLevelCounts(
-            docs, keys, c, salt,
-            o.get("max-per-contributor").map(_.toInt).getOrElse(1),
-            minRel)
+        // --sum-col releases clipped per-class TOTALS (q288's
+        // mechanism, --clip bounds one row's influence); otherwise
+        // counts, with --contributor-col switching those to the
+        // user-level q285 form
+        o.get("sum-col") match {
+          case Some(vc) =>
+            graft.llmops.Privacy.dpNoisySums(docs, keys, vc,
+              o.get("clip").map(_.toLong).getOrElse(128L), salt,
+              minRel)
+              .select(keys.map(col) ++ Seq(col("suppressed"),
+                col("sum_released")): _*)
           case None =>
-            graft.llmops.Privacy.dpNoisyCounts(docs, keys, salt, minRel)
+            val full = o.get("contributor-col") match {
+              case Some(c) => graft.llmops.Privacy.dpUserLevelCounts(
+                docs, keys, c, salt,
+                o.get("max-per-contributor").map(_.toInt).getOrElse(1),
+                minRel)
+              case None => graft.llmops.Privacy.dpNoisyCounts(
+                docs, keys, salt, minRel)
+            }
+            full.select(keys.map(col) ++ Seq(col("suppressed"),
+              col("n_released")): _*)
         }
-        full.select(
-          keys.map(col) ++ Seq(col("suppressed"), col("n_released")): _*)
       }),
       // rewrite a parquet store into ~target-bytes files (see
       // IO.compact for the exclusive-access contract)
@@ -304,7 +317,16 @@ object JobRunner {
         val dest = o.getOrElse("dest",
           sys.error("--dest required for corpus_release_export"))
         val n = o.get("shards").map(_.toInt).getOrElse(32)
-        val docs = s.read.parquet(in)
+        // --url-col runs URL-first dedup (TextOps.urlDedupFirst,
+        // q286's canonicalization) BEFORE the content stages — the
+        // web-pipeline ordering; the URL stage's own collapse audit
+        // is q286's frame (urlCanonicalDedup), run separately
+        val docs0 = s.read.parquet(in)
+        val docs = o.get("url-col") match {
+          case Some(uc) => graft.llmops.TextOps.urlDedupFirst(
+            docs0, o.getOrElse("id-col", "doc_id"), uc)
+          case None => docs0
+        }
         // one staged pass serves both outputs — released()+summary()
         // separately would run the three heaviest stages twice;
         // --lm-min-score switches in the LM-gated pipeline (the

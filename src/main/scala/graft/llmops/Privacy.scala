@@ -169,6 +169,51 @@ object Privacy {
       keyCols, salt, minRelease)
   }
 
+  /** ε=ln2-DP noisy SUM release over `keyCols` classes — the release
+    * mechanism for per-class TOTALS (token counts, byte sizes) rather
+    * than row counts. Two standard steps make the integer-only
+    * geometric mechanism apply:
+    *
+    *  1. per-row CLIPPING: `valueCol` is clamped to [0, clip] (the
+    *     bounded-contribution step every DP sum needs; rows above the
+    *     clip are counted in the `n_clipped` audit column so the
+    *     operator's bias is measurable, not hidden);
+    *  2. UNIT quantization: the clipped sum S is released in units of
+    *     `clip` — published value = clip · (⌊S/clip⌋ + noise). One
+    *     row moves S by at most clip, and ⌊S/clip⌋ by at most 1, so
+    *     ⌊S/clip⌋ is a unit-sensitivity integer query and the α=1/2
+    *     two-sided geometric gives row-level ε = ln 2 exactly (same
+    *     truncation delta as the counting release). The quantization
+    *     error (< clip) is the price of exact integer ε — the same
+    *     magnitude as the noise's own scale (clip·|noise|), so
+    *     nothing is lost at release resolution.
+    *
+    * Suppression on the NOISY unit count, as in [[dpNoisyCounts]].
+    * Audit columns (sum_true, n_clipped, units_true, noise) ride for
+    * the calibration view; the `dp_release --sum-col` job form ships
+    * only (keys, suppressed, sum_released). Scale shape: one clip
+    * projection + one counting aggregation + a class-table
+    * projection. */
+  def dpNoisySums(df: DataFrame, keyCols: Seq[String],
+      valueCol: String, clip: Long, salt: String,
+      minReleaseUnits: Long = 5L): DataFrame = {
+    require(clip >= 1L, s"clip must be >= 1, got $clip")
+    val v = col(valueCol).cast("long")
+    val clipped = df.withColumn("__v",
+      least(greatest(v, lit(0L)), lit(clip)))
+    val cls = clipped.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__v")).as("sum_true"),
+        sum(when(v > clip, 1L).otherwise(0L)).as("n_clipped"))
+    val key = concat(classKey(keyCols), lit("|" + salt))
+    cls
+      .withColumn("units_true", expr(s"sum_true div $clip"))
+      .withColumn("noise", geometricNoise(key))
+      .withColumn("units_noisy", col("units_true") + col("noise"))
+      .withColumn("suppressed", col("units_noisy") < minReleaseUnits)
+      .withColumn("sum_released",
+        when(!col("suppressed"), col("units_noisy") * clip))
+  }
+
   /** k-anonymization by ladder generalization — the op that FIXES a
     * failing k-anonymity audit (q247 measures; this releases): the
     * numeric quasi-identifier `valueCol` is coarsened down a

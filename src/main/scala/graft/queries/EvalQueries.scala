@@ -600,6 +600,49 @@ object EvalQueries {
         Privacy.dpUserLevelCounts(t(s, d, "documents"), Seq("lang"),
           "source", "dpu1", maxPerContributor = 8)),
 
+    // DP noisy SUM release — per-lang TOTAL token counts (q276/q281
+    // release row counts; totals are the other number every corpus
+    // card ships): per-row clip to [0, 128] (n_clipped audits the
+    // bias), then release the clipped sum in clip-units —
+    // clip·(⌊S/clip⌋ + noise) — so ⌊S/clip⌋ is a unit-sensitivity
+    // integer query and the same integer-only α=1/2 geometric noise
+    // gives row-level ε = ln 2 exactly. Suppression on the noisy
+    // unit count; quantization error < clip = the noise's own scale.
+    QueryDef(
+      "q288_dp_noisy_sum",
+      Some(s"""
+        WITH b AS (SELECT lang,
+                     CAST(len(string_split(text,' ')) AS BIGINT) AS nt
+                   FROM documents),
+        cls AS (SELECT lang,
+                  CAST(sum(least(greatest(nt, 0), 128)) AS BIGINT)
+                    AS sum_true,
+                  CAST(coalesce(count(*) FILTER (WHERE nt > 128), 0)
+                    AS BIGINT) AS n_clipped
+                FROM b GROUP BY 1),
+        u AS (SELECT lang, sum_true, n_clipped,
+                sum_true // 128 AS units_true,
+                ${dkHash60(s"${dkKeyCol("lang")} || '|dps1'")} AS hh
+              FROM cls),
+        g AS (SELECT lang, sum_true, n_clipped, units_true,
+                (len(bin((hh & 1073741823) + 1073741824))
+                 - len(rtrim(bin((hh & 1073741823) + 1073741824), '0')))
+                - (len(bin((hh >> 30) + 1073741824))
+                   - len(rtrim(bin((hh >> 30) + 1073741824), '0')))
+                  AS noise
+              FROM u)
+        SELECT lang, sum_true, n_clipped, units_true, noise,
+               units_true + noise AS units_noisy,
+               (units_true + noise) < 5 AS suppressed,
+               CASE WHEN (units_true + noise) >= 5
+                    THEN (units_true + noise) * 128 END AS sum_released
+        FROM g"""),
+      (s, d) =>
+        Privacy.dpNoisySums(
+          t(s, d, "documents").select(col("lang"),
+            size(TextOps.tokens(col("text"))).cast("long").as("nt")),
+          Seq("lang"), "nt", clip = 128L, salt = "dps1")),
+
     // Effective sample size of the DSIR importance weights (q234's
     // output read as a sampling design): ESS = (Σw)²/Σw² — the
     // number of equally-weighted docs the weighted corpus is worth —

@@ -174,6 +174,33 @@ class PrivacySpec extends AnyFunSuite {
     assert(full(df) == full(df))
   }
 
+  test("dpNoisySums: clipping bounds any one row's influence to one " +
+    "unit; released value is clip-quantized; replay-exact") {
+    import spark.implicits._
+    val clip = 100L
+    val others = (1 to 50).map(i => ("A", 80L)) // 4000 clipped sum
+    val whale = Seq(("A", 1000000L))            // clips to 100
+    def run(rows: Seq[(String, Long)]) =
+      Privacy.dpNoisySums(rows.toDF("cls", "v"), Seq("cls"), "v",
+        clip, "s1", minReleaseUnits = 1L)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5),
+          if (r.isNullAt(7)) None else Some(r.getLong(7)))).head
+    val w = run(others ++ whale)
+    val nw = run(others)
+    // whale contributes exactly clip to the sum, ONE unit to the
+    // released statistic (raw influence would be 10^6)
+    assert(w._1 == 4100L && nw._1 == 4000L)
+    assert(w._2 == 1L && nw._2 == 0L) // n_clipped audits the bias
+    assert(w._3 - nw._3 == 1L)        // units_true moved by exactly 1
+    // noise is keyed by (class, salt) only -> identical draw; the
+    // released values differ by exactly clip
+    assert(w._4 == nw._4)
+    assert((w._6.get - nw._6.get) == clip)
+    assert(w._6.get == (w._5 * clip)) // clip-quantized release
+    assert(run(others ++ whale) == w) // replay-exact
+  }
+
   test("classKey: NULL-explicit and length-prefixed — NULL keys still " +
     "draw noise, separator-bearing values cannot collide classes") {
     import spark.implicits._

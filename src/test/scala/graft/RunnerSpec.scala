@@ -159,6 +159,21 @@ class RunnerSpec extends AnyFunSuite {
     assert(released.count() == 40)
     assert(Set("doc_id", "text", "source", "shard")
       .subsetOf(released.columns.toSet))
+    // --url-col: URL-first dedup ahead of the content stages — the
+    // recrawl (43, a scheme/www/utm variant of 1's URL but DIFFERENT
+    // text) drops at the URL stage, so it never even reaches content
+    // dedup; every kept doc keeps its distinct canonical URL
+    val withUrl = (good ++ extra).map { case (id, text, src) =>
+      (id, text, src, s"http://ex.org/p$id") } :+
+      ((43L, "completely different recrawl body text here",
+        "src0", "https://www.ex.org/p1?utm_source=x"))
+    withUrl.toDF("doc_id", "text", "source", "url")
+      .write.parquet(s"$dir/docs_u")
+    val auditU = JobRunner.lakeJobs("corpus_release_export")(
+      s0, Map("in-docs" -> s"$dir/docs_u", "dest" -> s"$dir/rel_u",
+        "shards" -> "4", "url-col" -> "url")).collect()
+    assert(auditU.map(_.getAs[Long]("n_in")).sum == 42) // 43 gone
+    assert(auditU.map(_.getAs[Long]("n_released")).sum == 40)
   }
 
   test("JobRunner: report_export lake job writes the HTML + SVG tail") {
@@ -371,6 +386,17 @@ class RunnerSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) ->
         (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
     assert(ul("en").exists(v => v >= 3L - 30L && v <= 3L + 30L))
+    // sum form: clipped totals, released values clip-quantized,
+    // audit columns never ship
+    val sums = JobRunner.lakeJobs("dp_release")(s0,
+      Map("in-docs" -> dpDir, "salt" -> "dp1", "key-cols" -> "lang",
+        "sum-col" -> "doc_id", "clip" -> "10",
+        "min-release" -> "-100"))
+    assert(sums.columns.toSeq == Seq("lang", "suppressed",
+      "sum_released"))
+    sums.collect().foreach { r =>
+      if (!r.isNullAt(2)) assert(r.getLong(2) % 10L == 0L)
+    }
     val cc = JobRunner.jobs("contamination_report")._2(s0,
         Map("docs" -> docsDf)).collect()
       .map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3)))).toMap
