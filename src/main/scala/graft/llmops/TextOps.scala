@@ -425,12 +425,19 @@ object TextOps {
     val noFrag = substring_index(u, "#", 1)
     val noScheme =
       regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
-    val slash = instr(noScheme, "/")
-    val hostPart = when(slash > lit(0),
-      noScheme.substr(lit(1), slash - 1)).otherwise(noScheme)
+    // the host ends at the FIRST of '/' or '?' — a pathless
+    // `host?query` URL is legal, and treating its query as host
+    // would smuggle tracking params through the canonicalization
+    // (caught by PropertySpec's idempotence law)
+    val si = instr(noScheme, "/")
+    val qi = instr(noScheme, "?")
+    val cut = when(si > lit(0) && (qi === lit(0) || si < qi), si)
+      .when(qi > lit(0), qi).otherwise(lit(0))
+    val hostPart = when(cut > lit(0),
+      noScheme.substr(lit(1), cut - 1)).otherwise(noScheme)
     val host = regexp_replace(lower(hostPart), "^www\\.", "")
-    val pathQ = when(slash > lit(0),
-      noScheme.substr(slash, length(noScheme))).otherwise(lit(""))
+    val pathQ = when(cut > lit(0),
+      noScheme.substr(cut, length(noScheme))).otherwise(lit(""))
     val path0 = substring_index(pathQ, "?", 1)
     val path = when(path0 === "", lit("/")).otherwise(path0)
     val qpos = instr(pathQ, "?")

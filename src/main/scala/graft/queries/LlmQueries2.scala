@@ -717,7 +717,14 @@ object LlmQueries2 {
                  regexp_replace(string_split(url, '#')[1],
                    '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS ns
                FROM raw),
-        n2 AS (SELECT doc_id, url, ns, strpos(ns, '/') AS sp FROM n1),
+        n2 AS (SELECT doc_id, url, ns,
+                 CASE WHEN strpos(ns, '/') > 0
+                       AND (strpos(ns, '?') = 0
+                            OR strpos(ns, '/') < strpos(ns, '?'))
+                      THEN strpos(ns, '/')
+                      WHEN strpos(ns, '?') > 0 THEN strpos(ns, '?')
+                      ELSE 0 END AS sp
+               FROM n1),
         n3 AS (SELECT doc_id, url,
                  regexp_replace(lower(CASE WHEN sp > 0
                      THEN ns[1:sp-1] ELSE ns END), '^www\.', '')

@@ -1520,4 +1520,67 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expected, s"round $round")
     }
   }
+
+  test("canonicalUrl is IDEMPOTENT over generated URL decorations — " +
+    "a canonical form re-canonicalizes to itself") {
+    val scheme = Gen.oneOf("", "http://", "https://", "HTTPS://",
+      "ftp://")
+    val www = Gen.oneOf("", "www.", "WWW.")
+    val host = Gen.zip(token, Gen.oneOf("org", "com", "NET"))
+      .map { case (h, tld) => s"$h.$tld" }
+    val path = Gen.oneOf(Gen.const(""),
+      Gen.listOf(token).map(ps => "/" + ps.mkString("/")))
+    val param: Gen[String] = Gen.zip(
+      Gen.oneOf(token, token.map("utm_" + _)), token)
+      .map { case (k, v) => s"$k=$v" }
+    val query = Gen.oneOf(Gen.const(""),
+      Gen.nonEmptyListOf(param).map(ps => "?" + ps.mkString("&")))
+    val frag = Gen.oneOf(Gen.const(""), token.map("#" + _))
+    val url = for {
+      s <- scheme; w <- www; h <- host; p <- path; q <- query;
+      f <- frag
+    } yield s"$s$w$h$p$q$f"
+    val urls = samples(url, 60)
+    val once = urls.toDF("u")
+      .select(TextOps.canonicalUrl(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    val twice = once.toDF("c")
+      .select(TextOps.canonicalUrl(col("c")).as("c2"))
+      .collect().map(_.getString(0)).toSeq
+    once.zip(twice).zip(urls).foreach { case ((a, b), raw) =>
+      assert(a == b, s"not idempotent for $raw: $a -> $b")
+      assert(!a.contains("#") && !a.toLowerCase.startsWith("http"),
+        s"decoration survived for $raw: $a")
+      assert(!a.contains("utm_"), s"tracking param survived: $a")
+    }
+  }
+
+  test("bpeEncodeTokens segmentation is LOSSLESS: pieces concatenate " +
+    "back to the token under any generated merge table") {
+    val word: Gen[String] = Gen.choose(1, 10)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')))
+      .map(_.mkString)
+    val mergeTable: Gen[Seq[(String, String)]] = Gen.choose(0, 4)
+      .flatMap { k =>
+        // merges over single chars and their concatenations — the
+        // realistic shape (later merges reference earlier outputs)
+        val sym = Gen.oneOf("a", "b", "c", "ab", "bc", "aa", "cc")
+        Gen.listOfN(k, Gen.zip(sym, sym))
+      }
+    (1 to 12).foreach { round =>
+      val words = samples(word, 20).distinct
+      val merges = samples(mergeTable, 1).head
+      val got = graft.llmops.Tokenize
+        .bpeEncodeTokens(words.toDF("tok"), merges)
+        .collect()
+        .map(r => (r.getString(0), r.getSeq[String](2).toSeq,
+          r.getLong(3), r.getLong(4)))
+      got.foreach { case (tok, pieces, nPieces, nUnk) =>
+        assert(pieces.mkString == tok,
+          s"round $round: lossy for '$tok' under $merges: $pieces")
+        assert(nPieces == pieces.size && nUnk == 0L)
+        assert(nPieces >= 1L && nPieces <= tok.length.toLong)
+      }
+    }
+  }
 }

@@ -30,6 +30,7 @@ class UrlSpec extends AnyFunSuite {
       "https://x.org/p?a=1&b=2",
       "http://x.org",
       "x.org/p",
+      "http://x.org?b=2&utm_a=1", // pathless host?query form
       "http://x.org/p?utm_a=1&utm_b=2") == Seq(
       "site1.example.org/a/b",
       "site1.example.org/a/b",
@@ -39,6 +40,7 @@ class UrlSpec extends AnyFunSuite {
       "x.org/p?a=1&b=2", // already canonical order
       "x.org/",          // bare host normalizes to the root path
       "x.org/p",         // scheme-less input passes through
+      "x.org/?b=2",      // host ends at '?' even with no path
       "x.org/p"))        // all-tracking query drops entirely
   }
 
