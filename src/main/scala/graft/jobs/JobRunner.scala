@@ -277,11 +277,17 @@ object JobRunner {
         // user-level q285 form
         o.get("sum-col") match {
           case Some(vc) =>
-            graft.llmops.Privacy.dpNoisySums(docs, keys, vc,
-              o.get("clip").map(_.toLong).getOrElse(128L), salt,
-              minRel)
-              .select(keys.map(col) ++ Seq(col("suppressed"),
-                col("sum_released")): _*)
+            val clip = o.get("clip").map(_.toLong).getOrElse(128L)
+            val sums = o.get("contributor-col") match {
+              case Some(c) => graft.llmops.Privacy.dpUserLevelSums(
+                docs, keys, c, vc, clip, salt,
+                o.get("max-per-contributor").map(_.toInt).getOrElse(1),
+                minRel)
+              case None => graft.llmops.Privacy.dpNoisySums(
+                docs, keys, vc, clip, salt, minRel)
+            }
+            sums.select(keys.map(col) ++ Seq(col("suppressed"),
+              col("sum_released")): _*)
           case None =>
             val full = o.get("contributor-col") match {
               case Some(c) => graft.llmops.Privacy.dpUserLevelCounts(

@@ -214,6 +214,43 @@ object Privacy {
         when(!col("suppressed"), col("units_noisy") * clip))
   }
 
+  /** USER-level DP noisy SUM release — the fourth cell of the
+    * {counts, sums} × {row, user} release matrix: clamp each
+    * contributor to `maxPerContributor` (= m) rows (the
+    * [[dpUserLevelCounts]] window, ranked by the encoded class key —
+    * replay-stable class sums), clip each kept row's value to
+    * [0, clip], and release the per-class clipped sums in clip-units
+    * as in [[dpNoisySums]]. One contributor with r_c clamped rows in
+    * class c moves that class's clipped sum by ≤ r_c·clip, hence its
+    * unit count by ≤ r_c + 1 (the +1 is a floor-boundary crossing);
+    * summing over the ≤ m affected classes, the unit-count vector
+    * moves by ≤ 2m in L1 (m + 1 when the contribution is
+    * concentrated in one class), so the release is user-level
+    * ε ≤ 2m·ln 2 — finite and stated, vs unbounded without the
+    * clamp. */
+  def dpUserLevelSums(df: DataFrame, keyCols: Seq[String],
+      contributorCol: String, valueCol: String, clip: Long,
+      salt: String, maxPerContributor: Int = 1,
+      minReleaseUnits: Long = 5L): DataFrame = {
+    require(maxPerContributor >= 1,
+      s"maxPerContributor must be >= 1, got $maxPerContributor")
+    import org.apache.spark.sql.expressions.Window
+    // ranked by (class key, value): for SUMS, class-key ties are not
+    // interchangeable (different values), but (class, value) ties
+    // are — so every released sum is replay-stable under any
+    // tie-break, same argument as the counts clamp one level up
+    val w = Window.partitionBy(col(contributorCol))
+      .orderBy(classKey(keyCols), col(valueCol).cast("long"))
+    val clamped = df
+      .select(col(contributorCol) +: (keyCols.map(col) :+
+        col(valueCol)): _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerContributor)
+      .drop("__rn", contributorCol)
+    dpNoisySums(clamped, keyCols, valueCol, clip, salt,
+      minReleaseUnits)
+  }
+
   /** k-anonymization by ladder generalization — the op that FIXES a
     * failing k-anonymity audit (q247 measures; this releases): the
     * numeric quasi-identifier `valueCol` is coarsened down a

@@ -643,6 +643,54 @@ object EvalQueries {
             size(TextOps.tokens(col("text"))).cast("long").as("nt")),
           Seq("lang"), "nt", clip = 128L, salt = "dps1")),
 
+    // USER-level DP noisy sum — the fourth cell of the {counts, sums}
+    // × {row, user} release matrix: clamp each source to m=8 rows
+    // (window ranked by (class key, value) — (class, value) ties are
+    // interchangeable for sums, so released totals are replay-stable
+    // under any tie-break), clip each kept row's token count to
+    // [0, 128], release clip-quantized per-lang totals. Stated
+    // guarantee ε ≤ 2m·ln 2 user-level (unit-count vector moves ≤ 2m
+    // in L1), vs unbounded unclamped.
+    QueryDef(
+      "q289_dp_user_sum",
+      Some(s"""
+        WITH b AS (SELECT lang, source,
+                     CAST(len(string_split(text,' ')) AS BIGINT) AS nt
+                   FROM documents),
+        cl AS (SELECT lang, nt,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY ${dkKeyCol("lang")}, nt) AS rn
+               FROM b),
+        cls AS (SELECT lang,
+                  CAST(sum(least(greatest(nt, 0), 128)) AS BIGINT)
+                    AS sum_true,
+                  CAST(coalesce(count(*) FILTER (WHERE nt > 128), 0)
+                    AS BIGINT) AS n_clipped
+                FROM cl WHERE rn <= 8 GROUP BY 1),
+        u AS (SELECT lang, sum_true, n_clipped,
+                sum_true // 128 AS units_true,
+                ${dkHash60(s"${dkKeyCol("lang")} || '|dpus1'")} AS hh
+              FROM cls),
+        g AS (SELECT lang, sum_true, n_clipped, units_true,
+                (len(bin((hh & 1073741823) + 1073741824))
+                 - len(rtrim(bin((hh & 1073741823) + 1073741824), '0')))
+                - (len(bin((hh >> 30) + 1073741824))
+                   - len(rtrim(bin((hh >> 30) + 1073741824), '0')))
+                  AS noise
+              FROM u)
+        SELECT lang, sum_true, n_clipped, units_true, noise,
+               units_true + noise AS units_noisy,
+               (units_true + noise) < 5 AS suppressed,
+               CASE WHEN (units_true + noise) >= 5
+                    THEN (units_true + noise) * 128 END AS sum_released
+        FROM g"""),
+      (s, d) =>
+        Privacy.dpUserLevelSums(
+          t(s, d, "documents").select(col("lang"), col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("nt")),
+          Seq("lang"), "source", "nt", clip = 128L, salt = "dpus1",
+          maxPerContributor = 8)),
+
     // Effective sample size of the DSIR importance weights (q234's
     // output read as a sampling design): ESS = (Σw)²/Σw² — the
     // number of equally-weighted docs the weighted corpus is worth —

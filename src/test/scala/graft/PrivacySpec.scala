@@ -201,6 +201,34 @@ class PrivacySpec extends AnyFunSuite {
     assert(run(others ++ whale) == w) // replay-exact
   }
 
+  test("dpUserLevelSums: clamp + clip bound one CONTRIBUTOR's " +
+    "influence to m units; released totals replay-stable") {
+    import spark.implicits._
+    val clip = 100L
+    val m = 3
+    // 20 singles at value 100 (exactly one unit each), one whale
+    // with 1000 rows of huge values
+    val others = (1 to 20).map(i => (s"u$i", "A", 100L))
+    val whale = (1 to 1000).map(_ => ("u0", "A", 999999L))
+    def unitsTrue(rows: Seq[(String, String, Long)]) =
+      Privacy.dpUserLevelSums(rows.toDF("user", "cls", "v"),
+        Seq("cls"), "user", "v", clip, "s1", m, minReleaseUnits = 1L)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val w = unitsTrue(others ++ whale)("A")
+    val nw = unitsTrue(others)("A")
+    // whale: m rows kept, each clipped to 100 -> exactly m units;
+    // raw influence would be 10^9
+    assert(nw == 20L && w == 20L + m)
+    assert(math.abs(w - nw) <= 2L * m, "user influence not bounded")
+    // replay determinism under the (class, value) ranking
+    def full(rows: Seq[(String, String, Long)]) =
+      Privacy.dpUserLevelSums(rows.toDF("user", "cls", "v"),
+        Seq("cls"), "user", "v", clip, "s1", m)
+        .collect().map(_.toString).sorted.toSeq
+    val rows = others ++ whale
+    assert(full(rows) == full(scala.util.Random.shuffle(rows)))
+  }
+
   test("classKey: NULL-explicit and length-prefixed — NULL keys still " +
     "draw noise, separator-bearing values cannot collide classes") {
     import spark.implicits._
