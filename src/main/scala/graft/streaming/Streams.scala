@@ -956,6 +956,14 @@ object Streams {
     *  - `<storeDir>/dfs`      — per-batch (sh, df) deltas; cumulative
     *    df = sum over deltas (one compact long-pair row per shingle
     *    per batch; [[compactAdmissionIndex]] squashes history)
+    *  - `<storeDir>/urls`     — (rail on via `urlCol`, r12) canonical
+    *    URL ([[graft.llmops.TextOps.canonicalUrl]]) per admitted doc:
+    *    the URL-FIRST gate a web-crawl ingest runs before content is
+    *    even compared — a batch doc whose canonical URL is already
+    *    admitted is a recrawl and drops regardless of content, and
+    *    within-batch URL decoration variants collapse to the min id
+    *    before the exact-text keeper. The rail flag is part of the
+    *    store's admission contract (pinned in meta like maxDf).
     *
     * Per batch the work is: shingle the BATCH text once, one
     * aggregate for batch dfs, one join of batch shingles against the
@@ -987,14 +995,15 @@ object Streams {
   def toCuratedCorpusStoreIndexed(stream: DataFrame, idCol: String,
       textCol: String, model: DataFrame, vocabSize: Long,
       minScore: Double, storeDir: String, checkpoint: String,
-      minJac: Double = 0.5, maxDf: Int = 1000): StreamingQuery =
+      minJac: Double = 0.5, maxDf: Int = 1000,
+      urlCol: Option[String] = None): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         if (!batch0.isEmpty)
           curatedCommitIndexed(batch0, batchId, idCol, textCol, model,
-            vocabSize, minScore, storeDir, minJac, maxDf)
+            vocabSize, minScore, storeDir, minJac, maxDf, urlCol)
       }
       .start()
 
@@ -1004,27 +1013,42 @@ object Streams {
   private[graft] def curatedCommitIndexed(batch0: DataFrame,
       batchId: Long, idCol: String, textCol: String, model: DataFrame,
       vocabSize: Long, minScore: Double, storeDir: String,
-      minJac: Double, maxDf: Int): Unit = {
+      minJac: Double, maxDf: Int,
+      urlCol: Option[String] = None): Unit = {
     import graft.core.Checkpoints.BarrierOps
     val s = batch0.sparkSession
     val (docsDir, fpsDir, postingsDir, dfsDir) =
       (s"$storeDir/docs", s"$storeDir/fps", s"$storeDir/postings",
         s"$storeDir/dfs")
+    val urlsDir = s"$storeDir/urls"
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     requireNoPendingCompaction(fs, "curatedCommitIndexed",
-      Seq(fpsDir, postingsDir, dfsDir))
+      Seq(fpsDir, postingsDir, dfsDir) ++
+        (if (urlCol.isDefined) Seq(urlsDir) else Nil))
     // the store's one-row meta table pins the df cap (and the index
     // schemas, for schema-safe offline reads): admission decisions
     // depend on maxDf, so a stream restarted — or a compaction run —
-    // with a different cap must fail fast, not silently diverge
+    // with a different cap must fail fast, not silently diverge.
+    // The URL rail is part of the same contract: a store created
+    // with it cannot be committed to without it (URL-dup docs would
+    // silently start flowing in), and vice versa.
     val metaDir = s"$storeDir/meta"
     if (fs.exists(new org.apache.hadoop.fs.Path(metaDir))) {
-      val storedDf = s.read.parquet(metaDir).first().getAs[Int]("max_df")
+      val meta = s.read.parquet(metaDir).first()
+      val storedDf = meta.getAs[Int]("max_df")
       require(storedDf == maxDf,
         s"curatedCommitIndexed: store $storeDir was created with " +
           s"maxDf=$storedDf but this commit uses maxDf=$maxDf — the " +
           "df cap is part of the store's admission contract")
+      // pre-r12 stores have no url_rail column = rail off
+      val storedRail = meta.schema.fieldNames.contains("url_rail") &&
+        meta.getAs[Boolean]("url_rail")
+      require(storedRail == urlCol.isDefined,
+        s"curatedCommitIndexed: store $storeDir was created with " +
+          s"url_rail=$storedRail but this commit uses " +
+          s"url_rail=${urlCol.isDefined} — the URL rail is part of " +
+          "the store's admission contract")
     }
     // every store read EXCLUDES the current batch id (partition
     // pruning — a replayed epoch must not see its own first attempt).
@@ -1043,13 +1067,26 @@ object Streams {
           .filter(col("batch") =!= batchId)
           .drop("batch")
       else template.limit(0)
+    // within-batch URL-first collapse (rail on): min-id keeper per
+    // canonical URL — the web-pipeline ordering, recrawl decorations
+    // drop before content is even compared
+    val batchU = urlCol match {
+      case Some(uc) =>
+        val ukeep = batch0
+          .groupBy(graft.llmops.TextOps.canonicalUrl(col(uc))
+            .as("__cu"))
+          .agg(min(col(idCol)).as(idCol))
+          .select(col(idCol))
+        batch0.join(ukeep, Seq(idCol), "left_semi")
+      case None => batch0
+    }
     // within-batch exact dedup, deterministic min-id keeper — same
     // contract as [[curatedCommit]]
-    val keep = batch0
+    val keep = batchU
       .groupBy(md5(col(textCol)).as("__fp"))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
-    val batch = batch0.join(keep, Seq(idCol), "left_semi").barrier()
+    val batch = batchU.join(keep, Seq(idCol), "left_semi").barrier()
     // the ONLY shingling in the cycle: the batch text (the plain
     // store re-shingles the whole corpus here)
     val batchPostings = batch
@@ -1089,7 +1126,22 @@ object Streams {
       .select(col(idCol), md5(col(textCol)).as("fp"))
       .join(readPart(fpsDir, fpTemplate), Seq("fp"), "left_semi")
       .select(col(idCol))
-    val dropped = exact.unionByName(near).distinct()
+    // URL rail probe: a batch doc whose canonical URL is already
+    // admitted is a recrawl — dropped regardless of content (the
+    // canonical key column is pinned `cu string` by construction)
+    val urlDup = urlCol match {
+      case Some(uc) =>
+        val urlTemplate = batch
+          .select(graft.llmops.TextOps.canonicalUrl(col(uc)).as("cu"))
+        batch
+          .select(col(idCol),
+            graft.llmops.TextOps.canonicalUrl(col(uc)).as("cu"))
+          .join(readPart(urlsDir, urlTemplate), Seq("cu"), "left_semi")
+          .select(col(idCol))
+      case None => batch.select(col(idCol)).limit(0)
+    }
+    val dropped = exact.unionByName(near).unionByName(urlDup)
+      .distinct()
     val admitted = batch.join(dropped, Seq(idCol), "left_anti")
     val passing = graft.llmops.LanguageModel
       .lmScoreFrozen(admitted, model, vocabSize, idCol, textCol)
@@ -1116,8 +1168,9 @@ object Streams {
     if (!fs.exists(new org.apache.hadoop.fs.Path(metaDir))) {
       import s.implicits._
       Seq((maxDf, fpTemplate.schema.json, batchPostings.schema.json,
-        dfTemplate.schema.json))
-        .toDF("max_df", "fps_schema", "postings_schema", "dfs_schema")
+        dfTemplate.schema.json, urlCol.isDefined))
+        .toDF("max_df", "fps_schema", "postings_schema", "dfs_schema",
+          "url_rail")
         .coalesce(1).write.mode("overwrite").parquet(metaDir)
     }
     // empty frames still write their partition: a replayed epoch that
@@ -1125,6 +1178,11 @@ object Streams {
     // attempt's partial rows, not skip past them
     writePart(out, docsDir)
     writePart(out.select(md5(col(textCol)).as("fp")), fpsDir)
+    urlCol.foreach { uc =>
+      writePart(out
+        .select(graft.llmops.TextOps.canonicalUrl(col(uc)).as("cu")),
+        urlsDir)
+    }
     writePart(outPostings.join(keepSh, Seq("sh"), "left_semi")
       .select(col("doc"), col("nsh"), col("sh")), postingsDir)
     writePart(dfOut, dfsDir)
@@ -1323,6 +1381,12 @@ object Streams {
         _.join(liveSh, Seq("sh"), "left_semi"))
     }
     compact(s"$storeDir/fps", schemaOf("fps_schema"))(identity)
+    // URL rail (r12, present only on url_rail stores): the canonical
+    // key column is pinned `cu string` by construction, so the schema
+    // needs no meta field
+    compact(s"$storeDir/urls", org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("cu",
+        org.apache.spark.sql.types.StringType))))(identity)
   }
 
   /** Streaming IMAGE corpus ingest with incremental near-dup

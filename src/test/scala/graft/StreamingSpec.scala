@@ -882,6 +882,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(parts == Seq(-1L, 3L, 4L, 5L))
   }
 
+  test("curatedCommitIndexed URL rail: recrawl decorations drop " +
+    "before content, within-batch variants collapse, the rail is a " +
+    "store contract, compaction preserves the decisions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-curated-url").toString
+    val store = s"$dir/store"
+    def text(tag: String) = (1 to 10).map(i => s"$tag$i").mkString(" ")
+    val ref = Seq((100L, text("a")), (101L, text("b")))
+      .toDF("doc_id", "text")
+    val model = graft.llmops.LanguageModel
+      .bigramModel(ref, "doc_id", "text")
+    val v = graft.llmops.LanguageModel.refVocabSize(ref, "text")
+    def commit(i: Long, rows: Seq[(Long, String, String)],
+        st: String = store, rail: Option[String] = Some("url")): Unit =
+      Streams.curatedCommitIndexed(rows.toDF("id", "body", "url"),
+        i, "id", "body", model, v, -1e9, st, 0.5, 1000, rail)
+    def ids() = Streams.curatedDocs(spark, store)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // batch 0: 7 and 8 are URL decoration variants of one canonical
+    // page (DIFFERENT content) — the within-batch URL collapse keeps
+    // min id 7 before content is even compared
+    commit(0L, Seq((1L, text("a"), "http://a.org/p"),
+      (7L, text("z"), "https://www.a.org/x?utm_a=1"),
+      (8L, text("y"), "HTTPS://A.ORG/x")))
+    assert(ids() == Seq(1L, 7L))
+    // batch 1: 2 is a RECRAWL of 1's canonical URL under fresh
+    // content → dropped by the URL rail; 3 is fresh-URL duplicate
+    // CONTENT → dropped by the exact rail; 4 is genuinely new
+    val b1 = Seq((2L, text("q"), "https://www.a.org/p?utm_x=1"),
+      (3L, text("a"), "http://a.org/new"),
+      (4L, text("f"), "http://a.org/r"))
+    commit(1L, b1)
+    assert(ids() == Seq(1L, 4L, 7L))
+    // replaying batch 1 under the same id is a no-op
+    commit(1L, b1)
+    assert(ids() == Seq(1L, 4L, 7L))
+    // the rail is part of the admission contract, both directions
+    val off = intercept[IllegalArgumentException] {
+      commit(2L, Seq((9L, text("m"), "http://m.org/m")), rail = None)
+    }
+    assert(off.getMessage.contains("url_rail"))
+    commit(0L, Seq((1L, text("a"), "http://a.org/p")),
+      st = s"$dir/plain", rail = None)
+    val on = intercept[IllegalArgumentException] {
+      commit(1L, Seq((2L, text("q"), "http://a.org/q")),
+        st = s"$dir/plain")
+    }
+    assert(on.getMessage.contains("url_rail"))
+    // compaction folds the urls history into batch=-1 without
+    // changing later decisions: a fragment variant of 1's URL still
+    // drops, a new host admits
+    Streams.compactAdmissionIndex(spark, store, uptoBatch = 1L)
+    commit(2L, Seq((5L, text("g"), "http://a.org/p#frag"),
+      (6L, text("h"), "https://b.org/s")))
+    assert(ids() == Seq(1L, 4L, 6L, 7L))
+    val urlParts = spark.read.parquet(s"$store/urls")
+      .select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(urlParts == Seq(-1L, 2L))
+  }
+
   test("compactAdmissionIndex: all-rejected history (only empty " +
     "partitions) compacts via the pinned schema; mismatched caps " +
     "fail fast") {
