@@ -14,6 +14,10 @@ import graft.streaming.Streams
   * grows linearly with accumulated store size; indexed stays flat at
   * the per-batch cost.
   *
+  * A third store runs the same sequence with the r12 URL rail on
+  * (synthetic URL stream, ~10% recrawl decorations) — expected flat
+  * too: the rail is one hash aggregation + two semi-joins per batch.
+  *
   * Usage: runMain graft.ScaleAdmission [nBatches] [docsPerBatch]
   *   [tokensPerDoc] [outDir]
   */
@@ -39,6 +43,8 @@ object ScaleAdmission {
         .map(_ => s"w${rnd.nextInt(50000)}").mkString(" ")
     var id = 0L
     val produced = scala.collection.mutable.ArrayBuffer.empty[String]
+    val producedUrls =
+      scala.collection.mutable.ArrayBuffer.empty[String]
     val batches = (0 until nBatches).map { _ =>
       (0 until perBatch).map { _ =>
         id += 1
@@ -51,7 +57,18 @@ object ScaleAdmission {
             (base.dropRight(1) :+ s"w${rnd.nextInt(50000)}")
               .mkString(" ")
           } else { val t = doc(); produced += t; t }
-        (id, text)
+        // URL stream: ~10% recrawl decorations of an earlier page
+        // (exercising the rail's store probe), the rest fresh pages
+        val url =
+          if (r < 1 && producedUrls.nonEmpty)
+            "https://www." + producedUrls(
+              rnd.nextInt(producedUrls.size)) + "?utm_s=" + id
+          else {
+            val u = s"h${id % 500}.org/d$id"
+            producedUrls += u
+            "http://" + u
+          }
+        (id, text, url)
       }
     }
     val ref = (1 to 200).map(i => (900000L + i, doc()))
@@ -73,10 +90,10 @@ object ScaleAdmission {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(path)) fs.getContentSummary(path).getLength else 0L
     }
-    println("batch,plain_sec,indexed_sec,store_docs," +
-      "plain_read_mb,indexed_read_mb")
+    println("batch,plain_sec,indexed_sec,indexed_url_sec," +
+      "store_docs,plain_read_mb,indexed_read_mb")
     batches.zipWithIndex.foreach { case (b, i) =>
-      val df = b.toDF("id", "body").cache()
+      val df = b.toDF("id", "body", "url").cache()
       df.count() // exclude input materialization from both clocks
       // store bytes that THIS batch's admission pass must scan
       // (measured before the commit appends the batch)
@@ -84,17 +101,25 @@ object ScaleAdmission {
       val indexedRead = dirBytes(s"$dir/indexed/fps") +
         dirBytes(s"$dir/indexed/dfs") +
         dirBytes(s"$dir/indexed/postings")
+      val db = df.select("id", "body")
       val tPlain = timed {
-        Streams.curatedCommit(df, "id", "body", model, v,
+        Streams.curatedCommit(db, "id", "body", model, v,
           minScore = 0.0, s"$dir/plain", minJac = 0.5, maxDf = 1000)
       }
       val tIndexed = timed {
-        Streams.curatedCommitIndexed(df, i.toLong, "id", "body",
+        Streams.curatedCommitIndexed(db, i.toLong, "id", "body",
           model, v, minScore = 0.0, s"$dir/indexed",
           minJac = 0.5, maxDf = 1000)
       }
+      // URL-rail store: same sequence + the canonical-URL gate (one
+      // extra hash agg + two semi-joins per batch; expected flat)
+      val tUrl = timed {
+        Streams.curatedCommitIndexed(df, i.toLong, "id", "body",
+          model, v, minScore = 0.0, s"$dir/indexed_url",
+          minJac = 0.5, maxDf = 1000, urlCol = Some("url"))
+      }
       val stored = spark.read.parquet(s"$dir/plain").count()
-      println(f"$i,$tPlain%.2f,$tIndexed%.2f,$stored," +
+      println(f"$i,$tPlain%.2f,$tIndexed%.2f,$tUrl%.2f,$stored," +
         f"${plainRead / 1e6}%.1f,${indexedRead / 1e6}%.1f")
       df.unpersist()
     }
