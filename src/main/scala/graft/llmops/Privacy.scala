@@ -30,8 +30,19 @@ import org.apache.spark.sql.functions._
   *    re-run must publish the same numbers, and the oracle must agree
   *    bit-for-bit); the DP guarantee is inherited under the standard
   *    assumption that md5 output is indistinguishable from uniform to
-  *    the adversary, and a fresh salt per release epoch prevents noise
-  *    reuse across releases (which would average out).
+  *    the adversary, and a fresh salt PER RELEASE (not per epoch — two
+  *    releases inside one epoch under one salt would reuse noise)
+  *    prevents draws from repeating across releases. As defense in
+  *    depth, every release form also folds a MECHANISM TAG into the
+  *    hashed key (`cnt`, `cnt:u<m>`, `sum:c<clip>`, `sum:c<clip>:u<m>`),
+  *    so even a mistakenly-shared salt never gives two DIFFERENT
+  *    release forms (counts vs sums, clamped vs unclamped) the same
+  *    draw over the same classes — without the tag, subtracting the
+  *    two published values would cancel the noise and reveal the exact
+  *    difference of the true statistics noiselessly. The tag does NOT
+  *    make salt reuse safe for the SAME form re-released over changed
+  *    data (that is still ε-additive at best); it closes the
+  *    cross-form cancellation channel only.
   *
   * Caveats the guarantee carries (stated, not hidden):
   *
@@ -115,12 +126,19 @@ object Privacy {
   /** [[dpNoisyCounts]] over an ALREADY-aggregated class table
     * (`keyCols` + `n_true`) — the form an incrementally-maintained
     * count store publishes through (`Streams.noisyClassCounts`).
-    * Because the noise is keyed by (class, salt) only, the noisy view
-    * over streamed counts is bit-identical to the batch release over
-    * the same data — the law StreamingSpec pins. */
+    * Because the noise is keyed by (class, salt, mechanism tag) only,
+    * the noisy view over streamed counts is bit-identical to the batch
+    * release over the same data — the law StreamingSpec pins.
+    *
+    * `mechanismTag` is the release-form component of the noise key
+    * (default `cnt` = row-level counts); the user-level wrapper passes
+    * `cnt:u<m>` so a clamped and an unclamped release under one salt
+    * never share a draw. Override only to namespace a custom release
+    * form — never to deduplicate noise across forms. */
   def dpNoisyFromCounts(cls: DataFrame, keyCols: Seq[String],
-      salt: String, minRelease: Long = 5L): DataFrame = {
-    val key = concat(classKey(keyCols), lit("|" + salt))
+      salt: String, minRelease: Long = 5L,
+      mechanismTag: String = "cnt"): DataFrame = {
+    val key = concat(classKey(keyCols), lit("|" + salt + "|" + mechanismTag))
     cls
       .withColumn("noise", geometricNoise(key))
       .withColumn("n_noisy", col("n_true") + col("noise"))
@@ -156,6 +174,10 @@ object Privacy {
       maxPerContributor: Int = 1, minRelease: Long = 5L): DataFrame = {
     require(maxPerContributor >= 1,
       s"maxPerContributor must be >= 1, got $maxPerContributor")
+    require(!keyCols.contains(contributorCol),
+      s"contributorCol '$contributorCol' must be disjoint from keyCols " +
+        s"$keyCols: the clamp partitions by contributor and counts by " +
+        "class — one column cannot be both")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(contributorCol))
       .orderBy(classKey(keyCols))
@@ -166,7 +188,8 @@ object Privacy {
     dpNoisyFromCounts(
       clamped.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("n_true")),
-      keyCols, salt, minRelease)
+      keyCols, salt, minRelease,
+      mechanismTag = s"cnt:u$maxPerContributor")
   }
 
   /** ε=ln2-DP noisy SUM release over `keyCols` classes — the release
@@ -176,8 +199,10 @@ object Privacy {
     *
     *  1. per-row CLIPPING: `valueCol` is clamped to [0, clip] (the
     *     bounded-contribution step every DP sum needs; rows above the
-    *     clip are counted in the `n_clipped` audit column so the
-    *     operator's bias is measurable, not hidden);
+    *     clip are counted in the `n_clipped` audit column and rows
+    *     below 0 — clamped up to the floor — in `n_floor_clipped`, so
+    *     the operator's bias is measurable in BOTH directions, not
+    *     hidden);
     *  2. UNIT quantization: the clipped sum S is released in units of
     *     `clip` — published value = clip · (⌊S/clip⌋ + noise). One
     *     row moves S by at most clip, and ⌊S/clip⌋ by at most 1, so
@@ -189,22 +214,29 @@ object Privacy {
     *     nothing is lost at release resolution.
     *
     * Suppression on the NOISY unit count, as in [[dpNoisyCounts]].
-    * Audit columns (sum_true, n_clipped, units_true, noise) ride for
-    * the calibration view; the `dp_release --sum-col` job form ships
-    * only (keys, suppressed, sum_released). Scale shape: one clip
-    * projection + one counting aggregation + a class-table
-    * projection. */
+    * Audit columns (sum_true, n_clipped, n_floor_clipped, units_true,
+    * noise) ride for the calibration view; the `dp_release --sum-col`
+    * job form ships only (keys, suppressed, sum_released). Scale
+    * shape: one clip projection + one counting aggregation + a
+    * class-table projection.
+    *
+    * `mechanismTag` defaults to `sum:c<clip>` (the clip is part of
+    * the release form — two different clips over the same classes are
+    * different queries and must not share noise); the user-level
+    * wrapper passes `sum:c<clip>:u<m>`. */
   def dpNoisySums(df: DataFrame, keyCols: Seq[String],
       valueCol: String, clip: Long, salt: String,
-      minReleaseUnits: Long = 5L): DataFrame = {
+      minReleaseUnits: Long = 5L, mechanismTag: String = ""): DataFrame = {
     require(clip >= 1L, s"clip must be >= 1, got $clip")
+    val mech = if (mechanismTag.isEmpty) s"sum:c$clip" else mechanismTag
     val v = col(valueCol).cast("long")
     val clipped = df.withColumn("__v",
       least(greatest(v, lit(0L)), lit(clip)))
     val cls = clipped.groupBy(keyCols.map(col): _*)
       .agg(sum(col("__v")).as("sum_true"),
-        sum(when(v > clip, 1L).otherwise(0L)).as("n_clipped"))
-    val key = concat(classKey(keyCols), lit("|" + salt))
+        sum(when(v > clip, 1L).otherwise(0L)).as("n_clipped"),
+        sum(when(v < 0L, 1L).otherwise(0L)).as("n_floor_clipped"))
+    val key = concat(classKey(keyCols), lit("|" + salt + "|" + mech))
     cls
       .withColumn("units_true", expr(s"sum_true div $clip"))
       .withColumn("noise", geometricNoise(key))
@@ -234,6 +266,12 @@ object Privacy {
       minReleaseUnits: Long = 5L): DataFrame = {
     require(maxPerContributor >= 1,
       s"maxPerContributor must be >= 1, got $maxPerContributor")
+    require(!keyCols.contains(contributorCol) &&
+        contributorCol != valueCol,
+      s"contributorCol '$contributorCol' must be disjoint from keyCols " +
+        s"$keyCols and valueCol '$valueCol': the clamp partitions by " +
+        "contributor, groups by class, and sums the value — one column " +
+        "cannot play two of those roles")
     import org.apache.spark.sql.expressions.Window
     // ranked by (class key, value): for SUMS, class-key ties are not
     // interchangeable (different values), but (class, value) ties
@@ -248,7 +286,8 @@ object Privacy {
       .filter(col("__rn") <= maxPerContributor)
       .drop("__rn", contributorCol)
     dpNoisySums(clamped, keyCols, valueCol, clip, salt,
-      minReleaseUnits)
+      minReleaseUnits,
+      mechanismTag = s"sum:c$clip:u$maxPerContributor")
   }
 
   /** k-anonymization by ladder generalization — the op that FIXES a

@@ -480,7 +480,7 @@ object EvalQueries {
                      FROM documents GROUP BY 1, 2),
         h AS (SELECT lang, source, n_true,
                 ${dkHash60(s"${dkKeyCol("lang")} || " +
-                  s"${dkKeyCol("source")} || '|dp1'")} AS hh
+                  s"${dkKeyCol("source")} || '|dp1|cnt'")} AS hh
               FROM cls),
         g AS (SELECT lang, source, n_true,
                 (len(bin((hh & 1073741823) + 1073741824))
@@ -517,7 +517,7 @@ object EvalQueries {
                 FROM b GROUP BY 1, 2),
         h AS (SELECT lang, bucket, n_true,
                 ${dkHash60(s"${dkKeyCol("lang")} || " +
-                  s"${dkKeyCol("bucket")} || '|dph1'")} AS hh
+                  s"${dkKeyCol("bucket")} || '|dph1|cnt'")} AS hh
               FROM cls),
         g AS (SELECT lang, bucket, n_true,
                 (len(bin((hh & 1073741823) + 1073741824))
@@ -581,7 +581,7 @@ object EvalQueries {
         cls AS (SELECT lang, count(*) AS n_true
                 FROM cl WHERE rn <= 8 GROUP BY 1),
         h AS (SELECT lang, n_true,
-                ${dkHash60(s"${dkKeyCol("lang")} || '|dpu1'")} AS hh
+                ${dkHash60(s"${dkKeyCol("lang")} || '|dpu1|cnt:u8'")} AS hh
               FROM cls),
         g AS (SELECT lang, n_true,
                 (len(bin((hh & 1073741823) + 1073741824))
@@ -618,20 +618,25 @@ object EvalQueries {
                   CAST(sum(least(greatest(nt, 0), 128)) AS BIGINT)
                     AS sum_true,
                   CAST(coalesce(count(*) FILTER (WHERE nt > 128), 0)
-                    AS BIGINT) AS n_clipped
+                    AS BIGINT) AS n_clipped,
+                  CAST(coalesce(count(*) FILTER (WHERE nt < 0), 0)
+                    AS BIGINT) AS n_floor_clipped
                 FROM b GROUP BY 1),
-        u AS (SELECT lang, sum_true, n_clipped,
+        u AS (SELECT lang, sum_true, n_clipped, n_floor_clipped,
                 sum_true // 128 AS units_true,
-                ${dkHash60(s"${dkKeyCol("lang")} || '|dps1'")} AS hh
+                ${dkHash60(s"${dkKeyCol("lang")} || '|dps1|sum:c128'")}
+                  AS hh
               FROM cls),
-        g AS (SELECT lang, sum_true, n_clipped, units_true,
+        g AS (SELECT lang, sum_true, n_clipped, n_floor_clipped,
+                units_true,
                 (len(bin((hh & 1073741823) + 1073741824))
                  - len(rtrim(bin((hh & 1073741823) + 1073741824), '0')))
                 - (len(bin((hh >> 30) + 1073741824))
                    - len(rtrim(bin((hh >> 30) + 1073741824), '0')))
                   AS noise
               FROM u)
-        SELECT lang, sum_true, n_clipped, units_true, noise,
+        SELECT lang, sum_true, n_clipped, n_floor_clipped, units_true,
+               noise,
                units_true + noise AS units_noisy,
                (units_true + noise) < 5 AS suppressed,
                CASE WHEN (units_true + noise) >= 5
@@ -665,20 +670,25 @@ object EvalQueries {
                   CAST(sum(least(greatest(nt, 0), 128)) AS BIGINT)
                     AS sum_true,
                   CAST(coalesce(count(*) FILTER (WHERE nt > 128), 0)
-                    AS BIGINT) AS n_clipped
+                    AS BIGINT) AS n_clipped,
+                  CAST(coalesce(count(*) FILTER (WHERE nt < 0), 0)
+                    AS BIGINT) AS n_floor_clipped
                 FROM cl WHERE rn <= 8 GROUP BY 1),
-        u AS (SELECT lang, sum_true, n_clipped,
+        u AS (SELECT lang, sum_true, n_clipped, n_floor_clipped,
                 sum_true // 128 AS units_true,
-                ${dkHash60(s"${dkKeyCol("lang")} || '|dpus1'")} AS hh
+                ${dkHash60(s"${dkKeyCol("lang")} || '|dpus1|sum:c128:u8'")}
+                  AS hh
               FROM cls),
-        g AS (SELECT lang, sum_true, n_clipped, units_true,
+        g AS (SELECT lang, sum_true, n_clipped, n_floor_clipped,
+                units_true,
                 (len(bin((hh & 1073741823) + 1073741824))
                  - len(rtrim(bin((hh & 1073741823) + 1073741824), '0')))
                 - (len(bin((hh >> 30) + 1073741824))
                    - len(rtrim(bin((hh >> 30) + 1073741824), '0')))
                   AS noise
               FROM u)
-        SELECT lang, sum_true, n_clipped, units_true, noise,
+        SELECT lang, sum_true, n_clipped, n_floor_clipped, units_true,
+               noise,
                units_true + noise AS units_noisy,
                (units_true + noise) < 5 AS suppressed,
                CASE WHEN (units_true + noise) >= 5

@@ -184,21 +184,70 @@ class PrivacySpec extends AnyFunSuite {
       Privacy.dpNoisySums(rows.toDF("cls", "v"), Seq("cls"), "v",
         clip, "s1", minReleaseUnits = 1L)
         .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
-          r.getLong(4), r.getLong(5),
-          if (r.isNullAt(7)) None else Some(r.getLong(7)))).head
+          r.getLong(4), r.getLong(5), r.getLong(6),
+          if (r.isNullAt(8)) None else Some(r.getLong(8)))).head
     val w = run(others ++ whale)
     val nw = run(others)
     // whale contributes exactly clip to the sum, ONE unit to the
     // released statistic (raw influence would be 10^6)
     assert(w._1 == 4100L && nw._1 == 4000L)
     assert(w._2 == 1L && nw._2 == 0L) // n_clipped audits the bias
-    assert(w._3 - nw._3 == 1L)        // units_true moved by exactly 1
-    // noise is keyed by (class, salt) only -> identical draw; the
-    // released values differ by exactly clip
-    assert(w._4 == nw._4)
-    assert((w._6.get - nw._6.get) == clip)
-    assert(w._6.get == (w._5 * clip)) // clip-quantized release
-    assert(run(others ++ whale) == w) // replay-exact
+    assert(w._3 == 0L && nw._3 == 0L) // no negatives here
+    assert(w._4 - nw._4 == 1L)        // units_true moved by exactly 1
+    // noise is keyed by (class, salt, mechanism tag) only -> identical
+    // draw across the two datasets; released values differ by clip
+    assert(w._5 == nw._5)
+    assert((w._7.get - nw._7.get) == clip)
+    assert(w._7.get == ((w._4 + w._5) * clip)) // clip-quantized release
+    assert(run(others ++ whale) == w)          // replay-exact
+    // floor clip is audited too: a negative row clamps to 0 (moving
+    // the sum by nothing) and shows up in n_floor_clipped
+    val neg = run(others ++ Seq(("A", -7L)))
+    assert(neg._1 == 4000L && neg._3 == 1L)
+  }
+
+  test("noise key folds in the mechanism tag: counts, sums, and " +
+    "user-level forms under ONE salt draw independent noise (no " +
+    "cross-form cancellation)") {
+    import spark.implicits._
+    // many classes so per-class draw collisions (P=1/3 per class for
+    // two independent draws landing equal) don't mask the law
+    val rows = (1 to 400).map(i => (s"u${i % 40}", s"c${i % 20}", 10L))
+    val df = rows.toDF("user", "cls", "v")
+    val salt = "shared-salt"
+    def noiseMap(d: org.apache.spark.sql.DataFrame, noiseIdx: Int) =
+      d.collect().map(r => r.getString(0) -> r.getLong(noiseIdx)).toMap
+    val cnt = noiseMap(
+      Privacy.dpNoisyCounts(df, Seq("cls"), salt, minRelease = 1L), 2)
+    val usr = noiseMap(Privacy.dpUserLevelCounts(df, Seq("cls"),
+      "user", salt, maxPerContributor = 2, minRelease = 1L), 2)
+    val sums = noiseMap(Privacy.dpNoisySums(df, Seq("cls"), "v",
+      clip = 10L, salt = salt, minReleaseUnits = 1L), 5)
+    val usums = noiseMap(Privacy.dpUserLevelSums(df, Seq("cls"),
+      "user", "v", clip = 10L, salt = salt, maxPerContributor = 2,
+      minReleaseUnits = 1L), 5)
+    def differs(a: Map[String, Long], b: Map[String, Long]) =
+      a.keySet.intersect(b.keySet).exists(k => a(k) != b(k))
+    assert(differs(cnt, usr), "row vs user counts share noise")
+    assert(differs(cnt, sums), "counts vs sums share noise")
+    assert(differs(sums, usums), "row vs user sums share noise")
+    assert(differs(usr, usums), "user counts vs user sums share noise")
+    // and a different clip is a different release form too
+    val sums20 = noiseMap(Privacy.dpNoisySums(df, Seq("cls"), "v",
+      clip = 20L, salt = salt, minReleaseUnits = 1L), 5)
+    assert(differs(sums, sums20), "clip=10 vs clip=20 share noise")
+  }
+
+  test("user-level releases refuse a contributor column that is also " +
+    "a key or the value column") {
+    import spark.implicits._
+    val df = Seq(("u1", "A", 1L)).toDF("user", "cls", "v")
+    intercept[IllegalArgumentException] {
+      Privacy.dpUserLevelCounts(df, Seq("user"), "user", "s1")
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.dpUserLevelSums(df, Seq("cls"), "v", "v", 10L, "s1")
+    }
   }
 
   test("dpUserLevelSums: clamp + clip bound one CONTRIBUTOR's " +
@@ -213,7 +262,7 @@ class PrivacySpec extends AnyFunSuite {
     def unitsTrue(rows: Seq[(String, String, Long)]) =
       Privacy.dpUserLevelSums(rows.toDF("user", "cls", "v"),
         Seq("cls"), "user", "v", clip, "s1", m, minReleaseUnits = 1L)
-        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+        .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
     val w = unitsTrue(others ++ whale)("A")
     val nw = unitsTrue(others)("A")
     // whale: m rows kept, each clipped to 100 -> exactly m units;
