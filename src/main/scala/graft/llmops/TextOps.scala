@@ -412,15 +412,37 @@ object TextOps {
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
 
+  /** Uppercase the two hex digits after every `%` escape — RFC 3986
+    * §6.2.2.1 case normalization (`%2f` ≡ `%2F`; crawls emit both).
+    * Split on `%`, fix each tail's first two chars when they are hex,
+    * rejoin — all HOFs, stays in codegen. A `%` not followed by two
+    * hex digits (malformed escape) passes through untouched. */
+  private def pctUpper(s: Column): Column = {
+    val parts = split(s, "%", -1)
+    val rest = slice(parts, lit(2), greatest(size(parts) - 1, lit(0)))
+    val fixed = transform(rest, p =>
+      when(p.rlike("^[0-9a-fA-F]{2}"),
+        concat(upper(p.substr(lit(1), lit(2))),
+          p.substr(lit(3), length(p)))).otherwise(p))
+    concat_ws("%", concat(array(element_at(parts, 1)), fixed))
+  }
+
   /** Canonical form of a URL for URL-keyed dedup — the normalization
     * a web pipeline runs BEFORE content dedup (two crawls of the same
     * page almost always differ only in URL decoration): strip the
-    * scheme, the fragment, a leading `www.`, and `utm_*` tracking
+    * scheme, the fragment, every leading `www.` label, a default port
+    * (`:80`/`:443` — scheme-blind by design, the scheme is already
+    * gone and either default means "the" page), and `utm_*` tracking
     * params; lowercase the HOST (only — paths are case-sensitive);
-    * sort the surviving query params (param order is not semantic);
-    * normalize an empty path to `/`. Pure Catalyst string surgery —
-    * codegen'd, no UDF — mirrored expression-for-expression in the
-    * q286 DuckDB SQL. */
+    * uppercase percent-escape hex (`%2f` → `%2F`, RFC 3986 case
+    * normalization) in path and query; collapse duplicate slashes in
+    * the PATH (`//a///b` → `/a/b` — never the query, where `//` can
+    * be a value); sort the surviving query params (param order is not
+    * semantic); normalize an empty path to `/`. Idempotent — every
+    * rule is a fixpoint, including the `(www\.)+` strip (a single
+    * `www.` strip is NOT idempotent on `www.www.host`). Pure Catalyst
+    * string surgery — codegen'd, no UDF — mirrored
+    * expression-for-expression in the q286 DuckDB SQL. */
   def canonicalUrl(u: Column): Column = {
     val noFrag = substring_index(u, "#", 1)
     val noScheme =
@@ -435,10 +457,13 @@ object TextOps {
       .when(qi > lit(0), qi).otherwise(lit(0))
     val hostPart = when(cut > lit(0),
       noScheme.substr(lit(1), cut - 1)).otherwise(noScheme)
-    val host = regexp_replace(lower(hostPart), "^www\\.", "")
-    val pathQ = when(cut > lit(0),
-      noScheme.substr(cut, length(noScheme))).otherwise(lit(""))
-    val path0 = substring_index(pathQ, "?", 1)
+    val host = regexp_replace(
+      regexp_replace(lower(hostPart), "^(www\\.)+", ""),
+      ":(80|443)$", "")
+    val pathQ = pctUpper(when(cut > lit(0),
+      noScheme.substr(cut, length(noScheme))).otherwise(lit("")))
+    val path0 =
+      regexp_replace(substring_index(pathQ, "?", 1), "/{2,}", "/")
     val path = when(path0 === "", lit("/")).otherwise(path0)
     val qpos = instr(pathQ, "?")
     val query = when(qpos > lit(0),

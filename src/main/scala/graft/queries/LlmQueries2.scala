@@ -682,15 +682,18 @@ object LlmQueries2 {
 
     // URL-keyed canonical dedup (TextOps.canonicalUrl) — the stage a
     // web pipeline runs BEFORE content dedup: strip scheme/fragment/
-    // www./utm_* params, lowercase the host, sort query params, and
-    // collapse to one keeper per canonical URL. The fixture tables
-    // carry no url column, so the query derives a deterministic one
-    // from doc_id (the media-payload precedent): groups of 3 docs
-    // share a canonical page, decorated per-doc with scheme case,
-    // www., a fragment, or tracking params — the oracle replays BOTH
-    // the derivation and the full canonicalization chain. Output:
-    // per-canonical collapse audit (one aggregation on a codegen'd
-    // scalar, no joins).
+    // (www.)+/default ports/utm_* params, lowercase the host,
+    // uppercase percent-escape hex, collapse duplicate path slashes,
+    // sort query params, and collapse to one keeper per canonical
+    // URL. The fixture tables carry no url column, so the query
+    // derives a deterministic one from doc_id (the media-payload
+    // precedent): groups of 3 docs share a canonical page, decorated
+    // per-doc with scheme case, www., a fragment, tracking params, a
+    // default port, doubled slashes + stacked www., or a
+    // lowercase-hex escape — the oracle replays BOTH the derivation
+    // and the full canonicalization chain. Output: per-canonical
+    // collapse audit (one aggregation on a codegen'd scalar, no
+    // joins).
     QueryDef(
       "q286_url_canonical_dedup",
       Some("""
@@ -698,7 +701,7 @@ object LlmQueries2 {
                      'site' || CAST((doc_id // 3) % 7 AS VARCHAR)
                        || '.example.org' AS host,
                      '/doc/' || CAST(doc_id // 3 AS VARCHAR) AS path,
-                     doc_id % 6 AS v
+                     doc_id % 9 AS v
                    FROM documents),
         raw AS (SELECT doc_id,
                   CASE v WHEN 0 THEN 'http://' || host || path
@@ -710,7 +713,13 @@ object LlmQueries2 {
                                 || CAST(doc_id % 100 AS VARCHAR)
                          WHEN 4 THEN 'https://' || host || path
                                 || '?utm_source=feed&b=2&a=1'
-                         ELSE 'https://' || host || path || '?a=1&b=2'
+                         WHEN 5 THEN 'https://' || host || path
+                                || '?a=1&b=2'
+                         WHEN 6 THEN 'http://' || host || ':80'
+                                || path
+                         WHEN 7 THEN 'https://www.www.' || host
+                                || replace(path, '/', '//')
+                         ELSE 'https://' || host || path || '/x%2fy'
                   END AS url
                 FROM u),
         n1 AS (SELECT doc_id, url,
@@ -726,18 +735,31 @@ object LlmQueries2 {
                       ELSE 0 END AS sp
                FROM n1),
         n3 AS (SELECT doc_id, url,
-                 regexp_replace(lower(CASE WHEN sp > 0
-                     THEN ns[1:sp-1] ELSE ns END), '^www\.', '')
-                   AS host,
-                 CASE WHEN sp > 0 THEN ns[sp:] ELSE '' END AS pathq
+                 regexp_replace(regexp_replace(
+                     lower(CASE WHEN sp > 0
+                       THEN ns[1:sp-1] ELSE ns END),
+                     '^(www\.)+', ''),
+                   ':(80|443)$', '') AS host,
+                 CASE WHEN sp > 0 THEN ns[sp:] ELSE '' END AS pq0
                FROM n2),
+        n3b AS (SELECT doc_id, url, host,
+                  array_to_string(list_prepend(
+                    string_split(pq0, '%')[1],
+                    list_transform(string_split(pq0, '%')[2:],
+                      p -> CASE WHEN regexp_matches(p,
+                                       '^[0-9a-fA-F]{2}')
+                                THEN upper(p[1:2]) || p[3:]
+                                ELSE p END)), '%') AS pathq
+                FROM n3),
         n4 AS (SELECT doc_id, url, host,
                  CASE WHEN string_split(pathq, '?')[1] = '' THEN '/'
-                      ELSE string_split(pathq, '?')[1] END AS path,
+                      ELSE regexp_replace(
+                             string_split(pathq, '?')[1],
+                             '/{2,}', '/', 'g') END AS path,
                  CASE WHEN strpos(pathq, '?') > 0
                       THEN pathq[strpos(pathq, '?')+1:]
                       ELSE '' END AS q
-               FROM n3),
+               FROM n3b),
         n5 AS (SELECT doc_id, url, host, path,
                  array_to_string(list_sort(list_filter(
                    string_split(q, '&'),
@@ -757,7 +779,7 @@ object LlmQueries2 {
         val host = concat(lit("site"), (g % 7).cast("string"),
           lit(".example.org"))
         val path = concat(lit("/doc/"), g.cast("string"))
-        val v = col("doc_id") % 6
+        val v = col("doc_id") % 9
         val url = when(v === 0, concat(lit("http://"), host, path))
           .when(v === 1, concat(lit("https://"), host, path))
           .when(v === 2, concat(lit("HTTPS://WWW."), upper(host), path))
@@ -765,8 +787,12 @@ object LlmQueries2 {
             lit("#sec"), (col("doc_id") % 100).cast("string")))
           .when(v === 4, concat(lit("https://"), host, path,
             lit("?utm_source=feed&b=2&a=1")))
-          .otherwise(concat(lit("https://"), host, path,
+          .when(v === 5, concat(lit("https://"), host, path,
             lit("?a=1&b=2")))
+          .when(v === 6, concat(lit("http://"), host, lit(":80"), path))
+          .when(v === 7, concat(lit("https://www.www."), host,
+            regexp_replace(path, "/", "//")))
+          .otherwise(concat(lit("https://"), host, path, lit("/x%2fy")))
         graft.llmops.TextOps.urlCanonicalDedup(
           t(s, d, "documents").select(col("doc_id"), url.as("url")),
           "doc_id", "url")

@@ -965,6 +965,22 @@ object Streams {
     *    before the exact-text keeper. The rail flag is part of the
     *    store's admission contract (pinned in meta like maxDf).
     *
+    *    Rail semantics are ONE ADMISSION DECISION PER CANONICAL URL
+    *    PER BATCH, decided by the min-id variant: within-batch
+    *    variants collapse BEFORE the content/LM gates, so when the
+    *    min-id keeper is then rejected by a gate, its same-batch
+    *    variants are dropped with it WITHOUT their own evaluation —
+    *    even a variant whose different content would have passed.
+    *    Because only ADMITTED docs' URLs persist to `/urls`, the same
+    *    canonical URL arriving in a LATER batch is evaluated fresh.
+    *    This within-batch/cross-batch asymmetry is deliberate: the
+    *    alternative (URL-collapse only against gate-survivors) would
+    *    LM-score and shingle-probe every recrawl decoration of a
+    *    page — corpus-sized work for content that is overwhelmingly
+    *    identical — to recover documents that redelivery recovers
+    *    anyway one batch later. StreamingSpec pins both halves of
+    *    the asymmetry.
+    *
     * Per batch the work is: shingle the BATCH text once, one
     * aggregate for batch dfs, one join of batch shingles against the
     * summed df store (under-cap filter on both sides — combined df,

@@ -1525,21 +1525,31 @@ class PropertySpec extends AnyFunSuite {
     "a canonical form re-canonicalizes to itself") {
     val scheme = Gen.oneOf("", "http://", "https://", "HTTPS://",
       "ftp://")
-    val www = Gen.oneOf("", "www.", "WWW.")
+    // stacked www. labels exercise the (www\.)+ strip — a single-label
+    // strip is not idempotent on www.www.host (r12 ADVICE)
+    val www = Gen.oneOf("", "www.", "WWW.", "www.www.", "WWW.www.")
     val host = Gen.zip(token, Gen.oneOf("org", "com", "NET"))
       .map { case (h, tld) => s"$h.$tld" }
+    val port = Gen.oneOf("", ":80", ":443", ":8080")
+    // path segments may carry percent escapes (both hex cases and a
+    // malformed one) and doubled separators
+    val seg = Gen.oneOf(token, token.map(_ + "%2f"),
+      token.map(_ + "%2F"), token.map("%3a" + _), token.map(_ + "%zz"))
+    val sep = Gen.oneOf("/", "//", "///")
     val path = Gen.oneOf(Gen.const(""),
-      Gen.listOf(token).map(ps => "/" + ps.mkString("/")))
+      Gen.listOf(Gen.zip(sep, seg)).map(ps =>
+        "/" + ps.map { case (a, b) => a + b }.mkString))
     val param: Gen[String] = Gen.zip(
-      Gen.oneOf(token, token.map("utm_" + _)), token)
+      Gen.oneOf(token, token.map("utm_" + _)),
+      Gen.oneOf(token, token.map(_ + "%2f"), token.map(_ + "%2F")))
       .map { case (k, v) => s"$k=$v" }
     val query = Gen.oneOf(Gen.const(""),
       Gen.nonEmptyListOf(param).map(ps => "?" + ps.mkString("&")))
     val frag = Gen.oneOf(Gen.const(""), token.map("#" + _))
     val url = for {
-      s <- scheme; w <- www; h <- host; p <- path; q <- query;
-      f <- frag
-    } yield s"$s$w$h$p$q$f"
+      s <- scheme; w <- www; h <- host; pt <- port; p <- path;
+      q <- query; f <- frag
+    } yield s"$s$w$h$pt$p$q$f"
     val urls = samples(url, 60)
     val once = urls.toDF("u")
       .select(TextOps.canonicalUrl(col("u")).as("c"))

@@ -943,6 +943,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(urlParts == Seq(-1L, 2L))
   }
 
+  test("URL rail asymmetry (contract): ONE admission decision per " +
+    "canonical URL per batch — a gate-rejected min-id keeper drops " +
+    "its same-batch variants unevaluated; the same canonical URL in " +
+    "a LATER batch is evaluated fresh") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-curated-url-asym")
+      .toString
+    val store = s"$dir/store"
+    def text(tag: String) = (1 to 10).map(i => s"$tag$i").mkString(" ")
+    val good = text("a")
+    val bad = (1 to 10).map(i => s"zz$i zz$i").mkString(" ")
+    val ref = Seq((100L, good), (101L, text("b"))).toDF("doc_id", "text")
+    val model = graft.llmops.LanguageModel
+      .bigramModel(ref, "doc_id", "text")
+    val v = graft.llmops.LanguageModel.refVocabSize(ref, "text")
+    // cutoff between the in-model and out-of-model content scores
+    val sc = graft.llmops.LanguageModel
+      .lmScoreFrozen(Seq((1L, good), (2L, bad)).toDF("id", "body"),
+        model, v, "id", "body")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("score"))
+      .toMap
+    assert(sc(1L) > sc(2L))
+    val cutoff = (sc(1L) + sc(2L)) / 2
+    def commit(i: Long, rows: Seq[(Long, String, String)]): Unit =
+      Streams.curatedCommitIndexed(rows.toDF("id", "body", "url"),
+        i, "id", "body", model, v, cutoff, store, 0.5, 1000,
+        Some("url"))
+    def ids() = Streams.curatedDocs(spark, store)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // batch 0: 5 (BAD content) and 6 (GOOD content) share a canonical
+    // URL; the min-id keeper 5 is the batch's sole candidate, fails
+    // the LM gate, and takes 6 down with it — 6 is never evaluated
+    commit(0L, Seq((5L, bad, "http://u.org/p"),
+      (6L, good, "https://www.u.org/p?utm_a=1")))
+    assert(ids() == Seq())
+    // nothing admitted → no URL persisted → a LATER batch with the
+    // same canonical URL gets a fresh decision, and the good content
+    // now passes
+    commit(1L, Seq((6L, good, "http://u.org/p")))
+    assert(ids() == Seq(6L))
+    // but once ADMITTED, the canonical URL is final across batches:
+    // even better-scoring recrawl content of u.org/p drops at the rail
+    commit(2L, Seq((7L, good, "https://u.org/p#frag")))
+    assert(ids() == Seq(6L))
+  }
+
   test("compactAdmissionIndex: all-rejected history (only empty " +
     "partitions) compacts via the pinned schema; mismatched caps " +
     "fail fast") {

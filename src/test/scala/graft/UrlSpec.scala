@@ -44,6 +44,48 @@ class UrlSpec extends AnyFunSuite {
       "x.org/p"))        // all-tracking query drops entirely
   }
 
+  test("canonicalUrl: default ports stripped (non-default kept), " +
+    "stacked www. fully stripped, duplicate path slashes collapsed " +
+    "(query untouched), percent-escape hex uppercased") {
+    assert(canon(
+      "http://x.org:80/p",
+      "https://x.org:443/p",
+      "http://x.org:8080/p",    // non-default port is semantic
+      "http://WWW.X.ORG:80/p",
+      "http://www.www.x.org/p", // one-strip would leave www.x.org
+      "http://x.org//a///b",
+      "http://x.org//a//b?z=//v", // '//' in a VALUE must survive
+      "http://x.org/a%2fb",
+      "http://x.org/p?q=%3a%2F",
+      "http://x.org/p%zz",      // malformed escape passes through
+      "http://x.org:80//www%2fa?utm_x=1&b=%2e") == Seq(
+      "x.org/p",
+      "x.org/p",
+      "x.org:8080/p",
+      "x.org/p",
+      "x.org/p",
+      "x.org/a/b",
+      "x.org/a/b?z=//v",
+      "x.org/a%2Fb",
+      "x.org/p?q=%3A%2F",
+      "x.org/p%zz",
+      "x.org/www%2Fa?b=%2E")) // www inside the PATH is not stripped
+  }
+
+  test("canonicalUrl is idempotent across every decoration family") {
+    val urls = Seq(
+      "http://Site1.Example.org/a/b",
+      "HTTPS://WWW.WWW.SITE1.EXAMPLE.ORG:443//A//B#f",
+      "http://x.org:80/p?utm_source=feed&b=%2f&a=1",
+      "http://x.org", "x.org/p", "http://x.org?b=2&utm_a=1",
+      "http://x.org//a///b%2fc%zz?z=//v&y=%3a")
+    val once = canon(urls: _*)
+    val twice = once.toDF("u")
+      .select(TextOps.canonicalUrl(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(once == twice)
+  }
+
   test("urlDedupFirst: decoration variants collapse to min id; " +
     "distinct pages on the same host survive") {
     val docs = Seq(
