@@ -249,6 +249,37 @@ object JobRunner {
             .bpeEncodeStats(docs, id, tc, merges)
         }
       }),
+      // train the hashed quality gate (q290's trainer) and ship the
+      // weight table: --label-col names a 0/1 column, or --label-lang
+      // derives y = (lang-col == value) — the CCNet pattern of
+      // training "looks like the reference corpus" on a language
+      // marker. --save-weights persists the table for gate consumers
+      // (corpus_release_export --clf-weights); the job frame is the
+      // weight table itself plus a one-row training summary join key.
+      "classifier_train" -> ((s, o) => {
+        val in = o.getOrElse("in-docs",
+          sys.error("--in-docs required for classifier_train"))
+        val docs0 = s.read.parquet(in)
+        val id = o.getOrElse("id-col", "doc_id")
+        val tc = o.getOrElse("text-col", "text")
+        val buckets = o.get("buckets").map(_.toInt).getOrElse(4096)
+        val epochs = o.get("epochs").map(_.toInt).getOrElse(3)
+        val lr = o.get("lr").map(_.toDouble).getOrElse(1.0)
+        val docs = o.get("label-col") match {
+          case Some(lc) => docs0.withColumn("__y",
+            col(lc).cast("double"))
+          case None =>
+            val langCol = o.getOrElse("lang-col", "lang")
+            val ref = o.getOrElse("label-lang", "en")
+            docs0.withColumn("__y",
+              (col(langCol) === ref).cast("double"))
+        }
+        val w = graft.llmops.Classifier.trainHashedLogistic(
+          docs, id, "__y", tc, buckets, epochs, lr)
+        o.get("save-weights").foreach(p =>
+          w.write.mode("overwrite").parquet(p))
+        w
+      }),
       // DP-noised release of per-class metadata counts (the q276/q285
       // geometric mechanism as the shippable job). --salt is REQUIRED
       // and must be secret + high-entropy: the noise is a
@@ -328,10 +359,25 @@ object JobRunner {
         // web-pipeline ordering; the URL stage's own collapse audit
         // is q286's frame (urlCanonicalDedup), run separately
         val docs0 = s.read.parquet(in)
-        val docs = o.get("url-col") match {
+        val docsU = o.get("url-col") match {
           case Some(uc) => graft.llmops.TextOps.urlDedupFirst(
             docs0, o.getOrElse("id-col", "doc_id"), uc)
           case None => docs0
+        }
+        // trained-quality gate: --clf-weights (a classifier_train
+        // weight table) + --clf-min-margin drop low-margin docs
+        // BEFORE the content stages — the CCNet gate order, and the
+        // cheapest stage (one broadcast + one hash agg), so it runs
+        // first among the content gates
+        val docs = (o.get("clf-weights"), o.get("clf-min-margin")) match {
+          case (Some(wp), Some(mm)) =>
+            val pass = graft.llmops.Classifier.marginWithWeights(
+              docsU, "doc_id", "text", Nil, s.read.parquet(wp),
+              o.get("clf-buckets").map(_.toInt).getOrElse(4096))
+              .filter(col("margin") >= mm.toDouble)
+              .select(col("doc_id"))
+            docsU.join(pass, Seq("doc_id"), "left_semi")
+          case _ => docsU
         }
         // one staged pass serves both outputs — released()+summary()
         // separately would run the three heaviest stages twice;

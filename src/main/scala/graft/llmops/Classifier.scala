@@ -1,19 +1,49 @@
 package graft.llmops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
-/** Hashed linear-classifier INFERENCE — the fastText shape
-  * (`wordNgrams=2`, `bucket=B` feature hashing) that quality-gates
-  * corpora in CCNet-style pipelines. The engine piece is the scoring
-  * plumbing: explode unigram + bigram features, hash each into one
-  * of B weight buckets, sum the integer weights, ONE terminal
-  * division per document. A trained model drops in as a B-row weight
-  * table without changing the plan; here the weights are a
-  * deterministic pseudo-model so the whole scorer is oracle-checkable
-  * end to end.
+/** Hashed linear classifier — the fastText shape (`wordNgrams=2`,
+  * `bucket=B` feature hashing) that quality-gates corpora in
+  * CCNet-style pipelines: INFERENCE over a weight table
+  * ([[hashedBigramMargin]] with the deterministic pseudo-model,
+  * [[marginWithWeights]] with a trained one) and TRAINING
+  * ([[trainHashedLogistic]]) — full-batch gradient descent on a
+  * logistic surrogate, engineered for the engine's two contracts:
+  *
+  *  - **Determinism without libm.** The true sigmoid needs `exp`,
+  *    which is not cross-engine reproducible (the q57/q87 decision),
+  *    so the link is the FAST SIGMOID σ̂(z) = 1/2 + z/(2(1+|z|)) —
+  *    same fixed points (σ̂(0)=1/2, →0/1 at ±∞), same monotonicity,
+  *    and only +,·,/,|·| — IEEE ops that are bit-identical in any
+  *    engine. Gradient and margin folds sum FLOOR-QUANTIZED terms
+  *    (units of 10⁻¹²): each term `floor(v · 10¹²)` is the same
+  *    integer in every engine because the product is the same IEEE
+  *    double and floor has no tie cases — unlike a double→DECIMAL
+  *    cast, whose semantics measurably differ (DuckDB rounds
+  *    v·10^s computed in DOUBLE arithmetic; Java/Spark rounds the
+  *    exact binary expansion — they disagree below the 17th digit).
+  *    The integer terms sum exactly (order-independent, map-side
+  *    combinable — never a per-group collect_list), so every epoch
+  *    is replay- and oracle-exact at any parallelism. The 10⁻¹²
+  *    quantization is part of the algorithm, not an approximation
+  *    bolted on: ~1e-12 per-term truncation is five orders below
+  *    any gradient signal.
+  *  - **Scale shape.** Featurization is ONE explode + one (doc,
+  *    bucket) count — computed once and barriered. Each epoch is two
+  *    corpus-sized hash aggregations (per-doc margin, per-bucket
+  *    gradient) plus one BROADCAST join of the ≤ B-row weight table;
+  *    weights barrier per epoch so the plan stays epoch-sized. E
+  *    epochs = E linear passes — no driver-side loops over data, no
+  *    all-pairs anything.
   */
 object Classifier {
+
+  /** Rational sigmoid surrogate σ̂(z) = 1/2 + z/(2(1+|z|)) ∈ (0,1):
+    * the libm-free link function of [[trainHashedLogistic]]. */
+  def fastSigmoid(z: Column): Column =
+    lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
 
   /** Integer bucket weight of the deterministic pseudo-model:
     * w(bucket) = (bucket · 2654435761) mod 1001 − 500 ∈ [−500, 500]
@@ -38,17 +68,7 @@ object Classifier {
       : DataFrame = {
     require(buckets >= 1, s"hashedBigramMargin: buckets=$buckets")
     val keep = col(idCol) +: carryCols.map(col)
-    // ONE explode of unigrams ++ bigrams — a single corpus scan (a
-    // union of two explodes would read the text column twice).
-    // Bigram feature = "w1 w2": tokens are space-split, so a joined
-    // bigram can never collide with a unigram.
-    val tk = df.select(keep :+ TextOps.tokens(col(textCol)).as("t"): _*)
-    val bigr = when(size(col("t")) >= 2, zip_with(
-      slice(col("t"), lit(1), size(col("t")) - 1),
-      slice(col("t"), lit(2), size(col("t")) - 1),
-      (a, b) => concat(a, lit(" "), b)))
-      .otherwise(array().cast("array<string>"))
-    tk.select(keep :+ explode(concat(col("t"), bigr)).as("f"): _*)
+    explodeFeatures(df, keep, textCol)
       .withColumn("wi", bucketWeight(
         pmod(TextOps.hash60(col("f")), lit(buckets.toLong))))
       .groupBy(keep: _*)
@@ -56,5 +76,135 @@ object Classifier {
       .withColumn("margin", col("sw").cast("double") /
         (lit(500.0) * col("n_feats").cast("double")))
       .drop("sw")
+  }
+
+  /** ONE explode of unigrams ++ bigrams — a single corpus scan (a
+    * union of two explodes would read the text column twice).
+    * Bigram feature = "w1 w2": tokens are space-split, so a joined
+    * bigram can never collide with a unigram. The SHARED
+    * featurization of scorer and trainer — a gate scoring with
+    * trained weights must hash exactly the features the trainer
+    * weighted. */
+  private def explodeFeatures(df: DataFrame, keep: Seq[Column],
+      textCol: String): DataFrame = {
+    val tk = df.select(keep :+ TextOps.tokens(col(textCol)).as("t"): _*)
+    val bigr = when(size(col("t")) >= 2, zip_with(
+      slice(col("t"), lit(1), size(col("t")) - 1),
+      slice(col("t"), lit(2), size(col("t")) - 1),
+      (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    tk.select(keep :+ explode(concat(col("t"), bigr)).as("f"): _*)
+  }
+
+  /** The trainer's design matrix: one row per (doc, bucket) with
+    * x = cnt/n_feats (fastText's mean-of-feature-vectors
+    * normalization — a long doc does not out-vote a short one) and
+    * the label as `y` ∈ {0,1} double. One explode + one hash
+    * aggregation + one per-doc window (spillable; millions of small
+    * partitions, never global). */
+  def hashedFeatures(df: DataFrame, idCol: String, labelCol: String,
+      textCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"hashedFeatures: buckets=$buckets")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol),
+      col(labelCol).cast("double").as("y"), col(textCol))
+    explodeFeatures(base, Seq(col(idCol), col("y")), textCol)
+      .withColumn("bucket",
+        pmod(TextOps.hash60(col("f")), lit(buckets.toLong)))
+      .groupBy(col(idCol), col("y"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("x", col("cnt").cast("double") /
+        sum(col("cnt")).over(Window.partitionBy(col(idCol)))
+          .cast("double"))
+      .select(col(idCol), col("y"), col("bucket"), col("x"))
+  }
+
+  /** TRAIN the hashed-bigram gate: full-batch gradient descent on the
+    * fast-sigmoid logistic surrogate over [[hashedFeatures]], `lr`
+    * fixed, weights zero-initialized (margin 0 → σ̂ = 1/2 for every
+    * doc, so epoch 1's gradient is the pure class-direction
+    * (1/2 − y)·x). Returns the weight table (bucket, w) — at most
+    * `buckets` rows, broadcastable by construction — which
+    * [[marginWithWeights]] (or a `--clf-min-margin` release gate)
+    * consumes.
+    *
+    * Per epoch: margin m_d = (Σ_b ⌊w_b·x_db·10¹²⌋)/10¹² (exact
+    * integer fold), residual r_d = σ̂(m_d) − y_d, gradient
+    * g_b = ((Σ_d ⌊r_d·x_db·10¹²⌋)/10¹²)/N (exact integer fold),
+    * update w_b ← w_b − lr·g_b. Epochs barrier so the plan is
+    * epoch-sized, not 2^epochs; the feature table is computed once
+    * and barriered. Every fold is order-independent (integer-exact),
+    * so training is replay-deterministic at any parallelism and
+    * shuffle layout — the property the q290 oracle hash-checks end
+    * to end. */
+  def trainHashedLogistic(df: DataFrame, idCol: String,
+      labelCol: String, textCol: String, buckets: Int,
+      epochs: Int = 3, lr: Double = 1.0): DataFrame = {
+    require(epochs >= 1, s"trainHashedLogistic: epochs=$epochs")
+    import graft.core.Checkpoints.BarrierOps
+    val feats =
+      hashedFeatures(df, idCol, labelCol, textCol, buckets).barrier()
+    // N is a bounded scalar (one count), not a data-path collect
+    val nDocs = feats.select(col(idCol)).distinct().count().toDouble
+    val spark = df.sparkSession
+    var weights = spark.range(0).select(col("id").as("bucket"),
+      col("id").cast("double").as("w"))
+    (1 to epochs).foreach { _ =>
+      val m = feats
+        .join(broadcast(weights), Seq("bucket"), "left")
+        .groupBy(col(idCol), col("y"))
+        .agg(quantizedFoldDiv(
+          coalesce(col("w"), lit(0.0)) * col("x")).as("m"))
+      val r = m.select(col(idCol),
+        (fastSigmoid(col("m")) - col("y")).as("r"))
+      val g = feats.join(r, Seq(idCol))
+        .groupBy(col("bucket"))
+        .agg((quantizedFoldDiv(col("r") * col("x"))
+          / lit(nDocs)).as("g"))
+      weights = weights.join(g, Seq("bucket"), "full")
+        .select(col("bucket"),
+          (coalesce(col("w"), lit(0.0))
+            - lit(lr) * coalesce(col("g"), lit(0.0))).as("w"))
+        .barrier()
+    }
+    weights
+  }
+
+  /** The tie-free deterministic double fold (see object doc): sum of
+    * ⌊v·10¹²⌋ as exact integers (DECIMAL(38,0) so a 100 TB corpus
+    * cannot overflow a long), divided back by 10¹². AGGREGATE
+    * expression — use inside agg(). */
+  private def quantizedFoldDiv(v: Column): Column =
+    sum(floor(v * lit(1.0e12)).cast(DecimalType(38, 0)))
+      .cast("double") / lit(1.0e12)
+
+  /** Score with a TRAINED weight table: per-doc margin
+    * m = (Σ_b ⌊w_b·(cnt_b/n_feats)·10¹²⌋)/10¹² through the same
+    * featurization and the same tie-free quantized fold as the
+    * trainer — so a training-set doc's gate margin is bit-identical
+    * to its last training margin. Same plan shape as
+    * [[hashedBigramMargin]] plus one broadcast of the ≤ B-row weight
+    * table. Returns (idCol, carryCols…, n_feats, margin). */
+  def marginWithWeights(df: DataFrame, idCol: String, textCol: String,
+      carryCols: Seq[String], weights: DataFrame, buckets: Int)
+      : DataFrame = {
+    require(buckets >= 1, s"marginWithWeights: buckets=$buckets")
+    import org.apache.spark.sql.expressions.Window
+    val keep = col(idCol) +: carryCols.map(col)
+    val cnt = explodeFeatures(df, keep, textCol)
+      .withColumn("bucket",
+        pmod(TextOps.hash60(col("f")), lit(buckets.toLong)))
+      .groupBy(keep :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("x", col("cnt").cast("double") /
+        sum(col("cnt")).over(Window.partitionBy(col(idCol)))
+          .cast("double"))
+      .withColumn("nf",
+        sum(col("cnt")).over(Window.partitionBy(col(idCol))))
+    cnt.join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(keep: _*)
+      .agg(max(col("nf")).as("n_feats"),
+        quantizedFoldDiv(
+          coalesce(col("w"), lit(0.0)) * col("x")).as("margin"))
   }
 }

@@ -101,7 +101,90 @@ object EvalQueries {
       |                   * CAST(nf AS DOUBLE)) AS margin
       |       FROM dm)""".stripMargin
 
+  /** q290's DuckDB oracle: replay `epochs` full-batch epochs of the
+    * fast-sigmoid logistic trainer (Classifier.trainHashedLogistic)
+    * over the bounded weight table — same featurization as
+    * dkMarginCtes (unigrams + bigrams, hash60 % 4096), labels
+    * y = (lang = 'en'), every margin/gradient fold the tie-free
+    * floor-quantized integer sum (⌊v·10¹²⌋ — a double→DECIMAL cast
+    * would NOT replay: DuckDB rounds v·10^s computed in double
+    * arithmetic while Spark rounds the exact binary expansion; floor
+    * of the identical IEEE product has no such divergence). No libm:
+    * the link is the rational fast sigmoid. */
+  private def clfTrainOracleSql(epochs: Int): String = {
+    val epochCtes = (1 to epochs).map { e =>
+      s"""
+        m$e AS (SELECT f.doc_id, f.y,
+                  CAST(sum(CAST(floor(
+                      (coalesce(w.w, CAST(0.0 AS DOUBLE)) * f.x)
+                      * 1000000000000.0) AS HUGEINT)) AS DOUBLE)
+                    / 1000000000000.0 AS m
+                FROM feats f LEFT JOIN w${e - 1} w USING (bucket)
+                GROUP BY 1, 2),
+        r$e AS (SELECT doc_id,
+                  (CAST(0.5 AS DOUBLE)
+                   + m / (CAST(2.0 AS DOUBLE)
+                          * (CAST(1.0 AS DOUBLE) + abs(m)))) - y AS r
+                FROM m$e),
+        g$e AS (SELECT f.bucket,
+                  CAST(sum(CAST(floor((r.r * f.x)
+                      * 1000000000000.0) AS HUGEINT)) AS DOUBLE)
+                    / 1000000000000.0 / (SELECT n FROM nd) AS g
+                FROM feats f JOIN r$e r USING (doc_id) GROUP BY 1),
+        w$e AS (SELECT bucket,
+                  coalesce(w.w, CAST(0.0 AS DOUBLE))
+                    - CAST(1.0 AS DOUBLE)
+                      * coalesce(g.g, CAST(0.0 AS DOUBLE)) AS w
+                FROM w${e - 1} w FULL JOIN g$e g USING (bucket))"""
+    }.mkString(",")
+    s"""
+      WITH tk AS (SELECT doc_id,
+                    CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+                         ELSE CAST(0.0 AS DOUBLE) END AS y,
+                    string_split(text, ' ') AS t
+                  FROM documents),
+      fe AS (SELECT doc_id, y, unnest(t) AS f FROM tk
+             UNION ALL
+             SELECT doc_id, y, t[i+1] || ' ' || t[i+2] AS f
+             FROM tk, unnest(range(0, len(t) - 1)) r(i)),
+      fc AS (SELECT doc_id, y, ${dkHash60("f")} % 4096 AS bucket,
+                    count(*) AS cnt
+             FROM fe GROUP BY 1, 2, 3),
+      feats AS (SELECT doc_id, y, bucket,
+                  CAST(cnt AS DOUBLE)
+                    / CAST(sum(cnt) OVER (PARTITION BY doc_id)
+                        AS DOUBLE) AS x
+                FROM fc),
+      nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
+             FROM feats),
+      w0 AS (SELECT CAST(NULL AS BIGINT) AS bucket,
+                    CAST(NULL AS DOUBLE) AS w WHERE 1=0),$epochCtes
+      SELECT bucket, w FROM w$epochs"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // TRAIN the CCNet-style quality gate in-engine (q257 scores with
+    // a pseudo-model; this learns real weights): 3 full-batch epochs
+    // of gradient descent on the fast-sigmoid logistic surrogate over
+    // the same hashed unigram+bigram features, labels y=(lang='en'),
+    // zero init, lr=1. No libm anywhere — the link is rational and
+    // every margin/gradient sum is an exact order-free fold of
+    // floor-quantized integer terms (⌊v·10¹²⌋ — tie-free where a
+    // double→decimal cast measurably diverges across engines), which
+    // is what lets DuckDB replay the whole epoch recurrence
+    // bit-exactly over the bounded (≤4096-row)
+    // weight table. Scale shape: featurize once (barriered), then per
+    // epoch two corpus-sized hash aggregations + one broadcast of the
+    // weight table; epochs barrier so the plan stays epoch-sized.
+    QueryDef(
+      "q290_classifier_train",
+      Some(clfTrainOracleSql(3)),
+      (s, d) =>
+        Classifier.trainHashedLogistic(
+          t(s, d, "documents")
+            .withColumn("y", (col("lang") === "en").cast("int")),
+          "doc_id", "y", "text", 4096, epochs = 3, lr = 1.0)),
 
     // Good-Turing vocabulary audit per source: counts-of-counts
     // N1..N5 over the term-frequency table, unseen probability mass

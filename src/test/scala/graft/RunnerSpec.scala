@@ -176,6 +176,48 @@ class RunnerSpec extends AnyFunSuite {
     assert(auditU.map(_.getAs[Long]("n_released")).sum == 40)
   }
 
+  test("JobRunner: classifier_train ships a weight table; the " +
+    "release gate (--clf-weights/--clf-min-margin) consumes it") {
+    val dir = Files.createTempDirectory("graft-runner-clf").toString
+    val s0 = graft.core.Sessions.local(4, "graft-runner-test")
+    import s0.implicits._
+    val vocabA = Vector("the", "quick", "brown", "fox", "jumps",
+      "over", "lazy", "dog", "reads", "daily")
+    val vocabB = Vector("zork", "blag", "vrum", "klatz", "grep",
+      "snark", "plonk", "wibble", "quux", "flarp")
+    def doc(id: Long, v: Vector[String]): String =
+      (0 until 12).map(j => v(((id * 7 + j * 3) % v.size).toInt))
+        .mkString(" ")
+    val rows = (0 until 20).map(i =>
+      (i.toLong, doc(i.toLong, vocabA), "en", s"src${i % 2}")) ++
+      (0 until 20).map(i =>
+        (1000L + i, doc(1000L + i, vocabB), "xx", s"src${i % 2}"))
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/docs")
+    // default labels: y = (lang == 'en')
+    val w = JobRunner.lakeJobs("classifier_train")(s0,
+      Map("in-docs" -> s"$dir/docs", "buckets" -> "512",
+        "save-weights" -> s"$dir/w"))
+    assert(w.count() > 0 && w.count() <= 512)
+    val margins = graft.llmops.Classifier.marginWithWeights(
+      s0.read.parquet(s"$dir/docs"), "doc_id", "text", Seq("lang"),
+      s0.read.parquet(s"$dir/w"), 512)
+      .collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("margin"))
+    val en = margins.filter(_._1 == "en").map(_._2)
+    val xx = margins.filter(_._1 == "xx").map(_._2)
+    assert(en.min > xx.max, s"enMin=${en.min} xxMax=${xx.max}")
+    // gate the release at the midpoint: only the en docs survive to
+    // the content stages (n_in counts post-gate input)
+    val cut = (en.min + xx.max) / 2
+    val audit = JobRunner.lakeJobs("corpus_release_export")(s0,
+      Map("in-docs" -> s"$dir/docs", "dest" -> s"$dir/rel",
+        "shards" -> "2", "clf-weights" -> s"$dir/w",
+        "clf-min-margin" -> cut.toString, "clf-buckets" -> "512"))
+      .collect()
+    assert(audit.map(_.getAs[Long]("n_in")).sum == 20)
+  }
+
   test("JobRunner: report_export lake job writes the HTML + SVG tail") {
     val dir = Files.createTempDirectory("graft-runner-rep").toString
     val s0 = graft.core.Sessions.local(4, "graft-runner-test")
