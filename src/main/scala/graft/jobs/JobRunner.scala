@@ -302,6 +302,26 @@ object JobRunner {
           .split(",").toSeq
         val minRel = o.get("min-release").map(_.toLong).getOrElse(5L)
         val docs = s.read.parquet(in)
+        val m = o.get("max-per-contributor").map(_.toInt).getOrElse(1)
+        // --ledger enables release-budget accounting: refuse a salt
+        // the ledger already records (unless --allow-reuse, which is
+        // ε-ADDITIVE — see Privacy.ledgerGuard), then burn the salt
+        // BEFORE computing the release (crash-safe in the
+        // conservative direction). ε in ln2 units by release form:
+        // 1 row-level, m user counts, 2m user sums.
+        o.get("ledger").foreach { ld =>
+          graft.llmops.Privacy.ledgerGuard(s, ld, salt,
+            allowReuse = o.contains("allow-reuse"))
+          val (mech, units) =
+            (o.get("sum-col"), o.get("contributor-col")) match {
+              case (Some(_), Some(_)) => ("sum:user", 2.0 * m)
+              case (Some(_), None)    => ("sum:row", 1.0)
+              case (None, Some(_))    => ("cnt:user", m.toDouble)
+              case (None, None)       => ("cnt:row", 1.0)
+            }
+          graft.llmops.Privacy.ledgerAppend(s, ld, salt, mech, keys,
+            units)
+        }
         // --sum-col releases clipped per-class TOTALS (q288's
         // mechanism, --clip bounds one row's influence); otherwise
         // counts, with --contributor-col switching those to the
@@ -311,9 +331,7 @@ object JobRunner {
             val clip = o.get("clip").map(_.toLong).getOrElse(128L)
             val sums = o.get("contributor-col") match {
               case Some(c) => graft.llmops.Privacy.dpUserLevelSums(
-                docs, keys, c, vc, clip, salt,
-                o.get("max-per-contributor").map(_.toInt).getOrElse(1),
-                minRel)
+                docs, keys, c, vc, clip, salt, m, minRel)
               case None => graft.llmops.Privacy.dpNoisySums(
                 docs, keys, vc, clip, salt, minRel)
             }
@@ -322,15 +340,22 @@ object JobRunner {
           case None =>
             val full = o.get("contributor-col") match {
               case Some(c) => graft.llmops.Privacy.dpUserLevelCounts(
-                docs, keys, c, salt,
-                o.get("max-per-contributor").map(_.toInt).getOrElse(1),
-                minRel)
+                docs, keys, c, salt, m, minRel)
               case None => graft.llmops.Privacy.dpNoisyCounts(
                 docs, keys, salt, minRel)
             }
             full.select(keys.map(col) ++ Seq(col("suppressed"),
               col("n_released")): _*)
         }
+      }),
+      // the composed-ε budget view over a dp_release ledger: per
+      // salt, how many releases and the SUM of their stated ε —
+      // sequential composition, the budget an adversary holding all
+      // the releases gets to spend
+      "dp_ledger" -> ((s, o) => {
+        val ld = o.getOrElse("ledger",
+          sys.error("--ledger required for dp_ledger"))
+        graft.llmops.Privacy.ledgerComposedView(s, ld)
       }),
       // rewrite a parquet store into ~target-bytes files (see
       // IO.compact for the exclusive-access contract)

@@ -1,6 +1,6 @@
 package graft.llmops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Differential-privacy release primitives for corpus metadata.
@@ -289,6 +289,71 @@ object Privacy {
       minReleaseUnits,
       mechanismTag = s"sum:c$clip:u$maxPerContributor")
   }
+
+  /** ln 2, the per-unit ε of the α = 1/2 geometric mechanism — a
+    * pinned literal (audit metadata, not a data-path libm call). */
+  val EpsUnit: Double = 0.6931471805599453
+
+  /** RELEASE-BUDGET LEDGER — the enforcement layer the mechanism tag
+    * is defense-in-depth for. The tag stops two different release
+    * FORMS from sharing noise; nothing in the mechanism stops an
+    * operator from re-releasing the SAME form over changed data under
+    * one salt (ε-additive at best, exact-difference leak at worst).
+    * The ledger records every release (salt, mechanism, key columns,
+    * ε in ln2 units, wall-clock) in a parquet dir next to the release
+    * destination; [[ledgerGuard]] refuses a salt already present
+    * unless the caller explicitly accepts the composition
+    * (`allowReuse` — documented as ε-ADDITIVE: the composed ε over a
+    * salt is the SUM of its rows' ε, which [[ledgerComposedView]]
+    * reports per salt).
+    *
+    * The salt is burned at GUARD time — before the release frame is
+    * even computed — so a crash between ledger append and output
+    * write wastes a salt rather than silently allowing a replay:
+    * fail-safe in the only direction privacy accounting can afford.
+    * Single-writer per ledger dir, like every store in the engine. */
+  def ledgerGuard(spark: SparkSession, ledgerDir: String, salt: String,
+      allowReuse: Boolean): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(ledgerDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(ledgerDir))) {
+      val used = spark.read.parquet(ledgerDir)
+        .filter(col("salt") === salt).count()
+      require(used == 0 || allowReuse,
+        s"dp ledger $ledgerDir already records $used release(s) " +
+          s"under this salt — a reused salt composes ε additively " +
+          "(and re-releasing the same form over changed data can " +
+          "leak exact differences). Pass allow-reuse only if that " +
+          "composed budget is intended; otherwise use a fresh salt.")
+    }
+  }
+
+  /** Append one release record to the ledger (see [[ledgerGuard]]).
+    * `epsLn2Units` is the release's stated ε in ln 2 units: 1 for
+    * row-level counts/sums, m for user-level counts, 2m for
+    * user-level sums. */
+  def ledgerAppend(spark: SparkSession, ledgerDir: String,
+      salt: String, mechanism: String, keyCols: Seq[String],
+      epsLn2Units: Double): Unit = {
+    import spark.implicits._
+    Seq((salt, mechanism, keyCols.mkString(","), epsLn2Units,
+      epsLn2Units * EpsUnit, System.currentTimeMillis()))
+      .toDF("salt", "mechanism", "key_cols", "eps_ln2_units",
+        "epsilon", "released_at_ms")
+      .coalesce(1).write.mode("append").parquet(ledgerDir)
+  }
+
+  /** Composed-ε view over a ledger: per salt, the number of releases
+    * and the SUM of their ε (sequential composition — the budget an
+    * adversary holding all the releases gets to spend). */
+  def ledgerComposedView(spark: SparkSession, ledgerDir: String)
+      : DataFrame =
+    spark.read.parquet(ledgerDir)
+      .groupBy(col("salt"))
+      .agg(count(lit(1)).as("n_releases"),
+        sum(col("eps_ln2_units")).as("eps_ln2_units"),
+        sum(col("epsilon")).as("epsilon_composed"),
+        sort_array(collect_set(col("mechanism"))).as("mechanisms"))
 
   /** k-anonymization by ladder generalization — the op that FIXES a
     * failing k-anonymity audit (q247 measures; this releases): the

@@ -278,6 +278,33 @@ class PrivacySpec extends AnyFunSuite {
     assert(full(rows) == full(scala.util.Random.shuffle(rows)))
   }
 
+  test("release-budget ledger: fresh salt passes, recorded salt " +
+    "refuses unless reuse is explicit, composed view sums ε " +
+    "additively per salt") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dp-ledger").toString + "/ledger"
+    // guard on a not-yet-existing ledger is a pass (first release)
+    Privacy.ledgerGuard(spark, dir, "s1", allowReuse = false)
+    Privacy.ledgerAppend(spark, dir, "s1", "cnt:row", Seq("lang"), 1.0)
+    // the same salt now refuses…
+    val e = intercept[IllegalArgumentException] {
+      Privacy.ledgerGuard(spark, dir, "s1", allowReuse = false)
+    }
+    assert(e.getMessage.contains("composes"))
+    // …unless reuse (ε-additive) is explicit; a different salt passes
+    Privacy.ledgerGuard(spark, dir, "s1", allowReuse = true)
+    Privacy.ledgerGuard(spark, dir, "s2", allowReuse = false)
+    Privacy.ledgerAppend(spark, dir, "s1", "sum:user", Seq("lang"), 4.0)
+    Privacy.ledgerAppend(spark, dir, "s2", "cnt:user", Seq("lang"), 8.0)
+    val view = Privacy.ledgerComposedView(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(view("s1")._1 == 2L && view("s1")._2 == 5.0)
+    assert(view("s2")._1 == 1L && view("s2")._2 == 8.0)
+    // epsilon_composed = units · ln2, the stated per-unit ε
+    assert(math.abs(view("s1")._3 - 5.0 * Privacy.EpsUnit) < 1e-12)
+  }
+
   test("classKey: NULL-explicit and length-prefixed — NULL keys still " +
     "draw noise, separator-bearing values cannot collide classes") {
     import spark.implicits._

@@ -439,6 +439,31 @@ class RunnerSpec extends AnyFunSuite {
     sums.collect().foreach { r =>
       if (!r.isNullAt(2)) assert(r.getLong(2) % 10L == 0L)
     }
+    // --ledger: the budget rail — first release under a salt burns
+    // it (at guard time, before the frame is computed); a second
+    // release under the same salt refuses unless --allow-reuse,
+    // and the dp_ledger view reports the composed ε
+    val ledger = java.nio.file.Files
+      .createTempDirectory("graft-dp-ledgerjob").toString + "/led"
+    JobRunner.lakeJobs("dp_release")(s0, Map("in-docs" -> dpDir,
+      "salt" -> "led1", "ledger" -> ledger))
+    val reuse = intercept[IllegalArgumentException] {
+      JobRunner.lakeJobs("dp_release")(s0, Map("in-docs" -> dpDir,
+        "salt" -> "led1", "ledger" -> ledger, "key-cols" -> "lang",
+        "sum-col" -> "doc_id", "contributor-col" -> "source",
+        "max-per-contributor" -> "2"))
+    }
+    assert(reuse.getMessage.contains("composes"))
+    JobRunner.lakeJobs("dp_release")(s0, Map("in-docs" -> dpDir,
+      "salt" -> "led1", "ledger" -> ledger, "allow-reuse" -> "true",
+      "key-cols" -> "lang", "sum-col" -> "doc_id",
+      "contributor-col" -> "source", "max-per-contributor" -> "2"))
+    val view = JobRunner.lakeJobs("dp_ledger")(s0,
+      Map("ledger" -> ledger)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // cnt:row (1 unit) + sum:user m=2 (4 units) compose to 5 ln2
+    assert(view("led1") == ((2L, 5.0)))
     val cc = JobRunner.jobs("contamination_report")._2(s0,
         Map("docs" -> docsDf)).collect()
       .map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3)))).toMap
