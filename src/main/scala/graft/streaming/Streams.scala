@@ -1860,15 +1860,86 @@ object Streams {
       .start()
 
   /** One admission cycle of [[toCaptionedImageCorpusStore]], factored
-    * out for spec-driven batch sequences and replays. */
+    * out for spec-driven batch sequences and replays: the
+    * [[pairedCommit]] kernel with image signatures (exact fp =
+    * pixels, near hash = dHash). */
   private[graft] def captionedCommit(batch0: DataFrame, batchId: Long,
       idCol: String, payloadCol: String, textCol: String,
       sourceCol: String, storeDir: String, maxHamming: Int,
-      minJac: Double): Unit = {
+      minJac: Double): Unit =
+    pairedCommit(batch0, batchId, idCol, payloadCol, textCol,
+      sourceCol, storeDir, maxHamming, minJac, "captionedCommit",
+      "captioned-image")(media =>
+      graft.llmops.Multimodal.imageSignatures(media).toDF()
+        .filter(col("pix_fp").isNotNull)
+        .select(col("doc_id"), col("pix_fp").as("fp"),
+          col("dhash").as("nhash")))
+
+  /** Streaming AUDIO+TRANSCRIPT paired ingest — the fourth cell of
+    * the modality × lifecycle grid (batch audio-transcript release =
+    * `PairedRelease.releaseRails`; streaming image+caption =
+    * [[toCaptionedImageCorpusStore]]): the same [[pairedCommit]]
+    * kernel with acoustic signatures. Exact rail = (64-window
+    * envelope hash, md5 transcript) — a gain re-master of an admitted
+    * clip under the same transcript drops here; near rail = banded
+    * envelope Hamming ≤ `maxHamming` VERIFIED by transcript shingle
+    * Jaccard ≥ `minJac` — a re-encode with a re-punctuated transcript
+    * drops, an acoustically-similar clip with genuinely different
+    * speech does not. Same store layout, meta contract, replay and
+    * compaction story as the captioned-image store — no new store
+    * code, by construction. */
+  def toAudioTranscriptCorpusStore(stream: DataFrame, idCol: String,
+      payloadCol: String, textCol: String, sourceCol: String,
+      storeDir: String, checkpoint: String, maxHamming: Int = 4,
+      minJac: Double = 0.2, window: Int = 4): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        if (!batch0.isEmpty)
+          audioTranscriptCommit(batch0, batchId, idCol, payloadCol,
+            textCol, sourceCol, storeDir, maxHamming, minJac, window)
+      }
+      .start()
+
+  /** One admission cycle of [[toAudioTranscriptCorpusStore]]. */
+  private[graft] def audioTranscriptCommit(batch0: DataFrame,
+      batchId: Long, idCol: String, payloadCol: String,
+      textCol: String, sourceCol: String, storeDir: String,
+      maxHamming: Int, minJac: Double, window: Int): Unit =
+    pairedCommit(batch0, batchId, idCol, payloadCol, textCol,
+      sourceCol, storeDir, maxHamming, minJac,
+      "audioTranscriptCommit", "audio-transcript")(media =>
+      graft.llmops.Multimodal.audioEnvelopeHash(media, window).toDF()
+        .filter(col("env_hash").isNotNull)
+        .select(col("doc_id"),
+          col("env_hash").cast("string").as("fp"),
+          col("env_hash").as("nhash")))
+
+  /** The shared PAIRED-admission kernel behind
+    * [[toCaptionedImageCorpusStore]] and
+    * [[toAudioTranscriptCorpusStore]] — [[mediaCommit]]'s two-rail
+    * discipline lifted to (media, text) pairs, generic over the
+    * per-batch media signature map `sign`: media rows → (doc_id, fp,
+    * nhash) where `fp` is the modality's exact-identity fingerprint,
+    * `nhash` its 64-bit near-dup hash, and undecodable payloads are
+    * absent (rejected). Exact rail = (fp, md5 text); near rail =
+    * 4×16-bit `nhash` bands ≤ maxHamming proposing candidates that
+    * the TEXT side verifies by exact shingle Jaccard ≥ minJac. The
+    * meta table pins (maxHamming, minJac, pair_kind) as the
+    * admission contract — pair_kind stops an audio-transcript commit
+    * from silently corrupting a captioned-image store, whose meta
+    * fields are otherwise identical. */
+  private def pairedCommit(batch0: DataFrame, batchId: Long,
+      idCol: String, payloadCol: String, textCol: String,
+      sourceCol: String, storeDir: String, maxHamming: Int,
+      minJac: Double, caller: String, kind: String)(
+      sign: org.apache.spark.sql.Dataset[
+        graft.llmops.Multimodal.MediaRecord] => DataFrame): Unit = {
     import graft.core.Checkpoints.BarrierOps
-    import graft.llmops.{Multimodal, TextOps}
+    import graft.llmops.TextOps
     require(minJac > 0 && minJac <= 1.0,
-      s"captionedCommit: minJac=$minJac")
+      s"$caller: minJac=$minJac")
     val s = batch0.sparkSession
     import s.implicits._
     val (docsDir, fpsDir, bandsDir, postingsDir) =
@@ -1876,19 +1947,27 @@ object Streams {
         s"$storeDir/postings")
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    requireNoPendingCompaction(fs, "captionedCommit",
+    requireNoPendingCompaction(fs, caller,
       Seq(fpsDir, bandsDir, postingsDir))
     val metaDir = s"$storeDir/meta"
     if (fs.exists(new org.apache.hadoop.fs.Path(metaDir))) {
       val m = s.read.parquet(metaDir).first()
       require(m.schema.fieldNames.contains("min_jac"),
-        s"captionedCommit: $storeDir is not a captioned-image store " +
+        s"$caller: $storeDir is not a paired admission store " +
           "(meta pins no min_jac — committing a different modality " +
           "into the store would silently corrupt its admission index)")
+      // pre-r13 captioned stores have no pair_kind column = image
+      val storedKind =
+        if (m.schema.fieldNames.contains("pair_kind"))
+          m.getAs[String]("pair_kind")
+        else "captioned-image"
+      require(storedKind == kind,
+        s"$caller: store $storeDir holds '$storedKind' pairs but " +
+          s"this commit signs '$kind' — one modality per store")
       val (sh, sj) = (m.getAs[Int]("max_hamming"),
         m.getAs[Double]("min_jac"))
       require(sh == maxHamming && sj == minJac,
-        s"captionedCommit: store $storeDir was created with " +
+        s"$caller: store $storeDir was created with " +
           s"(maxHamming=$sh, minJac=$sj) but this commit uses " +
           s"($maxHamming, $minJac) — both are part of the store's " +
           "admission contract")
@@ -1910,17 +1989,16 @@ object Streams {
         col(sourceCol).as("source"))
       .barrier() // decode + shingles + docs write share one scan
     // ONE decode; undecodable payloads rejected
-    val sigs = Multimodal.imageSignatures(
+    val sigs = sign(
         base.select(col("doc_id"), col("payload"), col("source"),
-          lit(0L).as("n_chars")).as[Multimodal.MediaRecord]).toDF()
-      .filter(col("pix_fp").isNotNull)
+          lit(0L).as("n_chars"))
+          .as[graft.llmops.Multimodal.MediaRecord])
       .join(base.select(col("doc_id"), md5(col("text")).as("cap_fp")),
         Seq("doc_id"))
-      .select(col("doc_id"), col("pix_fp"), col("cap_fp"),
-        col("dhash"))
+      .select(col("doc_id"), col("fp"), col("cap_fp"), col("nhash"))
       .barrier()
-    // within-batch exact rail: min-id keeper per (pixels, caption)
-    val keep = sigs.groupBy(col("pix_fp"), col("cap_fp"))
+    // within-batch exact rail: min-id keeper per (media fp, text)
+    val keep = sigs.groupBy(col("fp"), col("cap_fp"))
       .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
     val b1 = sigs.join(keep, Seq("doc_id"), "left_semi").barrier()
     val b1Sh = base
@@ -1931,18 +2009,18 @@ object Streams {
         explode(col("arr")).as("sh"))
       .barrier() // verify side ×2 + postings write
     // exact rail: paired fingerprint already admitted
-    val fpTemplate = b1.select(col("pix_fp"), col("cap_fp"))
+    val fpTemplate = b1.select(col("fp"), col("cap_fp"))
     val exactDropped = b1
-      .join(readPart(fpsDir, fpTemplate), Seq("pix_fp", "cap_fp"),
+      .join(readPart(fpsDir, fpTemplate), Seq("fp", "cap_fp"),
         "left_semi")
       .select(col("doc_id"))
-    // near rail, image candidates: shared 16-bit dHash band AND
-    // Hamming ≤ maxHamming (the image store's kernel), batch vs
+    // near rail, media candidates: shared 16-bit nhash band AND
+    // Hamming ≤ maxHamming (the media store's kernel), batch vs
     // store and batch vs smaller-id batch peer
     def bandsOf(df: DataFrame): DataFrame = df.select(
-      col("doc_id"), col("dhash").as("nhash"),
+      col("doc_id"), col("nhash"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        shiftright(col("nhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("band", "bucket")))
     val batchBands = bandsOf(b1).barrier()
     val bandTemplate = batchBands
@@ -1983,16 +2061,16 @@ object Streams {
     def writePart(df: DataFrame, dir: String): Unit =
       df.write.mode("overwrite").parquet(s"$dir/batch=$batchId")
     if (!fs.exists(new org.apache.hadoop.fs.Path(metaDir))) {
-      Seq((maxHamming, minJac, fpTemplate.schema.json,
+      Seq((maxHamming, minJac, kind, fpTemplate.schema.json,
         bandTemplate.schema.json, postingsTemplate.schema.json))
-        .toDF("max_hamming", "min_jac", "fps_schema", "bands_schema",
-          "postings_schema")
+        .toDF("max_hamming", "min_jac", "pair_kind", "fps_schema",
+          "bands_schema", "postings_schema")
         .coalesce(1).write.mode("overwrite").parquet(metaDir)
     }
     val admittedIds = admitted.select(col("doc_id"))
     writePart(base.join(admittedIds, Seq("doc_id"), "left_semi"),
       docsDir)
-    writePart(admitted.select(col("pix_fp"), col("cap_fp")), fpsDir)
+    writePart(admitted.select(col("fp"), col("cap_fp")), fpsDir)
     writePart(batchBands.join(admittedIds, Seq("doc_id"), "left_semi"),
       bandsDir)
     writePart(b1Sh.join(admittedIds, Seq("doc_id"), "left_semi"),

@@ -1396,6 +1396,110 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids() == Seq(2L, 4L, 6L, 13L, 15L, 21L, 33L))
   }
 
+  test("toAudioTranscriptCorpusStore: the paired kernel over acoustic " +
+    "signatures — same envelope + same transcript exact-drops, gain " +
+    "re-master + paraphrase near-drops (across and within batches), " +
+    "same clip + different transcript and same transcript + " +
+    "different clip are ADMITTED; replay no-op; modality and " +
+    "threshold guards; compaction preserves decisions") {
+    import spark.implicits._
+    import graft.llmops.Multimodal
+    val dir = Files.createTempDirectory("graft-audpair").toString
+    val store = s"$dir/store"
+    def wav(pid: Long, jit: Int): Array[Byte] =
+      Multimodal.encodeWav(Array.tabulate(256)(t =>
+        math.min(Multimodal.synthSample(pid, t) + jit, 255)))
+    val capA = "the quick brown fox jumps over the lazy dog"
+    val capB = "the quick brown fox jumps over a sleepy dog" // ~0.4
+    val capC = "completely unrelated words describing another scene"
+    val capD = "yet another caption with nothing shared at all here"
+    def commit(batchId: Long,
+        rows: Seq[(Long, Array[Byte], String, String)],
+        minJac: Double = 0.2): Unit =
+      Streams.audioTranscriptCommit(
+        rows.toDF("id", "payload", "transcript", "src"), batchId,
+        "id", "payload", "transcript", "src", store, 4, minJac,
+        window = 4)
+    def ids() = Streams.captionedDocs(spark, store)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // batch 0: 3 re-delivers 2's clip under the IDENTICAL transcript
+    // (paired-exact → keeper 2); 4 = same clip, unrelated transcript
+    // → ADMITTED (the audio-only store would over-drop); 6 =
+    // different clip, same transcript → ADMITTED; 99 undecodable
+    commit(0L, Seq((2L, wav(5L, 0), capA, "s"),
+      (3L, wav(5L, 0), capA, "s"),
+      (4L, wav(5L, 0), capC, "s"),
+      (6L, wav(6L, 0), capA, "s"),
+      (99L, Array[Byte](1, 2, 3), capA, "s")))
+    assert(ids() == Seq(2L, 4L, 6L))
+    // batch 1: 11 = +2 gain re-master of 2's clip (envelope Hamming
+    // ≤ 4) + PARAPHRASE of its transcript → near rail (both
+    // modalities) → dropped; 13 = same clip + unrelated transcript →
+    // admitted; 15 = new clip + capA's exact text → admitted (the
+    // exact rail needs BOTH)
+    commit(1L, Seq((11L, wav(5L, 2), capB, "s"),
+      (13L, wav(5L, 2), capD, "s"),
+      (15L, wav(7L, 0), capA, "s")))
+    assert(ids() == Seq(2L, 4L, 6L, 13L, 15L))
+    // replay re-derives the identical admission
+    commit(1L, Seq((11L, wav(5L, 2), capB, "s"),
+      (13L, wav(5L, 2), capD, "s"),
+      (15L, wav(7L, 0), capA, "s")))
+    assert(ids() == Seq(2L, 4L, 6L, 13L, 15L))
+    // within-batch near rail: the paraphrased re-master arriving
+    // BESIDE its source still collapses to the min-id keeper
+    commit(2L, Seq((21L, wav(19L, 0), capA, "s"),
+      (23L, wav(19L, 2), capB, "s")))
+    assert(ids() == Seq(2L, 4L, 6L, 13L, 15L, 21L))
+    // thresholds are pinned; so is the MODALITY — a captioned-image
+    // commit into this store must refuse, not corrupt the index
+    val ex = intercept[IllegalArgumentException] {
+      commit(3L, Seq((31L, wav(23L, 0), capA, "s")), minJac = 0.5)
+    }
+    assert(ex.getMessage.contains("admission contract"))
+    val xm = intercept[IllegalArgumentException] {
+      Streams.captionedCommit(
+        Seq((32L, wav(23L, 0), capA, "s"))
+          .toDF("id", "payload", "caption", "src"),
+        3L, "id", "payload", "caption", "src", store, 4, 0.2)
+    }
+    assert(xm.getMessage.contains("one modality per store"))
+    // compaction squashes all three indexes; decisions preserved
+    Streams.compactMediaStore(spark, store, uptoBatch = 2L)
+    for (idx <- Seq("fps", "bands", "postings")) {
+      val parts = new java.io.File(s"$store/$idx").listFiles()
+        .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+      assert(parts.toSeq == Seq("batch=-1"), s"$idx: ${parts.toSeq}")
+    }
+    commit(3L, Seq((31L, wav(5L, 2), capB, "s"), // still near 2
+      (33L, wav(29L, 0), capC, "s")))
+    assert(ids() == Seq(2L, 4L, 6L, 13L, 15L, 21L, 33L))
+  }
+
+  test("toAudioTranscriptCorpusStore streaming wrapper: micro-batches " +
+    "gate through the store") {
+    import spark.implicits._
+    import graft.llmops.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-audpairw").toString
+    def wav(pid: Long): Array[Byte] =
+      Multimodal.encodeWav(Array.tabulate(256)(t =>
+        Multimodal.synthSample(pid, t)))
+    val rows = Seq(
+      (1L, wav(5L), "the quick brown fox", "s"),
+      (2L, wav(5L), "the quick brown fox", "s"), // paired-exact dup
+      (3L, wav(9L), "a completely different transcript", "s"))
+    val src = MemoryStream[(Long, Array[Byte], String, String)]
+    val q = Streams.toAudioTranscriptCorpusStore(
+      src.toDF().toDF("id", "payload", "transcript", "src"),
+      "id", "payload", "transcript", "src",
+      s"$dir/store", s"$dir/chk")
+    src.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    assert(Streams.captionedDocs(spark, s"$dir/store")
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("toCaptionedImageCorpusStore streaming wrapper: micro-batches " +
     "gate through the store") {
     import spark.implicits._
