@@ -175,21 +175,38 @@ object Tokenize {
     * total), carried for schema parity with the max-munch dimension.
     *
     * Scale shape: |merges| narrow folds over the distinct-token
-    * DIMENSION table (vocabulary-sized, corpus-independent), one
-    * lazy barrier per round for lineage hygiene. Rounds are bounded
-    * by the merge count — the right harness for the small-k corpus
-    * statistics this family ships; a production 30k-merge encode
-    * collects the vocab driver-side first (see learnBpeMerges'
-    * scale-limit note). */
+    * DIMENSION table (vocabulary-sized, corpus-independent), barrier
+    * per round — lazy for plan hygiene, EAGER every 16 rounds to
+    * bound closure depth (all-lazy chains serialize O(k²) across the
+    * ladder; see the loop comment). Rounds are bounded by the merge
+    * count, and each round costs a fixed floor regardless of whether
+    * the merge applies — measured with `graft.ScaleBpe` at sf0.1 on
+    * local[32]: k = 1000 applies in ~13 s (~0.013 s/round), so the
+    * practical ceiling for a production 32k-merge frozen-ladder
+    * apply is ~7 min of SEQUENTIAL rounds (SCALE.md documents the
+    * measurement next to the q284 rows). Fine for frozen-ladder
+    * fixtures and tokenizer QA; a production 30k-merge bulk encode
+    * still prefers the max-munch final-vocab path (q280
+    * `encodeStats` — one pass, no per-merge rounds) or collects the
+    * vocab driver-side first (see learnBpeMerges' scale-limit
+    * note). */
   def bpeEncodeTokens(tokens: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
     import graft.core.Checkpoints.BarrierOps
     var cur = tokens.select(col("tok"),
       chars1(col("tok")).as("pieces"))
-    merges.foreach { case (a, b) =>
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      // eager barrier every 16 rounds: a LAZY barrier only truncates
+      // lineage once something materializes it, so a k-round all-lazy
+      // chain ships round k's task with a k-deep nested closure —
+      // O(k²) serialization across the ladder (measured: k=1000 at
+      // sf0.1 ran >60 min all-lazy vs minutes chunked). Bounding the
+      // lazy depth at 16 keeps per-round plans jobless in the common
+      // case and caps closure depth; values are unaffected (barriers
+      // are identity).
       cur = cur
         .select(col("tok"), mergeFold(col("pieces"), a, b).as("pieces"))
-        .barrier()
+        .barrier(eager = i % 16 == 15)
     }
     cur.select(col("tok"), length(col("tok")).as("tok_len"),
       col("pieces"), size(col("pieces")).cast("long").as("n_pieces"),

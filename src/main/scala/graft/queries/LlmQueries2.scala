@@ -796,6 +796,86 @@ object LlmQueries2 {
         graft.llmops.TextOps.urlCanonicalDedup(
           t(s, d, "documents").select(col("doc_id"), url.as("url")),
           "doc_id", "url")
+      }),
+
+    // Modality-diversity report — "is my mixture semantically
+    // diverse?": per (k-means cell, label) cluster shares over the
+    // q62 deterministic Lloyd assignments, fanned out to the FULL
+    // cell × label grid (an absent label in a cell is a diversity
+    // signal, share 0, not a missing row), against each label's
+    // global share; dev = |share − global_share| is the summand of
+    // the per-cell total-variation distance (q171's embedding-side
+    // twin: q171 reads source mix drift over TOKENS, this reads it
+    // over SEMANTIC cells). All shares are exact-integer-ratio IEEE
+    // divisions. Scale shape: one assignment pass (broadcast
+    // centroids), one (cell,label) count, then joins over the
+    // bounded k × |labels| dimension grid — every post-agg frame is
+    // metadata-sized.
+    QueryDef(
+      "q291_cluster_shares",
+      Some("""
+        WITH c AS (SELECT vec_id AS cell, embedding AS cvec
+                   FROM embeddings WHERE vec_id < 4),
+        s AS (SELECT e.vec_id, c.cell,
+                list_reduce(list_transform(list_zip(e.embedding, c.cvec),
+                  p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                     * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                  (x, y) -> x + y) AS d2
+              FROM embeddings e CROSS JOIN c),
+        a AS (SELECT vec_id, cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY d2, cell) AS rk FROM s)
+              WHERE rk = 1),
+        cl AS (SELECT a.cell, e.label, count(*) AS n_vecs
+               FROM a JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+        ct AS (SELECT cell, CAST(sum(n_vecs) AS BIGINT) AS cell_total
+               FROM cl GROUP BY 1),
+        lt AS (SELECT label, CAST(sum(n_vecs) AS BIGINT) AS label_total
+               FROM cl GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total FROM cl)
+        SELECT ct.cell, lt.label,
+               CAST(coalesce(cl.n_vecs, 0) AS BIGINT) AS n_vecs,
+               ct.cell_total,
+               CAST(coalesce(cl.n_vecs, 0) AS DOUBLE)
+                 / CAST(ct.cell_total AS DOUBLE) AS share,
+               CAST(lt.label_total AS DOUBLE)
+                 / CAST(tot.n_total AS DOUBLE) AS global_share,
+               abs(CAST(coalesce(cl.n_vecs, 0) AS DOUBLE)
+                     / CAST(ct.cell_total AS DOUBLE)
+                   - CAST(lt.label_total AS DOUBLE)
+                     / CAST(tot.n_total AS DOUBLE)) AS dev
+        FROM ct CROSS JOIN lt CROSS JOIN tot
+        LEFT JOIN cl ON cl.cell = ct.cell AND cl.label = lt.label"""),
+      (s, d) => {
+        import graft.core.Checkpoints.BarrierOps
+        val e = t(s, d, "embeddings")
+        val assigned = Similarity.kmeansAssign(e, "vec_id",
+          "embedding",
+          e.filter(col("vec_id") < 4)
+            .select(col("vec_id").as("cell"),
+              col("embedding").as("cvec")),
+          "cell", "cvec")
+        val cl = assigned
+          .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+          .groupBy(col("cell"), col("label"))
+          .agg(count(lit(1)).as("n_vecs"))
+          .barrier() // feeds ct, lt, tot AND the final grid join
+        val ct = cl.groupBy(col("cell"))
+          .agg(sum(col("n_vecs")).as("cell_total"))
+        val lt = cl.groupBy(col("label"))
+          .agg(sum(col("n_vecs")).as("label_total"))
+        val tot = cl.agg(sum(col("n_vecs")).as("n_total"))
+        val share = coalesce(col("n_vecs"), lit(0L)).cast("double") /
+          col("cell_total").cast("double")
+        val gshare = col("label_total").cast("double") /
+          col("n_total").cast("double")
+        ct.crossJoin(broadcast(lt)).crossJoin(broadcast(tot))
+          .join(cl, Seq("cell", "label"), "left")
+          .select(col("cell"), col("label"),
+            coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+            col("cell_total"), share.as("share"),
+            gshare.as("global_share"),
+            abs(share - gshare).as("dev"))
       })
   )
 
