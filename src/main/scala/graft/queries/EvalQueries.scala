@@ -101,17 +101,18 @@ object EvalQueries {
       |                   * CAST(nf AS DOUBLE)) AS margin
       |       FROM dm)""".stripMargin
 
-  /** q290's DuckDB oracle: replay `epochs` full-batch epochs of the
-    * fast-sigmoid logistic trainer (Classifier.trainHashedLogistic)
-    * over the bounded weight table — same featurization as
-    * dkMarginCtes (unigrams + bigrams, hash60 % 4096), labels
-    * y = (lang = 'en'), every margin/gradient fold the tie-free
-    * floor-quantized integer sum (⌊v·10¹²⌋ — a double→DECIMAL cast
-    * would NOT replay: DuckDB rounds v·10^s computed in double
-    * arithmetic while Spark rounds the exact binary expansion; floor
-    * of the identical IEEE product has no such divergence). No libm:
-    * the link is the rational fast sigmoid. */
-  private def clfTrainOracleSql(epochs: Int): String = {
+  /** q290/q292's DuckDB CTE chain: replay `epochs` full-batch epochs
+    * of the fast-sigmoid logistic trainer
+    * (Classifier.trainHashedLogistic) over the bounded weight
+    * table — same featurization as dkMarginCtes (unigrams + bigrams,
+    * hash60 % 4096), labels y = (lang = 'en'), every margin/gradient
+    * fold the tie-free floor-quantized integer sum (⌊v·10¹²⌋ — a
+    * double→DECIMAL cast would NOT replay: DuckDB rounds v·10^s
+    * computed in double arithmetic while Spark rounds the exact
+    * binary expansion; floor of the identical IEEE product has no
+    * such divergence). No libm: the link is the rational fast
+    * sigmoid. */
+  private def clfTrainCtes(epochs: Int): String = {
     val epochCtes = (1 to epochs).map { e =>
       s"""
         m$e AS (SELECT f.doc_id, f.y,
@@ -137,8 +138,7 @@ object EvalQueries {
                       * coalesce(g.g, CAST(0.0 AS DOUBLE)) AS w
                 FROM w${e - 1} w FULL JOIN g$e g USING (bucket))"""
     }.mkString(",")
-    s"""
-      WITH tk AS (SELECT doc_id,
+    s"""tk AS (SELECT doc_id,
                     CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
                          ELSE CAST(0.0 AS DOUBLE) END AS y,
                     string_split(text, ' ') AS t
@@ -158,9 +158,14 @@ object EvalQueries {
       nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
              FROM feats),
       w0 AS (SELECT CAST(NULL AS BIGINT) AS bucket,
-                    CAST(NULL AS DOUBLE) AS w WHERE 1=0),$epochCtes
-      SELECT bucket, w FROM w$epochs"""
+                    CAST(NULL AS DOUBLE) AS w WHERE 1=0),$epochCtes"""
   }
+
+  /** q290's full oracle: the CTE chain + the weight-table select. */
+  private def clfTrainOracleSql(epochs: Int): String =
+    s"""
+      WITH ${clfTrainCtes(epochs)}
+      SELECT bucket, w FROM w$epochs"""
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -185,6 +190,50 @@ object EvalQueries {
           t(s, d, "documents")
             .withColumn("y", (col("lang") === "en").cast("int")),
           "doc_id", "y", "text", 4096, epochs = 3, lr = 1.0)),
+
+    // The trained-gate AUDIT — q290's weights applied back through
+    // the production scorer (marginWithWeights: same featurization,
+    // same tie-free fold, so a training doc's gate margin is
+    // bit-identical to its last training margin): per-language doc
+    // counts, pass rates at margin ≥ 0, and the doc-id-ordered mean
+    // margin. The frame an operator reads before picking a
+    // --clf-min-margin for corpus_release_export — q257/q258's shape
+    // with LEARNED weights closing the loop. Oracle = the full
+    // 3-epoch training replay + one more margin fold with w3.
+    QueryDef(
+      "q292_classifier_gate",
+      Some(s"""
+        WITH ${clfTrainCtes(3)},
+        sc AS (SELECT f.doc_id,
+                 CAST(sum(CAST(floor(
+                     (coalesce(w.w, CAST(0.0 AS DOUBLE)) * f.x)
+                     * 1000000000000.0) AS HUGEINT)) AS DOUBLE)
+                   / 1000000000000.0 AS margin
+               FROM feats f LEFT JOIN w3 w USING (bucket)
+               GROUP BY 1),
+        g AS (SELECT s.doc_id, d.lang, s.margin
+              FROM sc s JOIN documents d USING (doc_id))
+        SELECT lang, count(*) AS n_docs,
+               count(*) FILTER (WHERE margin >= CAST(0.0 AS DOUBLE))
+                 AS n_pass,
+               ${dkOrderedSum("margin", "doc_id")}
+                 / CAST(count(*) AS DOUBLE) AS mean_margin
+        FROM g GROUP BY 1"""),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("y", (col("lang") === "en").cast("int"))
+        val w = Classifier.trainHashedLogistic(docs, "doc_id", "y",
+          "text", 4096, epochs = 3, lr = 1.0)
+        Classifier
+          .marginWithWeights(docs, "doc_id", "text", Seq("lang"), w,
+            4096)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(Aggregates.countIf(col("margin") >= 0.0),
+              lit(0L)).as("n_pass"),
+            (Aggregates.orderedSum(col("doc_id"), col("margin"))
+              / count(lit(1)).cast("double")).as("mean_margin"))
+      }),
 
     // Good-Turing vocabulary audit per source: counts-of-counts
     // N1..N5 over the term-frequency table, unseen probability mass
