@@ -144,6 +144,14 @@ object Classifier {
     import graft.core.Checkpoints.BarrierOps
     val feats =
       hashedFeatures(df, idCol, labelCol, textCol, buckets).barrier()
+    // labels are a contract, not a convention: a NULL or non-{0,1}
+    // label would flow through the residual into the gradient sum and
+    // silently poison every weight (NULL) or skew the fit (y=3) —
+    // fail fast instead (one limit-1 probe over the barriered frame)
+    require(feats.filter(col("y").isNull ||
+        (col("y") =!= 0.0 && col("y") =!= 1.0)).isEmpty,
+      s"trainHashedLogistic: label column '$labelCol' must be 0/1 " +
+        "and non-NULL for every row")
     // N is a bounded scalar (one count), not a data-path collect
     val nDocs = feats.select(col(idCol)).distinct().count().toDouble
     val spark = df.sparkSession

@@ -424,7 +424,12 @@ object TextOps {
       when(p.rlike("^[0-9a-fA-F]{2}"),
         concat(upper(p.substr(lit(1), lit(2))),
           p.substr(lit(3), length(p)))).otherwise(p))
-    concat_ws("%", concat(array(element_at(parts, 1)), fixed))
+    // escape-free strings (the overwhelming majority of real URLs)
+    // skip the split/transform/rejoin entirely — codegen evaluates
+    // `when` branches lazily, so the guard is one instr() per row
+    when(instr(s, "%") > 0,
+      concat_ws("%", concat(array(element_at(parts, 1)), fixed)))
+      .otherwise(s)
   }
 
   /** Canonical form of a URL for URL-keyed dedup — the normalization

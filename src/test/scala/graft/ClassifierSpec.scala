@@ -100,6 +100,21 @@ class ClassifierSpec extends AnyFunSuite {
     assert(tbl(a) == tbl(b))
   }
 
+  test("training refuses NULL and non-binary labels instead of " +
+    "silently poisoning the gradient") {
+    val bad = Seq((1L, "some text here", 3), (2L, "more text", 0))
+      .toDF("doc_id", "text", "y")
+    intercept[IllegalArgumentException] {
+      Classifier.trainHashedLogistic(bad, "doc_id", "y", "text", 64)
+    }
+    val nul = Seq((1L, "some text here", Some(1)),
+      (2L, "more text", Option.empty[Int]))
+      .toDF("doc_id", "text", "y")
+    intercept[IllegalArgumentException] {
+      Classifier.trainHashedLogistic(nul, "doc_id", "y", "text", 64)
+    }
+  }
+
   test("weight table is bounded by the bucket count and broadcastable " +
     "by construction; empty weights score margin 0") {
     val df = planted(10).toDF("doc_id", "text", "y")
