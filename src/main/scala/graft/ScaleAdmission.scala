@@ -26,8 +26,10 @@ object ScaleAdmission {
     val nBatches = if (args.length > 0) args(0).toInt else 8
     val perBatch = if (args.length > 1) args(1).toInt else 2000
     val docLen = if (args.length > 2) args(2).toInt else 60
+    // absolute paths only — a relative dir would land store parquet
+    // inside the repo working tree
     val dir =
-      if (args.length > 3) args(3)
+      if (args.length > 3 && args(3).startsWith("/")) args(3)
       else java.nio.file.Files
         .createTempDirectory("graft-scale-admission").toString
     val spark = Sessions.local()

@@ -33,8 +33,12 @@ object ScaleMediaAdmission {
   def main(args: Array[String]): Unit = {
     val nBatches = if (args.length > 0) args(0).toInt else 16
     val perBatch = if (args.length > 1) args(1).toInt else 500
+    // an output dir must be an absolute path — a relative (or
+    // shell-quoting-artifact like the literal two chars "''") dir
+    // would land store parquet inside the repo working tree
     val dir =
-      if (args.length > 2 && args(2).nonEmpty && args(2) != "paired")
+      if (args.length > 2 && args(2).startsWith("/") &&
+          args(2) != "paired")
         args(2)
       else java.nio.file.Files
         .createTempDirectory("graft-scale-media").toString
