@@ -265,6 +265,9 @@ object JobRunner {
         val buckets = o.get("buckets").map(_.toInt).getOrElse(4096)
         val epochs = o.get("epochs").map(_.toInt).getOrElse(3)
         val lr = o.get("lr").map(_.toDouble).getOrElse(1.0)
+        // --l2 turns on weight decay (w ← w(1−lr·λ) − lr·g), the
+        // default defense against hash-collision overfit
+        val l2 = o.get("l2").map(_.toDouble).getOrElse(0.0)
         val docs = o.get("label-col") match {
           case Some(lc) => docs0.withColumn("__y",
             col(lc).cast("double"))
@@ -274,8 +277,27 @@ object JobRunner {
             docs0.withColumn("__y",
               (col(langCol) === ref).cast("double"))
         }
+        // --holdout-table additionally writes the q293 held-out
+        // threshold-selection table (train on the deterministic
+        // split's train side, score the unseen val side, one row per
+        // candidate --clf-min-margin with pass rate + precision/
+        // recall) next to the weights — the frame an operator reads
+        // to pick the gate threshold from data the trainer never saw.
+        // The table is a split-replica protocol estimate (its weights
+        // are trained on the train side only; the shipped table `w`
+        // sees all docs) — the standard pick-then-retrain discipline
         val w = graft.llmops.Classifier.trainHashedLogistic(
-          docs, id, "__y", tc, buckets, epochs, lr)
+          docs, id, "__y", tc, buckets, epochs, lr, l2)
+        o.get("holdout-table").foreach { p =>
+          graft.llmops.Classifier.holdoutThresholdTable(
+            docs, id, "__y", tc, buckets,
+            gridSize = o.get("grid").map(_.toInt).getOrElse(8),
+            epochs = epochs, lr = lr,
+            trainPct = o.get("train-pct").map(_.toInt).getOrElse(80),
+            valPct = o.get("val-pct").map(_.toInt).getOrElse(10),
+            l2 = l2)
+            .coalesce(1).write.mode("overwrite").parquet(p)
+        }
         o.get("save-weights").foreach(p =>
           w.write.mode("overwrite").parquet(p))
         w
@@ -307,20 +329,18 @@ object JobRunner {
         // the ledger already records (unless --allow-reuse, which is
         // ε-ADDITIVE — see Privacy.ledgerGuard), then burn the salt
         // BEFORE computing the release (crash-safe in the
-        // conservative direction). ε in ln2 units by release form:
-        // 1 row-level, m user counts, 2m user sums.
+        // conservative direction). The recorded mechanism is the
+        // EXACT tag the release folds into its noise key
+        // (Privacy.mechanismTagOf — clip and m included), so a
+        // ledger audit reconstructs per-form budgets without
+        // guessing; ε likewise from the shared derivation
+        // (1 row-level, m user counts, 2m user sums).
         o.get("ledger").foreach { ld =>
-          graft.llmops.Privacy.ledgerGuard(s, ld, salt,
+          graft.llmops.Privacy.ledgerBurn(s, ld, salt, keys,
+            sumClip = o.get("sum-col").map(_ =>
+              o.get("clip").map(_.toLong).getOrElse(128L)),
+            maxPerContributor = o.get("contributor-col").map(_ => m),
             allowReuse = o.contains("allow-reuse"))
-          val (mech, units) =
-            (o.get("sum-col"), o.get("contributor-col")) match {
-              case (Some(_), Some(_)) => ("sum:user", 2.0 * m)
-              case (Some(_), None)    => ("sum:row", 1.0)
-              case (None, Some(_))    => ("cnt:user", m.toDouble)
-              case (None, None)       => ("cnt:row", 1.0)
-            }
-          graft.llmops.Privacy.ledgerAppend(s, ld, salt, mech, keys,
-            units)
         }
         // --sum-col releases clipped per-class TOTALS (q288's
         // mechanism, --clip bounds one row's influence); otherwise
@@ -649,18 +669,28 @@ object JobRunner {
           o.getOrElse("payload-col", "payload"),
           o.getOrElse("text-col", "text"),
           o.getOrElse("source-col", "source"))
-        val mh = o.get("max-hamming").map(_.toInt).getOrElse(4)
         val mj = o.get("min-jac").map(_.toDouble).getOrElse(0.2)
-        // --modality audio switches to the (audio, transcript) rail
-        // pair; the release kernel is shared (PairedRelease
-        // .releaseRails), only the signature kernel differs
+        val mh = o.get("max-hamming").map(_.toInt).getOrElse(4)
+        // --modality audio/video switches the rail pair; the release
+        // kernel is shared (PairedRelease.releaseRails), only the
+        // signature kernel differs. Video's near hash packs MinHash
+        // slots, so its verify is --min-shared-slots (aligned-slot
+        // equality), not bit Hamming
         o.getOrElse("modality", "image") match {
           case "audio" => graft.llmops.PairedRelease
             .releaseAudioTranscript(docs, id, pay, tc, src, dest,
               maxHamming = mh, minJac = mj,
               window = o.get("window").map(_.toInt).getOrElse(4))
+          case "video" => graft.llmops.PairedRelease
+            .releaseVideoTranscript(docs, id, pay, tc, src, dest,
+              minSharedSlots =
+                o.get("min-shared-slots").map(_.toInt).getOrElse(1),
+              minJac = mj,
+              frameBytes =
+                o.get("frame-bytes").map(_.toInt).getOrElse(8))
           case _ => graft.llmops.PairedRelease.release(
-            docs, id, pay, tc, src, dest, maxHamming = mh, minJac = mj)
+            docs, id, pay, tc, src, dest, maxHamming = mh,
+            minJac = mj)
         }
       }),
       // offline compaction of a curated-corpus admission index
@@ -692,6 +722,53 @@ object JobRunner {
           (if (fs.exists(new org.apache.hadoop.fs.Path(s"$in/frames")))
             Seq("frames") else Nil)
         storePartitionSummary(s, in, tables)
+      }),
+      // admission-store census — the operator's "what is this store"
+      // command, across all store kinds (curated ±url ±clf, media
+      // image/audio/video, paired image/audio/video-transcript):
+      // reads the meta contract + the partition listing and reports,
+      // per component dir, committed batches, compaction state
+      // (batch=-1 present / a crashed swap pending), and row count.
+      // Driver work is one bounded listing + one count per component
+      // (≤ 7 dirs); no data-path collect.
+      "store_census" -> ((s, o) => {
+        val in = o.getOrElse("in-store",
+          sys.error("--in-store required for store_census"))
+        import s.implicits._
+        def p(d: String) = new org.apache.hadoop.fs.Path(d)
+        val fs = p(in).getFileSystem(s.sparkContext.hadoopConfiguration)
+        require(fs.exists(p(s"$in/meta")),
+          s"store_census: $in has no meta table — not an admission " +
+            "store (every store kind pins its contract there)")
+        val meta = s.read.parquet(s"$in/meta").first()
+        val f = meta.schema.fieldNames.toSet
+        val kind =
+          if (f.contains("max_df"))
+            "curated" +
+              (if (f.contains("url_rail") &&
+                meta.getAs[Boolean]("url_rail")) "+url" else "") +
+              (if (f.contains("clf_gate") &&
+                meta.getAs[Boolean]("clf_gate")) "+clf" else "")
+          else if (f.contains("pair_kind"))
+            s"paired:${meta.getAs[String]("pair_kind")}"
+          else if (f.contains("min_jac")) "paired:captioned-image"
+          else if (f.contains("frames_schema")) "media:video"
+          else "media"
+        val comps = fs.listStatus(p(in)).filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .filterNot(n => n == "meta" || n.contains("__compact_"))
+          .sorted
+        comps.toSeq.map { c =>
+          val dir = s"$in/$c"
+          val parts = fs.listStatus(p(dir)).map(_.getPath.getName)
+            .filter(_.startsWith("batch="))
+            .map(_.stripPrefix("batch=").toLong)
+          val nRows =
+            if (parts.nonEmpty) s.read.parquet(dir).count() else 0L
+          (c, kind, parts.count(_ >= 0L), parts.contains(-1L),
+            fs.exists(p(s"${dir}__compact_pending")), nRows)
+        }.toDF("component", "kind", "n_batches", "compacted",
+          "pending_swap", "n_rows")
       }),
       // union length of [start, end) intervals per key — overlaps
       // counted once (sweep line, Events.intervalCoverage)

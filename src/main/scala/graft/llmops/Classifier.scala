@@ -139,21 +139,30 @@ object Classifier {
     * to end. */
   def trainHashedLogistic(df: DataFrame, idCol: String,
       labelCol: String, textCol: String, buckets: Int,
-      epochs: Int = 3, lr: Double = 1.0): DataFrame = {
+      epochs: Int = 3, lr: Double = 1.0, l2: Double = 0.0)
+      : DataFrame = {
     require(epochs >= 1, s"trainHashedLogistic: epochs=$epochs")
+    require(l2 >= 0.0 && lr * l2 < 1.0,
+      s"trainHashedLogistic: l2=$l2 (decay 1−lr·l2 must stay in (0,1])")
     import graft.core.Checkpoints.BarrierOps
     val feats =
       hashedFeatures(df, idCol, labelCol, textCol, buckets).barrier()
     // labels are a contract, not a convention: a NULL or non-{0,1}
     // label would flow through the residual into the gradient sum and
     // silently poison every weight (NULL) or skew the fit (y=3) —
-    // fail fast instead (one limit-1 probe over the barriered frame)
-    require(feats.filter(col("y").isNull ||
-        (col("y") =!= 0.0 && col("y") =!= 1.0)).isEmpty,
+    // fail fast instead. The bad-label count piggybacks on the N
+    // aggregation (one pass, one bounded two-value action — not an
+    // extra corpus scan)
+    val head = feats.agg(
+        countDistinct(col(idCol)).as("n"),
+        sum(when(col("y").isNull ||
+          (col("y") =!= 0.0 && col("y") =!= 1.0), 1L)
+          .otherwise(0L)).as("bad"))
+      .first()
+    require(head.isNullAt(1) || head.getLong(1) == 0L,
       s"trainHashedLogistic: label column '$labelCol' must be 0/1 " +
         "and non-NULL for every row")
-    // N is a bounded scalar (one count), not a data-path collect
-    val nDocs = feats.select(col(idCol)).distinct().count().toDouble
+    val nDocs = head.getLong(0).toDouble
     val spark = df.sparkSession
     var weights = spark.range(0).select(col("id").as("bucket"),
       col("id").cast("double").as("w"))
@@ -169,9 +178,16 @@ object Classifier {
         .groupBy(col("bucket"))
         .agg((quantizedFoldDiv(col("r") * col("x"))
           / lit(nDocs)).as("g"))
+      // L2 weight decay as the standard multiplicative shrink
+      // w ← w·(1 − lr·λ) − lr·g: one extra broadcast-side multiply
+      // per epoch, still a pure IEEE product so the integer-fold
+      // replay contract is untouched (the decay factor is a pinned
+      // double literal both engines parse identically). λ = 0 keeps
+      // the factor at exactly 1.0 — a no-op by IEEE identity
+      val decay = 1.0 - lr * l2
       weights = weights.join(g, Seq("bucket"), "full")
         .select(col("bucket"),
-          (coalesce(col("w"), lit(0.0))
+          (coalesce(col("w"), lit(0.0)) * lit(decay)
             - lit(lr) * coalesce(col("g"), lit(0.0))).as("w"))
         .barrier()
     }
@@ -214,5 +230,81 @@ object Classifier {
       .agg(max(col("nf")).as("n_feats"),
         quantizedFoldDiv(
           coalesce(col("w"), lit(0.0)) * col("x")).as("margin"))
+  }
+
+  /** HELD-OUT threshold selection — the step between
+    * [[trainHashedLogistic]] and a `--clf-min-margin` release gate
+    * that stops the threshold from being read off the training set
+    * (where the fit is optimistic by construction; ClassifierSpec
+    * plants an overfit corpus and pins the divergence): split the
+    * corpus deterministically (`Mixture.trainSplit` — hash-bucket
+    * assignment, stable as the corpus grows), train on the `train`
+    * side only, score the UNSEEN `val` side through
+    * [[marginWithWeights]], and emit one row per candidate threshold
+    * θ with the numbers an operator reads to pick the gate: held-out
+    * pass count / pass rate, confusion counts against the label
+    * (tp/fp/fn at margin ≥ θ), precision and recall. The `test` side
+    * is never touched — it stays in reserve for a final audit after
+    * the threshold is frozen.
+    *
+    * The candidate grid is DERIVED from the held-out margins —
+    * `gridSize`+1 equi-spaced points over [min, max] of the observed
+    * distribution (θ_i = mn + (mx−mn)·(i/k), the same IEEE ops in
+    * the same order in the oracle, so the data-dependent grid still
+    * replays bit-for-bit) — because the trained margins live in a
+    * narrow data-dependent band (E lr-scaled mean-gradient steps
+    * from zero init): any fixed literal grid degenerates to
+    * all-pass/all-fail rows at some corpus scale. Every emitted
+    * count is an exact integer; pass_rate / precision / recall are
+    * single IEEE divisions (NULL when the denominator is 0 — no
+    * passes, or no positives), so the table oracle-replays
+    * bit-for-bit (q293). Scale shape: one training run (E linear
+    * passes), one scoring pass over the val slice, one 2-value
+    * min/max aggregate, then a |val| × (k+1) broadcast cross join
+    * into a (k+1)-group hash aggregation — map-side combinable, the
+    * grid side is a bounded broadcast frame. */
+  def holdoutThresholdTable(df: DataFrame, idCol: String,
+      labelCol: String, textCol: String, buckets: Int,
+      gridSize: Int = 8, epochs: Int = 3, lr: Double = 1.0,
+      trainPct: Int = 80, valPct: Int = 10,
+      splitSalt: String = ":split", l2: Double = 0.0): DataFrame = {
+    require(gridSize >= 1,
+      s"holdoutThresholdTable: gridSize=$gridSize")
+    val split = Mixture.trainSplit(df, idCol, trainPct, valPct,
+      splitSalt)
+    val w = trainHashedLogistic(
+      split.filter(col("split") === "train"),
+      idCol, labelCol, textCol, buckets, epochs, lr, l2)
+    val scored = marginWithWeights(
+      split.filter(col("split") === "val"),
+      idCol, textCol, Seq(labelCol), w, buckets)
+    val th = scored
+      .agg(min(col("margin")).as("mn"), max(col("margin")).as("mx"))
+      .select(explode(sequence(lit(0), lit(gridSize))).as("i"),
+        col("mn"), col("mx"))
+      .select((col("mn") + (col("mx") - col("mn"))
+        * (col("i").cast("double") / lit(gridSize.toDouble)))
+        .as("threshold"))
+    val pass = col("margin") >= col("threshold")
+    val y1 = col(labelCol).cast("double") === 1.0
+    def cnt(cond: Column): Column =
+      sum(when(cond, 1L).otherwise(0L))
+    scored
+      .select(col(labelCol), col("margin"))
+      .crossJoin(broadcast(th))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_docs"),
+        cnt(pass).as("n_pass"),
+        cnt(pass && y1).as("tp"),
+        cnt(pass && !y1).as("fp"),
+        cnt(!pass && y1).as("fn"))
+      .withColumn("pass_rate", col("n_pass").cast("double") /
+        col("n_docs").cast("double"))
+      .withColumn("precision",
+        when(col("n_pass") > 0L, col("tp").cast("double") /
+          col("n_pass").cast("double")))
+      .withColumn("recall",
+        when(col("tp") + col("fn") > 0L, col("tp").cast("double") /
+          (col("tp") + col("fn")).cast("double")))
   }
 }

@@ -885,6 +885,39 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("jac"), col("hamming"))
 
+  /** The SLOT verify of the paired-video route: text-proposed pairs
+    * survive when the two 64-bit near hashes — four 16-bit MinHash
+    * slots packed side by side (`PairedRelease.videoMinhashPack`) —
+    * agree on at least `minSharedSlots` ALIGNED slots. Bitwise
+    * Hamming is the wrong metric for packed MinHash (a differing
+    * slot contributes 0–16 random bits; three slots of a genuine
+    * trim can differ while two slots of unrelated clips rarely even
+    * share one), so the verify counts slot equalities, the
+    * estimator banding is built on. Same two-hash-lookups-per-
+    * candidate shape as the Hamming verify. */
+  def pairedSlotNearDupPairs(captionPairs: DataFrame,
+      hashes: DataFrame, minSharedSlots: Int = 1,
+      slots: Int = 4, slotBits: Int = 16): DataFrame = {
+    require(minSharedSlots >= 1 && minSharedSlots <= slots,
+      s"pairedSlotNearDupPairs: minSharedSlots=$minSharedSlots")
+    val mask = (1L << slotBits) - 1L
+    val shared = (0 until slots).map(i =>
+      when(shiftright(col("__ha"), i * slotBits)
+          .bitwiseAND(lit(mask)) ===
+        shiftright(col("__hb"), i * slotBits)
+          .bitwiseAND(lit(mask)), 1).otherwise(0))
+      .reduce(_ + _)
+    captionPairs
+      .join(hashes.select(col("doc_id").as("doc_a"),
+        col("dhash").as("__ha")), Seq("doc_a"))
+      .join(hashes.select(col("doc_id").as("doc_b"),
+        col("dhash").as("__hb")), Seq("doc_b"))
+      .withColumn("shared_slots", shared)
+      .filter(col("shared_slots") >= minSharedSlots)
+      .select(col("doc_a"), col("doc_b"), col("jac"),
+        col("shared_slots"))
+  }
+
   // ===== PCM audio window features (q264) =======================
   //
   // The audio analog of the q263 pixel path: synthetic 8-bit mono WAV

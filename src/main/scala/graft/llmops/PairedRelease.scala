@@ -62,7 +62,7 @@ object PairedRelease {
     * per round inside the keep-list. */
   def releaseRails(base: DataFrame, sigs0: DataFrame,
       mediaKind: String, dest: String, maxHamming: Int,
-      minJac: Double): DataFrame = {
+      minJac: Double, slotVerify: Option[Int] = None): DataFrame = {
     val sigs = sigs0
       .join(base.select(col("doc_id"),
         md5(col("text")).as("text_fp")), Seq("doc_id"))
@@ -83,10 +83,18 @@ object PairedRelease {
       base.join(survivors.select(col("doc_id")), Seq("doc_id"),
         "left_semi"),
       "doc_id", "text", minJac = minJac, maxDf = 1000)
-    val pairs = Multimodal.pairedCaptionNearDupPairs(
-      capPairs,
-      survivors.select(col("doc_id"), col("near_hash").as("dhash")),
-      maxHamming).barrier()
+    // the media verify: bit-Hamming for perceptual hashes
+    // (dHash, envelope); ALIGNED-SLOT equality when the near hash
+    // packs MinHash slots (`slotVerify` = min shared slots — the
+    // video route), where bitwise distance is meaningless
+    val hashes =
+      survivors.select(col("doc_id"), col("near_hash").as("dhash"))
+    val pairs = (slotVerify match {
+      case Some(minSlots) => Multimodal
+        .pairedSlotNearDupPairs(capPairs, hashes, minSlots)
+      case None => Multimodal
+        .pairedCaptionNearDupPairs(capPairs, hashes, maxHamming)
+    }).barrier()
     pairs.write.mode("overwrite").parquet(s"$dest/pairs")
     val keep = DedupClusters.keepList(
       survivors, "doc_id", pairs, "doc_a", "doc_b", maxIters = 100)
@@ -163,4 +171,60 @@ object PairedRelease {
     releaseRails(base, sigs, "transcribed_audio", dest, maxHamming,
       minJac)
   }
+
+  /** Transcribed-VIDEO release — the last cell of the modality ×
+    * lifecycle grid: exact rail on the distinct-frame SET fingerprint
+    * ([[Multimodal.frameSetFingerprints]] — a re-ordered or
+    * frame-repeated re-encode under the same transcript collapses),
+    * near rail on the 4 set-MinHash signatures PACKED into one
+    * 64-bit near hash (16 low bits per signature, the
+    * [[videoMinhashPack]] layout) with the ALIGNED-SLOT verify
+    * ([[Multimodal.pairedSlotNearDupPairs]]): a text-proposed pair
+    * survives when ≥ `minSharedSlots` MinHash slots agree — the
+    * estimator semantic (a shared slot witnesses high frame-set
+    * Jaccard; unrelated clips share one with prob ~4·2⁻¹⁶), where
+    * bitwise Hamming over packed slots is noise. Same rail-pair
+    * kernel; only the signature map and verify metric differ. */
+  def releaseVideoTranscript(docs: DataFrame, idCol: String,
+      payloadCol: String, textCol: String, sourceCol: String,
+      dest: String, minSharedSlots: Int = 1, minJac: Double = 0.2,
+      frameBytes: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = baseFrame(docs, idCol, payloadCol, textCol, sourceCol)
+    val media = base.select(col("doc_id"), col("payload"),
+        col("source"), lit(0L).as("n_chars"))
+      .as[Multimodal.MediaRecord]
+    releaseRails(base, videoSignatures(media, frameBytes),
+      "transcribed_video", dest, maxHamming = 0, minJac,
+      slotVerify = Some(minSharedSlots))
+  }
+
+  /** Per-clip video signature frame for the paired rails:
+    * (doc_id, media_fp = frame-set fingerprint, near_hash = packed
+    * set-MinHash). A payload with no complete frame yields NULL
+    * media_fp — counted as undecodable by the kernel, never silently
+    * dropped. Shared by the batch release and the streaming
+    * video-transcript store (one signature definition, two
+    * lifecycles). */
+  private[graft] def videoSignatures(
+      media: org.apache.spark.sql.Dataset[Multimodal.MediaRecord],
+      frameBytes: Int): DataFrame = {
+    val d0 = Multimodal.frameFingerprints(media, frameBytes)
+      .select(col("doc_id"), col("frame_fp")).distinct()
+    media.toDF().select(col("doc_id"))
+      .join(Multimodal.frameSetProfile(d0), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("set_fp").as("media_fp"),
+        videoMinhashPack.as("near_hash"))
+  }
+
+  /** The packed 64-bit near hash of the video route: the low 16 bits
+    * of each of the 4 set-MinHash signatures, slot i at bits
+    * [16i, 16i+16) — so the paired kernels' 4×16-bit banding
+    * recovers exactly one MinHash slot per band, and the slot verify
+    * compares aligned 16-bit quarters. */
+  private[graft] def videoMinhashPack: org.apache.spark.sql.Column =
+    (0 until 4)
+      .map(i => shiftleft(pmod(col(s"sig_$i"), lit(65536L)), i * 16))
+      .reduce(_.bitwiseOR(_))
 }

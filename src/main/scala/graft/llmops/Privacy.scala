@@ -137,7 +137,8 @@ object Privacy {
     * form — never to deduplicate noise across forms. */
   def dpNoisyFromCounts(cls: DataFrame, keyCols: Seq[String],
       salt: String, minRelease: Long = 5L,
-      mechanismTag: String = "cnt"): DataFrame = {
+      mechanismTag: String = Privacy.mechanismTagOf(None, None))
+      : DataFrame = {
     val key = concat(classKey(keyCols), lit("|" + salt + "|" + mechanismTag))
     cls
       .withColumn("noise", geometricNoise(key))
@@ -189,7 +190,7 @@ object Privacy {
       clamped.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("n_true")),
       keyCols, salt, minRelease,
-      mechanismTag = s"cnt:u$maxPerContributor")
+      mechanismTag = mechanismTagOf(None, Some(maxPerContributor)))
   }
 
   /** ε=ln2-DP noisy SUM release over `keyCols` classes — the release
@@ -228,7 +229,9 @@ object Privacy {
       valueCol: String, clip: Long, salt: String,
       minReleaseUnits: Long = 5L, mechanismTag: String = ""): DataFrame = {
     require(clip >= 1L, s"clip must be >= 1, got $clip")
-    val mech = if (mechanismTag.isEmpty) s"sum:c$clip" else mechanismTag
+    val mech =
+      if (mechanismTag.isEmpty) mechanismTagOf(Some(clip), None)
+      else mechanismTag
     val v = col(valueCol).cast("long")
     val clipped = df.withColumn("__v",
       least(greatest(v, lit(0L)), lit(clip)))
@@ -287,7 +290,7 @@ object Privacy {
       .drop("__rn", contributorCol)
     dpNoisySums(clamped, keyCols, valueCol, clip, salt,
       minReleaseUnits,
-      mechanismTag = s"sum:c$clip:u$maxPerContributor")
+      mechanismTag = mechanismTagOf(Some(clip), Some(maxPerContributor)))
   }
 
   /** ln 2, the per-unit ε of the α = 1/2 geometric mechanism — a
@@ -307,9 +310,10 @@ object Privacy {
     * salt is the SUM of its rows' ε, which [[ledgerComposedView]]
     * reports per salt).
     *
-    * The salt is burned at GUARD time — before the release frame is
-    * even computed — so a crash between ledger append and output
-    * write wastes a salt rather than silently allowing a replay:
+    * Guarding alone burns nothing — the record lands at APPEND time,
+    * so callers should use [[ledgerBurn]] (guard + append in one
+    * call, before the release frame is computed): a crash after the
+    * burn wastes a salt rather than silently allowing a replay —
     * fail-safe in the only direction privacy accounting can afford.
     * Single-writer per ledger dir, like every store in the engine. */
   def ledgerGuard(spark: SparkSession, ledgerDir: String, salt: String,
@@ -317,7 +321,10 @@ object Privacy {
     val fs = new org.apache.hadoop.fs.Path(ledgerDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(ledgerDir))) {
-      val used = spark.read.parquet(ledgerDir)
+      // explicit schema: an existing-but-fileless ledger dir (crash
+      // after mkdir, before the first append's files landed) is an
+      // EMPTY ledger, not a schema-inference error
+      val used = spark.read.schema(ledgerSchema).parquet(ledgerDir)
         .filter(col("salt") === salt).count()
       require(used == 0 || allowReuse,
         s"dp ledger $ledgerDir already records $used release(s) " +
@@ -327,6 +334,71 @@ object Privacy {
           "composed budget is intended; otherwise use a fresh salt.")
     }
   }
+
+  /** The exact release-form tag each release folds into its noise key
+    * — derived HERE, the single authority both the release functions
+    * and the ledger use, so a ledger row's `mechanism` can always be
+    * joined back to the release form (including the clip and m, which
+    * are part of the form: two clips over the same classes are
+    * different queries). `sumClip` = Some(clip) for a sums release,
+    * None for counts; `maxPerContributor` = Some(m) for the
+    * user-level forms. */
+  def mechanismTagOf(sumClip: Option[Long],
+      maxPerContributor: Option[Int]): String =
+    (sumClip, maxPerContributor) match {
+      case (Some(c), Some(m)) => s"sum:c$c:u$m"
+      case (Some(c), None)    => s"sum:c$c"
+      case (None, Some(m))    => s"cnt:u$m"
+      case (None, None)       => "cnt"
+    }
+
+  /** The stated ε of a release form, in ln 2 units — same derivation
+    * authority as [[mechanismTagOf]]: 1 for the row-level forms
+    * (counts and clipped sums both have unit L1 sensitivity after
+    * their clip), m for user-level counts, 2m for user-level sums
+    * (the floor-boundary crossing; see [[dpUserLevelSums]]). */
+  def epsLn2UnitsOf(sumClip: Option[Long],
+      maxPerContributor: Option[Int]): Double =
+    (sumClip, maxPerContributor) match {
+      case (Some(_), Some(m)) => 2.0 * m
+      case (None, Some(m))    => m.toDouble
+      case _                  => 1.0
+    }
+
+  /** Guard + burn in ONE call — the form the `dp_release` job uses:
+    * refuse a recorded salt (unless `allowReuse`), then append the
+    * release record immediately, BEFORE the release frame is
+    * computed. A crash after the burn wastes a salt rather than
+    * silently allowing a replay — fail-safe in the only direction
+    * privacy accounting can afford. The recorded `mechanism` is the
+    * exact [[mechanismTagOf]] tag the release will fold into its
+    * noise key, so the ledger reconstructs per-form budgets without
+    * guessing. */
+  def ledgerBurn(spark: SparkSession, ledgerDir: String, salt: String,
+      keyCols: Seq[String], sumClip: Option[Long],
+      maxPerContributor: Option[Int], allowReuse: Boolean): Unit = {
+    ledgerGuard(spark, ledgerDir, salt, allowReuse)
+    ledgerAppend(spark, ledgerDir, salt,
+      mechanismTagOf(sumClip, maxPerContributor), keyCols,
+      epsLn2UnitsOf(sumClip, maxPerContributor))
+  }
+
+  /** The ledger's pinned on-disk schema ([[ledgerAppend]] writes it;
+    * guard and view read with it explicitly — never inferred). */
+  private val ledgerSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("salt",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("mechanism",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("key_cols",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("eps_ln2_units",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("epsilon",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("released_at_ms",
+        org.apache.spark.sql.types.LongType)))
 
   /** Append one release record to the ledger (see [[ledgerGuard]]).
     * `epsLn2Units` is the release's stated ε in ln 2 units: 1 for
@@ -348,7 +420,7 @@ object Privacy {
     * adversary holding all the releases gets to spend). */
   def ledgerComposedView(spark: SparkSession, ledgerDir: String)
       : DataFrame =
-    spark.read.parquet(ledgerDir)
+    spark.read.schema(ledgerSchema).parquet(ledgerDir)
       .groupBy(col("salt"))
       .agg(count(lit(1)).as("n_releases"),
         sum(col("eps_ln2_units")).as("eps_ln2_units"),

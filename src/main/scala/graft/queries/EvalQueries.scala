@@ -30,6 +30,12 @@ object EvalQueries {
   private def dkHash60(e: String): String =
     s"('0x'||substr(md5($e),1,15))::BIGINT"
 
+  /** DuckDB fragment: the q102 deterministic split bucket of doc_id
+    * (Mixture.trainSplit — hash60(id ∥ ":split") mod 100). */
+  private def dkSplitBucket: String =
+    s"${dkHash60("CAST(doc_id AS VARCHAR)||':split'")} % 100"
+
+
   /** DuckDB fragment: one column of the NULL-explicit, length-prefixed
     * class-key encoding (Privacy.classKey) — `v<len>:<value>` or the
     * `n` sentinel for NULL, so NULL keys still draw noise and no
@@ -111,8 +117,17 @@ object EvalQueries {
     * computed in double arithmetic while Spark rounds the exact
     * binary expansion; floor of the identical IEEE product has no
     * such divergence). No libm: the link is the rational fast
-    * sigmoid. */
-  private def clfTrainCtes(epochs: Int): String = {
+    * sigmoid. `where` filters the TRAINING docs (q293 trains on the
+    * deterministic hash split's train side only); `buckets`
+    * parameterizes the hash width (q294 pins a second point of the
+    * trainer's determinism contract at B=256). */
+  private def clfTrainCtes(epochs: Int, buckets: Int = 4096,
+      where: String = "", lr: Double = 1.0, l2: Double = 0.0)
+      : String = {
+    // the same Scala double the Spark side folds into lit(decay) —
+    // both engines parse the decimal repr to the identical IEEE
+    // value, and ·1.0 is a bit-exact no-op when l2 = 0
+    val decay = 1.0 - lr * l2
     val epochCtes = (1 to epochs).map { e =>
       s"""
         m$e AS (SELECT f.doc_id, f.y,
@@ -134,7 +149,8 @@ object EvalQueries {
                 FROM feats f JOIN r$e r USING (doc_id) GROUP BY 1),
         w$e AS (SELECT bucket,
                   coalesce(w.w, CAST(0.0 AS DOUBLE))
-                    - CAST(1.0 AS DOUBLE)
+                    * CAST($decay AS DOUBLE)
+                    - CAST($lr AS DOUBLE)
                       * coalesce(g.g, CAST(0.0 AS DOUBLE)) AS w
                 FROM w${e - 1} w FULL JOIN g$e g USING (bucket))"""
     }.mkString(",")
@@ -142,12 +158,12 @@ object EvalQueries {
                     CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
                          ELSE CAST(0.0 AS DOUBLE) END AS y,
                     string_split(text, ' ') AS t
-                  FROM documents),
+                  FROM documents $where),
       fe AS (SELECT doc_id, y, unnest(t) AS f FROM tk
              UNION ALL
              SELECT doc_id, y, t[i+1] || ' ' || t[i+2] AS f
              FROM tk, unnest(range(0, len(t) - 1)) r(i)),
-      fc AS (SELECT doc_id, y, ${dkHash60("f")} % 4096 AS bucket,
+      fc AS (SELECT doc_id, y, ${dkHash60("f")} % $buckets AS bucket,
                     count(*) AS cnt
              FROM fe GROUP BY 1, 2, 3),
       feats AS (SELECT doc_id, y, bucket,
@@ -234,6 +250,119 @@ object EvalQueries {
             (Aggregates.orderedSum(col("doc_id"), col("margin"))
               / count(lit(1)).cast("double")).as("mean_margin"))
       }),
+
+    // HELD-OUT threshold selection (Classifier.holdoutThresholdTable)
+    // — the step q292 leaves open: q292 audits the gate on its own
+    // training set, where the fit is optimistic by construction; a
+    // real curation gate picks --clf-min-margin from data the trainer
+    // never saw. Train on the q102 deterministic hash split's train
+    // side, score the UNSEEN val side through the production scorer,
+    // and emit per candidate threshold the held-out pass rate and
+    // precision/recall against the label — the frame an operator
+    // reads to freeze the gate (test side untouched, in reserve).
+    // Oracle = the training replay restricted to the train split +
+    // a second featurize/margin fold over the val split + the
+    // threshold-grid aggregation; every count exact-integer, every
+    // double a single IEEE division.
+    QueryDef(
+      "q293_classifier_holdout",
+      Some(s"""
+        WITH ${clfTrainCtes(3,
+          where = s"WHERE $dkSplitBucket < 80")},
+        hk AS (SELECT doc_id,
+                 CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END AS y,
+                 string_split(text, ' ') AS t
+               FROM documents
+               WHERE $dkSplitBucket >= 80
+                 AND $dkSplitBucket < 90),
+        hfe AS (SELECT doc_id, y, unnest(t) AS f FROM hk
+                UNION ALL
+                SELECT doc_id, y, t[i+1] || ' ' || t[i+2] AS f
+                FROM hk, unnest(range(0, len(t) - 1)) r(i)),
+        hfc AS (SELECT doc_id, y, ${dkHash60("f")} % 4096 AS bucket,
+                  count(*) AS cnt
+                FROM hfe GROUP BY 1, 2, 3),
+        hfeats AS (SELECT doc_id, y, bucket,
+                     CAST(cnt AS DOUBLE)
+                       / CAST(sum(cnt) OVER (PARTITION BY doc_id)
+                           AS DOUBLE) AS x
+                   FROM hfc),
+        hsc AS (SELECT f.doc_id, f.y,
+                  CAST(sum(CAST(floor(
+                      (coalesce(w.w, CAST(0.0 AS DOUBLE)) * f.x)
+                      * 1000000000000.0) AS HUGEINT)) AS DOUBLE)
+                    / 1000000000000.0 AS margin
+                FROM hfeats f LEFT JOIN w3 w USING (bucket)
+                GROUP BY 1, 2),
+        mm AS (SELECT min(margin) AS mn, max(margin) AS mx FROM hsc),
+        th AS (SELECT mn + (mx - mn)
+                 * (CAST(i AS DOUBLE) / CAST(8.0 AS DOUBLE))
+                 AS threshold
+               FROM mm, unnest(range(0, 9)) r(i)),
+        ag AS (SELECT threshold, count(*) AS n_docs,
+                 count(*) FILTER (WHERE margin >= threshold)
+                   AS n_pass,
+                 count(*) FILTER (WHERE margin >= threshold
+                   AND y = CAST(1.0 AS DOUBLE)) AS tp,
+                 count(*) FILTER (WHERE margin >= threshold
+                   AND y <> CAST(1.0 AS DOUBLE)) AS fp,
+                 count(*) FILTER (WHERE margin < threshold
+                   AND y = CAST(1.0 AS DOUBLE)) AS fn
+               FROM hsc CROSS JOIN th GROUP BY 1)
+        SELECT threshold, n_docs, n_pass, tp, fp, fn,
+               CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                 AS pass_rate,
+               CASE WHEN n_pass > 0 THEN
+                 CAST(tp AS DOUBLE) / CAST(n_pass AS DOUBLE)
+               END AS precision,
+               CASE WHEN tp + fn > 0 THEN
+                 CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+               END AS recall
+        FROM ag"""),
+      (s, d) =>
+        Classifier.holdoutThresholdTable(
+          t(s, d, "documents")
+            .withColumn("y", (col("lang") === "en").cast("int")),
+          "doc_id", "y", "text", 4096, gridSize = 8,
+          epochs = 3, lr = 1.0)),
+
+    // The trainer's determinism contract at a SECOND parameter point
+    // (B=256 hash buckets, 5 epochs, lr=0.5): q290 pins one point of
+    // the (buckets, epochs, lr) surface; this pins that the
+    // bit-exact epoch replay is a property of the algorithm, not of
+    // one parameter choice — more collisions per bucket (256 wide),
+    // a longer epoch recurrence (5 deep), and a non-unit lr all
+    // replay exactly.
+    QueryDef(
+      "q294_classifier_train_b256",
+      Some(s"""
+        WITH ${clfTrainCtes(5, buckets = 256, lr = 0.5)}
+        SELECT bucket, w FROM w5"""),
+      (s, d) =>
+        Classifier.trainHashedLogistic(
+          t(s, d, "documents")
+            .withColumn("y", (col("lang") === "en").cast("int")),
+          "doc_id", "y", "text", 256, epochs = 5, lr = 0.5)),
+
+    // L2-regularized training (λ = 0.01): the decay step
+    // w ← w·(1−lr·λ) − lr·g is one extra broadcast-side IEEE
+    // multiply per epoch — still integer-fold exact, so the full
+    // epoch recurrence WITH shrinkage replays bit-for-bit. The
+    // regularizer is the defensible default against the
+    // hash-collision overfit the planted-corpus spec probes: decayed
+    // weights bound how much mass a memorized bucket can hoard.
+    QueryDef(
+      "q295_classifier_train_l2",
+      Some(s"""
+        WITH ${clfTrainCtes(3, l2 = 0.01)}
+        SELECT bucket, w FROM w3"""),
+      (s, d) =>
+        Classifier.trainHashedLogistic(
+          t(s, d, "documents")
+            .withColumn("y", (col("lang") === "en").cast("int")),
+          "doc_id", "y", "text", 4096, epochs = 3, lr = 1.0,
+          l2 = 0.01)),
 
     // Good-Turing vocabulary audit per source: counts-of-counts
     // N1..N5 over the term-frequency table, unseen probability mass

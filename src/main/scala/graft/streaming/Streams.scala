@@ -1012,16 +1012,42 @@ object Streams {
       textCol: String, model: DataFrame, vocabSize: Long,
       minScore: Double, storeDir: String, checkpoint: String,
       minJac: Double = 0.5, maxDf: Int = 1000,
-      urlCol: Option[String] = None): StreamingQuery =
+      urlCol: Option[String] = None,
+      clfGate: Option[TrainedGate] = None): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         if (!batch0.isEmpty)
           curatedCommitIndexed(batch0, batchId, idCol, textCol, model,
-            vocabSize, minScore, storeDir, minJac, maxDf, urlCol)
+            vocabSize, minScore, storeDir, minJac, maxDf, urlCol,
+            clfGate)
       }
       .start()
+
+  /** A trained-quality gate for the streaming admission path — the
+    * incremental counterpart of `corpus_release_export
+    * --clf-weights/--clf-min-margin`: `weights` is a
+    * `Classifier.trainHashedLogistic` table (≤ `buckets` rows,
+    * broadcast by the scorer), and docs with
+    * `marginWithWeights < minMargin` are dropped between the dedup
+    * rails and the LM gate (cheapest content stage first — the batch
+    * gate order). The store meta pins an order-free FINGERPRINT of
+    * the weight table plus (minMargin, buckets): a restart or replay
+    * with drifted weights would silently change admission decisions,
+    * so it refuses instead, exactly like a changed maxDf. */
+  final case class TrainedGate(weights: DataFrame, buckets: Int,
+      minMargin: Double)
+
+  /** Order-free, replay-stable fingerprint of a trained weight
+    * table: Σ over rows of hash60(bucket ∥ ":" ∥ w-as-string) mod
+    * 10¹² — exact integer sum (no overflow below ~9M rows; the table
+    * is ≤ buckets rows by construction), independent of row order
+    * and partitioning. One bounded agg over a ≤ B-row frame. */
+  private def weightsFingerprint(w: DataFrame): Long =
+    w.agg(coalesce(sum(pmod(graft.llmops.TextOps.hash60(
+        concat_ws(":", col("bucket"), col("w").cast("string"))),
+      lit(1000000000000L))), lit(0L))).first().getLong(0)
 
   /** One admission cycle of [[toCuratedCorpusStoreIndexed]], factored
     * out so specs can drive batch sequences, replays, and redelivery
@@ -1030,7 +1056,8 @@ object Streams {
       batchId: Long, idCol: String, textCol: String, model: DataFrame,
       vocabSize: Long, minScore: Double, storeDir: String,
       minJac: Double, maxDf: Int,
-      urlCol: Option[String] = None): Unit = {
+      urlCol: Option[String] = None,
+      clfGate: Option[TrainedGate] = None): Unit = {
     import graft.core.Checkpoints.BarrierOps
     val s = batch0.sparkSession
     val (docsDir, fpsDir, postingsDir, dfsDir) =
@@ -1065,6 +1092,30 @@ object Streams {
           s"url_rail=$storedRail but this commit uses " +
           s"url_rail=${urlCol.isDefined} — the URL rail is part of " +
           "the store's admission contract")
+      // pre-r14 stores have no clf_gate column = gate off. The gate
+      // (and the exact weight table behind it) is part of the
+      // admission contract: a replay or restart under drifted
+      // weights would silently change which docs the store admits
+      val storedClf = meta.schema.fieldNames.contains("clf_gate") &&
+        meta.getAs[Boolean]("clf_gate")
+      require(storedClf == clfGate.isDefined,
+        s"curatedCommitIndexed: store $storeDir was created with " +
+          s"clf_gate=$storedClf but this commit uses " +
+          s"clf_gate=${clfGate.isDefined} — the trained gate is " +
+          "part of the store's admission contract")
+      clfGate.foreach { g =>
+        val (sfp, smm, sb) = (meta.getAs[Long]("clf_fp"),
+          meta.getAs[Double]("clf_min_margin"),
+          meta.getAs[Int]("clf_buckets"))
+        val fp = weightsFingerprint(g.weights)
+        require(sfp == fp && smm == g.minMargin && sb == g.buckets,
+          s"curatedCommitIndexed: store $storeDir pins trained gate " +
+            s"(weights_fp=$sfp, minMargin=$smm, buckets=$sb) but " +
+            s"this commit carries (weights_fp=$fp, " +
+            s"minMargin=${g.minMargin}, buckets=${g.buckets}) — " +
+            "the weight table drifted; retrain into a NEW store or " +
+            "re-point the stream at the pinned weights")
+      }
     }
     // every store read EXCLUDES the current batch id (partition
     // pruning — a replayed epoch must not see its own first attempt).
@@ -1158,7 +1209,20 @@ object Streams {
     }
     val dropped = exact.unionByName(near).unionByName(urlDup)
       .distinct()
-    val admitted = batch.join(dropped, Seq(idCol), "left_anti")
+    val admitted0 = batch.join(dropped, Seq(idCol), "left_anti")
+    // trained-quality gate (rail survivors only): one broadcast of
+    // the ≤ B-row weight table + one batch-sized hash agg — between
+    // the dedup rails and the LM gate, the batch export's gate order
+    val admitted = clfGate match {
+      case Some(g) =>
+        val pass = graft.llmops.Classifier
+          .marginWithWeights(admitted0, idCol, textCol, Nil,
+            g.weights, g.buckets)
+          .filter(col("margin") >= g.minMargin)
+          .select(col(idCol))
+        admitted0.join(pass, Seq(idCol), "left_semi")
+      case None => admitted0
+    }
     val passing = graft.llmops.LanguageModel
       .lmScoreFrozen(admitted, model, vocabSize, idCol, textCol)
       .filter(col("score") >= minScore).select(col(idCol))
@@ -1184,9 +1248,13 @@ object Streams {
     if (!fs.exists(new org.apache.hadoop.fs.Path(metaDir))) {
       import s.implicits._
       Seq((maxDf, fpTemplate.schema.json, batchPostings.schema.json,
-        dfTemplate.schema.json, urlCol.isDefined))
+        dfTemplate.schema.json, urlCol.isDefined, clfGate.isDefined,
+        clfGate.map(g => weightsFingerprint(g.weights)).getOrElse(0L),
+        clfGate.map(_.minMargin).getOrElse(0.0),
+        clfGate.map(_.buckets).getOrElse(0)))
         .toDF("max_df", "fps_schema", "postings_schema", "dfs_schema",
-          "url_rail")
+          "url_rail", "clf_gate", "clf_fp", "clf_min_margin",
+          "clf_buckets")
         .coalesce(1).write.mode("overwrite").parquet(metaDir)
     }
     // empty frames still write their partition: a replayed epoch that
@@ -1916,9 +1984,54 @@ object Streams {
           col("env_hash").cast("string").as("fp"),
           col("env_hash").as("nhash")))
 
+  /** Streaming VIDEO+TRANSCRIPT paired ingest — the final cell of
+    * the modality × lifecycle grid (batch counterpart:
+    * `PairedRelease.releaseVideoTranscript`): the same
+    * [[pairedCommit]] kernel with the video signature map. Exact
+    * rail = (distinct-frame-SET fingerprint, md5 transcript) — a
+    * re-ordered or frame-repeated re-encode of an admitted clip
+    * under the same transcript drops here; near rail = the packed
+    * set-MinHash bands (each 16-bit band is one MinHash slot of the
+    * frame set, so a SHARED BAND IS a shared slot — the estimator's
+    * own candidate semantic; the kernel's secondary bit filter is
+    * pinned wide open at 64, because bitwise Hamming over packed
+    * MinHash slots is noise) VERIFIED by transcript shingle
+    * Jaccard ≥ `minJac` — a trimmed re-cut with a paraphrased
+    * transcript drops, a visually-near clip carrying genuinely
+    * different speech does not. Store layout, meta contract, replay
+    * and compaction are the shared kernel's. */
+  def toVideoTranscriptCorpusStore(stream: DataFrame, idCol: String,
+      payloadCol: String, textCol: String, sourceCol: String,
+      storeDir: String, checkpoint: String,
+      minJac: Double = 0.2, frameBytes: Int = 8): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        if (!batch0.isEmpty)
+          videoTranscriptCommit(batch0, batchId, idCol, payloadCol,
+            textCol, sourceCol, storeDir, minJac, frameBytes)
+      }
+      .start()
+
+  /** One admission cycle of [[toVideoTranscriptCorpusStore]]. */
+  private[graft] def videoTranscriptCommit(batch0: DataFrame,
+      batchId: Long, idCol: String, payloadCol: String,
+      textCol: String, sourceCol: String, storeDir: String,
+      minJac: Double, frameBytes: Int): Unit =
+    pairedCommit(batch0, batchId, idCol, payloadCol, textCol,
+      sourceCol, storeDir, maxHamming = 64, minJac,
+      "videoTranscriptCommit", "video-transcript")(media =>
+      graft.llmops.PairedRelease.videoSignatures(media, frameBytes)
+        .filter(col("media_fp").isNotNull)
+        .select(col("doc_id"),
+          col("media_fp").cast("string").as("fp"),
+          col("near_hash").as("nhash")))
+
   /** The shared PAIRED-admission kernel behind
-    * [[toCaptionedImageCorpusStore]] and
-    * [[toAudioTranscriptCorpusStore]] — [[mediaCommit]]'s two-rail
+    * [[toCaptionedImageCorpusStore]],
+    * [[toAudioTranscriptCorpusStore]] and
+    * [[toVideoTranscriptCorpusStore]] — [[mediaCommit]]'s two-rail
     * discipline lifted to (media, text) pairs, generic over the
     * per-batch media signature map `sign`: media rows → (doc_id, fp,
     * nhash) where `fp` is the modality's exact-identity fingerprint,
@@ -1971,6 +2084,33 @@ object Streams {
           s"(maxHamming=$sh, minJac=$sj) but this commit uses " +
           s"($maxHamming, $minJac) — both are part of the store's " +
           "admission contract")
+      // the pinned index schemas are part of the contract too: a
+      // store written by an engine whose fps partitions carry
+      // different column names (e.g. a pre-r13 captioned store's
+      // pix_fp) would read as all-NULL fp under readPart's template
+      // schema — the exact rail silently never matching historical
+      // pairs — and a later compaction under the pinned schema would
+      // null the NEW batches' fingerprints permanently. Refuse
+      // instead; migrate the store offline before committing.
+      def pinnedNames(field: String): Seq[String] =
+        org.apache.spark.sql.types.DataType
+          .fromJson(m.getAs[String](field))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+          .fieldNames.toSeq
+      Seq(("fps_schema", Seq("fp", "cap_fp")),
+          ("bands_schema", Seq("doc_id", "nhash", "band", "bucket")),
+          ("postings_schema", Seq("doc_id", "nsh", "sh")))
+        .foreach { case (field, want) =>
+          if (m.schema.fieldNames.contains(field)) {
+            val got = pinnedNames(field)
+            require(got == want,
+              s"$caller: store $storeDir pins $field columns " +
+                s"(${got.mkString(", ")}) but this engine writes " +
+                s"(${want.mkString(", ")}) — a store written by an " +
+                "older index layout; rewrite its index partitions " +
+                "(and meta) to the current layout before committing")
+          }
+        }
     }
     def readPart(dir: String, template: DataFrame): DataFrame =
       if (fs.exists(new org.apache.hadoop.fs.Path(dir)))

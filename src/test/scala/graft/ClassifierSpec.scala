@@ -128,4 +128,116 @@ class ClassifierSpec extends AnyFunSuite {
       .collect().map(_.getAs[Double]("margin"))
     assert(zeros.forall(_ == 0.0))
   }
+
+  /** Planted OVERFIT corpus: every doc is mostly doc-unique tokens
+    * (perfectly memorizable through the hashed features) plus one
+    * WEAK label signal — "sig" appears in 55% of positives but also
+    * 45% of negatives, so generalizable ranking tops out barely
+    * above chance while a trainer that memorizes ranks its own
+    * training set far better than docs it never saw. */
+  private def overfit(nPerClass: Int): Seq[(Long, String, Int)] =
+    (0 until 2 * nPerClass).map { i =>
+      val y = if (i < nPerClass) 1 else 0
+      val id = i.toLong
+      val uniq = (0 until 8).map(j => s"u${id}x$j")
+      val cut = if (y == 1) 11 else 9
+      val sig = if ((id * 2654435761L) % 20 < cut) Seq("sig") else Nil
+      (id, (uniq ++ sig).mkString(" "), y)
+    }
+
+  test("L2 weight decay: shrinks the trained weight mass, stays " +
+    "bit-deterministic under repartitioning, and λ=0 is the " +
+    "undecayed trainer exactly") {
+    val rows = planted(25)
+    val df = rows.toDF("doc_id", "text", "y")
+    def mass(l2: Double): Double =
+      Classifier.trainHashedLogistic(df, "doc_id", "y", "text", 256,
+        epochs = 3, lr = 1.0, l2 = l2)
+        .agg(sum(abs(col("w")))).first().getDouble(0)
+    assert(mass(0.05) < mass(0.0))
+    def tbl(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy(_._1).toSeq
+    // decayed training replays bit-exactly at any layout
+    assert(tbl(Classifier.trainHashedLogistic(df, "doc_id", "y",
+        "text", 256, epochs = 3, lr = 1.0, l2 = 0.05)) ==
+      tbl(Classifier.trainHashedLogistic(
+        scala.util.Random.shuffle(rows).toDF("doc_id", "text", "y")
+          .repartition(7), "doc_id", "y", "text", 256,
+        epochs = 3, lr = 1.0, l2 = 0.05)))
+    // λ=0 multiplies by exactly 1.0 — the undecayed weights
+    assert(tbl(Classifier.trainHashedLogistic(df, "doc_id", "y",
+        "text", 256, epochs = 2)) ==
+      tbl(Classifier.trainHashedLogistic(df, "doc_id", "y",
+        "text", 256, epochs = 2, l2 = 0.0)))
+    // an out-of-range decay refuses
+    intercept[IllegalArgumentException] {
+      Classifier.trainHashedLogistic(df, "doc_id", "y", "text", 256,
+        lr = 1.0, l2 = 1.5)
+    }
+  }
+
+  test("held-out margins diverge from training margins on a planted " +
+    "overfit corpus — why the gate threshold must come from " +
+    "held-out data") {
+    val df = overfit(200).toDF("doc_id", "text", "y")
+    val split = graft.llmops.Mixture.trainSplit(df, "doc_id")
+    val train = split.filter(col("split") === "train")
+    val heldout = split.filter(col("split") === "val")
+    // wide hash (few collisions) + deeper descent = memorization room
+    val w = Classifier.trainHashedLogistic(train, "doc_id", "y",
+      "text", 32768, epochs = 5, lr = 1.0)
+    def aucOf(side: org.apache.spark.sql.DataFrame): Double =
+      auc(Classifier
+        .marginWithWeights(side, "doc_id", "text", Seq("y"), w, 32768)
+        .collect()
+        .map(r => (r.getAs[Double]("margin"), r.getAs[Int]("y")))
+        .toSeq)
+    val (trainAuc, valAuc) = (aucOf(train), aucOf(heldout))
+    // memorized: ranks its own training set well above the weak
+    // signal's ceiling (the mean-of-features normalization caps how
+    // far memorization can push a single margin, so ~0.85, not 1.0)…
+    assert(trainAuc > 0.8, s"train AUC=$trainAuc")
+    // …but the held-out ranking collapses toward the weak signal —
+    // a threshold read off the training set would be a fiction
+    assert(trainAuc > valAuc + 0.15,
+      s"train=$trainAuc heldout=$valAuc — no divergence planted?")
+  }
+
+  test("holdoutThresholdTable: derived grid spans the held-out " +
+    "margins, counts are monotone in the threshold, and the " +
+    "confusion columns are consistent") {
+    val df = planted(100).toDF("doc_id", "text", "y")
+    val rows = Classifier
+      .holdoutThresholdTable(df, "doc_id", "y", "text", 512,
+        gridSize = 8, epochs = 2)
+      .collect()
+      .sortBy(_.getAs[Double]("threshold"))
+    assert(rows.length == 9) // gridSize + 1 candidate thresholds
+    val nVal = rows.head.getAs[Long]("n_docs")
+    assert(nVal > 0 && rows.forall(_.getAs[Long]("n_docs") == nVal))
+    // the lowest candidate is min(margin): everything passes; the
+    // highest is max(margin): at least one doc still passes
+    assert(rows.head.getAs[Long]("n_pass") == nVal)
+    assert(rows.head.getAs[Double]("recall") == 1.0)
+    assert(rows.last.getAs[Long]("n_pass") >= 1L)
+    // raising the threshold never admits more: n_pass, tp, recall
+    // all non-increasing
+    Seq[org.apache.spark.sql.Row => Long](
+      _.getAs[Long]("n_pass"), _.getAs[Long]("tp"))
+      .foreach { f =>
+        rows.sliding(2).foreach { case Array(a, b) =>
+          assert(f(a) >= f(b), s"not monotone at ${b}")
+        }
+      }
+    rows.foreach { r =>
+      val (np, tp, fp, fn) = (r.getAs[Long]("n_pass"),
+        r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"))
+      assert(tp + fp == np)
+      assert(r.getAs[Double]("pass_rate") == np.toDouble / nVal)
+      if (np == 0) assert(r.isNullAt(r.fieldIndex("precision")))
+      else assert(r.getAs[Double]("precision") == tp.toDouble / np)
+      assert(r.getAs[Double]("recall") == tp.toDouble / (tp + fn))
+    }
+  }
 }

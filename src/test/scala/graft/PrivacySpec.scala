@@ -305,6 +305,72 @@ class PrivacySpec extends AnyFunSuite {
     assert(math.abs(view("s1")._3 - 5.0 * Privacy.EpsUnit) < 1e-12)
   }
 
+  test("ledgerBurn records the EXACT noise-key mechanism tag and the " +
+    "shared ε derivation for every release form, and a refused burn " +
+    "appends nothing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dp-ledger2").toString + "/ledger"
+    // one burn per release form, each under a fresh salt
+    Privacy.ledgerBurn(spark, dir, "c", Seq("lang"), None, None,
+      allowReuse = false)
+    Privacy.ledgerBurn(spark, dir, "cu", Seq("lang"), None, Some(3),
+      allowReuse = false)
+    Privacy.ledgerBurn(spark, dir, "s", Seq("lang"), Some(128L), None,
+      allowReuse = false)
+    Privacy.ledgerBurn(spark, dir, "su", Seq("lang"), Some(64L),
+      Some(2), allowReuse = false)
+    val rows = spark.read.parquet(dir)
+      .select("salt", "mechanism", "eps_ln2_units")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getDouble(2)))).toMap
+    // the recorded mechanism IS the tag the release folds into its
+    // noise key (clip and m included — per-form budgets reconstruct
+    // without guessing), ε from the same derivation authority
+    assert(rows("c") == (("cnt", 1.0)))
+    assert(rows("cu") == (("cnt:u3", 3.0)))
+    assert(rows("s") == (("sum:c128", 1.0)))
+    assert(rows("su") == (("sum:c64:u2", 4.0)))
+    // a refused burn is atomic: the salt row count stays 1
+    intercept[IllegalArgumentException] {
+      Privacy.ledgerBurn(spark, dir, "c", Seq("lang"), None, None,
+        allowReuse = false)
+    }
+    assert(spark.read.parquet(dir)
+      .filter(col("salt") === "c").count() == 1L)
+  }
+
+  test("ledger mechanism tag law: the recorded tag, fed back as the " +
+    "mechanismTag override, reproduces the release bit-exactly — " +
+    "the ledger row joins to the release form with no translation") {
+    import spark.implicits._
+    val df = Seq(("en", 1L), ("en", 2L), ("de", 3L), ("de", 4L),
+      ("fr", 5L), ("fr", 6L), ("fr", 7L)).toDF("lang", "v")
+    val cls = df.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_true"))
+    def frame(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+    // row-level counts: default tag == mechanismTagOf(None, None)
+    assert(frame(Privacy.dpNoisyCounts(df, Seq("lang"), "salt")) ==
+      frame(Privacy.dpNoisyFromCounts(cls, Seq("lang"), "salt",
+        mechanismTag = Privacy.mechanismTagOf(None, None))))
+    // and a DIFFERENT form's tag draws different noise (the
+    // cross-form cancellation defense the tag exists for)
+    assert(frame(Privacy.dpNoisyFromCounts(cls, Seq("lang"), "salt",
+        mechanismTag = Privacy.mechanismTagOf(None, Some(2)))) !=
+      frame(Privacy.dpNoisyFromCounts(cls, Seq("lang"), "salt",
+        mechanismTag = Privacy.mechanismTagOf(None, None))))
+  }
+
+  test("ledgerGuard treats an existing-but-fileless ledger dir as an " +
+    "empty ledger, not a schema-inference error") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dp-ledger3").toString + "/ledger"
+    new java.io.File(dir).mkdirs() // crash after mkdir, before append
+    Privacy.ledgerGuard(spark, dir, "s1", allowReuse = false) // passes
+    assert(Privacy.ledgerComposedView(spark, dir).count() == 0L)
+  }
+
   test("classKey: NULL-explicit and length-prefixed — NULL keys still " +
     "draw noise, separator-bearing values cannot collide classes") {
     import spark.implicits._

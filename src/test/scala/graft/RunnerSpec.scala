@@ -216,6 +216,17 @@ class RunnerSpec extends AnyFunSuite {
         "clf-min-margin" -> cut.toString, "clf-buckets" -> "512"))
       .collect()
     assert(audit.map(_.getAs[Long]("n_in")).sum == 20)
+    // --holdout-table: the q293 threshold-selection table lands next
+    // to the weights — grid+1 rows over the held-out margin range,
+    // with the confusion columns an operator reads to pick the gate
+    JobRunner.lakeJobs("classifier_train")(s0,
+      Map("in-docs" -> s"$dir/docs", "buckets" -> "512",
+        "holdout-table" -> s"$dir/th", "grid" -> "4"))
+    val th = s0.read.parquet(s"$dir/th")
+    assert(th.columns.toSet == Set("threshold", "n_docs", "n_pass",
+      "tp", "fp", "fn", "pass_rate", "precision", "recall"))
+    assert(th.count() == 5L)
+    assert(th.select("n_docs").distinct().count() == 1L)
   }
 
   test("JobRunner: report_export lake job writes the HTML + SVG tail") {
@@ -458,12 +469,19 @@ class RunnerSpec extends AnyFunSuite {
       "salt" -> "led1", "ledger" -> ledger, "allow-reuse" -> "true",
       "key-cols" -> "lang", "sum-col" -> "doc_id",
       "contributor-col" -> "source", "max-per-contributor" -> "2"))
-    val view = JobRunner.lakeJobs("dp_ledger")(s0,
+    val viewRows = JobRunner.lakeJobs("dp_ledger")(s0,
       Map("ledger" -> ledger)).collect()
+    val view = viewRows
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
       .toMap
-    // cnt:row (1 unit) + sum:user m=2 (4 units) compose to 5 ln2
+    // cnt (1 unit) + sum:c128:u2 (2m = 4 units) compose to 5 ln2
     assert(view("led1") == ((2L, 5.0)))
+    // the ledger records the EXACT noise-key tags (clip and m
+    // included) — a ledger audit reconstructs per-form budgets
+    // without guessing
+    assert(viewRows.head
+      .getAs[scala.collection.Seq[String]]("mechanisms")
+      .toSeq == Seq("cnt", "sum:c128:u2"))
     val cc = JobRunner.jobs("contamination_report")._2(s0,
         Map("docs" -> docsDf)).collect()
       .map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3)))).toMap
@@ -806,6 +824,104 @@ class RunnerSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(keep == Map(1L -> true, 2L -> false, 3L -> true,
       4L -> true))
+  }
+
+  test("JobRunner: paired_release --modality video completes the " +
+    "grid — re-ordered re-encode + same transcript collapses " +
+    "exactly, trimmed re-cut + paraphrase collapses via the near " +
+    "pair, different transcript or different clip survives") {
+    val dir = Files.createTempDirectory("graft-runner-paired-v").toString
+    val s0 = graft.core.Sessions.local(4, "graft-runner-test")
+    import s0.implicits._
+    def clip(pid: Long, frames: Seq[Int]): Array[Byte] =
+      frames.flatMap(f => Array.tabulate(8)(b =>
+        ((pid * 31 + f * 7 + b * 3) % 251).toByte)).toArray
+    val capA = "the quick brown fox jumps over the lazy dog"
+    val capB = "the quick brown fox jumps over a sleepy dog"
+    val capC = "completely unrelated words describing another scene"
+    Seq(
+      (1L, clip(42L, 0 until 8), capA, "s"),
+      // 5: same frames RE-ORDERED + identical transcript → exact dup
+      // (the frame-SET fingerprint ignores order and repetition)
+      (5L, clip(42L, (0 until 8).reverse), capA, "s"),
+      // 2: trimmed re-cut (6 of 8 frames) + paraphrase → NEAR pair
+      (2L, clip(42L, 0 until 6), capB, "s"),
+      // 3: same clip, unrelated transcript → survives (information)
+      (3L, clip(42L, 0 until 8), capC, "s"),
+      // 4: different clip, re-used transcript → survives (the text
+      // rail proposes (1,4) at jac=1, the MinHash rail refuses)
+      (4L, clip(7L, 0 until 8), capA, "s"),
+      // 99: no complete frame — counted undecodable, not dropped
+      (99L, Array[Byte](9, 9, 9), capA, "s"))
+      .toDF("doc_id", "payload", "text", "source")
+      .write.parquet(s"$dir/docs")
+    val report = JobRunner.lakeJobs("paired_release")(s0, Map(
+      "in-docs" -> s"$dir/docs", "dest" -> s"$dir/rel",
+      "modality" -> "video"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(report("transcribed_video") == ((5L, 4L, 3L)))
+    assert(report("undecodable") == ((1L, 0L, 0L)))
+    val keep = s0.read.parquet(s"$dir/rel/keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(keep == Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> true))
+  }
+
+  test("JobRunner: store_census reports kind, batches, compaction " +
+    "state and rows per component across store kinds") {
+    val dir = Files.createTempDirectory("graft-runner-census").toString
+    val s0 = graft.core.Sessions.local(4, "graft-runner-test")
+    import s0.implicits._
+    // a video-transcript PAIRED store with two committed batches,
+    // then a compaction — batches collapse to batch=-1
+    def clip(pid: Long): Array[Byte] =
+      (0 until 8).flatMap(f => Array.tabulate(8)(b =>
+        ((pid * 31 + f * 7 + b * 3) % 251).toByte)).toArray
+    val vs = s"$dir/vstore"
+    graft.streaming.Streams.videoTranscriptCommit(
+      Seq((1L, clip(5L), "alpha words here", "s"))
+        .toDF("id", "payload", "transcript", "src"),
+      0L, "id", "payload", "transcript", "src", vs, 0.2, 8)
+    graft.streaming.Streams.videoTranscriptCommit(
+      Seq((2L, clip(9L), "other speech entirely", "s"))
+        .toDF("id", "payload", "transcript", "src"),
+      1L, "id", "payload", "transcript", "src", vs, 0.2, 8)
+    graft.streaming.Streams.compactMediaStore(s0, vs, uptoBatch = 1L)
+    val vc = JobRunner.lakeJobs("store_census")(s0,
+        Map("in-store" -> vs)).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getInt(2),
+        r.getBoolean(3), r.getBoolean(4), r.getLong(5)))).toMap
+    assert(vc.keySet == Set("docs", "fps", "bands", "postings"))
+    assert(vc("docs") == (("paired:video-transcript", 2, false,
+      false, 2L)))
+    // all three indexes squashed: no live batches, batch=-1 present
+    for (idx <- Seq("fps", "bands", "postings"))
+      assert(vc(idx)._1 == "paired:video-transcript" &&
+        vc(idx)._2 == 0 && vc(idx)._3 && !vc(idx)._4, s"$idx: $vc")
+    assert(vc("fps")._5 == 2L)
+    // a curated store WITH the URL rail reports curated+url
+    val cs = s"$dir/cstore"
+    val ref = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val model = graft.llmops.LanguageModel.bigramModel(ref, "doc_id", "text")
+    val v = graft.llmops.LanguageModel.refVocabSize(ref, "text")
+    graft.streaming.Streams.curatedCommitIndexed(
+      Seq((1L, "alpha beta gamma delta", "http://a.example/x"))
+        .toDF("id", "body", "url"),
+      0L, "id", "body", model, v, 0.0, cs, 0.5, 1000, Some("url"))
+    val cc2 = JobRunner.lakeJobs("store_census")(s0,
+        Map("in-store" -> cs)).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc2.keySet ==
+      Set("docs", "fps", "postings", "dfs", "urls"))
+    assert(cc2("docs") == "curated+url")
+    // not-a-store refuses loudly
+    val ex = intercept[IllegalArgumentException] {
+      JobRunner.lakeJobs("store_census")(s0,
+        Map("in-store" -> s"$dir/nope"))
+    }
+    assert(ex.getMessage.contains("meta"))
   }
 
   test("JobRunner: media_release --keep-best-resolution survives the " +

@@ -1500,6 +1500,206 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("toVideoTranscriptCorpusStore: the paired kernel over frame-set " +
+    "signatures — re-ordered re-encode + same transcript exact-drops, " +
+    "trimmed re-cut + paraphrase near-drops, same clip + different " +
+    "speech and different clip + same transcript are ADMITTED; " +
+    "replay no-op; modality guard; compaction preserves decisions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-vidpair").toString
+    val store = s"$dir/store"
+    // 8-byte frames; frame (pid, f) is unique across the fixture's
+    // families (bases pid*31+f*7 are distinct mod 251 for these pids)
+    def clip(pid: Long, frames: Seq[Int]): Array[Byte] =
+      frames.flatMap(f => Array.tabulate(8)(b =>
+        ((pid * 31 + f * 7 + b * 3) % 251).toByte)).toArray
+    val capA = "the quick brown fox jumps over the lazy dog"
+    val capB = "the quick brown fox jumps over a sleepy dog" // ~0.4
+    val capC = "completely unrelated words describing another scene"
+    val capD = "yet another caption with nothing shared at all here"
+    def commit(batchId: Long,
+        rows: Seq[(Long, Array[Byte], String, String)],
+        minJac: Double = 0.2): Unit =
+      Streams.videoTranscriptCommit(
+        rows.toDF("id", "payload", "transcript", "src"), batchId,
+        "id", "payload", "transcript", "src", store, minJac,
+        frameBytes = 8)
+    def ids() = Streams.captionedDocs(spark, store)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // batch 0: 3 re-delivers 2's clip RE-ORDERED (same frame set →
+    // same set_fp) under the identical transcript → paired-exact
+    // drop; 4 = same clip, unrelated transcript → ADMITTED; 6 =
+    // different clip, same transcript → ADMITTED; 99 has no
+    // complete frame → rejected
+    commit(0L, Seq((2L, clip(5L, 0 until 8), capA, "s"),
+      (3L, clip(5L, (0 until 8).reverse), capA, "s"),
+      (4L, clip(5L, 0 until 8), capC, "s"),
+      (6L, clip(6L, 0 until 8), capA, "s"),
+      (99L, Array[Byte](1, 2, 3), capA, "s")))
+    assert(ids() == Seq(2L, 4L, 6L))
+    // batch 1: 11 = TRIMMED re-cut of 2 (6 of its 8 frames → most
+    // MinHash slots shared) + PARAPHRASE transcript → near rail →
+    // dropped; 13 = same trim + unrelated transcript → admitted;
+    // 15 = new clip + capA's exact text → admitted (exact needs BOTH)
+    commit(1L, Seq((11L, clip(5L, 0 until 6), capB, "s"),
+      (13L, clip(5L, 0 until 6), capD, "s"),
+      (15L, clip(7L, 0 until 8), capA, "s")))
+    assert(ids() == Seq(2L, 4L, 6L, 13L, 15L))
+    // replay re-derives the identical admission
+    commit(1L, Seq((11L, clip(5L, 0 until 6), capB, "s"),
+      (13L, clip(5L, 0 until 6), capD, "s"),
+      (15L, clip(7L, 0 until 8), capA, "s")))
+    assert(ids() == Seq(2L, 4L, 6L, 13L, 15L))
+    // within-batch near rail: a trimmed paraphrase beside its source
+    commit(2L, Seq((21L, clip(19L, 0 until 8), capA, "s"),
+      (23L, clip(19L, 0 until 6), capB, "s")))
+    assert(ids() == Seq(2L, 4L, 6L, 13L, 15L, 21L))
+    // modality guard: an audio-transcript commit must refuse
+    val xm = intercept[IllegalArgumentException] {
+      Streams.audioTranscriptCommit(
+        Seq((31L, clip(23L, 0 until 8), capA, "s"))
+          .toDF("id", "payload", "transcript", "src"),
+        3L, "id", "payload", "transcript", "src", store, 16, 0.2, 4)
+    }
+    assert(xm.getMessage.contains("one modality per store"))
+    // compaction squashes all three indexes; decisions preserved
+    Streams.compactMediaStore(spark, store, uptoBatch = 2L)
+    for (idx <- Seq("fps", "bands", "postings")) {
+      val parts = new java.io.File(s"$store/$idx").listFiles()
+        .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+      assert(parts.toSeq == Seq("batch=-1"), s"$idx: ${parts.toSeq}")
+    }
+    commit(3L, Seq((31L, clip(5L, 0 until 6), capB, "s"), // still near 2
+      (33L, clip(29L, 0 until 8), capC, "s")))
+    assert(ids() == Seq(2L, 4L, 6L, 13L, 15L, 21L, 33L))
+  }
+
+  test("toVideoTranscriptCorpusStore streaming wrapper: micro-batches " +
+    "gate through the store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-vidpairw").toString
+    def clip(pid: Long): Array[Byte] =
+      (0 until 8).flatMap(f => Array.tabulate(8)(b =>
+        ((pid * 31 + f * 7 + b * 3) % 251).toByte)).toArray
+    val rows = Seq(
+      (1L, clip(5L), "the quick brown fox", "s"),
+      (2L, clip(5L), "the quick brown fox", "s"), // paired-exact dup
+      (3L, clip(9L), "a completely different transcript", "s"))
+    val src = MemoryStream[(Long, Array[Byte], String, String)]
+    val q = Streams.toVideoTranscriptCorpusStore(
+      src.toDF().toDF("id", "payload", "transcript", "src"),
+      "id", "payload", "transcript", "src",
+      s"$dir/store", s"$dir/chk")
+    src.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    assert(Streams.captionedDocs(spark, s"$dir/store")
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("pairedCommit refuses a store whose pinned index schema names " +
+    "an older column layout (pre-r13 pix_fp) instead of nulling " +
+    "historical fingerprints") {
+    import spark.implicits._
+    import graft.llmops.Multimodal
+    val dir = Files.createTempDirectory("graft-pairschema").toString
+    val store = s"$dir/store"
+    val W = 36; val H = 32
+    def img(pid: Long): Array[Byte] =
+      Multimodal.encodeBmp(Array.tabulate(H, W)((y, x) =>
+        Multimodal.synthPixel(pid, x, y)), W, H)
+    def commit(batchId: Long, id: Long, pid: Long): Unit =
+      Streams.captionedCommit(
+        Seq((id, img(pid), "a caption here", "s"))
+          .toDF("id", "payload", "caption", "src"),
+        batchId, "id", "payload", "caption", "src", store, 4, 0.2)
+    commit(0L, 1L, 42L)
+    // simulate a pre-r13 store: pin an fps_schema whose exact-rail
+    // column is still pix_fp (the layout the r13 kernel renamed)
+    val m = spark.read.parquet(s"$store/meta").first()
+    Seq((m.getAs[Int]("max_hamming"), m.getAs[Double]("min_jac"),
+      m.getAs[String]("pair_kind"),
+      m.getAs[String]("fps_schema")
+        .replace("\"name\":\"fp\"", "\"name\":\"pix_fp\""),
+      m.getAs[String]("bands_schema"),
+      m.getAs[String]("postings_schema")))
+      .toDF("max_hamming", "min_jac", "pair_kind", "fps_schema",
+        "bands_schema", "postings_schema")
+      .coalesce(1).write.mode("overwrite").parquet(s"$store/meta")
+    // committing would read historical fps as NULL under the new
+    // template schema (exact rail silently dead) and a compaction
+    // would null post-upgrade batches — refuse instead
+    val ex = intercept[IllegalArgumentException] {
+      commit(1L, 2L, 43L)
+    }
+    assert(ex.getMessage.contains("older index layout"))
+  }
+
+  test("curatedCommitIndexed trained gate: low-margin docs drop " +
+    "incrementally, replay is a no-op under the same weights, and " +
+    "drifted or toggled weights refuse") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-clfgate").toString
+    val store = s"$dir/store"
+    val B = 4096
+    def bucketOf(f: String): Long = Seq(f).toDF("f")
+      .select(org.apache.spark.sql.functions.pmod(
+        graft.llmops.TextOps.hash60(col("f")), lit(B.toLong)))
+      .first().getLong(0)
+    val bks = Seq("good", "bad", "good good", "bad bad").map(bucketOf)
+    assert(bks.distinct.size == 4) // no collisions in the fixture
+    val weights = Seq((bks(0), 1.0), (bks(1), -1.0), (bks(2), 1.0),
+      (bks(3), -1.0)).toDF("bucket", "w")
+    val gate = Streams.TrainedGate(weights, B, minMargin = 0.0)
+    // permissive LM (trained on both docs, cutoff 0) isolates the gate
+    val ref = Seq((100L, "good good good"), (101L, "bad bad bad"))
+      .toDF("doc_id", "text")
+    val model = graft.llmops.LanguageModel
+      .bigramModel(ref, "doc_id", "text")
+    val v = graft.llmops.LanguageModel.refVocabSize(ref, "text")
+    def commit(batchId: Long, rows: Seq[(Long, String)],
+        g: Option[Streams.TrainedGate] = Some(gate)): Unit =
+      Streams.curatedCommitIndexed(rows.toDF("id", "body"), batchId,
+        "id", "body", model, v, minScore = 0.0, store,
+        minJac = 0.5, maxDf = 1000, urlCol = None, clfGate = g)
+    def ids() = Streams.curatedDocs(spark, store)
+      .select("id").as[Long].collect().sorted.toSeq
+    // margin("good good good") = +1, margin("bad bad bad") = −1:
+    // the gate admits 1, drops 2 — incrementally, inside the store
+    commit(0L, Seq((1L, "good good good"), (2L, "bad bad bad")))
+    assert(ids() == Seq(1L))
+    // replay under the same weights: identical decision, no-op
+    commit(0L, Seq((1L, "good good good"), (2L, "bad bad bad")))
+    assert(ids() == Seq(1L))
+    // the dedup rails still run: an exact redelivery of 1 drops on
+    // the fps rail, a fresh low-margin doc drops on the gate
+    commit(1L, Seq((3L, "good good good"), (4L, "bad bad good")))
+    assert(ids() == Seq(1L))
+    // drifted weights refuse (fingerprint pinned in meta)
+    val drifted = Seq((bks(0), 2.0), (bks(1), -1.0)).toDF("bucket", "w")
+    val exW = intercept[IllegalArgumentException] {
+      commit(2L, Seq((5L, "good good good")),
+        g = Some(Streams.TrainedGate(drifted, B, 0.0)))
+    }
+    assert(exW.getMessage.contains("drifted"))
+    // gate off against a gate-on store refuses (and vice versa)
+    val exOff = intercept[IllegalArgumentException] {
+      commit(2L, Seq((5L, "good good good")), g = None)
+    }
+    assert(exOff.getMessage.contains("clf_gate"))
+    val dir2 = Files.createTempDirectory("graft-clfgate2").toString
+    Streams.curatedCommitIndexed(
+      Seq((1L, "good good good")).toDF("id", "body"), 0L, "id",
+      "body", model, v, 0.0, s"$dir2/store", 0.5, 1000, None, None)
+    val exOn = intercept[IllegalArgumentException] {
+      Streams.curatedCommitIndexed(
+        Seq((2L, "bad bad bad")).toDF("id", "body"), 1L, "id",
+        "body", model, v, 0.0, s"$dir2/store", 0.5, 1000, None,
+        Some(gate))
+    }
+    assert(exOn.getMessage.contains("clf_gate"))
+  }
+
   test("toCaptionedImageCorpusStore streaming wrapper: micro-batches " +
     "gate through the store") {
     import spark.implicits._
