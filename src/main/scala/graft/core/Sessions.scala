@@ -29,6 +29,27 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // r14 join-strategy knobs (guide §3.1): allow the planner and
+      // AQE to pick a shuffled hash join over sort-merge when the
+      // per-partition build side fits — SHJ skips both sort passes.
+      // Env-overridable for A/B; the local defaults below are also the
+      // production recommendation (the AQE threshold bounds build-side
+      // memory per partition at any scale).
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("GRAFT_PREFER_SORT_MERGE", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("GRAFT_SHJ_LOCAL_MAP_THRESHOLD", "64m"))
+      // r14 AQE partition sizing (guide §2.2): coalesce post-shuffle
+      // partitions by SIZE (advisory target) rather than stopping at
+      // the cluster parallelism floor. Size-adaptive = the same conf
+      // is right at sf0.1 (few, cheap tasks) and at 100 TB (many
+      // advisory-sized tasks); parallelismFirst=true is kept as an
+      // env escape hatch. Defaults chosen by full-suite A/B, see
+      // OPTIMIZATION_r14.md.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("GRAFT_AQE_PARALLELISM_FIRST", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("GRAFT_AQE_ADVISORY_SIZE", "64m"))
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
 

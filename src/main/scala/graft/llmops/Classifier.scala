@@ -31,12 +31,14 @@ import org.apache.spark.sql.types.DecimalType
   *    bolted on: ~1e-12 per-term truncation is five orders below
   *    any gradient signal.
   *  - **Scale shape.** Featurization is ONE explode + one (doc,
-  *    bucket) count — computed once and barriered. Each epoch is two
-  *    corpus-sized hash aggregations (per-doc margin, per-bucket
-  *    gradient) plus one BROADCAST join of the ≤ B-row weight table;
-  *    weights barrier per epoch so the plan stays epoch-sized. E
-  *    epochs = E linear passes — no driver-side loops over data, no
-  *    all-pairs anything.
+  *    bucket) count — computed once and barriered, with the per-doc
+  *    normalizer carried in closed form from the token array (2n−1
+  *    features for n tokens), so no per-doc window or sort anywhere
+  *    (r14). Each epoch is two corpus-sized hash aggregations
+  *    (per-doc margin, per-bucket gradient) plus one BROADCAST join
+  *    of the ≤ B-row weight table; weights barrier per epoch so the
+  *    plan stays epoch-sized. E epochs = E linear passes — no
+  *    driver-side loops over data, no all-pairs anything.
   */
 object Classifier {
 
@@ -84,38 +86,56 @@ object Classifier {
     * bigram can never collide with a unigram. The SHARED
     * featurization of scorer and trainer — a gate scoring with
     * trained weights must hash exactly the features the trainer
-    * weighted. */
+    * weighted.
+    *
+    * `withCount = true` additionally emits `__nf`, the doc's TOTAL
+    * feature count, computed in closed form from the token array
+    * BEFORE the explode: n tokens yield n unigrams + (n−1) bigrams =
+    * 2n−1 features (n = 1 gives 1; n = 0 explodes no rows, so the
+    * negative literal never surfaces). This is exactly the
+    * `sum(cnt) OVER (PARTITION BY doc)` the per-doc normalization
+    * used to compute with a window — same long, zero extra exchange,
+    * zero sort (the r14 optimization: the window was one full
+    * Exchange + Sort per featurization). */
   private def explodeFeatures(df: DataFrame, keep: Seq[Column],
-      textCol: String): DataFrame = {
+      textCol: String, withCount: Boolean = false): DataFrame = {
     val tk = df.select(keep :+ TextOps.tokens(col(textCol)).as("t"): _*)
     val bigr = when(size(col("t")) >= 2, zip_with(
       slice(col("t"), lit(1), size(col("t")) - 1),
       slice(col("t"), lit(2), size(col("t")) - 1),
       (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
-    tk.select(keep :+ explode(concat(col("t"), bigr)).as("f"): _*)
+    val nf =
+      if (withCount)
+        Seq((size(col("t")) * lit(2) - lit(1)).cast("long").as("__nf"))
+      else Seq.empty
+    tk.select(keep ++ nf :+ explode(concat(col("t"), bigr)).as("f"): _*)
   }
 
   /** The trainer's design matrix: one row per (doc, bucket) with
     * x = cnt/n_feats (fastText's mean-of-feature-vectors
     * normalization — a long doc does not out-vote a short one) and
     * the label as `y` ∈ {0,1} double. One explode + one hash
-    * aggregation + one per-doc window (spillable; millions of small
-    * partitions, never global). */
+    * aggregation — the per-doc normalizer is the closed-form 2n−1
+    * feature total carried from the token array, so there is no
+    * window and no sort here (r14). */
   def hashedFeatures(df: DataFrame, idCol: String, labelCol: String,
       textCol: String, buckets: Int): DataFrame = {
     require(buckets >= 1, s"hashedFeatures: buckets=$buckets")
-    import org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol),
       col(labelCol).cast("double").as("y"), col(textCol))
-    explodeFeatures(base, Seq(col(idCol), col("y")), textCol)
+    // per-doc total feature count rides along from the token array
+    // (2n−1, see explodeFeatures) instead of a post-agg window —
+    // sum(cnt) over the doc IS that total, so x is bit-identical and
+    // the featurization drops one Exchange + Sort
+    explodeFeatures(base, Seq(col(idCol), col("y")), textCol,
+        withCount = true)
       .withColumn("bucket",
         pmod(TextOps.hash60(col("f")), lit(buckets.toLong)))
-      .groupBy(col(idCol), col("y"), col("bucket"))
+      .groupBy(col(idCol), col("y"), col("__nf"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("x", col("cnt").cast("double") /
-        sum(col("cnt")).over(Window.partitionBy(col(idCol)))
-          .cast("double"))
+        col("__nf").cast("double"))
       .select(col(idCol), col("y"), col("bucket"), col("x"))
   }
 
@@ -166,6 +186,14 @@ object Classifier {
     val spark = df.sparkSession
     var weights = spark.range(0).select(col("id").as("bucket"),
       col("id").cast("double").as("w"))
+    // Epoch shape (kept from r13 — re-derived and re-measured this
+    // round): margin by hash aggregation + residual join-back. The
+    // r14 window-margin variant (id-repartitioned persisted feats +
+    // partition-local window, zero per-epoch exchanges) was built and
+    // A/B-measured ~40% SLOWER at sf0.1 (the one-time repartition +
+    // columnar cache build outweigh the removed exchanges at E=3-5,
+    // and the residual frame below auto-broadcasts locally), so it
+    // was rejected; see OPTIMIZATION_r14.md for the numbers.
     (1 to epochs).foreach { _ =>
       val m = feats
         .join(broadcast(weights), Seq("bucket"), "left")
@@ -202,6 +230,7 @@ object Classifier {
     sum(floor(v * lit(1.0e12)).cast(DecimalType(38, 0)))
       .cast("double") / lit(1.0e12)
 
+
   /** Score with a TRAINED weight table: per-doc margin
     * m = (Σ_b ⌊w_b·(cnt_b/n_feats)·10¹²⌋)/10¹² through the same
     * featurization and the same tie-free quantized fold as the
@@ -213,21 +242,22 @@ object Classifier {
       carryCols: Seq[String], weights: DataFrame, buckets: Int)
       : DataFrame = {
     require(buckets >= 1, s"marginWithWeights: buckets=$buckets")
-    import org.apache.spark.sql.expressions.Window
     val keep = col(idCol) +: carryCols.map(col)
-    val cnt = explodeFeatures(df, keep, textCol)
+    // the per-doc feature total (normalizer AND n_feats output) is the
+    // closed-form 2n−1 carried from the token array (explodeFeatures
+    // withCount) — both per-doc windows the scorer used to run are
+    // gone, so the plan is explode → one hash aggregation → broadcast
+    // weight join → one hash aggregation, no Sort anywhere (r14)
+    val cnt = explodeFeatures(df, keep, textCol, withCount = true)
       .withColumn("bucket",
         pmod(TextOps.hash60(col("f")), lit(buckets.toLong)))
-      .groupBy(keep :+ col("bucket"): _*)
+      .groupBy(keep ++ Seq(col("__nf"), col("bucket")): _*)
       .agg(count(lit(1)).as("cnt"))
       .withColumn("x", col("cnt").cast("double") /
-        sum(col("cnt")).over(Window.partitionBy(col(idCol)))
-          .cast("double"))
-      .withColumn("nf",
-        sum(col("cnt")).over(Window.partitionBy(col(idCol))))
+        col("__nf").cast("double"))
     cnt.join(broadcast(weights), Seq("bucket"), "left")
       .groupBy(keep: _*)
-      .agg(max(col("nf")).as("n_feats"),
+      .agg(max(col("__nf")).as("n_feats"),
         quantizedFoldDiv(
           coalesce(col("w"), lit(0.0)) * col("x")).as("margin"))
   }
