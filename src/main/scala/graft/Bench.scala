@@ -6,9 +6,10 @@ import graft.core.Sessions
 
 /** Benchmark main: times every registered query at the given scale-factor
   * directory using the warm-minima protocol (min of 3 warm runs per
-  * query, leaked blocks dropped between runs), prints ONE short JSON
-  * line the driver collects per round, and writes the complete
-  * per-query artifact to `bench_full.json`.
+  * query, leaked blocks dropped between runs), prints the short JSON
+  * line the driver collects per round (plus a compact total-only
+  * trailer line, r15 — see the output contract below), and writes the
+  * complete per-query artifact to `bench_full.json`.
   *
   * Protocol notes (why min-of-3 warm, and why `count()`):
   *   - A full warmup pass first: whole-stage-codegen classes JIT on
@@ -177,6 +178,17 @@ object Bench {
     val qs = parts.mkString("{", ",", "}")
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"queries_note":"slowest-that-fit; complete artifact in bench_full.json and BENCH_r{NN}.json","sf":"$sfDir"}""")
+    // r15 (driver-contract hardening): a SECOND, compact record as the
+    // LAST stdout line. The r13/r14 PERF artifacts came back with
+    // per_query {} and bench_ok=false even though the full line above
+    // was inside the 2000-char tail — whatever the driver's tail
+    // parser trips on (preceding WARN noise, the sbt [success]
+    // trailer), a ~200-char total-only JSON line at the very end is
+    // always captured whole and parseable. The per-query map is NOT
+    // duplicated here (it lives on the line above and, complete, in
+    // bench_full.json / BENCH_r{NN}.json).
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":{},"queries_note":"compact trailer; per-query map on preceding line and in bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

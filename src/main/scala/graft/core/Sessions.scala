@@ -32,20 +32,28 @@ object Sessions {
       // r14 join-strategy knobs (guide §3.1): allow the planner and
       // AQE to pick a shuffled hash join over sort-merge when the
       // per-partition build side fits — SHJ skips both sort passes.
-      // Env-overridable for A/B; the local defaults below are also the
-      // production recommendation (the AQE threshold bounds build-side
-      // memory per partition at any scale).
+      // Two distinct paths pick SHJ under preferSortMergeJoin=false:
+      //   (a) AQE's SMJ->SHJ rewrite, gated by the LocalMapThreshold
+      //       below on MEASURED post-shuffle partition sizes — runtime
+      //       bounded and safe at any scale;
+      //   (b) the static planner's canBuildLocalHashMapBySize check,
+      //       which uses catalog/stats ESTIMATES and has NO runtime
+      //       bound — SHJ's build-side map does not spill, so a badly
+      //       misestimated build side can OOM an executor. On
+      //       stats-poor inputs at cluster scale, set
+      //       GRAFT_PREFER_SORT_MERGE=true (restores SMJ preference;
+      //       AQE path (a) still converts where measured sizes allow).
       .config("spark.sql.join.preferSortMergeJoin",
         sys.env.getOrElse("GRAFT_PREFER_SORT_MERGE", "false"))
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         sys.env.getOrElse("GRAFT_SHJ_LOCAL_MAP_THRESHOLD", "64m"))
-      // r14 AQE partition sizing (guide §2.2): coalesce post-shuffle
-      // partitions by SIZE (advisory target) rather than stopping at
-      // the cluster parallelism floor. Size-adaptive = the same conf
-      // is right at sf0.1 (few, cheap tasks) and at 100 TB (many
-      // advisory-sized tasks); parallelismFirst=true is kept as an
-      // env escape hatch. Defaults chosen by full-suite A/B, see
-      // OPTIMIZATION_r14.md.
+      // r14 AQE partition-coalescing rails. Both values below are
+      // Spark's own defaults, shipped explicitly as env-overridable
+      // A/B rails, NOT behavior changes: the size-based variant
+      // (parallelismFirst=false) was full-suite A/B-tested in r14 and
+      // REJECTED — it collapses the CPU-dense pair-verify stages to
+      // too few tasks (q164 +3 s); see OPTIMIZATION_r14.md §2a.
+      // GRAFT_AQE_PARALLELISM_FIRST=false re-runs that experiment.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("GRAFT_AQE_PARALLELISM_FIRST", "true"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",

@@ -118,7 +118,14 @@ object Classifier {
     * the label as `y` ∈ {0,1} double. One explode + one hash
     * aggregation — the per-doc normalizer is the closed-form 2n−1
     * feature total carried from the token array, so there is no
-    * window and no sort here (r14). */
+    * window and no sort here (r14).
+    *
+    * PRECONDITION: `idCol` must be unique per input row (one text per
+    * doc id). The closed form is per-ROW; the old window summed per
+    * PARTITION BY id — with duplicate ids the two normalizers (and
+    * the resulting x) diverge, and differing __nf values would split
+    * the group. Every caller (trainHashedLogistic via corpus ids,
+    * the q290-295 queries) satisfies this by construction. */
   def hashedFeatures(df: DataFrame, idCol: String, labelCol: String,
       textCol: String, buckets: Int): DataFrame = {
     require(buckets >= 1, s"hashedFeatures: buckets=$buckets")
@@ -237,7 +244,11 @@ object Classifier {
     * trainer — so a training-set doc's gate margin is bit-identical
     * to its last training margin. Same plan shape as
     * [[hashedBigramMargin]] plus one broadcast of the ≤ B-row weight
-    * table. Returns (idCol, carryCols…, n_feats, margin). */
+    * table. Returns (idCol, carryCols…, n_feats, margin).
+    *
+    * PRECONDITION: `idCol` unique per input row, as in
+    * [[hashedFeatures]] — the closed-form n_feats is per-row, where
+    * the pre-r14 window summed across duplicate ids. */
   def marginWithWeights(df: DataFrame, idCol: String, textCol: String,
       carryCols: Seq[String], weights: DataFrame, buckets: Int)
       : DataFrame = {

@@ -99,9 +99,14 @@ object Incremental {
     * incremental consumer stores dumps as (one full + daily deltas)
     * and reconstructs any day.
     *
-    * Shape: ONE full-outer join on the key (delta side is typically
-    * tiny → broadcast); the op routing is a projection. Exactly the
-    * plan a storage-format MERGE would run, minus the format. */
+    * Shape: ONE full-outer join on the key; the op routing is a
+    * projection. Exactly the plan a storage-format MERGE would run,
+    * minus the format. The join carries a MERGE hint (r15): a
+    * full-outer equi-join can never broadcast, so the only choice is
+    * SMJ vs SHJ — the interleaved A/B (benchab_shj6_r15.json) has SMJ
+    * 12% faster for q119 both runs, and at scale a full-outer SHJ
+    * must hash-map an entire side per partition (snapshot and delta
+    * are BOTH unbounded here), which is the guide §3.1 OOM case. */
   def applyChanges(snapshot: DataFrame, delta: DataFrame,
       keys: Seq[String], valueCols: Seq[String], opCol: String)
       : DataFrame = {
@@ -111,7 +116,7 @@ object Incremental {
     val dlt = delta
       .select((keys :+ opCol).map(col) ++ valueCols.map(col): _*)
       .toDF((keys :+ opCol) ++ valueCols.map("new_" + _): _*)
-    snap.join(dlt, keys, "full_outer")
+    snap.hint("merge").join(dlt, keys, "full_outer")
       .filter(col(opCol).isNull || col(opCol) =!= "D")
       .select(keys.map(col) ++ valueCols.map(c =>
         when(col(opCol).isNotNull, col("new_" + c))

@@ -1278,8 +1278,13 @@ object LlmQueries {
         val expanded = valid.select(col("doc_id"), col("dhash"))
           .join(repsWithCluster, Seq("dhash"))
           .select(col("doc_id"), col("cluster"))
+        // MERGE hint (r15): under the fleet SHJ default the static
+        // planner picked ShuffledHashJoin BuildLeft — building the
+        // hash map on the FULL corpus side, the unbounded-build case
+        // that cannot be right at 100 TB; locally SMJ also measured
+        // ~5-8% faster (benchab_shj6_r15.json)
         t(s, d, "documents").select(col("doc_id"))
-          .join(expanded, Seq("doc_id"), "left")
+          .join(expanded.hint("merge"), Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("cluster"), col("doc_id")).as("cluster"),
             (col("cluster").isNull
@@ -1401,8 +1406,10 @@ object LlmQueries {
           .select(col("doc_id").as("rep"), col("cluster"))
         val expanded = repMap.join(repClusters, Seq("rep"))
           .select(col("doc_id"), col("cluster"))
+        // MERGE hint (r15): same rationale as q267's attach join —
+        // the SHJ default built on the full-corpus side
         t(s, d, "documents").select(col("doc_id"))
-          .join(expanded, Seq("doc_id"), "left")
+          .join(expanded.hint("merge"), Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("cluster"), col("doc_id")).as("cluster"),
             (col("cluster").isNull
